@@ -1,0 +1,343 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** M2 operator widening (SURVEY.md §7.2): distinct/rollup/cube/approx
+  * aggregation, ranking/analytic windows, set operations, scalar
+  * string/date functions, outer/multiway joins, dedup-by-window.
+  *
+  * Same oracle conventions as [[RelationalQueries]]. Cross-engine quirks
+  * handled here:
+  *  - rollup/cube null group keys: ORDER BY ... NULLS FIRST pinned on BOTH
+  *    engines (Spark defaults nulls-first, DuckDB nulls-last);
+  *  - int width: Spark `year()` et al return int32 where DuckDB returns
+  *    int64 — Spark side casts to long so the hash compare sees one type;
+  *  - window frames spelled ROWS-explicit with a unique ORDER BY, so
+  *    running sums accumulate in one deterministic order on both engines.
+  */
+object AdvancedQueries {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  // --- aggregation surface ---------------------------------------------------
+
+  /** count(DISTINCT) — a two-phase (partial distinct, final) aggregate in
+    * Spark; at scale prefer approx_count_distinct (below) when exactness
+    * isn't contractual. */
+  def a2CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  val a2CountDistinctSql: String =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts,
+      |count(DISTINCT l_suppkey) AS distinct_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP with subtotal rows; grouping() flags disambiguate a NULL key
+    * from a subtotal (not needed for this non-null data, but part of the
+    * operator's surface). */
+  def a3Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"), r2(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val a3RollupSql: String =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+      |round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** CUBE over two dimensions. */
+  def a6Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"), r2(sum(col("o_totalprice"))).as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  val a6CubeSql: String =
+    """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+      |round(sum(o_totalprice), 2) AS sum_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** approx_count_distinct (HyperLogLog++). No oracle — sketch estimates
+    * are implementation-specific; the driver records a rows-only check.
+    * This IS the 100 TB path for distinct counts: fixed-size sketch per
+    * group, no distinct shuffle. */
+  def a5ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  // --- window functions ------------------------------------------------------
+
+  /** Ranking top-k per group (absent from the reference; SURVEY.md §2.5):
+    * top-3 orders by price per priority class. */
+  def w1RankTopK(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rk", rank().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select(col("o_orderpriority"), col("rk"), col("o_orderkey"),
+        r2(col("o_totalprice")).as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rk"), col("o_orderkey"))
+  }
+
+  val w1RankTopKSql: String =
+    """SELECT o_orderpriority, rk, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |  rank() OVER (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_orderpriority, rk, o_orderkey""".stripMargin
+
+  /** lag() analytic — per-user event value delta (event-time ordered). */
+  def w2LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("delta", r2(col("value") - lag(col("value"), 1).over(w)))
+      .select(col("user_id"), col("event_id"), col("delta"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  val w2LagDeltaSql: String =
+    """SELECT user_id, event_id,
+      |round(value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id), 2) AS delta
+      |FROM events ORDER BY user_id, event_id""".stripMargin
+
+  /** Running sum with an explicit ROWS frame over a unique order key —
+    * deterministic accumulation order on both engines. */
+  def w3RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r2(sum(col("o_totalprice")).over(w)).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  val w3RunningSumSql: String =
+    """SELECT o_custkey, o_orderkey,
+      |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+      |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // --- set operations (absent from the reference; SURVEY.md §2.6) -------------
+
+  private def custkeysByStatus(spark: SparkSession, dir: String, status: String) =
+    Tables.orders(spark, dir).filter(col("o_orderstatus") === status)
+      .select(col("o_custkey")).distinct()
+
+  def setExcept(spark: SparkSession, dir: String): DataFrame =
+    custkeysByStatus(spark, dir, "F").except(custkeysByStatus(spark, dir, "O"))
+      .orderBy(col("o_custkey"))
+
+  val setExceptSql: String =
+    """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |EXCEPT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  def setIntersect(spark: SparkSession, dir: String): DataFrame =
+    custkeysByStatus(spark, dir, "F").intersect(custkeysByStatus(spark, dir, "O"))
+      .orderBy(col("o_custkey"))
+
+  val setIntersectSql: String =
+    """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |INTERSECT SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+      |ORDER BY o_custkey""".stripMargin
+
+  def setUnion(spark: SparkSession, dir: String): DataFrame =
+    custkeysByStatus(spark, dir, "F").union(custkeysByStatus(spark, dir, "P"))
+      .distinct().orderBy(col("o_custkey"))
+
+  val setUnionSql: String =
+    """SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      |UNION SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+      |ORDER BY o_custkey""".stripMargin
+
+  // --- scalar functions (X3-X9) ----------------------------------------------
+
+  /** String function battery (upper/substring/length/replace/concat_ws). */
+  def x3StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      upper(col("c_name")).as("name_upper"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(col("c_name")).cast("long").as("name_len"),
+      regexp_replace(col("c_name"), "Customer", "Cust").as("name_short"),
+      concat_ws("/", col("c_name"), col("c_mktsegment")).as("name_seg"))
+      .orderBy(col("c_custkey"))
+
+  val x3StringFuncsSql: String =
+    """SELECT c_custkey, upper(c_name) AS name_upper,
+      |substring(c_name, 1, 8) AS name_prefix,
+      |length(c_name)::BIGINT AS name_len,
+      |replace(c_name, 'Customer', 'Cust') AS name_short,
+      |concat_ws('/', c_name, c_mktsegment) AS name_seg
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Date/time function battery over real timestamps. Spark's int-typed
+    * extracts cast to long for dtype parity. */
+  def x9DateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"),
+      month(col("o_orderdate")).cast("long").as("o_month"),
+      dayofmonth(col("o_orderdate")).cast("long").as("o_day"),
+      quarter(col("o_orderdate")).cast("long").as("o_quarter"),
+      date_trunc("month", col("o_orderdate")).as("month_start"),
+      datediff(lit("1998-08-02").cast("date"), col("o_orderdate").cast("date"))
+        .cast("long").as("days_to_cutoff"))
+      .orderBy(col("o_orderkey"))
+
+  val x9DateFuncsSql: String =
+    """SELECT o_orderkey,
+      |year(o_orderdate)::BIGINT AS o_year,
+      |month(o_orderdate)::BIGINT AS o_month,
+      |day(o_orderdate)::BIGINT AS o_day,
+      |quarter(o_orderdate)::BIGINT AS o_quarter,
+      |date_trunc('month', o_orderdate) AS month_start,
+      |date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02')::BIGINT AS days_to_cutoff
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // --- joins beyond M0 ---------------------------------------------------------
+
+  /** Left outer join + aggregate: every customer with their order count
+    * (zero-preserved) and spend. */
+  def j4OuterAgg(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        r2(coalesce(sum(col("o_totalprice")), lit(0.0))).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val j4OuterAggSql: String =
+    """SELECT c_custkey, count(o_orderkey) AS n_orders,
+      |round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin
+
+  /** TPC-H-Q3-shaped 3-way join + agg + top-k: the headline bench join.
+    * customer is filtered before the join (segment pushdown), lineitem
+    * filter pushed to scan; at sf0.1+ Spark shuffles on the join keys and
+    * AQE picks broadcast for the filtered customer side. */
+  def j5Q3Revenue(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+    val l = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val j5Q3RevenueSql: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1997-06-01'
+      |  AND l_shipdate > TIMESTAMP '1997-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H-Q6-shaped filter+sum: the pure-pushdown query (all predicates
+    * reach the scan; zero joins, zero wide shuffles — one partial+final
+    * agg). */
+  def q6FilterSum(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(r2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))
+
+  val q6FilterSumSql: String =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** Windowed dedup: earliest order per customer (the generic form of the
+    * reference's unique-mrn rule, SURVEY.md §2.1 S4) — row_number over a
+    * deterministic order, keep rank 1. */
+  def dd1DedupFirst(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      .orderBy(col("o_custkey"))
+  }
+
+  val dd1DedupFirstSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate
+      |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+      |  row_number() OVER (PARTITION BY o_custkey
+      |                     ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "a2_count_distinct" -> (a2CountDistinct _),
+    "a3_rollup" -> (a3Rollup _),
+    "a5_approx_distinct" -> (a5ApproxDistinct _),
+    "a6_cube" -> (a6Cube _),
+    "w1_rank_topk" -> (w1RankTopK _),
+    "w2_lag_delta" -> (w2LagDelta _),
+    "w3_running_sum" -> (w3RunningSum _),
+    "set_except" -> (setExcept _),
+    "set_intersect" -> (setIntersect _),
+    "set_union" -> (setUnion _),
+    "x3_string_funcs" -> (x3StringFuncs _),
+    "x9_date_funcs" -> (x9DateFuncs _),
+    "j4_outer_agg" -> (j4OuterAgg _),
+    "j5_q3_revenue" -> (j5Q3Revenue _),
+    "q6_filter_sum" -> (q6FilterSum _),
+    "dd1_dedup_first" -> (dd1DedupFirst _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "a2_count_distinct" -> a2CountDistinctSql,
+    "a3_rollup" -> a3RollupSql,
+    // a5_approx_distinct: no oracle (sketch-based)
+    "a6_cube" -> a6CubeSql,
+    "w1_rank_topk" -> w1RankTopKSql,
+    "w2_lag_delta" -> w2LagDeltaSql,
+    "w3_running_sum" -> w3RunningSumSql,
+    "set_except" -> setExceptSql,
+    "set_intersect" -> setIntersectSql,
+    "set_union" -> setUnionSql,
+    "x3_string_funcs" -> x3StringFuncsSql,
+    "x9_date_funcs" -> x9DateFuncsSql,
+    "j4_outer_agg" -> j4OuterAggSql,
+    "j5_q3_revenue" -> j5Q3RevenueSql,
+    "q6_filter_sum" -> q6FilterSumSql,
+    "dd1_dedup_first" -> dd1DedupFirstSql,
+  )
+}

@@ -1,0 +1,94 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Event-time analytics over the `events` table (SURVEY.md §2.8).
+  *
+  * The reference has no streaming engine — its "event-driven" surface is a
+  * bounded HTTP micro-batch — so these are the batch-expressible
+  * event-time analogs (tumbling windows, sessionization, JSON props
+  * access) that stay DuckDB-oracle-checkable. The same transforms bind
+  * unchanged to `readStream` (see graft.streaming.EventStreams) because
+  * they are plain Column expressions over a timestamped source.
+  */
+object EventQueries {
+
+  private def r2(c: Column): Column = round(c, 2)
+
+  /** Tumbling 1-hour event-time window per event type. Uses Spark's
+    * `window()` (the streaming-compatible form); its window.start equals
+    * date_trunc('hour') for a 1h/0-offset tumble, which is what the
+    * oracle pins. */
+  def e1TumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), r2(sum(col("value"))).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("hour"), col("event_type"))
+
+  val e1TumblingWindowSql: String =
+    """SELECT date_trunc('hour', ts) AS hour, event_type,
+      |count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Sessionization: a session break is a >30-minute gap in a user's
+    * event stream; emits per-user session and event counts. One shuffle
+    * (partition by user) carries the whole computation — the classic
+    * scale shape for gap-based sessionization. */
+  def e2Sessionization(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  val e2SessionizationSql: String =
+    """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+      |FROM (
+      |  SELECT user_id,
+      |    CASE WHEN lag(ts, 1) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) > 1800000000
+      |    THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |) t GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** X8/X9: JSON property extraction from the `props` JSON-string column,
+    * aggregated per event type. */
+  def e3JsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+
+  val e3JsonExtractSql: String =
+    """SELECT event_type, CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_with_k
+      |FROM (SELECT event_type,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_tumbling_window" -> (e1TumblingWindow _),
+    "e2_sessionization" -> (e2Sessionization _),
+    "e3_json_extract" -> (e3JsonExtract _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "e1_tumbling_window" -> e1TumblingWindowSql,
+    "e2_sessionization" -> e2SessionizationSql,
+    "e3_json_extract" -> e3JsonExtractSql,
+  )
+}
