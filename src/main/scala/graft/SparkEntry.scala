@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AdvancedQueries, EventQueries, RelationalQueries}
+import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ AdvancedQueries.queries ++ EventQueries.queries
+    RelationalQueries.queries ++ AdvancedQueries.queries ++ EventQueries.queries ++
+      DedupOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracleSql ++ AdvancedQueries.oracleSql ++ EventQueries.oracleSql
+    RelationalQueries.oracleSql ++ AdvancedQueries.oracleSql ++ EventQueries.oracleSql ++
+      DedupOps.oracleSql
 }

@@ -209,7 +209,7 @@ object AdvancedQueries {
       |month(o_orderdate)::BIGINT AS o_month,
       |day(o_orderdate)::BIGINT AS o_day,
       |quarter(o_orderdate)::BIGINT AS o_quarter,
-      |date_trunc('month', o_orderdate) AS month_start,
+      |date_trunc('month', o_orderdate)::TIMESTAMP AS month_start,
       |date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-08-02')::BIGINT AS days_to_cutoff
       |FROM orders ORDER BY o_orderkey""".stripMargin
 

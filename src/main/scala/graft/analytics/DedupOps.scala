@@ -1,0 +1,207 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Document deduplication operators (SURVEY.md §2.11 N1/N2) — the
+  * training-data-pipeline surface over `documents`.
+  *
+  * Four tiers, cheapest-first, as a 100 TB pipeline would layer them:
+  *   1. exact (content fingerprint groupBy)           — n1_dedup_exact
+  *   2. n-gram Jaccard, exact pairwise                — n2_ngram_jaccard
+  *   3. MinHash + banded LSH candidates + verify      — n2b_minhash_lsh
+  *   4. SimHash bit-fingerprints                      — n4_simhash
+  *
+  * Scale notes:
+  *  - n1 shuffles a 128-bit md5, never the document text — at 100 TB the
+  *    shuffle payload is keys+ids, not content.
+  *  - n2's shingle self-join is quadratic in per-shingle document
+  *    frequency; it is the *oracle-checkable baseline*. The scale path is
+  *    n2b: signatures are fixed-size (32 longs/doc) regardless of document
+  *    length, band buckets shrink the join to near-duplicate candidates,
+  *    and the exact-Jaccard verify touches only candidate pairs. All
+  *    hashes are Spark's deterministic xxhash64 — same result on any
+  *    cluster layout.
+  *  - n4 reduces a document to one 64-bit fingerprint (64 partial sums in
+  *    a single codegen'd aggregate); near-dup search becomes hamming-
+  *    distance banding, constant storage per doc.
+  */
+object DedupOps {
+
+  private def r4(c: Column): Column = round(c, 4)
+
+  /** Whitespace words of `text`. */
+  private def wordsCol: Column = split(col("text"), " ")
+
+  /** Distinct word 3-gram shingles per document: (doc_id, shingle). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = wordsCol
+    val grams = when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(0), size(w) - 3),
+        i => concat_ws(" ", slice(w, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(grams).as("shingle"))
+  }
+
+  /** DuckDB rendering of the same shingling (shared by the n2 oracle). */
+  private val shingleCte: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(w) - 2, 0)),
+      |  i -> array_to_string(w[i:i+2], ' ')))) AS shingle FROM words),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
+  /** N1: exact dedup by content fingerprint. Emits one row per distinct
+    * content with the kept (minimum) doc_id, the md5 fingerprint (the
+    * reference-free analog of a unique-key constraint, cf. SURVEY.md §2.1
+    * S4) and the copy count. */
+  def n1DedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text").cast("binary")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  val n1DedupExactSql: String =
+    """SELECT md5(text) AS fingerprint, min(doc_id) AS keep_id,
+      |count(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** N2: exact near-duplicate pairs by word-3-gram Jaccard ≥ 0.8. */
+  def n2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(Tables.documents(spark, dir))
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val a = sh.toDF("da", "shingle")
+    val b = sh.toDF("db", "shingle")
+    val shared = a.join(b, Seq("shingle")).filter(col("da") < col("db"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("da", "na"), Seq("da"))
+      .join(cnt.toDF("db", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        r4(col("shared") / (col("na") + col("nb") - col("shared"))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  val n2NgramJaccardSql: String =
+    s"""WITH $shingleCte,
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  round(shared * 1.0 / (ca.n + cb.n - shared), 4) AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON ca.doc_id = da
+      |JOIN cnt cb ON cb.doc_id = db
+      |WHERE round(shared * 1.0 / (ca.n + cb.n - shared), 4) >= 0.8
+      |ORDER BY da, db""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
+  val MinhashPerms = 32
+  val LshBands = 8 // × 4 rows per band
+
+  /** MinHash signature: 32 independent min-hashes computed as ONE
+    * hash-aggregate over the shingle stream (no per-permutation explode;
+    * the map side reduces each partition to one partial row per doc). */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val mins = (0 until MinhashPerms).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"s$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** N2b: MinHash+LSH near-dup pairs — candidates from banded signature
+    * collisions, then exact-Jaccard verification on candidates only.
+    * Deterministic (xxhash64 everywhere) but sketch-based, so no SQL
+    * oracle; its result is asserted against n2's exact output in tests
+    * (recall at j≥0.8 with 8×4 bands ≈ 99.98%). */
+  def n2bMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val sig = minhashSignatures(docs)
+    val bandCols = (0 until LshBands).map { b =>
+      xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"s${b * 4 + r}"))): _*)
+    }
+    val banded = sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+    val cand = banded.toDF("da", "band", "bucket")
+      .join(banded.toDF("db", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+
+    // exact verify on candidates only
+    val sh = shingles(docs)
+    val cnt = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val withA = broadcast(cand)
+      .join(sh.toDF("da", "shingle"), Seq("da"))
+    val shared = withA
+      .join(sh.toDF("db", "shingle"), Seq("db", "shingle"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(cnt.toDF("da", "na"), Seq("da"))
+      .join(cnt.toDF("db", "nb"), Seq("db"))
+      .withColumn("jaccard",
+        r4(col("shared") / (col("na") + col("nb") - col("shared"))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("da"), col("db"), col("jaccard"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  // ---------------------------------------------------------------------------
+
+  /** N4: 64-bit SimHash fingerprint per document. The 64 bit-votes are 64
+    * conditional sums in a single aggregate (one pass, codegen'd); the
+    * fingerprint is assembled with shifts/ORs — bitwise, so safe under
+    * Spark 4's default ANSI overflow checking. Deterministic via xxhash64;
+    * no SQL oracle (DuckDB's hash() is a different function) — rows-only
+    * harness check + unit tests. */
+  def n4Simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(wordsCol).as("word"))
+      .withColumn("h", xxhash64(col("word")))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i"))
+    val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    agg.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** SimHash near-dup candidate pairs: 4×16-bit band join, then exact
+    * hamming distance ≤ `maxHamming` via bit_count(xor). */
+  def simhashPairs(fingerprints: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val bands = (0 until 4).map(b =>
+      shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = fingerprints.select(col("doc_id"), col("simhash"),
+      posexplode(array(bands: _*)).as(Seq("band", "bucket")))
+    banded.toDF("da", "fa", "band", "bucket")
+      .join(banded.toDF("db", "fb", "band", "bucket"), Seq("band", "bucket"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db"),
+        bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("da"), col("db"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_dedup_exact" -> (n1DedupExact _),
+    "n2_ngram_jaccard" -> (n2NgramJaccard _),
+    "n2b_minhash_lsh" -> (n2bMinhashLsh _),
+    "n4_simhash" -> (n4Simhash _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "n1_dedup_exact" -> n1DedupExactSql,
+    "n2_ngram_jaccard" -> n2NgramJaccardSql,
+    // n2b_minhash_lsh, n4_simhash: sketch/hash-based, no SQL oracle
+  )
+}

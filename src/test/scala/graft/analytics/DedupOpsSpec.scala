@@ -1,0 +1,69 @@
+package graft.analytics
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSuite
+import graft.core.Tables
+
+/** N1/N2/N2b/N4 dedup semantics on sf0.001 documents (500 rows). */
+class DedupOpsSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  test("n1 exact dedup partitions the corpus: sum(n_copies) == total docs") {
+    val total = Tables.documents(spark, dir).count()
+    val dedup = DedupOps.n1DedupExact(spark, dir)
+    val agg = dedup.selectExpr("sum(n_copies)", "count(*)").head()
+    assert(agg.getLong(0) == total)
+    assert(agg.getLong(1) <= total)
+  }
+
+  test("n1 keep_id is the minimum doc_id of its duplicate group") {
+    val docs = Tables.documents(spark, dir)
+    val dedup = DedupOps.n1DedupExact(spark, dir)
+    // every keep_id must be a real doc_id
+    val orphan = dedup.join(docs, dedup("keep_id") === docs("doc_id"), "left_anti")
+    assert(orphan.count() == 0)
+  }
+
+  test("n2 exact jaccard pairs are symmetric-free, thresholded, ordered") {
+    val pairs = DedupOps.n2NgramJaccard(spark, dir).collect()
+    pairs.foreach { case Row(da: Long, db: Long, j: Double) =>
+      assert(da < db, s"pair ($da,$db) not canonical")
+      assert(j >= 0.8 && j <= 1.0, s"jaccard $j out of range")
+    }
+  }
+
+  test("n2b MinHash+LSH finds the same pairs as exact n2 (verified candidates)") {
+    val exact = DedupOps.n2NgramJaccard(spark, dir).collect().toSet
+    val lsh = DedupOps.n2bMinhashLsh(spark, dir).collect().toSet
+    // LSH verifies candidates with the same exact-jaccard filter, so it can
+    // only MISS pairs (banding false negatives), never add them.
+    assert(lsh.subsetOf(exact), s"LSH emitted non-exact pairs: ${lsh -- exact}")
+    val recall =
+      if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.95, s"LSH recall $recall below 0.95 (${lsh.size}/${exact.size})")
+  }
+
+  test("n4 simhash: one fingerprint per doc; exact duplicates collide") {
+    val fp = DedupOps.n4Simhash(spark, dir)
+    val docs = Tables.documents(spark, dir).count()
+    assert(fp.count() == docs)
+    // exact-duplicate texts (n1 groups with n_copies > 1) must share simhash
+    val dup = DedupOps.n1DedupExact(spark, dir).filter("n_copies > 1")
+    if (dup.count() > 0) {
+      val d = Tables.documents(spark, dir)
+        .join(fp, "doc_id")
+        .groupBy("text").agg(
+          org.apache.spark.sql.functions.countDistinct("simhash").as("nfp"))
+      assert(d.filter("nfp > 1").count() == 0)
+    }
+  }
+
+  test("simhashPairs finds near-identical fingerprints within hamming budget") {
+    val fp = DedupOps.n4Simhash(spark, dir)
+    val pairs = DedupOps.simhashPairs(fp, maxHamming = 3).collect()
+    pairs.foreach { case Row(da: Long, db: Long, h: Long) =>
+      assert(da < db); assert(h <= 3)
+    }
+  }
+}
