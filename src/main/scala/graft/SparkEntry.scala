@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, RelationalQueries}
+import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, RelationalQueries, SimilarityOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +19,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AdvancedQueries.queries ++ EventQueries.queries ++
-      DedupOps.queries
+      DedupOps.queries ++ SimilarityOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AdvancedQueries.oracleSql ++ EventQueries.oracleSql ++
-      DedupOps.oracleSql
+      DedupOps.oracleSql ++ SimilarityOps.oracleSql
 }

@@ -1,0 +1,146 @@
+package graft.analytics
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Embedding similarity search (SURVEY.md §2.11 N3) over `embeddings`
+  * (`vec_id, embedding array<float> dim-64, label`).
+  *
+  * Two tiers:
+  *   1. n3_cosine_topk — brute-force cosine top-k, the oracle-checked
+  *      baseline. Query set is the fixed slice `vec_id < 32`; norms are
+  *      precomputed per side so the join computes one dot product per
+  *      pair, and the query side is broadcast — the fact side streams
+  *      through executors with no shuffle, so cost is linear in corpus
+  *      size per query.
+  *   2. n3b_srp_ann — the scale path: signed-random-projection (SRP)
+  *      LSH. Each vector gets T×B sign bits from fixed Gaussian
+  *      hyperplanes (seeded, so identical on every executor/cluster);
+  *      B bits pack into a bucket id per table; candidate pairs are
+  *      bucket collisions (an equi-join on (table, bucket) — shuffles
+  *      only ids+buckets, never vectors); exact cosine runs on
+  *      candidates only. Sketch size per vector is T ints regardless of
+  *      corpus size; bucket fan-out is tuned by B (occupancy ≈ n/2^B).
+  *      Deterministic but approximate → no SQL oracle; recall vs the
+  *      brute-force baseline is asserted in SimilarityOpsSpec.
+  *
+  * Reference analog: the reference has no vector operations (verified
+  * absence, SURVEY.md §2.11); this is north-star surface for
+  * training-data pipelines.
+  */
+object SimilarityOps {
+
+  val QueryCount = 32
+  val TopK = 10
+
+  /** aggregate(zip_with(a,b,*), 0.0, +) — sequential left-to-right sum,
+    * same order DuckDB's list_dot_product uses, so double math matches
+    * to well under the 4dp rounding we publish. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+
+  private def norm(v: Column): Column = sqrt(dot(v, v))
+
+  /** Corpus with embeddings cast to double and norms precomputed. */
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** N3: exact cosine top-10 neighbors for each query vector
+    * (vec_id < 32), ties broken by neighbor id. */
+  def n3CosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    val q = all.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val sims = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val n3CosineTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < $QueryCount),
+      |sims AS (
+      |  SELECT qid, n.vec_id AS nbr,
+      |    round(list_dot_product(qv, v) / (qn * nrm), 4) AS sim
+      |  FROM q CROSS JOIN n WHERE n.vec_id <> qid),
+      |ranked AS (
+      |  SELECT qid, nbr, sim,
+      |    (row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr))::BIGINT AS rank
+      |  FROM sims)
+      |SELECT qid, rank, nbr, sim FROM ranked WHERE rank <= $TopK
+      |ORDER BY qid, rank""".stripMargin
+
+  // ---------------------------------------------------------------------------
+
+  val SrpTables = 8
+  val SrpBits = 6 // 64 buckets/table — occupancy n/64, tune up with corpus size
+
+  /** Fixed Gaussian hyperplanes, seeded — java.util.Random's algorithm is
+    * specified, so every JVM/executor derives identical planes. */
+  private lazy val planes: Array[Array[Double]] = {
+    val rnd = new Random(42)
+    Array.fill(SrpTables * SrpBits, 64)(rnd.nextGaussian())
+  }
+
+  /** (vec_id, table, bucket) — one row per vector per LSH table. */
+  def srpBuckets(vectors: DataFrame): DataFrame = {
+    val buckets = (0 until SrpTables).map { t =>
+      (0 until SrpBits).map { j =>
+        val proj = dot(col("v"), typedLit(planes(t * SrpBits + j).toSeq))
+        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    vectors.select(col("vec_id"), col("v"), col("nrm"),
+      posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
+  }
+
+  /** N3b: SRP-LSH approximate top-10 for the same query slice. Bucket
+    * collisions → candidates → exact cosine → rank. Missing true
+    * neighbors is possible (LSH false negatives); emitted sims are
+    * exact. */
+  def n3bSrpAnn(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    val banded = srpBuckets(all)
+    val qb = banded.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
+    val cand = banded.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr")).distinct()
+    val q = all.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val sims = cand
+      .join(all.select(col("vec_id").as("nbr"), col("v"), col("nrm")), Seq("nbr"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n3_cosine_topk" -> (n3CosineTopk _),
+    "n3b_srp_ann" -> (n3bSrpAnn _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "n3_cosine_topk" -> n3CosineTopkSql,
+    // n3b_srp_ann: approximate (LSH) — no SQL oracle; recall asserted in spec
+  )
+}
