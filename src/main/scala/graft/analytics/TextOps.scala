@@ -1,0 +1,225 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Text-analysis operators (SURVEY.md §2.11 N4 family) over `documents` —
+  * the per-document scoring layer of a training-data pipeline. All four
+  * are pure column expressions (no UDFs, fully codegen-able, linear
+  * scans with no shuffle except the final global sort for the harness),
+  * and every one is DuckDB-oracle-checkable: the per-language trigram
+  * counts use the replace-length trick rather than regex so both engines
+  * count identically, and the rolling fingerprint derives word values
+  * from md5 hex (identical in both) instead of engine-private hashes.
+  *
+  * At 100 TB these are embarrassingly parallel map-only passes; the only
+  * tuning knob is input split size. Reference analog: none (the
+  * reference has no text analytics — SURVEY.md §2.11); north-star ops.
+  */
+object TextOps {
+
+  private def r4(c: Column): Column = round(c, 4)
+  private def words: Column = split(col("text"), " ")
+
+  // --- t1: language ID ---------------------------------------------------------
+
+  /** Classic textcat-style char-n-gram profiles (public knowledge).
+    * Leading/trailing spaces mark word boundaries. The zh profile uses
+    * single CJK chars (the n=1 degenerate n-gram). */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "ein", "sch", "und", "ich"),
+    "en" -> Seq(" th", "the", "he ", "and", "ing"),
+    "es" -> Seq(" el", "los", " la", "ión", "ado"),
+    "fr" -> Seq(" le", "les", "ent", "que", "eau"),
+    "zh" -> Seq("的", "了", "是", "在", "我"),
+  )
+
+  /** Occurrences of substring `m` in `text` via the replace-length
+    * trick — exact and engine-agnostic (no regex dialect; mirrors
+    * DuckDB's plain `replace`). */
+  private def occurrencesPlain(m: String): Column =
+    (length(col("text")) -
+      length(regexp_replace(col("text"), java.util.regex.Pattern.quote(m), ""))) /
+      lit(m.length)
+
+  /** T1: per-language trigram score + argmax prediction (alphabetical
+    * tie-break, encoded as a first-match CASE chain identical in the
+    * oracle SQL). */
+  def t1LangId(spark: SparkSession, dir: String): DataFrame =
+    t1LangIdOn(Tables.documents(spark, dir))
+
+  def t1LangIdOn(docs: DataFrame): DataFrame = {
+    val scored = docs.select(
+      (col("doc_id") +: LangProfiles.map { case (lang, grams) =>
+        r4(grams.map(occurrencesPlain).reduce(_ + _) / length(col("text")))
+          .as(s"score_$lang")
+      }): _*)
+    val langs = LangProfiles.map(_._1)
+    val pred = langs.foldRight(lit(langs.last)) { (lang, rest) =>
+      val s = col(s"score_$lang")
+      val ge = langs.filter(_ != lang).map(o => s >= col(s"score_$o"))
+        .reduce(_ && _)
+      when(ge, lit(lang)).otherwise(rest)
+    }
+    scored.withColumn("pred_lang", pred)
+      .select((Seq(col("doc_id"), col("pred_lang")) ++
+        langs.map(l => col(s"score_$l"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val t1LangIdSql: String = {
+    val scores = LangProfiles.map { case (lang, grams) =>
+      val sum = grams.map(g =>
+        s"(length(text) - length(replace(text, '$g', ''))) / ${g.length}")
+        .mkString(" + ")
+      s"round(($sum) / length(text), 4) AS score_$lang"
+    }.mkString(",\n")
+    val langs = LangProfiles.map(_._1)
+    val cases = langs.dropRight(1).map { lang =>
+      val ge = langs.filter(_ != lang).map(o => s"score_$lang >= score_$o")
+        .mkString(" AND ")
+      s"WHEN $ge THEN '$lang'"
+    }.mkString("\n  ")
+    s"""WITH scored AS (SELECT doc_id,
+      |$scores
+      |FROM documents)
+      |SELECT doc_id,
+      |  CASE $cases ELSE '${langs.last}' END AS pred_lang,
+      |  ${langs.map(l => s"score_$l").mkString(", ")}
+      |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // --- t2: quality scoring -----------------------------------------------------
+
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** T2: heuristic quality score from length, punctuation density, and
+    * stopword presence — the standard cheap pre-filter before expensive
+    * model-based scoring. quality = min(tokens/50,1) · (1−punct_ratio) ·
+    * (0.47 + 0.53·min(4.7·stop_ratio,1)). The weights are deliberately
+    * non-dyadic and the formula uses the UNROUNDED ratios: dyadic
+    * factors (0.5, 5) over already-4dp-rounded inputs land products
+    * exactly on round-half boundaries where Spark (HALF_UP on decimal)
+    * and DuckDB (nearest-even on double) disagree in the last digit. */
+  def t2QualityScore(spark: SparkSession, dir: String): DataFrame =
+    t2QualityScoreOn(Tables.documents(spark, dir))
+
+  def t2QualityScoreOn(docs: DataFrame): DataFrame = {
+    val nTok = size(words).cast("long")
+    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+      .cast("double") / length(col("text"))
+    val stop = size(filter(words, w =>
+      w.isin(Stopwords.map(lit): _*))).cast("double") / nTok
+    docs.select(
+        col("doc_id"), nTok.as("n_tokens"), punct.as("p_raw"), stop.as("s_raw"))
+      .select(col("doc_id"), col("n_tokens"),
+        r4(col("p_raw")).as("punct_ratio"), r4(col("s_raw")).as("stop_ratio"),
+        r4(least(col("n_tokens") / 50.0, lit(1.0)) *
+          (lit(1.0) - col("p_raw")) *
+          (lit(0.47) + lit(0.53) * least(col("s_raw") * 4.7, lit(1.0))))
+          .as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t2QualityScoreSql: String = {
+    val stoplist = Stopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH base AS (SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS n_tokens,
+      |  length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) * 1.0
+      |        / length(text) AS p_raw,
+      |  len(list_filter(string_split(text, ' '),
+      |        x -> list_contains([$stoplist], x))) * 1.0
+      |        / len(string_split(text, ' ')) AS s_raw
+      |FROM documents)
+      |SELECT doc_id, n_tokens,
+      |  round(p_raw, 4) AS punct_ratio, round(s_raw, 4) AS stop_ratio,
+      |  round(least(n_tokens / 50.0, 1.0) * (1.0 - p_raw)
+      |        * (0.47 + 0.53 * least(s_raw * 4.7, 1.0)), 4) AS quality
+      |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  // --- t3: token counting ------------------------------------------------------
+
+  /** T3: token statistics — whitespace tokens, BPE-ish subword units
+    * (letter runs / digit runs / single punctuation, the shape of a BPE
+    * pre-tokenizer), distinct types, and type/token ratio. */
+  def t3TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t3TokenStatsOn(Tables.documents(spark, dir))
+
+  def t3TokenStatsOn(docs: DataFrame): DataFrame = {
+    val ws = size(words).cast("long")
+    docs.select(
+        col("doc_id"), ws.as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+          .cast("long").as("subword_tokens"),
+        size(array_distinct(words)).cast("long").as("distinct_tokens"))
+      .withColumn("type_token_ratio",
+        r4(col("distinct_tokens").cast("double") / col("ws_tokens")))
+      .orderBy(col("doc_id"))
+  }
+
+  val t3TokenStatsSql: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' '))::BIGINT AS ws_tokens,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT
+      |    AS subword_tokens,
+      |  len(list_distinct(string_split(text, ' ')))::BIGINT AS distinct_tokens,
+      |  round(len(list_distinct(string_split(text, ' '))) * 1.0
+      |        / len(string_split(text, ' ')), 4) AS type_token_ratio
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // --- t4: rolling-hash fingerprint --------------------------------------------
+
+  val FpMod = 1000000007L
+
+  /** Word value: first 8 md5 hex chars as an int — engine-agnostic
+    * (Spark and DuckDB md5 agree), always < 2^32 so the fold below never
+    * overflows under ANSI arithmetic. */
+  private def wordVal(w: Column): Column =
+    conv(substring(md5(w.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** T4: order-sensitive polynomial rolling hash over the word stream
+    * (Rabin–Karp shape: fp = Σ v_i·31^(n−i) mod p) plus an
+    * order-insensitive variant over the sorted distinct word set —
+    * content identity vs bag-of-words identity. */
+  def t4Fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t4FingerprintOn(Tables.documents(spark, dir))
+
+  def t4FingerprintOn(docs: DataFrame): DataFrame = {
+    def roll(ws: Column): Column =
+      aggregate(transform(ws, wordVal(_)), lit(0L),
+        (acc, v) => (acc * 31L + v) % FpMod)
+    docs.select(
+        col("doc_id"),
+        roll(words).as("doc_fp"),
+        roll(array_sort(array_distinct(words))).as("bag_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t4FingerprintSql: String = {
+    def roll(listExpr: String): String =
+      s"""list_reduce(list_prepend(0::BIGINT, list_transform($listExpr,
+         |    w -> ('0x' || substring(md5(w), 1, 8))::BIGINT)),
+         |  (acc, v) -> (acc * 31 + v) % 1000000007)""".stripMargin
+    s"""SELECT doc_id,
+      |  ${roll("string_split(text, ' ')")} AS doc_fp,
+      |  ${roll("list_sort(list_distinct(string_split(text, ' ')))")} AS bag_fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> (t1LangId _),
+    "t2_quality_score" -> (t2QualityScore _),
+    "t3_token_stats" -> (t3TokenStats _),
+    "t4_fingerprint" -> (t4Fingerprint _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_lang_id" -> t1LangIdSql,
+    "t2_quality_score" -> t2QualityScoreSql,
+    "t3_token_stats" -> t3TokenStatsSql,
+    "t4_fingerprint" -> t4FingerprintSql,
+  )
+}

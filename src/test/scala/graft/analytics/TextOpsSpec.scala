@@ -1,0 +1,89 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** T1-T4 text-analysis semantics. The testdata documents are synthetic
+  * English-ish token streams for every `lang` value, so language-ID
+  * behavior is asserted on crafted multilingual fixtures here; the
+  * testdata run is covered by the DuckDB oracle. */
+class TextOpsSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def fixtureDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "der hund und die katze sind schön und ich bin hier"),
+      (2L, "the quick brown fox and the lazy dog are running and jumping"),
+      (3L, "le chat et les chiens sont dans les jardins que nous aimons"),
+      (4L, " el perro y los gatos están en la casa que hemos comprado"),
+      (5L, "我是在这里的人了我的朋友是在那里"),
+    ).toDF("doc_id", "text")
+  }
+
+  test("t1 language ID recovers the language of real-language fixtures") {
+    val rows = TextOps.t1LangIdOn(fixtureDocs).collect().sortBy(_.getLong(0))
+    val expected = Seq("de", "en", "fr", "es", "zh")
+    rows.zip(expected).foreach { case (r, want) =>
+      assert(r.getString(1) == want,
+        s"doc ${r.getLong(0)}: predicted ${r.getString(1)}, want $want")
+    }
+  }
+
+  test("t1 on testdata: one prediction per doc, scores non-negative") {
+    val df = TextOps.t1LangId(spark, dir)
+    val n = graft.core.Tables.documents(spark, dir).count()
+    assert(df.count() == n)
+    assert(df.filter(col("pred_lang").isNull).count() == 0)
+    assert(df.filter(col("score_en") < 0).count() == 0)
+  }
+
+  test("t2 quality: ratios in [0,1], quality in [0,1]; punctuation lowers score") {
+    val df = TextOps.t2QualityScore(spark, dir)
+    assert(df.filter(
+      col("punct_ratio") < 0 || col("punct_ratio") > 1 ||
+      col("stop_ratio") < 0 || col("stop_ratio") > 1 ||
+      col("quality") < 0 || col("quality") > 1).count() == 0)
+
+    import spark.implicits._
+    val clean = "the cat sat on the mat and looked at the dog " * 5
+    val noisy = "@#$% !!! ??? %%% " * 10
+    val out = TextOps.t2QualityScoreOn(
+      Seq((1L, clean), (2L, noisy)).toDF("doc_id", "text"))
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getAs[Double]("quality") > out(1).getAs[Double]("quality"))
+  }
+
+  test("t3 token stats: distinct <= ws tokens; subword splits punctuation") {
+    val df = TextOps.t3TokenStats(spark, dir)
+    assert(df.filter(col("distinct_tokens") > col("ws_tokens")).count() == 0)
+    assert(df.filter(col("type_token_ratio") > 1.0).count() == 0)
+
+    import spark.implicits._
+    val out = TextOps.t3TokenStatsOn(
+      Seq((1L, "don't stop-me now123")).toDF("doc_id", "text")).head()
+    assert(out.getAs[Long]("ws_tokens") == 3)
+    // don | ' | t | stop | - | me | now | 123
+    assert(out.getAs[Long]("subword_tokens") == 8)
+  }
+
+  test("t4 fingerprint: identical text same fp; order flips doc_fp not bag_fp") {
+    import spark.implicits._
+    val out = TextOps.t4FingerprintOn(Seq(
+        (1L, "alpha beta gamma"),
+        (2L, "alpha beta gamma"),
+        (3L, "gamma beta alpha"),
+      ).toDF("doc_id", "text")).collect().sortBy(_.getLong(0))
+    assert(out(0).getLong(1) == out(1).getLong(1)) // identical text
+    assert(out(0).getLong(1) != out(2).getLong(1)) // order-sensitive
+    assert(out(0).getLong(2) == out(2).getLong(2)) // bag identity order-free
+  }
+
+  test("t4 on testdata: exact duplicates share fingerprints") {
+    val fp = TextOps.t4Fingerprint(spark, dir)
+    val d = graft.core.Tables.documents(spark, dir).join(fp, "doc_id")
+      .groupBy("text").agg(countDistinct("doc_fp").as("n"))
+    assert(d.filter("n > 1").count() == 0)
+  }
+}
