@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, RelationalQueries, SimilarityOps, TextOps}
+import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,11 +20,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AdvancedQueries.queries ++ EventQueries.queries ++
-      DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries
+      DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
+      MultimodalOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AdvancedQueries.oracleSql ++ EventQueries.oracleSql ++
-      DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ TextOps.oracleSql
+      DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ TextOps.oracleSql ++
+      MultimodalOps.oracleSql
 }

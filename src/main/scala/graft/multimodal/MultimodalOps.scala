@@ -1,0 +1,179 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Opaque media record: payload is an undecoded byte blob (image/audio/
+  * video container bytes at 100 TB scale); metadata is typed columns so
+  * catalog queries never touch payloads (column pruning keeps scans
+  * payload-free — the parquet reader materializes `payload` only for
+  * operators that decode). */
+case class Media(
+    media_id: Long,
+    modality: String, // image | audio | video
+    payload: Array[Byte],
+    width: Int,
+    height: Int,
+    sample_rate: Int,
+    duration_ms: Long)
+
+/** Decode output: per-media features + shape, payload dropped. */
+case class Decoded(
+    media_id: Long,
+    modality: String,
+    n_bytes: Long,
+    mean_byte: Double,
+    features: Array[Float])
+
+/** Batch decode kernel — the extension point a real deployment fills
+  * with an image/audio library. Batch-at-a-time (the Scala analog of a
+  * pandas-batch UDF): implementations amortize per-batch setup (model
+  * load, codec contexts) across `batchSize` records. */
+trait MediaDecoder extends Serializable {
+  def decodeBatch(batch: Seq[Media]): Seq[Decoded]
+}
+
+/** STUB decoder — deterministic fake. The container has no image/audio
+  * codecs, so this derives "pixels" from payload bytes; the Spark-side
+  * plumbing (schema, batching, partition preservation) is real and is
+  * what the tests pin down. A production decoder replaces ONLY this
+  * object. */
+object StubDecoder extends MediaDecoder {
+  val FeatureDim = 16
+
+  def decodeBatch(batch: Seq[Media]): Seq[Decoded] = batch.map { m =>
+    val bytes = m.payload
+    val sums = new Array[Long](FeatureDim)
+    val counts = new Array[Long](FeatureDim)
+    var i = 0
+    var total = 0L
+    while (i < bytes.length) {
+      val v = bytes(i) & 0xff
+      sums(i % FeatureDim) += v
+      counts(i % FeatureDim) += 1
+      total += v
+      i += 1
+    }
+    val feats = Array.tabulate(FeatureDim) { j =>
+      if (counts(j) == 0) 0f else (sums(j).toDouble / counts(j) / 255.0).toFloat
+    }
+    val mean = if (bytes.isEmpty) 0.0 else total.toDouble / bytes.length
+    Decoded(m.media_id, m.modality, bytes.length.toLong, mean, feats)
+  }
+}
+
+/** Multimodal-column operators (SURVEY.md §2.11 N5). Media rows are
+  * derived deterministically from `documents` (payload = utf-8 text
+  * bytes, metadata arithmetic on doc_id/n_chars) so catalog and
+  * frame-sampling queries stay DuckDB-oracle-checkable; the decode path
+  * exercises the real distributed pattern (typed Dataset →
+  * mapPartitions → batched kernel) with the codec stubbed.
+  *
+  * Scale notes: decode is map-only — no shuffle, linear in corpus, and
+  * the batch kernel amortizes model/codec setup. Frame sampling is a
+  * generator (explode) — output rows ≫ input rows, so it repartitions
+  * by (media_id, frame) downstream if a shuffle-heavy op follows.
+  */
+object MultimodalOps {
+
+  val DefaultBatchSize = 64
+
+  /** Deterministic media catalog from `documents`: modality by
+    * doc_id mod 3, shapes/durations from n_chars. */
+  def mediaCatalog(spark: SparkSession, dir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, dir).select(
+        col("doc_id").as("media_id"),
+        element_at(typedLit(Seq("image", "audio", "video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+        encode(col("text"), "UTF-8").as("payload"),
+        ((col("n_chars") % 640) + 1).cast("int").as("width"),
+        ((col("n_chars") * 7 % 480) + 1).cast("int").as("height"),
+        when(col("doc_id") % 3 === 1, 16000).otherwise(0)
+          .cast("int").as("sample_rate"),
+        (col("n_chars") * 10).cast("long").as("duration_ms"))
+      .as[Media]
+  }
+
+  /** Distributed decode: batched mapPartitions over the typed Dataset.
+    * Partition-preserving (no shuffle); batch size only affects kernel
+    * amortization, never results (asserted in spec). */
+  def decode(media: Dataset[Media],
+             decoder: MediaDecoder = StubDecoder,
+             batchSize: Int = DefaultBatchSize): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.grouped(batchSize).flatMap(b => decoder.decodeBatch(b)))
+  }
+
+  // --- harness queries ---------------------------------------------------------
+
+  /** MM1: payload-free media catalog stats — the "query metadata without
+    * decoding" pattern. Column pruning must keep `payload` out of the
+    * scan entirely. */
+  def mm1MediaStats(spark: SparkSession, dir: String): DataFrame =
+    mediaCatalog(spark, dir).groupBy(col("modality")).agg(
+        count(lit(1)).as("n_media"),
+        sum(col("width").cast("long")).as("sum_width"),
+        sum(col("height").cast("long")).as("sum_height"),
+        sum(col("duration_ms")).as("sum_duration_ms"))
+      .orderBy(col("modality"))
+
+  val mm1MediaStatsSql: String =
+    """WITH media AS (SELECT doc_id AS media_id,
+      |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+      |  (n_chars % 640) + 1 AS width, (n_chars * 7 % 480) + 1 AS height,
+      |  n_chars * 10 AS duration_ms FROM documents)
+      |SELECT modality, count(*) AS n_media,
+      |  sum(width)::BIGINT AS sum_width, sum(height)::BIGINT AS sum_height,
+      |  sum(duration_ms)::BIGINT AS sum_duration_ms
+      |FROM media GROUP BY modality ORDER BY modality""".stripMargin
+
+  /** MM2: frame sampling — one row per 1-second frame of each video.
+    * A generator (posexplode over a sequence), the standard
+    * rows-multiplying shape of video pipelines. */
+  def mm2FrameSample(spark: SparkSession, dir: String): DataFrame =
+    mediaCatalog(spark, dir).toDF()
+      .filter(col("modality") === "video")
+      .select(col("media_id"),
+        posexplode(sequence(lit(0L), (col("duration_ms") / 1000L).cast("long")))
+          .as(Seq("frame_idx", "frame_sec")))
+      .select(col("media_id"), col("frame_idx").cast("long"),
+        (col("frame_sec") * 1000L).as("frame_ts_ms"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  val mm2FrameSampleSql: String =
+    """WITH media AS (SELECT doc_id AS media_id,
+      |  ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality,
+      |  n_chars * 10 AS duration_ms FROM documents),
+      |frames AS (SELECT media_id,
+      |    unnest(generate_series(0::BIGINT, duration_ms // 1000)) AS frame_idx
+      |  FROM media WHERE modality = 'video')
+      |SELECT media_id, frame_idx::BIGINT AS frame_idx,
+      |  (frame_idx * 1000)::BIGINT AS frame_ts_ms
+      |FROM frames ORDER BY media_id, frame_idx""".stripMargin
+
+  /** MM3: decode + feature extraction end-to-end (stub kernel), then
+    * per-modality feature summary. Exercises the full typed-Dataset
+    * batch-decode path; no SQL oracle (kernel is engine-side). */
+  def mm3DecodeFeatures(spark: SparkSession, dir: String): DataFrame =
+    decode(mediaCatalog(spark, dir)).toDF()
+      .groupBy(col("modality")).agg(
+        count(lit(1)).as("n_decoded"),
+        round(avg(col("mean_byte")), 4).as("avg_mean_byte"),
+        round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
+      .orderBy(col("modality"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm1_media_stats" -> (mm1MediaStats _),
+    "mm2_frame_sample" -> (mm2FrameSample _),
+    "mm3_decode_features" -> (mm3DecodeFeatures _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "mm1_media_stats" -> mm1MediaStatsSql,
+    "mm2_frame_sample" -> mm2FrameSampleSql,
+    // mm3_decode_features: engine-side decode kernel — no SQL oracle
+  )
+}
