@@ -37,11 +37,11 @@ object SimilarityOps {
   val QueryCount = 32
   val TopK = 10
 
-  /** aggregate(zip_with(a,b,*), 0.0, +) — sequential left-to-right sum,
-    * same order DuckDB's list_dot_product uses, so double math matches
-    * to well under the 4dp rounding we publish. */
+  /** Native codegen'd expression (graft.functions.VectorFunctions) —
+    * left-to-right sum, same order DuckDB's list_dot_product uses, so
+    * double math matches to well under the 4dp rounding we publish. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, z) => acc + z)
+    graft.functions.VectorFunctions.dot(a, b)
 
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
