@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.core.Tables
+import graft.etl.PatientIngestion
+
+/** Structured Streaming bindings (SURVEY.md §2.8).
+  *
+  * The reference has no streaming engine — its "event-driven" surface is
+  * an HTTP-triggered bounded micro-batch — so these bindings demonstrate
+  * the engine's transforms are EXECUTION-MODE AGNOSTIC: the same
+  * DataFrame=>DataFrame logic runs batch (the harness queries) or
+  * streaming (here), per the §2.8 design note. Trigger.AvailableNow
+  * mirrors the reference's bounded-batch semantics exactly: process
+  * everything available, then stop.
+  *
+  * At scale: the file source partitions per input file; watermarked
+  * windows bound state-store size (late events past the watermark are
+  * dropped instead of growing state forever); dropDuplicates with a
+  * watermark is the streaming face of N1 exact dedup with bounded
+  * memory.
+  */
+object StreamingOps {
+
+  /** Streaming read of the events table. The ns-timestamp workaround
+    * from Tables.events applies: declare ts as raw nanos (long) in the
+    * required source schema, truncate to µs after read.
+    *
+    * Spark's streaming file source only accepts directories; the harness
+    * testdata ships one parquet FILE per table, so the file is staged
+    * into a temp directory via symlink (read-only with respect to the
+    * testdata). A production deployment streams a real directory/bucket
+    * and skips this. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batchSchema = Tables(spark, dir, "events").schema
+    val srcSchema = StructType(batchSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = LongType) else f))
+    val raw = spark.readStream.schema(srcSchema)
+      .parquet(stageAsDirectory(s"$dir/events.parquet"))
+    if (srcSchema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Symlink a single data file into a fresh temp directory, for
+    * streaming sources that require directory paths. */
+  def stageAsDirectory(file: String): String = {
+    val src = java.nio.file.Paths.get(file)
+    val d = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve(src.getFileName.toString), src)
+    d.toString
+  }
+
+  /** e1's tumbling-window aggregation as a stream, with a watermark
+    * bounding window state. Same logical agg as the batch query. */
+  def tumblingWindowAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Watermarked streaming dedup — exact-dedup (N1) semantics with
+    * bounded state. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Run a streaming aggregation to completion on the available data
+    * (bounded run), collecting the final result via the memory sink.
+    * `complete` mode emits every window on the final micro-batch. */
+  def runToCompletion(agg: DataFrame, queryName: String,
+                      outputMode: String = "complete")
+                     (implicit spark: SparkSession): DataFrame = {
+    val q: StreamingQuery = agg.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** The patient-ingestion pipeline bound to a stream via foreachBatch —
+    * the reference's HTTP-bounded micro-batch (§3.1) re-expressed: each
+    * micro-batch runs the full validate→consent→transform flow and the
+    * caller's sink sees the per-batch IngestResult. */
+  def ingestEachBatch(stream: DataFrame)
+                     (onBatch: (PatientIngestion.IngestResult, Long) => Unit): StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        onBatch(PatientIngestion.ingest(batch), id)
+      }
+      .start()
+}
