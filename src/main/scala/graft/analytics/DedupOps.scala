@@ -37,7 +37,8 @@ object DedupOps {
   /** Whitespace words of `text`. */
   private def wordsCol: Column = split(col("text"), " ")
 
-  /** Distinct word 3-gram shingles per document: (doc_id, shingle). */
+  /** Distinct word 3-gram shingles per document: (doc_id, shingle),
+    * shingle as a STRING (the oracle-matching rendering). */
   def shingles(docs: DataFrame): DataFrame = {
     val w = wordsCol
     val grams = when(size(w) >= 3,
@@ -46,6 +47,18 @@ object DedupOps {
       .otherwise(array().cast("array<string>"))
     docs.select(col("doc_id"), explode(grams).as("shingle"))
   }
+
+  /** Distinct word-3-gram shingle HASHES per document: (doc_id, h).
+    * Everything downstream (jaccard counting, minhash, LSH) only needs
+    * equality, which 64-bit hashes give with ~n²/2^64 ≈ 1e-16 collision
+    * odds per document pair — so cardinality matches the string
+    * rendering and the DuckDB oracle (which renders strings) stays
+    * hash-identical on the final jaccard output, while shuffles carry
+    * 8-byte longs instead of shingle strings. (Composing per-word hashes
+    * via element_at benchmarked SLOWER than hashing the concat string —
+    * the HOF lambda re-evaluates the word-hash array per element.) */
+  def shingleHashes(docs: DataFrame): DataFrame =
+    shingles(docs).select(col("doc_id"), xxhash64(col("shingle")).as("h"))
 
   /** DuckDB rendering of the same shingling (shared by the n2 oracle). */
   private val shingleCte: String =
@@ -96,12 +109,10 @@ object DedupOps {
     * naive posting-list self-join, and the same result set. */
   def n2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     val theta = JaccardThreshold
-    // every stage downstream operates on 64-bit shingle hashes, never the
-    // strings: verification only needs equality, and 8-byte longs keep
-    // the per-doc arrays and shuffles ~5× lighter (collision odds per
-    // pair ≈ n²/2^64 ≈ 2e-16 — far below any other failure mode)
-    val sh = shingles(Tables.documents(spark, dir))
-      .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+    // every stage operates on 64-bit shingle hashes, never the strings:
+    // verification only needs equality, and 8-byte longs keep the
+    // per-doc arrays and shuffles ~5× lighter (see shingleHashes)
+    val sh = shingleHashes(Tables.documents(spark, dir))
     val byDoc = sh.groupBy(col("doc_id")).agg(
       sort_array(collect_list(col("h"))).as("hs"),
       count(lit(1)).as("n"))
@@ -157,11 +168,11 @@ object DedupOps {
     * shingle set rides along so candidate verification below needs no
     * second shingle materialization. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shingleHashes(docs)
     val mins = (0 until MinhashPerms).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"s$i"))
+      min(xxhash64(lit(i), col("h"))).as(s"s$i"))
     val aggs = mins ++ Seq(
-      collect_set(xxhash64(col("shingle"))).as("shset"), // hashes, not strings
+      collect_set(col("h")).as("shset"), // hashes, not strings
       count(lit(1)).as("n"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
