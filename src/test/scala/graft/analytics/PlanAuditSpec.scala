@@ -1,0 +1,63 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkSuite
+
+/** Physical-plan hygiene, pinned as regression tests: the properties that
+  * decide whether these plans survive a 100× scale-up — filters reaching
+  * the parquet scan, projections pruning the read schema, dimension
+  * joins broadcasting instead of shuffling the fact side, aggregates
+  * doing map-side partial reduction. */
+class PlanAuditSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def executed(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String = {
+    df.collect() // finalize AQE so the real physical plan is inspectable
+    executed(df).toString
+  }
+
+  test("s1: predicate AND projection reach the parquet scan") {
+    val p = planString(RelationalQueries.s1ScanProject(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"), p)
+    val read = p.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(read.contains("l_orderkey") && !read.contains("l_extendedprice"), read)
+  }
+
+  test("q6: all predicates pushed, partial aggregation before the shuffle") {
+    val p = planString(AdvancedQueries.q6FilterSum(spark, dir))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate(keys=[], functions=[partial_"), p)
+  }
+
+  test("j2: both dimension joins broadcast; fact side never shuffles for the join") {
+    val p = planString(RelationalQueries.j2BroadcastJoin(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("j1/j3: semi and anti joins planned as such (no row-multiplying inner)") {
+    val semi = planString(RelationalQueries.j1SemiJoin(spark, dir))
+    assert(semi.contains("LeftSemi"), semi)
+    val anti = planString(RelationalQueries.j3AntiJoin(spark, dir))
+    assert(anti.contains("LeftAnti"), anti)
+  }
+
+  test("n3: query side broadcasts; corpus streams without a pre-join shuffle") {
+    val p = planString(SimilarityOps.n3CosineTopk(spark, dir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("q1: group aggregate does map-side partial reduction") {
+    val p = planString(RelationalQueries.q1Agg(spark, dir))
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+}
