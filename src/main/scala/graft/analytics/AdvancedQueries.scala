@@ -303,6 +303,53 @@ object AdvancedQueries {
       |  FROM orders) t
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** Math scalar-function battery over lineitem — abs/sqrt/ln/pow/
+    * sign/floor/ceil/mod, rounded for double parity. */
+  def x10MathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(col("l_orderkey"),
+        r2(abs(col("l_extendedprice") - col("l_quantity") * 1000.0)).as("abs_diff"),
+        r2(sqrt(col("l_extendedprice"))).as("sqrt_price"),
+        round(log(col("l_extendedprice")), 4).as("ln_price"),
+        r2(pow(col("l_discount") + 1.0, 3)).as("pow_disc"),
+        signum(col("l_extendedprice") - lit(50000.0)).cast("long").as("sign_mid"),
+        floor(col("l_quantity")).cast("long").as("floor_qty"),
+        ceil(col("l_tax") * 100.0).cast("long").as("ceil_tax_pct"),
+        (col("l_orderkey") % 7L).as("mod7"))
+      .orderBy(col("l_orderkey"))
+
+  val x10MathFuncsSql: String =
+    """SELECT l_orderkey,
+      |round(abs(l_extendedprice - l_quantity * 1000.0), 2) AS abs_diff,
+      |round(sqrt(l_extendedprice), 2) AS sqrt_price,
+      |round(ln(l_extendedprice), 4) AS ln_price,
+      |round(pow(l_discount + 1.0, 3), 2) AS pow_disc,
+      |sign(l_extendedprice - 50000.0)::BIGINT AS sign_mid,
+      |floor(l_quantity)::BIGINT AS floor_qty,
+      |ceil(l_tax * 100.0)::BIGINT AS ceil_tax_pct,
+      |l_orderkey % 7 AS mod7
+      |FROM lineitem WHERE l_linenumber = 1
+      |ORDER BY l_orderkey""".stripMargin
+
+  /** Exact interpolated percentiles per group (ANSI percentile_cont
+    * semantics = DuckDB quantile_cont). */
+  def a7Percentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
+        r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  val a7PercentileSql: String =
+    """SELECT l_returnflag,
+      |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+      |round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
+      |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_count_distinct" -> (a2CountDistinct _),
     "a3_rollup" -> (a3Rollup _),
@@ -320,6 +367,8 @@ object AdvancedQueries {
     "j5_q3_revenue" -> (j5Q3Revenue _),
     "q6_filter_sum" -> (q6FilterSum _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
+    "x10_math_funcs" -> (x10MathFuncs _),
+    "a7_percentile" -> (a7Percentile _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -339,5 +388,7 @@ object AdvancedQueries {
     "j5_q3_revenue" -> j5Q3RevenueSql,
     "q6_filter_sum" -> q6FilterSumSql,
     "dd1_dedup_first" -> dd1DedupFirstSql,
+    "x10_math_funcs" -> x10MathFuncsSql,
+    "a7_percentile" -> a7PercentileSql,
   )
 }

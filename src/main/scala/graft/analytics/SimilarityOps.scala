@@ -134,13 +134,45 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  val NearDupThreshold = 0.5 // synthetic corpus is i.i.d. random; real
+                             // near-dup corpora use ~0.9
+
+  /** N5c: embedding-cosine near-duplicate PAIRS over the whole corpus —
+    * the dedup-by-embedding tier of a training-data pipeline. Candidates
+    * come from SRP bucket collisions (shuffling ids+buckets only), then
+    * exact cosine verifies each candidate; output is every candidate
+    * pair with sim ≥ threshold. Approximate in the same way n2b is
+    * (banding false negatives possible, emitted sims exact) → no SQL
+    * oracle; spec asserts exact-sim agreement with brute force and
+    * recall lift. At 100 TB: bucket join is an equi-shuffle on
+    * (table, bucket); vectors join in by id afterwards, so full
+    * embeddings never ride the candidate shuffle. */
+  def n5EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    val banded = srpBuckets(all).select(col("vec_id"), col("table"), col("bucket"))
+    val cand = banded.toDF("va", "table", "bucket")
+      .join(banded.toDF("vb", "table", "bucket"), Seq("table", "bucket"))
+      .filter(col("va") < col("vb"))
+      .select(col("va"), col("vb")).distinct()
+    val vecs = all.select(col("vec_id"), col("v"), col("nrm"))
+    cand
+      .join(vecs.toDF("va", "v_a", "n_a"), Seq("va"))
+      .join(vecs.toDF("vb", "v_b", "n_b"), Seq("vb"))
+      .select(col("va"), col("vb"),
+        round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("sim"))
+      .filter(col("sim") >= NearDupThreshold)
+      .orderBy(col("va"), col("vb"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n3_cosine_topk" -> (n3CosineTopk _),
     "n3b_srp_ann" -> (n3bSrpAnn _),
+    "n5_embed_neardup" -> (n5EmbedNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "n3_cosine_topk" -> n3CosineTopkSql,
-    // n3b_srp_ann: approximate (LSH) — no SQL oracle; recall asserted in spec
+    // n3b_srp_ann, n5_embed_neardup: approximate (LSH candidates) — no
+    // SQL oracle; exact-sim agreement + recall asserted in spec
   )
 }

@@ -63,6 +63,27 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(lift >= 2.0, f"lift $lift%.1f: no better than random sampling")
   }
 
+  test("n5 embed near-dup: sims exact, thresholded, pairs canonical") {
+    import org.apache.spark.sql.functions._
+    val rows = SimilarityOps.n5EmbedNearDup(spark, dir).collect()
+    rows.foreach { case Row(va: Long, vb: Long, s: Double) =>
+      assert(va < vb && s >= SimilarityOps.NearDupThreshold && s <= 1.0)
+    }
+    // every emitted pair's sim must equal the brute-force cosine
+    val e = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val byId = e.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(d / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    rows.take(50).foreach { case Row(va: Long, vb: Long, s: Double) =>
+      assert(math.abs(cosine(byId(va), byId(vb)) - s) <= 1e-4, s"($va,$vb)")
+    }
+  }
+
   test("n3b is deterministic across runs (fixed hyperplanes, no RNG at runtime)") {
     val a = SimilarityOps.n3bSrpAnn(spark, dir).collect().toSeq
     val b = SimilarityOps.n3bSrpAnn(spark, dir).collect().toSeq
