@@ -134,6 +134,78 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // --- IVF (inverted-file) ANN ------------------------------------------------
+
+  val IvfCells = 16
+  val IvfProbes = 4
+
+  /** Deterministic IVF codebook: seed centroids are the vectors with the
+    * K smallest vec_ids (any deterministic rule works for a seeded
+    * coarse quantizer), refined by ONE Lloyd step — per-cell mean via a
+    * posexplode/groupBy/rebuild, all set-oriented (no driver iteration,
+    * no RNG). Returns (cell, centroid array<double>). */
+  def ivfCentroids(vectors: DataFrame): DataFrame = {
+    val seeds = vectors.orderBy(col("vec_id")).limit(IvfCells)
+      .select(row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
+        .as("cell"), col("v").as("c"))
+    val assigned = assignCells(vectors, seeds)
+    // Lloyd step: element-wise mean of each cell's member vectors
+    assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cell"),
+        transform(col("pm"), e => e.getField("m")).as("c"))
+  }
+
+  /** Nearest centroid (max cosine) per vector: broadcast the K-row
+    * codebook, argmax via one max(struct) aggregation. */
+  private def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    vectors.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), col("cell"))).as("best"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
+
+  /** N3c: IVF-flat approximate top-10 for the query slice — assign the
+    * corpus to cells once, probe the `IvfProbes` best cells per query,
+    * exact cosine on the probed cells only. Deterministic; no SQL
+    * oracle (spec asserts exactness-of-sims + recall lift). At 100 TB
+    * the cell assignment is the partition key (cluster-by cell at
+    * write), so a probe reads `IvfProbes/IvfCells` of the corpus. */
+  def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    val cents = ivfCentroids(all)
+    val assigned = assignCells(all, cents)
+    // nprobe best cells per query
+    val qProbe = all.filter(col("vec_id") < QueryCount)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell"),
+        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
+          .as("csim"))
+    val w0 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probes = qProbe.withColumn("pr", row_number().over(w0))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val sims = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val NearDupThreshold = 0.5 // synthetic corpus is i.i.d. random; real
                              // near-dup corpora use ~0.9
 
@@ -167,6 +239,7 @@ object SimilarityOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n3_cosine_topk" -> (n3CosineTopk _),
     "n3b_srp_ann" -> (n3bSrpAnn _),
+    "n3c_ivf_ann" -> (n3cIvfAnn _),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
   )
 

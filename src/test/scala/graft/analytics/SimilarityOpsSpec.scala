@@ -89,4 +89,20 @@ class SimilarityOpsSpec extends SparkSuite {
     val b = SimilarityOps.n3bSrpAnn(spark, dir).collect().toSeq
     assert(a == b)
   }
+
+  test("n3c IVF: exact sims on probed cells, deterministic, recall above probe ratio") {
+    val exact = SimilarityOps.n3CosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = SimilarityOps.n3cIvfAnn(spark, dir).collect()
+    ivf.foreach { case Row(qid: Long, _, nbr: Long, sim: Double) =>
+      exact.get((qid, nbr)).foreach(es => assert(es == sim, s"($qid,$nbr)"))
+    }
+    val hit = ivf.count { case Row(q: Long, _, n: Long, _) => exact.contains((q, n)) }
+    val recall = hit.toDouble / exact.size
+    // probing 4/16 cells reads 25% of a RANDOM corpus; centroid-guided
+    // probing must do at least as well (strictly better on clustered data)
+    info(f"IVF recall@10 = $recall%.3f ($hit/${exact.size})")
+    assert(recall >= 0.2, f"recall $recall%.3f below probe baseline")
+    assert(SimilarityOps.n3cIvfAnn(spark, dir).collect().toSeq == ivf.toSeq)
+  }
 }
