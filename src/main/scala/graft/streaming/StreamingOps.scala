@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -87,6 +87,44 @@ object StreamingOps {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Per-user session state for gap-based sessionization: the last seen
+    * event time plus running session/event counts. */
+  case class SessionState(lastTsMicros: Long, sessions: Long, events: Long)
+  case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Gap-based sessionization (>30 min of silence starts a new session)
+    * as a STATEFUL streaming computation over
+    * KeyValueGroupedDataset.flatMapGroupsWithState — the engine's
+    * custom-state surface. State per key is three longs regardless of
+    * history length; the state store shards by user across executors.
+    *
+    * Semantics match the batch query (EventQueries.e2Sessionization) on
+    * bounded input: each micro-batch's group iterator is sorted by
+    * (ts, event_id) before folding, which is exact for a single
+    * AvailableNow batch; a continuous deployment would add an event-time
+    * timeout to finalize sessions across batches. */
+  def sessionizeStream(events: DataFrame): Dataset[UserSessions] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+          val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          val fin = sorted.foldLeft(init) { case (s, (_, ts, _)) =>
+            val newSession = s.lastTsMicros == Long.MinValue ||
+              ts - s.lastTsMicros > 1800L * 1000000L
+            SessionState(ts, s.sessions + (if (newSession) 1 else 0), s.events + 1)
+          }
+          state.update(fin)
+          Iterator(UserSessions(user, fin.sessions, fin.events))
+        })
   }
 
   /** The patient-ingestion pipeline bound to a stream via foreachBatch —

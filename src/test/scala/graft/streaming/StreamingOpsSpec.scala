@@ -35,6 +35,17 @@ class StreamingOpsSpec extends SparkSuite {
     assert(out.count() == expected)
   }
 
+  test("stateful sessionization (flatMapGroupsWithState) equals batch e2") {
+    implicit val s = spark
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val out = StreamingOps.runToCompletion(
+      StreamingOps.sessionizeStream(stream).toDF(), "sess_stream",
+      outputMode = "append")
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = EventQueries.e2Sessionization(spark, dir).collect().toSeq
+    assert(out == batch)
+  }
+
   test("patient pipeline binds to a stream via foreachBatch (bounded micro-batch)") {
     // stream source: fixture rows as json files in a temp dir
     val tmp = Files.createTempDirectory("graft-stream-in").toFile
