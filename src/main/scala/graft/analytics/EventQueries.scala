@@ -80,15 +80,41 @@ object EventQueries {
       |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) t
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Two-phase SALTED aggregation over a deliberately skewed key
+    * (5 event_type values — every row lands on one of 5 reducers in a
+    * naive groupBy). Phase 1 fans each hot key across 16 salt buckets
+    * (deterministic salt from event_id, not rand(), so the result is
+    * reproducible and oracle-checkable); phase 2 merges the 5×16
+    * partials. Same answer as the plain groupBy — the oracle IS the
+    * plain groupBy — but the wide shuffle is uniform. This is the manual
+    * skew technique for when AQE skew handling can't see the skew
+    * (first-shuffle aggregations). */
+  def e4SaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("salt", pmod(col("event_id"), lit(16)))
+      .groupBy(col("event_type"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("psum"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("pn")).as("n_events"),
+        round(sum(col("psum")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+
+  val e4SaltedAggSql: String =
+    """SELECT event_type, count(*) AS n_events,
+      |round(sum(value), 2) AS sum_value
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> (e1TumblingWindow _),
     "e2_sessionization" -> (e2Sessionization _),
     "e3_json_extract" -> (e3JsonExtract _),
+    "e4_salted_agg" -> (e4SaltedAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "e1_tumbling_window" -> e1TumblingWindowSql,
     "e2_sessionization" -> e2SessionizationSql,
     "e3_json_extract" -> e3JsonExtractSql,
+    "e4_salted_agg" -> e4SaltedAggSql,
   )
 }
