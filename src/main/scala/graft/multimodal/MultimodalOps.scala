@@ -107,6 +107,24 @@ object MultimodalOps {
     media.mapPartitions(_.grouped(batchSize).flatMap(b => decoder.decodeBatch(b)))
   }
 
+  /** Resize: recompute target geometry preserving aspect ratio, and
+    * (stub) resample the payload to the target pixel budget by striding.
+    * Metadata math is real; the pixel resample is the stubbed kernel a
+    * codec-backed deployment replaces. Map-only, partition-preserving. */
+  def resize(media: Dataset[Media], maxDim: Int): Dataset[Media] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(m.width, m.height))
+      val nw = math.max(1, math.round(m.width * scale).toInt)
+      val nh = math.max(1, math.round(m.height * scale).toInt)
+      val stride = math.max(1, math.ceil(1.0 / math.max(scale, 1e-9)).toInt)
+      val resampled =
+        if (scale >= 1.0) m.payload
+        else m.payload.grouped(stride).map(_.head).toArray // STUB resample
+      m.copy(payload = resampled, width = nw, height = nh)
+    }
+  }
+
   // --- harness queries ---------------------------------------------------------
 
   /** MM1: payload-free media catalog stats — the "query metadata without

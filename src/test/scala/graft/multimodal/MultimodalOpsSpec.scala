@@ -64,6 +64,27 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(bad.count() == 0)
   }
 
+  test("resize preserves aspect ratio, bounds dims, and shrinks payloads") {
+    val media = MultimodalOps.mediaCatalog(spark, dir)
+    val out = MultimodalOps.resize(media, maxDim = 64).collect()
+    val in = media.collect().map(m => m.media_id -> m).toMap
+    out.foreach { m =>
+      assert(m.width <= 64 && m.height <= 64 && m.width >= 1 && m.height >= 1)
+      val o = in(m.media_id)
+      if (math.max(o.width, o.height) > 64) {
+        // aspect only checkable when neither scaled side hit the 1px clamp
+        if (m.width > 4 && m.height > 4) {
+          val ar = o.width.toDouble / o.height
+          val arNew = m.width.toDouble / m.height
+          assert(math.abs(ar - arNew) / ar < 0.25, s"aspect ${ar} -> ${arNew}")
+        }
+        assert(m.payload.length <= o.payload.length)
+      } else {
+        assert(m.width == o.width && m.height == o.height)
+      }
+    }
+  }
+
   test("mm3 end-to-end decode+aggregate yields one row per modality") {
     val out = MultimodalOps.mm3DecodeFeatures(spark, dir).collect()
     assert(out.length == 3)
