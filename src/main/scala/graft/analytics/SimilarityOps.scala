@@ -206,8 +206,8 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
-  val NearDupThreshold = 0.5 // synthetic corpus is i.i.d. random; real
-                             // near-dup corpora use ~0.9
+  val NearDupThreshold = 0.4 // synthetic corpus is i.i.d. random (top pair
+                             // sims ~0.4-0.5); real near-dup corpora use ~0.9
 
   /** N5c: embedding-cosine near-duplicate PAIRS over the whole corpus —
     * the dedup-by-embedding tier of a training-data pipeline. Candidates
