@@ -65,7 +65,7 @@ object PatientIngestion {
       col("gender"),
       lit("Patient").as("resource_type"),
       // PHI-stripped payload destined for clinical_records.fhir_resource
-      struct(fhirCols.map(col): _*).as("fhir_resource"),
+      struct(fhirCols.toIndexedSeq.map(col): _*).as("fhir_resource"),
     )
   }
 
@@ -87,7 +87,7 @@ object PatientIngestion {
       .withColumn("consented", consentGate)
     val valid = annotated.filter(size(col("errors")) === 0)
     val invalid = annotated.filter(size(col("errors")) > 0)
-      .select((raw.columns.map(col) :+ col("errors")): _*)
+      .select((raw.columns.toIndexedSeq.map(col) :+ col("errors")): _*)
     val blocked = valid.filter(!col("consented"))
       .select(col("mrn"), lit("no data_sharing consent").as("reason"))
     val consented = valid.filter(col("consented")).drop("errors", "consented")
