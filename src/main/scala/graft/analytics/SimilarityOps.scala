@@ -180,7 +180,10 @@ object SimilarityOps {
     * write), so a probe reads `IvfProbes/IvfCells` of the corpus. */
   def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val cents = ivfCentroids(all)
+    // 16-row codebook consumed by both corpus assignment and query
+    // probing — persist so the Lloyd pass runs once (the codebook is a
+    // model parameter, constant-size regardless of corpus scale)
+    val cents = ivfCentroids(all).persist()
     val assigned = assignCells(all, cents)
     // nprobe best cells per query
     val qProbe = all.filter(col("vec_id") < QueryCount)
