@@ -350,6 +350,51 @@ object AdvancedQueries {
       |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Pivot (long→wide): order counts per priority pivoted by status.
+    * Spark's relational pivot; the oracle renders the same wide shape
+    * with conditional aggregation (engine-agnostic SQL). */
+  def a8Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p"))
+      .orderBy(col("o_orderpriority"))
+
+  val a8PivotSql: String =
+    """SELECT o_orderpriority,
+      |count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+      |count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+      |count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Array-function battery over the embedding vectors (size /
+    * element access / min / max / sum — double domain, rounded). */
+  def x11ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"),
+        size(v).cast("long").as("dim"),
+        round(element_at(v, 1), 4).as("first_val"),
+        round(array_min(v), 4).as("min_val"),
+        round(array_max(v), 4).as("max_val"),
+        round(aggregate(v, lit(0.0), (a, x) => a + x), 4).as("sum_val"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x11ArrayFuncsSql: String =
+    """SELECT vec_id,
+      |len(embedding)::BIGINT AS dim,
+      |round(embedding[1]::DOUBLE, 4) AS first_val,
+      |round(list_min(embedding::DOUBLE[]), 4) AS min_val,
+      |round(list_max(embedding::DOUBLE[]), 4) AS max_val,
+      |round(list_sum(embedding::DOUBLE[]), 4) AS sum_val
+      |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_count_distinct" -> (a2CountDistinct _),
     "a3_rollup" -> (a3Rollup _),
@@ -369,6 +414,8 @@ object AdvancedQueries {
     "dd1_dedup_first" -> (dd1DedupFirst _),
     "x10_math_funcs" -> (x10MathFuncs _),
     "a7_percentile" -> (a7Percentile _),
+    "a8_pivot" -> (a8Pivot _),
+    "x11_array_funcs" -> (x11ArrayFuncs _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -390,5 +437,7 @@ object AdvancedQueries {
     "dd1_dedup_first" -> dd1DedupFirstSql,
     "x10_math_funcs" -> x10MathFuncsSql,
     "a7_percentile" -> a7PercentileSql,
+    "a8_pivot" -> a8PivotSql,
+    "x11_array_funcs" -> x11ArrayFuncsSql,
   )
 }

@@ -104,11 +104,32 @@ object EventQueries {
       |round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Schema-full JSON parse (from_json with a declared StructType, the
+    * typed sibling of e3's path extraction) + null-safety of malformed
+    * rows. */
+  def e5JsonStruct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType)))).as("p"))
+      .select(col("event_id"), col("p.k").as("k"))
+      .filter(col("k").isNotNull)
+      .orderBy(col("event_id"))
+
+  val e5JsonStructSql: String =
+    """SELECT event_id,
+      |CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |FROM events
+      |WHERE json_extract_string(props, '$.k') IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> (e1TumblingWindow _),
     "e2_sessionization" -> (e2Sessionization _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_salted_agg" -> (e4SaltedAgg _),
+    "e5_json_struct" -> (e5JsonStruct _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -116,5 +137,6 @@ object EventQueries {
     "e2_sessionization" -> e2SessionizationSql,
     "e3_json_extract" -> e3JsonExtractSql,
     "e4_salted_agg" -> e4SaltedAggSql,
+    "e5_json_struct" -> e5JsonStructSql,
   )
 }
