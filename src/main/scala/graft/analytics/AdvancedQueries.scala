@@ -395,6 +395,38 @@ object AdvancedQueries {
       |round(list_sum(embedding::DOUBLE[]), 4) AS sum_val
       |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
 
+  /** W4: per-customer top-3 orders by price via the typed single-pass
+    * TopKAggregator — bounded k-entry state through map-side partial
+    * aggregation (the window formulation sorts whole groups post-
+    * shuffle; see graft.functions.TopKAggregator). The oracle IS the
+    * window formulation — identical output proves the aggregator's
+    * tie-breaking matches row_number semantics. */
+  def w4TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val agg = new graft.functions.TopKAggregator(3).toColumn
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(agg.name("topk"))
+      .flatMap { case (cust, topk) =>
+        topk.zipWithIndex.map { case ((price, okey), i) =>
+          (cust, (i + 1).toLong, okey, price)
+        }
+      }
+      .toDF("o_custkey", "rank", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("rank"))
+  }
+
+  val w4TopkAggSql: String =
+    """SELECT o_custkey, rank, o_orderkey, o_totalprice
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |  (row_number() OVER (PARTITION BY o_custkey
+      |     ORDER BY o_totalprice DESC, o_orderkey))::BIGINT AS rank
+      |  FROM orders) t
+      |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_count_distinct" -> (a2CountDistinct _),
     "a3_rollup" -> (a3Rollup _),
@@ -416,6 +448,7 @@ object AdvancedQueries {
     "a7_percentile" -> (a7Percentile _),
     "a8_pivot" -> (a8Pivot _),
     "x11_array_funcs" -> (x11ArrayFuncs _),
+    "w4_topk_agg" -> (w4TopkAgg _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -439,5 +472,6 @@ object AdvancedQueries {
     "a7_percentile" -> a7PercentileSql,
     "a8_pivot" -> a8PivotSql,
     "x11_array_funcs" -> x11ArrayFuncsSql,
+    "w4_topk_agg" -> w4TopkAggSql,
   )
 }
