@@ -427,6 +427,47 @@ object AdvancedQueries {
       |  FROM orders) t
       |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin
 
+  /** Schema-evolution union: two projections with different column sets
+    * merged by NAME with missing columns null-filled — the shape of
+    * unioning old- and new-schema partitions of the same logical table. */
+  def set2UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val current = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val legacy = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"), col("c_name")) // no acctbal in "old schema"
+    current.unionByName(legacy, allowMissingColumns = true)
+      .orderBy(col("c_custkey"), col("c_acctbal").asc_nulls_first)
+  }
+
+  val set2UnionByNameSql: String =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |UNION ALL
+      |SELECT c_custkey, c_name, NULL AS c_acctbal FROM customer
+      |WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey, c_acctbal ASC NULLS FIRST""".stripMargin
+
+  /** HOF predicate battery over the embedding arrays: exists / forall /
+    * filter-count in the double domain. */
+  def x12HofPredicates(spark: SparkSession, dir: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"),
+        exists(v, x => x > 0.3).as("has_large"),
+        forall(v, x => abs(x) < 1.0).as("all_unit_bounded"),
+        size(filter(v, x => x > 0.0)).cast("long").as("n_positive"))
+      .orderBy(col("vec_id"))
+  }
+
+  val x12HofPredicatesSql: String =
+    """SELECT vec_id,
+      |len(list_filter(embedding::DOUBLE[], x -> x > 0.3)) > 0 AS has_large,
+      |len(list_filter(embedding::DOUBLE[], x -> abs(x) >= 1.0)) = 0
+      |  AS all_unit_bounded,
+      |len(list_filter(embedding::DOUBLE[], x -> x > 0.0))::BIGINT AS n_positive
+      |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_count_distinct" -> (a2CountDistinct _),
     "a3_rollup" -> (a3Rollup _),
@@ -449,6 +490,8 @@ object AdvancedQueries {
     "a8_pivot" -> (a8Pivot _),
     "x11_array_funcs" -> (x11ArrayFuncs _),
     "w4_topk_agg" -> (w4TopkAgg _),
+    "set2_union_by_name" -> (set2UnionByName _),
+    "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -473,5 +516,7 @@ object AdvancedQueries {
     "a8_pivot" -> a8PivotSql,
     "x11_array_funcs" -> x11ArrayFuncsSql,
     "w4_topk_agg" -> w4TopkAggSql,
+    "set2_union_by_name" -> set2UnionByNameSql,
+    "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }
