@@ -86,39 +86,101 @@ object SimilarityOps {
   // ---------------------------------------------------------------------------
 
   val SrpTables = 8
-  val SrpBits = 6 // 64 buckets/table — occupancy n/64, tune up with corpus size
 
-  /** Fixed Gaussian hyperplanes, seeded — java.util.Random's algorithm is
-    * specified, so every JVM/executor derives identical planes. */
-  private lazy val planes: Array[Array[Double]] = {
-    val rnd = new Random(42)
-    Array.fill(SrpTables * SrpBits, 64)(rnd.nextGaussian())
+  /** Target mean rows per (table, bucket). Bits are DERIVED from corpus
+    * size so occupancy stays ~constant as data grows — the round-1
+    * design fixed bits=6, making per-bucket work linear in n (and the
+    * n5 self-join quadratic); deriving bits kills that. */
+  val SrpTargetOccupancy = 8
+  val SrpMinBits = 4
+  val SrpMaxBits = 32 // bucket ids are Long, so 1L<<j is safe to 32 bits
+  /** Hard per-bucket bound (8× target): a degenerate vector distribution
+    * (many identical directions) can't blow up one bucket's self-join.
+    * Rows beyond the cap are dropped deterministically (highest vec_ids
+    * first) — a documented recall trade for a worst-case work bound. */
+  val SrpBucketCap = 64
+  /** With many bits a near-neighbor pair disagreeing on ONE bit lands in
+    * different buckets, so recall decays; probing all 1-bit-flip buckets
+    * (bits+1 probes/table) recovers it at O(bits) extra probe rows.
+    * Below this threshold the exact bucket already inspects enough. */
+  val SrpMultiProbeMinBits = 10
+
+  /** bits = clamp(ceil(log2(n / SrpTargetOccupancy))) — 2^bits buckets
+    * per table keep expected occupancy ≤ target at any corpus size. */
+  def srpBitsFor(n: Long): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1L, n).toDouble / SrpTargetOccupancy) / math.log(2.0)).toInt
+    math.min(SrpMaxBits, math.max(SrpMinBits, raw))
   }
 
-  /** (vec_id, table, bucket) — one row per vector per LSH table. */
-  def srpBuckets(vectors: DataFrame): DataFrame = {
+  /** Fixed Gaussian hyperplanes, seeded — java.util.Random's algorithm is
+    * specified, so every JVM/executor derives identical planes for a
+    * given bit width. Cached per width (constant-size model state). */
+  private val planeCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Array[Double]]]
+  private def planes(bits: Int): Array[Array[Double]] =
+    planeCache.getOrElseUpdate(bits, {
+      val rnd = new Random(42)
+      Array.fill(SrpTables * bits, 64)(rnd.nextGaussian())
+    })
+
+  /** (vec_id, v, nrm, table, bucket) — one row per vector per LSH table;
+    * bucket is the packed sign pattern of `bits` projections. */
+  def srpBuckets(vectors: DataFrame, bits: Int): DataFrame = {
+    val ps = planes(bits)
     val buckets = (0 until SrpTables).map { t =>
-      (0 until SrpBits).map { j =>
-        val proj = dot(col("v"), typedLit(planes(t * SrpBits + j).toSeq))
-        when(proj > 0, lit(1 << j)).otherwise(lit(0))
+      (0 until bits).map { j =>
+        val proj = dot(col("v"), typedLit(ps(t * bits + j).toSeq))
+        when(proj > 0, lit(1L << j)).otherwise(lit(0L))
       }.reduce(_ + _)
     }
     vectors.select(col("vec_id"), col("v"), col("nrm"),
       posexplode(array(buckets: _*)).as(Seq("table", "bucket")))
   }
 
+  /** Enforce [[SrpBucketCap]]: keep the `cap` lowest vec_ids per
+    * (table, bucket). The row_number partitioning matches the downstream
+    * join key, so the exchange is reused, not added. */
+  def capBuckets(banded: DataFrame, cap: Int = SrpBucketCap): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table"), col("bucket")).orderBy(col("vec_id"))
+    banded.withColumn("occ", row_number().over(w))
+      .filter(col("occ") <= cap).drop("occ")
+  }
+
+  /** Multi-probe expansion of a (…, table, bucket) probe side: when bits
+    * are wide enough to fragment near-neighbors, probe the exact bucket
+    * plus every 1-bit flip. No-op below [[SrpMultiProbeMinBits]]. */
+  def withProbes(side: DataFrame, bits: Int): DataFrame =
+    if (bits < SrpMultiProbeMinBits) side
+    else {
+      val flips = (0 until bits).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+      side.withColumn("bucket", explode(array((col("bucket") +: flips): _*)))
+    }
+
+  /** Candidate (qid, nbr) pairs for the query slice: capped corpus
+    * buckets equi-joined against the (multi-probed, broadcast) query
+    * buckets — shuffles ids+buckets only, never vectors. Per-query
+    * candidate work is O(tables × probes × occupancy) — constant in
+    * corpus size by construction. */
+  def srpCandidates(all: DataFrame, bits: Int): DataFrame = {
+    val banded = capBuckets(srpBuckets(all, bits))
+    val qb = withProbes(
+      srpBuckets(all.filter(col("vec_id") < QueryCount), bits)
+        .select(col("vec_id").as("qid"), col("table"), col("bucket")), bits)
+    banded.join(broadcast(qb), Seq("table", "bucket"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr")).distinct()
+  }
+
   /** N3b: SRP-LSH approximate top-10 for the same query slice. Bucket
     * collisions → candidates → exact cosine → rank. Missing true
     * neighbors is possible (LSH false negatives); emitted sims are
-    * exact. */
+    * exact. Bits adapt to corpus size (one metadata-cheap count). */
   def n3bSrpAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val banded = srpBuckets(all)
-    val qb = banded.filter(col("vec_id") < QueryCount)
-      .select(col("vec_id").as("qid"), col("table"), col("bucket"))
-    val cand = banded.join(broadcast(qb), Seq("table", "bucket"))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nbr")).distinct()
+    val bits = srpBitsFor(Tables.embeddings(spark, dir).count())
+    val cand = srpCandidates(all, bits)
     val q = all.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
     val sims = cand
@@ -143,21 +205,33 @@ object SimilarityOps {
     * K smallest vec_ids (any deterministic rule works for a seeded
     * coarse quantizer), refined by ONE Lloyd step — per-cell mean via a
     * posexplode/groupBy/rebuild, all set-oriented (no driver iteration,
-    * no RNG). Returns (cell, centroid array<double>). */
+    * no RNG). The codebook is constant-size model state (K rows,
+    * independent of corpus scale), so it is materialized to the driver
+    * and returned as a LocalRelation: the Lloyd pass runs exactly once,
+    * both consumers broadcast a literal, and there is no cached entry to
+    * leak and no single-partition global window. Returns
+    * (cell, centroid array<double>). */
   def ivfCentroids(vectors: DataFrame): DataFrame = {
-    val seeds = vectors.orderBy(col("vec_id")).limit(IvfCells)
-      .select(row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("vec_id")))
-        .as("cell"), col("v").as("c"))
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    // TakeOrdered (orderBy+limit) — never a full sort; cell id = rank
+    // among the K seeds, assigned on the driver over K rows
+    val seeds = vectors.select(col("vec_id"), col("v"))
+      .orderBy(col("vec_id")).limit(IvfCells).collect()
+      .sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
+      .toSeq.toDF("cell", "c")
     val assigned = assignCells(vectors, seeds)
     // Lloyd step: element-wise mean of each cell's member vectors
-    assigned
+    val refined = assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"),
         transform(col("pm"), e => e.getField("m")).as("c"))
+    refined.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.toDF("cell", "c")
   }
 
   /** Nearest centroid (max cosine) per vector: broadcast the K-row
@@ -180,10 +254,9 @@ object SimilarityOps {
     * write), so a probe reads `IvfProbes/IvfCells` of the corpus. */
   def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    // 16-row codebook consumed by both corpus assignment and query
-    // probing — persist so the Lloyd pass runs once (the codebook is a
-    // model parameter, constant-size regardless of corpus scale)
-    val cents = ivfCentroids(all).persist()
+    // 16-row literal codebook (see ivfCentroids) consumed by both corpus
+    // assignment and query probing — the Lloyd pass ran exactly once
+    val cents = ivfCentroids(all)
     val assigned = assignCells(all, cents)
     // nprobe best cells per query
     val qProbe = all.filter(col("vec_id") < QueryCount)
@@ -224,9 +297,17 @@ object SimilarityOps {
     * embeddings never ride the candidate shuffle. */
   def n5EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val banded = srpBuckets(all).select(col("vec_id"), col("table"), col("bucket"))
+    val bits = srpBitsFor(Tables.embeddings(spark, dir).count())
+    val banded = capBuckets(srpBuckets(all, bits))
+      .select(col("vec_id"), col("table"), col("bucket"))
+    // exact side × multi-probed side: an unordered pair within Hamming
+    // distance ≤ 1 (or ≤ 0 when probing is off) appears in at least one
+    // orientation, so va<vb + distinct canonicalizes. Candidate volume
+    // is Σ_bucket occ·probes ≈ n·occupancy·(bits+1) per table — linear
+    // in n (×log n) instead of the old n²/2^bits.
     val cand = banded.toDF("va", "table", "bucket")
-      .join(banded.toDF("vb", "table", "bucket"), Seq("table", "bucket"))
+      .join(withProbes(banded, bits).toDF("vb", "table", "bucket"),
+        Seq("table", "bucket"))
       .filter(col("va") < col("vb"))
       .select(col("va"), col("vb")).distinct()
     val vecs = all.select(col("vec_id"), col("v"), col("nrm"))

@@ -27,40 +27,97 @@ class SimilarityOpsSpec extends SparkSuite {
     rows.foreach { case Row(qid: Long, _, nbr: Long, _) => assert(qid != nbr) }
   }
 
-  test("n3b SRP-LSH: exact sims, ranked subsets, recall well above chance") {
-    val exact = SimilarityOps.n3CosineTopk(spark, dir).collect()
-      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
-    val ann = SimilarityOps.n3bSrpAnn(spark, dir).collect()
+  test("n3b SRP-LSH: exact sims, recall above chance at sf0.001 AND sf0.1") {
+    for ((d, minRecall) <- Seq("/root/testdata/sf0.001" -> 0.2,
+                               "/root/testdata/sf0.1" -> 0.1)) {
+      val exact = SimilarityOps.n3CosineTopk(spark, d).collect()
+        .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+      val ann = SimilarityOps.n3bSrpAnn(spark, d).collect()
 
-    // every ANN sim must equal the exact sim for that pair (verification
-    // is exact; only candidate generation is approximate)
-    val full = SimilarityOps.n3CosineTopk(spark, dir)
-    ann.foreach { case Row(qid: Long, _, nbr: Long, sim: Double) =>
-      exact.get((qid, nbr)).foreach(es => assert(es == sim, s"($qid,$nbr)"))
-    }
+      // every ANN sim must equal the exact sim for that pair (verification
+      // is exact; only candidate generation is approximate)
+      ann.foreach { case Row(qid: Long, _, nbr: Long, sim: Double) =>
+        exact.get((qid, nbr)).foreach(es => assert(es == sim, s"$d ($qid,$nbr)"))
+      }
 
-    val hit = ann.count { case Row(q: Long, _, n: Long, _) => exact.contains((q, n)) }
-    val recall = hit.toDouble / exact.size
+      val hit = ann.count { case Row(q: Long, _, n: Long, _) => exact.contains((q, n)) }
+      val recall = hit.toDouble / exact.size
 
-    // On i.i.d. random vectors any LSH recall is bounded by how many
-    // candidates it inspects, so the meaningful score is the LIFT over
-    // random candidate sampling: recall / (candidate fraction).
-    val corpus = graft.core.Tables.embeddings(spark, dir).count()
-    val banded = SimilarityOps.srpBuckets(
-      graft.core.Tables.embeddings(spark, dir)
+      // On i.i.d. random vectors any LSH recall is bounded by how many
+      // candidates it inspects, so the meaningful score is the LIFT over
+      // random candidate sampling: recall / (candidate fraction).
+      val corpus = graft.core.Tables.embeddings(spark, d).count()
+      val bits = SimilarityOps.srpBitsFor(corpus)
+      val all = graft.core.Tables.embeddings(spark, d)
         .selectExpr("vec_id", "cast(embedding as array<double>) as v",
-          "1.0 as nrm"))
-    val qb = banded.filter(s"vec_id < ${SimilarityOps.QueryCount}")
-      .selectExpr("vec_id as qid", "table", "bucket")
-    val nCand = banded.join(qb, Seq("table", "bucket"))
-      .filter("vec_id != qid").selectExpr("qid", "vec_id").distinct().count()
-    val candFrac = nCand.toDouble / (SimilarityOps.QueryCount * (corpus - 1))
-    val lift = recall / candFrac
-    info(f"SRP-LSH recall@10 = $recall%.3f ($hit/${exact.size}), " +
-      f"candidate fraction = $candFrac%.3f, lift = $lift%.1f×")
-    assert(recall >= 0.2, f"recall $recall%.3f collapsed")
-    assert(candFrac <= 0.25, f"candidate fraction $candFrac%.3f too high — not ANN")
-    assert(lift >= 2.0, f"lift $lift%.1f: no better than random sampling")
+          "cast(1.0 as double) as nrm")
+      val nCand = SimilarityOps.srpCandidates(all, bits).count()
+      val candFrac = nCand.toDouble / (SimilarityOps.QueryCount * (corpus - 1))
+      val lift = recall / candFrac
+      info(f"$d: bits=$bits recall@10 = $recall%.3f ($hit/${exact.size}), " +
+        f"candidate fraction = $candFrac%.3f, lift = $lift%.1f×")
+      assert(recall >= minRecall, f"$d recall $recall%.3f collapsed")
+      assert(candFrac <= 0.25, f"$d candidate fraction $candFrac%.3f too high — not ANN")
+      assert(lift >= 2.0, f"$d lift $lift%.1f: no better than random sampling")
+    }
+  }
+
+  test("srpBitsFor targets constant occupancy, monotone in n, clamped") {
+    assert(SimilarityOps.srpBitsFor(500) == 6)   // sf0.001 ≡ round-1 bits
+    assert(SimilarityOps.srpBitsFor(2000) == 8)  // sf0.1 grows
+    assert(SimilarityOps.srpBitsFor(1) == SimilarityOps.SrpMinBits)
+    assert(SimilarityOps.srpBitsFor(1L << 40) == SimilarityOps.SrpMaxBits)
+    for (n <- Seq(100L, 10000L, 1000000L, 100000000L)) {
+      val bits = SimilarityOps.srpBitsFor(n)
+      assert(n.toDouble / (1L << bits) <= SimilarityOps.SrpTargetOccupancy,
+        s"n=$n bits=$bits: expected occupancy above target")
+    }
+  }
+
+  test("SRP occupancy stays bounded as the corpus grows (adaptive bits + cap)") {
+    def occStats(d: String): (Long, Int, Long, Double) = {
+      val e = graft.core.Tables.embeddings(spark, d)
+        .selectExpr("vec_id", "cast(embedding as array<double>) as v",
+          "cast(1.0 as double) as nrm")
+      val n = e.count()
+      val bits = SimilarityOps.srpBitsFor(n)
+      val occ = SimilarityOps.capBuckets(SimilarityOps.srpBuckets(e, bits))
+        .groupBy("table", "bucket").count()
+      val r = occ.agg(org.apache.spark.sql.functions.max("count"),
+        org.apache.spark.sql.functions.avg("count")).head
+      (n, bits, r.getLong(0), r.getDouble(1))
+    }
+    val (n1, b1, m1, a1) = occStats("/root/testdata/sf0.001")
+    val (n2, b2, m2, a2) = occStats("/root/testdata/sf0.1")
+    info(f"sf0.001: n=$n1 bits=$b1 maxOcc=$m1 avgOcc=$a1%.1f; " +
+      f"sf0.1: n=$n2 bits=$b2 maxOcc=$m2 avgOcc=$a2%.1f")
+    assert(n2 > n1 && b2 > b1, "bits must grow with the corpus")
+    assert(m1 <= SimilarityOps.SrpBucketCap && m2 <= SimilarityOps.SrpBucketCap)
+    // mean occupancy tracks the target at BOTH scales instead of n/2^const
+    assert(a1 <= 2.0 * SimilarityOps.SrpTargetOccupancy)
+    assert(a2 <= 2.0 * SimilarityOps.SrpTargetOccupancy)
+  }
+
+  test("multi-probe expands to exact bucket + every 1-bit flip (wide-bits path)") {
+    import spark.implicits._
+    val bits = 12
+    assert(bits >= SimilarityOps.SrpMultiProbeMinBits)
+    val side = Seq((1L, 0, 5L)).toDF("vec_id", "table", "bucket")
+    val probed = SimilarityOps.withProbes(side, bits).collect()
+    assert(probed.length == bits + 1)
+    val bks = probed.map(_.getLong(2)).toSet
+    assert(bks == (Set(5L) ++ (0 until bits).map(j => 5L ^ (1L << j))))
+    // below the threshold multi-probe is a no-op
+    assert(SimilarityOps.withProbes(side, 8).collect().toSeq ==
+      side.collect().toSeq)
+  }
+
+  test("bucket cap keeps the lowest vec_ids deterministically") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => (i, 0, 7L)).toDF("vec_id", "table", "bucket")
+      .repartition(4) // layout-independent winner
+    val kept = SimilarityOps.capBuckets(rows).collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq == (1L to SimilarityOps.SrpBucketCap))
   }
 
   test("n5 embed near-dup: sims exact, thresholded, pairs canonical") {
