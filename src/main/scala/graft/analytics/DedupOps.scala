@@ -231,22 +231,54 @@ object DedupOps {
 
   /** N4: 64-bit SimHash fingerprint per document. The 64 bit-votes are 64
     * conditional sums in a single aggregate (one pass, codegen'd); the
-    * fingerprint is assembled with shifts/ORs — bitwise, so safe under
-    * Spark 4's default ANSI overflow checking. Deterministic via xxhash64;
-    * no SQL oracle (DuckDB's hash() is a different function) — rows-only
-    * harness check + unit tests. */
+    * fingerprint is assembled with constant masks + ORs — bitwise, so
+    * safe under Spark 4's default ANSI overflow checking. The per-word
+    * 64-bit hash is two 32-bit halves of md5 hex (the t4 trick,
+    * TextOps.wordVal) rather than xxhash64: ~same one-pass plan, but
+    * both engines can compute it, so the whole query is SQL-oracle
+    * checkable. Any 64-bit hash gives the same SimHash semantics. */
   def n4Simhash(spark: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(wordsCol).as("word"))
-      .withColumn("h", xxhash64(col("word")))
-    val votes = (0 until 64).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L)
-        .otherwise(-1L)).as(s"v$i"))
+      .withColumn("md", md5(col("word").cast("binary")))
+      .withColumn("hhi", conv(substring(col("md"), 1, 8), 16, 10).cast("long"))
+      .withColumn("hlo", conv(substring(col("md"), 9, 8), 16, 10).cast("long"))
+    val votes = (0 until 64).map { i =>
+      val (h, b) = if (i < 32) (col("hlo"), i) else (col("hhi"), i - 32)
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"v$i")
+    }
     val agg = tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
     val fp = (0 until 64).map(i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      // 1L << 63 wraps to Long.MinValue in Scala — exactly the sign-bit
+      // mask we want; OR keeps ANSI happy (no additive overflow)
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("doc_id"), fp.as("simhash")).orderBy(col("doc_id"))
+  }
+
+  /** DuckDB rendering of n4: identical md5-half hashes, votes and mask
+    * assembly; bit 63 is the negative sign-bit constant because DuckDB
+    * rejects `1::BIGINT << 63` as overflow (two's-complement OR then
+    * matches the JVM exactly — verified). */
+  val n4SimhashSql: String = {
+    val votes = (0 until 64).map { i =>
+      val (h, b) = if (i < 32) ("hlo", i) else ("hhi", i - 32)
+      s"sum(CASE WHEN (($h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$i"
+    }.mkString(", ")
+    val fp = (0 until 64).map { i =>
+      val bit = if (i == 63) "(-9223372036854775808)::BIGINT"
+                else s"(1::BIGINT << $i)"
+      s"CASE WHEN v$i > 0 THEN $bit ELSE 0::BIGINT END"
+    }.mkString(" | ")
+    s"""WITH tok AS (
+      |  SELECT doc_id,
+      |    ('0x' || substring(md5(word), 1, 8))::BIGINT AS hhi,
+      |    ('0x' || substring(md5(word), 9, 8))::BIGINT AS hlo
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents)),
+      |votes AS (SELECT doc_id, $votes FROM tok GROUP BY doc_id)
+      |SELECT doc_id, ($fp) AS simhash FROM votes ORDER BY doc_id""".stripMargin
   }
 
   /** SimHash near-dup candidate pairs: 4×16-bit band join, then exact
@@ -276,6 +308,7 @@ object DedupOps {
   def oracleSql: Map[String, String] = Map(
     "n1_dedup_exact" -> n1DedupExactSql,
     "n2_ngram_jaccard" -> n2NgramJaccardSql,
-    // n2b_minhash_lsh, n4_simhash: sketch/hash-based, no SQL oracle
+    "n4_simhash" -> n4SimhashSql,
+    // n2b_minhash_lsh: sketch-based (banded MinHash candidates), no SQL oracle
   )
 }
