@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
 
 /** Declarative validation-rule compiler (SURVEY.md §2.2 V1, §1.4).
   *
@@ -86,13 +87,65 @@ object Validation {
     }
   }
 
+  /** required inside a nested object (Draft-7 sub-schema `required`):
+    * fires only when the PARENT object is present but the child is null —
+    * a missing parent is the top-level `Required`'s error, and Draft-7
+    * evaluates sub-schemas only on present values. */
+  final case class RequiredNested(parent: String, child: String) extends Rule {
+    def errorCol(df: DataFrame): Column =
+      pathCol(df, parent) match {
+        case None => lit(null).cast("string")
+        case Some(p) =>
+          val c = pathCol(df, s"$parent.$child").getOrElse(lit(null))
+          when(p.isNotNull && c.isNull,
+            lit(s"'$child' is a required property"))
+      }
+  }
+
+  /** Draft-7 `items` + `required` over an `array<struct>` column: every
+    * element must carry a non-null `field`. `exists` over the array is a
+    * single codegen'd HigherOrderFunction — no explode, no shuffle, the
+    * whole check stays in the scan's whole-stage pass. An empty array is
+    * vacuously valid (Draft-7 items semantics); a struct type that lacks
+    * the field entirely fails on every non-empty array. */
+  final case class ItemsRequired(arrayPath: String, field: String) extends Rule {
+    def errorCol(df: DataFrame): Column =
+      pathCol(df, arrayPath) match {
+        case None => lit(null).cast("string")
+        case Some(arr) =>
+          val itemMissing: Column => Column =
+            if (pathType(df, s"$arrayPath.$field").isDefined)
+              x => x.getField(field).isNull
+            else _ => lit(true)
+          when(arr.isNotNull && exists(arr, itemMissing),
+            lit(s"'$field' is a required property"))
+      }
+  }
+
+  /** DataType at a dotted path, descending through structs and array
+    * elements; None when any segment is missing — rules referencing
+    * absent fields degrade to always-null (a dict without the key). */
+  private def dataTypeAt(dt: DataType, parts: List[String]): Option[DataType] =
+    parts match {
+      case Nil => Some(dt)
+      case head :: rest => dt match {
+        case st: StructType =>
+          st.find(_.name == head).flatMap(f => dataTypeAt(f.dataType, rest))
+        case ArrayType(et, _) => dataTypeAt(et, head :: rest)
+        case _ => None
+      }
+    }
+
+  private def pathType(df: DataFrame, path: String): Option[DataType] =
+    dataTypeAt(df.schema, path.split('.').toList)
+
+  private def pathCol(df: DataFrame, path: String): Option[Column] =
+    pathType(df, path).map(_ => col(path))
+
   /** Tolerate rules referencing fields absent from the DataFrame: absent ≡
     * always-null (a dict without the key). */
   private def fieldOrNull(df: DataFrame, field: String): Column =
-    if (hasField(df, field)) col(field) else lit(null).cast("string")
-
-  private def hasField(df: DataFrame, field: String): Boolean =
-    df.columns.contains(field.split('.').head)
+    pathCol(df, field).getOrElse(lit(null).cast("string"))
 
   /** Compile a rule set to one `array<string>` errors column (empty array =
     * valid). Spark 4's `filter` lambda keeps this codegen-friendly. */
@@ -117,12 +170,19 @@ object Validation {
       "ssn", "consent")),
   )
 
-  /** The FHIR Observation contract (reference fhir.py:61-100): scalar-level
-    * rules; the nested `code.coding[]` item checks are expressed over the
-    * typed struct directly. */
+  /** The FHIR Observation contract — the FULL declared schema at
+    * reference fhir.py:61-100: top-level required/const/enum, the nested
+    * `code.required=[coding]`, per-item `system`/`code` requirements on
+    * `code.coding[]`, and the closed top-level property set.
+    * (`valueQuantity.value/unit` typing is carried by the typed struct
+    * schema itself — columnar data can't hold a mistyped member.) */
   val fhirObservationRules: Seq[Rule] = Seq(
     Required("resourceType"), Required("status"), Required("code"),
     ConstEq("resourceType", "Observation"),
     EnumIn("status", Seq("registered", "preliminary", "final", "amended")),
+    RequiredNested("code", "coding"),
+    ItemsRequired("code.coding", "system"),
+    ItemsRequired("code.coding", "code"),
+    ClosedSchema(Set("resourceType", "status", "code", "valueQuantity")),
   )
 }
