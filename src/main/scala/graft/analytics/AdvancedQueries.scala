@@ -70,6 +70,33 @@ object AdvancedQueries {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** GROUPING SETS — the general form rollup/cube specialize, with
+    * grouping_id() disambiguating a NULL group key from a subtotal row
+    * (the flag an analyst needs as soon as a dimension is nullable).
+    * Sets: (flag, status), (flag), () — a rollup shape declared
+    * explicitly. Same single shuffle as rollup: Spark expands the sets
+    * map-side and aggregates once. */
+  def a9GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_rows"), r2(sum(col("l_quantity"))).as("sum_qty"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Both engines pack grouping(first, second) with the first column as
+    * the most significant bit (SQL standard), verified: (f,s)=0,(f)=1,()=3. */
+  val a9GroupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |grouping(l_returnflag, l_linestatus)::BIGINT AS gid,
+      |count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** approx_count_distinct (HyperLogLog++). No oracle — sketch estimates
     * are implementation-specific; the driver records a rows-only check.
     * This IS the 100 TB path for distinct counts: fixed-size sketch per
@@ -468,9 +495,65 @@ object AdvancedQueries {
       |len(list_filter(embedding::DOUBLE[], x -> x > 0.0))::BIGINT AS n_positive
       |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
 
+  /** Sorted `k=v,...` rendering of a map — the engine-agnostic way to
+    * compare map values (map iteration order is undefined in both
+    * engines). */
+  private def renderMap(m: Column): Column =
+    array_join(transform(array_sort(map_keys(m)),
+      k => concat_ws("=", k, element_at(m, k))), ",")
+
+  /** X13: map_* scalar battery — builds a real map column per event
+    * (map() and map_from_arrays() construction), then exercises
+    * map_keys / map_values / map_concat / map_filter / transform_values /
+    * map_contains_key / element_at / size. The columnar analog of the
+    * reference's consent-map manipulation
+    * (/root/reference/app/api/routes.py:107-115). All pure codegen'd
+    * expressions; outputs rendered as sorted entry strings so the oracle
+    * (which computes the same values from the underlying scalars) is
+    * order-independent. */
+  def x13MapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val kv = get_json_object(col("props"), "$.k")
+    val vb = concat(lit("b"), floor(col("value") / 10.0).cast("long").cast("string"))
+    val m = map(lit("type"), col("event_type"), lit("k"), kv, lit("vb"), vb)
+    val m2 = map_from_arrays(array(lit("src")), array(lit("evt")))
+    Tables.events(spark, dir)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"),
+        size(m).cast("long").as("n_keys"),
+        array_join(array_sort(map_keys(m)), ",").as("keys_sorted"),
+        array_join(array_sort(map_values(m)), ",").as("vals_sorted"),
+        renderMap(m).as("entries"),
+        renderMap(map_concat(m, m2)).as("merged"),
+        renderMap(map_filter(m, (k, _) => k =!= "k")).as("no_k"),
+        renderMap(transform_values(m, (_, v) => upper(v))).as("upper_vals"),
+        map_contains_key(m, "k").as("has_k"),
+        element_at(m, "k").cast("long").as("k_val"))
+      .orderBy(col("event_id"))
+  }
+
+  val x13MapFuncsSql: String =
+    """WITH base AS (
+      |  SELECT event_id, event_type AS ty,
+      |    json_extract_string(props, '$.k') AS kv,
+      |    'b' || CAST(floor(value / 10.0) AS BIGINT) AS vb
+      |  FROM events WHERE event_id < 300)
+      |SELECT event_id,
+      |  3::BIGINT AS n_keys,
+      |  'k,type,vb' AS keys_sorted,
+      |  array_to_string(list_sort([ty, kv, vb]), ',') AS vals_sorted,
+      |  'k=' || kv || ',type=' || ty || ',vb=' || vb AS entries,
+      |  'k=' || kv || ',src=evt,type=' || ty || ',vb=' || vb AS merged,
+      |  'type=' || ty || ',vb=' || vb AS no_k,
+      |  'k=' || kv || ',type=' || upper(ty) || ',vb=' || upper(vb) AS upper_vals,
+      |  true AS has_k,
+      |  CAST(kv AS BIGINT) AS k_val
+      |FROM base ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "a2_count_distinct" -> (a2CountDistinct _),
     "a3_rollup" -> (a3Rollup _),
+    "a9_grouping_sets" -> (a9GroupingSets _),
+    "x13_map_funcs" -> (x13MapFuncs _),
     "a5_approx_distinct" -> (a5ApproxDistinct _),
     "a6_cube" -> (a6Cube _),
     "w1_rank_topk" -> (w1RankTopK _),
@@ -497,6 +580,8 @@ object AdvancedQueries {
   def oracleSql: Map[String, String] = Map(
     "a2_count_distinct" -> a2CountDistinctSql,
     "a3_rollup" -> a3RollupSql,
+    "a9_grouping_sets" -> a9GroupingSetsSql,
+    "x13_map_funcs" -> x13MapFuncsSql,
     // a5_approx_distinct: no oracle (sketch-based)
     "a6_cube" -> a6CubeSql,
     "w1_rank_topk" -> w1RankTopKSql,
