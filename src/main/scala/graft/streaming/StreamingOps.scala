@@ -102,9 +102,13 @@ object StreamingOps {
     *
     * Semantics match the batch query (EventQueries.e2Sessionization) on
     * bounded input: each micro-batch's group iterator is sorted by
-    * (ts, event_id) before folding, which is exact for a single
-    * AvailableNow batch; a continuous deployment would add an event-time
-    * timeout to finalize sessions across batches. */
+    * (ts, event_id) before folding, which is exact for a SINGLE
+    * AvailableNow batch — with multiple micro-batches the memory sink
+    * accumulates one cumulative snapshot per user per batch (take the
+    * last per user). For continuous deployments use
+    * [[sessionizeStreamFinalized]], which emits each CLOSED session
+    * exactly once via event-time timeout and keeps only the open
+    * session in state. */
   def sessionizeStream(events: DataFrame): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -124,6 +128,75 @@ object StreamingOps {
           }
           state.update(fin)
           Iterator(UserSessions(user, fin.sessions, fin.events))
+        })
+  }
+
+  /** The open (not yet closed) session of one user: constant-size state
+    * regardless of history — closed sessions leave state entirely. */
+  case class OpenSession(startUs: Long, lastUs: Long, events: Long)
+  /** One finalized session, emitted exactly once. */
+  case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Long)
+
+  /** Gap-based sessionization that stays correct across micro-batches:
+    * a session CLOSES either when a later event of the same user arrives
+    * past the gap (closed in-line) or when the event-time watermark
+    * passes lastEvent+gap with no successor —
+    * `GroupStateTimeout.EventTimeTimeout` fires, the session is emitted
+    * and its state removed. State per user is the open session only
+    * (three longs); an inactive user costs nothing after the timeout.
+    * Spark's no-data micro-batches (on by default) fire the trailing
+    * timeouts when the watermark advances past the last data.
+    *
+    * This is the continuous-deployment face of e2: aggregating the
+    * emitted sessions per user (count, sum events) reproduces the batch
+    * result — asserted across three micro-batches in StreamingOpsSpec. */
+  def sessionizeStreamFinalized(events: DataFrame,
+                                gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", "0 seconds")
+      // the watermarked event-time column must survive projection for
+      // EventTimeTimeout to bind; micros ride alongside it
+      .select(col("user_id"), col("ts"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, Long)],
+         state: GroupState[OpenSession]) => {
+          if (state.hasTimedOut) {
+            // watermark passed lastUs+gap: no in-order successor can
+            // extend this session — finalize and drop the state
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(user, s.startUs, s.lastUs, s.events))
+          } else {
+            val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
+            val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
+            var open = state.getOption
+            for ((_, _, ts, _) <- sorted) {
+              open = open match {
+                case Some(s) if ts - s.lastUs > gapUs =>
+                  closed += ClosedSession(user, s.startUs, s.lastUs, s.events)
+                  Some(OpenSession(ts, ts, 1L))
+                case Some(s) =>
+                  Some(s.copy(lastUs = ts, events = s.events + 1L))
+                case None =>
+                  Some(OpenSession(ts, ts, 1L))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              // timeout is event-time ms and must exceed the current
+              // watermark (a session may already be expired on arrival)
+              state.setTimeoutTimestamp(math.max(
+                (s.lastUs + gapUs) / 1000L, state.getCurrentWatermarkMs() + 1L))
+            }
+            closed.iterator
+          }
         })
   }
 

@@ -46,6 +46,58 @@ class StreamingOpsSpec extends SparkSuite {
     assert(out == batch)
   }
 
+  test("finalized sessionization across THREE micro-batches equals batch e2") {
+    import org.apache.spark.sql.streaming.Trigger
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val events = graft.core.Tables.events(spark, dir).select(cols.map(col): _*)
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    // sentinel event 2h past the end for a dummy user: advances the
+    // watermark so every real session times out and closes
+    val sentinel = events.limit(1).select(
+      lit(maxId + 1).as("event_id"),
+      lit(java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(7200))).as("ts"),
+      lit(-1L).as("user_id"), lit("view").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+
+    // stage as three files with increasing mod-times → three micro-batches
+    val src = Files.createTempDirectory("graft-sess-src")
+    val tmp = Files.createTempDirectory("graft-sess-stage")
+    val parts = Seq(
+      "a" -> events.filter(col("event_id") <= maxId / 2),
+      "b" -> events.filter(col("event_id") > maxId / 2),
+      "c" -> sentinel)
+    parts.zipWithIndex.foreach { case ((name, df), i) =>
+      val d = tmp.resolve(name)
+      df.coalesce(1).write.parquet(d.toString)
+      val part = Files.list(d).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = src.resolve(s"$name.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 30000 + i * 10000))
+    }
+
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val closed = StreamingOps.sessionizeStreamFinalized(stream)
+    val q = closed.toDF().writeStream.format("memory").queryName("sess_final")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected three data micro-batches")
+
+    // every real session closed exactly once; per-user aggregation
+    // reproduces the batch result
+    val merged = spark.table("sess_final")
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = EventQueries.e2Sessionization(spark, dir).collect().toSeq
+    assert(merged == batch)
+  }
+
   test("patient pipeline binds to a stream via foreachBatch (bounded micro-batch)") {
     // stream source: fixture rows as json files in a temp dir
     val tmp = Files.createTempDirectory("graft-stream-in").toFile
