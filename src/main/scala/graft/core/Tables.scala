@@ -31,9 +31,19 @@ object Tables {
     * `DIV`, not `/`: epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit
     * mantissa, so float division would corrupt low microseconds.
     * Truncation (not rounding) matches how DuckDB/pyarrow cast ns→µs,
-    * keeping the DuckDB oracle hash-identical. */
+    * keeping the DuckDB oracle hash-identical.
+    *
+    * The session must be BUILT with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/SparkSuite
+    * builders do) — this accessor is side-effect-free by design: a read
+    * accessor silently flipping a session-wide legacy flag would change
+    * how every other nanos parquet in the session reads, and race under
+    * concurrent query construction. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      throw new IllegalStateException(
+        "events.parquet carries TIMESTAMP(NANOS): build the session with " +
+          "spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
     val raw = apply(spark, dir, "events")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -22,12 +22,20 @@ object Sinks {
     * In-batch duplicates beyond the first are conflicts too — mirroring
     * the reference's flush-per-record behavior where the second insert of
     * an mrn 409s. At scale both sides are one shuffle on the key (or a
-    * broadcast when `existing`'s keys are small). */
+    * broadcast when `existing`'s keys are small).
+    *
+    * `orderBy` decides WHICH duplicate wins and must be a stable property
+    * of the data (an ingest sequence, arrival timestamp, or a total-order
+    * surrogate) — never partition position: the winner is then identical
+    * on any cluster layout or repartitioning. The reference's
+    * insertion-order semantics are exactly "order by arrival sequence". */
   final case class ConflictSplit(insertable: DataFrame, conflicts: DataFrame)
 
-  def detectConflicts(batch: DataFrame, existing: DataFrame, key: String): ConflictSplit = {
+  def detectConflicts(batch: DataFrame, existing: DataFrame, key: String,
+      orderBy: Seq[org.apache.spark.sql.Column]): ConflictSplit = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(key)).orderBy(monotonically_increasing_id())
+    require(orderBy.nonEmpty, "detectConflicts needs a stable ordering column")
+    val w = Window.partitionBy(col(key)).orderBy(orderBy: _*)
     val ranked = batch.withColumn("__rank", row_number().over(w))
     val firstPerKey = ranked.filter(col("__rank") === 1).drop("__rank")
     val dupesInBatch = ranked.filter(col("__rank") > 1).drop("__rank")

@@ -36,7 +36,8 @@ object StreamingOps {
     * testdata). A production deployment streams a real directory/bucket
     * and skips this. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // session must be built with spark.sql.legacy.parquet.nanosAsLong=true
+    // (see Tables.events scaladoc) — accessors don't mutate session conf
     val batchSchema = Tables(spark, dir, "events").schema
     val srcSchema = StructType(batchSchema.map(f =>
       if (f.name == "ts") f.copy(dataType = LongType) else f))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 import graft.SparkSuite
@@ -17,7 +18,7 @@ class SinksSpec extends SparkSuite {
   test("conflict split: existing keys and in-batch duplicates are conflicts") {
     val batch = df(Row("A", 1), Row("B", 2), Row("B", 3), Row("C", 4))
     val existing = df(Row("C", 0), Row("D", 0))
-    val split = Sinks.detectConflicts(batch, existing, "mrn")
+    val split = Sinks.detectConflicts(batch, existing, "mrn", Seq(col("v")))
     assert(split.insertable.select("mrn").collect().map(_.getString(0)).sorted
       .toSeq == Seq("A", "B"))
     // one B dupe + C already present
@@ -27,9 +28,21 @@ class SinksSpec extends SparkSuite {
 
   test("conflict split with empty existing table inserts all distinct keys") {
     val batch = df(Row("A", 1), Row("B", 2))
-    val split = Sinks.detectConflicts(batch, df(), "mrn")
+    val split = Sinks.detectConflicts(batch, df(), "mrn", Seq(col("v")))
     assert(split.insertable.count() == 2)
     assert(split.conflicts.count() == 0)
+  }
+
+  test("duplicate winner is the orderBy minimum on ANY partition layout") {
+    val batch = df(Row("A", 5), Row("A", 1), Row("A", 3), Row("B", 2))
+    for (parts <- Seq(1, 3, 7)) {
+      val relaid = batch.repartition(parts)
+      val split = Sinks.detectConflicts(relaid, df(), "mrn", Seq(col("v")))
+      val winner = split.insertable.filter(col("mrn") === "A").collect()
+      assert(winner.map(_.getInt(1)).toSeq == Seq(1),
+        s"parts=$parts: winner must be v=1 regardless of layout")
+      assert(split.conflicts.filter(col("mrn") === "A").count() == 2)
+    }
   }
 
   test("consent map fans out to one row per (patient, type, granted)") {
