@@ -104,6 +104,41 @@ object EventQueries {
       |round(sum(value), 2) AS sum_value
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  val SkewSalts = 16
+
+  /** Salt-REPLICATION equi-join — e4's sibling for joins: the fact side
+    * tags each row with a deterministic salt, the (small-but-unbroadcastable
+    * at scale) build side replicates once per salt value, and the join key
+    * becomes (key, salt) — a hot key's rows spread over `salts` reducers
+    * instead of one. Result identical to the plain join (the oracle IS the
+    * plain join). Use when AQE's skew splitting can't apply (e.g. the
+    * build side must co-shuffle) and the dim is too big to broadcast. */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
+      saltFrom: Column, salts: Int): DataFrame = {
+    val f = fact.withColumn("__salt", pmod(saltFrom, lit(salts)).cast("int"))
+    val d = dim.withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    f.join(d, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** E6: per-event deviation from its type's mean value, via saltedJoin
+    * on the 5-value (maximally skewed) event_type key. */
+  def e6SkewJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val dim = ev.groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 4).as("type_avg"))
+    saltedJoin(ev, dim, "event_type", col("event_id"), SkewSalts)
+      .select(col("event_id"), col("event_type"),
+        r2(col("value") - col("type_avg")).as("dev"))
+      .orderBy(col("event_id"))
+  }
+
+  val e6SkewJoinSql: String =
+    """WITH dim AS (SELECT event_type, round(avg(value), 4) AS type_avg
+      |             FROM events GROUP BY event_type)
+      |SELECT event_id, e.event_type, round(value - type_avg, 2) AS dev
+      |FROM events e JOIN dim USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   /** Schema-full JSON parse (from_json with a declared StructType, the
     * typed sibling of e3's path extraction) + null-safety of malformed
     * rows. */
@@ -130,6 +165,7 @@ object EventQueries {
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_salted_agg" -> (e4SaltedAgg _),
     "e5_json_struct" -> (e5JsonStruct _),
+    "e6_skew_join" -> (e6SkewJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,5 +174,6 @@ object EventQueries {
     "e3_json_extract" -> e3JsonExtractSql,
     "e4_salted_agg" -> e4SaltedAggSql,
     "e5_json_struct" -> e5JsonStructSql,
+    "e6_skew_join" -> e6SkewJoinSql,
   )
 }

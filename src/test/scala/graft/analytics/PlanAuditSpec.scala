@@ -56,6 +56,27 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
   }
 
+  test("e6: salted skew join — join key includes the salt, hot key spread") {
+    // force the shuffle-join regime the salt exists for (at scale the
+    // replicated dim exceeds any broadcast threshold)
+    val abt = "spark.sql.autoBroadcastJoinThreshold"
+    val aabt = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(abt)
+    val prevA = spark.conf.getOption(aabt)
+    spark.conf.set(abt, "-1")
+    spark.conf.set(aabt, "-1")
+    try {
+      val df = EventQueries.e6SkewJoin(spark, dir)
+      val p = planString(df)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(p.contains("__salt"), p) // (event_type, __salt) is the join key
+      assert(!p.contains("BroadcastHashJoin"), p)
+    } finally {
+      prev.fold(spark.conf.unset(abt))(v => spark.conf.set(abt, v))
+      prevA.fold(spark.conf.unset(aabt))(v => spark.conf.set(aabt, v))
+    }
+  }
+
   test("q1: group aggregate does map-side partial reduction") {
     val p = planString(RelationalQueries.q1Agg(spark, dir))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
