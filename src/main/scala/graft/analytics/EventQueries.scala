@@ -139,6 +139,76 @@ object EventQueries {
       |FROM events e JOIN dim USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  /** E7: as-of join — for each error event, the most recent click of the
+    * same user at-or-before it (error attribution). Clicks are
+    * pre-deduped per (user, ts) — the [[AsofJoin.asofLast]] contract —
+    * keeping the max event_id. Oracle: DuckDB's native ASOF LEFT JOIN,
+    * which pins the exact inclusive semantics the merge formulation
+    * implements. */
+  def e7AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("click_id"))
+      .select(col("user_id"), col("ts"), col("click_id"),
+        col("ts").as("click_ts"))
+    AsofJoin.asofLast(errs, clicks, "user_id", "ts")
+      .select(col("event_id"), col("user_id"), col("click_id"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val e7AsofJoinSql: String =
+    """WITH errs AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |clicks AS (
+      |  SELECT user_id, ts, max(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' GROUP BY user_id, ts)
+      |SELECT e.event_id, e.user_id, c.click_id,
+      |  epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+      |FROM errs e ASOF LEFT JOIN clicks c
+      |  ON e.user_id = c.user_id AND e.ts >= c.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  val BandSeconds = 1800
+
+  /** E8: banded (interval) self-join — ordered same-user event pairs
+    * within 30 minutes, counted per user. The naive formulation is a
+    * per-key cross product filtered by the band; this one bins time at
+    * the band width so a qualifying pair sits in the same or adjacent
+    * bin: each left row probes (bin, bin+1), the equi-join on
+    * (user, bin) generates only near pairs, and the exact band predicate
+    * prunes the remainder. Candidate volume is Σ occupancy² over bins —
+    * linear in data for bounded event rate — instead of Σ per-user n².
+    * (This is the time-domain analog of the SRP/PPJoin candidate
+    * patterns; Spark has no native range join.) */
+  def e8BandJoin(spark: SparkSession, dir: String): DataFrame = {
+    val bandUs = BandSeconds * 1000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
+      .withColumn("bin", expr(s"t DIV $bandUs")) // integer DIV: exact bins
+    val probe = ev.withColumn("bin",
+      explode(array(col("bin"), col("bin") + 1L)))
+      .toDF("a_id", "user_id", "a_t", "bin")
+    probe.join(ev.toDF("b_id", "user_id", "b_t", "bin"), Seq("user_id", "bin"))
+      .filter((col("b_t") > col("a_t")) ||
+        (col("b_t") === col("a_t") && col("b_id") > col("a_id")))
+      .filter(col("b_t") - col("a_t") <= bandUs)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  val e8BandJoinSql: String =
+    s"""SELECT a.user_id, count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id
+      | AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+      | AND epoch_us(b.ts) - epoch_us(a.ts) <= ${BandSeconds}000000
+      |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
+
   /** Schema-full JSON parse (from_json with a declared StructType, the
     * typed sibling of e3's path extraction) + null-safety of malformed
     * rows. */
@@ -166,6 +236,8 @@ object EventQueries {
     "e4_salted_agg" -> (e4SaltedAgg _),
     "e5_json_struct" -> (e5JsonStruct _),
     "e6_skew_join" -> (e6SkewJoin _),
+    "e7_asof_join" -> (e7AsofJoin _),
+    "e8_band_join" -> (e8BandJoin _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -175,5 +247,7 @@ object EventQueries {
     "e4_salted_agg" -> e4SaltedAggSql,
     "e5_json_struct" -> e5JsonStructSql,
     "e6_skew_join" -> e6SkewJoinSql,
+    "e7_asof_join" -> e7AsofJoinSql,
+    "e8_band_join" -> e8BandJoinSql,
   )
 }

@@ -246,6 +246,16 @@ object SimilarityOps {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
 
+  /** Corpus with its IVF cell assignment — the write-path layout: at
+    * scale the corpus is WRITTEN partitioned (or clustered) by `cell`,
+    * so a probe's `cell IN (...)` filter becomes partition pruning and
+    * reads only IvfProbes/IvfCells of the files. PlanAuditSpec proves
+    * the pruning on a real partitioned write. */
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    assignCells(all, ivfCentroids(all))
+  }
+
   /** N3c: IVF-flat approximate top-10 for the query slice — assign the
     * corpus to cells once, probe the `IvfProbes` best cells per query,
     * exact cosine on the probed cells only. Deterministic; no SQL

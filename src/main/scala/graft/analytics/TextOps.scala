@@ -209,11 +209,50 @@ object TextOps {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // --- t5: sliding-window chunking ---------------------------------------------
+
+  val ChunkWords = 50
+  val ChunkStride = 40 // 10-word overlap between consecutive chunks
+
+  /** T5: split each document into overlapping word-window chunks — the
+    * step that turns raw documents into training-sequence-sized pieces.
+    * Chunk starts are 0, stride, 2·stride, … < n_words; each chunk takes
+    * up to [[ChunkWords]] words (the tail chunk may be shorter). Emits
+    * one row per chunk with its width and content fingerprint — the
+    * payload a downstream tokenizer would consume, as a fingerprint so
+    * the oracle compare stays compact. Map-only (sequence + posexplode +
+    * slice, all codegen'd): at 100 TB this is an embarrassingly parallel
+    * scan, and the explode multiplies rows by ~n_words/stride ≈ 2.5×,
+    * not by content size. */
+  def t5Chunking(spark: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), words.as("ws"),
+        posexplode(sequence(lit(0), size(words) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("ws"), col("start") + 1, lit(ChunkWords)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_words"),
+        md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  val t5ChunkingSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 1, $ChunkStride)) AS start, ws
+      |      FROM w)
+      |SELECT doc_id, (start // $ChunkStride)::BIGINT AS chunk_id,
+      |  len(ws[start + 1 : least(start + $ChunkWords, len(ws))])::BIGINT AS n_words,
+      |  md5(array_to_string(ws[start + 1 : least(start + $ChunkWords, len(ws))], ' ')) AS chunk_md5
+      |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_stats" -> (t3TokenStats _),
     "t4_fingerprint" -> (t4Fingerprint _),
+    "t5_chunking" -> (t5Chunking _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -221,5 +260,6 @@ object TextOps {
     "t2_quality_score" -> t2QualityScoreSql,
     "t3_token_stats" -> t3TokenStatsSql,
     "t4_fingerprint" -> t4FingerprintSql,
+    "t5_chunking" -> t5ChunkingSql,
   )
 }

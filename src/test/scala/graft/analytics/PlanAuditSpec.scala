@@ -77,6 +77,22 @@ class PlanAuditSpec extends SparkSuite {
     }
   }
 
+  test("n3c: cell-partitioned corpus prunes the scan to probed cells") {
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf-part")
+      .resolve("corpus").toString
+    val assigned = SimilarityOps.ivfAssignments(spark, dir)
+      .select(col("vec_id"), col("cell"))
+    assigned.write.partitionBy("cell").parquet(tmp)
+    val probes = Seq(1, 2, 3, 4) // IvfProbes cells of IvfCells
+    val pruned = spark.read.parquet(tmp).filter(col("cell").isin(probes: _*))
+    val p = planString(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(cell)"), p) // partition, not data, filter
+    assert(pruned.count() ==
+      assigned.filter(col("cell").isin(probes: _*)).count())
+  }
+
   test("q1: group aggregate does map-side partial reduction") {
     val p = planString(RelationalQueries.q1Agg(spark, dir))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
