@@ -495,6 +495,113 @@ object AdvancedQueries {
       |len(list_filter(embedding::DOUBLE[], x -> x > 0.0))::BIGINT AS n_positive
       |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
 
+  /** W5: ntile quartiles — orders bucketed into price quartiles within
+    * each priority class (the feature-binning window op). Deterministic:
+    * the window order is unique (price desc, orderkey). */
+  def w5Ntile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("price_quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val w5NtileSql: String =
+    """SELECT o_orderkey, o_orderpriority,
+      |ntile(4) OVER (PARTITION BY o_orderpriority
+      |               ORDER BY o_totalprice DESC, o_orderkey)::BIGINT
+      |  AS price_quartile
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** A10: deterministic MODE (most frequent value, ties broken by value
+    * desc — native mode() is tie-nondeterministic in BOTH engines, so
+    * the tie-break is spelled out) + discrete median (percentile_disc =
+    * smallest value with cume_dist ≥ 0.5, spelled via cume_dist so both
+    * engines compute the identical element). */
+  def a10ModeDisc(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val mode = li.groupBy(col("l_returnflag"), col("l_linestatus")).count()
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("count").desc, col("l_linestatus").desc)))
+      .filter(col("rk") === 1)
+      .select(col("l_returnflag"), col("l_linestatus").as("mode_status"))
+    val disc = li
+      .withColumn("cd", cume_dist().over(
+        Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))))
+      .groupBy(col("l_returnflag"))
+      .agg(r2(min(when(col("cd") >= 0.5, col("l_quantity")))).as("median_qty"))
+    mode.join(disc, Seq("l_returnflag")).orderBy(col("l_returnflag"))
+  }
+
+  val a10ModeDiscSql: String =
+    """WITH mode AS (
+      |  SELECT l_returnflag, l_linestatus AS mode_status FROM (
+      |    SELECT l_returnflag, l_linestatus,
+      |      row_number() OVER (PARTITION BY l_returnflag
+      |        ORDER BY count(*) DESC, l_linestatus DESC) AS rk
+      |    FROM lineitem GROUP BY l_returnflag, l_linestatus) t
+      |  WHERE rk = 1),
+      |disc AS (
+      |  SELECT l_returnflag,
+      |    round(min(CASE WHEN cd >= 0.5 THEN l_quantity END), 2) AS median_qty
+      |  FROM (SELECT l_returnflag, l_quantity,
+      |          cume_dist() OVER (PARTITION BY l_returnflag
+      |                            ORDER BY l_quantity) AS cd
+      |        FROM lineitem) s
+      |  GROUP BY l_returnflag)
+      |SELECT l_returnflag, mode_status, median_qty
+      |FROM mode JOIN disc USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** A11: unpivot/melt — the wide pivot (a8) folded back to long form
+    * with Spark's native `unpivot` (wide→long schema evolution, the
+    * inverse operator an analyst needs next to pivot). */
+  def a11Unpivot(spark: SparkSession, dir: String): DataFrame =
+    a8Pivot(spark, dir)
+      .unpivot(Array(col("o_orderpriority")),
+        Array(col("n_f"), col("n_o"), col("n_p")), "status_col", "n_orders")
+      .orderBy(col("o_orderpriority"), col("status_col"))
+
+  val a11UnpivotSql: String =
+    s"""WITH wide AS (${a8PivotSql.replace("ORDER BY o_orderpriority", "")})
+      |SELECT o_orderpriority, 'n_f' AS status_col, n_f AS n_orders FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_o', n_o FROM wide
+      |UNION ALL
+      |SELECT o_orderpriority, 'n_p', n_p FROM wide
+      |ORDER BY o_orderpriority, status_col""".stripMargin
+
+  /** X14: regex battery over customer identity strings (the synthetic
+    * documents are lowercase word-salad — no digits/capitals to match) —
+    * extract-all, anchored first-match, per-char global redaction (the
+    * PHI-scrubbing shape of the reference's ssn handling, generalized).
+    * Patterns are POSIX-basic so Java regex (Spark) and RE2 (DuckDB)
+    * agree; DuckDB renders an EMPTY match list as NULL from
+    * array_to_string, hence the coalesce on that side only. */
+  def x14RegexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        regexp_extract(col("c_name"), "[0-9]+", 0).as("cust_num"),
+        size(regexp_extract_all(col("c_name"), lit("[0-9]"), lit(0)))
+          .cast("long").as("n_digits"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("redacted_name"),
+        array_join(regexp_extract_all(col("c_name"), lit("[A-Z][a-z]+"), lit(0)), ",")
+          .as("capitalized"),
+        regexp_extract(col("c_mktsegment"), "[0-9]+", 0).as("seg_digits"))
+      .orderBy(col("c_custkey"))
+
+  val x14RegexFuncsSql: String =
+    """SELECT c_custkey,
+      |regexp_extract(c_name, '[0-9]+') AS cust_num,
+      |len(regexp_extract_all(c_name, '[0-9]'))::BIGINT AS n_digits,
+      |regexp_replace(c_name, '[0-9]', '#', 'g') AS redacted_name,
+      |coalesce(array_to_string(regexp_extract_all(c_name, '[A-Z][a-z]+'), ','), '')
+      |  AS capitalized,
+      |regexp_extract(c_mktsegment, '[0-9]+') AS seg_digits
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** Sorted `k=v,...` rendering of a map — the engine-agnostic way to
     * compare map values (map iteration order is undefined in both
     * engines). */
@@ -553,7 +660,11 @@ object AdvancedQueries {
     "a2_count_distinct" -> (a2CountDistinct _),
     "a3_rollup" -> (a3Rollup _),
     "a9_grouping_sets" -> (a9GroupingSets _),
+    "a10_mode_disc" -> (a10ModeDisc _),
+    "a11_unpivot" -> (a11Unpivot _),
+    "w5_ntile" -> (w5Ntile _),
     "x13_map_funcs" -> (x13MapFuncs _),
+    "x14_regex_funcs" -> (x14RegexFuncs _),
     "a5_approx_distinct" -> (a5ApproxDistinct _),
     "a6_cube" -> (a6Cube _),
     "w1_rank_topk" -> (w1RankTopK _),
@@ -581,7 +692,11 @@ object AdvancedQueries {
     "a2_count_distinct" -> a2CountDistinctSql,
     "a3_rollup" -> a3RollupSql,
     "a9_grouping_sets" -> a9GroupingSetsSql,
+    "a10_mode_disc" -> a10ModeDiscSql,
+    "a11_unpivot" -> a11UnpivotSql,
+    "w5_ntile" -> w5NtileSql,
     "x13_map_funcs" -> x13MapFuncsSql,
+    "x14_regex_funcs" -> x14RegexFuncsSql,
     // a5_approx_distinct: no oracle (sketch-based)
     "a6_cube" -> a6CubeSql,
     "w1_rank_topk" -> w1RankTopKSql,

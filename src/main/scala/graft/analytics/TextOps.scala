@@ -247,12 +247,43 @@ object TextOps {
       |  md5(array_to_string(ws[start + 1 : least(start + $ChunkWords, len(ws))], ' ')) AS chunk_md5
       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  // --- sp1: deterministic dataset split ----------------------------------------
+
+  /** SP1: reproducible train/val/test assignment — the split every
+    * training pipeline needs to be STABLE across reruns, cluster
+    * layouts, and engines. Bucket = first-8-md5-hex-chars of the doc id
+    * mod 100 (the engine-agnostic wordVal trick on the id), split =
+    * 80/10/10 by bucket range. Pure map-side expression: no shuffle, no
+    * RNG, no sample() (whose seeds are engine- and partitioning-
+    * dependent); adding documents never reassigns existing ones. */
+  def sp1HashSplit(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 8),
+        16, 10).cast("long"), lit(100L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), bucket.as("bucket"),
+        when(bucket < 80, "train").when(bucket < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sp1HashSplitSql: String =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      |FROM (SELECT doc_id,
+      |        ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+      |          AS bucket
+      |      FROM documents) t
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_stats" -> (t3TokenStats _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_chunking" -> (t5Chunking _),
+    "sp1_hash_split" -> (sp1HashSplit _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -261,5 +292,6 @@ object TextOps {
     "t3_token_stats" -> t3TokenStatsSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_chunking" -> t5ChunkingSql,
+    "sp1_hash_split" -> sp1HashSplitSql,
   )
 }
