@@ -514,6 +514,83 @@ object AdvancedQueries {
       |  AS price_quartile
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** W6: RANGE-frame window — each event's trailing-1-hour same-user
+    * event count and value sum (the temporal analytic w3's ROWS frame
+    * can't express: the frame is bounded by the ORDER-BY VALUE distance,
+    * not a row count). Ordered by epoch micros so the range arithmetic
+    * is integral and identical in both engines. */
+  def w6RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"))
+      .rangeBetween(-hourUs, 0)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"),
+        unix_micros(col("ts")).as("t"))
+      .select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_1h"),
+        r2(sum(col("value")).over(w)).as("sum_trailing_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  val w6RangeFrameSql: String =
+    """SELECT event_id, user_id,
+      |count(*) OVER w AS n_trailing_1h,
+      |round(sum(value) OVER w, 2) AS sum_trailing_1h
+      |FROM (SELECT event_id, user_id, value, epoch_us(ts) AS t FROM events) e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY t
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  /** A12: FILTER-clause conditional aggregation — per-segment order
+    * stats split by status inside ONE aggregate pass (no self-joins, no
+    * pivot): the idiom for one-pass cohort metrics. */
+  def a12FilteredAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        r2(coalesce(sum(when(col("o_orderstatus") === "O",
+          col("o_totalprice"))), lit(0.0))).as("open_value"),
+        countDistinct(col("c_custkey")).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+
+  val a12FilteredAggSql: String =
+    """SELECT c_mktsegment,
+      |count(o_orderkey) AS n_orders,
+      |count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+      |round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0.0), 2)
+      |  AS open_value,
+      |count(DISTINCT c_custkey) AS n_customers
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** X15: string shaping battery — pad/translate/initcap/reverse/repeat
+    * (the formatting layer every export pipeline ends with). */
+  def x15StringShape(spark: SparkSession, dir: String): DataFrame =
+    Tables.nation(spark, dir)
+      .select(col("n_nationkey").cast("long").as("n_nationkey"),
+        lpad(col("n_name"), 12, ".").as("padded"),
+        rpad(col("n_name"), 12, "_").as("rpadded"),
+        translate(col("n_name"), "AEIOU", "aeiou").as("lowered_vowels"),
+        initcap(lower(col("n_name"))).as("title_case"),
+        reverse(col("n_name")).as("reversed"),
+        repeat(substring(col("n_name"), 1, 2), 3).as("repeated"))
+      .orderBy(col("n_nationkey"))
+
+  val x15StringShapeSql: String =
+    """SELECT n_nationkey::BIGINT AS n_nationkey,
+      |lpad(n_name, 12, '.') AS padded,
+      |rpad(n_name, 12, '_') AS rpadded,
+      |translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels,
+      |array_to_string(list_transform(string_split(lower(n_name), ' '),
+      |  w -> upper(w[1]) || w[2:]), ' ') AS title_case,
+      |reverse(n_name) AS reversed,
+      |repeat(substring(n_name, 1, 2), 3) AS repeated
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** A10: deterministic MODE (most frequent value, ties broken by value
     * desc — native mode() is tie-nondeterministic in BOTH engines, so
     * the tie-break is spelled out) + discrete median (percentile_disc =
@@ -663,8 +740,11 @@ object AdvancedQueries {
     "a10_mode_disc" -> (a10ModeDisc _),
     "a11_unpivot" -> (a11Unpivot _),
     "w5_ntile" -> (w5Ntile _),
+    "w6_range_frame" -> (w6RangeFrame _),
+    "a12_filtered_agg" -> (a12FilteredAgg _),
     "x13_map_funcs" -> (x13MapFuncs _),
     "x14_regex_funcs" -> (x14RegexFuncs _),
+    "x15_string_shape" -> (x15StringShape _),
     "a5_approx_distinct" -> (a5ApproxDistinct _),
     "a6_cube" -> (a6Cube _),
     "w1_rank_topk" -> (w1RankTopK _),
@@ -695,8 +775,11 @@ object AdvancedQueries {
     "a10_mode_disc" -> a10ModeDiscSql,
     "a11_unpivot" -> a11UnpivotSql,
     "w5_ntile" -> w5NtileSql,
+    "w6_range_frame" -> w6RangeFrameSql,
+    "a12_filtered_agg" -> a12FilteredAggSql,
     "x13_map_funcs" -> x13MapFuncsSql,
     "x14_regex_funcs" -> x14RegexFuncsSql,
+    "x15_string_shape" -> x15StringShapeSql,
     // a5_approx_distinct: no oracle (sketch-based)
     "a6_cube" -> a6CubeSql,
     "w1_rank_topk" -> w1RankTopKSql,
