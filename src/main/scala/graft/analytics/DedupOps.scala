@@ -210,10 +210,17 @@ object DedupOps {
     }
     val banded = sig.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
-    val cand = banded.toDF("da", "band", "bucket")
-      .join(banded.toDF("db", "band", "bucket"), Seq("band", "bucket"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    // one shuffle: group each band-bucket's occupants and explode
+    // ordered pairs (the n2 posting pattern) — a self-join would
+    // shuffle the banded stream twice for the same candidate set
+    val cand = banded
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
 
     val sets = sig.select(col("doc_id"), col("shset"), col("n"))
     cand

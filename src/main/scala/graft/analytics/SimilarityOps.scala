@@ -308,18 +308,35 @@ object SimilarityOps {
   def n5EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
     val bits = srpBitsFor(Tables.embeddings(spark, dir).count())
-    val banded = capBuckets(srpBuckets(all, bits))
-      .select(col("vec_id"), col("table"), col("bucket"))
-    // exact side × multi-probed side: an unordered pair within Hamming
-    // distance ≤ 1 (or ≤ 0 when probing is off) appears in at least one
-    // orientation, so va<vb + distinct canonicalizes. Candidate volume
-    // is Σ_bucket occ·probes ≈ n·occupancy·(bits+1) per table — linear
-    // in n (×log n) instead of the old n²/2^bits.
-    val cand = banded.toDF("va", "table", "bucket")
-      .join(withProbes(banded, bits).toDF("vb", "table", "bucket"),
-        Seq("table", "bucket"))
-      .filter(col("va") < col("vb"))
-      .select(col("va"), col("vb")).distinct()
+    // Candidate volume is Σ_bucket occ·probes ≈ n·occupancy·(bits+1)
+    // per table — linear in n (×log n) instead of the old n²/2^bits.
+    val cand =
+      if (bits < SrpMultiProbeMinBits) {
+        // hamming-0 collisions: ONE shuffle — group each (table, bucket)'s
+        // occupants (sorted+sliced = the same keep-lowest-ids cap as
+        // capBuckets) and explode ordered pairs, the n2 posting pattern.
+        // A self-join would shuffle the banded stream twice.
+        srpBuckets(all, bits)
+          .groupBy(col("table"), col("bucket"))
+          .agg(slice(sort_array(collect_list(col("vec_id"))), 1, SrpBucketCap)
+            .as("ids"))
+          .filter(size(col("ids")) > 1)
+          .select(explode(flatten(transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))),
+              y => struct(x.as("va"), y.as("vb")))))).as("p"))
+          .select(col("p.va").as("va"), col("p.vb").as("vb")).distinct()
+      } else {
+        // wide-code regime: hamming ≤ 1 needs the multi-probed join —
+        // a pair within distance 1 appears in at least one orientation,
+        // so va<vb + distinct canonicalizes
+        val banded = capBuckets(srpBuckets(all, bits))
+          .select(col("vec_id"), col("table"), col("bucket"))
+        banded.toDF("va", "table", "bucket")
+          .join(withProbes(banded, bits).toDF("vb", "table", "bucket"),
+            Seq("table", "bucket"))
+          .filter(col("va") < col("vb"))
+          .select(col("va"), col("vb")).distinct()
+      }
     val vecs = all.select(col("vec_id"), col("v"), col("nrm"))
     cand
       .join(vecs.toDF("va", "v_a", "n_a"), Seq("va"))
