@@ -172,6 +172,39 @@ object MultimodalOps {
       |  (frame_idx * 1000)::BIGINT AS frame_ts_ms
       |FROM frames ORDER BY media_id, frame_idx""".stripMargin
 
+  val AudioWinMs = 1000L
+  val AudioHopMs = 500L // 50% overlap
+
+  /** MM4: overlapping audio segmentation — one row per 1-second window
+    * at 500 ms hop over each audio track (the feature-extraction input
+    * shape for speech models: frame sampling's audio sibling). The tail
+    * window clips to the track end. Generator over metadata only —
+    * payloads never load. */
+  def mm4AudioWindows(spark: SparkSession, dir: String): DataFrame =
+    mediaCatalog(spark, dir).toDF()
+      .filter(col("sample_rate") > 0)
+      .select(col("media_id"), col("duration_ms"),
+        posexplode(sequence(lit(0L),
+          greatest(col("duration_ms") - lit(AudioHopMs), lit(0L)),
+          lit(AudioHopMs))).as(Seq("win_idx", "start_ms")))
+      .select(col("media_id"), col("win_idx").cast("long").as("win_idx"),
+        col("start_ms"),
+        least(col("start_ms") + AudioWinMs, col("duration_ms")).as("end_ms"))
+      .orderBy(col("media_id"), col("win_idx"))
+
+  val mm4AudioWindowsSql: String =
+    s"""WITH media AS (SELECT doc_id AS media_id,
+      |  CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS sample_rate,
+      |  n_chars * 10 AS duration_ms FROM documents),
+      |wins AS (SELECT media_id, duration_ms,
+      |    unnest(generate_series(0::BIGINT,
+      |      greatest(duration_ms - $AudioHopMs, 0), $AudioHopMs)) AS start_ms
+      |  FROM media WHERE sample_rate > 0)
+      |SELECT media_id,
+      |  (start_ms // $AudioHopMs)::BIGINT AS win_idx, start_ms,
+      |  least(start_ms + $AudioWinMs, duration_ms) AS end_ms
+      |FROM wins ORDER BY media_id, win_idx""".stripMargin
+
   /** MM3: decode + feature extraction end-to-end (stub kernel), then
     * per-modality feature summary. Exercises the full typed-Dataset
     * batch-decode path; no SQL oracle (kernel is engine-side). */
@@ -187,11 +220,13 @@ object MultimodalOps {
     "mm1_media_stats" -> (mm1MediaStats _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_decode_features" -> (mm3DecodeFeatures _),
+    "mm4_audio_windows" -> (mm4AudioWindows _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "mm1_media_stats" -> mm1MediaStatsSql,
     "mm2_frame_sample" -> mm2FrameSampleSql,
+    "mm4_audio_windows" -> mm4AudioWindowsSql,
     // mm3_decode_features: engine-side decode kernel — no SQL oracle
   )
 }
