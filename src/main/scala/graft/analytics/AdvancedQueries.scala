@@ -679,6 +679,33 @@ object AdvancedQueries {
       |regexp_extract(c_mktsegment, '[0-9]+') AS seg_digits
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Q17: correlated scalar subquery through the SQL entry point
+    * (TPC-H Q17 shape) — parts whose lineitems fall below 20% of that
+    * part's own average quantity. Exercises Catalyst's subquery
+    * DECORRELATION: the optimizer rewrites the per-row correlated
+    * aggregate into an aggregate-then-join plan (verify with explain:
+    * no per-row subquery execution survives), which is the only
+    * formulation that scales — a naive engine re-runs the inner
+    * aggregate per outer row. */
+  def q17Subquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    spark.sql(
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM graft_lineitem, graft_part
+        |WHERE p_partkey = l_partkey AND p_partkey % 20 = 0
+        |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+        |                    FROM graft_lineitem l2
+        |                    WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  val q17SubquerySql: String =
+    """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_partkey % 20 = 0
+      |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
   /** Sorted `k=v,...` rendering of a map — the engine-agnostic way to
     * compare map values (map iteration order is undefined in both
     * engines). */
@@ -758,6 +785,7 @@ object AdvancedQueries {
     "j4_outer_agg" -> (j4OuterAgg _),
     "j5_q3_revenue" -> (j5Q3Revenue _),
     "q6_filter_sum" -> (q6FilterSum _),
+    "q17_subquery" -> (q17Subquery _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
     "x10_math_funcs" -> (x10MathFuncs _),
     "a7_percentile" -> (a7Percentile _),
@@ -793,6 +821,7 @@ object AdvancedQueries {
     "j4_outer_agg" -> j4OuterAggSql,
     "j5_q3_revenue" -> j5Q3RevenueSql,
     "q6_filter_sum" -> q6FilterSumSql,
+    "q17_subquery" -> q17SubquerySql,
     "dd1_dedup_first" -> dd1DedupFirstSql,
     "x10_math_funcs" -> x10MathFuncsSql,
     "a7_percentile" -> a7PercentileSql,

@@ -201,6 +201,32 @@ object StreamingOps {
         })
   }
 
+  /** Watermarked STREAM-STREAM interval join — error events joined to
+    * the same user's clicks within the trailing 30 minutes, both sides
+    * live streams (the streaming face of the batch band/as-of joins).
+    * The watermark plus the two-sided time constraint let the state
+    * store evict: a buffered click can be dropped once the error-side
+    * watermark passes click_ts + 30 min, so state is bounded by the
+    * interval width × arrival rate, not by history. Inner join → Append
+    * mode; matches emit once both sides have arrived. */
+  def streamStreamAttribution(errors: DataFrame, clicks: DataFrame,
+                              lagMinutes: Int = 30): DataFrame = {
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    e.join(c,
+      col("e_user") === col("c_user") &&
+        col("click_ts") <= col("err_ts") &&
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lagMinutes MINUTES"))
+      .select(col("error_id"), col("click_id"),
+        col("e_user").as("user_id"))
+  }
+
   /** The patient-ingestion pipeline bound to a stream via foreachBatch —
     * the reference's HTTP-bounded micro-batch (§3.1) re-expressed: each
     * micro-batch runs the full validate→consent→transform flow and the

@@ -98,6 +98,33 @@ class StreamingOpsSpec extends SparkSuite {
     assert(merged == batch)
   }
 
+  test("stream-stream interval join equals the batch band join") {
+    implicit val s = spark
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val out = StreamingOps.runToCompletion(
+      StreamingOps.streamStreamAttribution(
+        stream.filter(col("event_type") === "error"),
+        stream.filter(col("event_type") === "click")),
+      "ss_join", outputMode = "append")
+      .select("error_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val ev = graft.core.Tables.events(spark, dir)
+    val batch = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("err_ts"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts")),
+        Seq("user_id"))
+      .filter(col("click_ts") <= col("err_ts") &&
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES"))
+      .select("error_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(batch.nonEmpty && out == batch)
+  }
+
   test("patient pipeline binds to a stream via foreachBatch (bounded micro-batch)") {
     // stream source: fixture rows as json files in a temp dir
     val tmp = Files.createTempDirectory("graft-stream-in").toFile
