@@ -277,6 +277,77 @@ object TextOps {
       |      FROM documents) t
       |ORDER BY doc_id""".stripMargin
 
+  val StrataQuota = 100
+
+  /** SP2: deterministic STRATIFIED sample — up to [[StrataQuota]] docs
+    * per language, chosen by md5-hash rank within each stratum (corpus
+    * balancing without RNG: the same docs are picked on any layout, and
+    * growing the corpus only displaces hash-ranked tails). One window
+    * per stratum — a single shuffle on lang. */
+  def sp2StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val hashRank = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(hashRank, col("doc_id"))
+    Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= StrataQuota)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sp2StratifiedSampleSql: String =
+    s"""SELECT lang, rk, doc_id FROM (
+      |  SELECT lang, doc_id,
+      |    (row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |               doc_id))::BIGINT AS rk
+      |  FROM documents) t
+      |WHERE rk <= $StrataQuota
+      |ORDER BY lang, rk""".stripMargin
+
+  val PackBudget = 200 // words per training sequence
+
+  /** SP3: greedy SEQUENCE PACKING — the t5 chunks, in (doc, chunk)
+    * order, packed into ~[[PackBudget]]-word training sequences: each
+    * chunk lands in pack floor(words_before / budget) (the streaming-
+    * greedy packing every LLM data loader uses — not bin-packing
+    * optimal, but single-pass and deterministic). One global running
+    * sum (ordered window) then a groupBy; emits per-pack chunk and word
+    * counts. At 100 TB the global window becomes per-shard packing
+    * (partition by shard key) — the math is unchanged. */
+  def sp3SequencePack(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = t5Chunking(spark, dir)
+      .select(col("doc_id"), col("chunk_id"), col("n_words"))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    chunks
+      .withColumn("words_before",
+        coalesce(sum(col("n_words")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"words_before DIV $PackBudget"))
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_words")).as("n_words"))
+      .orderBy(col("pack_id"))
+  }
+
+  val sp3SequencePackSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 1, $ChunkStride)) AS start, ws
+      |      FROM w),
+      |chunks AS (
+      |  SELECT doc_id, (start // $ChunkStride)::BIGINT AS chunk_id,
+      |    len(ws[start + 1 : least(start + $ChunkWords, len(ws))])::BIGINT AS n_words
+      |  FROM c),
+      |cum AS (
+      |  SELECT *, coalesce(sum(n_words) OVER (ORDER BY doc_id, chunk_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS words_before
+      |  FROM chunks)
+      |SELECT (words_before // $PackBudget)::BIGINT AS pack_id,
+      |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words
+      |FROM cum GROUP BY pack_id ORDER BY pack_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -284,6 +355,8 @@ object TextOps {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_chunking" -> (t5Chunking _),
     "sp1_hash_split" -> (sp1HashSplit _),
+    "sp2_stratified_sample" -> (sp2StratifiedSample _),
+    "sp3_sequence_pack" -> (sp3SequencePack _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -293,5 +366,7 @@ object TextOps {
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_chunking" -> t5ChunkingSql,
     "sp1_hash_split" -> sp1HashSplitSql,
+    "sp2_stratified_sample" -> sp2StratifiedSampleSql,
+    "sp3_sequence_pack" -> sp3SequencePackSql,
   )
 }

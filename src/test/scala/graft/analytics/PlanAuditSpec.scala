@@ -93,6 +93,14 @@ class PlanAuditSpec extends SparkSuite {
       assigned.filter(col("cell").isin(probes: _*)).count())
   }
 
+  test("q17: correlated scalar subquery decorrelates to aggregate + join") {
+    val p = planString(AdvancedQueries.q17Subquery(spark, dir))
+    // no per-outer-row subquery execution survives optimization
+    assert(!p.contains("ScalarSubquery"), p)
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("Join"), p)
+  }
+
   test("q1: group aggregate does map-side partial reduction") {
     val p = planString(RelationalQueries.q1Agg(spark, dir))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
