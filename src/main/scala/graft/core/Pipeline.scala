@@ -137,6 +137,81 @@ final class Pipeline(val name: String) {
       ListMap(results.toSeq: _*))
   }
 
+  /** Level-synchronous PARALLEL execution — the scheduling upgrade the
+    * reference's single-threaded loop (dag.py:114-149) cannot do: Kahn
+    * layers run one after another, but the independent stages WITHIN a
+    * layer run concurrently on `ec`. Driver-side threads submitting
+    * Spark jobs concurrently is the supported pattern — independent
+    * branches become concurrent Spark jobs the cluster scheduler
+    * interleaves across executors.
+    *
+    * Same observable semantics as run(): captured failures (never
+    * thrown), transitive SKIPPED propagation, per-stage durations,
+    * all-success run status. Context semantics are the well-defined
+    * parallel analog of run()'s rolling merge: each stage sees
+    * `initialContext` plus its TRANSITIVE dependencies' results merged
+    * in global topological order (run()'s rolling context is
+    * order-dependent under concurrency; for chains — every reference
+    * pipeline — the two are identical, asserted in PipelineSpec). */
+  def runParallel(initialContext: Context = Map.empty)
+                 (implicit ec: scala.concurrent.ExecutionContext): RunSummary = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val order = topologicalOrder
+    val orderIndex = order.zipWithIndex.toMap
+
+    // ancestors in global topo order (deterministic merge order)
+    val ancestorsOf: Map[String, Seq[String]] = {
+      val memo = mutable.Map.empty[String, Set[String]]
+      def anc(n: String): Set[String] = memo.getOrElseUpdate(n,
+        stages(n).dependsOn.toSet.flatMap((d: String) => anc(d) + d))
+      order.map(n => n -> anc(n).toSeq.sortBy(orderIndex)).toMap
+    }
+
+    // layer = stages whose dependencies all sit in earlier layers
+    val layerOf = mutable.Map.empty[String, Int]
+    for (n <- order)
+      layerOf(n) = (stages(n).dependsOn.map(layerOf(_) + 1) :+ 0).max
+    val layers = order.groupBy(layerOf).toSeq.sortBy(_._1).map(_._2)
+
+    val results = mutable.Map.empty[String, StageResult]
+    for (layer <- layers) {
+      val layerResults = Await.result(
+        Future.traverse(layer) { stageName =>
+          Future {
+            val stage = stages(stageName)
+            val upstreamBad = ancestorsOf(stageName).exists(a =>
+              results(a).status == TaskStatus.Failed ||
+                results(a).status == TaskStatus.Skipped)
+            if (upstreamBad) stageName -> StageResult(TaskStatus.Skipped)
+            else {
+              val context = ancestorsOf(stageName)
+                .foldLeft(initialContext)((c, a) => c ++ results(a).result)
+              val start = System.nanoTime()
+              val res =
+                try {
+                  val out = stage.fn(context)
+                  StageResult(TaskStatus.Success,
+                    if (out == null) Map.empty else out, None,
+                    (System.nanoTime() - start) / 1e6)
+                } catch {
+                  case e: Throwable =>
+                    StageResult(TaskStatus.Failed, Map.empty,
+                      Some(Option(e.getMessage).getOrElse(e.toString)),
+                      (System.nanoTime() - start) / 1e6)
+                }
+              stageName -> res
+            }
+          }
+        }, Duration.Inf)
+      results ++= layerResults
+    }
+
+    val allSuccess = stages.keys.forall(n => results(n).status == TaskStatus.Success)
+    RunSummary(name, if (allSuccess) "completed" else "failed",
+      ListMap(order.map(n => n -> results(n)): _*))
+  }
+
   /** Serialize the DAG shape — `{name, tasks: {t: {depends_on}}}`
     * (dag.py:156-164), stored in pipeline_runs.dag_definition. */
   def toJson: String = {

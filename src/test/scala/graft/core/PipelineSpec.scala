@@ -93,4 +93,73 @@ class PipelineSpec extends AnyFunSuite {
       .addStage("sleepy", _ => { Thread.sleep(5); Map.empty }).run()
     assert(result("sleepy").durationMs >= 5.0)
   }
+
+  // --- runParallel: level-synchronous concurrent execution ---
+
+  private implicit val ec: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4))
+
+  test("runParallel: independent branches really run concurrently") {
+    // each branch awaits the OTHER's arrival — sequential execution
+    // would deadlock past the timeout and fail the stage
+    val latch = new java.util.concurrent.CountDownLatch(2)
+    def branch(tag: String): Pipeline.Context => Pipeline.Context = _ => {
+      latch.countDown()
+      assert(latch.await(5, java.util.concurrent.TimeUnit.SECONDS),
+        s"$tag never saw its sibling start")
+      Map(s"${tag}_done" -> true)
+    }
+    val result = Pipeline("concurrent")
+      .addStage("a", _ => Map("seed" -> 1))
+      .addStage("b", branch("b"), dependsOn = Seq("a"))
+      .addStage("c", branch("c"), dependsOn = Seq("a"))
+      .addStage("d", ctx => {
+        assert(ctx("b_done") == true && ctx("c_done") == true); Map.empty
+      }, dependsOn = Seq("b", "c"))
+      .runParallel()
+    assert(result.status == "completed")
+  }
+
+  test("runParallel: one failed branch skips only its dependents") {
+    val result = Pipeline("partial_fail")
+      .addStage("a", _ => Map("seed" -> 1))
+      .addStage("bad", _ => throw new RuntimeException("branch down"),
+        dependsOn = Seq("a"))
+      .addStage("good", _ => Map("ok" -> true), dependsOn = Seq("a"))
+      .addStage("join", _ => Map.empty, dependsOn = Seq("bad", "good"))
+      .runParallel()
+    assert(result.status == "failed")
+    assert(result("bad").status == TaskStatus.Failed)
+    assert(result("good").status == TaskStatus.Success)
+    assert(result("join").status == TaskStatus.Skipped)
+  }
+
+  test("runParallel equals run on a linear chain (reference shape)") {
+    def build = Pipeline("chain")
+      .addStage("a", _ => Map("from_a" -> 1))
+      .addStage("b", ctx => Map("from_b" -> (ctx("from_a").asInstanceOf[Int] + 1)),
+        dependsOn = Seq("a"))
+      .addStage("c", ctx => Map("from_c" -> (ctx("from_b").asInstanceOf[Int] +
+        ctx("from_a").asInstanceOf[Int])), dependsOn = Seq("b"))
+    val seq = build.run()
+    val par = build.runParallel()
+    assert(par.status == seq.status)
+    assert(par.tasks.keys.toSeq == seq.tasks.keys.toSeq)
+    assert(par("c").result == seq("c").result) // grand-parent context flows
+  }
+
+  test("runParallel: transitive skip and diamond context merge") {
+    val result = Pipeline("par_diamond")
+      .addStage("a", _ => Map("val" -> 1))
+      .addStage("b", ctx => Map("b_val" -> (ctx("val").asInstanceOf[Int] + 10)),
+        dependsOn = Seq("a"))
+      .addStage("c", ctx => Map("c_val" -> (ctx("val").asInstanceOf[Int] + 20)),
+        dependsOn = Seq("a"))
+      .addStage("d", ctx => Map("total" -> (ctx("b_val").asInstanceOf[Int] +
+        ctx("c_val").asInstanceOf[Int])), dependsOn = Seq("b", "c"))
+      .runParallel()
+    assert(result.status == "completed")
+    assert(result("d").result("total") == 32)
+  }
 }
