@@ -56,7 +56,14 @@ object DedupOps {
       .distinct()
   }
 
-  /** Distinct word-3-gram shingle HASHES per document: (doc_id, h).
+  /** Word-3-gram shingle HASHES per document: (doc_id, h), RAW stream —
+    * repeated shingles appear repeatedly; every consumer dedupes INSIDE
+    * its per-doc aggregate (collect_set / min), which costs nothing
+    * extra there and keeps this stream's plan at exactly ONE exchange:
+    * the window below hash-partitions by doc_id and the consumers'
+    * groupBy(doc_id) reuses that partitioning, whereas the previous
+    * `.distinct()` inserted a second full shuffle of the token stream
+    * on (doc_id, h) that the groupBy then re-shuffled anyway.
     * Everything downstream (jaccard counting, minhash, LSH) only needs
     * equality, which 64-bit hashes give with ~n²/2^64 ≈ 1e-16 collision
     * odds per document pair — so cardinality matches the string
@@ -74,7 +81,6 @@ object DedupOps {
       .filter(col("w3").isNotNull)
       .select(col("doc_id"),
         xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"))).as("h"))
-      .distinct() // distinct over (doc_id, 8-byte h), cheaper than strings
   }
 
   /** DuckDB rendering of the same shingling (shared by the n2 oracle). */
@@ -130,9 +136,11 @@ object DedupOps {
     // verification only needs equality, and 8-byte longs keep the
     // per-doc arrays and shuffles ~5× lighter (see shingleHashes)
     val sh = shingleHashes(Tables.documents(spark, dir))
-    val byDoc = sh.groupBy(col("doc_id")).agg(
-      sort_array(collect_list(col("h"))).as("hs"),
-      count(lit(1)).as("n"))
+    // collect_set dedupes the raw shingle stream inside this aggregate
+    // (see shingleHashes) — one exchange end-to-end for the per-doc sets
+    val byDoc = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("hs"))
+      .withColumn("n", size(col("hs")).cast("long"))
     // prefix length n - ceil(theta*n) + 1 under the global hash order
     val prefix = byDoc.select(col("doc_id"), col("n"),
       explode(slice(col("hs"), lit(1),
@@ -186,12 +194,13 @@ object DedupOps {
     * second shingle materialization. */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shingleHashes(docs)
+    // raw (duplicated) shingle stream: min() is duplicate-insensitive
+    // and collect_set dedupes — the per-doc count is the set size
     val mins = (0 until MinhashPerms).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"s$i"))
-    val aggs = mins ++ Seq(
-      collect_set(col("h")).as("shset"), // hashes, not strings
-      count(lit(1)).as("n"))
+    val aggs = mins :+ collect_set(col("h")).as("shset") // hashes, not strings
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("n", size(col("shset")).cast("long"))
   }
 
   /** N2b: MinHash+LSH near-dup pairs — candidates from banded signature
