@@ -120,6 +120,57 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(kept.toSeq == (1L to SimilarityOps.SrpBucketCap))
   }
 
+  test("wide-code regime end-to-end: 20k corpus drives multi-probe, " +
+      "occupancy stays bounded, candidates beat random") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic corpus large enough to cross the
+    // multi-probe threshold (testdata tops out at bits=8)
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.tabulate(n) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()).toSeq)
+    }
+    val all = vecs.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val bits = SimilarityOps.srpBitsFor(n)
+    assert(bits >= SimilarityOps.SrpMultiProbeMinBits,
+      s"bits=$bits: corpus must exercise the multi-probe path")
+
+    // occupancy bounded at wide codes too
+    val occ = SimilarityOps.capBuckets(SimilarityOps.srpBuckets(all, bits))
+      .groupBy("table", "bucket").count()
+    val occRow = occ.agg(max("count"), avg("count")).head
+    assert(occRow.getLong(0) <= SimilarityOps.SrpBucketCap)
+    assert(occRow.getDouble(1) <= 2.0 * SimilarityOps.SrpTargetOccupancy)
+
+    // candidate-level recall vs exact top-10, for 8 query vectors
+    val nQ = 8
+    val cand = SimilarityOps.srpCandidates(all, bits)
+      .filter(col("qid") < nQ).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val candFrac = cand.size.toDouble / (nQ.toLong * (n - 1))
+    assert(candFrac <= 0.1, f"candFrac $candFrac%.4f: not ANN")
+
+    val q = all.filter(col("vec_id") < nQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val sims = all.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        (graft.functions.VectorFunctions.dot(col("qv"), col("v")) /
+          (col("qn") * col("nrm"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    val exact = sims.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10).select("qid", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val hit = exact.count(cand.contains)
+    val recall = hit.toDouble / exact.size
+    val lift = recall / candFrac
+    info(f"bits=$bits candFrac=$candFrac%.4f candRecall=$recall%.3f lift=$lift%.1f×")
+    assert(lift >= 2.0, f"lift $lift%.1f: multi-probe no better than random")
+  }
+
   test("n5 embed near-dup: sims exact, thresholded, pairs canonical") {
     import org.apache.spark.sql.functions._
     val rows = SimilarityOps.n5EmbedNearDup(spark, dir).collect()
