@@ -93,6 +93,18 @@ class PlanAuditSpec extends SparkSuite {
       assigned.filter(col("cell").isin(probes: _*)).count())
   }
 
+  test("e7: as-of join plans with NO join operator (merge formulation)") {
+    val p = planString(EventQueries.e7AsofJoin(spark, dir))
+    assert(!p.contains("Join"), p) // union + window, never a join
+    assert(p.contains("Window"), p)
+  }
+
+  test("e8: band join is an equi-join on (user, bin) — never a cross product") {
+    val p = planString(EventQueries.e8BandJoin(spark, dir))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("bin"), p) // bin is a join key
+  }
+
   test("q17: correlated scalar subquery decorrelates to aggregate + join") {
     val p = planString(AdvancedQueries.q17Subquery(spark, dir))
     // no per-outer-row subquery execution survives optimization
