@@ -679,6 +679,48 @@ object AdvancedQueries {
       |regexp_extract(c_mktsegment, '[0-9]+') AS seg_digits
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** J6: TPC-H-Q5-shaped SIX-way join — local supplier volume per
+    * nation of one region, one year. The join-order stress test:
+    * region→nation prune first (broadcast, cuts supplier/customer to
+    * one region), the date filter prunes orders at the scan, and the
+    * two fact tables (lineitem⋈orders) meet last on the shuffled key.
+    * Catalyst + AQE pick broadcast for every dimension side; the
+    * `c_nationkey = s_nationkey` residual makes the customer join a
+    * selective equi-join, not a blowup. Completes table coverage:
+    * region and supplier appear here. */
+  def j6Q5Volume(spark: SparkSession, dir: String): DataFrame = {
+    val region = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, dir)
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val supplier = Tables.supplier(spark, dir)
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+    val orders = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    Tables.lineitem(spark, dir)
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val j6Q5VolumeSql: String =
+    """SELECT n_name,
+      |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
   /** Q17: correlated scalar subquery through the SQL entry point
     * (TPC-H Q17 shape) — parts whose lineitems fall below 20% of that
     * part's own average quantity. Exercises Catalyst's subquery
@@ -786,6 +828,7 @@ object AdvancedQueries {
     "j5_q3_revenue" -> (j5Q3Revenue _),
     "q6_filter_sum" -> (q6FilterSum _),
     "q17_subquery" -> (q17Subquery _),
+    "j6_q5_volume" -> (j6Q5Volume _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
     "x10_math_funcs" -> (x10MathFuncs _),
     "a7_percentile" -> (a7Percentile _),
@@ -822,6 +865,7 @@ object AdvancedQueries {
     "j5_q3_revenue" -> j5Q3RevenueSql,
     "q6_filter_sum" -> q6FilterSumSql,
     "q17_subquery" -> q17SubquerySql,
+    "j6_q5_volume" -> j6Q5VolumeSql,
     "dd1_dedup_first" -> dd1DedupFirstSql,
     "x10_math_funcs" -> x10MathFuncsSql,
     "a7_percentile" -> a7PercentileSql,
