@@ -90,3 +90,69 @@ object Crypto {
     udf((s: String) => codecRef.decrypt(s)).apply(c)
   }
 }
+
+/** ENVELOPE encryption — the key-management upgrade a 100 TB PHI store
+  * needs over the reference's single static key: data is encrypted with
+  * a short-lived DATA key; only the data key (wrapped by the master) is
+  * stored alongside the ciphertext. Rotating the master key = re-wrap
+  * one 32-byte key per batch, NOT re-encrypting petabytes; a leaked
+  * data key exposes one batch, not the corpus.
+  *
+  * Batch-grained by design: one envelope per write batch keeps the
+  * wrapped-key column a constant literal (zero per-row cost) and the
+  * re-wrap inventory one row per batch. Decryption unwraps each
+  * distinct envelope once per task (transient memo), so mixed-envelope
+  * tables (the normal state during rotation windows) decrypt in one
+  * pass with no grouping. */
+object EnvelopeCrypto {
+  final case class Envelope(keyId: String, wrappedKey: String)
+
+  /** Fresh data key + its wrapped form under `master`. */
+  def newEnvelope(master: AesCodec): (Envelope, AesCodec) = {
+    val dk = new Array[Byte](32)
+    new SecureRandom().nextBytes(dk)
+    val wrapped = master.encrypt(Base64.getEncoder.encodeToString(dk))
+    (Envelope(java.util.UUID.randomUUID().toString, wrapped), AesCodec(dk))
+  }
+
+  /** Recover the data codec from a stored envelope. */
+  def open(master: AesCodec, wrappedKey: String): AesCodec =
+    AesCodec(Base64.getDecoder.decode(master.decrypt(wrappedKey)))
+
+  /** Master-key rotation: re-wrap the data key, ciphertext untouched. */
+  def rewrap(oldMaster: AesCodec, newMaster: AesCodec, env: Envelope): Envelope =
+    env.copy(wrappedKey =
+      newMaster.encrypt(oldMaster.decrypt(env.wrappedKey)))
+
+  /** Encrypt `cols` of a batch under ONE fresh envelope; appends the
+    * constant `key_id` and `wrapped_dek` columns (literals — no per-row
+    * work beyond the data-key cipher itself). */
+  def encryptBatch(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      master: AesCodec = Crypto.default): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (env, dataCodec) = newEnvelope(master)
+    cols.foldLeft(df)((d, c) =>
+        d.withColumn(c, Crypto.encryptCol(d(c), dataCodec)))
+      .withColumn("key_id", lit(env.keyId))
+      .withColumn("wrapped_dek", lit(env.wrappedKey))
+  }
+
+  /** Per-executor unwrap memo: each distinct wrapped key is opened once
+    * per task (transient — rebuilt after closure deserialization). */
+  private final class Unwrapper(master: AesCodec) extends Serializable {
+    @transient private lazy val cache =
+      scala.collection.concurrent.TrieMap.empty[String, AesCodec]
+    def decrypt(ct: String, wrapped: String): String =
+      cache.getOrElseUpdate(wrapped, open(master, wrapped)).decrypt(ct)
+  }
+
+  /** Decrypt `cols` of a (possibly mixed-envelope) table in one pass,
+    * driven by each row's `wrapped_dek`. */
+  def decryptBatch(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      master: AesCodec = Crypto.default): org.apache.spark.sql.DataFrame = {
+    val un = new Unwrapper(master)
+    val dec = udf((ct: String, wrapped: String) =>
+      if (ct == null || ct.isEmpty) ct else un.decrypt(ct, wrapped))
+    cols.foldLeft(df)((d, c) => d.withColumn(c, dec(d(c), d("wrapped_dek"))))
+  }
+}
