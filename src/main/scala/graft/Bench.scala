@@ -27,6 +27,15 @@ object Bench {
         }
       spark.range(1000).as[Long].mapPartitions(_.map(_ + 1))
         .groupBy(($"value" % 7).as("k")).count().count()
+      // warm the heavy code paths (window + object-hash aggregate +
+      // native dot product) on tiny slices so JIT/codegen bring-up
+      // doesn't land on whichever LSH/ANN query happens to run first
+      graft.analytics.DedupOps.minhashSignatures(
+        graft.core.Tables.documents(spark, sfDir).limit(64)).count()
+      graft.analytics.SimilarityOps.srpBuckets(
+        graft.core.Tables.embeddings(spark, sfDir).limit(64)
+          .selectExpr("vec_id", "cast(embedding as array<double>) as v",
+            "cast(1.0 as double) as nrm"), 6).count()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
