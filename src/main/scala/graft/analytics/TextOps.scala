@@ -308,28 +308,31 @@ object TextOps {
       |ORDER BY lang, rk""".stripMargin
 
   val PackBudget = 200 // words per training sequence
+  val PackShards = 8   // packing parallelism: one independent stream per shard
 
   /** SP3: greedy SEQUENCE PACKING — the t5 chunks, in (doc, chunk)
     * order, packed into ~[[PackBudget]]-word training sequences: each
     * chunk lands in pack floor(words_before / budget) (the streaming-
     * greedy packing every LLM data loader uses — not bin-packing
-    * optimal, but single-pass and deterministic). One global running
-    * sum (ordered window) then a groupBy; emits per-pack chunk and word
-    * counts. At 100 TB the global window becomes per-shard packing
-    * (partition by shard key) — the math is unchanged. */
+    * optimal, but single-pass and deterministic). Packing is SHARDED by
+    * a deterministic doc-hash: each shard is an independent ordered
+    * stream, so the running sum is a PARTITIONED window (never the
+    * single-reducer global-order window) and shards scale with the
+    * cluster — at 100 TB, shards ≈ executor count, identical math. */
   def sp3SequencePack(spark: SparkSession, dir: String): DataFrame = {
     val chunks = t5Chunking(spark, dir)
       .select(col("doc_id"), col("chunk_id"), col("n_words"))
+      .withColumn("shard", pmod(col("doc_id"), lit(PackShards.toLong)))
     val W = org.apache.spark.sql.expressions.Window
-    val w = W.orderBy(col("doc_id"), col("chunk_id"))
+    val w = W.partitionBy(col("shard")).orderBy(col("doc_id"), col("chunk_id"))
       .rowsBetween(W.unboundedPreceding, -1)
     chunks
       .withColumn("words_before",
         coalesce(sum(col("n_words")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"words_before DIV $PackBudget"))
-      .groupBy(col("pack_id"))
+      .groupBy(col("shard"), col("pack_id"))
       .agg(count(lit(1)).as("n_chunks"), sum(col("n_words")).as("n_words"))
-      .orderBy(col("pack_id"))
+      .orderBy(col("shard"), col("pack_id"))
   }
 
   val sp3SequencePackSql: String =
@@ -337,16 +340,18 @@ object TextOps {
       |c AS (SELECT doc_id, unnest(generate_series(0, len(ws) - 1, $ChunkStride)) AS start, ws
       |      FROM w),
       |chunks AS (
-      |  SELECT doc_id, (start // $ChunkStride)::BIGINT AS chunk_id,
+      |  SELECT doc_id, doc_id % $PackShards AS shard,
+      |    (start // $ChunkStride)::BIGINT AS chunk_id,
       |    len(ws[start + 1 : least(start + $ChunkWords, len(ws))])::BIGINT AS n_words
       |  FROM c),
       |cum AS (
-      |  SELECT *, coalesce(sum(n_words) OVER (ORDER BY doc_id, chunk_id
+      |  SELECT *, coalesce(sum(n_words) OVER (PARTITION BY shard
+      |    ORDER BY doc_id, chunk_id
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS words_before
       |  FROM chunks)
-      |SELECT (words_before // $PackBudget)::BIGINT AS pack_id,
+      |SELECT shard, (words_before // $PackBudget)::BIGINT AS pack_id,
       |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words
-      |FROM cum GROUP BY pack_id ORDER BY pack_id""".stripMargin
+      |FROM cum GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
