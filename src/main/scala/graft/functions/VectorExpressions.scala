@@ -70,4 +70,29 @@ object GraftVec {
   def dotColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  private[sql] val dotBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")
+    DotProduct(exprs(0), exprs(1))
+  }
+
+  /** Expose `vec_dot` to SQL in an existing session (temp function —
+    * the notebook/REPL path). */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", dotBuilder, "built-in")
+}
+
+/** Cluster-deployment face of the same registration: set
+  * `spark.sql.extensions=org.apache.spark.sql.graftvec.GraftSqlExtensions`
+  * and every session (including thrift/connect ones the app never
+  * touches) resolves `vec_dot` natively. Shares the exact builder the
+  * temp-function path uses, so one behavior test covers both. */
+class GraftSqlExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[DotProduct].getName, "vec_dot"),
+      GraftVec.dotBuilder))
 }

@@ -9,4 +9,10 @@ object VectorFunctions {
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftvec.GraftVec.dotColumn(a, b)
+
+  /** Make `vec_dot` callable from spark.sql in this session. For
+    * cluster-wide registration use
+    * `spark.sql.extensions=org.apache.spark.sql.graftvec.GraftSqlExtensions`. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graftvec.GraftVec.registerSql(spark)
 }

@@ -42,6 +42,24 @@ class VectorFunctionsSpec extends SparkSuite {
     assert(inCodegen, exec.toString)
   }
 
+  test("vec_dot is callable from SQL after registration") {
+    VectorFunctions.registerSql(spark)
+    val v = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(v == 11.0)
+    // arity is validated at resolution
+    intercept[Exception](spark.sql("SELECT vec_dot(array(1.0d))").collect())
+  }
+
+  test("the SparkSessionExtensions hook wires the same builder") {
+    // cluster path: spark.sql.extensions=...GraftSqlExtensions; here we
+    // exercise the injection call itself (the builder's behavior is the
+    // SQL test above — both paths share it)
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new org.apache.spark.sql.graftvec.GraftSqlExtensions().apply(ext)
+  }
+
   test("vec_dot on real embeddings agrees with rounded cosine oracle path") {
     val e = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.001")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
