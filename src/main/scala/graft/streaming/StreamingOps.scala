@@ -227,6 +227,15 @@ object StreamingOps {
         col("e_user").as("user_id"))
   }
 
+  /** STREAM-STATIC enrichment join — the streaming face of a broadcast
+    * dimension join: each micro-batch joins against the (re-evaluated)
+    * static side with no streaming state at all, because the static
+    * side is complete by definition. The standard shape for decorating
+    * a live stream with reference data. */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   key: String): DataFrame =
+    stream.join(org.apache.spark.sql.functions.broadcast(dim), Seq(key))
+
   /** The patient-ingestion pipeline bound to a stream via foreachBatch —
     * the reference's HTTP-bounded micro-batch (§3.1) re-expressed: each
     * micro-batch runs the full validate→consent→transform flow and the

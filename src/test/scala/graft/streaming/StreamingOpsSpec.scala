@@ -125,6 +125,26 @@ class StreamingOpsSpec extends SparkSuite {
     assert(batch.nonEmpty && out == batch)
   }
 
+  test("stream-static enrichment join equals the batch join (stateless)") {
+    implicit val s = spark
+    import spark.implicits._
+    val dim = Seq(("view", 1.0), ("click", 2.0), ("purchase", 5.0),
+      ("signup", 3.0), ("error", 0.0)).toDF("event_type", "weight")
+    val stream = StreamingOps.eventsStream(spark, dir)
+    val out = StreamingOps.runToCompletion(
+      StreamingOps.enrichStream(stream, dim, "event_type")
+        .groupBy(col("event_type"))
+        .agg(round(sum(col("value") * col("weight")), 2).as("weighted")),
+      "enrich_stream")
+      .orderBy(col("event_type")).collect().toSeq
+    val batch = graft.core.Tables.events(spark, dir)
+      .join(dim, Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value") * col("weight")), 2).as("weighted"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(out == batch)
+  }
+
   test("patient pipeline binds to a stream via foreachBatch (bounded micro-batch)") {
     // stream source: fixture rows as json files in a temp dir
     val tmp = Files.createTempDirectory("graft-stream-in").toFile
