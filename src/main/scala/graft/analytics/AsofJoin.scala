@@ -43,7 +43,7 @@ object AsofJoin {
     * payload, null when unmatched). */
   def asofLast(left: DataFrame, right: DataFrame,
                key: String, time: String): DataFrame = {
-    val payloadCols = right.columns.filterNot(c => c == key || c == time)
+    val payloadCols = right.columns.toSeq.filterNot(c => c == key || c == time)
     require(payloadCols.nonEmpty, "right side needs at least one payload column")
     val r = right.select(col(key), col(time),
       struct(payloadCols.map(col): _*).as("__r")).withColumn("__side", lit(0))
@@ -54,7 +54,7 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     u.withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(left.columns.map(col) ++
+      .select(left.columns.toSeq.map(col) ++
         payloadCols.map(c => col(s"__m.$c").as(c)): _*)
   }
 }
