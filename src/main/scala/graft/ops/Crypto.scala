@@ -92,7 +92,8 @@ object Crypto {
 }
 
 /** ENVELOPE encryption — the key-management upgrade a 100 TB PHI store
-  * needs over the reference's single static key: data is encrypted with
+  * needs over the reference's single static process-lifetime key
+  * (/root/reference/app/services/encryption.py:18-26): data is encrypted with
   * a short-lived DATA key; only the data key (wrapped by the master) is
   * stored alongside the ciphertext. Rotating the master key = re-wrap
   * one 32-byte key per batch, NOT re-encrypting petabytes; a leaked

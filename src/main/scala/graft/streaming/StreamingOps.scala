@@ -120,6 +120,8 @@ object StreamingOps {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (user: Long, rows: Iterator[(Long, Long, Long)],
          state: GroupState[SessionState]) => {
+          // buffers ONE user's slice of ONE micro-batch (bounded by
+          // per-user arrival rate × trigger interval, not by history)
           val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
           val init = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           val fin = sorted.foldLeft(init) { case (s, (_, ts, _)) =>
@@ -175,6 +177,8 @@ object StreamingOps {
             state.remove()
             Iterator(ClosedSession(user, s.startUs, s.lastUs, s.events))
           } else {
+            // buffers one user's slice of one micro-batch (bounded by
+            // arrival rate × trigger interval)
             val sorted = rows.toSeq.sortBy(r => (r._3, r._4))
             val closed = scala.collection.mutable.ListBuffer.empty[ClosedSession]
             var open = state.getOption

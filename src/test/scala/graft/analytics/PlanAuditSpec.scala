@@ -105,6 +105,12 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("bin"), p) // bin is a join key
   }
 
+  test("j6: six-way join broadcasts the dimension chain, no cross product") {
+    val p = planString(AdvancedQueries.j6Q5Volume(spark, dir))
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q17: correlated scalar subquery decorrelates to aggregate + join") {
     val p = planString(AdvancedQueries.q17Subquery(spark, dir))
     // no per-outer-row subquery execution survives optimization
