@@ -1,0 +1,54 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkSuite
+
+/** Shuffle BUDGETS: the number of shuffle exchanges each flagship plan
+  * is allowed — the wire cost that decides 100 TB behavior. A
+  * regression that introduces an extra exchange (a lost partitioning
+  * reuse, an accidental repartition, a join that stopped broadcasting)
+  * fails here by name instead of surfacing as a slow bench. Broadcast
+  * exchanges are deliberately NOT counted — they are the cheap
+  * alternative the budget encourages. */
+class ShuffleBudgetSpec extends SparkSuite {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def shuffles(df: DataFrame): Int = {
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }
+    "Exchange (hash|range|SinglePartition)".r.findAllIn(p.toString).length
+  }
+
+  private def assertBudget(name: String, df: DataFrame, budget: Int): Unit = {
+    val n = shuffles(df)
+    assert(n <= budget, s"$name: $n shuffles > budget $budget")
+  }
+
+  test("scan/map-only queries: one shuffle (the harness sort) at most") {
+    assertBudget("s1_scan_project", RelationalQueries.s1ScanProject(spark, dir), 1)
+    assertBudget("t1_lang_id", TextOps.t1LangId(spark, dir), 1)
+    assertBudget("sp1_hash_split", TextOps.sp1HashSplit(spark, dir), 1)
+  }
+
+  test("q6 pure aggregate: single-partition gather only") {
+    assertBudget("q6_filter_sum", AdvancedQueries.q6FilterSum(spark, dir), 1)
+  }
+
+  test("group aggregates: one agg shuffle + the harness sort") {
+    assertBudget("q1_agg", RelationalQueries.q1Agg(spark, dir), 2)
+    assertBudget("n1_dedup_exact", DedupOps.n1DedupExact(spark, dir), 2)
+  }
+
+  test("broadcast dimension join: no join shuffle — agg + sort only") {
+    assertBudget("j2_broadcast_join", RelationalQueries.j2BroadcastJoin(spark, dir), 2)
+  }
+
+  test("salted aggregation: two agg phases + sort, hot key never on one reducer") {
+    assertBudget("e4_salted_agg", EventQueries.e4SaltedAgg(spark, dir), 3)
+  }
+}
