@@ -721,6 +721,35 @@ object AdvancedQueries {
       |  AND o_orderdate < TIMESTAMP '1997-01-01'
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** J7: FULL OUTER join — customer and supplier presence per nation,
+    * zero-filled on either absent side (the reconciliation join shape:
+    * neither side may drop rows). Joins two pre-aggregated sides, so
+    * the outer join itself is tiny regardless of fact size. */
+  def j7FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_customers"))
+    val s = Tables.supplier(spark, dir)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, col("c_nationkey") === col("s_nationkey"), "full")
+      .select(
+        coalesce(col("c_nationkey"), col("s_nationkey")).cast("long")
+          .as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  val j7FullOuterSql: String =
+    """SELECT coalesce(c_nationkey, s_nationkey)::BIGINT AS nationkey,
+      |coalesce(n_customers, 0) AS n_customers,
+      |coalesce(n_suppliers, 0) AS n_suppliers
+      |FROM (SELECT c_nationkey, count(*) AS n_customers
+      |      FROM customer GROUP BY c_nationkey) c
+      |FULL JOIN (SELECT s_nationkey, count(*) AS n_suppliers
+      |           FROM supplier GROUP BY s_nationkey) s
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
   /** Q17: correlated scalar subquery through the SQL entry point
     * (TPC-H Q17 shape) — parts whose lineitems fall below 20% of that
     * part's own average quantity. Exercises Catalyst's subquery
@@ -829,6 +858,7 @@ object AdvancedQueries {
     "q6_filter_sum" -> (q6FilterSum _),
     "q17_subquery" -> (q17Subquery _),
     "j6_q5_volume" -> (j6Q5Volume _),
+    "j7_full_outer" -> (j7FullOuter _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
     "x10_math_funcs" -> (x10MathFuncs _),
     "a7_percentile" -> (a7Percentile _),
@@ -866,6 +896,7 @@ object AdvancedQueries {
     "q6_filter_sum" -> q6FilterSumSql,
     "q17_subquery" -> q17SubquerySql,
     "j6_q5_volume" -> j6Q5VolumeSql,
+    "j7_full_outer" -> j7FullOuterSql,
     "dd1_dedup_first" -> dd1DedupFirstSql,
     "x10_math_funcs" -> x10MathFuncsSql,
     "a7_percentile" -> a7PercentileSql,
