@@ -377,6 +377,21 @@ object AdvancedQueries {
       |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** A13: approximate percentiles (Greenwald-Khanna sketch,
+    * `approx_percentile` with explicit accuracy) — THE 100 TB percentile
+    * path: a7's exact interpolated percentile must materialize each
+    * group's full value set, while the sketch is fixed-size per group
+    * and merges associatively map-side. No SQL oracle (sketch estimates
+    * are implementation-specific — same policy as a5); the spec asserts
+    * the estimates bracket a7's exact values within sketch error. */
+  def a13ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        r2(expr("approx_percentile(l_extendedprice, 0.5, 1000)")).as("p50_approx"),
+        r2(expr("approx_percentile(l_extendedprice, 0.95, 1000)")).as("p95_approx"))
+      .orderBy(col("l_returnflag"))
+
   /** Pivot (long→wide): order counts per priority pivoted by status.
     * Spark's relational pivot; the oracle renders the same wide shape
     * with conditional aggregation (engine-agnostic SQL). */
@@ -844,6 +859,7 @@ object AdvancedQueries {
     "x14_regex_funcs" -> (x14RegexFuncs _),
     "x15_string_shape" -> (x15StringShape _),
     "a5_approx_distinct" -> (a5ApproxDistinct _),
+    "a13_approx_percentile" -> (a13ApproxPercentile _),
     "a6_cube" -> (a6Cube _),
     "w1_rank_topk" -> (w1RankTopK _),
     "w2_lag_delta" -> (w2LagDelta _),
@@ -881,7 +897,7 @@ object AdvancedQueries {
     "x13_map_funcs" -> x13MapFuncsSql,
     "x14_regex_funcs" -> x14RegexFuncsSql,
     "x15_string_shape" -> x15StringShapeSql,
-    // a5_approx_distinct: no oracle (sketch-based)
+    // a5_approx_distinct, a13_approx_percentile: no oracle (sketch-based)
     "a6_cube" -> a6CubeSql,
     "w1_rank_topk" -> w1RankTopKSql,
     "w2_lag_delta" -> w2LagDeltaSql,

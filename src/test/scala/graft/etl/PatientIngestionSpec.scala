@@ -91,6 +91,23 @@ class PatientIngestionSpec extends SparkSuite {
     assert(r.counts.consented == 0L)
   }
 
+  test("parallel DAG execution reproduces the sequential pipeline run") {
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val rows = Seq(
+      patient(mrn = "MRN-1", consentSharing = true),
+      patient(mrn = "MRN-2", consentSharing = false),
+      Row("Patient", "MRN-3", null, null, null, null, null))
+    val seq = PatientIngestion.pipeline().run(Map("raw_records" -> batch(rows: _*)))
+    val par = PatientIngestion.pipeline()
+      .runParallel(Map("raw_records" -> batch(rows: _*)))
+    assert(par.status == seq.status)
+    assert(par.tasks.keys.toSeq == seq.tasks.keys.toSeq)
+    assert(par.tasks.map { case (k, v) => k -> v.status } ==
+      seq.tasks.map { case (k, v) => k -> v.status })
+    assert(par("load").result("load_count") == seq("load").result("load_count"))
+  }
+
   // --- validation-contract parity (tests/test_validation.py) ---
 
   private def errorsFor(row: Row): Seq[String] = {
