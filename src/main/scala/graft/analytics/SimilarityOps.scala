@@ -206,26 +206,43 @@ object SimilarityOps {
 
   // --- IVF (inverted-file) ANN ------------------------------------------------
 
-  val IvfCells = 16
+  /** Cell count is DERIVED from corpus size — cells = clamp(ceil(√n)) —
+    * exactly as [[srpBitsFor]] derives SRP bits. √n balances the two
+    * costs that matter at scale: per-query probe work is
+    * IvfProbes × (n / cells) ≈ 4√n rows (sublinear — a FIXED cell count
+    * makes every probe read a constant fraction of the corpus, which is
+    * not an index), and codebook size is `cells` rows ≈ √n — at the
+    * clamp, 65536 cells × 64 doubles ≈ 34 MB, still comfortably
+    * broadcastable, and the driver-side collect stays model-sized. Past
+    * the clamp occupancy grows linearly again; the documented path there
+    * is a two-level coarse quantizer (IVF over cell summaries), not a
+    * bigger flat codebook. */
+  val IvfMinCells = 4
+  val IvfMaxCells = 65536
   val IvfProbes = 4
+
+  def ivfCellsFor(n: Long): Int = {
+    val raw = math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt
+    math.min(IvfMaxCells, math.max(IvfMinCells, raw))
+  }
 
   /** Deterministic IVF codebook: seed centroids are the vectors with the
     * K smallest vec_ids (any deterministic rule works for a seeded
     * coarse quantizer), refined by ONE Lloyd step — per-cell mean via a
-    * posexplode/groupBy/rebuild, all set-oriented (no driver iteration,
-    * no RNG). The codebook is constant-size model state (K rows,
-    * independent of corpus scale), so it is materialized to the driver
-    * and returned as a LocalRelation: the Lloyd pass runs exactly once,
-    * both consumers broadcast a literal, and there is no cached entry to
-    * leak and no single-partition global window. Returns
+    * posexplode/groupBy/rebuild, all set-oriented and DISTRIBUTED (no
+    * driver iteration, no RNG). The codebook is model state (K ≈ √n
+    * rows, bounded by [[IvfMaxCells]]), so it is materialized to the
+    * driver and returned as a LocalRelation: the Lloyd pass runs exactly
+    * once, both consumers broadcast a literal, and there is no cached
+    * entry to leak and no single-partition global window. Returns
     * (cell, centroid array<double>). */
-  def ivfCentroids(vectors: DataFrame): DataFrame = {
+  def ivfCentroids(vectors: DataFrame, cells: Int): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // TakeOrdered (orderBy+limit) — never a full sort; cell id = rank
     // among the K seeds, assigned on the driver over K rows
     val seeds = vectors.select(col("vec_id"), col("v"))
-      .orderBy(col("vec_id")).limit(IvfCells).collect()
+      .orderBy(col("vec_id")).limit(cells).collect()
       .sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
       .toSeq.toDF("cell", "c")
@@ -243,8 +260,9 @@ object SimilarityOps {
   }
 
   /** Nearest centroid (max cosine) per vector: broadcast the K-row
-    * codebook, argmax via one max(struct) aggregation. */
-  private def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    * codebook, argmax via one max(struct) aggregation. Public so specs
+    * can measure probed-cell row fractions on arbitrary corpora. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
     vectors.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
         (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
@@ -257,27 +275,18 @@ object SimilarityOps {
   /** Corpus with its IVF cell assignment — the write-path layout: at
     * scale the corpus is WRITTEN partitioned (or clustered) by `cell`,
     * so a probe's `cell IN (...)` filter becomes partition pruning and
-    * reads only IvfProbes/IvfCells of the files. PlanAuditSpec proves
+    * reads only IvfProbes/cells of the files. PlanAuditSpec proves
     * the pruning on a real partitioned write. */
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    assignCells(all, ivfCentroids(all))
+    assignCells(all, ivfCentroids(all, ivfCellsFor(corpusCount(spark, dir))))
   }
 
-  /** N3c: IVF-flat approximate top-10 for the query slice — assign the
-    * corpus to cells once, probe the `IvfProbes` best cells per query,
-    * exact cosine on the probed cells only. Deterministic; no SQL
-    * oracle (spec asserts exactness-of-sims + recall lift). At 100 TB
-    * the cell assignment is the partition key (cluster-by cell at
-    * write), so a probe reads `IvfProbes/IvfCells` of the corpus. */
-  def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
-    val all = corpus(spark, dir)
-    // 16-row literal codebook (see ivfCentroids) consumed by both corpus
-    // assignment and query probing — the Lloyd pass ran exactly once
-    val cents = ivfCentroids(all)
-    val assigned = assignCells(all, cents)
-    // nprobe best cells per query
-    val qProbe = all.filter(col("vec_id") < QueryCount)
+  /** The `IvfProbes` best cells per query vector (centroid cosine
+    * argtop): (qid, qv, qn, cell). Public so specs can intersect the
+    * probe plan with cell assignments and measure the probed fraction. */
+  def ivfProbePlan(queries: DataFrame, cents: DataFrame): DataFrame = {
+    val qProbe = queries
       .crossJoin(broadcast(cents))
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
         col("cell"),
@@ -285,9 +294,26 @@ object SimilarityOps {
           .as("csim"))
     val w0 = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
-    val probes = qProbe.withColumn("pr", row_number().over(w0))
+    qProbe.withColumn("pr", row_number().over(w0))
       .filter(col("pr") <= IvfProbes)
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
+  }
+
+  /** N3c: IVF-flat approximate top-10 for the query slice — assign the
+    * corpus to ~√n cells once, probe the `IvfProbes` best cells per
+    * query, exact cosine on the probed cells only. Deterministic; no SQL
+    * oracle (spec asserts exactness-of-sims + recall lift + shrinking
+    * probed fraction). At 100 TB the cell assignment is the partition
+    * key (cluster-by cell at write), so a probe reads IvfProbes/√n of
+    * the corpus — a fraction that FALLS as the corpus grows, unlike a
+    * fixed cell count. */
+  def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    // √n-row literal codebook (see ivfCentroids) consumed by both corpus
+    // assignment and query probing — the Lloyd pass ran exactly once
+    val cents = ivfCentroids(all, ivfCellsFor(corpusCount(spark, dir)))
+    val assigned = assignCells(all, cents)
+    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
     val sims = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),

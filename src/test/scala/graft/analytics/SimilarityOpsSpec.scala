@@ -198,7 +198,7 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(a == b)
   }
 
-  test("n3c IVF: exact sims on probed cells, deterministic, recall above probe ratio") {
+  test("n3c IVF: exact sims on probed cells, deterministic, recall above chance") {
     val exact = SimilarityOps.n3CosineTopk(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
     val ivf = SimilarityOps.n3cIvfAnn(spark, dir).collect()
@@ -207,10 +207,56 @@ class SimilarityOpsSpec extends SparkSuite {
     }
     val hit = ivf.count { case Row(q: Long, _, n: Long, _) => exact.contains((q, n)) }
     val recall = hit.toDouble / exact.size
-    // probing 4/16 cells reads 25% of a RANDOM corpus; centroid-guided
-    // probing must do at least as well (strictly better on clustered data)
+    // cells = ivfCellsFor(500) = 23, so 4 probes read ~17% of a RANDOM
+    // corpus; centroid-guided probing must hold recall well above that
+    // floor (strictly better still on clustered data)
     info(f"IVF recall@10 = $recall%.3f ($hit/${exact.size})")
     assert(recall >= 0.2, f"recall $recall%.3f below probe baseline")
     assert(SimilarityOps.n3cIvfAnn(spark, dir).collect().toSeq == ivf.toSeq)
+  }
+
+  test("ivfCellsFor scales as √n — monotone, clamped (mirrors srpBitsFor)") {
+    assert(SimilarityOps.ivfCellsFor(500) == 23)
+    assert(SimilarityOps.ivfCellsFor(2000) == 45)
+    assert(SimilarityOps.ivfCellsFor(20000) == 142)
+    assert(SimilarityOps.ivfCellsFor(1) == SimilarityOps.IvfMinCells)
+    assert(SimilarityOps.ivfCellsFor(Long.MaxValue) == SimilarityOps.IvfMaxCells)
+    val ns = Seq(100L, 10000L, 1000000L, 100000000L)
+    val cs = ns.map(SimilarityOps.ivfCellsFor)
+    assert(cs == cs.sorted, s"cells not monotone: $cs")
+    // occupancy n/cells ≈ √n and probe work probes·√n — both sublinear
+    ns.zip(cs).foreach { case (n, c) =>
+      assert(math.abs(c - math.sqrt(n.toDouble)) <= 1.0, s"n=$n cells=$c")
+    }
+  }
+
+  test("IVF probed corpus fraction SHRINKS as the corpus grows (adaptive cells)") {
+    import org.apache.spark.sql.functions._
+    def fracFor(all: org.apache.spark.sql.DataFrame, n: Long, nQ: Int): Double = {
+      val cents = SimilarityOps.ivfCentroids(all, SimilarityOps.ivfCellsFor(n))
+      val assigned = SimilarityOps.assignCells(all, cents)
+        .select(col("cell"), col("vec_id"))
+      val probes = SimilarityOps.ivfProbePlan(
+        all.filter(col("vec_id") < nQ), cents).select("qid", "cell")
+      probes.join(assigned, Seq("cell")).count().toDouble / (nQ.toLong * n)
+    }
+    def testdataCorpus(d: String) = graft.core.Tables.embeddings(spark, d)
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val n1 = 500L;   val f1 = fracFor(testdataCorpus("/root/testdata/sf0.001"), n1, 8)
+    val n2 = 2000L;  val f2 = fracFor(testdataCorpus("/root/testdata/sf0.1"), n2, 8)
+    // synthetic 20k corpus (same seed as the SRP wide-code test)
+    import spark.implicits._
+    val n3 = 20000L
+    val rnd = new scala.util.Random(7)
+    val big = Seq.tabulate(n3.toInt) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val f3 = fracFor(big, n3, 8)
+    info(f"probed fraction: n=$n1 → $f1%.3f, n=$n2 → $f2%.3f, n=$n3 → $f3%.3f")
+    // a fixed codebook probes a CONSTANT fraction; adaptive cells must shrink it
+    assert(f1 > f2 && f2 > f3, f"fractions not shrinking: $f1%.3f $f2%.3f $f3%.3f")
+    assert(f3 <= 0.08, f"n=20000 still probes $f3%.3f of the corpus — not an index")
   }
 }
