@@ -36,6 +36,12 @@ object Bench {
         graft.core.Tables.embeddings(spark, sfDir).limit(64)
           .selectExpr("vec_id", "cast(embedding as array<double>) as v",
             "cast(1.0 as double) as nrm"), 6).count()
+      // from_json (JsonToStructs) is CodegenFallback with its own
+      // Jackson/parser bring-up; e5 is its only user, so without this
+      // warm the ~4s one-time cost lands entirely on e5's measurement
+      // (steady-state e5 is ~0.6s at sf0.1)
+      spark.range(64).selectExpr("""from_json('{"k":1}', 'k LONG') as p""")
+        .select("p.k").count()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
