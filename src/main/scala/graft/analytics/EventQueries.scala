@@ -229,12 +229,62 @@ object EventQueries {
       |WHERE json_extract_string(props, '$.k') IS NOT NULL
       |ORDER BY event_id""".stripMargin
 
+  /** E5b: corrupt-input quarantine over a deterministically mangled
+    * payload stream — every event_id ≡ 0 (mod 97) gets structurally
+    * broken JSON, every ≡ 1 valid JSON missing the required field. The
+    * PERMISSIVE parse captures unparseable bytes instead of dropping or
+    * throwing ([[graft.ops.Quarantine]] — the reference's fail-soft
+    * record handling, pipeline.py:44-61, applied to parsing); this query
+    * emits the quarantine side with reasons and raw evidence. At 100 TB
+    * the split is a filter + complement on one scan lineage — no second
+    * pass over the corpus to find the bad rows. */
+  def e5bJsonQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    val mangled = Tables.events(spark, dir)
+      .withColumn("raw",
+        when(pmod(col("event_id"), lit(97)) === 0, concat(lit("{bad"), col("props")))
+          .when(pmod(col("event_id"), lit(97)) === 1, lit("""{"v": 1}"""))
+          .otherwise(col("props")))
+      .select(col("event_id"), col("raw"))
+    val annotated = graft.ops.Quarantine.annotateJson(
+      mangled, "raw",
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType))),
+      required = Seq("k"))
+    graft.ops.Quarantine.badRows(annotated)
+      .select(col("event_id"),
+        col(graft.ops.Quarantine.ReasonCol).as("reason"), col("raw"))
+      .orderBy(col("event_id"))
+  }
+
+  val e5bJsonQuarantineSql: String =
+    """WITH raw AS (
+      |  SELECT event_id,
+      |    CASE WHEN event_id % 97 = 0 THEN '{bad' || props
+      |         WHEN event_id % 97 = 1 THEN '{"v": 1}'
+      |         ELSE props END AS raw
+      |  FROM events),
+      |k AS (
+      |  SELECT event_id, raw,
+      |    CASE WHEN json_valid(raw)
+      |         THEN json_extract_string(raw, '$.k') END AS k
+      |  FROM raw)
+      |SELECT event_id,
+      |  CASE WHEN raw IS NULL THEN 'null_input'
+      |       WHEN NOT json_valid(raw) THEN 'corrupt'
+      |       ELSE 'missing_required' END AS reason,
+      |  raw
+      |FROM k
+      |WHERE raw IS NULL OR NOT json_valid(raw) OR k IS NULL
+      |ORDER BY event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_tumbling_window" -> (e1TumblingWindow _),
     "e2_sessionization" -> (e2Sessionization _),
     "e3_json_extract" -> (e3JsonExtract _),
     "e4_salted_agg" -> (e4SaltedAgg _),
     "e5_json_struct" -> (e5JsonStruct _),
+    "e5b_json_quarantine" -> (e5bJsonQuarantine _),
     "e6_skew_join" -> (e6SkewJoin _),
     "e7_asof_join" -> (e7AsofJoin _),
     "e8_band_join" -> (e8BandJoin _),
@@ -246,6 +296,7 @@ object EventQueries {
     "e3_json_extract" -> e3JsonExtractSql,
     "e4_salted_agg" -> e4SaltedAggSql,
     "e5_json_struct" -> e5JsonStructSql,
+    "e5b_json_quarantine" -> e5bJsonQuarantineSql,
     "e6_skew_join" -> e6SkewJoinSql,
     "e7_asof_join" -> e7AsofJoinSql,
     "e8_band_join" -> e8BandJoinSql,

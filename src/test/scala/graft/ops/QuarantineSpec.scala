@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSuite
+
+class QuarantineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("s", StringType)))
+
+  private def annotated = Quarantine.annotateJson(
+    Seq(
+      (1L, """{"k": 7, "s": "ok"}"""),   // good
+      (2L, """{"k": 8}"""),              // good (s not required)
+      (3L, """{bad json"""),             // corrupt bytes
+      (4L, """{"s": "no k"}"""),         // parses, missing required k
+      (5L, """{"k": null, "s": "x"}"""), // explicit null ≡ missing
+      (6L, null.asInstanceOf[String]),   // null input
+      (7L, """not json at all"""),       // corrupt bytes
+    ).toDF("id", "raw"), "raw", schema, required = Seq("k"))
+
+  test("good/bad split: every row lands exactly once, reasons are ranked") {
+    val bad = Quarantine.badRows(annotated)
+      .select("id", Quarantine.ReasonCol).as[(Long, String)].collect().toMap
+    assert(bad == Map(
+      3L -> Quarantine.ReasonCorrupt,
+      4L -> Quarantine.ReasonMissingRequired,
+      5L -> Quarantine.ReasonMissingRequired,
+      6L -> Quarantine.ReasonNullInput,
+      7L -> Quarantine.ReasonCorrupt))
+    val good = Quarantine.goodRows(annotated)
+      .select(col("id"), col("parsed.k"), col("parsed.s"))
+      .collect().toSet
+    assert(good == Set(Row(1L, 7L, "ok"), Row(2L, 8L, null)))
+  }
+
+  test("quarantined rows keep raw evidence; good rows shed the capture column") {
+    val bad = Quarantine.badRows(annotated)
+    val raws = bad.select("id", "raw").as[(Long, String)].collect().toMap
+    assert(raws(3L) == """{bad json""" && raws(7L) == """not json at all""")
+    assert(raws(6L) == null)
+    // capture column present on the quarantine side, stripped on the good side
+    assert(bad.select(col(s"parsed.${Quarantine.CorruptCol}")).columns.nonEmpty)
+    val goodFields = Quarantine.goodRows(annotated).schema("parsed")
+      .dataType.asInstanceOf[StructType].fieldNames.toSet
+    assert(goodFields == Set("k", "s"))
+  }
+
+  test("split is exhaustive and disjoint (filter + complement, one lineage)") {
+    val n = annotated.count()
+    assert(Quarantine.goodRows(annotated).count() +
+      Quarantine.badRows(annotated).count() == n)
+  }
+
+  test("no required fields: only parse failures quarantine") {
+    val ann = Quarantine.annotateJson(
+      Seq((1L, """{"z": 1}"""), (2L, "{{")).toDF("id", "raw"), "raw", schema)
+    assert(Quarantine.badRows(ann).select("id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  test("reserved capture column in user schema is rejected") {
+    intercept[IllegalArgumentException] {
+      Quarantine.annotateJson(Seq((1L, "{}")).toDF("id", "raw"), "raw",
+        StructType(Seq(StructField(Quarantine.CorruptCol, StringType))))
+    }
+  }
+
+  test("e5b query: quarantine slice matches the mod-97 mangling exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val out = graft.analytics.EventQueries.e5bJsonQuarantine(spark, dir)
+      .select("event_id", "reason").as[(Long, String)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (id, reason) =>
+      val expected = (id % 97) match {
+        case 0 => Quarantine.ReasonCorrupt
+        case 1 => Quarantine.ReasonMissingRequired
+        case m => fail(s"unmangled event_id $id (mod $m) in quarantine")
+      }
+      assert(reason == expected, s"event_id $id")
+    }
+    // every mangled id is caught — none slip through to the good side
+    val expectedBad = graft.core.Tables.events(spark, dir)
+      .filter(pmod(col("event_id"), lit(97)) <= 1).count()
+    assert(out.length == expectedBad)
+  }
+}
