@@ -1,0 +1,126 @@
+package graft.ops
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Atomic multi-table publish (SURVEY.md §2.1; reference transaction
+  * boundary: /root/reference/app/api/routes.py:86-148 persists patients,
+  * consents, clinical, audit and run-metadata under ONE `db.commit()` at
+  * :148 — a mid-request failure rolls all of them back).
+  *
+  * Parquet has no transactions, so the commit observable is rebuilt from
+  * the two primitives a distributed FS does give us: write-to-fresh-paths
+  * and atomic rename. Layout under a publish root:
+  *
+  * {{{
+  *   root/v_<txn>/<table>/        versioned immutable table data
+  *   root/_CURRENT                manifest naming the live txn + tables
+  * }}}
+  *
+  * `publish` stages every table under a hidden scratch dir, renames the
+  * whole dir to its versioned location only after ALL writes succeeded,
+  * and finally swaps `_CURRENT` via an atomic overwrite-rename. Readers
+  * resolve `_CURRENT` first, so they see either the complete old set of
+  * tables or the complete new one — never a mix, exactly the reference's
+  * all-or-nothing commit. A crash at any point leaves `_CURRENT` (and
+  * everything it references) untouched; orphaned scratch/version dirs are
+  * invisible garbage, reclaimed by `vacuum`.
+  *
+  * At 100 TB this costs what the plain writes cost: the commit step moves
+  * ZERO data — one directory rename plus one small-file swap — and never
+  * touches the driver with row data. (This is the same observable an
+  * Iceberg/Delta-style metadata pointer provides, built on the FS alone;
+  * FileContext.rename(OVERWRITE) is atomic on HDFS and POSIX local FS.)
+  */
+object AtomicPublish {
+
+  private val CurrentFile = "_CURRENT"
+
+  /** Manifest: txn id + table names, one line each — tiny, parse-free. */
+  private def renderManifest(txn: String, tables: Seq[String]): String =
+    (txn +: tables.sorted).mkString("\n")
+
+  private def fc(spark: SparkSession, p: Path): FileContext =
+    FileContext.getFileContext(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).getUri,
+      spark.sparkContext.hadoopConfiguration)
+
+  /** Write `tables` as one atomic publish; returns the txn id. Any write
+    * failure propagates AFTER best-effort scratch cleanup, with the
+    * previously published version fully intact. */
+  def publish(spark: SparkSession, root: String,
+      tables: Map[String, DataFrame]): String = {
+    require(tables.nonEmpty, "publish needs at least one table")
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    val rootPath = new Path(root)
+    val scratch = new Path(rootPath, s".staging_$txn")
+    val versioned = new Path(rootPath, s"v_$txn")
+    val ctx = fc(spark, rootPath)
+    ctx.mkdir(rootPath, null, true)
+    try {
+      // 1. stage: all data lands under paths no reader resolves
+      tables.foreach { case (name, df) =>
+        df.write.mode("error").parquet(new Path(scratch, name).toString)
+      }
+      // 2. seal: one atomic dir rename makes the version complete-or-absent
+      ctx.rename(scratch, versioned)
+      // 3. commit: swap the manifest pointer (atomic overwrite-rename)
+      val tmp = new Path(rootPath, s"._current_$txn")
+      val out = ctx.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try out.write(renderManifest(txn, tables.keys.toSeq)
+        .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      ctx.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
+      txn
+    } catch {
+      case e: Throwable =>
+        try ctx.delete(scratch, true) catch { case _: Throwable => () }
+        throw e
+    }
+  }
+
+  /** The live txn id, or None before the first successful publish. */
+  def currentTxn(spark: SparkSession, root: String): Option[String] = {
+    val cur = new Path(root, CurrentFile)
+    val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(cur)) None
+    else {
+      val in = fs.open(cur)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().next().trim)
+      finally in.close()
+    }
+  }
+
+  /** Read a table from the CURRENT version — the only resolution path
+    * readers use, so partially-published data is unreachable. */
+  def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
+    val txn = currentTxn(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    spark.read.parquet(new Path(new Path(root, s"v_$txn"), table).toString)
+  }
+
+  /** Drop every version and scratch dir the CURRENT manifest does not
+    * reference. Returns the deleted paths. Safe against concurrent
+    * readers of the current version; concurrent publishers should not
+    * run during vacuum (same contract as any table maintenance op). */
+  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = currentTxn(spark, root)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        (n.startsWith("v_") && !live.contains(n.stripPrefix("v_"))) ||
+          n.startsWith(".staging_")
+      }
+      .map { p => fs.delete(p, true); p.toString }
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class AtomicPublishSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("publish").resolve("tables").toString
+
+  test("publish + read roundtrip across multiple tables") {
+    val root = freshRoot()
+    val txn = AtomicPublish.publish(spark, root, Map(
+      "patients" -> Seq((1L, "a"), (2L, "b")).toDF("id", "name"),
+      "consents" -> Seq((1L, true)).toDF("patient_id", "granted")))
+    assert(AtomicPublish.currentTxn(spark, root).contains(txn))
+    assert(AtomicPublish.readTable(spark, root, "patients").count() == 2)
+    assert(AtomicPublish.readTable(spark, root, "consents").count() == 1)
+  }
+
+  test("crash between table writes leaves the published version unchanged") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map(
+      "patients" -> Seq((1L, "a")).toDF("id", "name"),
+      "consents" -> Seq((1L, true)).toDF("patient_id", "granted")))
+    // second publish: first table writes clean, second table's job fails
+    // mid-write (raise_error fires per-row during the parquet write)
+    val boom = spark.range(10).select(
+      when(col("id") < 5, col("id"))
+        .otherwise(raise_error(lit("disk on fire"))).as("id"))
+    intercept[Exception] {
+      AtomicPublish.publish(spark, root, Map(
+        "patients" -> Seq((9L, "z")).toDF("id", "name"),
+        "consents" -> boom))
+    }
+    // the transaction observable: pointer, data, and table SET all intact
+    assert(AtomicPublish.currentTxn(spark, root).contains(v1))
+    val pat = AtomicPublish.readTable(spark, root, "patients")
+      .as[(Long, String)].collect().toSet
+    assert(pat == Set((1L, "a")))
+    assert(AtomicPublish.readTable(spark, root, "consents").count() == 1)
+  }
+
+  test("no torn state before the first publish: failure leaves root unreadable") {
+    val root = freshRoot()
+    val boom = spark.range(2)
+      .select(raise_error(lit("nope")).as("id"))
+    intercept[Exception] {
+      AtomicPublish.publish(spark, root, Map("t" -> boom))
+    }
+    assert(AtomicPublish.currentTxn(spark, root).isEmpty)
+    intercept[IllegalStateException] {
+      AtomicPublish.readTable(spark, root, "t")
+    }
+  }
+
+  test("republish swaps all tables at once; vacuum reclaims only dead versions") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map(
+      "patients" -> Seq((1L, "a")).toDF("id", "name")))
+    val v2 = AtomicPublish.publish(spark, root, Map(
+      "patients" -> Seq((1L, "a"), (2L, "b")).toDF("id", "name")))
+    assert(AtomicPublish.currentTxn(spark, root).contains(v2))
+    assert(AtomicPublish.readTable(spark, root, "patients").count() == 2)
+    val deleted = AtomicPublish.vacuum(spark, root)
+    assert(deleted.exists(_.contains(s"v_$v1")) &&
+      !deleted.exists(_.contains(s"v_$v2")))
+    // current version untouched by vacuum
+    assert(AtomicPublish.readTable(spark, root, "patients").count() == 2)
+  }
+
+  test("full ingest publish: patients + consents + audit + run metadata commit together") {
+    val root = freshRoot()
+    val batch = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")
+      .withColumn("consent", map(lit("treatment"), lit(true)))
+    val audit = Sinks.auditEntries("api", "create", "patient", batch, "id")
+    val run = Sinks.pipelineRunRow(spark, "ingest", "completed",
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), 2L, 2L, "[]", "{}")
+    AtomicPublish.publish(spark, root, Map(
+      "patients" -> batch.drop("consent"),
+      "consents" -> Sinks.consentRowsFromBatch(batch),
+      "audit_log" -> audit,
+      "pipeline_runs" -> run))
+    assert(AtomicPublish.readTable(spark, root, "patients").count() == 2)
+    assert(AtomicPublish.readTable(spark, root, "consents").count() == 2)
+    assert(AtomicPublish.readTable(spark, root, "audit_log").count() == 2)
+    assert(AtomicPublish.readTable(spark, root, "pipeline_runs").count() == 1)
+  }
+}
