@@ -14,15 +14,28 @@ import graft.core.Tables
 object InsightQueries {
 
   /** Generic one-pass column profiler: for each requested column, null
-    * count, exact distinct count, min/max (string-rendered so one
-    * result schema fits every column type). ONE aggregate pass computes
-    * all columns' stats; the wide row then unpivots to long form —
-    * profiling never rescans per column. */
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * count, distinct count, min/max (string-rendered so one result
+    * schema fits every column type). ONE aggregate pass computes all
+    * columns' stats; the wide row then unpivots to long form —
+    * profiling never rescans per column.
+    *
+    * Distinct counts default to `approx_count_distinct` (HLL++): at
+    * 100 TB that is the only sane profiler default, because N exact
+    * distinct aggregates in one pass force an Expand — every input row
+    * is replicated N+1 times and every distinct value of every profiled
+    * column rides the shuffle — whereas N HLL sketches fold map-side
+    * into constant-size state (one ordinary partial-agg shuffle, no
+    * Expand; PlanAuditSpec pins both plan shapes). `exactDistinct=true`
+    * keeps the exact semantics for small/oracle-checked profiles. */
+  def profile(df: DataFrame, cols: Seq[String],
+      exactDistinct: Boolean = false): DataFrame = {
     val aggs = cols.flatMap { c =>
+      val distinctAgg =
+        if (exactDistinct) countDistinct(col(c))
+        else approx_count_distinct(col(c))
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
+        distinctAgg.as(s"${c}__distinct"),
         min(col(c)).cast("string").as(s"${c}__min"),
         max(col(c)).cast("string").as(s"${c}__max"))
     }
@@ -38,8 +51,19 @@ object InsightQueries {
       .orderBy(col("col_name"))
   }
 
-  /** P1: profile the customer table (null/distinct/min/max per column). */
+  /** P1: profile the customer table (null/distinct/min/max per column).
+    * Exact distinct counts — this is the oracle-checked variant on a
+    * bounded column set, the one place exactness is worth the Expand. */
   def p1Profile(spark: SparkSession, dir: String): DataFrame =
+    profile(Tables.customer(spark, dir),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+      exactDistinct = true)
+
+  /** P1b: the scale-default profiler — same stats with HLL++ distinct
+    * counts (no Expand, constant-size agg state). Sketch-based, so no
+    * SQL oracle (DuckDB's approx sketch differs); the spec brackets it
+    * against the exact profile instead. */
+  def p1bProfileApprox(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.customer(spark, dir),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
 
@@ -123,6 +147,7 @@ object InsightQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_profile" -> (p1Profile _),
+    "p1b_profile_approx" -> (p1bProfileApprox _),
     "f3_funnel" -> (f3Funnel _),
     "c2_cohort_retention" -> (c2CohortRetention _),
   )

@@ -8,6 +8,21 @@ import graft.SparkSuite
 class ApproxSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
+  test("approx profiler (p1b) tracks the exact profile: HLL distincts within 5%, rest identical") {
+    def byCol(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    val exact = byCol(InsightQueries.p1Profile(spark, dir).collect())
+    val approx = byCol(InsightQueries.p1bProfileApprox(spark, dir).collect())
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (c, (nulls, distinct, mn, mx)) =>
+      val (aNulls, aDistinct, aMn, aMx) = approx(c)
+      assert(aNulls == nulls && aMn == mn && aMx == mx, s"$c non-sketch stats drifted")
+      assert(math.abs(aDistinct - distinct).toDouble / math.max(1L, distinct) <= 0.05,
+        s"$c: approx distinct $aDistinct vs exact $distinct")
+    }
+  }
+
   test("approx_percentile tracks exact percentiles within 5%") {
     val exact = AdvancedQueries.a7Percentile(spark, dir).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap

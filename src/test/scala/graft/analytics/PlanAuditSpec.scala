@@ -135,4 +135,15 @@ class PlanAuditSpec extends SparkSuite {
     val p = planString(RelationalQueries.q1Agg(spark, dir))
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
+
+  test("p1b: approx profiler plans WITHOUT Expand; exact profiler needs it") {
+    // N exact countDistincts in one pass force an Expand (each input row
+    // replicated N+1 times, all distinct values shuffled) — the reason
+    // approx is the at-scale default
+    val exact = planString(InsightQueries.p1Profile(spark, dir))
+    assert(exact.contains("Expand"), exact)
+    val approx = planString(InsightQueries.p1bProfileApprox(spark, dir))
+    assert(!approx.contains("Expand"), approx)
+    assert(approx.contains("partial_approx_count_distinct"), approx)
+  }
 }
