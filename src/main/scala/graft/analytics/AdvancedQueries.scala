@@ -792,6 +792,66 @@ object AdvancedQueries {
       |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
       |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** Q4: correlated EXISTS through the SQL entry (TPC-H Q4 shape —
+    * orders in a date window having at least one qualifying lineitem).
+    * DECORRELATION: Catalyst rewrites the per-row EXISTS probe into one
+    * LEFT SEMI join on the correlation key (plan-pinned) — the only
+    * formulation that scales; a naive engine re-runs the inner query
+    * per outer row. */
+  def q4Exists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM graft_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM graft_lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q4ExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q21 shape: EXISTS and NOT EXISTS correlated on the same outer row —
+    * orders with a heavy lineitem but no returned one. Decorrelates to
+    * one LEFT SEMI plus one LEFT ANTI join (plan-pinned); candidate
+    * volume is two equi-joins on the correlation key, never a per-row
+    * re-scan. */
+  def q21NotExists(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM graft_orders
+        |WHERE EXISTS (SELECT 1 FROM graft_lineitem l1
+        |              WHERE l1.l_orderkey = o_orderkey
+        |                AND l1.l_quantity > 30)
+        |  AND NOT EXISTS (SELECT 1 FROM graft_lineitem l2
+        |                  WHERE l2.l_orderkey = o_orderkey
+        |                    AND l2.l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  val q21NotExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem l1
+      |              WHERE l1.l_orderkey = o_orderkey AND l1.l_quantity > 30)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l2
+      |                  WHERE l2.l_orderkey = o_orderkey
+      |                    AND l2.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Sorted `k=v,...` rendering of a map — the engine-agnostic way to
     * compare map values (map iteration order is undefined in both
     * engines). */
@@ -873,6 +933,8 @@ object AdvancedQueries {
     "j5_q3_revenue" -> (j5Q3Revenue _),
     "q6_filter_sum" -> (q6FilterSum _),
     "q17_subquery" -> (q17Subquery _),
+    "q4_exists" -> (q4Exists _),
+    "q21_not_exists" -> (q21NotExists _),
     "j6_q5_volume" -> (j6Q5Volume _),
     "j7_full_outer" -> (j7FullOuter _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
@@ -911,6 +973,8 @@ object AdvancedQueries {
     "j5_q3_revenue" -> j5Q3RevenueSql,
     "q6_filter_sum" -> q6FilterSumSql,
     "q17_subquery" -> q17SubquerySql,
+    "q4_exists" -> q4ExistsSql,
+    "q21_not_exists" -> q21NotExistsSql,
     "j6_q5_volume" -> j6Q5VolumeSql,
     "j7_full_outer" -> j7FullOuterSql,
     "dd1_dedup_first" -> dd1DedupFirstSql,

@@ -136,6 +136,15 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("partial_sum") || p.contains("partial_count"), p)
   }
 
+  test("q4/q21: EXISTS decorrelates to semi join, NOT EXISTS to anti join") {
+    val q4 = planString(AdvancedQueries.q4Exists(spark, dir))
+    assert(q4.contains("LeftSemi"), q4)
+    assert(!q4.toLowerCase.contains("subquery"), q4)
+    val q21 = planString(AdvancedQueries.q21NotExists(spark, dir))
+    assert(q21.contains("LeftSemi") && q21.contains("LeftAnti"), q21)
+    assert(!q21.toLowerCase.contains("subquery"), q21)
+  }
+
   test("p1b: approx profiler plans WITHOUT Expand; exact profiler needs it") {
     // N exact countDistincts in one pass force an Expand (each input row
     // replicated N+1 times, all distinct values shuffled) — the reason
