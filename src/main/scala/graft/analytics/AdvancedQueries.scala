@@ -489,6 +489,38 @@ object AdvancedQueries {
       |WHERE c_custkey % 10 = 0
       |ORDER BY c_custkey, c_acctbal ASC NULLS FIRST""".stripMargin
 
+  /** SET3: schema evolution ON READ — the first thing a long-lived table
+    * hits. Writes a real two-generation parquet lineage (gen v1 without
+    * `c_acctbal`, gen v2 with it — even/odd keys, layout-independent),
+    * then reads the whole lineage with `mergeSchema` footer merging and
+    * an explicit default fill for the pre-evolution rows. set2 covers
+    * the union-side of evolution; this covers the storage side: at
+    * 100 TB old files are never rewritten when a column lands —
+    * the merged read + default fill IS the migration. */
+  def set3EvolvedScan(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_evolved_${Integer.toHexString(dir.hashCode)}").toString
+    cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .write.mode("overwrite").parquet(s"$base/gen1")
+    cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$base/gen2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        r2(coalesce(col("c_acctbal"), lit(0.0))).as("acctbal_filled"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val set3EvolvedScanSql: String =
+    """SELECT c_custkey, c_name, c_nationkey,
+      |round(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal ELSE 0.0 END, 2)
+      |  AS acctbal_filled
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** HOF predicate battery over the embedding arrays: exists / forall /
     * filter-count in the double domain. */
   def x12HofPredicates(spark: SparkSession, dir: String): DataFrame = {
@@ -944,6 +976,7 @@ object AdvancedQueries {
     "x11_array_funcs" -> (x11ArrayFuncs _),
     "w4_topk_agg" -> (w4TopkAgg _),
     "set2_union_by_name" -> (set2UnionByName _),
+    "set3_evolved_scan" -> (set3EvolvedScan _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -984,6 +1017,7 @@ object AdvancedQueries {
     "x11_array_funcs" -> x11ArrayFuncsSql,
     "w4_topk_agg" -> w4TopkAggSql,
     "set2_union_by_name" -> set2UnionByNameSql,
+    "set3_evolved_scan" -> set3EvolvedScanSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

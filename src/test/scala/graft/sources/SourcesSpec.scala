@@ -53,6 +53,27 @@ class SourcesSpec extends SparkSuite {
       orig.filter(col("c_custkey") < 10).count())
   }
 
+  test("schema evolution on read: mergeSchema unifies a two-generation lineage") {
+    val base = Files.createTempDirectory("graft-src").resolve("evolved").toString
+    val cust = graft.core.Tables.customer(spark, dir)
+    cust.select(col("c_custkey"), col("c_name"))
+      .limit(10).write.parquet(s"$base/gen1")
+    cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .filter(col("c_custkey") > 100).limit(10).write.parquet(s"$base/gen2")
+    // without mergeSchema, Spark picks ONE footer: reading the pair can
+    // silently lose the evolved column; with it, the union schema holds
+    val merged = spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen1", s"$base/gen2")
+    assert(merged.columns.toSet == Set("c_custkey", "c_name", "c_acctbal"))
+    // pre-evolution rows surface NULL for the new column; explicit
+    // default fill completes the read-side migration
+    val filled = merged.withColumn("acctbal_filled",
+      coalesce(col("c_acctbal"), lit(0.0)))
+    assert(filled.filter(col("c_acctbal").isNull).count() == 10)
+    assert(filled.filter(col("acctbal_filled").isNull).count() == 0)
+    assert(merged.count() == 20)
+  }
+
   test("a SparkEntry query runs unchanged over a re-formatted table") {
     // q1 consumes Tables.lineitem (parquet); the same logical query over
     // an ORC copy returns identical results — operators are
