@@ -47,6 +47,23 @@ class StreamingOpsSpec extends SparkSuite {
   }
 
   test("finalized sessionization across THREE micro-batches equals batch e2") {
+    runFinalizedSessionization("sess_final")
+  }
+
+  test("finalized sessionization on the RocksDB state store (production posture)") {
+    // the default HDFS-backed store keeps all state on-heap; RocksDB
+    // spills to local disk, the posture for 100 TB-scale keyed state.
+    // Same computation, same result — only the provider swaps.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runFinalizedSessionization("sess_final_rocks", expectRocksDb = true)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
+  private def runFinalizedSessionization(queryName: String,
+      expectRocksDb: Boolean = false): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     val events = graft.core.Tables.events(spark, dir).select(cols.map(col): _*)
@@ -81,15 +98,21 @@ class StreamingOpsSpec extends SparkSuite {
     val stream = spark.readStream.schema(events.schema)
       .option("maxFilesPerTrigger", "1").parquet(src.toString)
     val closed = StreamingOps.sessionizeStreamFinalized(stream)
-    val q = closed.toDF().writeStream.format("memory").queryName("sess_final")
+    val q = closed.toDF().writeStream.format("memory").queryName(queryName)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
     assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
       "expected three data micro-batches")
+    // provider proof, not just conf: RocksDB exposes rocksdb* custom
+    // metrics on the state operator; the default HDFS store exposes none
+    val stateMetrics = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+    assert(stateMetrics.exists(_.startsWith("rocksdb")) == expectRocksDb,
+      s"state-store metrics: ${stateMetrics.distinct.mkString(",")}")
 
     // every real session closed exactly once; per-user aggregation
     // reproduces the batch result
-    val merged = spark.table("sess_final")
+    val merged = spark.table(queryName)
       .filter(col("user_id") >= 0)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
