@@ -221,22 +221,39 @@ object SimilarityOps {
   val IvfMaxCells = 65536
   val IvfProbes = 4
 
+  /** Lloyd-refinement sample size per cell: codebook TRAINING cost is
+    * bounded at ~(cells × this) × cells dot products ≈ 32·cells² — linear
+    * in n at √n cells — instead of the full n × cells assignment, which
+    * would be n^1.5. (The one-time full-corpus assignment that builds the
+    * index is inherently n × cells; sampling applies to training only,
+    * the same split FAISS makes.) */
+  val LloydSamplePerCell = 32
+
   def ivfCellsFor(n: Long): Int = {
     val raw = math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt
     math.min(IvfMaxCells, math.max(IvfMinCells, raw))
   }
 
+  /** Deterministic training-sample stride: every `stride`-th vec_id,
+    * sized so ~[[LloydSamplePerCell]] vectors land per cell. 1 (= the
+    * whole corpus) until n exceeds cells × sample-per-cell. */
+  def ivfLloydStride(n: Long, cells: Int): Long =
+    math.max(1L, n / (cells.toLong * LloydSamplePerCell))
+
   /** Deterministic IVF codebook: seed centroids are the vectors with the
     * K smallest vec_ids (any deterministic rule works for a seeded
-    * coarse quantizer), refined by ONE Lloyd step — per-cell mean via a
-    * posexplode/groupBy/rebuild, all set-oriented and DISTRIBUTED (no
-    * driver iteration, no RNG). The codebook is model state (K ≈ √n
-    * rows, bounded by [[IvfMaxCells]]), so it is materialized to the
-    * driver and returned as a LocalRelation: the Lloyd pass runs exactly
-    * once, both consumers broadcast a literal, and there is no cached
-    * entry to leak and no single-partition global window. Returns
-    * (cell, centroid array<double>). */
-  def ivfCentroids(vectors: DataFrame, cells: Int): DataFrame = {
+    * coarse quantizer), refined by ONE Lloyd step over a deterministic
+    * sample (`lloydStride`, see [[ivfLloydStride]]) — per-cell mean via
+    * a posexplode/groupBy/rebuild, all set-oriented and DISTRIBUTED (no
+    * driver iteration, no RNG). A cell the sample misses keeps its seed
+    * centroid, so the codebook never shrinks. The codebook is model
+    * state (K ≈ √n rows, bounded by [[IvfMaxCells]]), so it is
+    * materialized to the driver and returned as a LocalRelation: the
+    * Lloyd pass runs exactly once, both consumers broadcast a literal,
+    * and there is no cached entry to leak and no single-partition global
+    * window. Returns (cell, centroid array<double>). */
+  def ivfCentroids(vectors: DataFrame, cells: Int,
+      lloydStride: Long = 1L): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     // TakeOrdered (orderBy+limit) — never a full sort; cell id = rank
@@ -245,9 +262,12 @@ object SimilarityOps {
       .orderBy(col("vec_id")).limit(cells).collect()
       .sortBy(_.getLong(0)).zipWithIndex
       .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }
-      .toSeq.toDF("cell", "c")
-    val assigned = assignCells(vectors, seeds)
-    // Lloyd step: element-wise mean of each cell's member vectors
+    val seedsDf = seeds.toSeq.toDF("cell", "c")
+    val sample =
+      if (lloydStride <= 1L) vectors
+      else vectors.filter(pmod(col("vec_id"), lit(lloydStride)) === 0)
+    val assigned = assignCells(sample, seedsDf)
+    // Lloyd step: element-wise mean of each cell's sampled member vectors
     val refined = assigned
       .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy(col("cell"), col("pos")).agg(avg(col("x")).as("m"))
@@ -255,8 +275,10 @@ object SimilarityOps {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"),
         transform(col("pm"), e => e.getField("m")).as("c"))
-    refined.collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.toDF("cell", "c")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    seeds.map { case (cell, c) => (cell, refined.getOrElse(cell, c)) }
+      .toSeq.toDF("cell", "c")
   }
 
   /** Nearest centroid (max cosine) per vector: broadcast the K-row
@@ -279,7 +301,9 @@ object SimilarityOps {
     * the pruning on a real partitioned write. */
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    assignCells(all, ivfCentroids(all, ivfCellsFor(corpusCount(spark, dir))))
+    val n = corpusCount(spark, dir)
+    val cells = ivfCellsFor(n)
+    assignCells(all, ivfCentroids(all, cells, ivfLloydStride(n, cells)))
   }
 
   /** The `IvfProbes` best cells per query vector (centroid cosine
@@ -310,8 +334,11 @@ object SimilarityOps {
   def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
     // √n-row literal codebook (see ivfCentroids) consumed by both corpus
-    // assignment and query probing — the Lloyd pass ran exactly once
-    val cents = ivfCentroids(all, ivfCellsFor(corpusCount(spark, dir)))
+    // assignment and query probing — the Lloyd pass ran exactly once,
+    // trained on a bounded deterministic sample
+    val n = corpusCount(spark, dir)
+    val cells = ivfCellsFor(n)
+    val cents = ivfCentroids(all, cells, ivfLloydStride(n, cells))
     val assigned = assignCells(all, cents)
     val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
     val sims = probes.join(assigned, Seq("cell"))

@@ -230,6 +230,47 @@ class SimilarityOpsSpec extends SparkSuite {
     }
   }
 
+  test("ivfLloydStride bounds codebook training to ~32 samples/cell") {
+    import SimilarityOps.{ivfCellsFor, ivfLloydStride, LloydSamplePerCell}
+    // below cells×32 the sample IS the corpus — no behavior change
+    assert(ivfLloydStride(500, ivfCellsFor(500)) == 1L)
+    assert(ivfLloydStride(2000, ivfCellsFor(2000)) == 1L)
+    // past it, the sampled count stays ~cells×32 regardless of n
+    Seq(100000L, 10000000L, 1000000000L).foreach { n =>
+      val cells = ivfCellsFor(n)
+      val stride = ivfLloydStride(n, cells)
+      val sampled = n / stride
+      assert(stride > 1L, s"n=$n")
+      assert(sampled <= 2L * cells * LloydSamplePerCell,
+        s"n=$n: $sampled sampled for $cells cells")
+      assert(sampled >= cells.toLong * LloydSamplePerCell / 2,
+        s"n=$n: sample too thin ($sampled for $cells cells)")
+    }
+  }
+
+  test("sample-trained codebook (stride>1) keeps every cell and a small probed fraction") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val n = 20000
+    val rnd = new scala.util.Random(7)
+    val big = Seq.tabulate(n) { i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "v")
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val cells = SimilarityOps.ivfCellsFor(n)
+    val stride = SimilarityOps.ivfLloydStride(n, cells)
+    assert(stride > 1L, "20k corpus must exercise the sampled-training path")
+    val cents = SimilarityOps.ivfCentroids(big, cells, stride)
+    // seed fallback: no cell lost even where the sample was empty
+    assert(cents.count() == cells)
+    val assigned = SimilarityOps.assignCells(big, cents).select("cell", "vec_id")
+    val probes = SimilarityOps.ivfProbePlan(
+      big.filter(col("vec_id") < 8), cents).select("qid", "cell")
+    val frac = probes.join(assigned, Seq("cell")).count().toDouble / (8.0 * n)
+    info(f"sample-trained probed fraction at n=$n: $frac%.3f")
+    assert(frac <= 0.08, f"probed fraction $frac%.3f — sampling degraded the codebook")
+  }
+
   test("IVF probed corpus fraction SHRINKS as the corpus grows (adaptive cells)") {
     import org.apache.spark.sql.functions._
     def fracFor(all: org.apache.spark.sql.DataFrame, n: Long, nQ: Int): Double = {
