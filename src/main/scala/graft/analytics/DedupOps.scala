@@ -314,17 +314,81 @@ object DedupOps {
       .orderBy(col("da"), col("db"))
   }
 
+  // --- n6: benchmark decontamination ----------------------------------------
+
+  /** Contamination n-gram width — the published-practice scale is 8–13
+    * word n-grams; 8 fits the ~128-word synthetic documents. */
+  val DecontamN = 8
+  /** Testdata stand-in for the benchmark table: every 10th doc is "eval". */
+  val DecontamEvalMod = 10
+
+  /** Word n-gram HASHES per document: (doc_id, h), raw stream (repeated
+    * n-grams repeat; consumers dedupe inside their aggregates — the
+    * shingle-stream pattern, one exchange). Generalizes [[shingleHashes]]
+    * to any n. */
+  def ngramHashes(docs: DataFrame, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i"))
+    val allWords = col("w") +: (1 until n).map(i => col(s"w$i"))
+    docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
+      .select(col("doc_id") +: col("w") +: leads: _*)
+      .filter(col(s"w${n - 1}").isNotNull)
+      .select(col("doc_id"), xxhash64(concat_ws(" ", allWords: _*)).as("h"))
+  }
+
+  /** N6: benchmark DECONTAMINATION — flag training documents sharing any
+    * verbatim [[DecontamN]]-gram with the eval set, with how many
+    * distinct n-grams and eval docs each one touches. The eval side of a
+    * real pipeline is a benchmark suite — tiny next to the corpus — so
+    * its distinct n-gram set broadcasts and the corpus-side pass is a
+    * map-scan + one aggregation: shuffles carry 8-byte hashes, never
+    * text, and counting distinct n-grams by hash matches the oracle's
+    * distinct strings at ~2⁻⁶⁴ collision odds (the n2 equivalence). */
+  def n6Decontaminate(spark: SparkSession, dir: String): DataFrame =
+    n6DecontaminateOn(Tables.documents(spark, dir))
+
+  def n6DecontaminateOn(docs: DataFrame): DataFrame = {
+    val hashes = ngramHashes(docs, DecontamN)
+    val evalSide = hashes
+      .filter(pmod(col("doc_id"), lit(DecontamEvalMod)) === 0)
+      .select(col("h"), col("doc_id").as("eval_id")).distinct()
+    val trainSide = hashes
+      .filter(pmod(col("doc_id"), lit(DecontamEvalMod)) =!= 0)
+    trainSide.join(broadcast(evalSide), Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("h")).as("n_shared_ngrams"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  val n6DecontaminateSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |ng AS (SELECT doc_id, unnest(list_transform(
+      |  generate_series(1, greatest(len(w) - ${DecontamN - 1}, 0)),
+      |  i -> array_to_string(w[i:i+${DecontamN - 1}], ' '))) AS g FROM words),
+      |eval_ng AS (SELECT DISTINCT g, doc_id AS eval_id FROM ng
+      |            WHERE doc_id % $DecontamEvalMod = 0),
+      |hits AS (SELECT t.doc_id, t.g, e.eval_id FROM ng t
+      |         JOIN eval_ng e USING (g)
+      |         WHERE t.doc_id % $DecontamEvalMod <> 0)
+      |SELECT doc_id, count(DISTINCT g) AS n_shared_ngrams,
+      |  count(DISTINCT eval_id) AS n_eval_docs
+      |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_dedup_exact" -> (n1DedupExact _),
     "n2_ngram_jaccard" -> (n2NgramJaccard _),
     "n2b_minhash_lsh" -> (n2bMinhashLsh _),
     "n4_simhash" -> (n4Simhash _),
+    "n6_decontaminate" -> (n6Decontaminate _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "n1_dedup_exact" -> n1DedupExactSql,
     "n2_ngram_jaccard" -> n2NgramJaccardSql,
     "n4_simhash" -> n4SimhashSql,
+    "n6_decontaminate" -> n6DecontaminateSql,
     // n2b_minhash_lsh: sketch-based (banded MinHash candidates), no SQL oracle
   )
 }

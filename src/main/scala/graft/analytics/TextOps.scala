@@ -353,12 +353,76 @@ object TextOps {
       |  count(*) AS n_chunks, CAST(sum(n_words) AS BIGINT) AS n_words
       |FROM cum GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
+  /** T6: repetition signals (the Gopher-report quality filters a
+    * training-data pipeline applies before dedup): distinct-word
+    * fraction and most-frequent-bigram fraction per document. All
+    * ratios are INTEGER basis points via integral division — float
+    * rounding at engine half-way boundaries is the classic oracle
+    * mismatch, and integers hash identically everywhere. Bigram
+    * construction is map-only (zip_with over two array slices — no
+    * window, no posexplode ordering dependency); counting is one
+    * (doc_id, bigram) aggregate whose doc_id-prefixed key then
+    * partial-aggregates into the per-doc rollup. Linear, two
+    * exchanges, shuffles only 8-byte-ish tokens and counts. */
+  def t6Repetition(spark: SparkSession, dir: String): DataFrame =
+    t6RepetitionOn(Tables.documents(spark, dir))
+
+  def t6RepetitionOn(docs: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val base = docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat_ws(" ", a, b)).as("bgs"))
+    base
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        explode(col("bgs")).as("bg"))
+      .groupBy(col("doc_id"), col("bg"))
+      .agg(count(lit(1)).as("c"),
+        first(col("n_words")).as("n_words"),
+        first(col("n_distinct_words")).as("n_distinct_words"))
+      .groupBy(col("doc_id"))
+      .agg(first(col("n_words")).as("n_words"),
+        first(col("n_distinct_words")).as("n_distinct_words"),
+        max(col("c")).as("top_bigram_count"),
+        sum(col("c")).as("n_bigrams"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
+        expr("n_distinct_words * 10000 DIV n_words").as("uniq_bp"),
+        col("top_bigram_count"), col("n_bigrams"),
+        expr("top_bigram_count * 10000 DIV n_bigrams").as("rep_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t6RepetitionSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |base AS (SELECT doc_id, len(w)::BIGINT AS n_words,
+      |  len(list_distinct(w))::BIGINT AS n_distinct_words, w FROM words),
+      |bg AS (SELECT doc_id, n_words, n_distinct_words,
+      |  unnest(list_transform(generate_series(1, greatest(len(w) - 1, 0)),
+      |    i -> array_to_string(w[i:i+1], ' '))) AS bg FROM base),
+      |cnt AS (SELECT doc_id, bg, count(*) AS c,
+      |  any_value(n_words) AS n_words,
+      |  any_value(n_distinct_words) AS n_distinct_words
+      |  FROM bg GROUP BY doc_id, bg)
+      |SELECT doc_id, any_value(n_words) AS n_words,
+      |  any_value(n_distinct_words) AS n_distinct_words,
+      |  any_value(n_distinct_words) * 10000 // any_value(n_words) AS uniq_bp,
+      |  max(c) AS top_bigram_count,
+      |  CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |  max(c) * 10000 // CAST(sum(c) AS BIGINT) AS rep_bp
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
     "t3_token_stats" -> (t3TokenStats _),
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_chunking" -> (t5Chunking _),
+    "t6_repetition" -> (t6Repetition _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
     "sp3_sequence_pack" -> (sp3SequencePack _),
@@ -370,6 +434,7 @@ object TextOps {
     "t3_token_stats" -> t3TokenStatsSql,
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_chunking" -> t5ChunkingSql,
+    "t6_repetition" -> t6RepetitionSql,
     "sp1_hash_split" -> sp1HashSplitSql,
     "sp2_stratified_sample" -> sp2StratifiedSampleSql,
     "sp3_sequence_pack" -> sp3SequencePackSql,

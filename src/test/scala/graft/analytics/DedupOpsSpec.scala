@@ -66,4 +66,32 @@ class DedupOpsSpec extends SparkSuite {
       assert(da < db); assert(h <= 3)
     }
   }
+
+  test("n6 decontamination: only train docs sharing a verbatim 8-gram flag") {
+    import spark.implicits._
+    val passage = "one two three four five six seven eight"  // exactly 8 words
+    val docs = Seq(
+      (10L, s"eval prefix $passage eval suffix words here"), // eval (10 % 10 == 0)
+      (1L,  s"train doc copies $passage and continues on"),  // contaminated
+      (2L,  "completely different words with no overlap at all in this document"),
+      (3L,  s"another borrower of $passage in the middle"),  // contaminated
+    ).toDF("doc_id", "text")
+    val out = DedupOps.n6DecontaminateOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._1).toSet == Set(1L, 3L), out.mkString(","))
+    // each shares exactly the one embedded 8-gram with exactly one eval doc
+    out.foreach { case (_, nGrams, nEval) =>
+      assert(nGrams == 1L && nEval == 1L)
+    }
+  }
+
+  test("n6 on testdata: deterministic, nonempty, eval docs never flagged") {
+    val rows = DedupOps.n6Decontaminate(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % DedupOps.DecontamEvalMod != 0,
+        s"eval doc ${r.getLong(0)} in the train-side output")
+    }
+    assert(DedupOps.n6Decontaminate(spark, dir).collect().toSeq == rows.toSeq)
+  }
 }

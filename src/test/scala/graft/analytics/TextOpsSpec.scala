@@ -86,4 +86,22 @@ class TextOpsSpec extends SparkSuite {
       .groupBy("text").agg(countDistinct("doc_fp").as("n"))
     assert(d.filter("n > 1").count() == 0)
   }
+
+  test("t6 repetition: hand-computed signals on known documents") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a a a a"),      // 4 words, 1 distinct; bigrams: "a a" x3
+      (2L, "a b c d"),      // all distinct; 3 distinct bigrams
+      (3L, "x y x y x"),    // 5 words, 2 distinct; "x y" x2, "y x" x2
+    ).toDF("doc_id", "text")
+    val out = graft.analytics.TextOps.t6RepetitionOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    //            n_words, n_distinct, uniq_bp, top_bg, n_bg, rep_bp
+    assert(out(1L) == (4L, 1L, 2500L, 3L, 3L, 10000L))
+    assert(out(2L) == (4L, 4L, 10000L, 1L, 3L, 3333L))
+    assert(out(3L) == (5L, 2L, 4000L, 2L, 4L, 5000L))
+  }
 }
