@@ -51,4 +51,37 @@ class ShuffleBudgetSpec extends SparkSuite {
   test("salted aggregation: two agg phases + sort, hot key never on one reducer") {
     assertBudget("e4_salted_agg", EventQueries.e4SaltedAgg(spark, dir), 3)
   }
+
+  test("quarantine split: map-only annotate + the harness sort") {
+    assertBudget("e5b_json_quarantine",
+      EventQueries.e5bJsonQuarantine(spark, dir), 1)
+  }
+
+  test("evolved-lineage scan: merged read is map-only + sort") {
+    assertBudget("set3_evolved_scan",
+      AdvancedQueries.set3EvolvedScan(spark, dir), 1)
+  }
+
+  test("EXISTS decorrelation: semi/anti joins never add per-row subquery work") {
+    assertBudget("q4_exists", AdvancedQueries.q4Exists(spark, dir), 3)
+    assertBudget("q21_not_exists", AdvancedQueries.q21NotExists(spark, dir), 4)
+  }
+
+  test("repetition signals: bigram agg + per-doc rollup + sort") {
+    assertBudget("t6_repetition", TextOps.t6Repetition(spark, dir), 3)
+  }
+
+  test("decontamination: broadcast eval set — corpus side shuffles hashes once + agg + sort") {
+    // 5 = train ngram window + eval ngram window (separate lineages —
+    // Spark has no cross-branch subplan reuse without materialization)
+    // + eval distinct + distinct-count agg + harness sort. The join
+    // itself is broadcast: ZERO corpus-side join exchange, which is the
+    // property that matters at 100 TB (the eval set is benchmark-sized).
+    assertBudget("n6_decontaminate", DedupOps.n6Decontaminate(spark, dir), 5)
+  }
+
+  test("approx profiler: one gather, no Expand-driven row multiplication") {
+    assertBudget("p1b_profile_approx",
+      InsightQueries.p1bProfileApprox(spark, dir), 2)
+  }
 }
