@@ -69,6 +69,31 @@ class QuarantineSpec extends SparkSuite {
     }
   }
 
+  test("quarantine binds unchanged to a stream (execution-mode agnostic)") {
+    // annotateJson is plain Column expressions, so the same call works on
+    // a streaming DataFrame — the bad-rows side becomes a live quarantine
+    // feed. AvailableNow + memory sink, as in StreamingOpsSpec.
+    val dir = java.nio.file.Files.createTempDirectory("graft-quar-stream")
+      .resolve("in").toString
+    Seq((1L, """{"k": 5}"""), (2L, """{oops"""), (3L, """{"z": 1}"""))
+      .toDF("id", "raw").coalesce(1).write.json(dir)
+    val stream = spark.readStream
+      .schema("id LONG, raw STRING").json(dir)
+    val annotated = Quarantine.annotateJson(stream, "raw", schema,
+      required = Seq("k"))
+    assert(annotated.isStreaming)
+    val q = Quarantine.badRows(annotated)
+      .select(col("id"), col(Quarantine.ReasonCol).as("reason"))
+      .writeStream.format("memory").queryName("quar_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("quar_stream").as[(Long, String)].collect().toMap
+    assert(out == Map(2L -> Quarantine.ReasonCorrupt,
+      3L -> Quarantine.ReasonMissingRequired))
+  }
+
   test("e5b query: quarantine slice matches the mod-97 mangling exactly") {
     val dir = "/root/testdata/sf0.001"
     val out = graft.analytics.EventQueries.e5bJsonQuarantine(spark, dir)
