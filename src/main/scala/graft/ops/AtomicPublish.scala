@@ -102,8 +102,15 @@ object AtomicPublish {
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
     val txn = currentTxn(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    spark.read.parquet(new Path(new Path(root, s"v_$txn"), table).toString)
+    readTableAt(spark, root, table, txn)
   }
+
+  /** Time travel: read a table at an explicit txn. Any version not yet
+    * vacuumed is immutable and fully readable — the same guarantee a
+    * table-format snapshot id gives, from the layout alone. */
+  def readTableAt(spark: SparkSession, root: String, table: String,
+      txn: String): DataFrame =
+    spark.read.parquet(new Path(new Path(root, s"v_$txn"), table).toString)
 
   /** Drop every version and scratch dir the CURRENT manifest does not
     * reference. Returns the deleted paths. Safe against concurrent

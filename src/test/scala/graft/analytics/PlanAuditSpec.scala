@@ -145,6 +145,24 @@ class PlanAuditSpec extends SparkSuite {
     assert(!q21.toLowerCase.contains("subquery"), q21)
   }
 
+  test("AQE re-plans a shuffle join to broadcast from RUNTIME stats") {
+    // static planner is denied broadcast (threshold -1), so the initial
+    // plan is a shuffle join; the ADAPTIVE threshold stays default, so
+    // after the dimension's shuffle stage materializes (tiny), AQE
+    // converts to BroadcastHashJoin. This is the 100 TB safety net for
+    // mis-estimated dimension sizes — stats lie, runtime bytes don't.
+    val abt = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(abt)
+    spark.conf.set(abt, "-1")
+    try {
+      val df = RelationalQueries.j2BroadcastJoin(spark, dir)
+      val p = planString(df)
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(df.queryExecution.executedPlan
+        .isInstanceOf[AdaptiveSparkPlanExec], "AQE not engaged")
+    } finally prev.fold(spark.conf.unset(abt))(v => spark.conf.set(abt, v))
+  }
+
   test("p1b: approx profiler plans WITHOUT Expand; exact profiler needs it") {
     // N exact countDistincts in one pass force an Expand (each input row
     // replicated N+1 times, all distinct values shuffled) — the reason

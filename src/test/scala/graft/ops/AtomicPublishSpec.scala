@@ -66,11 +66,16 @@ class AtomicPublishSpec extends SparkSuite {
       "patients" -> Seq((1L, "a"), (2L, "b")).toDF("id", "name")))
     assert(AtomicPublish.currentTxn(spark, root).contains(v2))
     assert(AtomicPublish.readTable(spark, root, "patients").count() == 2)
+    // time travel: the superseded version stays readable until vacuum
+    assert(AtomicPublish.readTableAt(spark, root, "patients", v1).count() == 1)
     val deleted = AtomicPublish.vacuum(spark, root)
     assert(deleted.exists(_.contains(s"v_$v1")) &&
       !deleted.exists(_.contains(s"v_$v2")))
     // current version untouched by vacuum
     assert(AtomicPublish.readTable(spark, root, "patients").count() == 2)
+    intercept[Exception] {
+      AtomicPublish.readTableAt(spark, root, "patients", v1).collect()
+    }
   }
 
   test("full ingest publish: patients + consents + audit + run metadata commit together") {
