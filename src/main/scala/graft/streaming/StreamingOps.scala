@@ -214,7 +214,8 @@ object StreamingOps {
     * interval width × arrival rate, not by history. Inner join → Append
     * mode; matches emit once both sides have arrived. */
   def streamStreamAttribution(errors: DataFrame, clicks: DataFrame,
-                              lagMinutes: Int = 30): DataFrame = {
+                              lagMinutes: Int = 30,
+                              joinType: String = "inner"): DataFrame = {
     val e = errors
       .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
         col("ts").as("err_ts"))
@@ -223,10 +224,16 @@ object StreamingOps {
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
       .withWatermark("click_ts", "1 hour")
+    // left_outer: an error with no qualifying click still emits (null
+    // click_id) — but only once the watermark proves no match can still
+    // arrive, so unmatched rows near the head of the stream stay pending
+    // until the watermark passes their join window. Same state-eviction
+    // bound as inner: interval width × arrival rate.
     e.join(c,
       col("e_user") === col("c_user") &&
         col("click_ts") <= col("err_ts") &&
-        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lagMinutes MINUTES"))
+        col("click_ts") >= col("err_ts") - expr(s"INTERVAL $lagMinutes MINUTES"),
+      joinType)
       .select(col("error_id"), col("click_id"),
         col("e_user").as("user_id"))
   }

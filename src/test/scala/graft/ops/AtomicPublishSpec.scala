@@ -78,6 +78,39 @@ class AtomicPublishSpec extends SparkSuite {
     }
   }
 
+  test("foreachBatch ingest publishes each micro-batch atomically") {
+    // streaming ingest + transactional sink: every micro-batch commits
+    // its table set in one publish, so a reader polling `readTable`
+    // between batches always sees a complete, matching pair of tables
+    val root = freshRoot()
+    val in = java.nio.file.Files.createTempDirectory("graft-pub-stream")
+      .resolve("in").toString
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .coalesce(1).write.json(in)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = spark.readStream.schema("id LONG, name STRING").json(in)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        AtomicPublish.publish(spark, root, Map(
+          "rows" -> batch,
+          "stats" -> batch.groupBy().count()))
+        // reader-side invariant after every commit: both tables present
+        // and mutually consistent
+        val n = AtomicPublish.readTable(spark, root, "rows").count()
+        val s = AtomicPublish.readTable(spark, root, "stats")
+          .head().getLong(0)
+        seen += ((n, s))
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.nonEmpty)
+    seen.foreach { case (n, s) => assert(n == s, s"torn read: rows=$n stats=$s") }
+    assert(AtomicPublish.readTable(spark, root, "rows").count() == 3)
+  }
+
   test("full ingest publish: patients + consents + audit + run metadata commit together") {
     val root = freshRoot()
     val batch = Seq((1L, "alice"), (2L, "bob")).toDF("id", "name")

@@ -148,6 +148,61 @@ class StreamingOpsSpec extends SparkSuite {
     assert(batch.nonEmpty && out == batch)
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched errors emit with null click") {
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val s = spark
+    // sentinel events 3h past the end push both watermarks far enough
+    // that every real error's join window is provably closed — without
+    // them, trailing unmatched rows stay pending (correct streaming
+    // semantics, but not batch-comparable)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val events = graft.core.Tables.events(spark, dir).select(cols.map(col): _*)
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val sentinels = Seq("error", "click").zipWithIndex.map { case (t, i) =>
+      events.limit(1).select(
+        lit(maxId + 1 + i).as("event_id"),
+        lit(java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(10800))).as("ts"),
+        lit(-1L).as("user_id"), lit(t).as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    }.reduce(_ unionByName _)
+    val staged = Files.createTempDirectory("graft-ssl-src").toString
+    events.unionByName(sentinels).coalesce(1).write.mode("overwrite")
+      .parquet(staged)
+    val stream = spark.readStream.schema(events.schema).parquet(staged)
+
+    val q = StreamingOps.streamStreamAttribution(
+        stream.filter(col("event_type") === "error"),
+        stream.filter(col("event_type") === "click"),
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("ssl_join")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("ssl_join").filter(col("user_id") >= 0)
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+
+    val ev = graft.core.Tables.events(spark, dir)
+    val errs = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("err_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val matched = errs.join(clicks, Seq("user_id"))
+      .filter(col("click_ts") <= col("err_ts") &&
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("error_id"), col("click_id"))
+    val unmatched = errs
+      .join(matched.select("error_id").distinct(), Seq("error_id"), "left_anti")
+      .select(col("error_id"), lit(-1L).as("click_id"))
+    val batch = matched.unionByName(unmatched)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(out.exists(_._2 == -1L), "expected at least one unmatched error")
+    assert(out == batch)
+  }
+
   test("stream-static enrichment join equals the batch join (stateless)") {
     implicit val s = spark
     import spark.implicits._
