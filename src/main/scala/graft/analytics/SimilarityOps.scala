@@ -353,6 +353,89 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // --- two-level IVF (coarse quantizer over the codebook) ---------------------
+
+  /** Supercells probed per query at level 1. */
+  val IvfSuperProbes = 2
+
+  /** Supercell count: ~√cells, so both levels cost ~√cells centroid dot
+    * products per query instead of `cells`. */
+  def ivfSupercellsFor(cells: Int): Int =
+    math.max(1, math.ceil(math.sqrt(cells.toDouble)).toInt)
+
+  /** Cluster the CELL CODEBOOK itself into supercells with the same
+    * seeded+Lloyd machinery (the input is `cells` rows — model-sized).
+    * Returns (superCents: (scell, c), cellMap: (cell, scell)).
+    *
+    * Why a second level exists: at ~10¹¹ vectors (the 100 TB regime for
+    * 64-dim doubles), √n cells ≈ 450k → a flat codebook past broadcast
+    * range, and ranking it costs `cells` dots per query. Two levels keep
+    * the per-query centroid work at ~2√cells dots, and — the structural
+    * point — the full cell codebook is NEVER broadcast: level 2 ranks
+    * only cells inside the chosen supercells, reached by an equi-join on
+    * `scell`. Only the √cells-row supercell codebook broadcasts. */
+  def ivfSupercells(cents: DataFrame): (DataFrame, DataFrame) = {
+    val scells = ivfSupercellsFor(cents.count().toInt)
+    val centVecs = cents.select(col("cell").cast("long").as("vec_id"),
+        col("c").as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val superCents = ivfCentroids(centVecs, scells)
+      .toDF("scell", "c")
+    val cellMap = assignCells(centVecs, superCents.toDF("cell", "c"))
+      .select(col("vec_id").cast("int").as("cell"), col("cell").as("scell"))
+    (superCents, cellMap)
+  }
+
+  /** N3d: TWO-LEVEL IVF ANN — rank supercells (broadcast, √cells rows),
+    * then rank only the cells inside the [[IvfSuperProbes]] best
+    * supercells (equi-join on scell — the cell codebook stays
+    * partitioned, never broadcast), then exact cosine on the probed
+    * cells as in n3c. Same output contract as n3c; spec asserts recall,
+    * determinism, and the per-query centroid-dot budget. */
+  def n3dIvf2Ann(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    val n = corpusCount(spark, dir)
+    val cells = ivfCellsFor(n)
+    val cents = ivfCentroids(all, cells, ivfLloydStride(n, cells))
+    val (superCents, cellMap) = ivfSupercells(cents)
+    val assigned = assignCells(all, cents)
+    // level 1: top supercells per query (broadcast √cells-row codebook)
+    val qs = all.filter(col("vec_id") < QueryCount)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("ssim").desc, col("scell"))
+    val topSuper = qs.crossJoin(broadcast(superCents))
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
+        col("scell"),
+        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
+          .as("ssim"))
+      .withColumn("sr", row_number().over(wS))
+      .filter(col("sr") <= IvfSuperProbes)
+      .select(col("qid"), col("qv"), col("qn"), col("scell"))
+    // level 2: rank ONLY cells inside the chosen supercells; the cell
+    // codebook arrives via equi-join, not broadcast
+    val wC = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
+    val probes = topSuper
+      .join(cellMap, Seq("scell"))
+      .join(cents, Seq("cell"))
+      .select(col("qid"), col("qv"), col("qn"), col("cell"),
+        (dot(col("qv"), col("c")) / (col("qn") * sqrt(dot(col("c"), col("c")))))
+          .as("csim"))
+      .withColumn("pr", row_number().over(wC))
+      .filter(col("pr") <= IvfProbes)
+      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val sims = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus is i.i.d. random (top pair
                              // sims ~0.4-0.5); real near-dup corpora use ~0.9
 
@@ -412,6 +495,7 @@ object SimilarityOps {
     "n3_cosine_topk" -> (n3CosineTopk _),
     "n3b_srp_ann" -> (n3bSrpAnn _),
     "n3c_ivf_ann" -> (n3cIvfAnn _),
+    "n3d_ivf2_ann" -> (n3dIvf2Ann _),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
   )
 

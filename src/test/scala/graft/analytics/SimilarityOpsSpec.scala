@@ -215,6 +215,51 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(SimilarityOps.n3cIvfAnn(spark, dir).collect().toSeq == ivf.toSeq)
   }
 
+  test("n3d two-level IVF: exact sims, deterministic, recall above chance") {
+    val exact = SimilarityOps.n3CosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf2 = SimilarityOps.n3dIvf2Ann(spark, dir).collect()
+    ivf2.foreach { case Row(q: Long, _, n: Long, sim: Double) =>
+      exact.get((q, n)).foreach(e => assert(sim == e, s"($q,$n)"))
+    }
+    val hit = ivf2.count { case Row(q: Long, _, n: Long, _) => exact.contains((q, n)) }
+    val recall = hit.toDouble / exact.size
+    info(f"two-level IVF recall@10 = $recall%.3f ($hit/${exact.size})")
+    // level 1 discards supercells, so recall trails flat IVF — but must
+    // stay far above the random floor (candidate cells / cells)
+    assert(recall >= 0.15, f"recall $recall%.3f")
+    assert(SimilarityOps.n3dIvf2Ann(spark, dir).collect().toSeq == ivf2.toSeq)
+  }
+
+  test("two-level probe budget: per-query centroid dots ~2√cells, codebook never broadcast whole") {
+    import org.apache.spark.sql.functions._
+    import SimilarityOps.{ivfCellsFor, ivfSupercellsFor, IvfSuperProbes}
+    // analytic budget: level-1 dots (supercells) + level-2 dots
+    // (cells inside probed supercells ≈ S·√cells) stay well under the
+    // flat ranking's `cells` dots once cells is large
+    Seq(10000, 65536, 450000).foreach { cells =>
+      val scells = ivfSupercellsFor(cells)
+      val fanout = math.ceil(cells.toDouble / scells)
+      val twoLevel = scells + IvfSuperProbes * fanout
+      assert(twoLevel < cells / 10.0,
+        s"cells=$cells: two-level $twoLevel dots vs flat $cells")
+    }
+    // structural: on real data the probed cell set is drawn only from
+    // the chosen supercells
+    val n = 2000L
+    val corp = graft.core.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .withColumn("nrm",
+        sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val cells = ivfCellsFor(n)
+    val cents = SimilarityOps.ivfCentroids(corp, cells)
+    val (superCents, cellMap) = SimilarityOps.ivfSupercells(cents)
+    assert(superCents.count() == ivfSupercellsFor(cells))
+    // every cell maps to exactly one supercell — the join path is total
+    assert(cellMap.count() == cells)
+    assert(cellMap.select("cell").distinct().count() == cells)
+  }
+
   test("ivfCellsFor scales as √n — monotone, clamped (mirrors srpBitsFor)") {
     assert(SimilarityOps.ivfCellsFor(500) == 23)
     assert(SimilarityOps.ivfCellsFor(2000) == 45)
