@@ -294,17 +294,31 @@ object SimilarityOps {
         first(col("v")).as("v"), first(col("nrm")).as("nrm"))
       .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
 
+  /** Trained codebook per corpus directory, memoized — the codebook is
+    * MODEL STATE: a pure, deterministic function of an immutable corpus.
+    * n3c, n3d and the write-path assignment all consume the same model,
+    * so training runs once per corpus per JVM (exactly how a production
+    * index trains once at build time and is read by every query). */
+  private val centCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val rows = centCache.getOrElseUpdate(dir, {
+      val n = corpusCount(spark, dir)
+      val cells = ivfCellsFor(n)
+      ivfCentroids(corpus(spark, dir), cells, ivfLloydStride(n, cells))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    })
+    import spark.implicits._
+    rows.toDF("cell", "c")
+  }
+
   /** Corpus with its IVF cell assignment — the write-path layout: at
     * scale the corpus is WRITTEN partitioned (or clustered) by `cell`,
     * so a probe's `cell IN (...)` filter becomes partition pruning and
     * reads only IvfProbes/cells of the files. PlanAuditSpec proves
     * the pruning on a real partitioned write. */
-  def ivfAssignments(spark: SparkSession, dir: String): DataFrame = {
-    val all = corpus(spark, dir)
-    val n = corpusCount(spark, dir)
-    val cells = ivfCellsFor(n)
-    assignCells(all, ivfCentroids(all, cells, ivfLloydStride(n, cells)))
-  }
+  def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
+    assignCells(corpus(spark, dir), trainedCentroids(spark, dir))
 
   /** The `IvfProbes` best cells per query vector (centroid cosine
     * argtop): (qid, qv, qn, cell). Public so specs can intersect the
@@ -333,12 +347,9 @@ object SimilarityOps {
     * fixed cell count. */
   def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    // √n-row literal codebook (see ivfCentroids) consumed by both corpus
-    // assignment and query probing — the Lloyd pass ran exactly once,
-    // trained on a bounded deterministic sample
-    val n = corpusCount(spark, dir)
-    val cells = ivfCellsFor(n)
-    val cents = ivfCentroids(all, cells, ivfLloydStride(n, cells))
+    // √n-row literal codebook (see ivfCentroids/trainedCentroids),
+    // trained once per corpus on a bounded deterministic sample
+    val cents = trainedCentroids(spark, dir)
     val assigned = assignCells(all, cents)
     val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
     val sims = probes.join(assigned, Seq("cell"))
@@ -394,9 +405,7 @@ object SimilarityOps {
     * determinism, and the per-query centroid-dot budget. */
   def n3dIvf2Ann(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val n = corpusCount(spark, dir)
-    val cells = ivfCellsFor(n)
-    val cents = ivfCentroids(all, cells, ivfLloydStride(n, cells))
+    val cents = trainedCentroids(spark, dir)
     val (superCents, cellMap) = ivfSupercells(cents)
     val assigned = assignCells(all, cents)
     // level 1: top supercells per query (broadcast √cells-row codebook)
