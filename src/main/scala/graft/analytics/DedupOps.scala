@@ -108,6 +108,45 @@ object DedupOps {
       |count(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
 
+  /** N1b: INCREMENTAL exact dedup — the steady-state shape of N1: a
+    * corpus is already published, a new batch arrives, and only
+    * genuinely new content may land. Docs below the (data-derived)
+    * doc_id midpoint stand in for the published corpus; the rest are
+    * the incoming batch. Batch-internal dupes keep the min doc_id, then
+    * an ANTI JOIN against the published fingerprint set drops
+    * everything already ingested. At 100 TB the published fingerprints
+    * are a compact table (16 bytes/doc) that the anti join shuffles —
+    * never the text — and the whole op is append-stable: re-running on
+    * a grown corpus never resurrects a dropped doc. */
+  def n1bDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val split = docs.agg(
+      floor(max(col("doc_id")) / 2).cast("long").as("split"))
+    val tagged = docs.crossJoin(broadcast(split))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("fingerprint"),
+        col("split"))
+    val existingFp = tagged.filter(col("doc_id") < col("split"))
+      .select(col("fingerprint")).distinct()
+    tagged.filter(col("doc_id") >= col("split"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_in_batch"))
+      .join(existingFp, Seq("fingerprint"), "left_anti")
+      .select(col("doc_id"), col("fingerprint"), col("n_in_batch"))
+      .orderBy(col("doc_id"))
+  }
+
+  val n1bDedupIncrementalSql: String =
+    """WITH split AS (SELECT max(doc_id) // 2 AS s FROM documents),
+      |fp AS (SELECT doc_id, md5(text) AS fingerprint, s
+      |       FROM documents, split),
+      |existing AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id < s),
+      |batch AS (SELECT fingerprint, min(doc_id) AS doc_id,
+      |            count(*) AS n_in_batch
+      |          FROM fp WHERE doc_id >= s GROUP BY fingerprint)
+      |SELECT doc_id, fingerprint, n_in_batch FROM batch
+      |WHERE fingerprint NOT IN (SELECT fingerprint FROM existing)
+      |ORDER BY doc_id""".stripMargin
+
   val JaccardThreshold = 0.8
 
   /** N2: exact near-duplicate pairs by word-3-gram Jaccard ≥ 0.8,
@@ -378,6 +417,7 @@ object DedupOps {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_dedup_exact" -> (n1DedupExact _),
+    "n1b_dedup_incremental" -> (n1bDedupIncremental _),
     "n2_ngram_jaccard" -> (n2NgramJaccard _),
     "n2b_minhash_lsh" -> (n2bMinhashLsh _),
     "n4_simhash" -> (n4Simhash _),
@@ -386,6 +426,7 @@ object DedupOps {
 
   def oracleSql: Map[String, String] = Map(
     "n1_dedup_exact" -> n1DedupExactSql,
+    "n1b_dedup_incremental" -> n1bDedupIncrementalSql,
     "n2_ngram_jaccard" -> n2NgramJaccardSql,
     "n4_simhash" -> n4SimhashSql,
     "n6_decontaminate" -> n6DecontaminateSql,

@@ -209,6 +209,40 @@ object EventQueries {
       | AND epoch_us(b.ts) - epoch_us(a.ts) <= ${BandSeconds}000000
       |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin
 
+  /** E9: NATIVE session windows — `session_window(ts, gap)`, the
+    * operator Spark ships for gap-based sessionization (and the same
+    * expression works under readStream with a watermark, where closed
+    * sessions emit incrementally). e2 builds sessions manually from a
+    * lag window — the portable formulation — while this one lets the
+    * engine merge session intervals inside one aggregation; both are a
+    * single shuffle on the session key. Boundary semantics: a session
+    * spans [first, last+gap), so an event at exactly last+gap starts a
+    * NEW session — the oracle pins that with a `>=` gap test. */
+  def e9SessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  val e9SessionWindowSql: String =
+    """WITH m AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |    THEN 1 ELSE 0 END AS ns
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |                  ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM m)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** Schema-full JSON parse (from_json with a declared StructType, the
     * typed sibling of e3's path extraction) + null-safety of malformed
     * rows. */
@@ -288,6 +322,7 @@ object EventQueries {
     "e6_skew_join" -> (e6SkewJoin _),
     "e7_asof_join" -> (e7AsofJoin _),
     "e8_band_join" -> (e8BandJoin _),
+    "e9_session_window" -> (e9SessionWindow _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -300,5 +335,6 @@ object EventQueries {
     "e6_skew_join" -> e6SkewJoinSql,
     "e7_asof_join" -> e7AsofJoinSql,
     "e8_band_join" -> e8BandJoinSql,
+    "e9_session_window" -> e9SessionWindowSql,
   )
 }
