@@ -1,0 +1,53 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class CompactionSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("compaction collapses a fragmented table without changing its data") {
+    val dir = Files.createTempDirectory("graft-compact").resolve("t").toString
+    val df = spark.range(5000).select(col("id"),
+      concat(lit("row-"), col("id")).as("s"))
+    df.repartition(40).write.parquet(dir) // the streaming-sink pathology
+    val before = spark.read.parquet(dir).collect().sortBy(_.getLong(0)).toSeq
+
+    val res = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res.filesBefore == 40, res.toString)
+    assert(res.filesAfter == 1, res.toString)
+    assert(res.partitions == 1)
+
+    val after = spark.read.parquet(dir).collect().sortBy(_.getLong(0)).toSeq
+    assert(after == before)
+  }
+
+  test("partition count follows on-disk bytes and the target size") {
+    val dir = Files.createTempDirectory("graft-compact2").resolve("t").toString
+    spark.range(2000).select(col("id"), md5(col("id").cast("string")).as("h"))
+      .repartition(16).write.parquet(dir)
+    val oneBig = Compaction.compactionPartitions(spark, dir, 1L << 30)
+    assert(oneBig == 1)
+    // a target far below the table size must split into multiple files
+    val small = Compaction.compactionPartitions(spark, dir, 4096L)
+    assert(small > 1, s"expected multiple partitions, got $small")
+    val res = Compaction.compact(spark, dir, targetBytes = 4096L)
+    assert(res.filesAfter == res.partitions && res.filesAfter > 1)
+    assert(spark.read.parquet(dir).count() == 2000)
+  }
+
+  test("no data-file name survives from the fragmented generation") {
+    val base = Files.createTempDirectory("graft-compact3").resolve("t").toString
+    spark.range(100).toDF("id").repartition(8).write.parquet(base)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def names() = fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).filter(_.endsWith(".parquet")).toSet
+    val old = names()
+    Compaction.compact(spark, base, targetBytes = 1L << 30)
+    assert(names().intersect(old).isEmpty)
+  }
+}

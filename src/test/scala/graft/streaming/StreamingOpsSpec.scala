@@ -148,6 +148,64 @@ class StreamingOpsSpec extends SparkSuite {
     assert(batch.nonEmpty && out == batch)
   }
 
+  test("checkpointed sessionization SURVIVES a query restart (state recovery)") {
+    import org.apache.spark.sql.streaming.Trigger
+    // run 1 processes the first half of events and stops with sessions
+    // still open in the state store; run 2 (same checkpoint, new query)
+    // processes the rest. If state recovery works, the union of emitted
+    // closed sessions equals the batch answer; if state were lost, every
+    // session straddling the restart would double-count.
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val events = graft.core.Tables.events(spark, dir).select(cols.map(col): _*)
+    val maxId = events.agg(max("event_id")).head().getLong(0)
+    val maxTs = events.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = events.limit(1).select(
+      lit(maxId + 1).as("event_id"),
+      lit(java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(7200))).as("ts"),
+      lit(-1L).as("user_id"), lit("view").as("event_type"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+
+    val src = Files.createTempDirectory("graft-restart-src")
+    val stage = Files.createTempDirectory("graft-restart-stage")
+    val checkpoint = Files.createTempDirectory("graft-restart-ckpt").toString
+    def addFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+      val d = stage.resolve(name)
+      df.coalesce(1).write.parquet(d.toString)
+      val part = Files.list(d).filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, src.resolve(s"$name.parquet"))
+      ()
+    }
+    // the file sink is the restart-capable sink (memory sink can't
+    // recover from a checkpoint); one output dir accumulates both runs
+    val out = Files.createTempDirectory("graft-restart-out").toString
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema(events.schema).parquet(src.toString)
+      val q = StreamingOps.sessionizeStreamFinalized(stream).toDF()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    addFile("a", events.filter(col("event_id") <= maxId / 2))
+    runOnce()
+    addFile("b", events.filter(col("event_id") > maxId / 2))
+    addFile("c", sentinel)
+    runOnce()
+
+    // run 2 started from the checkpoint (file a not reprocessed); the
+    // accumulated sink holds each closed session exactly once
+    val merged = spark.read.parquet(out)
+      .filter(col("user_id") >= 0)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id")).collect().toSeq
+    val batch = EventQueries.e2Sessionization(spark, dir).collect().toSeq
+    assert(merged == batch)
+  }
+
   test("stream-stream LEFT OUTER interval join: unmatched errors emit with null click") {
     import org.apache.spark.sql.streaming.Trigger
     implicit val s = spark
