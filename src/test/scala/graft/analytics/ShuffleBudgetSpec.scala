@@ -80,6 +80,15 @@ class ShuffleBudgetSpec extends SparkSuite {
     assertBudget("n6_decontaminate", DedupOps.n6Decontaminate(spark, dir), 5)
   }
 
+  test("native session windows: one session-merge agg + sort") {
+    assertBudget("e9_session_window", EventQueries.e9SessionWindow(spark, dir), 2)
+  }
+
+  test("incremental dedup: fingerprint agg + existing-set anti join + sort") {
+    assertBudget("n1b_dedup_incremental",
+      DedupOps.n1bDedupIncremental(spark, dir), 4)
+  }
+
   test("approx profiler: one gather, no Expand-driven row multiplication") {
     assertBudget("p1b_profile_approx",
       InsightQueries.p1bProfileApprox(spark, dir), 2)
