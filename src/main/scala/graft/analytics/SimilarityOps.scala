@@ -402,8 +402,11 @@ object SimilarityOps {
     * supercells (equi-join on scell — the cell codebook stays
     * partitioned, never broadcast), then exact cosine on the probed
     * cells as in n3c. Same output contract as n3c; spec asserts recall,
-    * determinism, and the per-query centroid-dot budget. */
-  def n3dIvf2Ann(spark: SparkSession, dir: String): DataFrame = {
+    * determinism, the per-query centroid-dot budget, AND exact
+    * equivalence to flat n3c when `superProbes` covers every supercell
+    * (the two-level reduction collapses to the flat ranking). */
+  def n3dIvf2Ann(spark: SparkSession, dir: String,
+      superProbes: Int = IvfSuperProbes): DataFrame = {
     val all = corpus(spark, dir)
     val cents = trainedCentroids(spark, dir)
     val (superCents, cellMap) = ivfSupercells(cents)
@@ -418,7 +421,7 @@ object SimilarityOps {
         (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
           .as("ssim"))
       .withColumn("sr", row_number().over(wS))
-      .filter(col("sr") <= IvfSuperProbes)
+      .filter(col("sr") <= superProbes)
       .select(col("qid"), col("qv"), col("qn"), col("scell"))
     // level 2: rank ONLY cells inside the chosen supercells; the cell
     // codebook arrives via equi-join, not broadcast
@@ -504,7 +507,7 @@ object SimilarityOps {
     "n3_cosine_topk" -> (n3CosineTopk _),
     "n3b_srp_ann" -> (n3bSrpAnn _),
     "n3c_ivf_ann" -> (n3cIvfAnn _),
-    "n3d_ivf2_ann" -> (n3dIvf2Ann _),
+    "n3d_ivf2_ann" -> ((s: SparkSession, d: String) => n3dIvf2Ann(s, d)),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
   )
 

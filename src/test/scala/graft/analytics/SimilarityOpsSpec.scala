@@ -231,6 +231,17 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(SimilarityOps.n3dIvf2Ann(spark, dir).collect().toSeq == ivf2.toSeq)
   }
 
+  test("n3d collapses EXACTLY to flat n3c when every supercell is probed") {
+    // with superProbes ≥ #supercells, level 1 discards nothing and
+    // level 2 ranks all cells — bit-identical to the flat probe plan.
+    // This pins the two-level machinery as a pure refinement: any
+    // recall loss comes only from the intended supercell pruning.
+    val widened = SimilarityOps.n3dIvf2Ann(spark, dir,
+      superProbes = Int.MaxValue).collect().toSeq
+    val flat = SimilarityOps.n3cIvfAnn(spark, dir).collect().toSeq
+    assert(widened == flat)
+  }
+
   test("two-level probe budget: per-query centroid dots ~2√cells, codebook never broadcast whole") {
     import org.apache.spark.sql.functions._
     import SimilarityOps.{ivfCellsFor, ivfSupercellsFor, IvfSuperProbes}
