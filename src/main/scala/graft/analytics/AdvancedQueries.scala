@@ -107,6 +107,36 @@ object AdvancedQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** A14: statistical aggregate battery — corr / covariance / stddev /
+    * variance / least-squares regression per group, ALL native
+    * aggregates in both engines (single partial-aggregable pass; at
+    * 100 TB these fold map-side into constant-size moment state exactly
+    * like sum/count — no window, no second scan). The regressor is
+    * `event_id` (small magnitude): regressing on epoch micros puts
+    * covariances at ~1e12 where a 4-dp round exceeds double precision
+    * and engine moment-order differences surface. */
+  def a14StatsAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(corr(col("value"), col("event_id")), 4).as("corr_ve"),
+        round(covar_samp(col("value"), col("event_id")), 4).as("covar_ve"),
+        round(stddev_samp(col("value")), 4).as("sd_v"),
+        round(var_samp(col("value")), 4).as("var_v"),
+        round(regr_slope(col("value"), col("event_id")), 8).as("slope"),
+        round(regr_intercept(col("value"), col("event_id")), 4).as("icept"))
+      .orderBy(col("event_type"))
+
+  val a14StatsAggSql: String =
+    """SELECT event_type,
+      |  round(corr(value, event_id), 4) AS corr_ve,
+      |  round(covar_samp(value, event_id), 4) AS covar_ve,
+      |  round(stddev_samp(value), 4) AS sd_v,
+      |  round(var_samp(value), 4) AS var_v,
+      |  round(regr_slope(value, event_id), 8) AS slope,
+      |  round(regr_intercept(value, event_id), 4) AS icept
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // --- window functions ------------------------------------------------------
 
   /** Ranking top-k per group (absent from the reference; SURVEY.md §2.5):
@@ -947,6 +977,7 @@ object AdvancedQueries {
     "w5_ntile" -> (w5Ntile _),
     "w6_range_frame" -> (w6RangeFrame _),
     "a12_filtered_agg" -> (a12FilteredAgg _),
+    "a14_stats_agg" -> (a14StatsAgg _),
     "x13_map_funcs" -> (x13MapFuncs _),
     "x14_regex_funcs" -> (x14RegexFuncs _),
     "x15_string_shape" -> (x15StringShape _),
@@ -989,6 +1020,7 @@ object AdvancedQueries {
     "w5_ntile" -> w5NtileSql,
     "w6_range_frame" -> w6RangeFrameSql,
     "a12_filtered_agg" -> a12FilteredAggSql,
+    "a14_stats_agg" -> a14StatsAggSql,
     "x13_map_funcs" -> x13MapFuncsSql,
     "x14_regex_funcs" -> x14RegexFuncsSql,
     "x15_string_shape" -> x15StringShapeSql,
