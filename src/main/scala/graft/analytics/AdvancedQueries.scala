@@ -137,6 +137,57 @@ object AdvancedQueries {
       |  round(regr_intercept(value, event_id), 4) AS icept
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** X16: bitwise + null/conditional scalar battery — &, |, xor,
+    * popcount, shifts as row scalars; bit_and/bit_or/bit_xor as
+    * aggregates (fold map-side like any moment aggregate); nullif /
+    * coalesce / greatest / least / null-guard CASE. All codegen'd
+    * built-ins on both engines. */
+  def x16BitwiseNull(spark: SparkSession, dir: String): DataFrame = {
+    val scalars = Tables.events(spark, dir)
+      .filter(col("event_id") < 300)
+      .select(col("event_id"),
+        col("event_id").bitwiseAND(lit(255L)).as("band"),
+        col("event_id").bitwiseOR(lit(4096L)).as("bor"),
+        col("event_id").bitwiseXOR(lit(1365L)).as("bxor"),
+        bit_count(col("event_id")).cast("long").as("pop"),
+        shiftleft(col("event_id"), 2).as("shl"),
+        shiftright(col("event_id"), 3).as("shr"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("redacted"))
+          .as("masked"),
+        greatest(col("value"), lit(50.0)).as("hi"),
+        least(col("value"), lit(50.0)).as("lo"))
+    val aggs = Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(expr("bit_and(event_id)").as("agg_and"),
+        expr("bit_or(event_id)").as("agg_or"),
+        expr("bit_xor(event_id)").as("agg_xor"))
+      .select(lit(-1L).as("event_id"),
+        col("agg_and").as("band"), col("agg_or").as("bor"),
+        col("agg_xor").as("bxor"), lit(null).cast("long").as("pop"),
+        lit(null).cast("long").as("shl"), lit(null).cast("long").as("shr"),
+        col("event_type").as("masked"),
+        lit(null).cast("double").as("hi"), lit(null).cast("double").as("lo"))
+    scalars.unionByName(aggs).orderBy(col("event_id"), col("masked"))
+  }
+
+  val x16BitwiseNullSql: String =
+    """SELECT event_id,
+      |  event_id & 255 AS band, event_id | 4096 AS bor,
+      |  xor(event_id, 1365) AS bxor,
+      |  bit_count(event_id)::BIGINT AS pop,
+      |  event_id << 2 AS shl, event_id >> 3 AS shr,
+      |  coalesce(nullif(event_type, 'error'), 'redacted') AS masked,
+      |  greatest(value, 50.0) AS hi, least(value, 50.0) AS lo
+      |FROM events WHERE event_id < 300
+      |UNION ALL
+      |SELECT -1 AS event_id,
+      |  bit_and(event_id) AS band, bit_or(event_id) AS bor,
+      |  bit_xor(event_id) AS bxor, NULL::BIGINT AS pop,
+      |  NULL::BIGINT AS shl, NULL::BIGINT AS shr,
+      |  event_type AS masked, NULL::DOUBLE AS hi, NULL::DOUBLE AS lo
+      |FROM events GROUP BY event_type
+      |ORDER BY event_id, masked""".stripMargin
+
   // --- window functions ------------------------------------------------------
 
   /** Ranking top-k per group (absent from the reference; SURVEY.md §2.5):
@@ -978,6 +1029,7 @@ object AdvancedQueries {
     "w6_range_frame" -> (w6RangeFrame _),
     "a12_filtered_agg" -> (a12FilteredAgg _),
     "a14_stats_agg" -> (a14StatsAgg _),
+    "x16_bitwise_null" -> (x16BitwiseNull _),
     "x13_map_funcs" -> (x13MapFuncs _),
     "x14_regex_funcs" -> (x14RegexFuncs _),
     "x15_string_shape" -> (x15StringShape _),
@@ -1021,6 +1073,7 @@ object AdvancedQueries {
     "w6_range_frame" -> w6RangeFrameSql,
     "a12_filtered_agg" -> a12FilteredAggSql,
     "a14_stats_agg" -> a14StatsAggSql,
+    "x16_bitwise_null" -> x16BitwiseNullSql,
     "x13_map_funcs" -> x13MapFuncsSql,
     "x14_regex_funcs" -> x14RegexFuncsSql,
     "x15_string_shape" -> x15StringShapeSql,
