@@ -580,8 +580,11 @@ object AdvancedQueries {
     * the merged read + default fill IS the migration. */
   def set3EvolvedScan(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
+    // fresh staging per invocation: a fixed path would race concurrent
+    // runs AND let a second call overwrite the files a previously
+    // returned (lazy) DataFrame still reads from
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_evolved_${Integer.toHexString(dir.hashCode)}").toString
+      s"graft_evolved_${java.util.UUID.randomUUID().toString.take(12)}").toString
     cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
       .write.mode("overwrite").parquet(s"$base/gen1")

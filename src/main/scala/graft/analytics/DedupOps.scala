@@ -72,16 +72,7 @@ object DedupOps {
     * 8-byte longs instead of shingle strings. (Composing per-word hashes
     * via element_at benchmarked SLOWER than hashing the concat string —
     * the HOF lambda re-evaluates the word-hash array per element.) */
-  def shingleHashes(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
-      .withColumn("w2", lead(col("w"), 1).over(w))
-      .withColumn("w3", lead(col("w"), 2).over(w))
-      .filter(col("w3").isNotNull)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", col("w"), col("w2"), col("w3"))).as("h"))
-  }
+  def shingleHashes(docs: DataFrame): DataFrame = ngramHashes(docs, 3)
 
   /** DuckDB rendering of the same shingling (shared by the n2 oracle). */
   private val shingleCte: String =

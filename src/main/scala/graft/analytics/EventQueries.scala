@@ -228,7 +228,7 @@ object EventQueries {
 
   val e9SessionWindowSql: String =
     """WITH m AS (
-      |  SELECT user_id, ts,
+      |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
       |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
       |    THEN 1 ELSE 0 END AS ns
@@ -236,7 +236,7 @@ object EventQueries {
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |s AS (
       |  SELECT user_id, ts,
-      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+      |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |                  ROWS UNBOUNDED PRECEDING) AS sid
       |  FROM m)
       |SELECT user_id, min(ts) AS session_start, count(*) AS n_events

@@ -382,9 +382,15 @@ object SimilarityOps {
     * 64-dim doubles), √n cells ≈ 450k → a flat codebook past broadcast
     * range, and ranking it costs `cells` dots per query. Two levels keep
     * the per-query centroid work at ~2√cells dots, and — the structural
-    * point — the full cell codebook is NEVER broadcast: level 2 ranks
-    * only cells inside the chosen supercells, reached by an equi-join on
-    * `scell`. Only the √cells-row supercell codebook broadcasts. */
+    * point — the QUERY path never broadcasts the full cell codebook:
+    * level 2 ranks only cells inside the chosen supercells, reached by
+    * an equi-join on `scell`; only the √cells-row supercell codebook
+    * broadcasts. The one-time index BUILD (assigning the corpus to
+    * cells) still evaluates the full codebook per vector here; past the
+    * broadcast clamp that build must use the same supercell pruning as
+    * an approximation (assign to best supercell, then best cell within
+    * it) — a build-time trade this small-scale implementation keeps
+    * exact so the n3c-collapse spec can pin the query machinery. */
   def ivfSupercells(cents: DataFrame): (DataFrame, DataFrame) = {
     val scells = ivfSupercellsFor(cents.count().toInt)
     val centVecs = cents.select(col("cell").cast("long").as("vec_id"),

@@ -80,6 +80,8 @@ object AtomicPublish {
     } catch {
       case e: Throwable =>
         try ctx.delete(scratch, true) catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
         throw e
     }
   }
@@ -126,7 +128,7 @@ object AtomicPublish {
       .filter { p =>
         val n = p.getName
         (n.startsWith("v_") && !live.contains(n.stripPrefix("v_"))) ||
-          n.startsWith(".staging_")
+          n.startsWith(".staging_") || n.startsWith("._current_")
       }
       .map { p => fs.delete(p, true); p.toString }
   }

@@ -22,39 +22,64 @@ object Compaction {
   final case class CompactionResult(filesBefore: Int, filesAfter: Int,
       bytes: Long, partitions: Int)
 
+  private def listEntries(spark: SparkSession, path: Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .listStatus(path).filter { st =>
+        val n = st.getPath.getName
+        !n.startsWith("_") && !n.startsWith(".")
+      }
+
+  /** Data files of a FLAT (unpartitioned) table dir. A `partitionBy`
+    * layout (subdirectories) is rejected up front: compacting it here
+    * would rewrite away the partition columns and their pruning — that
+    * layout needs a per-partition compaction, not a whole-table one. */
   private def dataFiles(spark: SparkSession, path: Path) = {
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(path).filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    val entries = listEntries(spark, path)
+    val dirs = entries.filter(_.isDirectory)
+    require(dirs.isEmpty,
+      s"$path is partitioned (${dirs.head.getPath.getName}, ...): compact " +
+        "each partition dir individually to preserve the layout")
+    entries.filter(_.isFile)
   }
+
+  private def partitionsFor(bytes: Long, targetBytes: Long): Int =
+    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
 
   /** Partitions needed to land ~`targetBytes` per output file. */
   def compactionPartitions(spark: SparkSession, dir: String,
-      targetBytes: Long): Int = {
-    val bytes = dataFiles(spark, new Path(dir)).map(_.getLen).sum
-    math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-  }
+      targetBytes: Long): Int =
+    partitionsFor(dataFiles(spark, new Path(dir)).map(_.getLen).sum, targetBytes)
 
   /** Rewrite `dir` into ~`targetBytes` files. Returns before/after
     * counts. The swap is rename-based (stage → old aside → stage in →
-    * drop old); a reader racing the swap should use an AtomicPublish
-    * root, where compaction is a manifest-pointer republish instead. */
+    * drop old) and every rename is CHECKED — Hadoop rename reports
+    * failure as `false`, not an exception, and the one unrecoverable
+    * ordering (old moved aside, staged swap failed) rolls the original
+    * back before throwing so the table is never lost. A reader racing
+    * the swap should use an AtomicPublish root, where compaction is a
+    * manifest-pointer republish instead. */
   def compact(spark: SparkSession, dir: String,
       targetBytes: Long = 128L * 1024 * 1024): CompactionResult = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = dataFiles(spark, path)
     val bytes = before.map(_.getLen).sum
-    val parts = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    val parts = partitionsFor(bytes, targetBytes)
     val staged = new Path(path.getParent, s".compact_${path.getName}")
+    val old = new Path(path.getParent, s".old_${path.getName}")
+    // leftovers of a crashed prior run would make the renames below
+    // report false; clear them first (staged/old are ours by contract)
+    fs.delete(staged, true)
+    fs.delete(old, true)
     spark.read.parquet(dir)
       .repartition(parts)
       .write.mode("overwrite").parquet(staged.toString)
-    val old = new Path(path.getParent, s".old_${path.getName}")
-    fs.rename(path, old)
-    fs.rename(staged, path)
+    if (!fs.rename(path, old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(staged, path)) {
+      fs.rename(old, path) // roll back; best effort, original data intact
+      throw new java.io.IOException(s"compact: cannot swap $staged into $path")
+    }
     fs.delete(old, true)
     CompactionResult(before.length,
       dataFiles(spark, path).length, bytes, parts)

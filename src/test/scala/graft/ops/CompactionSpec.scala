@@ -39,6 +39,30 @@ class CompactionSpec extends SparkSuite {
     assert(spark.read.parquet(dir).count() == 2000)
   }
 
+  test("partitioned layouts are rejected, not silently flattened") {
+    val dir = Files.createTempDirectory("graft-compact4").resolve("t").toString
+    spark.range(100).select(col("id"), (col("id") % 4).as("p"))
+      .write.partitionBy("p").parquet(dir)
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, dir)
+    }
+    // table untouched: partition dirs and data intact
+    assert(spark.read.parquet(dir).count() == 100)
+    assert(spark.read.parquet(dir).select("p").distinct().count() == 4)
+  }
+
+  test("a crashed prior run's leftovers don't fail the next compaction") {
+    val base = Files.createTempDirectory("graft-compact5")
+    val dir = base.resolve("t").toString
+    spark.range(200).toDF("id").repartition(6).write.parquet(dir)
+    // simulate a crash that left both scratch dirs behind
+    Files.createDirectory(base.resolve(".compact_t"))
+    Files.createDirectory(base.resolve(".old_t"))
+    val res = Compaction.compact(spark, dir, targetBytes = 1L << 30)
+    assert(res.filesAfter == 1)
+    assert(spark.read.parquet(dir).count() == 200)
+  }
+
   test("no data-file name survives from the fragmented generation") {
     val base = Files.createTempDirectory("graft-compact3").resolve("t").toString
     spark.range(100).toDF("id").repartition(8).write.parquet(base)
