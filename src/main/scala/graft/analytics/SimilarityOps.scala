@@ -403,6 +403,38 @@ object SimilarityOps {
     (superCents, cellMap)
   }
 
+  /** Build-path assignment for PAST the broadcast clamp: nearest
+    * supercell first (broadcast, √cells rows), then nearest cell WITHIN
+    * that supercell via an equi-join on `scell` — the full cell
+    * codebook is never broadcast and never driver-materialized per
+    * task. Approximate: a vector whose true nearest cell lives outside
+    * its [[IvfSuperProbes]] nearest supercells mis-assigns to a
+    * close-but-not-closest cell (recall cost, not correctness cost —
+    * probes use the same quantizer); probing the top supercells instead
+    * of only the argmax is the standard build-time mitigation. The spec
+    * measures agreement with exact assignment. */
+  def assignCellsTwoLevel(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    val (superCents, cellMap) = ivfSupercells(cents)
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("ssim").desc, col("scell"))
+    val topSuper = vectors.crossJoin(broadcast(superCents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("scell"),
+        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
+          .as("ssim"))
+      .withColumn("sr", row_number().over(wS))
+      .filter(col("sr") <= IvfSuperProbes)
+      .select(col("vec_id"), col("v"), col("nrm"), col("scell"))
+    topSuper.join(cellMap, Seq("scell"))
+      .join(cents, Seq("cell"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
+        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), col("cell"))).as("best"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
+  }
+
   /** N3d: TWO-LEVEL IVF ANN — rank supercells (broadcast, √cells rows),
     * then rank only the cells inside the [[IvfSuperProbes]] best
     * supercells (equi-join on scell — the cell codebook stays
