@@ -38,6 +38,12 @@ object AtomicPublish {
 
   private val CurrentFile = "_CURRENT"
 
+  /** One lock object per publish root (same-JVM commit serialization). */
+  private val commitLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def commitLock(root: String): Object =
+    commitLocks.getOrElseUpdate(root, new Object)
+
   /** Manifest: txn id + table names, one line each — tiny, parse-free. */
   private def renderManifest(txn: String, tables: Seq[String]): String =
     (txn +: tables.sorted).mkString("\n")
@@ -66,7 +72,12 @@ object AtomicPublish {
       }
       // 2. seal: one atomic dir rename makes the version complete-or-absent
       ctx.rename(scratch, versioned)
-      // 3. commit: swap the manifest pointer (atomic overwrite-rename)
+      // 3. commit: swap the manifest pointer (atomic overwrite-rename).
+      // Cross-process atomicity is the filesystem's rename contract
+      // (atomic on HDFS); same-JVM committers additionally serialize
+      // here because the LOCAL fs implements OVERWRITE as delete+rename,
+      // which two in-process racers can interleave into a spurious
+      // destination-exists failure.
       val tmp = new Path(rootPath, s"._current_$txn")
       val out = ctx.create(tmp,
         java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
@@ -75,7 +86,9 @@ object AtomicPublish {
       try out.write(renderManifest(txn, tables.keys.toSeq)
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      ctx.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
+      commitLock(root).synchronized {
+        ctx.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
+      }
       txn
     } catch {
       case e: Throwable =>
@@ -100,7 +113,11 @@ object AtomicPublish {
   }
 
   /** Read a table from the CURRENT version — the only resolution path
-    * readers use, so partially-published data is unreachable. */
+    * readers use, so partially-published data is unreachable. A reader
+    * needing cross-TABLE consistency under concurrent publishers should
+    * pin the txn once ([[currentTxn]]) and read every table with
+    * [[readTableAt]]: two `readTable` calls can legitimately span a
+    * pointer swap. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
     val txn = currentTxn(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))

@@ -78,6 +78,46 @@ class AtomicPublishSpec extends SparkSuite {
     }
   }
 
+  test("concurrent publishers never produce a torn read") {
+    // N threads race to publish different (rows, stats) pairs while a
+    // reader polls. Last committed pointer wins; every read must see a
+    // mutually consistent pair — the atomic-swap observable under
+    // contention, not just in sequence.
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map(
+      "rows" -> spark.range(1).toDF("id"),
+      "stats" -> spark.range(1).toDF("id").groupBy().count()))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val torn = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val writers = (1 to 4).map { k =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          val df = spark.range(k * 10L).toDF("id")
+          AtomicPublish.publish(spark, root, Map(
+            "rows" -> df, "stats" -> df.groupBy().count()))
+          ()
+        }
+      })
+    }
+    (1 to 10).foreach { _ =>
+      // multi-table-consistent read: pin the txn ONCE, then read every
+      // table at it (independent readTable calls could legitimately
+      // span a pointer swap — that's reader misuse, not a torn commit)
+      val txn = AtomicPublish.currentTxn(spark, root).get
+      val n = AtomicPublish.readTableAt(spark, root, "rows", txn).count()
+      val s = AtomicPublish.readTableAt(spark, root, "stats", txn)
+        .head().getLong(0)
+      if (n != s) torn.compareAndSet(null, s"rows=$n stats=$s")
+    }
+    writers.foreach(_.get())
+    pool.shutdown()
+    assert(torn.get() == null, s"torn read under contention: ${torn.get()}")
+    // final state is one of the committed versions, complete
+    val n = AtomicPublish.readTable(spark, root, "rows").count()
+    assert(Set(1L, 10L, 20L, 30L, 40L).contains(n))
+    assert(AtomicPublish.readTable(spark, root, "stats").head().getLong(0) == n)
+  }
+
   test("foreachBatch ingest publishes each micro-batch atomically") {
     // streaming ingest + transactional sink: every micro-batch commits
     // its table set in one publish, so a reader polling `readTable`
