@@ -416,6 +416,55 @@ object TextOps {
       |  max(c) * 10000 // CAST(sum(c) AS BIGINT) AS rep_bp
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  val ShuffleEpochs = 2
+  val ShuffleBatchDocs = 32
+  val ShuffleShards = 8
+
+  /** SP4: deterministic EPOCH SHUFFLING — the batch-order op of a
+    * training pipeline: every epoch must present the corpus in a
+    * different order, every rerun of the same epoch in the SAME order
+    * (resumable training), with no RNG state anywhere. Rank = md5 of
+    * (doc_id, epoch), so the permutation is a pure function of the data
+    * and the epoch number; batching is SHARDED (rank-prefix shard, then
+    * shard-local row_number → batch) — the sp3 rule: never a global
+    * single-reducer window. Emits per (epoch, shard, batch): size and a
+    * membership checksum. At 100 TB each shard's window is 1/S of an
+    * epoch and shards are independent — the shuffle is
+    * embarrassingly parallel across (epoch, shard). */
+  def sp4BatchShuffle(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch"), col("shard")).orderBy(col("r"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(ShuffleEpochs - 1))).as("epoch"))
+      .withColumn("r", md5(concat(col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("r"), 1, 8), 16, 10).cast("long"),
+          lit(ShuffleShards)))
+      .withColumn("idx", row_number().over(w))
+      .groupBy(col("epoch").cast("long").as("epoch"), col("shard"),
+        expr(s"(idx - 1) DIV $ShuffleBatchDocs").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("epoch"), col("shard"), col("batch_id"))
+  }
+
+  val sp4BatchShuffleSql: String =
+    s"""WITH e AS (
+      |  SELECT doc_id, epoch FROM documents,
+      |    (SELECT unnest(generate_series(0, ${ShuffleEpochs - 1})) AS epoch) t),
+      |r AS (SELECT doc_id, epoch,
+      |        md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS r FROM e),
+      |s AS (SELECT *,
+      |        ('0x' || substring(r, 1, 8))::BIGINT % $ShuffleShards AS shard
+      |      FROM r),
+      |i AS (SELECT *, row_number() OVER (
+      |        PARTITION BY epoch, shard ORDER BY r, doc_id) AS idx FROM s)
+      |SELECT epoch::BIGINT AS epoch, shard,
+      |  (idx - 1) // $ShuffleBatchDocs AS batch_id,
+      |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
+      |FROM i GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -426,6 +475,7 @@ object TextOps {
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
     "sp3_sequence_pack" -> (sp3SequencePack _),
+    "sp4_batch_shuffle" -> (sp4BatchShuffle _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -438,5 +488,6 @@ object TextOps {
     "sp1_hash_split" -> sp1HashSplitSql,
     "sp2_stratified_sample" -> sp2StratifiedSampleSql,
     "sp3_sequence_pack" -> sp3SequencePackSql,
+    "sp4_batch_shuffle" -> sp4BatchShuffleSql,
   )
 }

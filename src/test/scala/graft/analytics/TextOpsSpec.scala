@@ -104,4 +104,24 @@ class TextOpsSpec extends SparkSuite {
     assert(out(2L) == (4L, 4L, 10000L, 1L, 3L, 3333L))
     assert(out(3L) == (5L, 2L, 4000L, 2L, 4L, 5000L))
   }
+
+  test("sp4 epoch shuffle: epochs permute differently, reruns identically") {
+    import org.apache.spark.sql.functions._
+    val out = graft.analytics.TextOps.sp4BatchShuffle(spark, dir).collect()
+    // deterministic across runs (resumable training)
+    assert(graft.analytics.TextOps.sp4BatchShuffle(spark, dir)
+      .collect().toSeq == out.toSeq)
+    // each epoch covers the whole corpus exactly once
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    val perEpoch = out.groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(3)).sum).toMap
+    assert(perEpoch.values.forall(_ == nDocs), perEpoch.toString)
+    // and presents it in a DIFFERENT order: at least one (shard, batch)
+    // membership checksum differs between epochs
+    val sums = out.groupBy(_.getLong(0)).view.mapValues(
+      _.map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(4)).toMap).toMap
+    assert(sums(0L) != sums(1L), "epoch 1 identical to epoch 0")
+    // no batch exceeds the configured size
+    assert(out.forall(_.getLong(3) <= graft.analytics.TextOps.ShuffleBatchDocs))
+  }
 }
