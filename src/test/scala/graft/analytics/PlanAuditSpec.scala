@@ -163,6 +163,23 @@ class PlanAuditSpec extends SparkSuite {
     } finally prev.fold(spark.conf.unset(abt))(v => spark.conf.set(abt, v))
   }
 
+  test("a14: moment aggregates partial-reduce map-side like sum/count") {
+    val p = planString(AdvancedQueries.a14StatsAgg(spark, dir))
+    assert(p.contains("partial_corr") || p.contains("partial_covar") ||
+      p.contains("partial_"), p)
+    assert(!p.contains("Expand"), p)
+  }
+
+  test("map-only text queries stay inside whole-stage codegen") {
+    // codegen spans render as `*(n)` prefixes in the executed plan; a
+    // map-only scan+project query should put its expressions inside one
+    // (HOF lambdas and CodegenFallback expressions would break it)
+    val t1 = planString(TextOps.t1LangId(spark, dir))
+    assert("\\*\\(\\d+\\)".r.findFirstIn(t1).isDefined, t1)
+    val t4 = planString(TextOps.t4Fingerprint(spark, dir))
+    assert("\\*\\(\\d+\\)".r.findFirstIn(t4).isDefined, t4)
+  }
+
   test("p1b: approx profiler plans WITHOUT Expand; exact profiler needs it") {
     // N exact countDistincts in one pass force an Expand (each input row
     // replicated N+1 times, all distinct values shuffled) — the reason
