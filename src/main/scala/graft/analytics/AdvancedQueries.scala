@@ -578,20 +578,29 @@ object AdvancedQueries {
     * the union-side of evolution; this covers the storage side: at
     * 100 TB old files are never rewritten when a column lands —
     * the merged read + default fill IS the migration. */
+  /** Evolved-lineage staging dir per (corpus dir) per JVM: written ONCE
+    * then reused — a fixed path would race concurrent JVMs (UUID solves
+    * that) and rewriting per call would both leak a dir per invocation
+    * and overwrite files a previously returned lazy DataFrame still
+    * reads. Generations are immutable once staged, like any published
+    * lineage. */
+  private val evolvedCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   def set3EvolvedScan(spark: SparkSession, dir: String): DataFrame = {
-    val cust = Tables.customer(spark, dir)
-    // fresh staging per invocation: a fixed path would race concurrent
-    // runs AND let a second call overwrite the files a previously
-    // returned (lazy) DataFrame still reads from
-    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_evolved_${java.util.UUID.randomUUID().toString.take(12)}").toString
-    cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      .write.mode("overwrite").parquet(s"$base/gen1")
-    cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-        col("c_acctbal"))
-      .write.mode("overwrite").parquet(s"$base/gen2")
+    val base = evolvedCache.getOrElseUpdate(dir, {
+      val cust = Tables.customer(spark, dir)
+      val b = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_evolved_${java.util.UUID.randomUUID().toString.take(12)}").toString
+      cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .write.mode("overwrite").parquet(s"$b/gen1")
+      cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"))
+        .write.mode("overwrite").parquet(s"$b/gen2")
+      b
+    })
     spark.read.option("mergeSchema", "true")
       .parquet(s"$base/gen1", s"$base/gen2")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),

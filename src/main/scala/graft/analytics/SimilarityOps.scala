@@ -400,7 +400,31 @@ object SimilarityOps {
       .toDF("scell", "c")
     val cellMap = assignCells(centVecs, superCents.toDF("cell", "c"))
       .select(col("vec_id").cast("int").as("cell"), col("cell").as("scell"))
-    (superCents, cellMap)
+    // a supercell can end up owning ZERO cells (empty-cluster outcome of
+    // the one-step Lloyd refinement); drop it from the probe codebook so
+    // every probed supercell is guaranteed non-empty — otherwise a
+    // vector/query whose top supercells are all empty silently vanishes
+    // from the equi-join (totality break)
+    val owning = superCents.join(
+      cellMap.select(col("scell")).distinct(), Seq("scell"), "left_semi")
+    (owning, cellMap)
+  }
+
+  /** Supercell model per corpus directory, memoized like
+    * [[trainedCentroids]] — level-1 training is equally a pure function
+    * of the immutable corpus, and n3d calls would otherwise retrain it
+    * per invocation. */
+  private val supercellCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Seq[(Int, Seq[Double])], Seq[(Int, Int)])]
+  private def trainedSupercells(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (sc, cm) = supercellCache.getOrElseUpdate(dir, {
+      val (superCents, cellMap) = ivfSupercells(trainedCentroids(spark, dir))
+      (superCents.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq,
+        cellMap.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq)
+    })
+    import spark.implicits._
+    (sc.toDF("scell", "c"), cm.toDF("cell", "scell"))
   }
 
   /** Build-path assignment for PAST the broadcast clamp: nearest
@@ -447,7 +471,7 @@ object SimilarityOps {
       superProbes: Int = IvfSuperProbes): DataFrame = {
     val all = corpus(spark, dir)
     val cents = trainedCentroids(spark, dir)
-    val (superCents, cellMap) = ivfSupercells(cents)
+    val (superCents, cellMap) = trainedSupercells(spark, dir)
     val assigned = assignCells(all, cents)
     // level 1: top supercells per query (broadcast √cells-row codebook)
     val qs = all.filter(col("vec_id") < QueryCount)

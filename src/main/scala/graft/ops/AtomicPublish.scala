@@ -38,11 +38,16 @@ object AtomicPublish {
 
   private val CurrentFile = "_CURRENT"
 
-  /** One lock object per publish root (same-JVM commit serialization). */
+  /** One lock object per publish root (same-JVM commit serialization),
+    * keyed on the FS-qualified path so spelling aliases of one root
+    * ("/p", "/p/", "file:/p") share a lock. */
   private val commitLocks =
     scala.collection.concurrent.TrieMap.empty[String, Object]
-  private def commitLock(root: String): Object =
-    commitLocks.getOrElseUpdate(root, new Object)
+  private def commitLock(spark: SparkSession, root: String): Object = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    commitLocks.getOrElseUpdate(fs.makeQualified(p).toString, new Object)
+  }
 
   /** Manifest: txn id + table names, one line each — tiny, parse-free. */
   private def renderManifest(txn: String, tables: Seq[String]): String =
@@ -86,7 +91,7 @@ object AtomicPublish {
       try out.write(renderManifest(txn, tables.keys.toSeq)
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
-      commitLock(root).synchronized {
+      commitLock(spark, root).synchronized {
         ctx.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
       }
       txn

@@ -22,6 +22,18 @@ object Compaction {
   final case class CompactionResult(filesBefore: Int, filesAfter: Int,
       bytes: Long, partitions: Int)
 
+  /** One lock per qualified table path: two same-JVM compactions of one
+    * table would otherwise interleave their scratch-dir deletes and
+    * renames into data loss (each clears the other's rollback copy).
+    * Cross-process maintenance must be externally coordinated — the
+    * standard contract for table-maintenance ops. */
+  private val tableLocks =
+    scala.collection.concurrent.TrieMap.empty[String, Object]
+  private def tableLock(spark: SparkSession, path: Path): Object = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    tableLocks.getOrElseUpdate(fs.makeQualified(path).toString, new Object)
+  }
+
   private def listEntries(spark: SparkSession, path: Path) =
     path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .listStatus(path).filter { st =>
@@ -59,7 +71,13 @@ object Compaction {
     * the swap should use an AtomicPublish root, where compaction is a
     * manifest-pointer republish instead. */
   def compact(spark: SparkSession, dir: String,
-      targetBytes: Long = 128L * 1024 * 1024): CompactionResult = {
+      targetBytes: Long = 128L * 1024 * 1024): CompactionResult =
+    tableLock(spark, new Path(dir)).synchronized {
+      compactLocked(spark, dir, targetBytes)
+    }
+
+  private def compactLocked(spark: SparkSession, dir: String,
+      targetBytes: Long): CompactionResult = {
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val before = dataFiles(spark, path)

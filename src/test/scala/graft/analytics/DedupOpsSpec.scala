@@ -95,20 +95,6 @@ class DedupOpsSpec extends SparkSuite {
     assert(DedupOps.n6Decontaminate(spark, dir).collect().toSeq == rows.toSeq)
   }
 
-  test("e9 native session windows agree with e2 manual sessionization") {
-    import org.apache.spark.sql.functions._
-    // same gap, two formulations: session_window (native interval merge)
-    // vs lag+flag (manual). Per-user session counts must coincide (the
-    // testdata has no exact-boundary gap, where > vs >= would differ).
-    val native = graft.analytics.EventQueries.e9SessionWindow(spark, dir)
-      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"),
-        sum(col("n_events")).as("n_events"))
-      .orderBy(col("user_id")).collect().toSeq
-    val manual = graft.analytics.EventQueries.e2Sessionization(spark, dir)
-      .collect().toSeq
-    assert(native == manual)
-  }
-
   test("n1b incremental dedup: batch-only ids, unique new fingerprints") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)

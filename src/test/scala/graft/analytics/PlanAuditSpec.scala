@@ -165,8 +165,11 @@ class PlanAuditSpec extends SparkSuite {
 
   test("a14: moment aggregates partial-reduce map-side like sum/count") {
     val p = planString(AdvancedQueries.a14StatsAgg(spark, dir))
-    assert(p.contains("partial_corr") || p.contains("partial_covar") ||
-      p.contains("partial_"), p)
+    // pin the MOMENT aggregates specifically — a generic partial_ match
+    // would be satisfied by any count/sum in the plan and miss a
+    // regression of corr/covar/regr_* to a non-partial implementation
+    Seq("partial_corr", "partial_covar_samp", "partial_stddev_samp",
+      "partial_regr_slope").foreach(tok => assert(p.contains(tok), s"$tok\n$p"))
     assert(!p.contains("Expand"), p)
   }
 

@@ -265,7 +265,12 @@ class SimilarityOpsSpec extends SparkSuite {
     val cells = ivfCellsFor(n)
     val cents = SimilarityOps.ivfCentroids(corp, cells)
     val (superCents, cellMap) = SimilarityOps.ivfSupercells(cents)
-    assert(superCents.count() == ivfSupercellsFor(cells))
+    // probe codebook holds only cell-OWNING supercells (an empty-cluster
+    // supercell would let its probers' equi-join silently drop rows)
+    val nSuper = superCents.count()
+    assert(nSuper >= 1 && nSuper <= ivfSupercellsFor(cells))
+    val owned = cellMap.select("scell").distinct()
+    assert(superCents.join(owned, Seq("scell"), "left_anti").count() == 0)
     // every cell maps to exactly one supercell — the join path is total
     assert(cellMap.count() == cells)
     assert(cellMap.select("cell").distinct().count() == cells)
