@@ -77,12 +77,13 @@ object AtomicPublish {
       }
       // 2. seal: one atomic dir rename makes the version complete-or-absent
       ctx.rename(scratch, versioned)
-      // 3. commit: swap the manifest pointer (atomic overwrite-rename).
-      // Cross-process atomicity is the filesystem's rename contract
-      // (atomic on HDFS); same-JVM committers additionally serialize
-      // here because the LOCAL fs implements OVERWRITE as delete+rename,
-      // which two in-process racers can interleave into a spurious
-      // destination-exists failure.
+      // 3. commit: swap the manifest pointer atomically. On HDFS the
+      // FileContext overwrite-rename is atomic server-side; Hadoop's
+      // LOCAL fs implements it as delete+rename, which exposes a window
+      // where readers see NO manifest and where two committers collide —
+      // so on the file scheme the swap goes through POSIX rename(2)
+      // (NIO ATOMIC_MOVE), which replaces in place. Same-JVM committers
+      // additionally serialize per root.
       val tmp = new Path(rootPath, s"._current_$txn")
       val out = ctx.create(tmp,
         java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
@@ -91,8 +92,19 @@ object AtomicPublish {
       try out.write(renderManifest(txn, tables.keys.toSeq)
         .getBytes(StandardCharsets.UTF_8))
       finally out.close()
+      val cur = new Path(rootPath, CurrentFile)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val qualified = fs.makeQualified(cur).toUri
       commitLock(spark, root).synchronized {
-        ctx.rename(tmp, new Path(rootPath, CurrentFile), Options.Rename.OVERWRITE)
+        if (qualified.getScheme == "file") {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+            java.nio.file.Paths.get(qualified.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } else {
+          ctx.rename(tmp, cur, Options.Rename.OVERWRITE)
+        }
       }
       txn
     } catch {
