@@ -26,13 +26,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * tables or the complete new one — never a mix, exactly the reference's
   * all-or-nothing commit. A crash at any point leaves `_CURRENT` (and
   * everything it references) untouched; orphaned scratch/version dirs are
-  * invisible garbage, reclaimed by `vacuum`.
+  * invisible garbage, reclaimed by `vacuum`. The pointer swap is atomic
+  * per scheme: HDFS rename(OVERWRITE) server-side, POSIX rename(2) on the
+  * local fs (where Hadoop's own overwrite-rename is a non-atomic
+  * delete+rename — see the commit step).
   *
   * At 100 TB this costs what the plain writes cost: the commit step moves
   * ZERO data — one directory rename plus one small-file swap — and never
   * touches the driver with row data. (This is the same observable an
-  * Iceberg/Delta-style metadata pointer provides, built on the FS alone;
-  * FileContext.rename(OVERWRITE) is atomic on HDFS and POSIX local FS.)
+  * Iceberg/Delta-style metadata pointer provides, built on the FS alone.)
   */
 object AtomicPublish {
 
@@ -78,31 +80,41 @@ object AtomicPublish {
       // 2. seal: one atomic dir rename makes the version complete-or-absent
       ctx.rename(scratch, versioned)
       // 3. commit: swap the manifest pointer atomically. On HDFS the
-      // FileContext overwrite-rename is atomic server-side; Hadoop's
-      // LOCAL fs implements it as delete+rename, which exposes a window
-      // where readers see NO manifest and where two committers collide —
-      // so on the file scheme the swap goes through POSIX rename(2)
-      // (NIO ATOMIC_MOVE), which replaces in place. Same-JVM committers
-      // additionally serialize per root.
-      val tmp = new Path(rootPath, s"._current_$txn")
-      val out = ctx.create(tmp,
-        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-        Options.CreateOpts.createParent())
-      try out.write(renderManifest(txn, tables.keys.toSeq)
-        .getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      // FileContext overwrite-rename is atomic server-side. Hadoop's
+      // LOCAL fs implements it as delete+rename — a window where readers
+      // see NO manifest and committers collide — so on the file scheme
+      // the tmp manifest is written via NIO (outside the checksum layer:
+      // a Hadoop-written tmp leaves an immortal .crc sidecar behind, and
+      // a NIO move under a stale ._CURRENT.crc makes every subsequent
+      // Hadoop read throw ChecksumException) and swapped with POSIX
+      // rename(2) (ATOMIC_MOVE), which replaces in place. Same-JVM
+      // committers additionally serialize per root.
       val cur = new Path(rootPath, CurrentFile)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val qualified = fs.makeQualified(cur).toUri
-      commitLock(spark, root).synchronized {
-        if (qualified.getScheme == "file") {
-          java.nio.file.Files.move(
-            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
-            java.nio.file.Paths.get(qualified.getPath),
+      val manifest = renderManifest(txn, tables.keys.toSeq)
+        .getBytes(StandardCharsets.UTF_8)
+      if (qualified.getScheme == "file") {
+        val curNio = java.nio.file.Paths.get(qualified.getPath)
+        val tmpNio = curNio.resolveSibling(s"._current_$txn")
+        java.nio.file.Files.write(tmpNio, manifest)
+        commitLock(spark, root).synchronized {
+          // a pre-NIO publish may have left a checksum sidecar for the
+          // old manifest; it would fail verification against the new one
+          java.nio.file.Files.deleteIfExists(
+            curNio.resolveSibling(s".$CurrentFile.crc"))
+          java.nio.file.Files.move(tmpNio, curNio,
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        } else {
+        }
+      } else {
+        val tmp = new Path(rootPath, s"._current_$txn")
+        val out = ctx.create(tmp,
+          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+          Options.CreateOpts.createParent())
+        try out.write(manifest) finally out.close()
+        commitLock(spark, root).synchronized {
           ctx.rename(tmp, cur, Options.Rename.OVERWRITE)
         }
       }

@@ -33,11 +33,16 @@ class IngestJourneySpec extends SparkSuite {
       patient("MRN-4", consent = false),
       patient("MRN-1", name = "Jane Dupe")))
 
-    val result = PatientIngestion.ingest(raw)
-    val split = Sinks.detectConflicts(result.loaded,
+    // conflict split FIRST, on the raw batch, where a deterministic
+    // order key (the clear name) still exists — detectConflicts requires
+    // a stable ordering, and post-transform the dup rows differ only in
+    // nondeterministically-encrypted columns. Mirrors the reference: the
+    // second insert of an mrn 409s before any transform side effects.
+    val split = Sinks.detectConflicts(raw,
       existing = Seq.empty[String].toDF("mrn"), key = "mrn",
-      orderBy = Seq(col("encrypted_name")))
-    val patients = split.insertable
+      orderBy = Seq(col("name")))
+    val result = PatientIngestion.ingest(split.insertable)
+    val patients = result.loaded
     val audit = Sinks.auditEntries("ingestion_api", "create", "patient",
       patients, "mrn")
     val run = Sinks.pipelineRunRow(spark, "patient_ingestion", "completed",

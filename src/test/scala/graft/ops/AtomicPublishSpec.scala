@@ -78,6 +78,29 @@ class AtomicPublishSpec extends SparkSuite {
     }
   }
 
+  test("local publishes leave no checksum sidecars; a stale one can't brick the store") {
+    import spark.implicits._
+    val root = freshRoot()
+    (1 to 3).foreach { k =>
+      AtomicPublish.publish(spark, root,
+        Map("t" -> Seq(k.toLong).toDF("id")))
+    }
+    // the NIO manifest path must not accrete Hadoop .crc sidecars (the
+    // checksum layer can't see a POSIX rename; its leftovers would both
+    // leak forever and fail verification against newer manifests)
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .toArray.map(_.toString).filter(_.endsWith(".crc"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+    // simulate a store written by a pre-NIO build: a stale ._CURRENT.crc
+    // describing an older manifest must not make the store unreadable
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "._CURRENT.crc"), Array[Byte](1, 2, 3))
+    val txn = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq(9L).toDF("id")))
+    assert(AtomicPublish.currentTxn(spark, root).contains(txn))
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 1)
+  }
+
   test("concurrent publishers never produce a torn read") {
     // N threads race to publish different (rows, stats) pairs while a
     // reader polls. Last committed pointer wins; every read must see a
