@@ -89,5 +89,32 @@ class IngestJourneySpec extends SparkSuite {
     assert(runRow.getAs[String]("input_record_count") == "5")
     assert(runRow.getAs[String]("output_record_count") == "2")
     assert(runRow.getAs[String]("status") == "completed")
+
+    // ---- day two: incremental batch against the PUBLISHED store ----
+    // one genuinely new patient, one re-submission of MRN-1 (the
+    // reference 409s it against the patients table, routes.py:86-105)
+    val raw2 = PatientIngestion.batchFromRows(spark, Seq(
+      patient("MRN-9"), patient("MRN-1", name = "Jane Again")))
+    val split2 = Sinks.detectConflicts(raw2,
+      existing = tbl("patients").select("mrn"), key = "mrn",
+      orderBy = Seq(col("name")))
+    assert(split2.conflicts.select("mrn").as[String].collect().toSeq ==
+      Seq("MRN-1"))
+    val result2 = PatientIngestion.ingest(split2.insertable)
+    AtomicPublish.publish(spark, root, Map(
+      "patients" -> tbl("patients").unionByName(result2.loaded),
+      "quarantine" -> tbl("quarantine"),
+      "audit_log" -> tbl("audit_log").unionByName(
+        Sinks.auditEntries("ingestion_api", "create", "patient",
+          result2.loaded, "mrn")),
+      "pipeline_runs" -> tbl("pipeline_runs")))
+    // new version is live and complete; the old one still time-travels
+    val txn2 = AtomicPublish.currentTxn(spark, root).get
+    assert(txn2 != txn)
+    assert(AtomicPublish.readTableAt(spark, root, "patients", txn2)
+      .select("mrn").as[String].collect().toSet ==
+      Set("MRN-1", "MRN-2", "MRN-9"))
+    assert(AtomicPublish.readTableAt(spark, root, "patients", txn)
+      .count() == 2)
   }
 }
