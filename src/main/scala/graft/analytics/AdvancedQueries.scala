@@ -583,24 +583,35 @@ object AdvancedQueries {
     * that) and rewriting per call would both leak a dir per invocation
     * and overwrite files a previously returned lazy DataFrame still
     * reads. Generations are immutable once staged, like any published
-    * lineage. */
+    * lineage. Keyed on (dir, customer-table fingerprint) so a customer
+    * table rewritten in place re-stages instead of serving stale
+    * generations. */
   private val evolvedCache =
-    scala.collection.concurrent.TrieMap.empty[String, String]
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def stageEvolved(spark: SparkSession, dir: String): String = {
+    val cust = Tables.customer(spark, dir)
+    val b = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_evolved_${java.util.UUID.randomUUID().toString.take(12)}").toString
+    cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .write.mode("overwrite").parquet(s"$b/gen1")
+    cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_acctbal"))
+      .write.mode("overwrite").parquet(s"$b/gen2")
+    b
+  }
 
   def set3EvolvedScan(spark: SparkSession, dir: String): DataFrame = {
-    val base = evolvedCache.getOrElseUpdate(dir, {
-      val cust = Tables.customer(spark, dir)
-      val b = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_evolved_${java.util.UUID.randomUUID().toString.take(12)}").toString
-      cust.filter(pmod(col("c_custkey"), lit(2)) === 0)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-        .write.mode("overwrite").parquet(s"$b/gen1")
-      cust.filter(pmod(col("c_custkey"), lit(2)) === 1)
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
-          col("c_acctbal"))
-        .write.mode("overwrite").parquet(s"$b/gen2")
-      b
-    })
+    val fp = Tables.fingerprint(spark, dir, "customer")
+    val base = evolvedCache.get(dir) match {
+      case Some((`fp`, b)) => b
+      case _ =>
+        val b = stageEvolved(spark, dir)
+        evolvedCache.put(dir, (fp, b))
+        b
+    }
     spark.read.option("mergeSchema", "true")
       .parquet(s"$base/gen1", s"$base/gen2")
       .select(col("c_custkey"), col("c_name"), col("c_nationkey"),

@@ -51,13 +51,38 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** Corpus row count per directory, memoized — the harness testdata is
-    * immutable, and deriving SRP bits is the only consumer, so one
-    * metadata-cheap count job per directory per JVM suffices (n3b and
-    * n5 in the same session share it). */
-  private val countCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** Content fingerprint of the embeddings table under `dir` — FS
+    * metadata only (file count, total bytes, newest mtime), no data
+    * read. Model caches key on (dir, fingerprint) so a corpus REWRITTEN
+    * in place (compaction, republish into the same path) invalidates
+    * the memoized codebook instead of silently serving a model trained
+    * on the old data. */
+  private def corpusFingerprint(spark: SparkSession, dir: String): String =
+    Tables.fingerprint(spark, dir, "embeddings")
+
+  /** Per-dir memo that re-computes when the corpus content fingerprint
+    * changes. One live entry per dir (a rewrite REPLACES the stale
+    * model), so the cache is bounded by the number of distinct corpus
+    * dirs a JVM touches. */
+  private def memoFresh[V](cache: scala.collection.concurrent.TrieMap[String, (String, V)],
+      spark: SparkSession, dir: String)(compute: => V): V = {
+    val fp = corpusFingerprint(spark, dir)
+    cache.get(dir) match {
+      case Some((`fp`, v)) => v
+      case _ =>
+        val v = compute
+        cache.put(dir, (fp, v))
+        v
+    }
+  }
+
+  /** Corpus row count per directory, memoized (fingerprint-fresh) — one
+    * metadata-cheap count job per corpus generation per JVM suffices
+    * (n3b and n5 in the same session share it). */
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
   private def corpusCount(spark: SparkSession, dir: String): Long =
-    countCache.getOrElseUpdate(dir, Tables.embeddings(spark, dir).count())
+    memoFresh(countCache, spark, dir)(Tables.embeddings(spark, dir).count())
 
   /** N3: exact cosine top-10 neighbors for each query vector
     * (vec_id < 32), ties broken by neighbor id. */
@@ -281,6 +306,97 @@ object SimilarityOps {
       .toSeq.toDF("cell", "c")
   }
 
+  /** Occupancy cap factor: a cell holding more than this multiple of the
+    * mean population is split. The SRP path earned its hard bucket cap
+    * ([[SrpBucketCap]]) for exactly this reason — one dense cluster must
+    * not make one probe read an unbounded slice of the corpus — but an
+    * IVF assignment is also the WRITE-PATH layout, so rows can't simply
+    * be dropped; oversized cells are SPLIT instead (re-Lloyd within the
+    * cell), which keeps the index total. */
+  val IvfOccCapFactor = 4
+  /** Split rounds are bounded: each round halves a hot cell at best, so
+    * 4 rounds shrink a cell 16×; a cluster of IDENTICAL vectors can
+    * never be separated by any Voronoi split (the honest floor — those
+    * rows are upstream-dedup work, cf. n5), and bounding rounds keeps
+    * training cost deterministic instead of looping on it. */
+  val IvfMaxSplitRounds = 4
+
+  /** [[ivfCentroids]] plus an occupancy bound: any cell whose SAMPLED
+    * population exceeds [[IvfOccCapFactor]] × mean is split in two
+    * (seed A = its min-vec_id member, seed B = the member least similar
+    * to A, one Lloyd step — all set-oriented over every oversized cell
+    * at once), for at most [[IvfMaxSplitRounds]] rounds. Occupancy is
+    * measured on the training sample (`lloydStride`), so the cap adds
+    * ~rounds × (sample × cells) work, never a full-corpus pass. The
+    * codebook only GROWS (bounded by rounds), never loses a cell. */
+  def ivfCentroidsCapped(vectors: DataFrame, cells: Int,
+      lloydStride: Long = 1L,
+      maxRounds: Int = IvfMaxSplitRounds): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val sample =
+      if (lloydStride <= 1L) vectors
+      else vectors.filter(pmod(col("vec_id"), lit(lloydStride)) === 0)
+    var cents: Seq[(Int, Seq[Double])] =
+      ivfCentroids(vectors, cells, lloydStride)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
+    var round = 0
+    var saturated = false
+    while (round < maxRounds && !saturated) {
+      val centsDf = cents.toDF("cell", "c")
+      val assigned = assignCells(sample, centsDf)
+      val occ = assigned.groupBy(col("cell")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val mean = occ.values.sum.toDouble / cents.size
+      val cap = math.max(1L, math.ceil(IvfOccCapFactor * mean).toLong)
+      val over = occ.filter(_._2 > cap).keys.toSeq.sorted
+      if (over.isEmpty) saturated = true
+      else {
+        val mem = assigned.filter(col("cell").isin(over: _*))
+        val seedA = mem.groupBy(col("cell"))
+          .agg(min(struct(col("vec_id"), col("v"))).as("sa"))
+          .select(col("cell"), col("sa.v").as("va"))
+        val withA = mem.join(broadcast(seedA), Seq("cell"))
+          .withColumn("asim", dot(col("v"), col("va")) /
+            (col("nrm") * sqrt(dot(col("va"), col("va")))))
+        val seedB = withA.groupBy(col("cell"))
+          .agg(min(struct(col("asim"), col("vec_id"), col("v"))).as("sb"))
+          .select(col("cell"), col("sb.v").as("vb"))
+        // one Lloyd step over the two seeds: side 0 stays with A, side 1
+        // founds the new cell; per-(cell, side) element-wise mean exactly
+        // as ivfCentroids' refinement step
+        val split = withA.join(broadcast(seedB), Seq("cell"))
+          .withColumn("bsim", dot(col("v"), col("vb")) /
+            (col("nrm") * sqrt(dot(col("vb"), col("vb")))))
+          .withColumn("side", when(col("asim") >= col("bsim"), 0).otherwise(1))
+          .select(col("cell"), col("side"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("side"), col("pos"))
+          .agg(avg(col("x")).as("m"))
+          .groupBy(col("cell"), col("side"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("cell"), col("side"),
+            transform(col("pm"), e => e.getField("m")).as("c"))
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+        var nextId = cents.map(_._1).max
+        cents = cents.flatMap { case (cell, c) =>
+          (split.get((cell, 0)), split.get((cell, 1))) match {
+            case (Some(a), Some(b)) if over.contains(cell) =>
+              nextId += 1
+              Seq((cell, a), (nextId, b))
+            // degenerate split (all members on one side — e.g. identical
+            // vectors): keep the cell as-is; rounds will exhaust
+            case _ => Seq((cell, c))
+          }
+        }
+      }
+      round += 1
+    }
+    cents.toDF("cell", "c")
+  }
+
   /** Nearest centroid (max cosine) per vector: broadcast the K-row
     * codebook, argmax via one max(struct) aggregation. Public so specs
     * can measure probed-cell row fractions on arbitrary corpora. */
@@ -299,15 +415,15 @@ object SimilarityOps {
     * n3c, n3d and the write-path assignment all consume the same model,
     * so training runs once per corpus per JVM (exactly how a production
     * index trains once at build time and is read by every query). */
-  private val centCache =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, Seq[Double])]]
+  private val centCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Seq[(Int, Seq[Double])])]
   private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val rows = centCache.getOrElseUpdate(dir, {
+    val rows = memoFresh(centCache, spark, dir) {
       val n = corpusCount(spark, dir)
       val cells = ivfCellsFor(n)
-      ivfCentroids(corpus(spark, dir), cells, ivfLloydStride(n, cells))
+      ivfCentroidsCapped(corpus(spark, dir), cells, ivfLloydStride(n, cells))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-    })
+    }
     import spark.implicits._
     rows.toDF("cell", "c")
   }
@@ -369,6 +485,16 @@ object SimilarityOps {
   /** Supercells probed per query at level 1. */
   val IvfSuperProbes = 2
 
+  /** Supercells probed on the BUILD path ([[assignCellsTwoLevel]]).
+    * Wider than the query-time [[IvfSuperProbes]] on purpose: a build
+    * mis-assignment is permanent (the vector lands in — and is only
+    * ever found via — a second-best cell), while a query probe is
+    * re-chosen per query. Widening to 6 lifts agreement with exact
+    * assignment from 0.72 to ≥0.9 on the i.i.d. worst case (spec) at a
+    * cost that stays ~√cells per vector: 6·fanout ≈ 6√cells dots vs the
+    * flat build's `cells`. */
+  val IvfBuildSuperProbes = 6
+
   /** Supercell count: ~√cells, so both levels cost ~√cells centroid dot
     * products per query instead of `cells`. */
   def ivfSupercellsFor(cells: Int): Int =
@@ -415,14 +541,14 @@ object SimilarityOps {
     * of the immutable corpus, and n3d calls would otherwise retrain it
     * per invocation. */
   private val supercellCache = scala.collection.concurrent.TrieMap
-    .empty[String, (Seq[(Int, Seq[Double])], Seq[(Int, Int)])]
+    .empty[String, (String, (Seq[(Int, Seq[Double])], Seq[(Int, Int)]))]
   private def trainedSupercells(spark: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
-    val (sc, cm) = supercellCache.getOrElseUpdate(dir, {
+    val (sc, cm) = memoFresh(supercellCache, spark, dir) {
       val (superCents, cellMap) = ivfSupercells(trainedCentroids(spark, dir))
       (superCents.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq,
         cellMap.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq)
-    })
+    }
     import spark.implicits._
     (sc.toDF("scell", "c"), cm.toDF("cell", "scell"))
   }
@@ -434,10 +560,13 @@ object SimilarityOps {
     * task. Approximate: a vector whose true nearest cell lives outside
     * its [[IvfSuperProbes]] nearest supercells mis-assigns to a
     * close-but-not-closest cell (recall cost, not correctness cost —
-    * probes use the same quantizer); probing the top supercells instead
-    * of only the argmax is the standard build-time mitigation. The spec
-    * measures agreement with exact assignment. */
-  def assignCellsTwoLevel(vectors: DataFrame, cents: DataFrame): DataFrame = {
+    * probes use the same quantizer); probing [[IvfBuildSuperProbes]]
+    * supercells instead of only the argmax is the standard build-time
+    * mitigation, and build-time probes are wider than query-time ones
+    * because a build mis-assignment is permanent. The spec asserts
+    * agreement ≥ 0.9 with exact assignment on the i.i.d. worst case. */
+  def assignCellsTwoLevel(vectors: DataFrame, cents: DataFrame,
+      superProbes: Int = IvfBuildSuperProbes): DataFrame = {
     val (superCents, cellMap) = ivfSupercells(cents)
     val wS = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("ssim").desc, col("scell"))
@@ -446,7 +575,7 @@ object SimilarityOps {
         (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
           .as("ssim"))
       .withColumn("sr", row_number().over(wS))
-      .filter(col("sr") <= IvfSuperProbes)
+      .filter(col("sr") <= superProbes)
       .select(col("vec_id"), col("v"), col("nrm"), col("scell"))
     topSuper.join(cellMap, Seq("scell"))
       .join(cents, Seq("cell"))
@@ -499,6 +628,111 @@ object SimilarityOps {
       .filter(col("pr") <= IvfProbes)
       .select(col("qid"), col("qv"), col("qn"), col("cell"))
     val sims = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  // --- incremental IVF index maintenance ------------------------------------
+
+  /** Published/batch split: vectors below the data-derived vec_id
+    * midpoint stand in for the already-published corpus, the rest are
+    * the incoming batch — the same convention n1b's incremental dedup
+    * uses (DedupOps.scala). Reference analog: append-only audit sink
+    * semantics (/root/reference/app/services/audit.py:25). */
+  private val splitCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long)]
+  def ivfSplitPoint(spark: SparkSession, dir: String): Long =
+    memoFresh(splitCache, spark, dir) {
+      corpus(spark, dir)
+        .agg(floor(max(col("vec_id")) / 2).cast("long")).head().getLong(0)
+    }
+
+  /** Codebook trained ONLY on the published half — the incremental
+    * contract is train-once / append-forever: an arriving batch is
+    * assigned with the PUBLISHED codebook, never a retrained one
+    * (retraining would re-cluster — and therefore rewrite — every
+    * already-published cell, the one cost an append must not pay). */
+  private val pubCentCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Seq[(Int, Seq[Double])])]
+  def publishedCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val rows = memoFresh(pubCentCache, spark, dir) {
+      val split = ivfSplitPoint(spark, dir)
+      val pub = corpus(spark, dir).filter(col("vec_id") < split)
+      val n = pub.count()
+      val cells = ivfCellsFor(n)
+      ivfCentroidsCapped(pub, cells, ivfLloydStride(n, cells))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+    }
+    import spark.implicits._
+    rows.toDF("cell", "c")
+  }
+
+  /** Append a batch to a published IVF index: assign ONLY the batch
+    * vectors with the published codebook — the published side is read
+    * back as data, never recomputed, so the plan contains no
+    * full-corpus reassignment — and atomically publish the merged index
+    * as a new version ([[graft.ops.AtomicPublish]]: readers see the old
+    * index or the new one, never a mix; time travel keeps the
+    * pre-append version queryable under the vacuum retention policy).
+    * Returns the new txn id. At extreme scale the merged rewrite would
+    * become segment files unioned at read; the commit observable is the
+    * same. */
+  def ivfAppendBatch(spark: SparkSession, indexRoot: String,
+      batch: DataFrame, cents: DataFrame): String = {
+    val existing =
+      graft.ops.AtomicPublish.readTable(spark, indexRoot, "ivf_index")
+    val appended = assignCells(batch, cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    graft.ops.AtomicPublish.publish(spark, indexRoot,
+      Map("ivf_index" -> existing.unionByName(appended)))
+  }
+
+  /** Published index store per corpus dir, built once per JVM (the
+    * set3 evolved-lineage staging pattern): the published half's
+    * assignments land in an [[graft.ops.AtomicPublish]] root as the
+    * `ivf_index` table, so n3e's published side is a genuine store READ
+    * with no assignment compute in its plan. */
+  private val storeCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  def publishedIndexRoot(spark: SparkSession, dir: String): String =
+    memoFresh(storeCache, spark, dir) {
+      val split = ivfSplitPoint(spark, dir)
+      val cents = publishedCentroids(spark, dir)
+      val pub = corpus(spark, dir).filter(col("vec_id") < split)
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_store_${java.util.UUID.randomUUID().toString.take(12)}")
+        .toString
+      graft.ops.AtomicPublish.publish(spark, root, Map("ivf_index" ->
+        assignCells(pub, cents)
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))))
+      root
+    }
+
+  /** N3e: ANN top-10 over (published index ∪ incoming batch) — the
+    * steady-state query shape of an incrementally-maintained IVF index.
+    * The published side is read from the store (assignments are DATA);
+    * only the batch half runs the quantizer, against the published
+    * codebook. Deterministic; no SQL oracle (spec proves equivalence to
+    * a from-scratch assignment of the full corpus under the same
+    * codebook, plus the no-full-reassignment plan shape). */
+  def n3eAnnIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val split = ivfSplitPoint(spark, dir)
+    val cents = publishedCentroids(spark, dir)
+    val published = graft.ops.AtomicPublish
+      .readTable(spark, publishedIndexRoot(spark, dir), "ivf_index")
+    val all = corpus(spark, dir)
+    val batch = assignCells(all.filter(col("vec_id") >= split), cents)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val merged = published.unionByName(batch)
+    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
+    val sims = probes.join(merged, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
@@ -570,6 +804,7 @@ object SimilarityOps {
     "n3b_srp_ann" -> (n3bSrpAnn _),
     "n3c_ivf_ann" -> (n3cIvfAnn _),
     "n3d_ivf2_ann" -> ((s: SparkSession, d: String) => n3dIvf2Ann(s, d)),
+    "n3e_ann_incremental" -> (n3eAnnIncremental _),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
   )
 

@@ -52,4 +52,21 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
+
+  /** Content fingerprint of `dir/name.parquet` from FS METADATA only
+    * (file count, total bytes, newest mtime — no data read). Model/
+    * staging caches key on (dir, fingerprint) so a table rewritten in
+    * place (compaction, republish into the same path) invalidates the
+    * cached derivation instead of silently serving stale state. */
+  def fingerprint(spark: SparkSession, dir: String, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) s"1:${st.getLen}:${st.getModificationTime}"
+    else {
+      val kids = fs.listStatus(p).filter(_.isFile)
+      val mt = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
+      s"${kids.length}:${kids.map(_.getLen).sum}:$mt"
+    }
+  }
 }

@@ -51,6 +51,14 @@ object AtomicPublish {
     commitLocks.getOrElseUpdate(fs.makeQualified(p).toString, new Object)
   }
 
+  /** Txns whose scratch dirs are mid-write in THIS JVM (registered for
+    * the whole publish, not just the pointer swap): vacuum must not
+    * reclaim a staging dir a live publisher is still filling — deleting
+    * it aborts that publish's parquet job. Cross-process in-flight
+    * staging is covered by vacuum's `minAgeMs`. */
+  private val inFlight =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Manifest: txn id + table names, one line each — tiny, parse-free. */
   private def renderManifest(txn: String, tables: Seq[String]): String =
     (txn +: tables.sorted).mkString("\n")
@@ -72,6 +80,7 @@ object AtomicPublish {
     val versioned = new Path(rootPath, s"v_$txn")
     val ctx = fc(spark, rootPath)
     ctx.mkdir(rootPath, null, true)
+    inFlight.add(txn)
     try {
       // 1. stage: all data lands under paths no reader resolves
       tables.foreach { case (name, df) =>
@@ -125,7 +134,7 @@ object AtomicPublish {
         try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
         catch { case _: Throwable => () }
         throw e
-    }
+    } finally inFlight.remove(txn)
   }
 
   /** The live txn id, or None before the first successful publish. */
@@ -160,22 +169,58 @@ object AtomicPublish {
       txn: String): DataFrame =
     spark.read.parquet(new Path(new Path(root, s"v_$txn"), table).toString)
 
-  /** Drop every version and scratch dir the CURRENT manifest does not
-    * reference. Returns the deleted paths. Safe against concurrent
-    * readers of the current version; concurrent publishers should not
-    * run during vacuum (same contract as any table maintenance op). */
-  def vacuum(spark: SparkSession, root: String): Seq[String] = {
+  /** Drop unreferenced version and scratch dirs, subject to a retention
+    * policy so [[readTableAt]] time travel and vacuum are safe to use
+    * together:
+    *
+    *  - `keepLast` retains the N most recently published versions
+    *    (by directory mtime; the CURRENT version is always among them).
+    *    The default 1 keeps only the live version — a reader pinned to
+    *    an older txn must be covered by a larger `keepLast` or by
+    *    `minAgeMs`, the same contract Delta/Iceberg retention gives.
+    *  - `minAgeMs` additionally spares anything younger than the cutoff
+    *    — versions (covering recently-pinned readers) AND scratch dirs
+    *    (covering a CROSS-PROCESS publish mid-stage; same-JVM in-flight
+    *    staging is always skipped via the in-flight registry). The
+    *    default 0 reclaims all other unreferenced scratch immediately.
+    *
+    * Returns the deleted paths. The per-root commit lock is held for the
+    * whole list-and-delete, so a same-JVM publish cannot swap the pointer
+    * mid-vacuum; against cross-process publishers the pointer is re-read
+    * AFTER listing and any version named by either read survives (a
+    * publisher that commits after that second read necessarily created
+    * its `v_` dir after the listing, so it is not in the delete set). */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
+      minAgeMs: Long = 0L): Seq[String] = {
+    require(keepLast >= 1, "keepLast must retain at least the live version")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = currentTxn(spark, root)
     if (!fs.exists(rootPath)) return Nil
-    fs.listStatus(rootPath).toSeq
-      .map(_.getPath)
-      .filter { p =>
-        val n = p.getName
-        (n.startsWith("v_") && !live.contains(n.stripPrefix("v_"))) ||
-          n.startsWith(".staging_") || n.startsWith("._current_")
-      }
-      .map { p => fs.delete(p, true); p.toString }
+    commitLock(spark, root).synchronized {
+      val liveBefore = currentTxn(spark, root)
+      val statuses = fs.listStatus(rootPath).toSeq
+      val liveAfter = currentTxn(spark, root) // cross-process commit guard
+      val live = (liveBefore ++ liveAfter).map(t => s"v_$t").toSet
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      val versions = statuses.filter(_.getPath.getName.startsWith("v_"))
+      val retainedRecent = versions.sortBy(-_.getModificationTime)
+        .take(keepLast).map(_.getPath.getName).toSet
+      statuses
+        .filter { st =>
+          val n = st.getPath.getName
+          val isVersion = n.startsWith("v_")
+          val isScratch = n.startsWith(".staging_") || n.startsWith("._current_")
+          // same-JVM in-flight publishes: their staging dir is still
+          // being written, and their SEALED v_ dir may not have reached
+          // the pointer yet (the swap is waiting on this very lock) —
+          // both must survive
+          val active = inFlight.contains(n.stripPrefix("v_")
+            .stripPrefix(".staging_").stripPrefix("._current_"))
+          val aged = st.getModificationTime < cutoff
+          !active && aged &&
+            ((isVersion && !live(n) && !retainedRecent(n)) || isScratch)
+        }
+        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+    }
   }
 }

@@ -95,8 +95,16 @@ object Compaction {
     if (!fs.rename(path, old))
       throw new java.io.IOException(s"compact: cannot move $path aside")
     if (!fs.rename(staged, path)) {
-      fs.rename(old, path) // roll back; best effort, original data intact
-      throw new java.io.IOException(s"compact: cannot swap $staged into $path")
+      // roll back — and if THAT rename also fails the table has vanished
+      // from `path`, so the error must say where the data actually is
+      if (fs.rename(old, path))
+        throw new java.io.IOException(
+          s"compact: cannot swap $staged into $path (original rolled back)")
+      else
+        throw new java.io.IOException(
+          s"compact: cannot swap $staged into $path AND rollback failed — " +
+            s"the original table data is stranded at $old; restore it " +
+            s"manually with a rename to $path")
     }
     fs.delete(old, true)
     CompactionResult(before.length,

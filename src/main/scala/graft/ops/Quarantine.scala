@@ -45,6 +45,12 @@ object Quarantine {
       required: Seq[String] = Nil, parsedCol: String = "parsed"): DataFrame = {
     require(!schema.fieldNames.contains(CorruptCol),
       s"schema must not declare $CorruptCol — it is reserved for capture")
+    require(!df.columns.contains(parsedCol),
+      s"input already has a '$parsedCol' column — withColumn would " +
+        "silently overwrite it; pass a different parsedCol")
+    require(!df.columns.contains(ReasonCol),
+      s"input already has a '$ReasonCol' column — it is reserved for the " +
+        "good/bad split's evidence")
     val captureSchema = schema.add(CorruptCol, StringType)
     val parsed = from_json(col(jsonCol), captureSchema,
       Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> CorruptCol))

@@ -295,12 +295,17 @@ class SimilarityOpsSpec extends SparkSuite {
     val agree = joined.filter(col("cell") === col("exact_cell")).count()
     val frac = agree.toDouble / n
     info(f"two-level build agreement with exact assignment: $frac%.3f")
-    // supercell pruning mis-assigns only vectors whose nearest cell sits
-    // outside their IvfSuperProbes nearest supercells; measured 0.72 on
-    // this worst-case (i.i.d. random, weakly separated) corpus — real
-    // clustered corpora agree far more. A recall trade, never a
-    // correctness break (probes use the same quantizer).
-    assert(frac >= 0.6, f"agreement $frac%.3f — supercell pruning degenerated")
+    // the build path probes IvfBuildSuperProbes (6) supercells — wider
+    // than the query path's 2, because a build mis-assignment is
+    // permanent. Was 0.72 at 2 probes on this worst-case (i.i.d. random,
+    // weakly separated) corpus; widening must hold ≥ 0.9. Residual
+    // mis-assignments are a recall trade, never a correctness break
+    // (probes use the same quantizer).
+    assert(frac >= 0.9, f"agreement $frac%.3f — build super-probes too narrow")
+    // and the narrow query-width setting still behaves (sanity floor)
+    val narrow = SimilarityOps.assignCellsTwoLevel(corp, cents,
+      superProbes = SimilarityOps.IvfSuperProbes)
+    assert(narrow.count() == n)
   }
 
   test("ivfCellsFor scales as √n — monotone, clamped (mirrors srpBitsFor)") {

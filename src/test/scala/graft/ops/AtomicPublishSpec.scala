@@ -78,6 +78,67 @@ class AtomicPublishSpec extends SparkSuite {
     }
   }
 
+  test("vacuum retention: keepLast spares pinned time-travel readers, minAge spares the young") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq(1L).toDF("id")))
+    Thread.sleep(30) // distinct dir mtimes on the local fs
+    val v2 = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq(1L, 2L).toDF("id")))
+    Thread.sleep(30)
+    val v3 = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq(1L, 2L, 3L).toDF("id")))
+    // a reader pinned at v2 survives a vacuum retaining 2 versions
+    val d1 = AtomicPublish.vacuum(spark, root, keepLast = 2)
+    assert(d1.exists(_.contains(s"v_$v1")) && !d1.exists(_.contains(s"v_$v2")))
+    assert(AtomicPublish.readTableAt(spark, root, "t", v2).count() == 2)
+    // minAge spares versions younger than the cutoff even past keepLast
+    val d2 = AtomicPublish.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 3600L * 1000)
+    assert(d2.isEmpty, d2.mkString(","))
+    assert(AtomicPublish.readTableAt(spark, root, "t", v2).count() == 2)
+    // default policy reclaims everything but the live version
+    val d3 = AtomicPublish.vacuum(spark, root)
+    assert(d3.exists(_.contains(s"v_$v2")) && !d3.exists(_.contains(s"v_$v3")))
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 3)
+    intercept[IllegalArgumentException] {
+      AtomicPublish.vacuum(spark, root, keepLast = 0)
+    }
+  }
+
+  test("vacuum races a publisher: a version committed mid-vacuum survives") {
+    // same-JVM: the commit lock serializes publish's pointer swap with
+    // the whole vacuum, and the pointer is re-read after listing — a
+    // publish landing at any interleaving never has its live v_ dir
+    // deleted. Stress it: vacuums race publishes; after every round the
+    // CURRENT version must be fully readable.
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("t" -> Seq(0L).toDF("id")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = (1 to 6).foreach { k =>
+        AtomicPublish.publish(spark, root,
+          Map("t" -> Seq.fill(k)(k.toLong).toDF("id")))
+      }
+    })
+    val cleaner = pool.submit(new Runnable {
+      def run(): Unit = (1 to 6).foreach { _ =>
+        AtomicPublish.vacuum(spark, root)
+        try {
+          val txn = AtomicPublish.currentTxn(spark, root).get
+          AtomicPublish.readTableAt(spark, root, "t", txn).count()
+          ()
+        } catch {
+          case e: Exception => bad.compareAndSet(null, e.toString)
+        }
+      }
+    })
+    writer.get(); cleaner.get(); pool.shutdown()
+    assert(bad.get() == null, s"live version vanished under vacuum: ${bad.get()}")
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 6)
+  }
+
   test("local publishes leave no checksum sidecars; a stale one can't brick the store") {
     import spark.implicits._
     val root = freshRoot()

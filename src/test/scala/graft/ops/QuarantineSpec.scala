@@ -69,6 +69,24 @@ class QuarantineSpec extends SparkSuite {
     }
   }
 
+  test("inputs already carrying the parsed/reason columns are rejected, not overwritten") {
+    // withColumn would silently REPLACE an existing column — corrupting
+    // either user data (parsedCol) or the split's evidence (ReasonCol)
+    intercept[IllegalArgumentException] {
+      Quarantine.annotateJson(
+        Seq(("{}", "user-data")).toDF("raw", "parsed"), "raw", schema)
+    }
+    intercept[IllegalArgumentException] {
+      Quarantine.annotateJson(
+        Seq(("{}", "prior")).toDF("raw", Quarantine.ReasonCol), "raw", schema)
+    }
+    // a custom parsedCol dodges the collision on its own
+    val ann = Quarantine.annotateJson(
+      Seq(("{}", "user-data")).toDF("raw", "parsed"), "raw", schema,
+      parsedCol = "parsed2")
+    assert(ann.columns.count(_ == "parsed") == 1)
+  }
+
   test("quarantine binds unchanged to a stream (execution-mode agnostic)") {
     // annotateJson is plain Column expressions, so the same call works on
     // a streaming DataFrame — the bad-rows side becomes a live quarantine
