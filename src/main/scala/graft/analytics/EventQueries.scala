@@ -215,9 +215,12 @@ object EventQueries {
     * sessions emit incrementally). e2 builds sessions manually from a
     * lag window — the portable formulation — while this one lets the
     * engine merge session intervals inside one aggregation; both are a
-    * single shuffle on the session key. Boundary semantics: a session
-    * spans [first, last+gap), so an event at exactly last+gap starts a
-    * NEW session — the oracle pins that with a `>=` gap test. */
+    * single shuffle on the session key. Boundary semantics: each event
+    * claims [ts, ts+gap] and TOUCHING intervals merge, so an event at
+    * exactly last+gap CONTINUES the session; only a strictly larger gap
+    * splits — the oracle pins that with a strict `>` gap test (same
+    * boundary as e2's manual lag formulation), and
+    * EventQueriesSpec runs a literal exact-gap case to keep it pinned. */
   def e9SessionWindow(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
@@ -230,7 +233,7 @@ object EventQueries {
     """WITH m AS (
       |  SELECT user_id, ts, event_id,
       |    CASE WHEN lag(ts) OVER w IS NULL
-      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |    THEN 1 ELSE 0 END AS ns
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

@@ -205,6 +205,34 @@ object StreamingOps {
         })
   }
 
+  /** Gap-based sessionization via the NATIVE `session_window` aggregate
+    * under a watermark — the declarative sibling of
+    * [[sessionizeStreamFinalized]], and the streaming face of batch e9
+    * (EventQueries.e9SessionWindow: same expression, same boundary
+    * semantics — touching intervals merge, so an event at exactly
+    * last+gap continues the session). In Append mode a session row emits
+    * exactly once, when the watermark passes its end (= last event +
+    * gap); until then the engine keeps the OPEN session interval in the
+    * state store and merges extensions itself — no custom state code.
+    *
+    * State-size trade (measured in StreamingOpsSpec): the native
+    * formulation keeps one state row per OPEN SESSION with the engine's
+    * session-interval format, while flatMapGroupsWithState keeps three
+    * longs per user; both are O(active users), so at 100 TB the choice
+    * is about code, not state — prefer this formulation unless the fold
+    * needs custom per-event logic the aggregate can't express. */
+  def sessionWindowStream(events: DataFrame,
+                          gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Watermarked STREAM-STREAM interval join — error events joined to
     * the same user's clicks within the trailing 30 minutes, both sides
     * live streams (the streaming face of the batch band/as-of joins).

@@ -62,22 +62,75 @@ class StreamingOpsSpec extends SparkSuite {
     finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
   }
 
-  private def runFinalizedSessionization(queryName: String,
+  test("native session_window stream across THREE micro-batches equals batch e9") {
+    runNativeSessionWindow("sessw_stream")
+  }
+
+  test("native session_window stream on the RocksDB state store") {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try runNativeSessionWindow("sessw_stream_rocks", expectRocksDb = true)
+    finally prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+  }
+
+  /** The declarative sessionization (session_window + watermark, zero
+    * custom state code) emits each FINAL session exactly once in Append
+    * mode — across micro-batches it must reproduce batch e9 verbatim.
+    * State-size note (see sessionWindowStream scaladoc): the engine
+    * keeps one state row per OPEN session vs flatMapGroupsWithState's
+    * three longs per user — both O(active users); the spec pins that
+    * state rows stay bounded by open sessions, not emitted history. */
+  private def runNativeSessionWindow(queryName: String,
       expectRocksDb: Boolean = false): Unit = {
     import org.apache.spark.sql.streaming.Trigger
+    val (src, schema) = stageThreeBatches()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src.toString)
+    val q = StreamingOps.sessionWindowStream(stream)
+      .writeStream.format("memory").queryName(queryName)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "expected three data micro-batches")
+    val stateMetrics = q.recentProgress.flatMap(_.stateOperators)
+      .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+    assert(stateMetrics.exists(_.startsWith("rocksdb")) == expectRocksDb,
+      s"state-store metrics: ${stateMetrics.distinct.mkString(",")}")
+    // state never holds more rows than open sessions can justify: after
+    // the sentinel batch every real session has emitted and left state
+    val finalStateRows = q.recentProgress.last.stateOperators
+      .map(_.numRowsTotal).sum
+    val distinctUsers = graft.core.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(finalStateRows <= distinctUsers + 1,
+      s"state retained $finalStateRows rows after all sessions closed")
+
+    val out = spark.table(queryName)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy(col("user_id"), col("session_start")).collect().toSeq
+    val batch = EventQueries.e9SessionWindow(spark, dir).collect().toSeq
+    assert(out == batch)
+  }
+
+  /** Stage the events table as three parquet files with increasing
+    * mod-times (→ three micro-batches under maxFilesPerTrigger=1), the
+    * third being a sentinel 2h past the end that advances the watermark
+    * so every real session provably closes. Returns (srcDir, schema). */
+  private def stageThreeBatches(): (java.nio.file.Path,
+      org.apache.spark.sql.types.StructType) = {
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
     val events = graft.core.Tables.events(spark, dir).select(cols.map(col): _*)
     val maxId = events.agg(max("event_id")).head().getLong(0)
     val maxTs = events.agg(max("ts")).head().getTimestamp(0)
-    // sentinel event 2h past the end for a dummy user: advances the
-    // watermark so every real session times out and closes
     val sentinel = events.limit(1).select(
       lit(maxId + 1).as("event_id"),
       lit(java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(7200))).as("ts"),
       lit(-1L).as("user_id"), lit("view").as("event_type"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
 
-    // stage as three files with increasing mod-times → three micro-batches
     val src = Files.createTempDirectory("graft-sess-src")
     val tmp = Files.createTempDirectory("graft-sess-stage")
     val parts = Seq(
@@ -94,8 +147,14 @@ class StreamingOpsSpec extends SparkSuite {
         java.nio.file.attribute.FileTime.fromMillis(
           System.currentTimeMillis() - 30000 + i * 10000))
     }
+    (src, events.schema)
+  }
 
-    val stream = spark.readStream.schema(events.schema)
+  private def runFinalizedSessionization(queryName: String,
+      expectRocksDb: Boolean = false): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val (src, schema) = stageThreeBatches()
+    val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(src.toString)
     val closed = StreamingOps.sessionizeStreamFinalized(stream)
     val q = closed.toDF().writeStream.format("memory").queryName(queryName)
