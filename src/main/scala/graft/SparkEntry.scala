@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, InsightQueries, RelationalQueries, SimilarityOps, TextOps}
+import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, InsightQueries, LlmPrep, RelationalQueries, SimilarityOps, TextOps}
 import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,12 +21,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AdvancedQueries.queries ++ EventQueries.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
-      MultimodalOps.queries ++ InsightQueries.queries
+      MultimodalOps.queries ++ InsightQueries.queries ++ LlmPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AdvancedQueries.oracleSql ++ EventQueries.oracleSql ++
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ TextOps.oracleSql ++
-      MultimodalOps.oracleSql ++ InsightQueries.oracleSql
+      MultimodalOps.oracleSql ++ InsightQueries.oracleSql ++ LlmPrep.oracleSql
 }

@@ -160,12 +160,15 @@ object DedupOps {
     * Shuffle volume is the prefix stream (~(1−θ)·|shingles|) plus the
     * candidate pairs — at θ=0.8 roughly 20× less pair traffic than the
     * naive posting-list self-join, and the same result set. */
-  def n2NgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+  def n2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
+    n2NgramJaccardOn(Tables.documents(spark, dir))
+
+  def n2NgramJaccardOn(docs: DataFrame): DataFrame = {
     val theta = JaccardThreshold
     // every stage operates on 64-bit shingle hashes, never the strings:
     // verification only needs equality, and 8-byte longs keep the
     // per-doc arrays and shuffles ~5× lighter (see shingleHashes)
-    val sh = shingleHashes(Tables.documents(spark, dir))
+    val sh = shingleHashes(docs)
     // collect_set dedupes the raw shingle stream inside this aggregate
     // (see shingleHashes) — one exchange end-to-end for the per-doc sets
     val byDoc = sh.groupBy(col("doc_id"))

@@ -106,14 +106,23 @@ object TextOps {
   def t2QualityScore(spark: SparkSession, dir: String): DataFrame =
     t2QualityScoreOn(Tables.documents(spark, dir))
 
-  def t2QualityScoreOn(docs: DataFrame): DataFrame = {
-    val nTok = size(words).cast("long")
-    val punct = length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
+  /** The t2 building blocks, exposed for composition (LlmPrep's quality
+    * gate filters on the same UNROUNDED expression t2 reports). */
+  private[analytics] def nTokCol: Column = size(words).cast("long")
+  private[analytics] def punctRawCol: Column =
+    length(regexp_replace(col("text"), "[a-z0-9 ]", ""))
       .cast("double") / length(col("text"))
-    val stop = size(filter(words, w =>
-      w.isin(Stopwords.map(lit): _*))).cast("double") / nTok
+  private[analytics] def stopRawCol: Column =
+    size(filter(words, w =>
+      w.isin(Stopwords.map(lit): _*))).cast("double") / nTokCol
+  private[analytics] def qualityRawCol: Column =
+    least(nTokCol / 50.0, lit(1.0)) * (lit(1.0) - punctRawCol) *
+      (lit(0.47) + lit(0.53) * least(stopRawCol * 4.7, lit(1.0)))
+
+  def t2QualityScoreOn(docs: DataFrame): DataFrame = {
     docs.select(
-        col("doc_id"), nTok.as("n_tokens"), punct.as("p_raw"), stop.as("s_raw"))
+        col("doc_id"), nTokCol.as("n_tokens"),
+        punctRawCol.as("p_raw"), stopRawCol.as("s_raw"))
       .select(col("doc_id"), col("n_tokens"),
         r4(col("p_raw")).as("punct_ratio"), r4(col("s_raw")).as("stop_ratio"),
         r4(least(col("n_tokens") / 50.0, lit(1.0)) *
@@ -224,9 +233,12 @@ object TextOps {
     * slice, all codegen'd): at 100 TB this is an embarrassingly parallel
     * scan, and the explode multiplies rows by ~n_words/stride ≈ 2.5×,
     * not by content size. */
-  def t5Chunking(spark: SparkSession, dir: String): DataFrame = {
+  def t5Chunking(spark: SparkSession, dir: String): DataFrame =
+    t5ChunkingOn(Tables.documents(spark, dir))
+
+  def t5ChunkingOn(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), words.as("ws"),
         posexplode(sequence(lit(0), size(words) - 1, lit(ChunkStride)))
           .as(Seq("chunk_id", "start")))
