@@ -43,11 +43,37 @@ object Bench {
       spark.range(64).selectExpr("""from_json('{"k":1}', 'k LONG') as p""")
         .select("p.k").count()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Per-query MINIMUM over `reps` INTERLEAVED rounds in this one JVM.
+    // A single run is hostage to GC pauses and box noise (±30% observed
+    // round to round). Back-to-back reps of one query share the same
+    // noise burst, so rounds are interleaved — a query's samples land
+    // ~a full sweep apart — and the minimum is reported: for a fixed
+    // plan on fixed data it is the steady-state cost, the quantity
+    // that actually reflects a plan regression (noise only ever ADDS
+    // time). Measured run-to-run at sf0.1: min-of-5 interleaved holds
+    // every heavyweight query and the total within ~5% and the
+    // per-query median spread at ~7% (median-of-3 consecutive saw
+    // ±30%); what remains is one-sided box drift on sub-0.3s queries,
+    // which no rep count removes.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = (1 to reps).flatMap { _ =>
+      names.map { name =>
+        val fn = SparkEntry.queries(name)
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     }
+    val runs = samples.groupBy(_._1).map { case (n, s) =>
+      n -> s.map(_._2).sorted }
+    val results = runs.map { case (name, ts) => name -> ts.head }
+    // spread diagnostic to stderr (stdout stays the one-line contract)
+    val spreads = runs.map { case (name, ts) =>
+      name -> (if (ts.head > 0) (ts.last - ts.head) / ts.head else 0.0)
+    }.toSeq.sortBy(-_._2)
+    System.err.println(f"[bench] reps=$reps worst rel spreads: " +
+      spreads.take(3).map { case (n, s) => f"$n=$s%.2f" }.mkString(" "))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

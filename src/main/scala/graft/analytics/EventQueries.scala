@@ -184,9 +184,12 @@ object EventQueries {
     * linear in data for bounded event rate — instead of Σ per-user n².
     * (This is the time-domain analog of the SRP/PPJoin candidate
     * patterns; Spark has no native range join.) */
-  def e8BandJoin(spark: SparkSession, dir: String): DataFrame = {
+  def e8BandJoin(spark: SparkSession, dir: String): DataFrame =
+    e8BandJoinOn(Tables.events(spark, dir))
+
+  def e8BandJoinOn(events: DataFrame): DataFrame = {
     val bandUs = BandSeconds * 1000000L
-    val ev = Tables.events(spark, dir)
+    val ev = events
       .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"))
       .withColumn("bin", expr(s"t DIV $bandUs")) // integer DIV: exact bins
     val probe = ev.withColumn("bin",

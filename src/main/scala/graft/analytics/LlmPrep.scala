@@ -111,8 +111,11 @@ object LlmPrep {
   def qualityStage(docs: DataFrame): DataFrame = docs.filter(qualityOkCol)
 
   /** Stage 6: overlapping word-window chunks (t5's grid) — the rows a
-    * tokenizer consumes. */
-  def chunkStage(docs: DataFrame): DataFrame = TextOps.t5ChunkingOn(docs)
+    * tokenizer consumes. Unordered on purpose: a global sort would add
+    * a range-sampling pass that re-executes the lineage (doubling the
+    * observe counts) and is pointless on training chunks at scale. */
+  def chunkStage(docs: DataFrame): DataFrame =
+    TextOps.t5ChunkingUnordered(docs)
 
   // --- face 1: the production path with observed counts --------------------
 

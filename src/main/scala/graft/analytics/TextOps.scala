@@ -236,7 +236,18 @@ object TextOps {
   def t5Chunking(spark: SparkSession, dir: String): DataFrame =
     t5ChunkingOn(Tables.documents(spark, dir))
 
-  def t5ChunkingOn(docs: DataFrame): DataFrame = {
+  /** Ordered (oracle/harness surface): deterministic row order for the
+    * hash compare. */
+  def t5ChunkingOn(docs: DataFrame): DataFrame =
+    t5ChunkingUnordered(docs).orderBy(col("doc_id"), col("chunk_id"))
+
+  /** The chunking itself, UNORDERED — the production shape (nobody
+    * globally sorts training chunks at 100 TB), and required under
+    * observe instrumentation: a global sort's range-bounds sampling
+    * pass executes the child lineage a second time, which doubles
+    * every CollectMetrics accumulator upstream (pinned in
+    * LlmPrepJourneySpec). */
+  def t5ChunkingUnordered(docs: DataFrame): DataFrame = {
     val words = split(col("text"), " ")
     docs
       .select(col("doc_id"), words.as("ws"),
@@ -247,7 +258,6 @@ object TextOps {
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).cast("long").as("n_words"),
         md5(concat_ws(" ", col("chunk")).cast("binary")).as("chunk_md5"))
-      .orderBy(col("doc_id"), col("chunk_id"))
   }
 
   val t5ChunkingSql: String =

@@ -71,6 +71,22 @@ class LlmPrepJourneySpec extends SparkSuite {
       .map(_.getLong(0)).sorted.toSeq == Seq(3L, 13L))
   }
 
+  test("observed counts survive a WRITE action (no sort-sampling double-fire)") {
+    // regression: when chunks ended in orderBy, the write's range-bounds
+    // sampling job executed the observed lineage a second time and every
+    // count doubled (count() actions hid it — the optimizer eliminates
+    // the sort under aggregation). The journey chunks are unordered.
+    val jr = LlmPrep.instrumented(literal)
+    val out = java.nio.file.Files.createTempDirectory("llm-chunks")
+      .resolve("t").toString
+    jr.chunks.write.parquet(out)
+    assert(jr.counts() == Map(
+      "n_input" -> 9L, "n_clean" -> 7L, "n_unique" -> 6L,
+      "n_neardup_kept" -> 5L, "n_decontaminated" -> 3L,
+      "n_quality_kept" -> 2L))
+    assert(spark.read.parquet(out).count() == 3L)
+  }
+
   test("composed counts equal the individually-run cascade (testdata)") {
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
     val d1 = LlmPrep.cleanStage(docs)
