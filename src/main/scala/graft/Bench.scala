@@ -61,22 +61,31 @@ object Bench {
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        (name, (System.nanoTime() - t0) / 1e9, ok)
       }
     }
+    // a rep that threw contributes no sample: a consistently failing
+    // query reports -1 (unmistakable in the driver's JSON) instead of
+    // its time-to-exception masquerading as a fast success
     val runs = samples.groupBy(_._1).map { case (n, s) =>
-      n -> s.map(_._2).sorted }
-    val results = runs.map { case (name, ts) => name -> ts.head }
+      n -> s.filter(_._3).map(_._2).sorted }
+    val results = runs.map { case (name, ts) =>
+      name -> (if (ts.isEmpty) -1.0 else ts.head) }
+    val failed = results.collect { case (n, t) if t < 0 => n }
+    if (failed.nonEmpty)
+      System.err.println(s"[bench] FAILED (all $reps reps threw): " +
+        failed.mkString(", "))
     // spread diagnostic to stderr (stdout stays the one-line contract)
-    val spreads = runs.map { case (name, ts) =>
+    val spreads = runs.collect { case (name, ts) if ts.nonEmpty =>
       name -> (if (ts.head > 0) (ts.last - ts.head) / ts.head else 0.0)
     }.toSeq.sortBy(-_._2)
     System.err.println(f"[bench] reps=$reps worst rel spreads: " +
       spreads.take(3).map { case (n, s) => f"$n=$s%.2f" }.mkString(" "))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

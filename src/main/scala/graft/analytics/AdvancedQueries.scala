@@ -604,13 +604,8 @@ object AdvancedQueries {
   }
 
   def set3EvolvedScan(spark: SparkSession, dir: String): DataFrame = {
-    val fp = Tables.fingerprint(spark, dir, "customer")
-    val base = evolvedCache.get(dir) match {
-      case Some((`fp`, b)) => b
-      case _ =>
-        val b = stageEvolved(spark, dir)
-        evolvedCache.put(dir, (fp, b))
-        b
+    val base = Tables.memoFresh(evolvedCache, spark, dir, "customer") {
+      stageEvolved(spark, dir)
     }
     spark.read.option("mergeSchema", "true")
       .parquet(s"$base/gen1", s"$base/gen2")

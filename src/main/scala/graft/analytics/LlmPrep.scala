@@ -145,10 +145,9 @@ object LlmPrep {
       count(when(!quarCol, 1)).as("n_clean"))
     val d2 = dedupStage(cleanStage(annotated))
       .observe(o2, count(lit(1)).as("n_unique"))
-    val d3 = d2.join(nearDupDroppedIds(d2), Seq("doc_id"), "left_anti")
+    val d3 = nearDupStage(d2)
       .observe(o3, count(lit(1)).as("n_neardup_kept"))
-    val train = d3.filter(!evalSliceCol)
-    val d4 = train.join(contaminatedIds(train, docs), Seq("doc_id"), "left_anti")
+    val d4 = decontamStage(d3, docs)
       .observe(o4, count(lit(1)).as("n_decontaminated"))
     val d5 = qualityStage(d4)
       .observe(o5, count(lit(1)).as("n_quality_kept"))

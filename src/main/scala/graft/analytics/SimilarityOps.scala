@@ -60,21 +60,11 @@ object SimilarityOps {
   private def corpusFingerprint(spark: SparkSession, dir: String): String =
     Tables.fingerprint(spark, dir, "embeddings")
 
-  /** Per-dir memo that re-computes when the corpus content fingerprint
-    * changes. One live entry per dir (a rewrite REPLACES the stale
-    * model), so the cache is bounded by the number of distinct corpus
-    * dirs a JVM touches. */
+  /** Corpus-keyed [[Tables.memoFresh]] (fingerprint of the embeddings
+    * table decides freshness). */
   private def memoFresh[V](cache: scala.collection.concurrent.TrieMap[String, (String, V)],
-      spark: SparkSession, dir: String)(compute: => V): V = {
-    val fp = corpusFingerprint(spark, dir)
-    cache.get(dir) match {
-      case Some((`fp`, v)) => v
-      case _ =>
-        val v = compute
-        cache.put(dir, (fp, v))
-        v
-    }
-  }
+      spark: SparkSession, dir: String)(compute: => V): V =
+    Tables.memoFresh(cache, spark, dir, "embeddings")(compute)
 
   /** Corpus row count per directory, memoized (fingerprint-fresh) — one
     * metadata-cheap count job per corpus generation per JVM suffices

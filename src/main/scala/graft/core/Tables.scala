@@ -54,19 +54,52 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
   /** Content fingerprint of `dir/name.parquet` from FS METADATA only
-    * (file count, total bytes, newest mtime — no data read). Model/
-    * staging caches key on (dir, fingerprint) so a table rewritten in
-    * place (compaction, republish into the same path) invalidates the
-    * cached derivation instead of silently serving stale state. */
+    * (recursive file count, total bytes, newest mtime — no data read).
+    * Model/staging caches key on (dir, fingerprint) so a table rewritten
+    * in place (compaction, republish into the same path) invalidates the
+    * cached derivation instead of silently serving stale state. The walk
+    * is RECURSIVE so partitioned layouts (data only under partition
+    * subdirectories) fingerprint their real contents — a top-level-only
+    * listing would see zero files and return a constant, never
+    * invalidating. Limits of a metadata fingerprint: a rewrite keeping
+    * file count, total bytes AND newest mtime (ms resolution) identical
+    * is invisible — vanishingly unlikely for real writes, which create
+    * fresh files with fresh timestamps. */
+  /** Per-dir memo that re-computes when `table`'s content fingerprint
+    * changes. One live entry per dir (a rewrite REPLACES the stale
+    * value), so the cache is bounded by the number of distinct dirs a
+    * JVM touches. Check-then-put is deliberately non-atomic: two racers
+    * may both compute, the loser's put wins, both results are correct
+    * for the fingerprint they saw (benign recompute, no lock on the
+    * read path). Shared by the model caches in SimilarityOps and the
+    * staged-lineage cache in AdvancedQueries. */
+  def memoFresh[V](
+      cache: scala.collection.concurrent.TrieMap[String, (String, V)],
+      spark: SparkSession, dir: String, table: String)(compute: => V): V = {
+    val fp = fingerprint(spark, dir, table)
+    cache.get(dir) match {
+      case Some((`fp`, v)) => v
+      case _ =>
+        val v = compute
+        cache.put(dir, (fp, v))
+        v
+    }
+  }
+
   def fingerprint(spark: SparkSession, dir: String, name: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     if (st.isFile) s"1:${st.getLen}:${st.getModificationTime}"
     else {
-      val kids = fs.listStatus(p).filter(_.isFile)
-      val mt = if (kids.isEmpty) 0L else kids.map(_.getModificationTime).max
-      s"${kids.length}:${kids.map(_.getLen).sum}:$mt"
+      val it = fs.listFiles(p, true)
+      var n = 0L; var bytes = 0L; var mt = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        n += 1; bytes += f.getLen
+        if (f.getModificationTime > mt) mt = f.getModificationTime
+      }
+      s"$n:$bytes:$mt"
     }
   }
 }

@@ -39,6 +39,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object AtomicPublish {
 
   private val CurrentFile = "_CURRENT"
+  private val CommitMarker = "_COMMITTED"
 
   /** One lock object per publish root (same-JVM commit serialization),
     * keyed on the FS-qualified path so spelling aliases of one root
@@ -55,7 +56,8 @@ object AtomicPublish {
     * the whole publish, not just the pointer swap): vacuum must not
     * reclaim a staging dir a live publisher is still filling — deleting
     * it aborts that publish's parquet job. Cross-process in-flight
-    * staging is covered by vacuum's `minAgeMs`. */
+    * publishes (staging AND sealed-not-yet-committed `v_` dirs) are
+    * covered by vacuum's `graceMs` window instead. */
   private val inFlight =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -127,6 +129,20 @@ object AtomicPublish {
           ctx.rename(tmp, cur, Options.Rename.OVERWRITE)
         }
       }
+      // 4. mark: a `_COMMITTED` file inside the version dir records, in
+      // the layout itself, that this version reached the pointer — the
+      // signal vacuum uses to (a) rank retention by COMMIT order and
+      // (b) distinguish published versions from sealed-but-uncommitted
+      // dirs of crashed or still-running cross-process publishers.
+      // Best-effort: if this write fails the publish has still
+      // succeeded (the pointer moved); the version is then treated as
+      // uncommitted by vacuum and reclaimed after the grace window once
+      // superseded — availability of the LIVE version is never affected
+      // (vacuum spares whatever the pointer names).
+      try {
+        val mos = fs.create(new Path(versioned, CommitMarker), true)
+        try mos.write(txn.getBytes(StandardCharsets.UTF_8)) finally mos.close()
+      } catch { case _: Throwable => () }
       txn
     } catch {
       case e: Throwable =>
@@ -173,25 +189,33 @@ object AtomicPublish {
     * policy so [[readTableAt]] time travel and vacuum are safe to use
     * together:
     *
-    *  - `keepLast` retains the N most recently published versions
-    *    (by directory mtime; the CURRENT version is always among them).
-    *    The default 1 keeps only the live version — a reader pinned to
-    *    an older txn must be covered by a larger `keepLast` or by
+    *  - `keepLast` retains the N most recently COMMITTED versions,
+    *    ranked by their `_COMMITTED` marker's mtime — commit order, not
+    *    seal order, so a sealed-but-never-committed orphan can neither
+    *    claim a retention slot nor displace a published version. The
+    *    default 1 keeps only the live version — a reader pinned to an
+    *    older txn must be covered by a larger `keepLast` or by
     *    `minAgeMs`, the same contract Delta/Iceberg retention gives.
-    *  - `minAgeMs` additionally spares anything younger than the cutoff
-    *    — versions (covering recently-pinned readers) AND scratch dirs
-    *    (covering a CROSS-PROCESS publish mid-stage; same-JVM in-flight
-    *    staging is always skipped via the in-flight registry). The
-    *    default 0 reclaims all other unreferenced scratch immediately.
+    *  - `minAgeMs` additionally spares committed versions younger than
+    *    the cutoff (age = time since commit).
+    *  - `graceMs` protects what might belong to a publish IN FLIGHT in
+    *    another process — scratch dirs and marker-less `v_` dirs, which
+    *    are indistinguishable from a publisher between seal and commit.
+    *    Neither is deleted until older than max(graceMs, minAgeMs); set
+    *    `graceMs` above your longest publish wall-clock (default 1 h),
+    *    or 0 in tests/single-process deployments to reclaim crashed
+    *    leftovers immediately. Same-JVM publishers never rely on the
+    *    grace: their dirs are skipped exactly via the in-flight
+    *    registry, and the commit lock serializes the pointer swap with
+    *    the whole list-and-delete (stress-raced in AtomicPublishSpec).
     *
-    * Returns the deleted paths. The per-root commit lock is held for the
-    * whole list-and-delete, so a same-JVM publish cannot swap the pointer
-    * mid-vacuum; against cross-process publishers the pointer is re-read
-    * AFTER listing and any version named by either read survives (a
-    * publisher that commits after that second read necessarily created
-    * its `v_` dir after the listing, so it is not in the delete set). */
+    * Returns the deleted paths. The pointer is additionally re-read
+    * after listing, and any version named by either read survives. A
+    * version whose marker write failed (crash in the post-swap window)
+    * degrades to the marker-less case: protected while live or young,
+    * reclaimable once aged — never able to brick the live store. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
-      minAgeMs: Long = 0L): Seq[String] = {
+      minAgeMs: Long = 0L, graceMs: Long = 3600L * 1000): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -201,10 +225,21 @@ object AtomicPublish {
       val statuses = fs.listStatus(rootPath).toSeq
       val liveAfter = currentTxn(spark, root) // cross-process commit guard
       val live = (liveBefore ++ liveAfter).map(t => s"v_$t").toSet
-      val cutoff = System.currentTimeMillis() - minAgeMs
+      val now = System.currentTimeMillis()
+      val committedCutoff = now - minAgeMs
+      val inFlightCutoff = now - math.max(minAgeMs, graceMs)
+      // commit time (marker mtime), or None for sealed-not-committed
+      def commitTime(st: org.apache.hadoop.fs.FileStatus): Option[Long] =
+        try Some(fs.getFileStatus(
+          new Path(st.getPath, CommitMarker)).getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
       val versions = statuses.filter(_.getPath.getName.startsWith("v_"))
-      val retainedRecent = versions.sortBy(-_.getModificationTime)
-        .take(keepLast).map(_.getPath.getName).toSet
+        .map(st => (st, commitTime(st)))
+      val retainedRecent = versions
+        .collect { case (st, Some(t)) => (st.getPath.getName, t) }
+        .sortBy(-_._2).take(keepLast).map(_._1).toSet
+      val committedAt = versions.collect {
+        case (st, Some(t)) => st.getPath.getName -> t }.toMap
       statuses
         .filter { st =>
           val n = st.getPath.getName
@@ -216,7 +251,10 @@ object AtomicPublish {
           // both must survive
           val active = inFlight.contains(n.stripPrefix("v_")
             .stripPrefix(".staging_").stripPrefix("._current_"))
-          val aged = st.getModificationTime < cutoff
+          val aged = committedAt.get(n) match {
+            case Some(t) => t < committedCutoff            // committed: user policy
+            case None => st.getModificationTime < inFlightCutoff // maybe in flight
+          }
           !active && aged &&
             ((isVersion && !live(n) && !retainedRecent(n)) || isScratch)
         }

@@ -106,6 +106,51 @@ class AtomicPublishSpec extends SparkSuite {
     }
   }
 
+  test("vacuum spares a sealed-but-uncommitted version until the grace window ends") {
+    // a cross-process publisher between seal (v_ dir exists) and commit
+    // (pointer swap) is invisible to this JVM's in-flight registry; its
+    // marker-less dir must survive any vacuum younger than graceMs —
+    // deleting it would brick that publish at pointer-swap time
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    val v2 = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq(1L, 2L).toDF("id")))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, "v_deadbeef")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(orphan, "t"))
+    val d1 = AtomicPublish.vacuum(spark, root) // default grace: 1 h
+    assert(!d1.exists(_.contains("v_deadbeef")), "mid-publish dir deleted")
+    assert(d1.exists(_.contains(s"v_$v1")),
+      "committed versions follow the user policy regardless of grace")
+    assert(AtomicPublish.currentTxn(spark, root).contains(v2))
+    // once aged past the grace (0 here: single-process deployment), the
+    // crashed publisher's leftovers are reclaimable
+    val d2 = AtomicPublish.vacuum(spark, root, graceMs = 0L)
+    assert(d2.exists(_.contains("v_deadbeef")))
+  }
+
+  test("an uncommitted orphan cannot displace a committed version from keepLast") {
+    // retention ranks by _COMMITTED marker mtime (commit order); a
+    // sealed-never-committed dir has no marker, so it neither claims a
+    // keepLast slot (which would silently evict a version a pinned
+    // reader relies on) nor survives as if published
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    Thread.sleep(30)
+    val v2 = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq(1L, 2L).toDF("id")))
+    Thread.sleep(30)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "v_deadbeef/t")) // newest mtime
+    val d = AtomicPublish.vacuum(spark, root, keepLast = 2, graceMs = 0L)
+    assert(d.exists(_.contains("v_deadbeef")) &&
+      !d.exists(_.contains(s"v_$v1")) && !d.exists(_.contains(s"v_$v2")))
+    // the pinned reader keepLast=2 promised is still served
+    assert(AtomicPublish.readTableAt(spark, root, "t", v1).count() == 1)
+  }
+
   test("vacuum races a publisher: a version committed mid-vacuum survives") {
     // same-JVM: the commit lock serializes publish's pointer swap with
     // the whole vacuum, and the pointer is re-read after listing — a
