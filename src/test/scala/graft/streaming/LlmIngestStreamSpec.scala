@@ -1,0 +1,94 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.analytics.LlmPrep
+import graft.ops.AtomicPublish
+
+/** Continuous LLM-prep ingest: micro-batches against the published
+  * store, exactly-once content under source replay, per-batch atomic
+  * commits, and equivalence with the batch journey on the union. */
+class LlmIngestStreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val stop = "the a and of to in is"
+  private def mk(n: Int, tag: String): String =
+    stop + " " + (1 to (n - 7)).map(i => s"$tag$i").mkString(" ")
+
+  test("micro-batched ingest: dedup vs store, replay-stable, per-batch commits") {
+    val root = Files.createTempDirectory("llm-ingest").resolve("store").toString
+    val src = Files.createTempDirectory("llm-ingest-src")
+
+    val textA = mk(30, "a")
+    val textB = mk(45, "b")
+    val textC = mk(30, "c") // ≥25 words: n/50 factor alone caps quality
+                            // below the 0.5 gate for shorter docs
+    val junk = "tiny doc" // quarantined: < MinWords
+    // batch 0: A (+ an in-batch dup of A), junk → admits A only
+    // batch 1: REPLAY of A (delivered again) + new B → admits B only
+    // batch 2: new C + replay of B → admits C only
+    val batches = Seq(
+      Seq(1L -> textA, 2L -> textA, 3L -> junk),
+      Seq(11L -> textA, 12L -> textB),
+      Seq(21L -> textC, 22L -> textB))
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val d = Files.createTempDirectory(s"llm-ingest-stage$i")
+      docs.toDF("doc_id", "text").coalesce(1).write.parquet(d.resolve("p").toString)
+      val part = Files.list(d.resolve("p"))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val dst = src.resolve(f"b$i.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 30000 + i * 10000))
+      ()
+    }
+
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    val q = LlmIngest.ingestStream(stream, root)
+    q.awaitTermination()
+
+    def tbl(n: String) = AtomicPublish.readTable(spark, root, n)
+    // exactly-once content: one kept doc per distinct admissible text,
+    // first-seen doc_id wins (batch-local min, then store-level anti)
+    val kept = tbl(LlmIngest.KeptTable)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 12L, 21L), s"kept=$kept")
+    // chunks exactly for the kept docs: A(30w)→1, B(45w)→2, C(20w)→1
+    val chunksPerDoc = tbl(LlmIngest.ChunksTable)
+      .groupBy("doc_id").count().as[(Long, Long)].collect().toMap
+    assert(chunksPerDoc == Map(1L -> 1L, 12L -> 2L, 21L -> 1L))
+    // one run row per micro-batch, with honest in/out counts
+    val runs = tbl(LlmIngest.RunsTable)
+      .select("input_record_count", "output_record_count")
+      .as[(String, String)].collect().toSet
+    assert(runs == Set(("3", "1"), ("2", "1"), ("2", "1")), s"runs=$runs")
+
+    // equivalence with the BATCH journey front door on the union of all
+    // deliveries: clean → dedup → quality (the streaming hot path runs
+    // exactly these stages; near-dup/decontam are batch maintenance)
+    val all = batches.flatten.toDF("doc_id", "text")
+    val batchKept = LlmPrep.qualityStage(
+        LlmPrep.dedupStage(LlmPrep.cleanStage(all)))
+      .select(md5(col("text").cast("binary"))).as[String].collect().toSet
+    val streamKept = tbl(LlmIngest.KeptTable)
+      .select("fingerprint").as[String].collect().toSet
+    assert(streamKept == batchKept)
+
+    // full replay of every batch admits nothing new (at-least-once
+    // upstream, exactly-once content in the store)
+    val before = tbl(LlmIngest.KeptTable).count()
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      val admitted = LlmIngest.ingestBatch(spark, root,
+        docs.toDF("doc_id", "text"), 100L + i)
+      assert(admitted == 0L, s"replayed batch $i admitted $admitted docs")
+    }
+    assert(tbl(LlmIngest.KeptTable).count() == before)
+  }
+}
