@@ -46,7 +46,12 @@ object LlmPrep {
   private def words: Column = split(col("text"), " ")
   private def quarCol: Column =
     col("text").isNull || size(words) < MinWords
-  private def fpCol: Column = md5(col("text").cast("binary"))
+  /** THE canonical content fingerprint on `text` — the dedup partition
+    * key, the published kept_docs column, and the streaming anti-join
+    * key must all be this one expression (LlmIngest and the specs reuse
+    * it; divergence would silently break replay-stability). */
+  def fingerprintCol: Column = md5(col("text").cast("binary"))
+  private def fpCol: Column = fingerprintCol
   private def evalSliceCol: Column =
     pmod(col("doc_id"), lit(DedupOps.DecontamEvalMod)) === 0
   private def qualityOkCol: Column =

@@ -51,17 +51,10 @@ object SimilarityOps {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
 
-  /** Content fingerprint of the embeddings table under `dir` — FS
-    * metadata only (file count, total bytes, newest mtime), no data
-    * read. Model caches key on (dir, fingerprint) so a corpus REWRITTEN
-    * in place (compaction, republish into the same path) invalidates
-    * the memoized codebook instead of silently serving a model trained
-    * on the old data. */
-  private def corpusFingerprint(spark: SparkSession, dir: String): String =
-    Tables.fingerprint(spark, dir, "embeddings")
-
   /** Corpus-keyed [[Tables.memoFresh]] (fingerprint of the embeddings
-    * table decides freshness). */
+    * table decides freshness — a corpus rewritten in place invalidates
+    * the memoized codebook instead of silently serving a model trained
+    * on the old data). */
   private def memoFresh[V](cache: scala.collection.concurrent.TrieMap[String, (String, V)],
       spark: SparkSession, dir: String)(compute: => V): V =
     Tables.memoFresh(cache, spark, dir, "embeddings")(compute)

@@ -53,39 +53,41 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")
 
-  /** Content fingerprint of `dir/name.parquet` from FS METADATA only
-    * (recursive file count, total bytes, newest mtime — no data read).
-    * Model/staging caches key on (dir, fingerprint) so a table rewritten
-    * in place (compaction, republish into the same path) invalidates the
-    * cached derivation instead of silently serving stale state. The walk
-    * is RECURSIVE so partitioned layouts (data only under partition
-    * subdirectories) fingerprint their real contents — a top-level-only
-    * listing would see zero files and return a constant, never
-    * invalidating. Limits of a metadata fingerprint: a rewrite keeping
-    * file count, total bytes AND newest mtime (ms resolution) identical
-    * is invisible — vanishingly unlikely for real writes, which create
-    * fresh files with fresh timestamps. */
-  /** Per-dir memo that re-computes when `table`'s content fingerprint
-    * changes. One live entry per dir (a rewrite REPLACES the stale
-    * value), so the cache is bounded by the number of distinct dirs a
-    * JVM touches. Check-then-put is deliberately non-atomic: two racers
-    * may both compute, the loser's put wins, both results are correct
-    * for the fingerprint they saw (benign recompute, no lock on the
-    * read path). Shared by the model caches in SimilarityOps and the
-    * staged-lineage cache in AdvancedQueries. */
+  /** Per-(dir, table) memo that re-computes when the table's content
+    * fingerprint changes. One live entry per key (a rewrite REPLACES
+    * the stale value), so the cache is bounded by the number of
+    * distinct tables a JVM touches. Check-then-put is deliberately
+    * non-atomic: two racers may both compute, the loser's put wins,
+    * both results are correct for the fingerprint they saw (benign
+    * recompute, no lock on the read path). Shared by the model caches
+    * in SimilarityOps and the staged-lineage cache in AdvancedQueries. */
   def memoFresh[V](
       cache: scala.collection.concurrent.TrieMap[String, (String, V)],
       spark: SparkSession, dir: String, table: String)(compute: => V): V = {
     val fp = fingerprint(spark, dir, table)
-    cache.get(dir) match {
+    val key = s"$dir/$table" // never collide two tables of one dir
+    cache.get(key) match {
       case Some((`fp`, v)) => v
       case _ =>
         val v = compute
-        cache.put(dir, (fp, v))
+        cache.put(key, (fp, v))
         v
     }
   }
 
+  /** Content fingerprint of `dir/name.parquet` from FS METADATA only
+    * (recursive file count, total bytes, newest mtime — no data read).
+    * Model/staging caches key on (dir, table, fingerprint) so a table
+    * rewritten in place (compaction, republish into the same path)
+    * invalidates the cached derivation instead of silently serving
+    * stale state. The walk is RECURSIVE so partitioned layouts (data
+    * only under partition subdirectories) fingerprint their real
+    * contents — a top-level-only listing would see zero files and
+    * return a constant, never invalidating. Limits of a metadata
+    * fingerprint: a rewrite keeping file count, total bytes AND newest
+    * mtime (ms resolution) identical is invisible — vanishingly
+    * unlikely for real writes, which create fresh files with fresh
+    * timestamps. */
   def fingerprint(spark: SparkSession, dir: String, name: String): String = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -61,14 +61,146 @@ object AtomicPublish {
   private val inFlight =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Manifest: txn id + table names, one line each — tiny, parse-free. */
-  private def renderManifest(txn: String, tables: Seq[String]): String =
-    (txn +: tables.sorted).mkString("\n")
+  /** Manifest: txn id, then one line per table — either a bare name
+    * (the table's data lives in THIS version's dir) or `name=t1,t2,…`
+    * (the table is the UNION of those versions' dirs — the append/carry
+    * representation, so re-publishing unchanged history never copies
+    * it). The same content is written as `_CURRENT` at commit and as
+    * `_MANIFEST` inside the version dir (time-travel readers and
+    * vacuum's reference chase resolve the latter). */
+  private val ManifestFile = "_MANIFEST"
+
+  private def renderManifest(txn: String,
+      refs: Map[String, Seq[String]]): String =
+    (txn +: refs.toSeq.sortBy(_._1).map { case (name, owners) =>
+      if (owners == Seq(txn)) name else s"$name=${owners.mkString(",")}"
+    }).mkString("\n")
+
+  private def parseManifest(txn: String,
+      lines: Seq[String]): Map[String, Seq[String]] =
+    lines.filter(_.nonEmpty).map { line =>
+      line.split("=", 2) match {
+        case Array(name) => name -> Seq(txn)
+        case Array(name, owners) => name -> owners.split(",").toSeq
+      }
+    }.toMap
+
+  /** Table→owning-versions map of `txn`. Falls back to listing the dir
+    * (self-owned tables) for versions sealed before `_MANIFEST` existed. */
+  def manifestOf(spark: SparkSession, root: String,
+      txn: String): Map[String, Seq[String]] = {
+    val vdir = new Path(root, s"v_$txn")
+    val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mf = new Path(vdir, ManifestFile)
+    if (fs.exists(mf)) {
+      val in = fs.open(mf)
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      parseManifest(txn, lines.drop(1))
+    } else
+      fs.listStatus(vdir).filter(_.isDirectory)
+        .map(_.getPath.getName -> Seq(txn)).toMap
+  }
 
   private def fc(spark: SparkSession, p: Path): FileContext =
     FileContext.getFileContext(
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).getUri,
       spark.sparkContext.hadoopConfiguration)
+
+  /** Swap the `_CURRENT` pointer atomically; when `expectParent` is
+    * given, the swap happens ONLY if the live txn still equals it at
+    * swap time — checked under the same per-root lock that serializes
+    * every same-JVM committer, making check-and-swap one atomic step in
+    * this JVM (cross-process CAS would need an FS with conditional
+    * rename; the residual window is documented on [[publishDelta]]).
+    *
+    * On HDFS the FileContext overwrite-rename is atomic server-side.
+    * Hadoop's LOCAL fs implements it as delete+rename — a window where
+    * readers see NO manifest and committers collide — so on the file
+    * scheme the tmp manifest is written via NIO (outside the checksum
+    * layer: a Hadoop-written tmp leaves an immortal .crc sidecar
+    * behind, and a NIO move under a stale ._CURRENT.crc makes every
+    * subsequent Hadoop read throw ChecksumException) and swapped with
+    * POSIX rename(2) (ATOMIC_MOVE), which replaces in place. */
+  private def swapPointer(spark: SparkSession, root: String, txn: String,
+      manifest: Array[Byte],
+      expectParent: Option[Option[String]]): Boolean = {
+    val rootPath = new Path(root)
+    val ctx = fc(spark, rootPath)
+    val cur = new Path(rootPath, CurrentFile)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val qualified = fs.makeQualified(cur).toUri
+    def parentOk: Boolean =
+      expectParent.forall(_ == currentTxn(spark, root))
+    if (qualified.getScheme == "file") {
+      val curNio = java.nio.file.Paths.get(qualified.getPath)
+      val tmpNio = curNio.resolveSibling(s"._current_$txn")
+      java.nio.file.Files.write(tmpNio, manifest)
+      commitLock(spark, root).synchronized {
+        if (!parentOk) {
+          java.nio.file.Files.deleteIfExists(tmpNio); false
+        } else {
+          // a pre-NIO publish may have left a checksum sidecar for the
+          // old manifest; it would fail verification against the new one
+          java.nio.file.Files.deleteIfExists(
+            curNio.resolveSibling(s".$CurrentFile.crc"))
+          java.nio.file.Files.move(tmpNio, curNio,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          true
+        }
+      }
+    } else {
+      val tmp = new Path(rootPath, s"._current_$txn")
+      val out = ctx.create(tmp,
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE),
+        Options.CreateOpts.createParent())
+      try out.write(manifest) finally out.close()
+      commitLock(spark, root).synchronized {
+        if (!parentOk) {
+          try ctx.delete(tmp, false) catch { case _: Throwable => () }
+          false
+        } else {
+          ctx.rename(tmp, cur, Options.Rename.OVERWRITE); true
+        }
+      }
+    }
+  }
+
+  /** Mark a sealed version as committed — see the vacuum contract.
+    * Best-effort: if this write fails the publish has still succeeded
+    * (the pointer moved); the version is then treated as uncommitted by
+    * vacuum and reclaimed after the grace window once superseded —
+    * availability of the LIVE version is never affected (vacuum spares
+    * whatever the pointer names). */
+  private def markCommitted(spark: SparkSession, root: String,
+      txn: String): Unit =
+    try {
+      val vdir = new Path(root, s"v_$txn")
+      val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val mos = fs.create(new Path(vdir, CommitMarker), true)
+      try mos.write(txn.getBytes(StandardCharsets.UTF_8)) finally mos.close()
+    } catch { case _: Throwable => () }
+
+  /** Stage table writes + the version's `_MANIFEST` under scratch, then
+    * seal with one atomic dir rename (complete-or-absent). */
+  private def stageAndSeal(spark: SparkSession, rootPath: Path, txn: String,
+      tables: Map[String, DataFrame],
+      refs: Map[String, Seq[String]]): Unit = {
+    val scratch = new Path(rootPath, s".staging_$txn")
+    val versioned = new Path(rootPath, s"v_$txn")
+    val ctx = fc(spark, rootPath)
+    ctx.mkdir(rootPath, null, true)
+    tables.foreach { case (name, df) =>
+      df.write.mode("error").parquet(new Path(scratch, name).toString)
+    }
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mos = fs.create(new Path(scratch, ManifestFile), true)
+    try mos.write(renderManifest(txn, refs).getBytes(StandardCharsets.UTF_8))
+    finally mos.close()
+    ctx.rename(scratch, versioned)
+  }
 
   /** Write `tables` as one atomic publish; returns the txn id. Any write
     * failure propagates AFTER best-effort scratch cleanup, with the
@@ -78,75 +210,73 @@ object AtomicPublish {
     require(tables.nonEmpty, "publish needs at least one table")
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
-    val scratch = new Path(rootPath, s".staging_$txn")
-    val versioned = new Path(rootPath, s"v_$txn")
-    val ctx = fc(spark, rootPath)
-    ctx.mkdir(rootPath, null, true)
     inFlight.add(txn)
     try {
-      // 1. stage: all data lands under paths no reader resolves
-      tables.foreach { case (name, df) =>
-        df.write.mode("error").parquet(new Path(scratch, name).toString)
-      }
-      // 2. seal: one atomic dir rename makes the version complete-or-absent
-      ctx.rename(scratch, versioned)
-      // 3. commit: swap the manifest pointer atomically. On HDFS the
-      // FileContext overwrite-rename is atomic server-side. Hadoop's
-      // LOCAL fs implements it as delete+rename — a window where readers
-      // see NO manifest and committers collide — so on the file scheme
-      // the tmp manifest is written via NIO (outside the checksum layer:
-      // a Hadoop-written tmp leaves an immortal .crc sidecar behind, and
-      // a NIO move under a stale ._CURRENT.crc makes every subsequent
-      // Hadoop read throw ChecksumException) and swapped with POSIX
-      // rename(2) (ATOMIC_MOVE), which replaces in place. Same-JVM
-      // committers additionally serialize per root.
-      val cur = new Path(rootPath, CurrentFile)
-      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val qualified = fs.makeQualified(cur).toUri
-      val manifest = renderManifest(txn, tables.keys.toSeq)
-        .getBytes(StandardCharsets.UTF_8)
-      if (qualified.getScheme == "file") {
-        val curNio = java.nio.file.Paths.get(qualified.getPath)
-        val tmpNio = curNio.resolveSibling(s"._current_$txn")
-        java.nio.file.Files.write(tmpNio, manifest)
-        commitLock(spark, root).synchronized {
-          // a pre-NIO publish may have left a checksum sidecar for the
-          // old manifest; it would fail verification against the new one
-          java.nio.file.Files.deleteIfExists(
-            curNio.resolveSibling(s".$CurrentFile.crc"))
-          java.nio.file.Files.move(tmpNio, curNio,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-        }
-      } else {
-        val tmp = new Path(rootPath, s"._current_$txn")
-        val out = ctx.create(tmp,
-          java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
-            org.apache.hadoop.fs.CreateFlag.OVERWRITE),
-          Options.CreateOpts.createParent())
-        try out.write(manifest) finally out.close()
-        commitLock(spark, root).synchronized {
-          ctx.rename(tmp, cur, Options.Rename.OVERWRITE)
-        }
-      }
-      // 4. mark: a `_COMMITTED` file inside the version dir records, in
-      // the layout itself, that this version reached the pointer — the
-      // signal vacuum uses to (a) rank retention by COMMIT order and
-      // (b) distinguish published versions from sealed-but-uncommitted
-      // dirs of crashed or still-running cross-process publishers.
-      // Best-effort: if this write fails the publish has still
-      // succeeded (the pointer moved); the version is then treated as
-      // uncommitted by vacuum and reclaimed after the grace window once
-      // superseded — availability of the LIVE version is never affected
-      // (vacuum spares whatever the pointer names).
-      try {
-        val mos = fs.create(new Path(versioned, CommitMarker), true)
-        try mos.write(txn.getBytes(StandardCharsets.UTF_8)) finally mos.close()
-      } catch { case _: Throwable => () }
+      val refs = tables.keys.map(_ -> Seq(txn)).toMap
+      stageAndSeal(spark, rootPath, txn, tables, refs)
+      swapPointer(spark, root, txn,
+        renderManifest(txn, refs).getBytes(StandardCharsets.UTF_8),
+        expectParent = None)
+      markCommitted(spark, root, txn)
       txn
     } catch {
       case e: Throwable =>
-        try ctx.delete(scratch, true) catch { case _: Throwable => () }
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
+  /** Optimistic-concurrency DELTA publish: stage only what changed and
+    * commit a version that REFERENCES the parent's data for everything
+    * else — the steady-state shape for high-frequency appenders (a
+    * micro-batch ingest writes its slice, never the corpus).
+    *
+    *  - `append`: each table's staged rows are ADDED to the parent's —
+    *    the new version's manifest lists the parent's owning versions
+    *    plus this txn; history is referenced, never copied.
+    *  - `replace`: the staged rows REPLACE the table (compaction's
+    *    move: rewrite the union small-file history into one owner).
+    *  - every other parent table is carried by reference, untouched.
+    *
+    * The commit succeeds ONLY if the live txn still equals `parent` at
+    * swap time (same-JVM exact via the per-root commit lock;
+    * cross-process committers retain the FS-rename race window — run
+    * one writer per store across processes, or arbitrate above).
+    * Returns None on conflict — the caller re-reads the new current and
+    * retries; the sealed version is left for vacuum (grace-windowed)
+    * rather than deleted, since a crashed delete would strand it anyway. */
+  def publishDelta(spark: SparkSession, root: String,
+      append: Map[String, DataFrame],
+      replace: Map[String, DataFrame] = Map.empty,
+      parent: Option[String] = None): Option[String] = {
+    require(append.nonEmpty || replace.nonEmpty,
+      "publishDelta needs at least one appended or replaced table")
+    require(append.keySet.intersect(replace.keySet).isEmpty,
+      "a table cannot be both appended and replaced")
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    val rootPath = new Path(root)
+    inFlight.add(txn)
+    try {
+      val parentRefs =
+        parent.map(manifestOf(spark, root, _)).getOrElse(Map.empty)
+      val refs = parentRefs ++
+        append.keys.map(n => n -> (parentRefs.getOrElse(n, Nil) :+ txn)) ++
+        replace.keys.map(n => n -> Seq(txn))
+      stageAndSeal(spark, rootPath, txn, append ++ replace, refs)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, refs).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(parent))
+      if (committed) { markCommitted(spark, root, txn); Some(txn) }
+      else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
         try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
         catch { case _: Throwable => () }
         throw e
@@ -180,10 +310,18 @@ object AtomicPublish {
 
   /** Time travel: read a table at an explicit txn. Any version not yet
     * vacuumed is immutable and fully readable — the same guarantee a
-    * table-format snapshot id gives, from the layout alone. */
+    * table-format snapshot id gives, from the layout alone. Resolves
+    * the version's manifest: an appended/carried table is the UNION of
+    * its owning versions' dirs (one multi-path parquet read). */
   def readTableAt(spark: SparkSession, root: String, table: String,
-      txn: String): DataFrame =
-    spark.read.parquet(new Path(new Path(root, s"v_$txn"), table).toString)
+      txn: String): DataFrame = {
+    val owners = manifestOf(spark, root, txn).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' is not in version $txn under $root"))
+    val paths = owners.map(t =>
+      new Path(new Path(root, s"v_$t"), table).toString)
+    spark.read.parquet(paths: _*)
+  }
 
   /** Drop unreferenced version and scratch dirs, subject to a retention
     * policy so [[readTableAt]] time travel and vacuum are safe to use
@@ -209,11 +347,41 @@ object AtomicPublish {
     *    registry, and the commit lock serializes the pointer swap with
     *    the whole list-and-delete (stress-raced in AtomicPublishSpec).
     *
+    * Retention additionally protects the reference CLOSURE: a version
+    * whose manifest points at older versions' dirs (publishDelta
+    * append/carry) keeps every referenced version alive — reclaiming
+    * happens only when nothing retained references the dir.
+    *
     * Returns the deleted paths. The pointer is additionally re-read
     * after listing, and any version named by either read survives. A
     * version whose marker write failed (crash in the post-swap window)
     * degrades to the marker-less case: protected while live or young,
-    * reclaimable once aged — never able to brick the live store. */
+    * reclaimable once aged — never able to brick the live store. The
+    * live version self-heals its marker here, so stores created before
+    * markers existed regain exact retention going forward; for bulk
+    * migration of OLD versions run [[adoptCommitted]] once. */
+  /** One-shot migration for stores published before `_COMMITTED`
+    * markers existed: stamp EVERY existing version dir as committed so
+    * `keepLast`/`minAgeMs` retention ranks them again. Run it only
+    * while no publisher is mid-flight against this root — it cannot
+    * distinguish a pre-marker published version from another process's
+    * sealed-but-uncommitted one (both are marker-less by definition). */
+  def adoptCommitted(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    commitLock(spark, root).synchronized {
+      fs.listStatus(rootPath).toSeq
+        .filter(st => st.getPath.getName.startsWith("v_") &&
+          !fs.exists(new Path(st.getPath, CommitMarker)))
+        .map { st =>
+          val txn = st.getPath.getName.stripPrefix("v_")
+          markCommitted(spark, root, txn)
+          txn
+        }
+    }
+  }
+
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
       minAgeMs: Long = 0L, graceMs: Long = 3600L * 1000): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
@@ -240,6 +408,22 @@ object AtomicPublish {
         .sortBy(-_._2).take(keepLast).map(_._1).toSet
       val committedAt = versions.collect {
         case (st, Some(t)) => st.getPath.getName -> t }.toMap
+      // heal pre-marker stores: the LIVE version provably committed (the
+      // pointer names it) — give it its marker so retention can rank it
+      liveAfter.foreach { t =>
+        if (!committedAt.contains(s"v_$t") &&
+            fs.exists(new Path(rootPath, s"v_$t")))
+          markCommitted(spark, root, t)
+      }
+      // a retained version may REFERENCE older versions' dirs for its
+      // appended/carried tables — deleting those would hollow it out, so
+      // the keep set is the reference CLOSURE of (live ∪ retainedRecent)
+      val referenced = (live ++ retainedRecent).flatMap { v =>
+        try manifestOf(spark, root, v.stripPrefix("v_"))
+          .values.flatten.map(t => s"v_$t")
+        catch { case _: Throwable => Set.empty[String] }
+      }
+      val protectedVersions = live ++ retainedRecent ++ referenced
       statuses
         .filter { st =>
           val n = st.getPath.getName
@@ -256,7 +440,7 @@ object AtomicPublish {
             case None => st.getModificationTime < inFlightCutoff // maybe in flight
           }
           !active && aged &&
-            ((isVersion && !live(n) && !retainedRecent(n)) || isScratch)
+            ((isVersion && !protectedVersions(n)) || isScratch)
         }
         .map { st => fs.delete(st.getPath, true); st.getPath.toString }
     }

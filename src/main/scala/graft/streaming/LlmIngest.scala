@@ -18,29 +18,40 @@ import graft.ops.{AtomicPublish, Sinks}
   *       16 bytes/doc)
   *     → quality gate (map-only)
   *     → chunk
-  *     → ONE atomic publish per micro-batch: chunks ∪ new, fingerprints
-  *       ∪ new, plus a run row — a reader polling between batches
-  *       always sees a complete, mutually consistent store.
+  *     → ONE atomic DELTA publish per micro-batch: the batch's slice is
+  *       written, history is carried by REFERENCE (publishDelta) — the
+  *       per-trigger write cost is O(batch), not O(corpus), and a
+  *       reader polling between batches always sees a complete,
+  *       mutually consistent store.
+  *
+  * Concurrency: the parent txn is pinned ONCE per batch, every store
+  * read resolves at that txn, and the delta commit is conditional on
+  * the parent still being live (optimistic concurrency; same-JVM
+  * exact). A lost race re-runs the batch against the new current —
+  * admitted content stays exactly-once because the anti-join re-reads
+  * the winner's fingerprints.
   *
   * Append-stable by layout: a replayed source file (same content)
-  * anti-joins away against the already-published fingerprints, so
-  * at-least-once delivery upstream still yields exactly-once content in
-  * the store. The cross-doc stages (near-dup, decontamination) are
-  * deliberately NOT in the hot path — they need corpus-wide context and
-  * run as scheduled batch maintenance over the published store (the
-  * same split the reference makes between its request path and its
-  * pipeline runs). */
+  * anti-joins away against the published fingerprints, so at-least-once
+  * delivery upstream still yields exactly-once content in the store.
+  * The cross-doc stages (near-dup, decontamination) are deliberately
+  * NOT in the hot path — they need corpus-wide context and run as
+  * scheduled batch maintenance over the published store (the same split
+  * the reference makes between its request path and its pipeline runs). */
 object LlmIngest {
 
   val ChunksTable = "chunks"
   val KeptTable = "kept_docs"
   val RunsTable = "ingest_runs"
 
-  /** The published fingerprint set, or an empty frame before the first
-    * publish. */
-  private def publishedFingerprints(spark: SparkSession,
-      root: String): DataFrame =
-    AtomicPublish.currentTxn(spark, root) match {
+  /** Retries when a concurrent committer wins the pointer race. */
+  private val MaxAttempts = 5
+
+  /** The fingerprint set at `parent`, or an empty frame before the
+    * first publish. */
+  private def fingerprintsAt(spark: SparkSession, root: String,
+      parent: Option[String]): DataFrame =
+    parent match {
       case Some(txn) =>
         AtomicPublish.readTableAt(spark, root, KeptTable, txn)
           .select(col("fingerprint"))
@@ -56,56 +67,79 @@ object LlmIngest {
     * foreachBatch body, callable directly for batch backfills).
     * Returns the number of genuinely new docs admitted. */
   def ingestBatch(spark: SparkSession, root: String, batch: DataFrame,
-      batchId: Long): Long = {
+      runName: String): Long = {
     val t0 = System.currentTimeMillis()
-    val nIn = batch.count()
-    val novel = LlmPrep.qualityStage(
-      LlmPrep.dedupStage(LlmPrep.cleanStage(
-        batch.select(col("doc_id"), col("text"))))
-        .withColumn("fingerprint", md5(col("text").cast("binary")))
-        .join(publishedFingerprints(spark, root),
-          Seq("fingerprint"), "left_anti"))
-    // the micro-batch is small; one cache covers the three consumers
-    // (chunks, fingerprints, count) without re-running the anti-join
-    novel.cache()
+    // one cache covers every consumer of the batch (count + pipeline)
+    // without re-reading the source files per pass
+    val docs = batch.select(col("doc_id"), col("text")).cache()
     try {
-      val nNew = novel.count()
-      val newChunks = LlmPrep.chunkStage(novel.select("doc_id", "text"))
-      val newKept = novel.select(col("doc_id"), col("fingerprint"))
-      val (chunks, kept, runs) = AtomicPublish.currentTxn(spark, root) match {
-        case Some(txn) =>
-          (AtomicPublish.readTableAt(spark, root, ChunksTable, txn),
-            AtomicPublish.readTableAt(spark, root, KeptTable, txn),
-            Some(AtomicPublish.readTableAt(spark, root, RunsTable, txn)))
-        case None => (newChunks.limit(0), newKept.limit(0), None)
+      val nIn = docs.count()
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val parent = AtomicPublish.currentTxn(spark, root) // pinned ONCE
+        val novel = LlmPrep.qualityStage(
+          LlmPrep.dedupStage(LlmPrep.cleanStage(docs))
+            .withColumn("fingerprint", LlmPrep.fingerprintCol)
+            .join(fingerprintsAt(spark, root, parent),
+              Seq("fingerprint"), "left_anti"))
+          .cache()
+        try {
+          val nNew = novel.count()
+          // one file per slice: micro-batch appends are small, and
+          // repartition (not coalesce) keeps the upstream parallel
+          val newChunks =
+            LlmPrep.chunkStage(novel.select("doc_id", "text")).repartition(1)
+          val newKept =
+            novel.select(col("doc_id"), col("fingerprint")).repartition(1)
+          val run = Sinks.pipelineRunRow(spark, runName, "completed",
+            new java.sql.Timestamp(t0),
+            new java.sql.Timestamp(System.currentTimeMillis()),
+            inputCount = nIn, outputCount = nNew,
+            errorsJson = "[]", dagJson = "{}")
+          AtomicPublish.publishDelta(spark, root,
+            append = Map(ChunksTable -> newChunks, KeptTable -> newKept,
+              RunsTable -> run),
+            parent = parent) match {
+            case Some(_) => return nNew
+            case None if attempt < MaxAttempts => () // lost the race: retry
+            case None => throw new IllegalStateException(
+              s"ingest '$runName' lost the commit race $MaxAttempts times")
+          }
+        } finally {
+          novel.unpersist()
+          ()
+        }
       }
-      val run = Sinks.pipelineRunRow(spark, s"llm_ingest_$batchId",
-        "completed", new java.sql.Timestamp(t0),
-        new java.sql.Timestamp(System.currentTimeMillis()),
-        inputCount = nIn, outputCount = nNew,
-        errorsJson = "[]", dagJson = "{}")
-      AtomicPublish.publish(spark, root, Map(
-        ChunksTable -> chunks.unionByName(newChunks),
-        KeptTable -> kept.unionByName(newKept),
-        RunsTable -> runs.fold(run)(_.unionByName(run))))
-      nNew
+      0L // unreachable
     } finally {
-      novel.unpersist()
+      docs.unpersist()
       ()
     }
   }
 
-  /** Bind a raw-document stream to the store: one atomic publish per
-    * micro-batch via foreachBatch (the engine's transactional-sink
+  /** Bind a raw-document stream to the store: one atomic delta publish
+    * per micro-batch via foreachBatch (the engine's transactional-sink
     * escape hatch — the publish itself is the reference's single
-    * db.commit() per request, applied per trigger). */
-  def ingestStream(docs: DataFrame, root: String): StreamingQuery =
-    docs.writeStream
+    * db.commit() per request, applied per trigger). Pass a
+    * `checkpoint` for restartable deployments (processed source files
+    * are then never re-read across restarts); run names are unique per
+    * (stream start, batch id) so restarted runs never collide in the
+    * runs table. */
+  def ingestStream(docs: DataFrame, root: String,
+      checkpoint: Option[String] = None,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val runTag = java.util.UUID.randomUUID().toString.take(8)
+    val writer = docs.writeStream
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
+    checkpoint.foreach(writer.option("checkpointLocation", _))
+    writer
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingestBatch(batch.sparkSession, root, batch, id)
+        ingestBatch(batch.sparkSession, root, batch,
+          s"llm_ingest_${runTag}_$id")
         ()
       }
       .start()
+  }
 }

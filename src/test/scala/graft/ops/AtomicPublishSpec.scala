@@ -151,6 +151,57 @@ class AtomicPublishSpec extends SparkSuite {
     assert(AtomicPublish.readTableAt(spark, root, "t", v1).count() == 1)
   }
 
+  test("publishDelta appends by reference: slice written, history carried, time travel exact") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map(
+      "a" -> Seq(1L, 2L).toDF("id"), "b" -> Seq(10L).toDF("id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("a" -> Seq(3L).toDF("id")), parent = Some(v1)).get
+    // the union read: history + slice; the carried table untouched
+    assert(AtomicPublish.readTable(spark, root, "a")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(AtomicPublish.readTable(spark, root, "b")
+      .as[Long].collect().toSet == Set(10L))
+    // ...and v2's dir holds ONLY the slice (history referenced, not copied)
+    assert(spark.read.parquet(s"$root/v_$v2/a").count() == 1)
+    assert(AtomicPublish.manifestOf(spark, root, v2)("a") == Seq(v1, v2))
+    // time travel to the parent is unaffected by the append
+    assert(AtomicPublish.readTableAt(spark, root, "a", v1)
+      .as[Long].collect().toSet == Set(1L, 2L))
+
+    // replace consolidates ownership (the compaction move): one owner,
+    // and the old slice dirs become reclaimable once unreferenced
+    val v3 = AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("a" -> AtomicPublish.readTable(spark, root, "a")),
+      parent = Some(v2)).get
+    assert(AtomicPublish.manifestOf(spark, root, v3)("a") == Seq(v3))
+    // b is still carried from v1, so v1 survives this vacuum; v2 is
+    // only the superseded a-slice → reclaimed
+    val deleted = AtomicPublish.vacuum(spark, root, keepLast = 1, graceMs = 0L)
+    assert(deleted.exists(_.contains(s"v_$v2")) &&
+      !deleted.exists(_.contains(s"v_$v1")), deleted.mkString(","))
+    assert(AtomicPublish.readTable(spark, root, "a")
+      .as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(AtomicPublish.readTable(spark, root, "b").count() == 1)
+  }
+
+  test("publishDelta is a CAS: a stale parent loses, the store is unchanged") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> Seq(2L).toDF("id")), parent = Some(v1)).get
+    // a committer that pinned v1 before v2 landed must NOT win
+    val stale = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> Seq(99L).toDF("id")), parent = Some(v1))
+    assert(stale.isEmpty)
+    assert(AtomicPublish.currentTxn(spark, root).contains(v2))
+    assert(AtomicPublish.readTable(spark, root, "t")
+      .as[Long].collect().toSet == Set(1L, 2L))
+    // the loser's sealed dir is grace-protected garbage, not a torn read
+    val d = AtomicPublish.vacuum(spark, root, graceMs = 0L)
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 2, d)
+  }
+
   test("vacuum races a publisher: a version committed mid-vacuum survives") {
     // same-JVM: the commit lock serializes publish's pointer swap with
     // the whole vacuum, and the pointer is re-read after listing — a

@@ -81,14 +81,64 @@ class LlmIngestStreamSpec extends SparkSuite {
       .select("fingerprint").as[String].collect().toSet
     assert(streamKept == batchKept)
 
+    // delta publishes: each trigger wrote its SLICE; the live chunks
+    // table is the union of three slice dirs, history referenced, never
+    // copied (O(batch) write cost per trigger, not O(corpus))
+    val cur = AtomicPublish.currentTxn(spark, root).get
+    val owners = AtomicPublish.manifestOf(spark, root, cur)
+    assert(owners(LlmIngest.ChunksTable).size == 3,
+      s"chunks owners: ${owners(LlmIngest.ChunksTable)}")
+    assert(owners(LlmIngest.KeptTable).size == 3)
+
+    // vacuum keeps every version the live manifest REFERENCES, even
+    // beyond keepLast — reclaiming a referenced dir would hollow out
+    // the live table
+    val deleted = AtomicPublish.vacuum(spark, root, keepLast = 1,
+      graceMs = 0L)
+    assert(tbl(LlmIngest.KeptTable).count() == 3,
+      s"vacuum broke the live union read (deleted: $deleted)")
+    assert(tbl(LlmIngest.ChunksTable).count() == 4)
+
     // full replay of every batch admits nothing new (at-least-once
     // upstream, exactly-once content in the store)
     val before = tbl(LlmIngest.KeptTable).count()
     batches.zipWithIndex.foreach { case (docs, i) =>
       val admitted = LlmIngest.ingestBatch(spark, root,
-        docs.toDF("doc_id", "text"), 100L + i)
+        docs.toDF("doc_id", "text"), s"replay_$i")
       assert(admitted == 0L, s"replayed batch $i admitted $admitted docs")
     }
     assert(tbl(LlmIngest.KeptTable).count() == before)
+  }
+
+  test("checkpointed ingest restart: processed batches are never re-run") {
+    val root = Files.createTempDirectory("llm-ckpt").resolve("store").toString
+    val src = Files.createTempDirectory("llm-ckpt-src")
+    val ckpt = Files.createTempDirectory("llm-ckpt-state").toString
+    def addFile(name: String, docs: Seq[(Long, String)]): Unit = {
+      val d = Files.createTempDirectory(s"llm-ckpt-stage-$name")
+      docs.toDF("doc_id", "text").coalesce(1)
+        .write.parquet(d.resolve("p").toString)
+      val part = Files.list(d.resolve("p"))
+        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      Files.copy(part, src.resolve(s"$name.parquet"))
+      ()
+    }
+    def runOnce(): Unit = {
+      val stream = spark.readStream.schema("doc_id LONG, text STRING")
+        .parquet(src.toString)
+      val q = LlmIngest.ingestStream(stream, root, checkpoint = Some(ckpt))
+      q.awaitTermination()
+    }
+    addFile("a", Seq(1L -> mk(30, "x")))
+    runOnce()
+    addFile("b", Seq(2L -> mk(30, "y")))
+    runOnce() // restart from the checkpoint: file a is NOT reprocessed
+    def tbl(n: String) = graft.ops.AtomicPublish.readTable(spark, root, n)
+    assert(tbl(LlmIngest.KeptTable).select("doc_id").as[Long]
+      .collect().toSet == Set(1L, 2L))
+    // one run row per PROCESSED batch — a re-run of batch 'a' would
+    // add a third row (and, pre-fix, collide on the run name)
+    val runs = tbl(LlmIngest.RunsTable).count()
+    assert(runs == 2L, s"expected 2 ingest runs, found $runs")
   }
 }
