@@ -660,21 +660,32 @@ object SimilarityOps {
   /** Append a batch to a published IVF index: assign ONLY the batch
     * vectors with the published codebook — the published side is read
     * back as data, never recomputed, so the plan contains no
-    * full-corpus reassignment — and atomically publish the merged index
-    * as a new version ([[graft.ops.AtomicPublish]]: readers see the old
-    * index or the new one, never a mix; time travel keeps the
-    * pre-append version queryable under the vacuum retention policy).
-    * Returns the new txn id. At extreme scale the merged rewrite would
-    * become segment files unioned at read; the commit observable is the
-    * same. */
+    * full-corpus reassignment — and atomically publish the batch as a
+    * DELTA segment: `publishDelta` writes only the batch's assignments
+    * and references the published history (readers resolve the union;
+    * time travel keeps the pre-append version queryable under the
+    * vacuum retention policy). The per-append write cost is O(batch) —
+    * the segments-unioned-at-read layout IS the format, with
+    * replace-consolidation available as the compaction move when
+    * segments accumulate. Commit is optimistic (CAS on the parent
+    * txn); a lost race against a concurrent appender retries against
+    * the winner. Returns the new txn id. */
   def ivfAppendBatch(spark: SparkSession, indexRoot: String,
       batch: DataFrame, cents: DataFrame): String = {
-    val existing =
-      graft.ops.AtomicPublish.readTable(spark, indexRoot, "ivf_index")
     val appended = assignCells(batch, cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-    graft.ops.AtomicPublish.publish(spark, indexRoot,
-      Map("ivf_index" -> existing.unionByName(appended)))
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val parent = graft.ops.AtomicPublish.currentTxn(spark, indexRoot)
+      graft.ops.AtomicPublish.publishDelta(spark, indexRoot,
+        append = Map("ivf_index" -> appended), parent = parent) match {
+        case Some(txn) => return txn
+        case None => () // concurrent appender won; re-pin and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"ivfAppendBatch lost the commit race 5 times under $indexRoot")
   }
 
   /** Published index store per corpus dir, built once per JVM (the

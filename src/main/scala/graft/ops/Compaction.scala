@@ -76,6 +76,45 @@ object Compaction {
       compactLocked(spark, dir, targetBytes)
     }
 
+  /** Compact a table INSIDE an [[AtomicPublish]] store: read the live
+    * union (however many delta segments own it), rewrite it at
+    * ~`targetBytes` per file, and commit as a `replace` delta — the
+    * manifest-pointer move the delta format is designed around. The
+    * consolidated version becomes the table's single owner, the old
+    * segment dirs drop out of the reference closure, and the next
+    * vacuum reclaims them. Readers never see a partial state (the swap
+    * is the store's atomic commit), and a concurrent appender losing or
+    * winning the CAS is handled by retrying against the new current.
+    * Returns (txn, partitions) of the consolidating commit. */
+  def compactStore(spark: SparkSession, root: String, table: String,
+      targetBytes: Long = 128L * 1024 * 1024): (String, Int) = {
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(s"no published version under $root"))
+      val owners = AtomicPublish.manifestOf(spark, root, parent)
+        .getOrElse(table, throw new IllegalArgumentException(
+          s"table '$table' is not in version $parent under $root"))
+      val fs = new Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val bytes = owners.map { t =>
+        listEntries(spark, new Path(root, s"v_$t/$table"))
+          .filter(_.isFile).map(_.getLen).sum
+      }.sum
+      val parts = partitionsFor(bytes, targetBytes)
+      val consolidated = AtomicPublish
+        .readTableAt(spark, root, table, parent).repartition(parts)
+      AtomicPublish.publishDelta(spark, root, append = Map.empty,
+        replace = Map(table -> consolidated), parent = Some(parent)) match {
+        case Some(txn) => return (txn, parts)
+        case None => () // an appender committed meanwhile; re-pin, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compactStore lost the commit race 5 times under $root")
+  }
+
   private def compactLocked(spark: SparkSession, dir: String,
       targetBytes: Long): CompactionResult = {
     val path = new Path(dir)

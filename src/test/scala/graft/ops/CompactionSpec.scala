@@ -25,6 +25,37 @@ class CompactionSpec extends SparkSuite {
     assert(after == before)
   }
 
+  test("compactStore consolidates delta segments; vacuum then reclaims them") {
+    val root = Files.createTempDirectory("graft-cstore").resolve("s").toString
+    val v0 = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq(0L).toDF("id"), "other" -> Seq(9L).toDF("id")))
+    // accrete three delta segments (the streaming-sink pathology, at
+    // the store level)
+    val segs = (1 to 3).scanLeft(v0) { (parent, k) =>
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("t" -> Seq(k.toLong).toDF("id")),
+        parent = Some(parent)).get
+    }
+    assert(AtomicPublish.manifestOf(spark, root, segs.last)("t").size == 4)
+
+    val (txn, parts) = Compaction.compactStore(spark, root, "t",
+      targetBytes = 1L << 30)
+    assert(parts == 1)
+    // single owner now; data identical; the carried table untouched
+    assert(AtomicPublish.manifestOf(spark, root, txn)("t") == Seq(txn))
+    assert(AtomicPublish.readTable(spark, root, "t")
+      .as[Long].collect().toSet == Set(0L, 1L, 2L, 3L))
+    assert(AtomicPublish.readTable(spark, root, "other")
+      .as[Long].collect().toSet == Set(9L))
+    // old segment dirs fell out of the reference closure — reclaimed
+    // (v0 survives: it still owns 'other' via the carried reference)
+    val deleted = AtomicPublish.vacuum(spark, root, keepLast = 1, graceMs = 0L)
+    assert(segs.tail.forall(s => deleted.exists(_.contains(s"v_$s"))),
+      s"segments not reclaimed: $deleted")
+    assert(!deleted.exists(_.contains(s"v_$v0")))
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 4)
+  }
+
   test("partition count follows on-disk bytes and the target size") {
     val dir = Files.createTempDirectory("graft-compact2").resolve("t").toString
     spark.range(2000).select(col("id"), md5(col("id").cast("string")).as("h"))
