@@ -205,9 +205,20 @@ object AtomicPublish {
   /** Write `tables` as one atomic publish; returns the txn id. Any write
     * failure propagates AFTER best-effort scratch cleanup, with the
     * previously published version fully intact. */
+  /** Table names must survive the manifest grammar (no '=' or ','
+    * separators, no newlines, no path separators). */
+  private def validateNames(names: Iterable[String]): Unit =
+    names.foreach { n =>
+      require(n.nonEmpty && !n.exists(c =>
+        c == '=' || c == ',' || c == '\n' || c == '\r' || c == '/'),
+        s"table name '$n' is not manifest-safe " +
+          "(must be non-empty, without '=', ',', newlines or '/')")
+    }
+
   def publish(spark: SparkSession, root: String,
       tables: Map[String, DataFrame]): String = {
     require(tables.nonEmpty, "publish needs at least one table")
+    validateNames(tables.keys)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
     inFlight.add(txn)
@@ -257,6 +268,7 @@ object AtomicPublish {
       "publishDelta needs at least one appended or replaced table")
     require(append.keySet.intersect(replace.keySet).isEmpty,
       "a table cannot be both appended and replaced")
+    validateNames(append.keys ++ replace.keys)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
     inFlight.add(txn)
@@ -283,18 +295,28 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
-  /** The live txn id, or None before the first successful publish. */
-  def currentTxn(spark: SparkSession, root: String): Option[String] = {
+  /** The live (txn, table→owning versions) in ONE `_CURRENT` read, or
+    * None before the first successful publish — `_CURRENT` carries the
+    * full manifest, so resolving the live version never needs the
+    * second `_MANIFEST` round-trip (it exists for time travel and
+    * vacuum, which start from a txn id). */
+  def currentManifest(spark: SparkSession,
+      root: String): Option[(String, Map[String, Seq[String]])] = {
     val cur = new Path(root, CurrentFile)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cur)) None
     else {
       val in = fs.open(cur)
-      try Some(scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().next().trim)
-      finally in.close()
+      val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val txn = lines.head.trim
+      Some(txn -> parseManifest(txn, lines.drop(1)))
     }
   }
+
+  /** The live txn id, or None before the first successful publish. */
+  def currentTxn(spark: SparkSession, root: String): Option[String] =
+    currentManifest(spark, root).map(_._1)
 
   /** Read a table from the CURRENT version — the only resolution path
     * readers use, so partially-published data is unreachable. A reader
@@ -303,9 +325,13 @@ object AtomicPublish {
     * [[readTableAt]]: two `readTable` calls can legitimately span a
     * pointer swap. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
-    val txn = currentTxn(spark, root).getOrElse(
+    val (txn, refs) = currentManifest(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    readTableAt(spark, root, table, txn)
+    val owners = refs.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' is not in version $txn under $root"))
+    spark.read.parquet(owners.map(t =>
+      new Path(new Path(root, s"v_$t"), table).toString): _*)
   }
 
   /** Time travel: read a table at an explicit txn. Any version not yet
@@ -321,6 +347,37 @@ object AtomicPublish {
     val paths = owners.map(t =>
       new Path(new Path(root, s"v_$t"), table).toString)
     spark.read.parquet(paths: _*)
+  }
+
+  /** One-shot migration for stores published before `_COMMITTED`
+    * markers existed: stamp EVERY existing version dir as committed so
+    * `keepLast`/`minAgeMs` retention ranks them again. Markers are
+    * back-dated to each dir's mtime, so ranking approximates the
+    * original publish order instead of the migration instant. Run it
+    * only while no publisher is mid-flight against this root — it
+    * cannot distinguish a pre-marker published version from another
+    * process's sealed-but-uncommitted one (both are marker-less by
+    * definition). Intended strictly for pre-marker stores, which also
+    * predate `publishDelta` and therefore contain no CAS-loser dirs; on
+    * a post-delta store this would stamp losers as committed and let
+    * them claim retention slots. */
+  def adoptCommitted(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    commitLock(spark, root).synchronized {
+      fs.listStatus(rootPath).toSeq
+        .filter(st => st.getPath.getName.startsWith("v_") &&
+          !fs.exists(new Path(st.getPath, CommitMarker)))
+        .map { st =>
+          val txn = st.getPath.getName.stripPrefix("v_")
+          markCommitted(spark, root, txn)
+          try fs.setTimes(new Path(st.getPath, CommitMarker),
+            st.getModificationTime, -1)
+          catch { case _: Throwable => () }
+          txn
+        }
+    }
   }
 
   /** Drop unreferenced version and scratch dirs, subject to a retention
@@ -347,10 +404,13 @@ object AtomicPublish {
     *    registry, and the commit lock serializes the pointer swap with
     *    the whole list-and-delete (stress-raced in AtomicPublishSpec).
     *
-    * Retention additionally protects the reference CLOSURE: a version
-    * whose manifest points at older versions' dirs (publishDelta
-    * append/carry) keeps every referenced version alive — reclaiming
-    * happens only when nothing retained references the dir.
+    * Retention additionally protects the reference CLOSURE of EVERY
+    * surviving version — live, keepLast-retained, age/grace-spared, or
+    * itself referenced: a version whose manifest points at older
+    * versions' dirs (publishDelta append/carry) keeps them all alive,
+    * so nothing a surviving version unions over can be reclaimed. A
+    * manifest that cannot be read aborts the vacuum (anything else
+    * would risk deleting dirs the unreadable manifest references).
     *
     * Returns the deleted paths. The pointer is additionally re-read
     * after listing, and any version named by either read survives. A
@@ -360,28 +420,6 @@ object AtomicPublish {
     * live version self-heals its marker here, so stores created before
     * markers existed regain exact retention going forward; for bulk
     * migration of OLD versions run [[adoptCommitted]] once. */
-  /** One-shot migration for stores published before `_COMMITTED`
-    * markers existed: stamp EVERY existing version dir as committed so
-    * `keepLast`/`minAgeMs` retention ranks them again. Run it only
-    * while no publisher is mid-flight against this root — it cannot
-    * distinguish a pre-marker published version from another process's
-    * sealed-but-uncommitted one (both are marker-less by definition). */
-  def adoptCommitted(spark: SparkSession, root: String): Seq[String] = {
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return Nil
-    commitLock(spark, root).synchronized {
-      fs.listStatus(rootPath).toSeq
-        .filter(st => st.getPath.getName.startsWith("v_") &&
-          !fs.exists(new Path(st.getPath, CommitMarker)))
-        .map { st =>
-          val txn = st.getPath.getName.stripPrefix("v_")
-          markCommitted(spark, root, txn)
-          txn
-        }
-    }
-  }
-
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
       minAgeMs: Long = 0L, graceMs: Long = 3600L * 1000): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
@@ -415,15 +453,42 @@ object AtomicPublish {
             fs.exists(new Path(rootPath, s"v_$t")))
           markCommitted(spark, root, t)
       }
-      // a retained version may REFERENCE older versions' dirs for its
-      // appended/carried tables — deleting those would hollow it out, so
-      // the keep set is the reference CLOSURE of (live ∪ retainedRecent)
-      val referenced = (live ++ retainedRecent).flatMap { v =>
+      def isActive(n: String): Boolean =
+        inFlight.contains(n.stripPrefix("v_")
+          .stripPrefix(".staging_").stripPrefix("._current_"))
+      def isAged(st: org.apache.hadoop.fs.FileStatus): Boolean =
+        committedAt.get(st.getPath.getName) match {
+          case Some(t) => t < committedCutoff            // committed: user policy
+          case None => st.getModificationTime < inFlightCutoff // maybe in flight
+        }
+      // EVERY version that survives this vacuum — live, keepLast-
+      // retained, age/grace-spared, or in-flight — keeps the dirs its
+      // manifest references (deleting one would hollow out its unions).
+      // Seeded from all survivors, expanded to a fixpoint (cheap: refs
+      // are direct data-dir pointers, flattened at publish time). An
+      // unreadable manifest ABORTS the vacuum: degrading to "no refs"
+      // could delete dirs the unreadable manifest still points at.
+      val survivorsByPolicy = versions.collect {
+        case (st, _) if live(st.getPath.getName) ||
+          retainedRecent(st.getPath.getName) ||
+          isActive(st.getPath.getName) || !isAged(st) => st.getPath.getName
+      }.toSet
+      def refsOf(vs: Set[String]): Set[String] = vs.flatMap { v =>
         try manifestOf(spark, root, v.stripPrefix("v_"))
           .values.flatten.map(t => s"v_$t")
-        catch { case _: Throwable => Set.empty[String] }
+        catch {
+          case _: java.io.FileNotFoundException => Set.empty[String]
+          case e: Throwable => throw new java.io.IOException(
+            s"vacuum aborted: cannot read manifest of $v under $root — " +
+              "retrying later is safe; proceeding could delete referenced data", e)
+        }
       }
-      val protectedVersions = live ++ retainedRecent ++ referenced
+      var protectedVersions = survivorsByPolicy
+      var frontier = refsOf(protectedVersions) -- protectedVersions
+      while (frontier.nonEmpty) {
+        protectedVersions ++= frontier
+        frontier = refsOf(frontier) -- protectedVersions
+      }
       statuses
         .filter { st =>
           val n = st.getPath.getName
@@ -433,13 +498,7 @@ object AtomicPublish {
           // being written, and their SEALED v_ dir may not have reached
           // the pointer yet (the swap is waiting on this very lock) —
           // both must survive
-          val active = inFlight.contains(n.stripPrefix("v_")
-            .stripPrefix(".staging_").stripPrefix("._current_"))
-          val aged = committedAt.get(n) match {
-            case Some(t) => t < committedCutoff            // committed: user policy
-            case None => st.getModificationTime < inFlightCutoff // maybe in flight
-          }
-          !active && aged &&
+          !isActive(n) && isAged(st) &&
             ((isVersion && !protectedVersions(n)) || isScratch)
         }
         .map { st => fs.delete(st.getPath, true); st.getPath.toString }

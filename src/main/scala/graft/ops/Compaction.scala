@@ -96,8 +96,6 @@ object Compaction {
       val owners = AtomicPublish.manifestOf(spark, root, parent)
         .getOrElse(table, throw new IllegalArgumentException(
           s"table '$table' is not in version $parent under $root"))
-      val fs = new Path(root).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
       val bytes = owners.map { t =>
         listEntries(spark, new Path(root, s"v_$t/$table"))
           .filter(_.isFile).map(_.getLen).sum

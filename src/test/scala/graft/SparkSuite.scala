@@ -7,6 +7,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * shuffle fan-out. */
 trait SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSuite.session
+
+  /** First file under `dir` whose name ends with `suffix` — closes the
+    * directory stream (a bare Files.list(...).findFirst leaks it). */
+  protected def firstFile(dir: java.nio.file.Path,
+      suffix: String = ".parquet"): java.nio.file.Path = {
+    val s = java.nio.file.Files.list(dir)
+    try s.filter(_.toString.endsWith(suffix)).findFirst.get
+    finally s.close()
+  }
 }
 
 object SparkSuite {

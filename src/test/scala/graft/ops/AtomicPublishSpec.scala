@@ -202,6 +202,61 @@ class AtomicPublishSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "t").count() == 2, d)
   }
 
+  test("a minAge-spared version keeps the dirs it references (closure seeds from ALL survivors)") {
+    // regression: the closure was seeded only from live ∪ keepLast-
+    // retained, so a version spared by minAge kept its own dir but lost
+    // the older segment dirs its manifest unions over — time travel to
+    // it then threw mid-read
+    val root = freshRoot()
+    val v0 = AtomicPublish.publish(spark, root, Map("t" -> Seq(0L).toDF("id")))
+    val v1 = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> Seq(1L).toDF("id")), parent = Some(v0)).get
+    val v2 = AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("t" -> AtomicPublish.readTable(spark, root, "t")),
+      parent = Some(v1)).get
+    // age is marker mtime: back-date v0 far past the cutoff while v1
+    // stays fresh — deterministic, no wall-clock sleeps
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def backdate(txn: String): Unit = {
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, s"v_$txn/_COMMITTED"),
+        System.currentTimeMillis() - 3600000L, -1)
+      ()
+    }
+    backdate(v0)
+    // keepLast=1 retains only v2; minAge spares v1 (just committed) but
+    // NOT v0 — yet v0 must survive because spared v1 references it
+    val d = AtomicPublish.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 60000L, graceMs = 0L)
+    assert(!d.exists(_.contains(s"v_$v0")),
+      s"referenced dir of a minAge-spared version was reclaimed: $d")
+    assert(AtomicPublish.readTableAt(spark, root, "t", v1)
+      .as[Long].collect().toSet == Set(0L, 1L))
+    // once v1 ages out too, the chain is reclaimable and the live
+    // consolidated version stands alone
+    backdate(v1)
+    val d2 = AtomicPublish.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 60000L, graceMs = 0L)
+    assert(d2.exists(_.contains(s"v_$v0")) && d2.exists(_.contains(s"v_$v1")))
+    assert(AtomicPublish.readTable(spark, root, "t")
+      .as[Long].collect().toSet == Set(0L, 1L))
+    assert(AtomicPublish.currentTxn(spark, root).contains(v2))
+  }
+
+  test("manifest-unsafe table names are rejected up front") {
+    val root = freshRoot()
+    Seq("a=b", "a,b", "a/b", "").foreach { bad =>
+      intercept[IllegalArgumentException] {
+        AtomicPublish.publish(spark, root, Map(bad -> Seq(1L).toDF("id")))
+      }
+    }
+    intercept[IllegalArgumentException] {
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("x=y" -> Seq(1L).toDF("id")))
+    }
+    assert(AtomicPublish.currentTxn(spark, root).isEmpty)
+  }
+
   test("vacuum races a publisher: a version committed mid-vacuum survives") {
     // same-JVM: the commit lock serializes publish's pointer swap with
     // the whole vacuum, and the pointer is re-read after listing — a
@@ -245,8 +300,10 @@ class AtomicPublishSpec extends SparkSuite {
     // the NIO manifest path must not accrete Hadoop .crc sidecars (the
     // checksum layer can't see a POSIX rename; its leftovers would both
     // leak forever and fail verification against newer manifests)
-    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(root))
-      .toArray.map(_.toString).filter(_.endsWith(".crc"))
+    val ls = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+    val leftovers =
+      try ls.toArray.map(_.toString).filter(_.endsWith(".crc"))
+      finally ls.close()
     assert(leftovers.isEmpty, leftovers.mkString(","))
     // simulate a store written by a pre-NIO build: a stale ._CURRENT.crc
     // describing an older manifest must not make the store unreadable

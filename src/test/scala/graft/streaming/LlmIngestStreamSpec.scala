@@ -37,8 +37,7 @@ class LlmIngestStreamSpec extends SparkSuite {
     batches.zipWithIndex.foreach { case (docs, i) =>
       val d = Files.createTempDirectory(s"llm-ingest-stage$i")
       docs.toDF("doc_id", "text").coalesce(1).write.parquet(d.resolve("p").toString)
-      val part = Files.list(d.resolve("p"))
-        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = firstFile(d.resolve("p"))
       val dst = src.resolve(f"b$i.parquet")
       Files.copy(part, dst)
       Files.setLastModifiedTime(dst,
@@ -118,8 +117,7 @@ class LlmIngestStreamSpec extends SparkSuite {
       val d = Files.createTempDirectory(s"llm-ckpt-stage-$name")
       docs.toDF("doc_id", "text").coalesce(1)
         .write.parquet(d.resolve("p").toString)
-      val part = Files.list(d.resolve("p"))
-        .filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = firstFile(d.resolve("p"))
       Files.copy(part, src.resolve(s"$name.parquet"))
       ()
     }

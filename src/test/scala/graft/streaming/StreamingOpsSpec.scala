@@ -140,7 +140,7 @@ class StreamingOpsSpec extends SparkSuite {
     parts.zipWithIndex.foreach { case ((name, df), i) =>
       val d = tmp.resolve(name)
       df.coalesce(1).write.parquet(d.toString)
-      val part = Files.list(d).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = firstFile(d)
       val dst = src.resolve(s"$name.parquet")
       Files.copy(part, dst)
       Files.setLastModifiedTime(dst,
@@ -230,7 +230,7 @@ class StreamingOpsSpec extends SparkSuite {
     def addFile(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
       val d = stage.resolve(name)
       df.coalesce(1).write.parquet(d.toString)
-      val part = Files.list(d).filter(_.toString.endsWith(".parquet")).findFirst.get
+      val part = firstFile(d)
       Files.copy(part, src.resolve(s"$name.parquet"))
       ()
     }
