@@ -40,6 +40,9 @@ import graft.ops.{AtomicPublish, Sinks}
   * the reference makes between its request path and its pipeline runs). */
 object LlmIngest {
 
+  /** The corpus itself — admitted documents with their text (what
+    * training reads, and what cross-doc maintenance re-analyzes). */
+  val DocsTable = "docs"
   val ChunksTable = "chunks"
   val KeptTable = "kept_docs"
   val RunsTable = "ingest_runs"
@@ -88,6 +91,7 @@ object LlmIngest {
           val nNew = novel.count()
           // one file per slice: micro-batch appends are small, and
           // repartition (not coalesce) keeps the upstream parallel
+          val newDocs = novel.select("doc_id", "text").repartition(1)
           val newChunks =
             LlmPrep.chunkStage(novel.select("doc_id", "text")).repartition(1)
           val newKept =
@@ -98,8 +102,8 @@ object LlmIngest {
             inputCount = nIn, outputCount = nNew,
             errorsJson = "[]", dagJson = "{}")
           AtomicPublish.publishDelta(spark, root,
-            append = Map(ChunksTable -> newChunks, KeptTable -> newKept,
-              RunsTable -> run),
+            append = Map(DocsTable -> newDocs, ChunksTable -> newChunks,
+              KeptTable -> newKept, RunsTable -> run),
             parent = parent) match {
             case Some(_) => return nNew
             case None if attempt < MaxAttempts => () // lost the race: retry
@@ -116,6 +120,50 @@ object LlmIngest {
       docs.unpersist()
       ()
     }
+  }
+
+  /** Batch MAINTENANCE over the published store — the cross-doc stages
+    * the streaming hot path defers, run exactly as the journey runs
+    * them: near-dup removal (exact shingle-Jaccard across the FULL
+    * corpus) then decontamination (eval slice + n-gram-overlap train
+    * docs), committed as ONE replace delta of `docs` + `chunks`.
+    *
+    * `kept_docs` is deliberately CARRIED UNCHANGED: it is the dedup
+    * barrier, not the corpus roster — a fingerprint whose doc
+    * maintenance dropped stays barred, so a replayed copy of a dropped
+    * near-duplicate is not re-admitted only to be re-dropped (the store
+    * converges instead of churning). Chunks are recomputed from the
+    * surviving docs (a derived view, consistent by construction).
+    *
+    * CAS semantics as everywhere: pinned parent, retry against a
+    * winning appender. Returns (docs dropped, committing txn). */
+  def maintain(spark: SparkSession, root: String): (Long, String) = {
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(s"no published store under $root"))
+      val docs = AtomicPublish.readTableAt(spark, root, DocsTable, parent)
+      val nBefore = docs.count()
+      val kept = LlmPrep.decontamStage(LlmPrep.nearDupStage(docs), docs)
+        .cache()
+      try {
+        val nAfter = kept.count()
+        AtomicPublish.publishDelta(spark, root, append = Map.empty,
+          replace = Map(
+            DocsTable -> kept.repartition(1),
+            ChunksTable -> LlmPrep.chunkStage(kept).repartition(1)),
+          parent = Some(parent)) match {
+          case Some(txn) => return (nBefore - nAfter, txn)
+          case None => () // an appender won; re-pin and retry
+        }
+      } finally {
+        kept.unpersist()
+        ()
+      }
+    }
+    throw new IllegalStateException(
+      s"maintain lost the commit race 5 times under $root")
   }
 
   /** Bind a raw-document stream to the store: one atomic delta publish

@@ -109,6 +109,55 @@ class LlmIngestStreamSpec extends SparkSuite {
     assert(tbl(LlmIngest.KeptTable).count() == before)
   }
 
+  test("batch maintenance runs the cross-doc stages over the published store") {
+    val root = Files.createTempDirectory("llm-maint").resolve("store").toString
+    val textA = mk(30, "a")
+    val textB = mk(45, "b")
+    val textC = mk(30, "c")
+    val textCnear = textC.replace(" c10 ", " zz ") // J = 25/31 ≥ 0.8 vs C
+    val textE = mk(30, "e")                        // doc 10: eval slice
+    val run8 = (3 to 10).map(i => s"e$i").mkString(" ")
+    val textK = stop + " " +                       // contaminated: 8-word
+      (1 to 15).map(i => s"k$i").mkString(" ") + " " + run8 // run from E
+    val batches = Seq(
+      Seq(1L -> textA, 2L -> textA, 3L -> "tiny doc"),
+      Seq(10L -> textE, 11L -> textB),
+      Seq(21L -> textC, 23L -> textCnear, 31L -> textK))
+    batches.zipWithIndex.foreach { case (docs, i) =>
+      LlmIngest.ingestBatch(spark, root, docs.toDF("doc_id", "text"), s"b$i")
+    }
+    def docIds() = AtomicPublish.readTable(spark, root, LlmIngest.DocsTable)
+      .select("doc_id").as[Long].collect().toSet
+    // the hot path admitted everything clean+unique+quality — including
+    // the near-dup pair (21, 23), the eval doc 10 and the contaminated
+    // 31, which are cross-doc calls it defers
+    assert(docIds() == Set(1L, 10L, 11L, 21L, 23L, 31L))
+
+    val (dropped, _) = LlmIngest.maintain(spark, root)
+    assert(dropped == 3L) // 23 near-dup, 10 eval slice, 31 contaminated
+    assert(docIds() == Set(1L, 11L, 21L))
+    // chunks are the derived view of the surviving docs: A 1 + B 2 + C 1
+    val chunks = AtomicPublish.readTable(spark, root, LlmIngest.ChunksTable)
+    assert(chunks.groupBy("doc_id").count().as[(Long, Long)].collect()
+      .toMap == Map(1L -> 1L, 11L -> 2L, 21L -> 1L))
+
+    // the dedup barrier survives maintenance: a replayed copy of a
+    // DROPPED doc is still barred (the store converges, no churn)
+    assert(LlmIngest.ingestBatch(spark, root,
+      Seq(99L -> textCnear).toDF("doc_id", "text"), "replay") == 0L)
+    assert(docIds() == Set(1L, 11L, 21L))
+
+    // ingest + maintenance ≡ the stage composition on the union of all
+    // deliveries, in the streaming order (quality at admission, then
+    // the cross-doc stages; the eval slice of the raw union and of the
+    // admitted corpus coincide here — doc 10 was admitted)
+    val all = batches.flatten.toDF("doc_id", "text")
+    val expected = LlmPrep.decontamStage(LlmPrep.nearDupStage(
+        LlmPrep.qualityStage(LlmPrep.dedupStage(LlmPrep.cleanStage(all)))), all)
+      .select("doc_id").as[Long].collect().toSet
+    assert(docIds() == expected)
+  }
+
   test("checkpointed ingest restart: processed batches are never re-run") {
     val root = Files.createTempDirectory("llm-ckpt").resolve("store").toString
     val src = Files.createTempDirectory("llm-ckpt-src")
