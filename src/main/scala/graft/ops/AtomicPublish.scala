@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
 
 /** Atomic multi-table publish (SURVEY.md §2.1; reference transaction
   * boundary: /root/reference/app/api/routes.py:86-148 persists patients,
@@ -17,6 +18,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * {{{
   *   root/v_<txn>/<table>/        versioned immutable table data
   *   root/_CURRENT                manifest naming the live txn + tables
+  *   root/_LOCK                   cross-process commit lease (transient)
   * }}}
   *
   * `publish` stages every table under a hidden scratch dir, renames the
@@ -31,6 +33,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * local fs (where Hadoop's own overwrite-rename is a non-atomic
   * delete+rename — see the commit step).
   *
+  * Tables may be PARTITIONED: a partition spec given at publish time is
+  * written `partitionBy` the named columns, recorded in the manifest, and
+  * carried through appends (which must keep the layout), replaces
+  * (which inherit it unless overridden), reads (partition values resolve
+  * from the directory layout, so a filter on a partition column prunes
+  * the scan — PlanAuditSpec pins PartitionFilters on a store read) and
+  * store compaction. Each table's SCHEMA is recorded in the manifest as
+  * well: appends validate against it (a same-name column with a
+  * conflicting type fails fast — the ADVICE silent-drift hole), new
+  * columns widen it, and readers read the union under the RECORDED merged
+  * schema — no `mergeSchema` footer sweep over every file at read time,
+  * and a segment written before a column existed serves nulls for it.
+  *
   * At 100 TB this costs what the plain writes cost: the commit step moves
   * ZERO data — one directory rename plus one small-file swap — and never
   * touches the driver with row data. (This is the same observable an
@@ -40,6 +55,18 @@ object AtomicPublish {
 
   private val CurrentFile = "_CURRENT"
   private val CommitMarker = "_COMMITTED"
+  private val LockFile = "_LOCK"
+
+  /** Per-table manifest record: owning version dirs (the table is the
+    * union of `v_<owner>/<table>` reads), the recorded logical schema
+    * (JSON `StructType`; None for pre-schema manifests) and the
+    * partition columns its segments are laid out by (empty = flat). */
+  final case class TableMeta(owners: Seq[String],
+      schemaJson: Option[String] = None,
+      partitionCols: Seq[String] = Nil) {
+    def schema: Option[StructType] =
+      schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+  }
 
   /** One lock object per publish root (same-JVM commit serialization),
     * keyed on the FS-qualified path so spelling aliases of one root
@@ -61,34 +88,154 @@ object AtomicPublish {
   private val inFlight =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Manifest: txn id, then one line per table — either a bare name
-    * (the table's data lives in THIS version's dir) or `name=t1,t2,…`
-    * (the table is the UNION of those versions' dirs — the append/carry
-    * representation, so re-publishing unchanged history never copies
-    * it). The same content is written as `_CURRENT` at commit and as
-    * `_MANIFEST` inside the version dir (time-travel readers and
+  // --- cross-process commit lease --------------------------------------------
+
+  /** A lease older than this is presumed abandoned (holder crashed
+    * between acquire and release) and may be broken. The lease is held
+    * only across the pointer swap — milliseconds — so a minute of age is
+    * orders of magnitude past any live holder. */
+  private[ops] val LeaseStaleMs = 60000L
+  private[ops] val LeaseMaxWaitMs = 120000L
+
+  /** Acquire the root's commit lease: an atomic create-if-absent of
+    * `_LOCK`. On HDFS `create(overwrite=false)` is atomic server-side;
+    * on the local scheme Hadoop's version is check-then-act, so NIO
+    * `createFile` (O_EXCL) is used instead — also keeping the checksum
+    * layer (and its immortal .crc sidecars) out of the lock path.
+    *
+    * A stale lease (mtime older than `staleMs`) is broken by RENAMING it
+    * to a unique tombstone first: rename is atomic on both schemes, so
+    * of N processes that all judge the lease stale exactly ONE wins the
+    * rename (the rest fail and loop) — the delete-then-create race where
+    * two breakers both think they own the new lease cannot happen. */
+  private[ops] def acquireLease(spark: SparkSession, root: String,
+      token: String, maxWaitMs: Long = LeaseMaxWaitMs,
+      staleMs: Long = LeaseStaleMs): Unit = {
+    val lock = new Path(root, LockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val local = fs.makeQualified(lock).toUri.getScheme == "file"
+    val nio = java.nio.file.Paths.get(fs.makeQualified(lock).toUri.getPath)
+    val deadline = System.currentTimeMillis() + maxWaitMs
+    while (true) {
+      val acquired =
+        try {
+          if (local) {
+            java.nio.file.Files.write(nio,
+              token.getBytes(StandardCharsets.UTF_8),
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+          } else {
+            val out = fs.create(lock, false)
+            try out.write(token.getBytes(StandardCharsets.UTF_8))
+            finally out.close()
+          }
+          true
+        } catch { case _: java.io.IOException => false }
+      if (acquired) return
+      // held by someone: break it only if provably stale
+      try {
+        val st = fs.getFileStatus(lock)
+        if (System.currentTimeMillis() - st.getModificationTime > staleMs) {
+          val tomb = new Path(root, s"._lock_broken_${token.take(12)}_" +
+            java.util.UUID.randomUUID().toString.take(8))
+          val won =
+            if (local)
+              try {
+                java.nio.file.Files.move(nio, java.nio.file.Paths
+                  .get(fs.makeQualified(tomb).toUri.getPath))
+                true
+              } catch { case _: java.io.IOException => false }
+            else fs.rename(lock, tomb)
+          if (won) fs.delete(tomb, false)
+        }
+      } catch { case _: java.io.FileNotFoundException => () }
+      if (System.currentTimeMillis() > deadline)
+        throw new java.io.IOException(
+          s"cannot acquire commit lease $lock within ${maxWaitMs}ms — " +
+            "another committer holds it (or its breaker keeps losing); " +
+            "a crashed holder's lease self-expires after " +
+            s"${staleMs}ms and is then broken automatically")
+      Thread.sleep(10)
+    }
+  }
+
+  /** Release the lease IF still ours: the content is read back and
+    * compared to `token` before deleting, so a holder whose stale-judged
+    * lease was broken and re-issued never deletes the new holder's lock.
+    * (The read-then-delete window is not atomic — closing it needs a
+    * conditional delete the FS does not offer — but entering it requires
+    * the current holder to have held past [[LeaseStaleMs]], a thousand
+    * times the swap's wall clock.) */
+  private[ops] def releaseLease(spark: SparkSession, root: String,
+      token: String): Unit = {
+    val lock = new Path(root, LockFile)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val in = fs.open(lock)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (content == token) { fs.delete(lock, false); () }
+    } catch { case _: java.io.FileNotFoundException => () }
+  }
+
+  // --- manifest ---------------------------------------------------------------
+
+  /** Manifest grammar: txn id, then one line per table — a bare name
+    * (data lives in THIS version's dir) or `name=t1,t2,…` (the UNION of
+    * those versions' dirs — the append/carry representation, so
+    * re-publishing unchanged history never copies it) — then optional
+    * metadata lines `#parts:name=c1,c2` (partition columns) and
+    * `#schema:name=<StructType JSON>` (the recorded merged schema).
+    * Pre-metadata manifests simply lack `#` lines — both directions stay
+    * readable. The same content is written as `_CURRENT` at commit and
+    * as `_MANIFEST` inside the version dir (time-travel readers and
     * vacuum's reference chase resolve the latter). */
   private val ManifestFile = "_MANIFEST"
 
   private def renderManifest(txn: String,
-      refs: Map[String, Seq[String]]): String =
-    (txn +: refs.toSeq.sortBy(_._1).map { case (name, owners) =>
-      if (owners == Seq(txn)) name else s"$name=${owners.mkString(",")}"
-    }).mkString("\n")
+      meta: Map[String, TableMeta]): String = {
+    val names = meta.toSeq.sortBy(_._1)
+    val owners = names.map { case (name, m) =>
+      if (m.owners == Seq(txn)) name else s"$name=${m.owners.mkString(",")}"
+    }
+    val parts = names.collect { case (name, m) if m.partitionCols.nonEmpty =>
+      s"#parts:$name=${m.partitionCols.mkString(",")}"
+    }
+    val schemas = names.collect { case (name, m) if m.schemaJson.isDefined =>
+      s"#schema:$name=${m.schemaJson.get}"
+    }
+    (txn +: (owners ++ parts ++ schemas)).mkString("\n")
+  }
 
-  private def parseManifest(txn: String,
-      lines: Seq[String]): Map[String, Seq[String]] =
-    lines.filter(_.nonEmpty).map { line =>
+  private def parseManifestMeta(txn: String,
+      lines: Seq[String]): Map[String, TableMeta] = {
+    val body = lines.filter(_.nonEmpty)
+    val owners = body.filterNot(_.startsWith("#")).map { line =>
       line.split("=", 2) match {
         case Array(name) => name -> Seq(txn)
-        case Array(name, owners) => name -> owners.split(",").toSeq
+        case Array(name, os) => name -> os.split(",").toSeq
       }
     }.toMap
+    val parts = body.filter(_.startsWith("#parts:"))
+      .map(_.stripPrefix("#parts:").split("=", 2))
+      .collect { case Array(name, cs) => name -> cs.split(",").toSeq }.toMap
+    val schemas = body.filter(_.startsWith("#schema:"))
+      .map(_.stripPrefix("#schema:").split("=", 2))
+      .collect { case Array(name, js) => name -> js }.toMap
+    owners.map { case (name, os) =>
+      name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil))
+    }
+  }
 
   /** Table→owning-versions map of `txn`. Falls back to listing the dir
     * (self-owned tables) for versions sealed before `_MANIFEST` existed. */
   def manifestOf(spark: SparkSession, root: String,
-      txn: String): Map[String, Seq[String]] = {
+      txn: String): Map[String, Seq[String]] =
+    manifestMetaOf(spark, root, txn).map { case (n, m) => n -> m.owners }
+
+  /** Full per-table metadata (owners + schema + partition spec) of `txn`. */
+  def manifestMetaOf(spark: SparkSession, root: String,
+      txn: String): Map[String, TableMeta] = {
     val vdir = new Path(root, s"v_$txn")
     val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mf = new Path(vdir, ManifestFile)
@@ -96,10 +243,10 @@ object AtomicPublish {
       val in = fs.open(mf)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
-      parseManifest(txn, lines.drop(1))
+      parseManifestMeta(txn, lines.drop(1))
     } else
       fs.listStatus(vdir).filter(_.isDirectory)
-        .map(_.getPath.getName -> Seq(txn)).toMap
+        .map(_.getPath.getName -> TableMeta(Seq(txn))).toMap
   }
 
   private def fc(spark: SparkSession, p: Path): FileContext =
@@ -109,10 +256,12 @@ object AtomicPublish {
 
   /** Swap the `_CURRENT` pointer atomically; when `expectParent` is
     * given, the swap happens ONLY if the live txn still equals it at
-    * swap time — checked under the same per-root lock that serializes
-    * every same-JVM committer, making check-and-swap one atomic step in
-    * this JVM (cross-process CAS would need an FS with conditional
-    * rename; the residual window is documented on [[publishDelta]]).
+    * swap time. Same-JVM committers serialize on the per-root lock;
+    * ACROSS processes the check-and-swap is made atomic by the `_LOCK`
+    * lease ([[acquireLease]]): the live-txn re-read and the rename both
+    * happen while holding it, so two processes' committers can no longer
+    * interleave rename-over-rename in the old documented CAS window
+    * (stress-raced in AtomicPublishSpec).
     *
     * On HDFS the FileContext overwrite-rename is atomic server-side.
     * Hadoop's LOCAL fs implements it as delete+rename — a window where
@@ -137,18 +286,21 @@ object AtomicPublish {
       val tmpNio = curNio.resolveSibling(s"._current_$txn")
       java.nio.file.Files.write(tmpNio, manifest)
       commitLock(spark, root).synchronized {
-        if (!parentOk) {
-          java.nio.file.Files.deleteIfExists(tmpNio); false
-        } else {
-          // a pre-NIO publish may have left a checksum sidecar for the
-          // old manifest; it would fail verification against the new one
-          java.nio.file.Files.deleteIfExists(
-            curNio.resolveSibling(s".$CurrentFile.crc"))
-          java.nio.file.Files.move(tmpNio, curNio,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          true
-        }
+        acquireLease(spark, root, txn)
+        try {
+          if (!parentOk) {
+            java.nio.file.Files.deleteIfExists(tmpNio); false
+          } else {
+            // a pre-NIO publish may have left a checksum sidecar for the
+            // old manifest; it would fail verification against the new one
+            java.nio.file.Files.deleteIfExists(
+              curNio.resolveSibling(s".$CurrentFile.crc"))
+            java.nio.file.Files.move(tmpNio, curNio,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+            true
+          }
+        } finally releaseLease(spark, root, txn)
       }
     } else {
       val tmp = new Path(rootPath, s"._current_$txn")
@@ -158,12 +310,15 @@ object AtomicPublish {
         Options.CreateOpts.createParent())
       try out.write(manifest) finally out.close()
       commitLock(spark, root).synchronized {
-        if (!parentOk) {
-          try ctx.delete(tmp, false) catch { case _: Throwable => () }
-          false
-        } else {
-          ctx.rename(tmp, cur, Options.Rename.OVERWRITE); true
-        }
+        acquireLease(spark, root, txn)
+        try {
+          if (!parentOk) {
+            try ctx.delete(tmp, false) catch { case _: Throwable => () }
+            false
+          } else {
+            ctx.rename(tmp, cur, Options.Rename.OVERWRITE); true
+          }
+        } finally releaseLease(spark, root, txn)
       }
     }
   }
@@ -184,49 +339,100 @@ object AtomicPublish {
     } catch { case _: Throwable => () }
 
   /** Stage table writes + the version's `_MANIFEST` under scratch, then
-    * seal with one atomic dir rename (complete-or-absent). */
+    * seal with one atomic dir rename (complete-or-absent). Tables whose
+    * meta carries partition columns are written `partitionBy` them —
+    * the on-disk layout a partition-column filter prunes. */
   private def stageAndSeal(spark: SparkSession, rootPath: Path, txn: String,
       tables: Map[String, DataFrame],
-      refs: Map[String, Seq[String]]): Unit = {
+      meta: Map[String, TableMeta]): Unit = {
     val scratch = new Path(rootPath, s".staging_$txn")
     val versioned = new Path(rootPath, s"v_$txn")
     val ctx = fc(spark, rootPath)
     ctx.mkdir(rootPath, null, true)
     tables.foreach { case (name, df) =>
-      df.write.mode("error").parquet(new Path(scratch, name).toString)
+      val w = df.write.mode("error")
+      val pcols = meta.get(name).map(_.partitionCols).getOrElse(Nil)
+      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+        .parquet(new Path(scratch, name).toString)
     }
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mos = fs.create(new Path(scratch, ManifestFile), true)
-    try mos.write(renderManifest(txn, refs).getBytes(StandardCharsets.UTF_8))
+    try mos.write(renderManifest(txn, meta).getBytes(StandardCharsets.UTF_8))
     finally mos.close()
     ctx.rename(scratch, versioned)
   }
 
-  /** Write `tables` as one atomic publish; returns the txn id. Any write
-    * failure propagates AFTER best-effort scratch cleanup, with the
-    * previously published version fully intact. */
   /** Table names must survive the manifest grammar (no '=' or ','
-    * separators, no newlines, no path separators). */
+    * separators, no metadata sigils, no newlines, no path separators). */
   private def validateNames(names: Iterable[String]): Unit =
     names.foreach { n =>
       require(n.nonEmpty && !n.exists(c =>
-        c == '=' || c == ',' || c == '\n' || c == '\r' || c == '/'),
+        c == '=' || c == ',' || c == '\n' || c == '\r' || c == '/' ||
+          c == '#' || c == ':'),
         s"table name '$n' is not manifest-safe " +
-          "(must be non-empty, without '=', ',', newlines or '/')")
+          "(must be non-empty, without '=', ',', '#', ':', newlines or '/')")
     }
 
+  private def validatePartitionCols(name: String, df: DataFrame,
+      pcols: Seq[String]): Unit =
+    pcols.foreach(c => require(df.columns.contains(c),
+      s"partition column '$c' of table '$name' is not in its schema " +
+        s"(${df.columns.mkString(", ")})"))
+
+  /** Merge an appended slice's schema into the table's recorded schema.
+    * Same-name fields must have the SAME type (`sameType`, nullability
+    * aside) — a conflict fails the publish before anything commits (the
+    * silent-drift hole: parquet multi-path reads otherwise resolve to
+    * whichever footer Spark samples). New fields widen the schema at the
+    * end; fields present on only one side become nullable (segments
+    * written without them serve nulls). */
+  private[ops] def mergeSchemas(table: String, parent: StructType,
+      slice: StructType): StructType = {
+    val sliceByName = slice.fields.map(f => f.name -> f).toMap
+    val parentNames = parent.fieldNames.toSet
+    val merged = parent.fields.map { pf =>
+      sliceByName.get(pf.name) match {
+        case Some(sf) =>
+          // catalogString renders the full nested type WITHOUT
+          // nullability — exactly the "same type, nullability aside"
+          // comparison (DataType.sameType is private to Spark)
+          require(sf.dataType.catalogString == pf.dataType.catalogString,
+            s"schema conflict on table '$table' column '${pf.name}': " +
+              s"recorded ${pf.dataType.simpleString} vs appended " +
+              s"${sf.dataType.simpleString} — appends may add columns " +
+              "but never change a column's type")
+          StructField(pf.name, pf.dataType, pf.nullable || sf.nullable)
+        case None => pf.copy(nullable = true)
+      }
+    } ++ slice.fields.filterNot(f => parentNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    StructType(merged)
+  }
+
+  /** Write `tables` as one atomic publish; returns the txn id. Any write
+    * failure propagates AFTER best-effort scratch cleanup, with the
+    * previously published version fully intact. `partitionBy` lays the
+    * named tables out by the given columns. */
   def publish(spark: SparkSession, root: String,
-      tables: Map[String, DataFrame]): String = {
+      tables: Map[String, DataFrame],
+      partitionBy: Map[String, Seq[String]] = Map.empty): String = {
     require(tables.nonEmpty, "publish needs at least one table")
     validateNames(tables.keys)
+    partitionBy.foreach { case (n, cs) =>
+      require(tables.contains(n), s"partitionBy names unknown table '$n'")
+      validatePartitionCols(n, tables(n), cs)
+    }
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
     inFlight.add(txn)
     try {
-      val refs = tables.keys.map(_ -> Seq(txn)).toMap
-      stageAndSeal(spark, rootPath, txn, tables, refs)
+      val meta = tables.map { case (n, df) =>
+        n -> TableMeta(Seq(txn), Some(df.schema.json),
+          partitionBy.getOrElse(n, Nil))
+      }
+      stageAndSeal(spark, rootPath, txn, tables, meta)
       swapPointer(spark, root, txn,
-        renderManifest(txn, refs).getBytes(StandardCharsets.UTF_8),
+        renderManifest(txn, meta).getBytes(StandardCharsets.UTF_8),
         expectParent = None)
       markCommitted(spark, root, txn)
       txn
@@ -241,6 +447,18 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
+  /** Recorded schema of the parent's table, or — for manifests written
+    * before schemas were recorded — ONE `mergeSchema` union read of the
+    * parent segments (a publish-time footer sweep, never paid on the
+    * read path; the result is recorded so it is paid at most once). */
+  private def parentSchemaOf(spark: SparkSession, root: String,
+      table: String, meta: TableMeta): StructType =
+    meta.schema.getOrElse {
+      spark.read.option("mergeSchema", "true").parquet(
+        meta.owners.map(t =>
+          new Path(new Path(root, s"v_$t"), table).toString): _*).schema
+    }
+
   /** Optimistic-concurrency DELTA publish: stage only what changed and
     * commit a version that REFERENCES the parent's data for everything
     * else — the steady-state shape for high-frequency appenders (a
@@ -248,39 +466,76 @@ object AtomicPublish {
     *
     *  - `append`: each table's staged rows are ADDED to the parent's —
     *    the new version's manifest lists the parent's owning versions
-    *    plus this txn; history is referenced, never copied.
+    *    plus this txn; history is referenced, never copied. The slice's
+    *    schema is VALIDATED against the recorded table schema (type
+    *    conflicts fail fast; new columns evolve the recorded schema) and
+    *    its layout must keep the parent's partition columns (inherited
+    *    automatically when `partitionBy` is silent).
     *  - `replace`: the staged rows REPLACE the table (compaction's
-    *    move: rewrite the union small-file history into one owner).
-    *  - every other parent table is carried by reference, untouched.
+    *    move: rewrite the union small-file history into one owner). The
+    *    parent's partition spec is inherited unless `partitionBy`
+    *    overrides it (an explicit `Nil` flattens the layout).
+    *  - every other parent table is carried by reference, untouched,
+    *    metadata included.
     *
     * The commit succeeds ONLY if the live txn still equals `parent` at
-    * swap time (same-JVM exact via the per-root commit lock;
-    * cross-process committers retain the FS-rename race window — run
-    * one writer per store across processes, or arbitrate above).
-    * Returns None on conflict — the caller re-reads the new current and
-    * retries; the sealed version is left for vacuum (grace-windowed)
-    * rather than deleted, since a crashed delete would strand it anyway. */
+    * swap time — exact same-JVM via the per-root commit lock, exact
+    * ACROSS processes via the `_LOCK` lease held over the re-read and
+    * the rename ([[acquireLease]]). Returns None on conflict — the
+    * caller re-reads the new current and retries; the sealed version is
+    * left for vacuum (grace-windowed) rather than deleted, since a
+    * crashed delete would strand it anyway. `txnId` pins the version id
+    * (callers that must name the txn they are about to commit — e.g.
+    * maintenance recording its own coverage watermark); ids are caller's
+    * responsibility to keep unique. */
   def publishDelta(spark: SparkSession, root: String,
       append: Map[String, DataFrame],
       replace: Map[String, DataFrame] = Map.empty,
-      parent: Option[String] = None): Option[String] = {
+      parent: Option[String] = None,
+      partitionBy: Map[String, Seq[String]] = Map.empty,
+      txnId: Option[String] = None): Option[String] = {
     require(append.nonEmpty || replace.nonEmpty,
       "publishDelta needs at least one appended or replaced table")
     require(append.keySet.intersect(replace.keySet).isEmpty,
       "a table cannot be both appended and replaced")
     validateNames(append.keys ++ replace.keys)
-    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    partitionBy.keys.foreach(n =>
+      require(append.contains(n) || replace.contains(n),
+        s"partitionBy names unknown table '$n'"))
+    val txn =
+      txnId.getOrElse(java.util.UUID.randomUUID().toString.replace("-", ""))
     val rootPath = new Path(root)
     inFlight.add(txn)
     try {
-      val parentRefs =
-        parent.map(manifestOf(spark, root, _)).getOrElse(Map.empty)
-      val refs = parentRefs ++
-        append.keys.map(n => n -> (parentRefs.getOrElse(n, Nil) :+ txn)) ++
-        replace.keys.map(n => n -> Seq(txn))
-      stageAndSeal(spark, rootPath, txn, append ++ replace, refs)
+      val parentMeta =
+        parent.map(manifestMetaOf(spark, root, _)).getOrElse(Map.empty)
+      val appendMeta = append.map { case (n, df) =>
+        val pm = parentMeta.get(n)
+        val pcols = partitionBy.getOrElse(n,
+          pm.map(_.partitionCols).getOrElse(Nil))
+        pm.map(_.partitionCols).foreach(parentCols =>
+          require(pcols == parentCols,
+            s"append to table '$n' must keep its partition layout " +
+              s"(${parentCols.mkString(",")}), got (${pcols.mkString(",")})"))
+        validatePartitionCols(n, df, pcols)
+        val merged = pm match {
+          case Some(m) =>
+            mergeSchemas(n, parentSchemaOf(spark, root, n, m), df.schema)
+          case None => df.schema
+        }
+        n -> TableMeta(pm.map(_.owners).getOrElse(Nil) :+ txn,
+          Some(merged.json), pcols)
+      }
+      val replaceMeta = replace.map { case (n, df) =>
+        val pcols = partitionBy.getOrElse(n,
+          parentMeta.get(n).map(_.partitionCols).getOrElse(Nil))
+        validatePartitionCols(n, df, pcols)
+        n -> TableMeta(Seq(txn), Some(df.schema.json), pcols)
+      }
+      val meta = parentMeta ++ appendMeta ++ replaceMeta
+      stageAndSeal(spark, rootPath, txn, append ++ replace, meta)
       val committed = swapPointer(spark, root, txn,
-        renderManifest(txn, refs).getBytes(StandardCharsets.UTF_8),
+        renderManifest(txn, meta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(parent))
       if (committed) { markCommitted(spark, root, txn); Some(txn) }
       else None
@@ -295,13 +550,15 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
-  /** The live (txn, table→owning versions) in ONE `_CURRENT` read, or
-    * None before the first successful publish — `_CURRENT` carries the
-    * full manifest, so resolving the live version never needs the
-    * second `_MANIFEST` round-trip (it exists for time travel and
-    * vacuum, which start from a txn id). */
-  def currentManifest(spark: SparkSession,
-      root: String): Option[(String, Map[String, Seq[String]])] = {
+  /** The live (txn, table→metadata) in ONE `_CURRENT` read, or None
+    * before the first successful publish — `_CURRENT` carries the full
+    * manifest, so resolving the live version never needs the second
+    * `_MANIFEST` round-trip (it exists for time travel and vacuum,
+    * which start from a txn id). An empty/truncated pointer (torn write
+    * on a non-atomic FS, tampering) is surfaced as a named corrupt-store
+    * error, not an opaque NoSuchElementException. */
+  def currentManifestMeta(spark: SparkSession,
+      root: String): Option[(String, Map[String, TableMeta])] = {
     val cur = new Path(root, CurrentFile)
     val fs = cur.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(cur)) None
@@ -309,14 +566,52 @@ object AtomicPublish {
       val in = fs.open(cur)
       val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
+      if (lines.isEmpty || lines.head.trim.isEmpty)
+        throw new IllegalStateException(
+          s"corrupt store under $root: $CurrentFile exists but names no " +
+            "txn (empty or truncated pointer) — restore it from a " +
+            "version dir's _MANIFEST or remove it to reset the store")
       val txn = lines.head.trim
-      Some(txn -> parseManifest(txn, lines.drop(1)))
+      Some(txn -> parseManifestMeta(txn, lines.drop(1)))
     }
   }
 
+  /** The live (txn, table→owning versions) in ONE `_CURRENT` read. */
+  def currentManifest(spark: SparkSession,
+      root: String): Option[(String, Map[String, Seq[String]])] =
+    currentManifestMeta(spark, root).map { case (txn, meta) =>
+      txn -> meta.map { case (n, m) => n -> m.owners }
+    }
+
   /** The live txn id, or None before the first successful publish. */
   def currentTxn(spark: SparkSession, root: String): Option[String] =
-    currentManifest(spark, root).map(_._1)
+    currentManifestMeta(spark, root).map(_._1)
+
+  private def segmentPaths(root: String, table: String,
+      owners: Seq[String]): Seq[String] =
+    owners.map(t => new Path(new Path(root, s"v_$t"), table).toString)
+
+  /** Union read of a table's owner segments under its recorded merged
+    * schema: segments written before a column existed serve nulls for
+    * it, and no per-file footer sweep happens at read time. Partitioned
+    * segments resolve their partition values from the dir layout, so a
+    * filter on a partition column prunes to PartitionFilters. */
+  private def readSegments(spark: SparkSession, root: String, table: String,
+      meta: TableMeta, owners: Seq[String]): DataFrame = {
+    val paths = segmentPaths(root, table, owners)
+    def read(ps: Seq[String]) = meta.schema match {
+      case Some(s) => spark.read.schema(s).parquet(ps: _*)
+      case None => spark.read.parquet(ps: _*)
+    }
+    if (meta.partitionCols.isEmpty || paths.size == 1) read(paths)
+    else
+      // partition discovery rejects multiple roots (conflicting
+      // directory structures); per-segment reads unioned by name keep
+      // both the recorded schema and the pruning — a partition-column
+      // filter pushes through Union into EVERY branch's scan as a
+      // PartitionFilter (pinned in StoreLayoutSpec)
+      paths.map(p => read(Seq(p))).reduce(_.unionByName(_))
+  }
 
   /** Read a table from the CURRENT version — the only resolution path
     * readers use, so partially-published data is unreachable. A reader
@@ -325,13 +620,12 @@ object AtomicPublish {
     * [[readTableAt]]: two `readTable` calls can legitimately span a
     * pointer swap. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
-    val (txn, refs) = currentManifest(spark, root).getOrElse(
+    val (txn, metas) = currentManifestMeta(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
-    val owners = refs.getOrElse(table,
+    val meta = metas.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' is not in version $txn under $root"))
-    spark.read.parquet(owners.map(t =>
-      new Path(new Path(root, s"v_$t"), table).toString): _*)
+    readSegments(spark, root, table, meta, meta.owners)
   }
 
   /** Time travel: read a table at an explicit txn. Any version not yet
@@ -341,12 +635,25 @@ object AtomicPublish {
     * its owning versions' dirs (one multi-path parquet read). */
   def readTableAt(spark: SparkSession, root: String, table: String,
       txn: String): DataFrame = {
-    val owners = manifestOf(spark, root, txn).getOrElse(table,
+    val meta = manifestMetaOf(spark, root, txn).getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' is not in version $txn under $root"))
-    val paths = owners.map(t =>
-      new Path(new Path(root, s"v_$t"), table).toString)
-    spark.read.parquet(paths: _*)
+    readSegments(spark, root, table, meta, meta.owners)
+  }
+
+  /** Read ONLY the named owner segments of a table at `txn` — the
+    * delta-consumer path (incremental maintenance reads exactly the
+    * segments added since its last watermark, never the whole union).
+    * Owners must be a subset of the table's owners at `txn`. */
+  def readTableSegments(spark: SparkSession, root: String, table: String,
+      txn: String, owners: Seq[String]): DataFrame = {
+    val meta = manifestMetaOf(spark, root, txn).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' is not in version $txn under $root"))
+    val unknown = owners.filterNot(meta.owners.contains)
+    require(unknown.isEmpty,
+      s"owners ${unknown.mkString(",")} do not own table '$table' at $txn")
+    readSegments(spark, root, table, meta, owners)
   }
 
   /** One-shot migration for stores published before `_COMMITTED`
@@ -387,10 +694,13 @@ object AtomicPublish {
     *  - `keepLast` retains the N most recently COMMITTED versions,
     *    ranked by their `_COMMITTED` marker's mtime — commit order, not
     *    seal order, so a sealed-but-never-committed orphan can neither
-    *    claim a retention slot nor displace a published version. The
-    *    default 1 keeps only the live version — a reader pinned to an
-    *    older txn must be covered by a larger `keepLast` or by
-    *    `minAgeMs`, the same contract Delta/Iceberg retention gives.
+    *    claim a retention slot nor displace a published version. Ties
+    *    (same-millisecond commits) break deterministically by version
+    *    name, so a pinned reader's version cannot flip in and out of
+    *    retention between runs. The default 1 keeps only the live
+    *    version — a reader pinned to an older txn must be covered by a
+    *    larger `keepLast` or by `minAgeMs`, the same contract
+    *    Delta/Iceberg retention gives.
     *  - `minAgeMs` additionally spares committed versions younger than
     *    the cutoff (age = time since commit).
     *  - `graceMs` protects what might belong to a publish IN FLIGHT in
@@ -417,9 +727,10 @@ object AtomicPublish {
     * version whose marker write failed (crash in the post-swap window)
     * degrades to the marker-less case: protected while live or young,
     * reclaimable once aged — never able to brick the live store. The
-    * live version self-heals its marker here, so stores created before
-    * markers existed regain exact retention going forward; for bulk
-    * migration of OLD versions run [[adoptCommitted]] once. */
+    * live version self-heals its marker BEFORE retention is computed
+    * (so a pre-marker store's first vacuum ranks it rather than
+    * under-retaining); for bulk migration of OLD versions run
+    * [[adoptCommitted]] once. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
       minAgeMs: Long = 0L, graceMs: Long = 3600L * 1000): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
@@ -434,6 +745,15 @@ object AtomicPublish {
       val now = System.currentTimeMillis()
       val committedCutoff = now - minAgeMs
       val inFlightCutoff = now - math.max(minAgeMs, graceMs)
+      // heal pre-marker stores FIRST: the LIVE version provably
+      // committed (the pointer names it) — give it its marker so the
+      // retention ranking below sees it (healing after ranking would
+      // under-retain on a pre-marker store's first vacuum)
+      liveAfter.foreach { t =>
+        val vdir = new Path(rootPath, s"v_$t")
+        if (fs.exists(vdir) && !fs.exists(new Path(vdir, CommitMarker)))
+          markCommitted(spark, root, t)
+      }
       // commit time (marker mtime), or None for sealed-not-committed
       def commitTime(st: org.apache.hadoop.fs.FileStatus): Option[Long] =
         try Some(fs.getFileStatus(
@@ -443,16 +763,10 @@ object AtomicPublish {
         .map(st => (st, commitTime(st)))
       val retainedRecent = versions
         .collect { case (st, Some(t)) => (st.getPath.getName, t) }
-        .sortBy(-_._2).take(keepLast).map(_._1).toSet
+        .sortBy { case (n, t) => (-t, n) } // ms ties: deterministic by name
+        .take(keepLast).map(_._1).toSet
       val committedAt = versions.collect {
         case (st, Some(t)) => st.getPath.getName -> t }.toMap
-      // heal pre-marker stores: the LIVE version provably committed (the
-      // pointer names it) — give it its marker so retention can rank it
-      liveAfter.foreach { t =>
-        if (!committedAt.contains(s"v_$t") &&
-            fs.exists(new Path(rootPath, s"v_$t")))
-          markCommitted(spark, root, t)
-      }
       def isActive(n: String): Boolean =
         inFlight.contains(n.stripPrefix("v_")
           .stripPrefix(".staging_").stripPrefix("._current_"))
@@ -493,7 +807,8 @@ object AtomicPublish {
         .filter { st =>
           val n = st.getPath.getName
           val isVersion = n.startsWith("v_")
-          val isScratch = n.startsWith(".staging_") || n.startsWith("._current_")
+          val isScratch = n.startsWith(".staging_") || n.startsWith("._current_") ||
+            n.startsWith("._lock_broken_") // breaker crashed pre-delete
           // same-JVM in-flight publishes: their staging dir is still
           // being written, and their SEALED v_ dir may not have reached
           // the pointer yet (the swap is waiting on this very lock) —

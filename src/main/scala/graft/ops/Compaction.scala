@@ -54,8 +54,40 @@ object Compaction {
     entries.filter(_.isFile)
   }
 
-  private def partitionsFor(bytes: Long, targetBytes: Long): Int =
+  /** ⌈bytes / targetBytes⌉, floored at 1 — the byte-derived output
+    * partition count every corpus-sized rewrite in the engine uses
+    * (compaction here, store maintenance in LlmIngest): sizing from
+    * ACTUAL bytes instead of a fixed count is what keeps a 100 TB
+    * rewrite from funnelling through one task. */
+  def partitionsFor(bytes: Long, targetBytes: Long): Int =
     math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+
+  /** Total data-file bytes of a table's owner segments inside an
+    * [[AtomicPublish]] store at `txn` — recursive, so partitioned
+    * layouts (partition-value subdirectories) are summed too. Metadata
+    * only: an FS listing, no data read. */
+  def storeTableBytes(spark: SparkSession, root: String, table: String,
+      txn: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    AtomicPublish.manifestOf(spark, root, txn)
+      .getOrElse(table, throw new IllegalArgumentException(
+        s"table '$table' is not in version $txn under $root"))
+      .map { t =>
+        val dir = new Path(root, s"v_$t/$table")
+        val fs = dir.getFileSystem(conf)
+        if (!fs.exists(dir)) 0L
+        else {
+          val it = fs.listFiles(dir, true)
+          var sum = 0L
+          while (it.hasNext) {
+            val st = it.next()
+            val n = st.getPath.getName
+            if (!n.startsWith("_") && !n.startsWith(".")) sum += st.getLen
+          }
+          sum
+        }
+      }.sum
+  }
 
   /** Partitions needed to land ~`targetBytes` per output file. */
   def compactionPartitions(spark: SparkSession, dir: String,
@@ -82,27 +114,33 @@ object Compaction {
     * manifest-pointer move the delta format is designed around. The
     * consolidated version becomes the table's single owner, the old
     * segment dirs drop out of the reference closure, and the next
-    * vacuum reclaims them. Readers never see a partial state (the swap
-    * is the store's atomic commit), and a concurrent appender losing or
-    * winning the CAS is handled by retrying against the new current.
-    * Returns (txn, partitions) of the consolidating commit. */
+    * vacuum reclaims them. A PARTITIONED table keeps its layout: rows
+    * are clustered by the partition columns before the rewrite (each
+    * partition value lands in few tasks → few files) and the replace
+    * inherits the recorded spec; the union read resolves under the
+    * recorded MERGED schema, so compaction also migrates every segment
+    * to it (evolved columns materialize as real columns, nulls where a
+    * pre-evolution segment lacked them). Readers never see a partial
+    * state (the swap is the store's atomic commit), and a concurrent
+    * appender losing or winning the CAS is handled by retrying against
+    * the new current. Returns (txn, partitions) of the commit. */
   def compactStore(spark: SparkSession, root: String, table: String,
       targetBytes: Long = 128L * 1024 * 1024): (String, Int) = {
+    import org.apache.spark.sql.functions.col
     var attempt = 0
     while (attempt < 5) {
       attempt += 1
       val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
         throw new IllegalStateException(s"no published version under $root"))
-      val owners = AtomicPublish.manifestOf(spark, root, parent)
+      val meta = AtomicPublish.manifestMetaOf(spark, root, parent)
         .getOrElse(table, throw new IllegalArgumentException(
           s"table '$table' is not in version $parent under $root"))
-      val bytes = owners.map { t =>
-        listEntries(spark, new Path(root, s"v_$t/$table"))
-          .filter(_.isFile).map(_.getLen).sum
-      }.sum
+      val bytes = storeTableBytes(spark, root, table, parent)
       val parts = partitionsFor(bytes, targetBytes)
-      val consolidated = AtomicPublish
-        .readTableAt(spark, root, table, parent).repartition(parts)
+      val union = AtomicPublish.readTableAt(spark, root, table, parent)
+      val consolidated =
+        if (meta.partitionCols.isEmpty) union.repartition(parts)
+        else union.repartition(parts, meta.partitionCols.map(col): _*)
       AtomicPublish.publishDelta(spark, root, append = Map.empty,
         replace = Map(table -> consolidated), parent = Some(parent)) match {
         case Some(txn) => return (txn, parts)

@@ -1,0 +1,272 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The store's PARTITIONED-TABLE and SCHEMA-EVOLUTION surface (VERDICT
+  * r4 asks #1 and #4): a partition spec survives publish → append →
+  * read → compaction, a partition-column filter prunes the STORE read
+  * (PartitionFilters, not a data filter), appended slices are
+  * schema-validated against the recorded table schema, and evolved
+  * columns resolve across segments written before they existed. Plus
+  * the `_LOCK` commit lease closing the cross-process CAS window. */
+class StoreLayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("store-layout").resolve("tables").toString
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  private def cellsDf(ids: Range, cellOf: Int => Int) =
+    ids.map(i => (i.toLong, s"p$i", cellOf(i))).toDF("id", "payload", "cell")
+
+  test("partitioned publish: layout on disk, filter prunes to PartitionFilters") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("idx" -> cellsDf(0 until 40, _ % 4)),
+      partitionBy = Map("idx" -> Seq("cell")))
+    // on-disk layout: cell=N subdirectories inside the owner segment
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val seg = new java.io.File(s"$root/v_$txn/idx")
+    assert(seg.listFiles().exists(_.getName == "cell=0"), seg.listFiles().toSeq)
+    val pruned = AtomicPublish.readTable(spark, root, "idx")
+      .filter(col("cell").isin(1, 2))
+    val p = planString(pruned)
+    assert(p.contains("PartitionFilters") && p.contains("cell"), p)
+    assert(!p.contains("PushedFilters: [IsNotNull(cell)"), p)
+    assert(pruned.count() == 20)
+    // recorded meta round-trips
+    val meta = AtomicPublish.manifestMetaOf(spark, root, txn)("idx")
+    assert(meta.partitionCols == Seq("cell"))
+    assert(meta.schema.get.fieldNames.toSeq == Seq("id", "payload", "cell"))
+  }
+
+  test("partitioned append: layout inherited, union prunes across owners") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("idx" -> cellsDf(0 until 20, _ % 4)),
+      partitionBy = Map("idx" -> Seq("cell")))
+    // no explicit partitionBy on the append: inherited from the parent
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("idx" -> cellsDf(20 until 40, _ % 4)),
+      parent = Some(v1)).get
+    val seg2 = new java.io.File(s"$root/v_$v2/idx")
+    assert(seg2.listFiles().exists(_.getName.startsWith("cell=")),
+      "append did not inherit the partition layout")
+    val all = AtomicPublish.readTable(spark, root, "idx")
+    assert(all.count() == 40)
+    assert(all.select("id").as[Long].collect().toSet == (0L until 40L).toSet)
+    val pruned = all.filter(col("cell") === 3)
+    assert(planString(pruned).contains("PartitionFilters"), planString(pruned))
+    assert(pruned.count() == 10)
+    // an append that CHANGES the layout is rejected up front
+    intercept[IllegalArgumentException] {
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("idx" -> cellsDf(40 until 50, _ % 4)),
+        parent = Some(v2), partitionBy = Map("idx" -> Seq("payload")))
+    }
+  }
+
+  test("compactStore keeps the partition layout and the pruning") {
+    val root = freshRoot()
+    var txn = AtomicPublish.publish(spark, root,
+      Map("idx" -> cellsDf(0 until 10, _ % 4)),
+      partitionBy = Map("idx" -> Seq("cell")))
+    (1 to 3).foreach { k =>
+      txn = AtomicPublish.publishDelta(spark, root,
+        append = Map("idx" -> cellsDf(k * 10 until (k + 1) * 10, _ % 4)),
+        parent = Some(txn)).get
+    }
+    assert(AtomicPublish.manifestOf(spark, root, txn)("idx").size == 4)
+    val (ctxn, _) = Compaction.compactStore(spark, root, "idx")
+    val meta = AtomicPublish.manifestMetaOf(spark, root, ctxn)("idx")
+    assert(meta.owners == Seq(ctxn), "compaction must consolidate ownership")
+    assert(meta.partitionCols == Seq("cell"), "compaction dropped the layout")
+    val seg = new java.io.File(s"$root/v_$ctxn/idx")
+    assert(seg.listFiles().count(_.getName.startsWith("cell=")) == 4,
+      seg.listFiles().toSeq)
+    val pruned = AtomicPublish.readTable(spark, root, "idx")
+      .filter(col("cell") === 2)
+    assert(planString(pruned).contains("PartitionFilters"), planString(pruned))
+    assert(pruned.count() == 10)
+    // the superseded segment chain is reclaimable; the store stays whole
+    AtomicPublish.vacuum(spark, root, keepLast = 1, graceMs = 0L)
+    assert(AtomicPublish.readTable(spark, root, "idx").count() == 40)
+  }
+
+  test("schema evolution: appended column resolves across segments; conflicts fail fast") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("t" -> Seq((1L, "a"), (2L, "b")).toDF("id", "name")))
+    // evolved slice: adds `score`
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> Seq((3L, "c", 0.5)).toDF("id", "name", "score")),
+      parent = Some(v1)).get
+    val cur = AtomicPublish.readTable(spark, root, "t")
+    assert(cur.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    val rows = cur.as[(Long, String, Option[Double])].collect().toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", None), (3L, "c", Some(0.5))),
+      rows)
+    // time travel to the parent still serves the PARENT's schema
+    assert(AtomicPublish.readTableAt(spark, root, "t", v1)
+      .schema.fieldNames.toSeq == Seq("id", "name"))
+    // a slice MISSING a recorded column is fine (nulls), recorded schema keeps it
+    val v3 = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> Seq((4L, 0.9)).toDF("id", "score")),
+      parent = Some(v2)).get
+    val afterMissing = AtomicPublish.readTable(spark, root, "t")
+    assert(afterMissing.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(afterMissing.filter(col("id") === 4L).select("name")
+      .collect().head.isNullAt(0))
+    // a TYPE conflict on a shared column fails before anything commits
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("t" -> Seq((5L, 7L)).toDF("id", "name")),
+        parent = Some(v3))
+    }
+    assert(e.getMessage.contains("schema conflict") &&
+      e.getMessage.contains("name"), e.getMessage)
+    assert(AtomicPublish.currentTxn(spark, root).contains(v3))
+    // compaction migrates every segment to the merged schema
+    val (ctxn, _) = Compaction.compactStore(spark, root, "t")
+    val meta = AtomicPublish.manifestMetaOf(spark, root, ctxn)("t")
+    assert(meta.owners == Seq(ctxn))
+    assert(meta.schema.get.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 4)
+  }
+
+  test("corrupt _CURRENT pointer surfaces as a named corrupt-store error") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, "_CURRENT"),
+      Array.emptyByteArray)
+    val e = intercept[IllegalStateException] {
+      AtomicPublish.readTable(spark, root, "t")
+    }
+    assert(e.getMessage.contains("corrupt store") &&
+      e.getMessage.contains(root), e.getMessage)
+  }
+
+  test("vacuum keepLast ranks same-millisecond commits deterministically") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    val v2 = AtomicPublish.publish(spark, root, Map("t" -> Seq(2L).toDF("id")))
+    val v3 = AtomicPublish.publish(spark, root, Map("t" -> Seq(3L).toDF("id")))
+    // force a three-way marker-mtime tie
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t = System.currentTimeMillis() - 10000L
+    Seq(v1, v2, v3).foreach { v =>
+      fs.setTimes(new org.apache.hadoop.fs.Path(root, s"v_$v/_COMMITTED"), t, -1)
+    }
+    // tie-break is by version-dir name: the lexicographically smallest
+    // non-live name survives keepLast=2 — same answer on every run
+    val expectedKept = Seq(v1, v2).map(v => s"v_$v").sorted.head
+    val d = AtomicPublish.vacuum(spark, root, keepLast = 2, graceMs = 0L)
+    assert(!d.exists(_.contains(s"v_$v3")), d.mkString(","))
+    assert(!d.exists(_.contains(expectedKept)), d.mkString(","))
+    assert(d.count(_.contains("v_")) == 1, d.mkString(","))
+  }
+
+  // --- the cross-process commit lease ---------------------------------------
+
+  test("a held lease defers a commit; release lets it land — no lost delta") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    // a "foreign process" holds the lease (fresh mtime: not stale)
+    val lock = java.nio.file.Paths.get(root, "_LOCK")
+    java.nio.file.Files.write(lock, "foreign".getBytes)
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    val fut = pool.submit(new java.util.concurrent.Callable[Option[String]] {
+      def call(): Option[String] = AtomicPublish.publishDelta(spark, root,
+        append = Map("t" -> Seq(2L).toDF("id")), parent = Some(v1))
+    })
+    Thread.sleep(400)
+    assert(!fut.isDone, "commit went through while a foreign lease was held")
+    assert(AtomicPublish.currentTxn(spark, root).contains(v1))
+    java.nio.file.Files.delete(lock) // the foreign holder releases
+    val v2 = fut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+    pool.shutdown()
+    assert(v2.isDefined)
+    assert(AtomicPublish.currentTxn(spark, root) == v2)
+    assert(AtomicPublish.readTable(spark, root, "t")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
+  test("a stale lease (crashed holder) is broken and the commit proceeds") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    val lock = java.nio.file.Paths.get(root, "_LOCK")
+    java.nio.file.Files.write(lock, "crashed".getBytes)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(root, "_LOCK"),
+      System.currentTimeMillis() - AtomicPublish.LeaseStaleMs - 1000L, -1)
+    val t0 = System.currentTimeMillis()
+    val v2 = AtomicPublish.publish(spark, root, Map("t" -> Seq(2L).toDF("id")))
+    assert(System.currentTimeMillis() - t0 < 30000L, "takeover too slow")
+    assert(AtomicPublish.currentTxn(spark, root).contains(v2))
+    assert(!java.nio.file.Files.exists(lock) ||
+      new String(java.nio.file.Files.readAllBytes(lock)) != "crashed",
+      "stale lease survived the takeover")
+  }
+
+  test("releaseLease only deletes its OWN lease (broken-and-reissued safety)") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    val lock = java.nio.file.Paths.get(root, "_LOCK")
+    java.nio.file.Files.write(lock, "new-holder".getBytes)
+    AtomicPublish.releaseLease(spark, root, "old-holder")
+    assert(java.nio.file.Files.exists(lock),
+      "a superseded holder deleted the new holder's lease")
+    AtomicPublish.releaseLease(spark, root, "new-holder")
+    assert(!java.nio.file.Files.exists(lock))
+  }
+
+  test("lease is mutually exclusive under concurrent acquirers (incl. stale-break race)") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("t" -> Seq(1L).toDF("id")))
+    // seed a stale lease so every thread starts by racing the takeover:
+    // the rename-based break guarantees at most one winner
+    val lock = java.nio.file.Paths.get(root, "_LOCK")
+    java.nio.file.Files.write(lock, "dead".getBytes)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .setTimes(new org.apache.hadoop.fs.Path(root, "_LOCK"),
+        System.currentTimeMillis() - AtomicPublish.LeaseStaleMs - 1000L, -1)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val bad = new java.util.concurrent.atomic.AtomicReference[String](null)
+    val futs = (1 to 4).map { k =>
+      pool.submit(new Runnable {
+        def run(): Unit = (1 to 3).foreach { i =>
+          val token = s"t$k-$i"
+          AtomicPublish.acquireLease(spark, root, token)
+          try {
+            if (inside.incrementAndGet() != 1)
+              bad.compareAndSet(null, s"$token entered a held critical section")
+            Thread.sleep(5)
+            inside.decrementAndGet()
+            ()
+          } finally AtomicPublish.releaseLease(spark, root, token)
+        }
+      })
+    }
+    futs.foreach(_.get())
+    pool.shutdown()
+    assert(bad.get() == null, s"mutual exclusion violated: ${bad.get()}")
+    assert(!java.nio.file.Files.exists(lock), "lease leaked after release")
+  }
+}
