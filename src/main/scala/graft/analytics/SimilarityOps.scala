@@ -678,8 +678,16 @@ object SimilarityOps {
     while (attempt < 5) {
       attempt += 1
       val parent = graft.ops.AtomicPublish.currentTxn(spark, indexRoot)
+      // an existing table's layout is inherited (appends must keep it);
+      // only a FIRST append decides one — cell-partitioned, the layout
+      // whose partition pruning n3e's probes rely on
+      val hasTable = parent.exists(p => graft.ops.AtomicPublish
+        .manifestMetaOf(spark, indexRoot, p).contains("ivf_index"))
+      val layout: Map[String, Seq[String]] =
+        if (hasTable) Map.empty else Map("ivf_index" -> Seq("cell"))
       graft.ops.AtomicPublish.publishDelta(spark, indexRoot,
-        append = Map("ivf_index" -> appended), parent = parent) match {
+        append = Map("ivf_index" -> appended), parent = parent,
+        partitionBy = layout) match {
         case Some(txn) => return txn
         case None => () // concurrent appender won; re-pin and retry
       }
@@ -703,9 +711,13 @@ object SimilarityOps {
       val root = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_ivf_store_${java.util.UUID.randomUUID().toString.take(12)}")
         .toString
+      // cell-PARTITIONED store layout: the cell is the partition key at
+      // write (the n3c write-path contract), so a probe's cell set
+      // prunes the published index read to IvfProbes/cells of its files
       graft.ops.AtomicPublish.publish(spark, root, Map("ivf_index" ->
         assignCells(pub, cents)
-          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))))
+          .select(col("vec_id"), col("v"), col("nrm"), col("cell"))),
+        partitionBy = Map("ivf_index" -> Seq("cell")))
       root
     }
 
@@ -719,13 +731,21 @@ object SimilarityOps {
   def n3eAnnIncremental(spark: SparkSession, dir: String): DataFrame = {
     val split = ivfSplitPoint(spark, dir)
     val cents = publishedCentroids(spark, dir)
+    val all = corpus(spark, dir)
+    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
+    // the UNION of all queries' probed cells, driver-materialized so it
+    // prunes the store read as a literal partition filter: bounded by
+    // min(|codebook|, QueryCount·IvfProbes) ints — the same driver-
+    // resident-model-state class as the codebook itself, never row data
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
     val published = graft.ops.AtomicPublish
       .readTable(spark, publishedIndexRoot(spark, dir), "ivf_index")
-    val all = corpus(spark, dir)
+      .filter(col("cell").isin(probedCells: _*)) // → PartitionFilters
     val batch = assignCells(all.filter(col("vec_id") >= split), cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+      .filter(col("cell").isin(probedCells: _*)) // map-side, pre-shuffle
     val merged = published.unionByName(batch)
-    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
     val sims = probes.join(merged, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
