@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.analytics.LlmPrep
-import graft.ops.{AtomicPublish, Sinks}
+import graft.ops.{AtomicPublish, Compaction, Sinks}
 
 /** CONTINUOUS training-data ingest — the streaming face of the LLM-prep
   * journey, composed from the same stage functions:
@@ -50,6 +50,28 @@ object LlmIngest {
   /** Retries when a concurrent committer wins the pointer race. */
   private val MaxAttempts = 5
 
+  /** Target bytes per written file — every corpus-sized write derives
+    * its partition count from bytes/this (the Compaction contract), so
+    * no write path ever funnels a large table through one task. */
+  val TargetFileBytes: Long = 128L * 1024 * 1024
+
+  /** When any store table's owner-segment count exceeds this after a
+    * commit, the ingest loop consolidates it in place — the policy hook
+    * that keeps a long-running ingest's segment count (and manifest
+    * size) bounded without an external maintenance scheduler. */
+  val AutoCompactOwners = 16
+
+  /** Output partitions for a batch-sized slice: the slice is cached, so
+    * its optimized-plan stats carry REAL in-memory bytes (an over-
+    * estimate of parquet bytes — compression — which only errs toward
+    * more, smaller files; compaction consolidates). Micro-batches land
+    * on 1; a large backfill through the same entry point scales. */
+  private def slicePartitions(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    Compaction.partitionsFor(
+      bytes.min(BigInt(Long.MaxValue)).toLong, TargetFileBytes)
+  }
+
   /** The fingerprint set at `parent`, or an empty frame before the
     * first publish. */
   private def fingerprintsAt(spark: SparkSession, root: String,
@@ -89,23 +111,34 @@ object LlmIngest {
           .cache()
         try {
           val nNew = novel.count()
-          // one file per slice: micro-batch appends are small, and
-          // repartition (not coalesce) keeps the upstream parallel
-          val newDocs = novel.select("doc_id", "text").repartition(1)
-          val newChunks =
-            LlmPrep.chunkStage(novel.select("doc_id", "text")).repartition(1)
-          val newKept =
-            novel.select(col("doc_id"), col("fingerprint")).repartition(1)
           val run = Sinks.pipelineRunRow(spark, runName, "completed",
             new java.sql.Timestamp(t0),
             new java.sql.Timestamp(System.currentTimeMillis()),
             inputCount = nIn, outputCount = nNew,
             errorsJson = "[]", dagJson = "{}")
+          // a fully-replayed batch (nNew == 0) appends ONLY the run row:
+          // empty segment dirs on docs/chunks/kept would otherwise grow
+          // every manifest's owner list per at-least-once replay
+          val tables: Map[String, DataFrame] =
+            if (nNew == 0) Map(RunsTable -> run)
+            else {
+              // byte-derived slice sizing (micro-batch → 1 file; a bulk
+              // backfill through this same entry point scales out), and
+              // repartition (not coalesce) keeps the upstream parallel
+              val parts = slicePartitions(novel)
+              Map(
+                DocsTable -> novel.select("doc_id", "text").repartition(parts),
+                ChunksTable -> LlmPrep.chunkStage(novel.select("doc_id", "text"))
+                  .repartition(parts),
+                KeptTable -> novel.select(col("doc_id"), col("fingerprint"))
+                  .repartition(1), // 16 B/doc: never larger than one file
+                RunsTable -> run)
+            }
           AtomicPublish.publishDelta(spark, root,
-            append = Map(DocsTable -> newDocs, ChunksTable -> newChunks,
-              KeptTable -> newKept, RunsTable -> run),
-            parent = parent) match {
-            case Some(_) => return nNew
+            append = tables, parent = parent) match {
+            case Some(txn) =>
+              autoCompact(spark, root, txn)
+              return nNew
             case None if attempt < MaxAttempts => () // lost the race: retry
             case None => throw new IllegalStateException(
               s"ingest '$runName' lost the commit race $MaxAttempts times")
@@ -122,6 +155,26 @@ object LlmIngest {
     }
   }
 
+  /** The ingest loop's compaction policy: after a commit, any table
+    * whose owner-segment list exceeded [[AutoCompactOwners]] is
+    * consolidated via [[Compaction.compactStore]] (one replace delta
+    * per table; byte-derived file sizing; CAS-retried against
+    * concurrent appenders). Bounded work: a consolidation rewrites one
+    * table's live union once per ~AutoCompactOwners triggers, and the
+    * superseded segment chain becomes vacuum-reclaimable. Failure is
+    * non-fatal — the commit that triggered it has already landed, and
+    * the next trigger retries. */
+  private def autoCompact(spark: SparkSession, root: String,
+      txn: String): Unit =
+    try {
+      AtomicPublish.manifestOf(spark, root, txn).foreach {
+        case (table, owners) if owners.size > AutoCompactOwners =>
+          Compaction.compactStore(spark, root, table, TargetFileBytes)
+          ()
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   /** Batch MAINTENANCE over the published store — the cross-doc stages
     * the streaming hot path defers, run exactly as the journey runs
     * them: near-dup removal (exact shingle-Jaccard across the FULL
@@ -137,7 +190,8 @@ object LlmIngest {
     *
     * CAS semantics as everywhere: pinned parent, retry against a
     * winning appender. Returns (docs dropped, committing txn). */
-  def maintain(spark: SparkSession, root: String): (Long, String) = {
+  def maintain(spark: SparkSession, root: String,
+      targetFileBytes: Long = TargetFileBytes): (Long, String) = {
     var attempt = 0
     while (attempt < 5) {
       attempt += 1
@@ -149,10 +203,19 @@ object LlmIngest {
         .cache()
       try {
         val nAfter = kept.count()
+        // the replace is CORPUS-sized: partition counts derive from the
+        // table's actual on-disk bytes (the Compaction contract), never
+        // a fixed count — at 100 TB a repartition(1) here would funnel
+        // the whole store through one task
+        val docBytes = Compaction.storeTableBytes(spark, root,
+          DocsTable, parent)
+        val parts = Compaction.partitionsFor(
+          math.max(1L, docBytes * nAfter / math.max(1L, nBefore)),
+          targetFileBytes)
         AtomicPublish.publishDelta(spark, root, append = Map.empty,
           replace = Map(
-            DocsTable -> kept.repartition(1),
-            ChunksTable -> LlmPrep.chunkStage(kept).repartition(1)),
+            DocsTable -> kept.repartition(parts),
+            ChunksTable -> LlmPrep.chunkStage(kept).repartition(parts)),
           parent = Some(parent)) match {
           case Some(txn) => return (nBefore - nAfter, txn)
           case None => () // an appender won; re-pin and retry
