@@ -68,21 +68,35 @@ object Bench {
     }
     // a rep that threw contributes no sample: a consistently failing
     // query reports -1 (unmistakable in the driver's JSON) instead of
-    // its time-to-exception masquerading as a fast success
-    val runs = samples.groupBy(_._1).map { case (n, s) =>
-      n -> s.filter(_._3).map(_._2).sorted }
-    val results = runs.map { case (name, ts) =>
-      name -> (if (ts.isEmpty) -1.0 else ts.head) }
+    // its time-to-exception masquerading as a fast success.
+    // groupBy on a Seq keeps encounter (= round) order within each
+    // group, so ts(0) is always the round-1 sample.
+    val ordered = samples.groupBy(_._1).map { case (n, s) =>
+      n -> s.filter(_._3).map(_._2) }
+    val results = ordered.map { case (name, ts) =>
+      name -> (if (ts.isEmpty) -1.0 else ts.min) }
     val failed = results.collect { case (n, t) if t < 0 => n }
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED (all $reps reps threw): " +
         failed.mkString(", "))
-    // spread diagnostic to stderr (stdout stays the one-line contract)
-    val spreads = runs.collect { case (name, ts) if ts.nonEmpty =>
-      name -> (if (ts.head > 0) (ts.last - ts.head) / ts.head else 0.0)
-    }.toSeq.sortBy(-_._2)
-    System.err.println(f"[bench] reps=$reps worst rel spreads: " +
+    // Spread diagnostics to stderr (stdout stays the one-line contract).
+    // Round 1 pays one-time bring-up for queries with JVM-memoized model
+    // state (evolved-scan staging, IVF codebooks): folding it into the
+    // spread overstates noise for exactly those queries, so bring-up
+    // (round1/steady-min) and steady-state spread (rounds 2..N) are
+    // reported separately.
+    val steady = ordered.collect { case (n, ts) if ts.size >= 2 =>
+      n -> ts.drop(1).sorted }
+    val spreads = steady.collect { case (name, ts) if ts.head > 0 =>
+      name -> (ts.last - ts.head) / ts.head }.toSeq.sortBy(-_._2)
+    System.err.println(f"[bench] reps=$reps worst steady spreads " +
+      "(rounds 2..N): " +
       spreads.take(3).map { case (n, s) => f"$n=$s%.2f" }.mkString(" "))
+    val bringUp = ordered.collect {
+      case (name, ts) if ts.size >= 2 && ts.drop(1).min > 0 =>
+        name -> ts.head / ts.drop(1).min }.toSeq.sortBy(-_._2)
+    System.err.println(f"[bench] worst bring-up (round1/steady-min): " +
+      bringUp.take(3).map { case (n, s) => f"$n=$s%.2fx" }.mkString(" "))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
