@@ -96,11 +96,13 @@ object ScaleRehearsal {
     ()
   }
 
-  /** The heavyweight set the verdict asked to rehearse. */
+  /** The heavyweight set the verdict asked to rehearse, plus n7 (the
+    * iterative cluster resolution over n2's pairs — its rounds are the
+    * new scale dimension). */
   val Heavyweights = Seq(
     "llm1_prep_counts", "n2_ngram_jaccard", "n2b_minhash_lsh",
     "n3_cosine_topk", "n3b_srp_ann", "n3c_ivf_ann", "n3d_ivf2_ann",
-    "n3e_ann_incremental", "n5_embed_neardup")
+    "n3e_ann_incremental", "n5_embed_neardup", "n7_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -143,6 +145,14 @@ object ScaleRehearsal {
     require(llmOk, "llm1 stage counts did not scale exactly 10x")
     require(n2Scaled == 10 * n2Base, "n2 pair count did not scale exactly 10x")
     require(annRows.forall(_._2 == 320L), "an ANN query lost top-k rows")
+    // n7: pairs are within-replica only, so clusters (and their member
+    // rows) replicate exactly 10×
+    val n7Base = SparkEntry.queries("n7_dup_clusters")(spark, src).count()
+    val n7Scaled = SparkEntry.queries("n7_dup_clusters")(spark, out).count()
+    System.err.println(s"[rehearsal] n7 clustered docs: base=$n7Base " +
+      s"scaled=$n7Scaled exact10x=${n7Scaled == 10 * n7Base}")
+    require(n7Scaled == 10 * n7Base,
+      "n7 clustered-doc count did not scale exactly 10x")
 
     // --- timing: interleaved min-of-reps at both scales, same JVM -------
     // (the verification pass above doubles as warm-up: every model

@@ -1,0 +1,86 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over a pair table — the cluster-resolution step
+  * a dedup pipeline needs AFTER pair generation: near-dup pairs (n2/n2b/
+  * n4/n5) only relate documents two at a time, but the keep/drop decision
+  * is per CLUSTER (keep one canonical doc per duplicate group, drop the
+  * rest). Pairs are the edge list of an undirected graph; the cluster id
+  * is the component's minimum doc id — deterministic, layout-independent,
+  * and exactly what a canonical-election policy keys on.
+  *
+  * Algorithm: iterative min-label propagation with POINTER JUMPING.
+  * Each round every node takes the minimum label over itself and its
+  * neighbors (one shuffle: edges ⋈ labels, groupBy dst), then labels
+  * compress through their own indirection (labels ⋈ labels — label(x) :=
+  * label(label(x))). Propagation alone needs O(diameter) rounds (an
+  * adversarial near-dup CHAIN a~b~c~… makes that O(n)); the jumping step
+  * halves every label-chain each round, so convergence is O(log n)
+  * rounds — the hash-to-min bound (Rastogi et al., "Finding Connected
+  * Components in Map-Reduce in Logarithmic Rounds", ICDE'13), the same
+  * shape GraphFrames/GraphX use. Each round is a constant number of
+  * hash-joins on (id → label) pairs — 16 bytes a row regardless of
+  * document size, so the iteration state at 100 TB of text is a few GB
+  * of ids. `localCheckpoint` truncates lineage per round (an iterative
+  * plan otherwise doubles in depth each round and re-executes history).
+  *
+  * Reference boundary: the reference pipeline has no graph surface at
+  * all (/root/reference/app/etl/transformers.py deduplicates by exact
+  * key only); this is part of the §2.11 north-star tier.
+  */
+object ClusterOps {
+
+  /** Component labels for every node of the undirected edge list
+    * `pairs` (two columns: src, dst — column names are taken
+    * positionally). Returns (doc_id, cluster_id): one row per distinct
+    * node, cluster_id = min doc id reachable from it. Deterministic on
+    * any partitioning. Throws after `maxRounds` non-converged rounds
+    * (log₂-bounded convergence makes 50 astronomically past any real
+    * graph: 2^50 nodes). */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val a = pairs.columns(0)
+    val b = pairs.columns(1)
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"connectedComponents did not converge in $maxRounds rounds " +
+          "(a graph needing that many has ~2^" + maxRounds + " nodes)")
+      // min label over the neighborhood: edge (src→dst) carries src's
+      // current label to dst; a node's candidate is the min over its
+      // own label and every neighbor's
+      val nbrMin = edges
+        .join(labels.select(col("id").as("src"), col("lbl").as("slbl")),
+          Seq("src"))
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("slbl")).as("nmin"))
+      val propagated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"))
+      // pointer jumping: label(x) := label(label(x)) — labels are node
+      // ids (minima over node ids), so the lookup always resolves
+      val jumped = propagated
+        .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2"))
+          .toDF("lbl", "lbl2"),
+          Seq("lbl"))
+        .select(col("id"), col("lbl2").as("lbl"))
+        .localCheckpoint()
+      converged = jumped.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
+        .filter(col("lbl") =!= col("old"))
+        .isEmpty
+      labels = jumped
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+}

@@ -187,7 +187,13 @@ object DedupOps {
         (col("n") - ceil(col("n") * JaccardThreshold) + 1).cast("int")))
         .as("ph"))
 
-  def n2NgramJaccardOn(docs: DataFrame): DataFrame = {
+  def n2NgramJaccardOn(docs: DataFrame): DataFrame =
+    n2PairsOn(docs).orderBy(col("da"), col("db"))
+
+  /** The n2 pair pipeline WITHOUT the presentation sort — the form
+    * cluster resolution (n7) consumes, where the pairs feed a join
+    * rather than a result set. */
+  def n2PairsOn(docs: DataFrame): DataFrame = {
     val theta = JaccardThreshold
     val byDoc = shingleSets(docs)
     val prefix = prefixPostings(byDoc)
@@ -211,8 +217,53 @@ object DedupOps {
         r4(col("shared") / (col("na") + col("nb") - col("shared"))))
       .filter(col("jaccard") >= theta)
       .select(col("da"), col("db"), col("jaccard"))
-      .orderBy(col("da"), col("db"))
   }
+
+  /** Duplicate-CLUSTER resolution (n7): near-dup pairs only relate
+    * documents two at a time; the keep/drop decision is per component.
+    * n2's exact pairs become the edge list, [[ClusterOps
+    * .connectedComponents]] labels every involved doc with its
+    * component's minimum doc id (the canonical election key), and the
+    * cluster size rides along — `csize - 1` is the number of docs a
+    * keep-canonical policy drops. Output: (doc_id, cluster_id, csize)
+    * for every doc that appears in at least one qualifying pair.
+    *
+    * Oracle: the same components via a recursive CTE in DuckDB
+    * (reachability closure, min reachable id per doc) — an EXACT check
+    * of an iterative distributed graph algorithm against a declarative
+    * fixpoint. */
+  def n7DupClusters(spark: SparkSession, dir: String): DataFrame =
+    n7DupClustersOn(Tables.documents(spark, dir))
+
+  def n7DupClustersOn(docs: DataFrame): DataFrame = {
+    val labels = ClusterOps.connectedComponents(
+      n2PairsOn(docs).select(col("da"), col("db")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_id"))
+    labels.withColumn("csize", count(lit(1)).over(w))
+      .orderBy(col("doc_id"))
+  }
+
+  val n7DupClustersSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |good AS (
+      |  SELECT da, db FROM pairs
+      |  JOIN cnt ca ON ca.doc_id = da
+      |  JOIN cnt cb ON cb.doc_id = db
+      |  WHERE round(shared * 1.0 / (ca.n + cb.n - shared), 4) >= 0.8),
+      |edges AS (SELECT da AS a, db AS b FROM good
+      |          UNION SELECT db AS a, da AS b FROM good),
+      |reach AS (
+      |  SELECT a AS doc, a AS r FROM edges
+      |  UNION
+      |  SELECT e.b AS doc, r.r AS r FROM reach r JOIN edges e ON e.a = r.doc),
+      |lab AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS csize
+      |FROM lab ORDER BY doc_id""".stripMargin
 
   /** INCREMENTAL near-dup pairs: every (da < db, jaccard ≥ θ) pair with
     * AT LEAST ONE side in `newSigs`, judged against published
@@ -478,6 +529,7 @@ object DedupOps {
     "n2b_minhash_lsh" -> (n2bMinhashLsh _),
     "n4_simhash" -> (n4Simhash _),
     "n6_decontaminate" -> (n6Decontaminate _),
+    "n7_dup_clusters" -> (n7DupClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -486,6 +538,7 @@ object DedupOps {
     "n2_ngram_jaccard" -> n2NgramJaccardSql,
     "n4_simhash" -> n4SimhashSql,
     "n6_decontaminate" -> n6DecontaminateSql,
+    "n7_dup_clusters" -> n7DupClustersSql,
     // n2b_minhash_lsh: sketch-based (banded MinHash candidates), no SQL oracle
   )
 }

@@ -329,6 +329,67 @@ object TextOps {
       |WHERE rk <= $StrataQuota
       |ORDER BY lang, rk""".stripMargin
 
+  /** Mixture composition as integer PARTS (en:de:fr:es:zh = 4:2:2:1:1).
+    * Integer parts instead of float weights keep the whole computation
+    * in exact arithmetic — no engine-boundary float rounding anywhere. */
+  val MixtureParts: Seq[(String, Long)] =
+    Seq("en" -> 4L, "de" -> 2L, "fr" -> 2L, "es" -> 1L, "zh" -> 1L)
+
+  /** SP5: deterministic MIXTURE sample — the data-mixture op a training
+    * pipeline runs to compose its corpus: the LARGEST sample whose
+    * language composition is EXACTLY [[MixtureParts]] (4:2:2:1:1). With
+    * k = min over domains of (available_d DIV parts_d), each domain
+    * contributes exactly k·parts_d docs — chosen by the same md5-hash
+    * rank sp2 uses, so membership is RNG-free, layout-independent and
+    * append-stable. k is computed IN-PLAN from the per-domain counts
+    * (a 5-row aggregate broadcast into the filter — no driver loop),
+    * one shuffle on the domain for the rank window. Scale: quota logic
+    * is O(#domains); the corpus pass is one window per domain — the
+    * sp2 shape with a data-derived quota. */
+  def sp5MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partsDf = MixtureParts.toDF("lang", "p")
+    // the inner join both restricts the corpus to mixture domains and
+    // decorates each row with its parts weight
+    val docs = Tables.documents(spark, dir)
+      .join(broadcast(partsDf), Seq("lang"))
+    // k = min over domains of (available DIV parts) — exact integer
+    // arithmetic, computed in-plan (a #domains-row aggregate broadcast
+    // into the filter; no driver loop)
+    val k = docs.groupBy(col("lang"), col("p"))
+      .agg(count(lit(1)).as("n"))
+      .select(min(expr("n DIV p")).as("k"))
+    val hashRank = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(hashRank, col("doc_id"))
+    docs.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(k))
+      .filter(col("rk") <= col("k") * col("p"))
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val sp5MixtureSampleSql: String = {
+    val values = MixtureParts
+      .map { case (l, p) => s"('$l', ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH w(lang, p) AS (VALUES $values),
+      |avail AS (
+      |  SELECT lang, count(*) AS n FROM documents JOIN w USING (lang)
+      |  GROUP BY lang),
+      |k AS (SELECT min(n // p) AS k FROM avail JOIN w USING (lang)),
+      |ranked AS (
+      |  SELECT lang, doc_id,
+      |    (row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |               doc_id))::BIGINT AS rk
+      |  FROM documents JOIN w USING (lang))
+      |SELECT lang, rk, doc_id FROM ranked JOIN w USING (lang), k
+      |WHERE rk <= k.k * w.p
+      |ORDER BY lang, rk""".stripMargin
+  }
+
   val PackBudget = 200 // words per training sequence
   val PackShards = 8   // packing parallelism: one independent stream per shard
 
@@ -498,6 +559,7 @@ object TextOps {
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
     "sp3_sequence_pack" -> (sp3SequencePack _),
     "sp4_batch_shuffle" -> (sp4BatchShuffle _),
+    "sp5_mixture_sample" -> (sp5MixtureSample _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -511,5 +573,6 @@ object TextOps {
     "sp2_stratified_sample" -> sp2StratifiedSampleSql,
     "sp3_sequence_pack" -> sp3SequencePackSql,
     "sp4_batch_shuffle" -> sp4BatchShuffleSql,
+    "sp5_mixture_sample" -> sp5MixtureSampleSql,
   )
 }

@@ -2,9 +2,12 @@ package graft.ops
 
 import java.nio.charset.StandardCharsets
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.{FileContext, Options, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{coalesce, col, lit, timestamp_micros, unix_micros, when}
+import org.apache.spark.sql.types._
 
 /** Atomic multi-table publish (SURVEY.md §2.1; reference transaction
   * boundary: /root/reference/app/api/routes.py:86-148 persists patients,
@@ -57,13 +60,30 @@ object AtomicPublish {
   private val CommitMarker = "_COMMITTED"
   private val LockFile = "_LOCK"
 
+  /** One column's zone-map entry for one segment: min/max rendered as
+    * strings (timestamps as epoch micros — timezone-independent; every
+    * other atomic type via Spark's lossless string cast) plus the null
+    * count. `min`/`max` are None iff the segment holds no non-null
+    * value for the column (all-null, or the column postdates the
+    * segment — either way a comparison predicate cannot match). */
+  final case class ColStat(min: Option[String], max: Option[String],
+      nulls: Long)
+
+  /** Zone map of ONE owner segment: row count + per-stat-column stats.
+    * Segments recorded before stats existed simply have no entry —
+    * readers keep them conservatively. */
+  final case class SegStats(rows: Long, cols: Map[String, ColStat])
+
   /** Per-table manifest record: owning version dirs (the table is the
     * union of `v_<owner>/<table>` reads), the recorded logical schema
-    * (JSON `StructType`; None for pre-schema manifests) and the
-    * partition columns its segments are laid out by (empty = flat). */
+    * (JSON `StructType`; None for pre-schema manifests), the partition
+    * columns its segments are laid out by (empty = flat), the columns
+    * zone maps are kept for, and the per-owner zone maps themselves. */
   final case class TableMeta(owners: Seq[String],
       schemaJson: Option[String] = None,
-      partitionCols: Seq[String] = Nil) {
+      partitionCols: Seq[String] = Nil,
+      statCols: Seq[String] = Nil,
+      segStats: Map[String, SegStats] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -192,6 +212,39 @@ object AtomicPublish {
     * vacuum's reference chase resolve the latter). */
   private val ManifestFile = "_MANIFEST"
 
+  /** JSON string literal with full escaping — stats values may contain
+    * any character, and the manifest is line-oriented, so everything
+    * below ' ' must leave as an escape. */
+  private def jq(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
+  /** One segment's zone map as a single-line JSON object:
+    * `{"_rows":N,"c":[min,max,nulls],…}` with min/max JSON strings or
+    * null. Column order is sorted for deterministic rendering. */
+  private def renderSegStats(s: SegStats): String = {
+    val cols = s.cols.toSeq.sortBy(_._1).map { case (c, st) =>
+      s"${jq(c)}:[${st.min.map(jq).getOrElse("null")}," +
+        s"${st.max.map(jq).getOrElse("null")},${st.nulls}]"
+    }
+    (s""""_rows":${s.rows}""" +: cols).mkString("{", ",", "}")
+  }
+
+  private def parseSegStats(json: String): SegStats = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[java.util.HashMap[String, Object]])
+    val rows = m.get("_rows").asInstanceOf[Number].longValue()
+    val cols = m.asScala.collect {
+      case (c, v: java.util.List[_]) if c != "_rows" =>
+        c -> ColStat(Option(v.get(0)).map(_.asInstanceOf[String]),
+          Option(v.get(1)).map(_.asInstanceOf[String]),
+          v.get(2).asInstanceOf[Number].longValue())
+    }.toMap
+    SegStats(rows, cols)
+  }
+
   private def renderManifest(txn: String,
       meta: Map[String, TableMeta]): String = {
     val names = meta.toSeq.sortBy(_._1)
@@ -204,7 +257,15 @@ object AtomicPublish {
     val schemas = names.collect { case (name, m) if m.schemaJson.isDefined =>
       s"#schema:$name=${m.schemaJson.get}"
     }
-    (txn +: (owners ++ parts ++ schemas)).mkString("\n")
+    val statcols = names.collect { case (name, m) if m.statCols.nonEmpty =>
+      s"#statcols:$name=${m.statCols.mkString(",")}"
+    }
+    val stats = names.flatMap { case (name, m) =>
+      m.segStats.toSeq.sortBy(_._1).map { case (owner, s) =>
+        s"#stats:$name@$owner=${renderSegStats(s)}"
+      }
+    }
+    (txn +: (owners ++ parts ++ schemas ++ statcols ++ stats)).mkString("\n")
   }
 
   private def parseManifestMeta(txn: String,
@@ -222,8 +283,19 @@ object AtomicPublish {
     val schemas = body.filter(_.startsWith("#schema:"))
       .map(_.stripPrefix("#schema:").split("=", 2))
       .collect { case Array(name, js) => name -> js }.toMap
+    val statcols = body.filter(_.startsWith("#statcols:"))
+      .map(_.stripPrefix("#statcols:").split("=", 2))
+      .collect { case Array(name, cs) => name -> cs.split(",").toSeq }.toMap
+    val stats = body.filter(_.startsWith("#stats:"))
+      .map(_.stripPrefix("#stats:").split("=", 2))
+      .collect { case Array(key, js) => key.split("@", 2) match {
+        case Array(name, owner) => (name, owner, parseSegStats(js))
+      }}
+      .groupBy(_._1)
+      .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
     owners.map { case (name, os) =>
-      name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil))
+      name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil),
+        statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty))
     }
   }
 
@@ -338,13 +410,89 @@ object AtomicPublish {
       try mos.write(txn.getBytes(StandardCharsets.UTF_8)) finally mos.close()
     } catch { case _: Throwable => () }
 
+  /** min/max value encoding per type: timestamps leave as epoch micros
+    * (a session-timezone-dependent string cast would corrupt the zone
+    * map across differently-configured readers); everything else via
+    * Spark's lossless string cast. */
+  private def statEncode(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => unix_micros(c).cast(StringType)
+    case _ => c.cast(StringType)
+  }
+
+  private def statDecode(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => timestamp_micros(c.cast(LongType))
+    case _ => c.cast(dt)
+  }
+
+  /** Types a zone map is well-defined for: totally ordered atomics with
+    * a lossless string rendering. */
+  private[ops] def statSupported(dt: DataType): Boolean = dt match {
+    case _: NumericType | StringType | BooleanType | DateType |
+        TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
+  private def validateStatCols(name: String, df: DataFrame,
+      cols: Seq[String]): Unit = cols.foreach { c =>
+    val f = df.schema.fields.find(_.name == c)
+    require(f.isDefined, s"stat column '$c' of table '$name' is not in " +
+      s"its schema (${df.columns.mkString(", ")})")
+    require(statSupported(f.get.dataType),
+      s"stat column '$c' of table '$name' has type " +
+        s"${f.get.dataType.simpleString} — zone maps need an ordered " +
+        "atomic type (numeric/string/boolean/date/timestamp)")
+  }
+
+  /** Delta-slice variant: a stat column ABSENT from the slice is legal
+    * (schema evolution — the segment records it all-null), but one that
+    * is present must carry a zone-mappable type. */
+  private def validateStatColsLenient(name: String, df: DataFrame,
+      cols: Seq[String]): Unit =
+    validateStatCols(name, df, cols.filter(df.columns.contains))
+
+  /** Zone map of one freshly staged segment, computed by reading the
+    * WRITTEN files back pruned to the stat columns — one column-pruned
+    * scan of the new segment only (never the input lineage again, never
+    * other segments). Columns the slice does not carry (an append
+    * written before/after a schema widening) count as all-null. */
+  private def computeSegStats(spark: SparkSession, segPath: Path,
+      statCols: Seq[String]): SegStats = {
+    val df = spark.read.parquet(segPath.toString)
+    val present = statCols.filter(df.columns.contains)
+    val aggs = org.apache.spark.sql.functions.count(lit(1)).as("_rows") +:
+      present.flatMap { c =>
+        val dt = df.schema(c).dataType
+        Seq(statEncode(org.apache.spark.sql.functions.min(col(c)), dt)
+            .as(s"mn_$c"),
+          statEncode(org.apache.spark.sql.functions.max(col(c)), dt)
+            .as(s"mx_$c"),
+          org.apache.spark.sql.functions.sum(
+            when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"))
+      }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val rows = r.getAs[Long]("_rows")
+    val cols = statCols.map { c =>
+      if (present.contains(c))
+        c -> ColStat(Option(r.getAs[String](s"mn_$c")),
+          Option(r.getAs[String](s"mx_$c")),
+          Option(r.getAs[Any](s"nu_$c")).map(_.asInstanceOf[Long])
+            .getOrElse(0L))
+      else c -> ColStat(None, None, rows)
+    }.toMap
+    SegStats(rows, cols)
+  }
+
   /** Stage table writes + the version's `_MANIFEST` under scratch, then
     * seal with one atomic dir rename (complete-or-absent). Tables whose
     * meta carries partition columns are written `partitionBy` them —
-    * the on-disk layout a partition-column filter prunes. */
+    * the on-disk layout a partition-column filter prunes. Tables whose
+    * meta carries stat columns get this txn's segment zone map computed
+    * from the staged files and merged into the returned meta (which the
+    * caller must use for the pointer swap — it is what the manifest now
+    * records). */
   private def stageAndSeal(spark: SparkSession, rootPath: Path, txn: String,
       tables: Map[String, DataFrame],
-      meta: Map[String, TableMeta]): Unit = {
+      meta: Map[String, TableMeta]): Map[String, TableMeta] = {
     val scratch = new Path(rootPath, s".staging_$txn")
     val versioned = new Path(rootPath, s"v_$txn")
     val ctx = fc(spark, rootPath)
@@ -355,11 +503,18 @@ object AtomicPublish {
       (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
         .parquet(new Path(scratch, name).toString)
     }
+    val sealedMeta = meta.map { case (name, m) =>
+      if (m.statCols.isEmpty || !tables.contains(name)) name -> m
+      else name -> m.copy(segStats = m.segStats +
+        (txn -> computeSegStats(spark, new Path(scratch, name), m.statCols)))
+    }
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mos = fs.create(new Path(scratch, ManifestFile), true)
-    try mos.write(renderManifest(txn, meta).getBytes(StandardCharsets.UTF_8))
+    try mos.write(
+      renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8))
     finally mos.close()
     ctx.rename(scratch, versioned)
+    sealedMeta
   }
 
   /** Table names must survive the manifest grammar (no '=' or ','
@@ -415,12 +570,17 @@ object AtomicPublish {
     * named tables out by the given columns. */
   def publish(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],
-      partitionBy: Map[String, Seq[String]] = Map.empty): String = {
+      partitionBy: Map[String, Seq[String]] = Map.empty,
+      statsBy: Map[String, Seq[String]] = Map.empty): String = {
     require(tables.nonEmpty, "publish needs at least one table")
     validateNames(tables.keys)
     partitionBy.foreach { case (n, cs) =>
       require(tables.contains(n), s"partitionBy names unknown table '$n'")
       validatePartitionCols(n, tables(n), cs)
+    }
+    statsBy.foreach { case (n, cs) =>
+      require(tables.contains(n), s"statsBy names unknown table '$n'")
+      validateStatCols(n, tables(n), cs)
     }
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
@@ -428,11 +588,11 @@ object AtomicPublish {
     try {
       val meta = tables.map { case (n, df) =>
         n -> TableMeta(Seq(txn), Some(df.schema.json),
-          partitionBy.getOrElse(n, Nil))
+          partitionBy.getOrElse(n, Nil), statsBy.getOrElse(n, Nil))
       }
-      stageAndSeal(spark, rootPath, txn, tables, meta)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, tables, meta)
       swapPointer(spark, root, txn,
-        renderManifest(txn, meta).getBytes(StandardCharsets.UTF_8),
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = None)
       markCommitted(spark, root, txn)
       txn
@@ -493,6 +653,7 @@ object AtomicPublish {
       replace: Map[String, DataFrame] = Map.empty,
       parent: Option[String] = None,
       partitionBy: Map[String, Seq[String]] = Map.empty,
+      statsBy: Map[String, Seq[String]] = Map.empty,
       txnId: Option[String] = None): Option[String] = {
     require(append.nonEmpty || replace.nonEmpty,
       "publishDelta needs at least one appended or replaced table")
@@ -502,6 +663,9 @@ object AtomicPublish {
     partitionBy.keys.foreach(n =>
       require(append.contains(n) || replace.contains(n),
         s"partitionBy names unknown table '$n'"))
+    statsBy.keys.foreach(n =>
+      require(append.contains(n) || replace.contains(n),
+        s"statsBy names unknown table '$n'"))
     val txn =
       txnId.getOrElse(java.util.UUID.randomUUID().toString.replace("-", ""))
     val rootPath = new Path(root)
@@ -518,24 +682,47 @@ object AtomicPublish {
             s"append to table '$n' must keep its partition layout " +
               s"(${parentCols.mkString(",")}), got (${pcols.mkString(",")})"))
         validatePartitionCols(n, df, pcols)
-        val merged = pm match {
-          case Some(m) =>
-            mergeSchemas(n, parentSchemaOf(spark, root, n, m), df.schema)
+        // zone-map columns inherit from the parent; an explicit statsBy
+        // may extend them (future segments get the wider map)
+        val scols = statsBy.getOrElse(n, pm.map(_.statCols).getOrElse(Nil))
+        validateStatColsLenient(n, df, scols)
+        val parentSchema = pm.map(m => parentSchemaOf(spark, root, n, m))
+        val merged = parentSchema match {
+          case Some(ps) => mergeSchemas(n, ps, df.schema)
           case None => df.schema
         }
+        // a stat column this append INTRODUCES (absent from the parent
+        // schema — which is the union of every prior slice) is provably
+        // all-null in every existing segment: backfill their zone maps
+        // without touching a file, so late-declared columns still prune
+        // history
+        val baseStats = pm.map(_.segStats).getOrElse(Map.empty)
+        val introduced = parentSchema.map(ps =>
+          scols.filterNot(ps.fieldNames.contains)).getOrElse(Nil)
+        val backfilled =
+          if (introduced.isEmpty) baseStats
+          else baseStats.map { case (o, s) =>
+            o -> s.copy(cols = s.cols ++ introduced
+              .filterNot(s.cols.contains)
+              .map(c => c -> ColStat(None, None, s.rows)))
+          }
         n -> TableMeta(pm.map(_.owners).getOrElse(Nil) :+ txn,
-          Some(merged.json), pcols)
+          Some(merged.json), pcols, scols, backfilled)
       }
       val replaceMeta = replace.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
           parentMeta.get(n).map(_.partitionCols).getOrElse(Nil))
         validatePartitionCols(n, df, pcols)
-        n -> TableMeta(Seq(txn), Some(df.schema.json), pcols)
+        val scols = statsBy.getOrElse(n,
+          parentMeta.get(n).map(_.statCols).getOrElse(Nil))
+        validateStatColsLenient(n, df, scols)
+        n -> TableMeta(Seq(txn), Some(df.schema.json), pcols, scols)
       }
       val meta = parentMeta ++ appendMeta ++ replaceMeta
-      stageAndSeal(spark, rootPath, txn, append ++ replace, meta)
+      val sealedMeta =
+        stageAndSeal(spark, rootPath, txn, append ++ replace, meta)
       val committed = swapPointer(spark, root, txn,
-        renderManifest(txn, meta).getBytes(StandardCharsets.UTF_8),
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(parent))
       if (committed) { markCommitted(spark, root, txn); Some(txn) }
       else None
@@ -654,6 +841,175 @@ object AtomicPublish {
     require(unknown.isEmpty,
       s"owners ${unknown.mkString(",")} do not own table '$table' at $txn")
     readSegments(spark, root, table, meta, owners)
+  }
+
+  // --- zone-map segment skipping ---------------------------------------------
+
+  /** Translate a predicate into a "this segment may hold a matching
+    * row" test over the zone-map frame, CONSERVATIVELY: any construct
+    * the translation does not understand becomes `true` (keep the
+    * segment), missing stats keep the segment, and an all-null column
+    * (nulls == rows — including the schema-evolution case where the
+    * segment predates the column) provably defeats every ordered
+    * comparison. Understood shapes: And/Or, the six binary comparisons
+    * in either orientation against a literal, IN literal-lists,
+    * IS [NOT] NULL, and null-safe equality. `NOT` is NOT translated —
+    * negating a may-match test soundly needs a must-match test, which a
+    * zone map cannot give. */
+  private def segCanMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      statCols: Set[String]): Column = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    import org.apache.spark.sql.graftvec.CatalystBridge
+    def attrName(x: ce.Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 => Some(a.nameParts.head).filter(statCols)
+      case a: ce.AttributeReference => Some(a.name).filter(statCols)
+      case _ => None
+    }
+    // a comparison leaf: false iff the zone map PROVES no row matches
+    def leaf(n: String, cmp: (Column, Column) => Column): Column = {
+      val nulls = col(s"__nulls_$n")
+      when(nulls.isNotNull && nulls === col("__rows"), lit(false))
+        .otherwise(coalesce(cmp(col(s"__min_$n"), col(s"__max_$n")),
+          lit(true)))
+    }
+    def eqLeaf(n: String, v: Column): Column =
+      leaf(n, (mn, mx) => mn <= v && mx >= v)
+    // fwd receives (n, v) for `attr OP literal`; rev for `literal OP attr`
+    def rel(l: ce.Expression, r: ce.Expression,
+        fwd: (String, Column) => Column,
+        rev: (String, Column) => Column): Column =
+      (attrName(l), r, attrName(r), l) match {
+        case (Some(n), lt: ce.Literal, _, _) =>
+          fwd(n, CatalystBridge.column(lt))
+        case (_, _, Some(n), lt: ce.Literal) =>
+          rev(n, CatalystBridge.column(lt))
+        case _ => lit(true)
+      }
+    def go(x: ce.Expression): Column = x match {
+      case ce.And(l, r) => go(l) && go(r)
+      case ce.Or(l, r) => go(l) || go(r)
+      case ce.EqualTo(l, r) => rel(l, r, eqLeaf, eqLeaf)
+      case ce.GreaterThan(l, r) => rel(l, r,
+        (n, v) => leaf(n, (_, mx) => mx > v),
+        (n, v) => leaf(n, (mn, _) => mn < v))
+      case ce.GreaterThanOrEqual(l, r) => rel(l, r,
+        (n, v) => leaf(n, (_, mx) => mx >= v),
+        (n, v) => leaf(n, (mn, _) => mn <= v))
+      case ce.LessThan(l, r) => rel(l, r,
+        (n, v) => leaf(n, (mn, _) => mn < v),
+        (n, v) => leaf(n, (_, mx) => mx > v))
+      case ce.LessThanOrEqual(l, r) => rel(l, r,
+        (n, v) => leaf(n, (mn, _) => mn <= v),
+        (n, v) => leaf(n, (_, mx) => mx >= v))
+      case ce.EqualNullSafe(l, r) => (l, r) match {
+        case (lt: ce.Literal, _) if lt.value == null =>
+          attrName(r).map(n => coalesce(col(s"__nulls_$n") > 0, lit(true)))
+            .getOrElse(lit(true))
+        case (_, lt: ce.Literal) if lt.value == null =>
+          attrName(l).map(n => coalesce(col(s"__nulls_$n") > 0, lit(true)))
+            .getOrElse(lit(true))
+        case _ => rel(l, r, eqLeaf, eqLeaf)
+      }
+      case ce.In(a, vs) if attrName(a).isDefined &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
+        vs.map(v => eqLeaf(attrName(a).get,
+          CatalystBridge.column(v.asInstanceOf[ce.Literal]))).reduce(_ || _)
+      case ce.IsNull(a) => attrName(a)
+        .map(n => coalesce(col(s"__nulls_$n") > 0, lit(true)))
+        .getOrElse(lit(true))
+      case ce.IsNotNull(a) => attrName(a)
+        .map(n => coalesce(col("__rows") > col(s"__nulls_$n"), lit(true)))
+        .getOrElse(lit(true))
+      case _ => lit(true)
+    }
+    go(e)
+  }
+
+  /** The owner segments of `meta` whose zone maps ADMIT `where` —
+    * segments without stats (pre-stats manifests, carried history) are
+    * kept conservatively, so the result is always a superset of the
+    * segments holding matching rows. Evaluation runs Spark's own
+    * comparison semantics over a #segments-row local frame (driver-side
+    * cost is O(segments), no data files are touched). */
+  private[ops] def pruneOwners(spark: SparkSession, meta: TableMeta,
+      where: String): Seq[String] = {
+    if (meta.statCols.isEmpty || meta.segStats.isEmpty) return meta.owners
+    val schema = meta.schema.getOrElse(return meta.owners)
+    val typed = meta.statCols.filter(schema.fieldNames.contains)
+    if (typed.isEmpty) return meta.owners
+    val fields = StructField("__owner", StringType) +:
+      StructField("__rows", LongType, nullable = true) +:
+      typed.flatMap(c => Seq(
+        StructField(s"__min_raw_$c", StringType, nullable = true),
+        StructField(s"__max_raw_$c", StringType, nullable = true),
+        StructField(s"__nulls_$c", LongType, nullable = true)))
+    val rows: Seq[org.apache.spark.sql.Row] = meta.owners.map { o =>
+      val ss = meta.segStats.get(o)
+      val cells = ss.map(s => Long.box(s.rows)).orNull +:
+        typed.flatMap { c =>
+          ss.flatMap(_.cols.get(c)) match {
+            case Some(st) =>
+              Seq(st.min.orNull, st.max.orNull, Long.box(st.nulls))
+            case None => Seq(null, null, null)
+          }
+        }
+      org.apache.spark.sql.Row.fromSeq(o +: cells)
+    }
+    val raw = spark.createDataFrame(rows.asJava, StructType(fields.toArray))
+    val decoded = raw.select(col("__owner") +: col("__rows") +:
+      typed.flatMap { c =>
+        val dt = schema(c).dataType
+        Seq(statDecode(col(s"__min_raw_$c"), dt).as(s"__min_$c"),
+          statDecode(col(s"__max_raw_$c"), dt).as(s"__max_$c"),
+          col(s"__nulls_$c"))
+      }: _*)
+    val pred = segCanMatch(
+      spark.sessionState.sqlParser.parseExpression(where), typed.toSet)
+    decoded.filter(pred).select("__owner").collect().map(_.getString(0))
+      .toSeq
+  }
+
+  /** [[readTable]] with ZONE-MAP SEGMENT SKIPPING: resolves the live
+    * manifest, drops every owner segment whose recorded min/max/null
+    * stats prove it cannot satisfy `where` (a SQL boolean expression
+    * over the table's columns), reads only the survivors and applies
+    * the full predicate to them. Semantically identical to
+    * `readTable(...).where(where)` — the zone map only removes whole
+    * segments the predicate provably rejects, the way a time-ordered
+    * ingest history answers a recency or key-range query by touching a
+    * handful of its thousands of segments. */
+  def readTableWhere(spark: SparkSession, root: String, table: String,
+      where: String): DataFrame = {
+    val (txn, metas) = currentManifestMeta(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val meta = metas.getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' is not in version $txn under $root"))
+    readSegmentsWhere(spark, root, table, meta, where)
+  }
+
+  /** [[readTableAt]] with zone-map segment skipping — see
+    * [[readTableWhere]]. */
+  def readTableAtWhere(spark: SparkSession, root: String, table: String,
+      txn: String, where: String): DataFrame = {
+    val meta = manifestMetaOf(spark, root, txn).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' is not in version $txn under $root"))
+    readSegmentsWhere(spark, root, table, meta, where)
+  }
+
+  private def readSegmentsWhere(spark: SparkSession, root: String,
+      table: String, meta: TableMeta, where: String): DataFrame = {
+    val keep = pruneOwners(spark, meta, where)
+    val base =
+      if (keep.nonEmpty) readSegments(spark, root, table, meta, keep)
+      else spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        meta.schema.getOrElse(throw new IllegalStateException(
+          s"table '$table' pruned to zero segments without a recorded " +
+            "schema — impossible: pruning requires the schema")))
+    base.where(where)
   }
 
   /** One-shot migration for stores published before `_COMMITTED`

@@ -124,4 +124,24 @@ class TextOpsSpec extends SparkSuite {
     // no batch exceeds the configured size
     assert(out.forall(_.getLong(3) <= graft.analytics.TextOps.ShuffleBatchDocs))
   }
+
+  test("sp5 mixture: composition exactly proportional, maximal, deterministic") {
+    import org.apache.spark.sql.functions._
+    val parts = graft.analytics.TextOps.MixtureParts.toMap
+    val out = graft.analytics.TextOps.sp5MixtureSample(spark, dir).collect()
+    val byLang = out.groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    // exact proportionality: every domain contributes k·parts_d
+    val ks = byLang.map { case (l, n) => n / parts(l) }
+    assert(ks.toSet.size == 1, s"not proportional: $byLang")
+    assert(byLang.forall { case (l, n) => n == ks.head * parts(l) })
+    // maximality: k is the bottleneck domain's available DIV parts
+    val avail = graft.core.Tables.documents(spark, dir)
+      .filter(col("lang").isin(parts.keys.toSeq: _*))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ks.head == avail.map { case (l, n) => n / parts(l) }.min)
+    // deterministic across runs
+    assert(graft.analytics.TextOps.sp5MixtureSample(spark, dir)
+      .collect().toSeq == out.toSeq)
+  }
 }

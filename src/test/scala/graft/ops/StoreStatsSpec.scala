@@ -1,0 +1,214 @@
+package graft.ops
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** ZONE MAPS on the store: per-segment min/max/null stats recorded in
+  * the manifest at publish time, and `readTableWhere` skipping every
+  * segment the predicate provably rejects — the data-skipping half of
+  * the table format (partitioning is the layout half, StoreLayoutSpec).
+  * Equivalence with the unpruned read is asserted for every predicate
+  * shape, and pruning is pinned by the FILE SET the query reads. */
+class StoreStatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("store-stats").resolve("tables").toString
+
+  private def sliceDf(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, s"payload-$i")).toDF("doc_id", "text")
+
+  /** Owner-segment dirs (v_<txn>) the frame actually reads. */
+  private def segmentsRead(df: DataFrame): Set[String] =
+    df.inputFiles.flatMap(_.split("/").find(_.startsWith("v_"))).toSet
+
+  /** Three-segment store with disjoint doc_id ranges per segment. */
+  private def threeSegments(root: String): Seq[String] = {
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> sliceDf(0 until 100)),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> sliceDf(100 until 200)), parent = Some(v1)).get
+    val v3 = AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> sliceDf(200 until 300)), parent = Some(v2)).get
+    Seq(v1, v2, v3)
+  }
+
+  test("zone maps recorded per segment and inherited by appends") {
+    val root = freshRoot()
+    val Seq(v1, v2, v3) = threeSegments(root)
+    val meta = AtomicPublish.manifestMetaOf(spark, root, v3)("docs")
+    assert(meta.statCols == Seq("doc_id"))
+    assert(meta.segStats.keySet == Set(v1, v2, v3))
+    val s1 = meta.segStats(v1)
+    assert(s1.rows == 100)
+    assert(s1.cols("doc_id") == AtomicPublish.ColStat(Some("0"), Some("99"), 0))
+    assert(meta.segStats(v3).cols("doc_id").min.contains("200"))
+  }
+
+  test("point and range predicates read only the admitting segments") {
+    val root = freshRoot()
+    val Seq(v1, v2, v3) = threeSegments(root)
+    val point = AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id = 150")
+    assert(segmentsRead(point) == Set(s"v_$v2"))
+    assert(point.count() == 1)
+    val range = AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id >= 180 AND doc_id < 220")
+    assert(segmentsRead(range) == Set(s"v_$v2", s"v_$v3"))
+    assert(range.count() == 40)
+    val all = AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id >= 0")
+    assert(segmentsRead(all).size == 3)
+  }
+
+  test("every predicate shape ≡ the unpruned filter (conservative translation)") {
+    val root = freshRoot()
+    threeSegments(root)
+    val full = AtomicPublish.readTable(spark, root, "docs")
+    for (w <- Seq(
+      "doc_id = 42",
+      "doc_id <> 42", // untranslated shape: must stay conservative
+      "150 <= doc_id", // reversed orientation
+      "doc_id IN (5, 105, 205)",
+      "doc_id BETWEEN 90 AND 110",
+      "doc_id IS NULL",
+      "doc_id IS NOT NULL",
+      "NOT (doc_id < 100)", // NOT is never translated
+      "doc_id = 50 OR doc_id = 250",
+      "doc_id = 50 OR text = 'payload-250'", // OR with non-stat column
+      "text = 'payload-7'", // no stats on text at all
+      "doc_id * 2 = 100")) { // arithmetic leaf: untranslated
+      val pruned = AtomicPublish.readTableWhere(spark, root, "docs", w)
+        .collect().toSet
+      val expect = full.where(w).collect().toSet
+      assert(pruned == expect, s"mismatch for: $w")
+    }
+  }
+
+  test("a predicate no segment admits reads nothing and returns empty") {
+    val root = freshRoot()
+    threeSegments(root)
+    val none = AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id = 99999")
+    assert(none.inputFiles.isEmpty)
+    assert(none.count() == 0)
+    assert(none.columns.toSeq == Seq("doc_id", "text"))
+  }
+
+  test("evolved column: pre-evolution segments prune as all-null") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> sliceDf(0 until 100)),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    // the widening append DECLARES the new column as a stat column;
+    // v1's zone map is backfilled all-null from the schema proof
+    val withScore = (100 until 200)
+      .map(i => (i.toLong, s"payload-$i", i * 10L))
+      .toDF("doc_id", "text", "score")
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> withScore), parent = Some(v1),
+      statsBy = Map("docs" -> Seq("doc_id", "score"))).get
+    // v1 predates `score`: its zone map records it all-null, so a
+    // comparison on score skips v1 entirely
+    val hit = AtomicPublish.readTableWhere(spark, root, "docs",
+      "score >= 1500")
+    assert(segmentsRead(hit) == Set(s"v_$v2"))
+    assert(hit.count() == 50)
+    // IS NULL goes the other way: only v1 qualifies
+    val nulls = AtomicPublish.readTableWhere(spark, root, "docs",
+      "score IS NULL")
+    assert(segmentsRead(nulls) == Set(s"v_$v1"))
+    assert(nulls.count() == 100)
+  }
+
+  test("timestamp stats are timezone-independent (epoch-micros encoding)") {
+    val root = freshRoot()
+    def tsDf(offs: Range) = offs
+      .map(i => (i.toLong, new Timestamp(1700000000000L + i * 60000L)))
+      .toDF("doc_id", "ts")
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("ev" -> tsDf(0 until 50)), statsBy = Map("ev" -> Seq("ts")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("ev" -> tsDf(1000 until 1050)), parent = Some(v1))
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("ev")
+    // recorded as digits (epoch micros), not a rendered local time
+    assert(meta.segStats.values.forall(
+      _.cols("ts").min.get.forall(_.isDigit)))
+    val cut = new Timestamp(1700000000000L + 999 * 60000L)
+    val late = AtomicPublish.readTableWhere(spark, root, "ev",
+      s"ts > TIMESTAMP '$cut'")
+    assert(segmentsRead(late).size == 1)
+    assert(late.count() == 50)
+  }
+
+  test("string stats survive manifest round-trip with hostile characters") {
+    val root = freshRoot()
+    val hostile = Seq(
+      (1L, "line\nbreak"), (2L, "quote\"and\\slash"), (3L, "émoji ⚡ text"))
+      .toDF("doc_id", "text")
+    AtomicPublish.publish(spark, root, Map("docs" -> hostile),
+      statsBy = Map("docs" -> Seq("doc_id", "text")))
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("docs")
+    val st = meta.segStats.values.head.cols("text")
+    assert(st.min.contains("line\nbreak"))
+    assert(st.max.contains("émoji ⚡ text"))
+    val got = AtomicPublish.readTableWhere(spark, root, "docs",
+      "text = 'line\nbreak'").collect()
+    assert(got.length == 1 && got.head.getLong(0) == 1L)
+  }
+
+  test("empty appended segment is prunable; all-pruned IN-list reads nothing") {
+    val root = freshRoot()
+    val Seq(v1, _, _) = threeSegments(root)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> sliceDf(0 until 0)),
+      parent = Some(AtomicPublish.currentTxn(spark, root).get))
+    val hit = AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id IN (3, 7)")
+    assert(segmentsRead(hit) == Set(s"v_$v1"))
+    assert(hit.count() == 2)
+  }
+
+  test("compaction preserves stat columns and recomputes the zone map") {
+    val root = freshRoot()
+    threeSegments(root)
+    val (ctxn, _) = Compaction.compactStore(spark, root, "docs")
+    val meta = AtomicPublish.manifestMetaOf(spark, root, ctxn)("docs")
+    assert(meta.statCols == Seq("doc_id"))
+    assert(meta.owners == Seq(ctxn))
+    assert(meta.segStats(ctxn).rows == 300)
+    assert(meta.segStats(ctxn).cols("doc_id") ==
+      AtomicPublish.ColStat(Some("0"), Some("299"), 0))
+    // post-compaction predicate still equivalent
+    assert(AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id < 10").count() == 10)
+  }
+
+  test("time travel prunes against the pinned version's zone map") {
+    val root = freshRoot()
+    val Seq(v1, v2, _) = threeSegments(root)
+    val at2 = AtomicPublish.readTableAtWhere(spark, root, "docs", v2,
+      "doc_id >= 150")
+    assert(segmentsRead(at2) == Set(s"v_$v2"))
+    assert(at2.count() == 50)
+    // the third segment does not exist at v2 even for a wide predicate
+    assert(segmentsRead(AtomicPublish.readTableAtWhere(spark, root, "docs",
+      v2, "doc_id >= 0")) == Set(s"v_$v1", s"v_$v2"))
+  }
+
+  test("unsupported stat column types fail fast at publish") {
+    val root = freshRoot()
+    val arr = Seq((1L, Seq(1.0, 2.0))).toDF("doc_id", "vec")
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.publish(spark, root, Map("t" -> arr),
+        statsBy = Map("t" -> Seq("vec")))
+    }
+    assert(e.getMessage.contains("zone map"))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.analytics.SimilarityOps
+import graft.ops.AtomicPublish
+
+/** Streaming ANN-index ingest: per-trigger atomic deltas into the
+  * cell-partitioned published IVF index, exactly-once content under
+  * replay, and equivalence with a one-shot batch build. */
+class VecIngestSpec extends SparkSuite {
+  import spark.implicits._
+
+  // four orthogonal centroids: assignment is exact and deterministic
+  // (cosine 1.0 to the aligned centroid, 0.0 to every other)
+  private def centroids: DataFrame = Seq(
+    (0, Seq(1.0, 0.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0, 0.0)),
+    (2, Seq(0.0, 0.0, 1.0, 0.0)), (3, Seq(0.0, 0.0, 0.0, 1.0)))
+    .toDF("cell", "c")
+
+  private def vec(i: Long): (Long, Seq[Double]) = {
+    val v = Array(0.0, 0.0, 0.0, 0.0)
+    v((i % 4).toInt) = 1.0 + i // scale never changes the cosine argmax
+    i -> v.toSeq
+  }
+
+  test("streamed index ≡ one-shot build; replays admit zero; layout partitioned") {
+    val root = Files.createTempDirectory("vec-ingest").resolve("index").toString
+    val src = Files.createTempDirectory("vec-ingest-src")
+    // b0: 0..19; b1: replay of 0..4 + new 20..29; b2: PURE replay
+    val batches = Seq(
+      (0L until 20L).map(vec),
+      (0L until 5L).map(vec) ++ (20L until 30L).map(vec),
+      (10L until 20L).map(vec))
+    batches.zipWithIndex.foreach { case (vs, i) =>
+      val d = Files.createTempDirectory(s"vec-ingest-stage$i")
+      vs.toDF("vec_id", "v").coalesce(1).write.parquet(d.resolve("p").toString)
+      val dst = src.resolve(f"b$i.parquet")
+      Files.copy(firstFile(d.resolve("p")), dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 30000 + i * 10000))
+      ()
+    }
+    val stream = spark.readStream
+      .schema("vec_id LONG, v ARRAY<DOUBLE>")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(src.toString)
+    VecIngest.indexStream(stream, root, centroids).awaitTermination()
+
+    val idx = AtomicPublish.readTable(spark, root, "ivf_index")
+    // exactly-once content: every distinct vec_id once, assigned to its
+    // aligned cell
+    val got = idx.select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(got.keySet == (0L until 30L).toSet)
+    got.foreach { case (id, cell) => assert(cell == (id % 4).toInt) }
+    // equivalence with a one-shot batch build over the union
+    val oneShot = SimilarityOps.assignCells(
+        batches.flatten.distinct.toDF("vec_id", "v")
+          .withColumn("nrm", sqrt(graft.functions.VectorFunctions
+            .dot(col("v"), col("v")))),
+        centroids)
+      .select("vec_id", "cell").as[(Long, Int)].collect().toMap
+    assert(got == oneShot)
+    // the pure-replay trigger published NOTHING: two owner segments
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val meta = AtomicPublish.manifestMetaOf(spark, root, txn)("ivf_index")
+    assert(meta.owners.size == 2, s"owners=${meta.owners}")
+    // first append decided the cell-partitioned layout; a cell filter
+    // prunes the store read to that cell's partitions
+    assert(meta.partitionCols == Seq("cell"))
+    val pruned = idx.filter(col("cell") === 2)
+    pruned.collect()
+    val plan = (pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+  }
+
+  test("batch backfill entry returns None on a fully-published batch") {
+    val root = Files.createTempDirectory("vec-ingest2").resolve("index").toString
+    val first = VecIngest.indexBatch(spark, root,
+      (0L until 8L).map(vec).toDF("vec_id", "v"), centroids)
+    assert(first.isDefined)
+    val replay = VecIngest.indexBatch(spark, root,
+      (0L until 8L).map(vec).toDF("vec_id", "v"), centroids)
+    assert(replay.isEmpty)
+    assert(AtomicPublish.readTable(spark, root, "ivf_index").count() == 8)
+  }
+}
