@@ -1012,6 +1012,25 @@ object AtomicPublish {
     base.where(where)
   }
 
+  /** SQL face of the store: register every table of ONE version as a
+    * temp view `<prefix><table>` and return the pinned txn. The pin
+    * happens once, so `spark.sql` joins across the views see a mutually
+    * CONSISTENT snapshot even under concurrent publishers (the
+    * documented consistent-read pattern, lifted to the SQL surface);
+    * published versions are immutable, so the views keep serving that
+    * snapshot until re-registered. Pass `txn` to mount a historical
+    * version (time travel in SQL). */
+  def registerViews(spark: SparkSession, root: String, prefix: String = "",
+      txn: Option[String] = None): String = {
+    val pinned = txn.getOrElse(currentTxn(spark, root).getOrElse(
+      throw new IllegalStateException(s"no published version under $root")))
+    manifestMetaOf(spark, root, pinned).keys.toSeq.sorted.foreach { t =>
+      readTableAt(spark, root, t, pinned)
+        .createOrReplaceTempView(prefix + t)
+    }
+    pinned
+  }
+
   /** One-shot migration for stores published before `_COMMITTED`
     * markers existed: stamp EVERY existing version dir as committed so
     * `keepLast`/`minAgeMs` retention ranks them again. Markers are

@@ -190,8 +190,19 @@ object LlmIngest {
                   .repartition(1), // 16 B/doc: never larger than one file
                 RunsTable -> run)
             }
+          // zone maps on doc_id: declared at table creation, inherited
+          // by every later append (and maintain's replaces), so a store
+          // consumer's id-range read skips history segments — segments
+          // of a time-ordered ingest carry naturally disjoint id ranges
+          val statsNew = nNew > 0 && parent.forall(p =>
+            !AtomicPublish.manifestMetaOf(spark, root, p)
+              .get(DocsTable).exists(_.statCols.nonEmpty))
+          val statsBy: Map[String, Seq[String]] =
+            if (statsNew)
+              Map(DocsTable -> Seq("doc_id"), ChunksTable -> Seq("doc_id"))
+            else Map.empty
           AtomicPublish.publishDelta(spark, root,
-            append = tables, parent = parent) match {
+            append = tables, parent = parent, statsBy = statsBy) match {
             case Some(txn) =>
               autoCompact(spark, root, txn)
               return nNew

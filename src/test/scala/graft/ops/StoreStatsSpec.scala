@@ -202,6 +202,28 @@ class StoreStatsSpec extends SparkSuite {
       v2, "doc_id >= 0")) == Set(s"v_$v1", s"v_$v2"))
   }
 
+  test("registerViews mounts a consistent SQL snapshot; re-register advances") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map(
+      "docs" -> sliceDf(0 until 50),
+      "marks" -> Seq((1L, "keep"), (2L, "drop")).toDF("doc_id", "verdict")))
+    val pinned = AtomicPublish.registerViews(spark, root, prefix = "st_")
+    assert(pinned == v1)
+    // SQL joins across the mounted views
+    assert(spark.sql(
+      """SELECT count(*) FROM st_docs d JOIN st_marks m ON d.doc_id = m.doc_id
+        |WHERE m.verdict = 'keep'""".stripMargin).head().getLong(0) == 1L)
+    // a newer publish does NOT move the mounted snapshot...
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> sliceDf(50 until 80)), parent = Some(v1))
+    assert(spark.sql("SELECT count(*) FROM st_docs").head().getLong(0) == 50L)
+    // ...until re-registered (and time travel mounts v1 again)
+    AtomicPublish.registerViews(spark, root, prefix = "st_")
+    assert(spark.sql("SELECT count(*) FROM st_docs").head().getLong(0) == 80L)
+    AtomicPublish.registerViews(spark, root, prefix = "old_", txn = Some(v1))
+    assert(spark.sql("SELECT count(*) FROM old_docs").head().getLong(0) == 50L)
+  }
+
   test("unsupported stat column types fail fast at publish") {
     val root = freshRoot()
     val arr = Seq((1L, Seq(1.0, 2.0))).toDF("doc_id", "vec")

@@ -249,4 +249,29 @@ class LlmIngestStreamSpec extends SparkSuite {
     val runs = tbl(LlmIngest.RunsTable).count()
     assert(runs == 2L, s"expected 2 ingest runs, found $runs")
   }
+
+  test("ingest records doc_id zone maps; id-range reads skip history segments") {
+    val root = Files.createTempDirectory("llm-ingest-zm").resolve("store").toString
+    // two triggers with disjoint id ranges (a time-ordered ingest)
+    LlmIngest.ingestBatch(spark, root,
+      (1L to 5L).map(i => i -> mk(30, s"p$i")).toDF("doc_id", "text"), "zm_b0")
+    LlmIngest.ingestBatch(spark, root,
+      (100L to 104L).map(i => i -> mk(30, s"q$i")).toDF("doc_id", "text"), "zm_b1")
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val meta = AtomicPublish.manifestMetaOf(spark, root, txn)(LlmIngest.DocsTable)
+    assert(meta.statCols == Seq("doc_id"))
+    assert(meta.segStats.size == 2)
+    // the second segment is the one whose zone map starts at 100
+    val seg2 = meta.segStats.collectFirst {
+      case (o, s) if s.cols("doc_id").min.contains("100") => o }.get
+    val hit = AtomicPublish.readTableWhere(spark, root,
+      LlmIngest.DocsTable, "doc_id >= 100")
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(_.contains(s"v_$seg2")), hit.inputFiles.toSeq)
+    assert(hit.select("doc_id").as[Long].collect().toSet ==
+      (100L to 104L).toSet)
+    // chunks carry the same stats; maintain-style replace would inherit
+    val cmeta = AtomicPublish.manifestMetaOf(spark, root, txn)(LlmIngest.ChunksTable)
+    assert(cmeta.statCols == Seq("doc_id"))
+  }
 }
