@@ -83,4 +83,45 @@ object ClusterOps {
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
+
+  /** INCREMENTAL connected components — the published-state pattern
+    * (n1b / n2-incremental / n3e) applied to cluster resolution:
+    * `published` is the label table of an earlier run (doc_id,
+    * cluster_id); `newPairs` are the pairs with at least one new side
+    * (e.g. [[DedupOps.n2PairsIncrementalOn]]'s output). Returns labels
+    * for the UNION — equal to a from-scratch run over all pairs —
+    * while touching only O(new + affected) rows:
+    *
+    *  - published clusters NOT touched by any new pair carry their
+    *    labels BY REFERENCE (an anti join; their members are never
+    *    re-labeled, their pairs never re-derived);
+    *  - touched clusters are rejoined through STAR EDGES (member →
+    *    cluster id): a component is connected through its hub, so
+    *    cc(star ∪ newPairs) has exactly the connectivity of
+    *    cc(allPairs) on the affected subgraph — the published PAIRS
+    *    are never needed again, which is the point: pair derivation
+    *    (the PPJoin) is the expensive step, and its output is distilled
+    *    into |docs| labels instead of |pairs| edges.
+    *
+    * Label stability: cluster ids are component minima, and a merge
+    * can only lower a member's id (the union's component contains every
+    * constituent). An untouched cluster's id is untouched. */
+  def connectedComponentsIncremental(newPairs: DataFrame,
+      published: DataFrame): DataFrame = {
+    val pub = published.select(col(published.columns(0)).as("doc_id"),
+      col(published.columns(1)).as("cluster_id"))
+    val a = newPairs.columns(0)
+    val b = newPairs.columns(1)
+    val touchedDocs = newPairs.select(col(a).as("doc_id"))
+      .unionByName(newPairs.select(col(b).as("doc_id"))).distinct()
+    val touchedClusters = pub.join(touchedDocs, Seq("doc_id"))
+      .select("cluster_id").distinct()
+    val affected = pub.join(touchedClusters, Seq("cluster_id"), "left_semi")
+    val star = affected.select(col("doc_id").as(a), col("cluster_id").as(b))
+    val relabeled = connectedComponents(
+      star.unionByName(newPairs.select(col(a), col(b))))
+    pub.join(touchedClusters, Seq("cluster_id"), "left_anti")
+      .select(col("doc_id"), col("cluster_id"))
+      .unionByName(relabeled)
+  }
 }

@@ -329,6 +329,99 @@ object TextOps {
       |WHERE rk <= $StrataQuota
       |ORDER BY lang, rk""".stripMargin
 
+  val Bm25Terms = Seq("join", "vector", "scan", "merge")
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+
+  /** T7: BM25 relevance scoring — the classic retrieval op a curation
+    * pipeline runs to pull the most on-topic documents for a term set
+    * (quality-by-relevance selection, the sibling of t2's intrinsic
+    * quality gate). Corpus statistics (N, avgdl, per-term document
+    * frequencies) are computed IN-PLAN as a one-row aggregate broadcast
+    * back over the corpus — no driver loop; per-doc term frequencies
+    * are map-only array ops on the word array (no explode, no shuffle
+    * until the final top-k). Top-k via orderBy+limit, which Spark
+    * executes as TakeOrderedAndProject — per-partition heaps + one
+    * k-row gather, never a global sort.
+    *
+    * Oracle discipline for floats: the score expression is written with
+    * the SAME operation tree in both engines (every constant forced to
+    * DOUBLE in DuckDB — its bare decimals are DECIMAL-typed and would
+    * change the arithmetic), and the four per-term scores are summed in
+    * one fixed explicit order, so both engines run the identical IEEE
+    * sequence; ln() may differ in the last ulp, absorbed by the 4dp
+    * round (the a14 moment-aggregate precedent). Ranking orders by the
+    * ROUNDED score (then doc_id), so near-equal raw scores cannot
+    * reorder across engines. */
+  def t7Bm25(spark: SparkSession, dir: String): DataFrame =
+    t7Bm25On(Tables.documents(spark, dir))
+
+  def t7Bm25On(docs: DataFrame): DataFrame = {
+    val terms = Bm25Terms.zipWithIndex
+    val tfCols = terms.map { case (t, i) =>
+      size(filter(words, x => x === lit(t))).cast("double").as(s"tf_$i")
+    }
+    val base = docs.select(
+      (col("doc_id") +: size(words).cast("long").as("dl") +: tfCols): _*)
+    val dfAggs = count(lit(1)).as("nn") +: sum(col("dl")).as("sdl") +:
+      terms.map { case (_, i) =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i") }
+    val stats = base.agg(dfAggs.head, dfAggs.tail: _*)
+    val avgdl = col("sdl").cast("double") / col("nn")
+    def scoreOf(i: Int): Column = {
+      val tf = col(s"tf_$i"); val dfc = col(s"df_$i")
+      val idf = log(lit(1.0) +
+        (col("nn") - dfc + lit(0.5)) / (dfc + lit(0.5)))
+      idf * (tf * lit(Bm25K1 + 1)) /
+        (tf + lit(Bm25K1) *
+          (lit(1 - Bm25B) + lit(Bm25B) * col("dl") / avgdl))
+    }
+    val total = terms.map { case (_, i) => scoreOf(i) }
+      .reduceLeft(_ + _) // fixed left-to-right summation order
+    base.crossJoin(broadcast(stats))
+      .select(col("doc_id"), r4(total).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  val t7Bm25Sql: String = {
+    val terms = Bm25Terms.zipWithIndex
+    val tfs = terms.map { case (t, i) =>
+      s"len(list_filter(ws, x -> x = '$t'))::DOUBLE AS tf_$i" }.mkString(",\n|    ")
+    val dfs = terms.map { case (_, i) =>
+      s"sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END)::BIGINT AS df_$i" }
+      .mkString(",\n|       ")
+    val scores = terms.map { case (_, i) =>
+      s"ln(1.0::DOUBLE + (nn - df_$i + 0.5::DOUBLE) / (df_$i + 0.5::DOUBLE))" +
+        s" * (tf_$i * ${Bm25K1 + 1}::DOUBLE)" +
+        s" / (tf_$i + ${Bm25K1}::DOUBLE * (${1 - Bm25B}::DOUBLE" +
+        s" + ${Bm25B}::DOUBLE * dl / (CAST(sdl AS DOUBLE) / nn)))"
+    }.mkString("\n|      + ")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tf AS (
+      |  SELECT doc_id, len(ws)::BIGINT AS dl,
+      |    $tfs
+      |  FROM w),
+      |st AS (SELECT count(*)::BIGINT AS nn, sum(dl)::BIGINT AS sdl,
+      |       $dfs
+      |       FROM tf),
+      |sc AS (
+      |  SELECT doc_id,
+      |    round($scores, 4) AS score
+      |  FROM tf, st),
+      |top AS (SELECT doc_id, score FROM sc
+      |        ORDER BY score DESC, doc_id LIMIT $Bm25TopK)
+      |SELECT (row_number() OVER (ORDER BY score DESC, doc_id))::BIGINT AS rank,
+      |  doc_id, score
+      |FROM top ORDER BY rank""".stripMargin
+  }
+
   /** Mixture composition as integer PARTS (en:de:fr:es:zh = 4:2:2:1:1).
     * Integer parts instead of float weights keep the whole computation
     * in exact arithmetic — no engine-boundary float rounding anywhere. */
@@ -555,6 +648,7 @@ object TextOps {
     "t4_fingerprint" -> (t4Fingerprint _),
     "t5_chunking" -> (t5Chunking _),
     "t6_repetition" -> (t6Repetition _),
+    "t7_bm25" -> (t7Bm25 _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
     "sp3_sequence_pack" -> (sp3SequencePack _),
@@ -569,6 +663,7 @@ object TextOps {
     "t4_fingerprint" -> t4FingerprintSql,
     "t5_chunking" -> t5ChunkingSql,
     "t6_repetition" -> t6RepetitionSql,
+    "t7_bm25" -> t7Bm25Sql,
     "sp1_hash_split" -> sp1HashSplitSql,
     "sp2_stratified_sample" -> sp2StratifiedSampleSql,
     "sp3_sequence_pack" -> sp3SequencePackSql,

@@ -216,11 +216,49 @@ object MultimodalOps {
         round(avg(element_at(col("features"), 1)), 4).as("avg_f0"))
       .orderBy(col("modality"))
 
+  /** The fixed public enumeration of feature-index pairs behind the
+    * perceptual hash: the first 64 of the 120 ordered pairs of the 16
+    * decode-kernel features, lexicographic. */
+  val PhashPairs: Seq[(Int, Int)] =
+    (for { i <- 0 until StubDecoder.FeatureDim
+           j <- i + 1 until StubDecoder.FeatureDim } yield (i, j)).take(64)
+
+  /** 64-bit PERCEPTUAL hash per media row: bit k = [features(a_k) >
+    * features(b_k)] over [[PhashPairs]] — rank-correlation (
+    * Winner-Take-All-family) hashing: each bit is a comparison, so the
+    * hash is invariant to any monotonic distortion of the feature
+    * scale, exactly the robustness a perceptual hash wants (re-encoded
+    * or brightness-shifted media keeps its bit pattern). Map-only over
+    * the decode output. */
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
+    val bits = PhashPairs.zipWithIndex.map { case ((a, b), k) =>
+      when(element_at(col("features"), a + 1) >
+          element_at(col("features"), b + 1),
+        lit(1L << k)).otherwise(lit(0L))
+    }
+    decode(mediaCatalog(spark, dir)).toDF()
+      .select(col("media_id"),
+        bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
+  }
+
+  /** MM5: perceptual-hash NEAR-DUP pairs over media — the multimodal
+    * face of the dedup tier: decode → 64-bit perceptual hash →
+    * [[graft.analytics.DedupOps.simhashPairs]] banding. Because the
+    * 4×16-bit banding is pigeonhole-COMPLETE for hamming ≤ 3, the
+    * result equals brute-force all-pairs comparison exactly (spec-
+    * pinned) while shuffling only (id, band, bucket) rows. No SQL
+    * oracle — the decode kernel is engine-side, like mm3. */
+  def mm5PhashNearDup(spark: SparkSession, dir: String): DataFrame =
+    graft.analytics.DedupOps.simhashPairs(
+        mediaPhash(spark, dir).withColumnRenamed("media_id", "doc_id"))
+      .toDF("ma", "mb", "hamming")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_stats" -> (mm1MediaStats _),
     "mm2_frame_sample" -> (mm2FrameSample _),
     "mm3_decode_features" -> (mm3DecodeFeatures _),
     "mm4_audio_windows" -> (mm4AudioWindows _),
+    "mm5_phash_neardup" -> (mm5PhashNearDup _),
   )
 
   def oracleSql: Map[String, String] = Map(

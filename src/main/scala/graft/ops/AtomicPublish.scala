@@ -1138,7 +1138,12 @@ object AtomicPublish {
         .map(st => (st, commitTime(st)))
       val retainedRecent = versions
         .collect { case (st, Some(t)) => (st.getPath.getName, t) }
-        .sortBy { case (n, t) => (-t, n) } // ms ties: deterministic by name
+        // the LIVE version is by definition the most recent commit —
+        // rank it first even when marker mtimes tie at ms resolution
+        // (otherwise it eats no keepLast slot and a tied trio retains
+        // keepLast+1 versions nondeterministically); remaining ms ties
+        // are deterministic by version name
+        .sortBy { case (n, t) => (!live(n), -t, n) }
         .take(keepLast).map(_._1).toSet
       val committedAt = versions.collect {
         case (st, Some(t)) => st.getPath.getName -> t }.toMap

@@ -60,6 +60,37 @@ class ClusterOpsSpec extends SparkSuite {
     assert(ccOf(Seq.empty[(Long, Long)]).isEmpty)
   }
 
+  test("incremental cc ≡ from-scratch on the union (merge, extend, untouched)") {
+    // published: {1,2,3} (id 1), {10,11} (id 10), {20,21} (id 20)
+    val pubPairs = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+    val published = ClusterOps.connectedComponents(pubPairs.toDF("da", "db"))
+    // new pairs: extend {1..} with 4; MERGE {10,11} and {20,21} through
+    // new doc 15; fresh component {30,31}; cluster {1,2,3} + {new 0}
+    // lowers the canonical id of a published cluster
+    val newPairs = Seq[(Long, Long)](
+      (3L, 4L), (11L, 15L), (15L, 20L), (30L, 31L), (0L, 1L))
+    val inc = ClusterOps.connectedComponentsIncremental(
+      newPairs.toDF("da", "db"), published)
+      .collect().map { case Row(d: Long, c: Long) => d -> c }.toMap
+    val full = ccOf(pubPairs ++ newPairs)
+    assert(inc == full)
+    // spot semantics: merge landed on min(10, 15, 20) = 10; the
+    // 0-join lowered {1,2,3,4}'s id to 0
+    assert(inc(21L) == 10L && inc(15L) == 10L)
+    assert(inc(3L) == 0L && inc(4L) == 0L)
+    assert(inc(30L) == 30L)
+  }
+
+  test("incremental cc carries untouched clusters without relabeling") {
+    val pubPairs = Seq[(Long, Long)]((1L, 2L), (50L, 51L))
+    val published = ClusterOps.connectedComponents(pubPairs.toDF("da", "db"))
+    val inc = ClusterOps.connectedComponentsIncremental(
+      Seq[(Long, Long)]((100L, 101L)).toDF("da", "db"), published)
+      .collect().map { case Row(d: Long, c: Long) => d -> c }.toMap
+    assert(inc == Map(1L -> 1L, 2L -> 1L, 50L -> 50L, 51L -> 50L,
+      100L -> 100L, 101L -> 100L))
+  }
+
   test("n7 clusters agree with n2 pairs: every pair lands in one cluster") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // exact-ish dup

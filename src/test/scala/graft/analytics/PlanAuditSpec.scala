@@ -163,6 +163,32 @@ class PlanAuditSpec extends SparkSuite {
     } finally prev.fold(spark.conf.unset(abt))(v => spark.conf.set(abt, v))
   }
 
+  test("runtime bloom filter: a selective dim filter injects a fact-side prefilter") {
+    // the second runtime safety net beside AQE: when a shuffle join's
+    // build side carries a selective filter, Spark's InjectRuntimeFilter
+    // plants a bloom_filter_might_contain on the PROBE side's scan, so
+    // at 100 TB the fact table drops non-joining rows before the
+    // exchange instead of shuffling them. Thresholds are production
+    // defaults scaled to the test corpus (the app-side scan threshold
+    // defaults to 10GB — far above any test fixture).
+    val overrides = Map(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") // shuffle-join regime
+    val saved = overrides.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    overrides.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val lineitem = graft.core.Tables.lineitem(spark, dir)
+      val orders = graft.core.Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"), p)
+    } finally saved.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("a14: moment aggregates partial-reduce map-side like sum/count") {
     val p = planString(AdvancedQueries.a14StatsAgg(spark, dir))
     // pin the MOMENT aggregates specifically — a generic partial_ match

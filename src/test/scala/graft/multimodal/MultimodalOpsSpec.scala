@@ -90,4 +90,26 @@ class MultimodalOpsSpec extends SparkSuite {
     assert(out.length == 3)
     assert(out.forall(_.getLong(1) > 0))
   }
+
+  test("mm5 phash near-dup EQUALS brute force (banding complete at hamming ≤ 3)") {
+    val hashes = MultimodalOps.mediaPhash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // brute-force reference over all pairs
+    val brute = (for {
+      (a, fa) <- hashes; (b, fb) <- hashes if a < b
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    val got = MultimodalOps.mm5PhashNearDup(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == brute, s"got=${got.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture has no near-dup media — test is vacuous")
+    // exact-duplicate documents have identical payloads → identical
+    // features → hamming 0: every exact-dup group surfaces in mm5
+    val dupPair = graft.analytics.DedupOps.n1DedupExact(spark, dir)
+      .filter(col("n_copies") > 1).limit(1).collect()
+    dupPair.foreach { r =>
+      val keep = r.getAs[Long]("keep_id")
+      assert(got.exists { case (a, b, h) => (a == keep || b == keep) && h == 0L })
+    }
+  }
 }
