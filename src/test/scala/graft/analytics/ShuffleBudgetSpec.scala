@@ -93,4 +93,26 @@ class ShuffleBudgetSpec extends SparkSuite {
     assertBudget("p1b_profile_approx",
       InsightQueries.p1bProfileApprox(spark, dir), 2)
   }
+
+  test("sp5 mixture: two corpus shuffles + two #domains-row quota exchanges") {
+    // corpus-scale wire cost is 2 (domain-count agg + rank window); the
+    // other two exchanges move ≤ #domains rows (the quota aggregate's
+    // gather) and the final k-row sort — quota application itself rides
+    // a broadcast, never an exchange
+    assertBudget("sp5_mixture_sample", TextOps.sp5MixtureSample(spark, dir), 4)
+  }
+
+  test("t7 BM25: corpus stats gather + top-k heap — never a global sort") {
+    val df = TextOps.t7Bm25(spark, dir)
+    assertBudget("t7_bm25", df, 3)
+    df.collect()
+    val p = (df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case o => o
+    }).toString
+    // the corpus-wide top-k is a TakeOrderedAndProject (per-partition
+    // heaps + one k-row gather); a Sort over the full corpus would be
+    // the 100 TB antipattern
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
