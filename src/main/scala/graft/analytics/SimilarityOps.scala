@@ -813,6 +813,26 @@ object SimilarityOps {
       .orderBy(col("va"), col("vb"))
   }
 
+  /** N8: SEMANTIC duplicate clusters (the SemDeDup shape, Abbas et al.
+    * 2023 — public): n5's embedding near-dup pairs become the edge
+    * list, [[ClusterOps.connectedComponents]] resolves them into
+    * components, and the canonical-election output is per-vector —
+    * (vec_id, cluster_id = component min, csize). `csize - 1` per
+    * cluster is what a keep-one policy drops; a training pipeline runs
+    * exactly this after embedding its corpus. Approximate the same way
+    * n5 is (SRP banding false negatives possible; emitted components
+    * exact over the found pairs) → spec vs a driver union-find, no SQL
+    * oracle. */
+  def n8SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
+    val labels = ClusterOps.connectedComponents(
+      n5EmbedNearDup(spark, dir).select(col("va"), col("vb")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+    labels.select(col("doc_id").as("vec_id"), col("cluster_id"))
+      .withColumn("csize", count(lit(1)).over(w))
+      .orderBy(col("vec_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n3_cosine_topk" -> (n3CosineTopk _),
     "n3b_srp_ann" -> (n3bSrpAnn _),
@@ -820,6 +840,7 @@ object SimilarityOps {
     "n3d_ivf2_ann" -> ((s: SparkSession, d: String) => n3dIvf2Ann(s, d)),
     "n3e_ann_incremental" -> (n3eAnnIncremental _),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
+    "n8_semantic_clusters" -> (n8SemanticClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -56,17 +56,27 @@ object VecIngest {
           AtomicPublish.readTableAt(spark, indexRoot, IndexTable, parent.get)
             .select("vec_id")
         else spark.range(0).select(col("id").as("vec_id"))
-      val novel = withNorm.join(published, Seq("vec_id"), "left_anti")
-      val assigned = SimilarityOps.assignCells(novel, centroids)
+      // cached: the emptiness probe and the publish write share ONE
+      // materialization — without it the published-ids anti-join scan
+      // (8 B/vec, but the whole index) would run twice per trigger
+      val assigned = SimilarityOps
+        .assignCells(withNorm.join(published, Seq("vec_id"), "left_anti"),
+          centroids)
         .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
-      if (assigned.isEmpty) return None // replay: no empty segment, no manifest growth
-      val layout: Map[String, Seq[String]] =
-        if (hasTable) Map.empty else Map(IndexTable -> Seq("cell"))
-      AtomicPublish.publishDelta(spark, indexRoot,
-        append = Map(IndexTable -> assigned), parent = parent,
-        partitionBy = layout) match {
-        case Some(txn) => return Some(txn)
-        case None => () // concurrent appender won; re-pin and retry
+        .cache()
+      try {
+        if (assigned.isEmpty) return None // replay: no empty segment
+        val layout: Map[String, Seq[String]] =
+          if (hasTable) Map.empty else Map(IndexTable -> Seq("cell"))
+        AtomicPublish.publishDelta(spark, indexRoot,
+          append = Map(IndexTable -> assigned), parent = parent,
+          partitionBy = layout) match {
+          case Some(txn) => return Some(txn)
+          case None => () // concurrent appender won; re-pin and retry
+        }
+      } finally {
+        assigned.unpersist()
+        ()
       }
     }
     throw new IllegalStateException(

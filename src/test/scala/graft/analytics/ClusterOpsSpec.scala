@@ -91,6 +91,21 @@ class ClusterOpsSpec extends SparkSuite {
       100L -> 100L, 101L -> 100L))
   }
 
+  test("n8 semantic clusters = union-find over n5's pairs, sizes attached") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = SimilarityOps.n5EmbedNearDup(spark, dir)
+      .select("va", "vb").collect()
+      .map { case Row(a: Long, b: Long) => (a, b) }
+    assert(pairs.nonEmpty)
+    val got = SimilarityOps.n8SemanticClusters(spark, dir).collect()
+      .map { case Row(v: Long, c: Long, s: Long) => v -> (c, s) }.toMap
+    assert(got.map { case (v, (c, _)) => v -> c } == ufComponents(pairs.toSeq))
+    got.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid)
+      members.values.foreach { case (_, s) => assert(s == members.size) }
+    }
+  }
+
   test("n7 clusters agree with n2 pairs: every pair lands in one cluster") {
     val docs = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"), // exact-ish dup
