@@ -771,7 +771,13 @@ object SimilarityOps {
     * recall lift. At 100 TB: bucket join is an equi-shuffle on
     * (table, bucket); vectors join in by id afterwards, so full
     * embeddings never ride the candidate shuffle. */
-  def n5EmbedNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def n5EmbedNearDup(spark: SparkSession, dir: String): DataFrame =
+    n5Pairs(spark, dir).orderBy(col("va"), col("vb"))
+
+  /** The n5 pair pipeline WITHOUT the presentation sort — the form n8's
+    * cluster resolution consumes (the n2PairsOn pattern: pairs feeding
+    * a join must not pay a global sort). */
+  def n5Pairs(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
     val bits = srpBitsFor(corpusCount(spark, dir))
     // Candidate volume is Σ_bucket occ·probes ≈ n·occupancy·(bits+1)
@@ -810,7 +816,6 @@ object SimilarityOps {
       .select(col("va"), col("vb"),
         round(dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")), 4).as("sim"))
       .filter(col("sim") >= NearDupThreshold)
-      .orderBy(col("va"), col("vb"))
   }
 
   /** N8: SEMANTIC duplicate clusters (the SemDeDup shape, Abbas et al.
@@ -825,7 +830,7 @@ object SimilarityOps {
     * oracle. */
   def n8SemanticClusters(spark: SparkSession, dir: String): DataFrame = {
     val labels = ClusterOps.connectedComponents(
-      n5EmbedNearDup(spark, dir).select(col("va"), col("vb")))
+      n5Pairs(spark, dir).select(col("va"), col("vb")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cluster_id"))
     labels.select(col("doc_id").as("vec_id"), col("cluster_id"))

@@ -446,12 +446,16 @@ object TextOps {
     // decorates each row with its parts weight
     val docs = Tables.documents(spark, dir)
       .join(broadcast(partsDf), Seq("lang"))
-    // k = min over domains of (available DIV parts) — exact integer
-    // arithmetic, computed in-plan (a #domains-row aggregate broadcast
-    // into the filter; no driver loop)
-    val k = docs.groupBy(col("lang"), col("p"))
-      .agg(count(lit(1)).as("n"))
-      .select(min(expr("n DIV p")).as("k"))
+    // k = min over ALL mixture domains of (available DIV parts) — exact
+    // integer arithmetic, computed in-plan (a #domains-row aggregate
+    // broadcast into the filter; no driver loop). The min ranges over
+    // the PARTS table, not the corpus's groupBy output: a mixture
+    // domain with zero documents must drive k to 0 (empty sample), not
+    // silently drop out of the bottleneck
+    val k = broadcast(partsDf)
+      .join(docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt")),
+        Seq("lang"), "left")
+      .select(min(expr("coalesce(cnt, 0L) DIV p")).as("k"))
     val hashRank = conv(substring(
       md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
@@ -469,9 +473,10 @@ object TextOps {
       .map { case (l, p) => s"('$l', ${p}::BIGINT)" }.mkString(", ")
     s"""WITH w(lang, p) AS (VALUES $values),
       |avail AS (
-      |  SELECT lang, count(*) AS n FROM documents JOIN w USING (lang)
-      |  GROUP BY lang),
-      |k AS (SELECT min(n // p) AS k FROM avail JOIN w USING (lang)),
+      |  SELECT w.lang, w.p, count(d.doc_id) AS n
+      |  FROM w LEFT JOIN documents d USING (lang)
+      |  GROUP BY w.lang, w.p),
+      |k AS (SELECT min(n // p) AS k FROM avail),
       |ranked AS (
       |  SELECT lang, doc_id,
       |    (row_number() OVER (PARTITION BY lang

@@ -454,10 +454,17 @@ object AtomicPublish {
     * WRITTEN files back pruned to the stat columns — one column-pruned
     * scan of the new segment only (never the input lineage again, never
     * other segments). Columns the slice does not carry (an append
-    * written before/after a schema widening) count as all-null. */
+    * written before/after a schema widening) count as all-null. The
+    * read is PINNED to the slice's declared schema: a bare read would
+    * let partition-directory type inference rewrite values (a StringType
+    * partition column `part=01` infers as int 1) and record min/max
+    * that decode to the wrong values under the recorded type. */
   private def computeSegStats(spark: SparkSession, segPath: Path,
-      statCols: Seq[String]): SegStats = {
-    val df = spark.read.parquet(segPath.toString)
+      statCols: Seq[String], sliceSchema: Option[StructType]): SegStats = {
+    val df = sliceSchema match {
+      case Some(s) => spark.read.schema(s).parquet(segPath.toString)
+      case None => spark.read.parquet(segPath.toString)
+    }
     val present = statCols.filter(df.columns.contains)
     val aggs = org.apache.spark.sql.functions.count(lit(1)).as("_rows") +:
       present.flatMap { c =>
@@ -506,7 +513,8 @@ object AtomicPublish {
     val sealedMeta = meta.map { case (name, m) =>
       if (m.statCols.isEmpty || !tables.contains(name)) name -> m
       else name -> m.copy(segStats = m.segStats +
-        (txn -> computeSegStats(spark, new Path(scratch, name), m.statCols)))
+        (txn -> computeSegStats(spark, new Path(scratch, name), m.statCols,
+          Some(tables(name).schema))))
     }
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mos = fs.create(new Path(scratch, ManifestFile), true)
@@ -518,14 +526,16 @@ object AtomicPublish {
   }
 
   /** Table names must survive the manifest grammar (no '=' or ','
-    * separators, no metadata sigils, no newlines, no path separators). */
+    * separators, no metadata sigils, no '@' — the `#stats:` table@owner
+    * delimiter — no newlines, no path separators). */
   private def validateNames(names: Iterable[String]): Unit =
     names.foreach { n =>
       require(n.nonEmpty && !n.exists(c =>
         c == '=' || c == ',' || c == '\n' || c == '\r' || c == '/' ||
-          c == '#' || c == ':'),
+          c == '#' || c == ':' || c == '@'),
         s"table name '$n' is not manifest-safe " +
-          "(must be non-empty, without '=', ',', '#', ':', newlines or '/')")
+          "(must be non-empty, without '=', ',', '#', ':', '@', " +
+          "newlines or '/')")
     }
 
   private def validatePartitionCols(name: String, df: DataFrame,
@@ -855,16 +865,39 @@ object AtomicPublish {
     * in either orientation against a literal, IN literal-lists,
     * IS [NOT] NULL, and null-safe equality. `NOT` is NOT translated —
     * negating a may-match test soundly needs a must-match test, which a
-    * zone map cannot give. */
+    * zone map cannot give.
+    *
+    * TYPE COERCION SOUNDNESS: a comparison leaf is translated ONLY when
+    * the literal's type provably preserves the stat column's ordering —
+    * same type, numeric vs numeric (widening is monotone), or a string
+    * literal against a date/timestamp column (the LITERAL is cast to
+    * the column's type). A numeric literal against a STRING column is
+    * NOT translated: Spark evaluates that predicate under numeric
+    * coercion of the column, but min/max were recorded under string
+    * order, where they are no envelope at all ({"9","100"} has string
+    * max "9") — translating would prune segments that hold matching
+    * rows. */
   private def segCanMatch(e: org.apache.spark.sql.catalyst.expressions.Expression,
-      statCols: Set[String]): Column = {
+      statCols: Map[String, DataType]): Column = {
     import org.apache.spark.sql.catalyst.{expressions => ce}
     import org.apache.spark.sql.graftvec.CatalystBridge
     def attrName(x: ce.Expression): Option[String] = x match {
       case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-          if a.nameParts.length == 1 => Some(a.nameParts.head).filter(statCols)
-      case a: ce.AttributeReference => Some(a.name).filter(statCols)
+          if a.nameParts.length == 1 =>
+        Some(a.nameParts.head).filter(statCols.contains)
+      case a: ce.AttributeReference => Some(a.name).filter(statCols.contains)
       case _ => None
+    }
+    // the coercion the real filter applies must leave the recorded
+    // min/max an order envelope
+    def orderSafe(n: String, lt: ce.Literal): Boolean = {
+      val cdt = statCols(n)
+      (cdt, lt.dataType) match {
+        case (a, b) if a.catalogString == b.catalogString => true
+        case (_: NumericType, _: NumericType) => true
+        case (DateType | TimestampType | TimestampNTZType, StringType) => true
+        case _ => false
+      }
     }
     // a comparison leaf: false iff the zone map PROVES no row matches
     def leaf(n: String, cmp: (Column, Column) => Column): Column = {
@@ -880,9 +913,9 @@ object AtomicPublish {
         fwd: (String, Column) => Column,
         rev: (String, Column) => Column): Column =
       (attrName(l), r, attrName(r), l) match {
-        case (Some(n), lt: ce.Literal, _, _) =>
+        case (Some(n), lt: ce.Literal, _, _) if orderSafe(n, lt) =>
           fwd(n, CatalystBridge.column(lt))
-        case (_, _, Some(n), lt: ce.Literal) =>
+        case (_, _, Some(n), lt: ce.Literal) if orderSafe(n, lt) =>
           rev(n, CatalystBridge.column(lt))
         case _ => lit(true)
       }
@@ -912,7 +945,8 @@ object AtomicPublish {
         case _ => rel(l, r, eqLeaf, eqLeaf)
       }
       case ce.In(a, vs) if attrName(a).isDefined &&
-          vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
+          vs.nonEmpty && vs.forall(v => v.isInstanceOf[ce.Literal] &&
+            orderSafe(attrName(a).get, v.asInstanceOf[ce.Literal])) =>
         vs.map(v => eqLeaf(attrName(a).get,
           CatalystBridge.column(v.asInstanceOf[ce.Literal]))).reduce(_ || _)
       case ce.IsNull(a) => attrName(a)
@@ -965,7 +999,8 @@ object AtomicPublish {
           col(s"__nulls_$c"))
       }: _*)
     val pred = segCanMatch(
-      spark.sessionState.sqlParser.parseExpression(where), typed.toSet)
+      spark.sessionState.sqlParser.parseExpression(where),
+      typed.map(c => c -> schema(c).dataType).toMap)
     decoded.filter(pred).select("__owner").collect().map(_.getString(0))
       .toSeq
   }

@@ -144,4 +144,17 @@ class TextOpsSpec extends SparkSuite {
     assert(graft.analytics.TextOps.sp5MixtureSample(spark, dir)
       .collect().toSeq == out.toSeq)
   }
+
+  test("sp5 mixture with a zero-doc domain is EMPTY (k bottlenecks at 0)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // drop every zh doc into a temp corpus: exact composition is then
+    // unachievable, so the largest exactly-proportional sample is empty
+    val tmp = java.nio.file.Files.createTempDirectory("sp5-zero")
+    graft.core.Tables.documents(spark, dir)
+      .filter(col("lang") =!= "zh")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    assert(graft.analytics.TextOps
+      .sp5MixtureSample(spark, tmp.toString).count() == 0L)
+  }
 }

@@ -224,6 +224,44 @@ class StoreStatsSpec extends SparkSuite {
     assert(spark.sql("SELECT count(*) FROM old_docs").head().getLong(0) == 50L)
   }
 
+  test("numeric coercion of a string stat column never prunes (order mismatch)") {
+    val root = freshRoot()
+    // string-ordered min/max of {"9","100"} is ("100","9") — no envelope
+    // under the NUMERIC order Spark coerces `s > 50` into
+    val df = Seq((1L, "9"), (2L, "100")).toDF("doc_id", "s")
+    AtomicPublish.publish(spark, root, Map("t" -> df),
+      statsBy = Map("t" -> Seq("s")))
+    val hit = AtomicPublish.readTableWhere(spark, root, "t", "s > 50")
+    assert(hit.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // same-type comparison still translates and prunes correctly
+    assert(AtomicPublish.readTableWhere(spark, root, "t", "s = 'zzz'")
+      .inputFiles.isEmpty)
+  }
+
+  test("stats on a string partition column keep declared types (no inference)") {
+    val root = freshRoot()
+    // numeric-looking partition values: a bare read would infer int 1/2
+    val df = Seq((1L, "01"), (2L, "01"), (3L, "02"))
+      .toDF("doc_id", "part")
+    AtomicPublish.publish(spark, root, Map("t" -> df),
+      partitionBy = Map("t" -> Seq("part")),
+      statsBy = Map("t" -> Seq("part")))
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("t")
+    assert(meta.segStats.values.head.cols("part") ==
+      AtomicPublish.ColStat(Some("01"), Some("02"), 0))
+    val hit = AtomicPublish.readTableWhere(spark, root, "t", "part = '01'")
+    assert(hit.count() == 2)
+  }
+
+  test("'@' table names are rejected (the #stats key delimiter)") {
+    val root = freshRoot()
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.publish(spark, root,
+        Map("a@b" -> Seq(1L).toDF("id")))
+    }
+    assert(e.getMessage.contains("manifest-safe"))
+  }
+
   test("unsupported stat column types fail fast at publish") {
     val root = freshRoot()
     val arr = Seq((1L, Seq(1.0, 2.0))).toDF("doc_id", "vec")
