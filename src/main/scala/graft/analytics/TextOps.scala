@@ -329,6 +329,74 @@ object TextOps {
       |WHERE rk <= $StrataQuota
       |ORDER BY lang, rk""".stripMargin
 
+  /** T8: bigram-LANGUAGE-MODEL quality scoring — the perplexity filter
+    * (CCNet-style) of a training pipeline: train an add-one-smoothed
+    * bigram LM on the corpus itself, score every document by its
+    * average bigram log-probability. Low scores = improbable word
+    * sequences (boilerplate, shuffled text, wrong-language fragments).
+    *
+    * Scale shape: the doc-side bigram stream joins the bigram-count
+    * table on a 64-bit `xxhash64(w1, w2)` key and the left-unigram
+    * table on `xxhash64(w1)` — 8-byte keys on the wire, never the
+    * strings (the n2 hash-domain discipline; the DuckDB oracle counts
+    * by strings, equal modulo 64-bit collisions ~1e-10 at any corpus).
+    * Counts are partial-aggregated map-side; the vocab size is a 1-row
+    * broadcast.
+    *
+    * Oracle float discipline: each bigram's `ln(p)` rounds to integer
+    * BASIS POINTS before summing, so the per-doc sum is exact integer
+    * arithmetic — associative, order-free, engine-independent (float
+    * summation order can never reorder it). The final average divides
+    * the two integers as doubles and rounds at 4dp. Docs with fewer
+    * than two words have no bigrams and no row (both engines, by
+    * construction). */
+  def t8BigramLm(spark: SparkSession, dir: String): DataFrame =
+    t8BigramLmOn(Tables.documents(spark, dir))
+
+  def t8BigramLmOn(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val bi = docs
+      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
+        xxhash64(col("w1"), col("w2")).as("h12"))
+    val biCounts = bi.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    val uniCounts = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val vocab = docs.select(explode(words).as("wd"))
+      .agg(count_distinct(xxhash64(col("wd"))).as("v"))
+    bi.join(biCounts, Seq("h12"))
+      .join(uniCounts, Seq("h1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("bp",
+        round(log((col("c12") + lit(1)) / (col("c1") + col("v"))) * 10000)
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("bp")).as("sum_bp"))
+      .withColumn("avg_bp",
+        round(col("sum_bp").cast("double") / col("n_bigrams"), 4))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bp"), col("avg_bp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t8BigramLmSql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+      |      FROM w),
+      |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM c),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      |uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+      |vc AS (SELECT count(DISTINCT x) AS v
+      |       FROM (SELECT unnest(ws) AS x FROM w)),
+      |sc AS (
+      |  SELECT doc_id, round(ln((c12 + 1) / (c1 + v)) * 10000)::BIGINT AS bp
+      |  FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1), vc)
+      |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |  sum(bp)::BIGINT AS sum_bp,
+      |  round(CAST(sum(bp) AS DOUBLE) / count(*), 4) AS avg_bp
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val Bm25Terms = Seq("join", "vector", "scan", "merge")
   val Bm25K1 = 1.2
   val Bm25B = 0.75
@@ -654,6 +722,7 @@ object TextOps {
     "t5_chunking" -> (t5Chunking _),
     "t6_repetition" -> (t6Repetition _),
     "t7_bm25" -> (t7Bm25 _),
+    "t8_bigram_lm" -> (t8BigramLm _),
     "sp1_hash_split" -> (sp1HashSplit _),
     "sp2_stratified_sample" -> (sp2StratifiedSample _),
     "sp3_sequence_pack" -> (sp3SequencePack _),
@@ -669,6 +738,7 @@ object TextOps {
     "t5_chunking" -> t5ChunkingSql,
     "t6_repetition" -> t6RepetitionSql,
     "t7_bm25" -> t7Bm25Sql,
+    "t8_bigram_lm" -> t8BigramLmSql,
     "sp1_hash_split" -> sp1HashSplitSql,
     "sp2_stratified_sample" -> sp2StratifiedSampleSql,
     "sp3_sequence_pack" -> sp3SequencePackSql,

@@ -145,6 +145,30 @@ class TextOpsSpec extends SparkSuite {
       .collect().toSeq == out.toSeq)
   }
 
+  test("t8 bigram LM: hand-computed scores on a known corpus") {
+    import spark.implicits._
+    // corpus: "a b a b", "a b c". Bigrams: (a,b)x3, (b,a)x1, (b,c)x1.
+    // Left-unigram counts: a->3, b->2. Vocab = {a,b,c} -> V=3.
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = graft.analytics.TextOps.t8BigramLmOn(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def bp(c12: Long, c1: Long): Long =
+      math.round(math.log((c12 + 1.0) / (c1 + 3.0)) * 10000)
+    val ab = bp(3, 3); val ba = bp(1, 2); val bc = bp(1, 2)
+    // doc 1: a b, b a, a b -> 2*ab + ba over 3 bigrams
+    assert(out(1L)._1 == 3 && out(1L)._2 == 2 * ab + ba)
+    assert(out(1L)._3 ==
+      BigDecimal((2 * ab + ba) / 3.0).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // doc 2: a b, b c
+    assert(out(2L)._1 == 2 && out(2L)._2 == ab + bc)
+    // single-word docs produce no row
+    val single = graft.analytics.TextOps.t8BigramLmOn(
+      Seq((9L, "solo")).toDF("doc_id", "text"))
+    assert(single.count() == 0)
+  }
+
   test("sp5 mixture with a zero-doc domain is EMPTY (k bottlenecks at 0)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
