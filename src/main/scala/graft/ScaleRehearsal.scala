@@ -102,7 +102,12 @@ object ScaleRehearsal {
   val Heavyweights = Seq(
     "llm1_prep_counts", "n2_ngram_jaccard", "n2b_minhash_lsh",
     "n3_cosine_topk", "n3b_srp_ann", "n3c_ivf_ann", "n3d_ivf2_ann",
-    "n3e_ann_incremental", "n5_embed_neardup", "n7_dup_clusters")
+    "n3e_ann_incremental", "n5_embed_neardup", "n7_dup_clusters",
+    // timing-only at 10×: t8's short-word bigrams and n8's embedding
+    // pairs cross replicas, so their VALUES legitimately differ from
+    // 10× the base (corpus-trained LM counts / merged components) —
+    // the vs-linear cost curve is the rehearsed property
+    "n8_semantic_clusters", "t8_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
