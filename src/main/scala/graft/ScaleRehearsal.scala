@@ -82,7 +82,7 @@ object ScaleRehearsal {
     if (marker.exists()) return
     val docs = graft.core.Tables.documents(spark, src)
     val emb = graft.core.Tables.embeddings(spark, src)
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
     val docsAll = (1 until Replicas)
       .map(cipherDocs(docs, _)).foldLeft(docs)(_ unionByName _)
     val embAll = (1 until Replicas)
