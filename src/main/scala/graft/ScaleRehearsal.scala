@@ -158,6 +158,17 @@ object ScaleRehearsal {
       s"scaled=$n7Scaled exact10x=${n7Scaled == 10 * n7Base}")
     require(n7Scaled == 10 * n7Base,
       "n7 clustered-doc count did not scale exactly 10x")
+    // n8/t8 are timing-only (cross-replica pairs / shared short-word
+    // bigrams shift their values off 10×) but must still join the
+    // verification pass's WARM-UP role: without this, a REPS=1 run
+    // would time their first-ever execution (plan compile + memo
+    // bring-up) and skew vs_linear for exactly these two queries
+    Seq("n8_semantic_clusters", "t8_bigram_lm").foreach { q =>
+      val b = SparkEntry.queries(q)(spark, src).count()
+      val s = SparkEntry.queries(q)(spark, out).count()
+      System.err.println(s"[rehearsal] $q rows: base=$b scaled=$s " +
+        "(timing-only, values legitimately off 10x)")
+    }
 
     // --- timing: interleaved min-of-reps at both scales, same JVM -------
     // (the verification pass above doubles as warm-up: every model

@@ -468,6 +468,21 @@ object DedupOps {
   /** Testdata stand-in for the benchmark table: every 10th doc is "eval". */
   val DecontamEvalMod = 10
 
+  /** Adjacent word PAIRS per document: (doc_id, w1, w2) in word order —
+    * the shared bigram stream (one posexplode + one (doc,pos) window
+    * with `lead`, the formulation benchmarked ~2.6× over HOF chains in
+    * [[shingles]]; the same shape [[ngramHashes]] uses). Consumers that
+    * only need hashes should hash these columns rather than re-deriving
+    * the window pipeline. */
+  def wordPairs(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("w1"), col("w2"))
+  }
+
   /** Word n-gram HASHES per document: (doc_id, h), raw stream (repeated
     * n-grams repeat; consumers dedupe inside their aggregates — the
     * shingle-stream pattern, one exchange). Generalizes [[shingleHashes]]

@@ -345,28 +345,33 @@ object TextOps {
     *
     * Oracle float discipline: each bigram's `ln(p)` rounds to integer
     * BASIS POINTS before summing, so the per-doc sum is exact integer
-    * arithmetic — associative, order-free, engine-independent (float
-    * summation order can never reorder it). The final average divides
-    * the two integers as doubles and rounds at 4dp. Docs with fewer
-    * than two words have no bigrams and no row (both engines, by
-    * construction). */
+    * arithmetic — associative and order-free, which removes the float-
+    * summation-order hazard entirely. The residual cross-engine risk is
+    * ln() itself: JVM Math.log and DuckDB's libm are each ~1-ulp
+    * accurate, so a value within 1 ulp of a half-basis-point boundary
+    * could round apart — per distinct (c12, c1, v) triple the odds are
+    * in the same ~1e-10 class as the acknowledged xxhash collision.
+    * The final average divides the two integers as doubles and rounds
+    * at 4dp. Docs with fewer than two words have no bigrams and no row
+    * (both engines, by construction). */
   def t8BigramLm(spark: SparkSession, dir: String): DataFrame =
     t8BigramLmOn(Tables.documents(spark, dir))
 
   def t8BigramLmOn(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val bi = docs
-      .select(col("doc_id"), posexplode(words).as(Seq("pos", "w1")))
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .filter(col("w2").isNotNull)
+    val bi = DedupOps.wordPairs(docs)
       .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
         xxhash64(col("w1"), col("w2")).as("h12"))
-    val biCounts = bi.groupBy(col("h12")).agg(count(lit(1)).as("c12"))
-    val uniCounts = bi.groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    // ONE grouped pass yields both count tables: h12 determines the
+    // bigram and hence h1, so grouping by (h1, h12) has exactly the
+    // distinct-bigram cardinality, and the left-unigram counts are a
+    // cheap re-aggregation of that SMALL table — not a second window
+    // pass over the corpus-scale token stream
+    val biCounts = bi.groupBy(col("h1"), col("h12"))
+      .agg(count(lit(1)).as("c12"))
+    val uniCounts = biCounts.groupBy(col("h1")).agg(sum(col("c12")).as("c1"))
     val vocab = docs.select(explode(words).as("wd"))
       .agg(count_distinct(xxhash64(col("wd"))).as("v"))
-    bi.join(biCounts, Seq("h12"))
+    bi.join(biCounts, Seq("h1", "h12"))
       .join(uniCounts, Seq("h1"))
       .crossJoin(broadcast(vocab))
       .withColumn("bp",
