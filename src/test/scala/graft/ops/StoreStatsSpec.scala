@@ -253,6 +253,34 @@ class StoreStatsSpec extends SparkSuite {
     assert(hit.count() == 2)
   }
 
+  test("zone-map skipping composes with partition pruning on one read") {
+    val root = freshRoot()
+    def slice(ids: Range) = ids
+      .map(i => (i.toLong, s"p$i", (i % 4))).toDF("doc_id", "text", "cell")
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> slice(0 until 100)),
+      partitionBy = Map("t" -> Seq("cell")),
+      statsBy = Map("t" -> Seq("doc_id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> slice(100 until 200)), parent = Some(v1)).get
+    // doc_id range skips the v1 SEGMENT (zone map); cell filter prunes
+    // PARTITIONS inside the surviving segment (scan-level)
+    val hit = AtomicPublish.readTableWhere(spark, root, "t",
+      "doc_id >= 100 AND cell = 2")
+    assert(hit.inputFiles.nonEmpty &&
+      hit.inputFiles.forall(f => f.contains(s"v_$v2")))
+    hit.collect()
+    val plan = (hit.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
+    assert(hit.count() == 25)
+    assert(hit.collect().toSet ==
+      AtomicPublish.readTable(spark, root, "t")
+        .where("doc_id >= 100 AND cell = 2").collect().toSet)
+  }
+
   test("'@' table names are rejected (the #stats key delimiter)") {
     val root = freshRoot()
     val e = intercept[IllegalArgumentException] {
