@@ -1047,6 +1047,39 @@ object AtomicPublish {
     base.where(where)
   }
 
+  /** CHANGE FEED between two versions: the owner segments `table`
+    * gained from `sinceTxn` (exclusive) to `atTxn` (inclusive), read as
+    * one DataFrame — the generic delta-consumer API (incremental
+    * maintenance's covered-owners pattern, lifted to the surface). Cost
+    * is O(changed data): history segments are never touched. Returns
+    * None when the table was REPLACED in between (compaction or
+    * corpus-wide maintenance) — appended-segment diffing cannot
+    * represent a rewrite, so the consumer must fall back to a full
+    * re-read; a Some(empty) answer would silently miss the rewrite. */
+  def changesSince(spark: SparkSession, root: String, table: String,
+      sinceTxn: String, atTxn: Option[String] = None): Option[DataFrame] = {
+    val at = atTxn.orElse(currentTxn(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val before = manifestMetaOf(spark, root, sinceTxn).get(table)
+      .map(_.owners).getOrElse(Nil)
+    val after = manifestMetaOf(spark, root, at).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' is not in version $at under $root"))
+    // append-only evolution keeps every prior owner; a missing one
+    // means the table was replaced in the interval
+    if (!before.forall(after.owners.contains)) None
+    else {
+      val added = after.owners.filterNot(before.contains)
+      Some(
+        if (added.isEmpty)
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            after.schema.getOrElse(
+              readSegments(spark, root, table, after, after.owners).schema))
+        else readSegments(spark, root, table, after, added))
+    }
+  }
+
   /** SQL face of the store: register every table of ONE version as a
     * temp view `<prefix><table>` and return the pinned txn. The pin
     * happens once, so `spark.sql` joins across the views see a mutually

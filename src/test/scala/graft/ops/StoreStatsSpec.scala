@@ -290,6 +290,67 @@ class StoreStatsSpec extends SparkSuite {
     assert(e.getMessage.contains("manifest-safe"))
   }
 
+  test("changesSince: appended segments only; replace signals a fallback") {
+    val root = freshRoot()
+    val Seq(v1, v2, v3) = threeSegments(root)
+    // v1 → v3 gained exactly the v2+v3 slices
+    val d = AtomicPublish.changesSince(spark, root, "docs", v1).get
+    assert(d.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (100L until 300L).toSet)
+    // bounded upper end: v1 → v2
+    val d12 = AtomicPublish.changesSince(spark, root, "docs", v1, Some(v2)).get
+    assert(d12.count() == 100)
+    // no change: empty frame with the table schema
+    val none = AtomicPublish.changesSince(spark, root, "docs", v3).get
+    assert(none.count() == 0 && none.columns.toSeq == Seq("doc_id", "text"))
+    // a replace (compaction) breaks append-only evolution → None
+    Compaction.compactStore(spark, root, "docs")
+    assert(AtomicPublish.changesSince(spark, root, "docs", v1).isEmpty)
+  }
+
+  test("randomized predicates: readTableWhere ≡ unpruned filter (fuzz)") {
+    val root = freshRoot()
+    val rnd = new scala.util.Random(42)
+    // three segments over mixed types incl. nulls and numeric-looking
+    // strings (the coercion trap), randomized but seeded
+    def seg(n: Int) = (1 to 60).map { _ =>
+      (rnd.nextInt(1000).toLong,
+        if (rnd.nextBoolean()) rnd.nextInt(200).toString else s"w${rnd.nextInt(50)}",
+        if (rnd.nextInt(10) == 0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(rnd.nextInt(100) / 7.0))
+    }.toDF("id", "s", "x")
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> seg(0)),
+      statsBy = Map("t" -> Seq("id", "s", "x")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> seg(1)), parent = Some(v1)).get
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> seg(2)), parent = Some(v2))
+    val full = AtomicPublish.readTable(spark, root, "t")
+    // NB: string-vs-numeric comparisons (s > 100) are NOT valid fuzz
+    // predicates here — ANSI mode makes the REFERENCE filter itself
+    // throw on non-numeric strings; the committed {"9","100"} coercion
+    // regression covers that translation path on all-numeric data
+    val preds = Seq(
+      "id = 500", "id > 500", "id <= 77", "id BETWEEN 100 AND 200",
+      "s = '42'", "s >= '50'", "s IN ('7', 'w7', '150')",
+      "x IS NULL", "x IS NOT NULL", "x > 10.0", "x <= 3.5",
+      "id > 900 OR s = 'w1'", "id < 50 AND x > 5.0",
+      "NOT (id = 3)", "id * 2 > 500", "x <=> NULL",
+      "id IN (1, 2, 3) OR x IS NULL") ++
+      (1 to 20).map(_ => rnd.nextInt(4) match {
+        case 0 => s"id ${Seq("=", ">", "<", ">=", "<=")(rnd.nextInt(5))} ${rnd.nextInt(1100)}"
+        case 1 => s"s = '${rnd.nextInt(250)}'"
+        case 2 => s"x ${Seq(">", "<")(rnd.nextInt(2))} ${rnd.nextInt(15)}.${rnd.nextInt(10)}"
+        case 3 => s"id > ${rnd.nextInt(900)} AND s >= 'w${rnd.nextInt(40)}'"
+      })
+    preds.foreach { p =>
+      val pruned = AtomicPublish.readTableWhere(spark, root, "t", p)
+        .collect().toSet
+      val expect = full.where(p).collect().toSet
+      assert(pruned == expect, s"fuzz mismatch for: $p")
+    }
+  }
+
   test("unsupported stat column types fail fast at publish") {
     val root = freshRoot()
     val arr = Seq((1L, Seq(1.0, 2.0))).toDF("doc_id", "vec")
