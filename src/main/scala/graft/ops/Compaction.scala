@@ -124,6 +124,28 @@ object Compaction {
     * state (the swap is the store's atomic commit), and a concurrent
     * appender losing or winning the CAS is handled by retrying against
     * the new current. Returns (txn, partitions) of the commit. */
+  /** Post-commit compaction POLICY, shared by every continuous
+    * appender (doc ingest, vector-index ingest): after `txn` landed,
+    * consolidate any table whose owner-segment list exceeded
+    * `maxOwners` — without a trigger like this, a long-running
+    * per-micro-batch appender accrues one owner dir per trigger and
+    * the union read's plan grows a relation per segment (a
+    * 1000-trigger run = a 1000-branch union). Bounded work: each
+    * consolidation rewrites one table's live union once per
+    * ~maxOwners triggers; the superseded chain becomes
+    * vacuum-reclaimable. Failure is non-fatal — the triggering commit
+    * has already landed, and the next trigger retries. */
+  def autoCompact(spark: SparkSession, root: String, txn: String,
+      maxOwners: Int, targetFileBytes: Long): Unit =
+    try {
+      AtomicPublish.manifestOf(spark, root, txn).foreach {
+        case (table, owners) if owners.size > maxOwners =>
+          compactStore(spark, root, table, targetFileBytes)
+          ()
+        case _ => ()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
   def compactStore(spark: SparkSession, root: String, table: String,
       targetBytes: Long = 128L * 1024 * 1024): (String, Int) = {
     import org.apache.spark.sql.functions.col

@@ -222,25 +222,12 @@ object LlmIngest {
     }
   }
 
-  /** The ingest loop's compaction policy: after a commit, any table
-    * whose owner-segment list exceeded [[AutoCompactOwners]] is
-    * consolidated via [[Compaction.compactStore]] (one replace delta
-    * per table; byte-derived file sizing; CAS-retried against
-    * concurrent appenders). Bounded work: a consolidation rewrites one
-    * table's live union once per ~AutoCompactOwners triggers, and the
-    * superseded segment chain becomes vacuum-reclaimable. Failure is
-    * non-fatal — the commit that triggered it has already landed, and
-    * the next trigger retries. */
+  /** The ingest loop's compaction policy — the shared
+    * [[Compaction.autoCompact]] at this store's thresholds. */
   private def autoCompact(spark: SparkSession, root: String,
       txn: String): Unit =
-    try {
-      AtomicPublish.manifestOf(spark, root, txn).foreach {
-        case (table, owners) if owners.size > AutoCompactOwners =>
-          Compaction.compactStore(spark, root, table, TargetFileBytes)
-          ()
-        case _ => ()
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    Compaction.autoCompact(spark, root, txn, AutoCompactOwners,
+      TargetFileBytes)
 
   /** Batch MAINTENANCE over the published store — the cross-doc stages
     * the streaming hot path defers, run exactly as the journey runs

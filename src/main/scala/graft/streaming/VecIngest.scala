@@ -34,6 +34,12 @@ import graft.ops.AtomicPublish
 object VecIngest {
 
   private val IndexTable = "ivf_index"
+  /** Owner-segment count that triggers index consolidation (the
+    * LlmIngest policy applied to the vector store — without it a
+    * long-running stream grows one partitioned segment per trigger
+    * and the union read's plan a relation per segment). */
+  val AutoCompactOwners = 16
+  val TargetFileBytes: Long = 128L * 1024 * 1024
 
   /** One micro-batch (or batch-backfill) append into the index store.
     * `batch` carries (vec_id LONG, v ARRAY<DOUBLE>); norms are computed
@@ -71,7 +77,13 @@ object VecIngest {
         AtomicPublish.publishDelta(spark, indexRoot,
           append = Map(IndexTable -> assigned), parent = parent,
           partitionBy = layout) match {
-          case Some(txn) => return Some(txn)
+          case Some(txn) =>
+            // cell-partitioned layout survives consolidation
+            // (compaction inherits and repartitions by the recorded
+            // spec — StoreLayoutSpec), so pruning is unaffected
+            graft.ops.Compaction.autoCompact(spark, indexRoot, txn,
+              AutoCompactOwners, TargetFileBytes)
+            return Some(txn)
           case None => () // concurrent appender won; re-pin and retry
         }
       } finally {

@@ -83,6 +83,23 @@ class VecIngestSpec extends SparkSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("cell"), plan)
   }
 
+  test("auto-compaction bounds a long-running index ingest; layout survives") {
+    val root = Files.createTempDirectory("vec-ingest3").resolve("index").toString
+    (0 until 20).foreach { b =>
+      VecIngest.indexBatch(spark, root,
+        (b * 8L until (b + 1) * 8L).map(vec).toDF("vec_id", "v"), centroids)
+    }
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val meta = AtomicPublish.manifestMetaOf(spark, root, txn)("ivf_index")
+    assert(meta.owners.size <= VecIngest.AutoCompactOwners + 1,
+      s"owners=${meta.owners.size}")
+    assert(meta.partitionCols == Seq("cell"))
+    val idx = AtomicPublish.readTable(spark, root, "ivf_index")
+    assert(idx.count() == 160)
+    assert(idx.select("vec_id").as[Long].collect().toSet ==
+      (0L until 160L).toSet)
+  }
+
   test("batch backfill entry returns None on a fully-published batch") {
     val root = Files.createTempDirectory("vec-ingest2").resolve("index").toString
     val first = VecIngest.indexBatch(spark, root,
