@@ -78,12 +78,21 @@ object AtomicPublish {
     * union of `v_<owner>/<table>` reads), the recorded logical schema
     * (JSON `StructType`; None for pre-schema manifests), the partition
     * columns its segments are laid out by (empty = flat), the columns
-    * zone maps are kept for, and the per-owner zone maps themselves. */
+    * zone maps are kept for, the per-owner zone maps themselves, and —
+    * one level below — per-FILE zone maps (owner → relative file path →
+    * stats). File maps are what keep data skipping alive AFTER
+    * compaction consolidates many segments into one: segment-level
+    * stats of the consolidated owner span the whole table, but its
+    * files (especially once clustered, [[graft.ops.Compaction
+    * .compactStore]] `clusterBy`) still carry tight ranges. Manifest
+    * cost is O(files × statCols) for the stat-carrying tables only, and
+    * compaction bounds the file count. */
   final case class TableMeta(owners: Seq[String],
       schemaJson: Option[String] = None,
       partitionCols: Seq[String] = Nil,
       statCols: Seq[String] = Nil,
-      segStats: Map[String, SegStats] = Map.empty) {
+      segStats: Map[String, SegStats] = Map.empty,
+      fileStats: Map[String, Map[String, SegStats]] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -232,9 +241,11 @@ object AtomicPublish {
     (s""""_rows":${s.rows}""" +: cols).mkString("{", ",", "}")
   }
 
-  private def parseSegStats(json: String): SegStats = {
-    val m = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readValue(json, classOf[java.util.HashMap[String, Object]])
+  private def parseSegStats(json: String): SegStats =
+    segStatsOf(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[java.util.HashMap[String, Object]]))
+
+  private def segStatsOf(m: java.util.Map[String, Object]): SegStats = {
     val rows = m.get("_rows").asInstanceOf[Number].longValue()
     val cols = m.asScala.collect {
       case (c, v: java.util.List[_]) if c != "_rows" =>
@@ -243,6 +254,22 @@ object AtomicPublish {
           v.get(2).asInstanceOf[Number].longValue())
     }.toMap
     SegStats(rows, cols)
+  }
+
+  /** One owner's per-file zone maps as a single-line JSON object:
+    * `{"relpath":{segstats},…}`, file order sorted for determinism. */
+  private def renderFileStats(fs: Map[String, SegStats]): String =
+    fs.toSeq.sortBy(_._1).map { case (f, s) =>
+      s"${jq(f)}:${renderSegStats(s)}"
+    }.mkString("{", ",", "}")
+
+  private def parseFileStats(json: String): Map[String, SegStats] = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(json, classOf[java.util.HashMap[String, Object]])
+    m.asScala.collect {
+      case (f, v: java.util.Map[_, _]) =>
+        f -> segStatsOf(v.asInstanceOf[java.util.Map[String, Object]])
+    }.toMap
   }
 
   private def renderManifest(txn: String,
@@ -265,7 +292,14 @@ object AtomicPublish {
         s"#stats:$name@$owner=${renderSegStats(s)}"
       }
     }
-    (txn +: (owners ++ parts ++ schemas ++ statcols ++ stats)).mkString("\n")
+    val fstats = names.flatMap { case (name, m) =>
+      m.fileStats.toSeq.sortBy(_._1).collect {
+        case (owner, fs) if fs.nonEmpty =>
+          s"#fstats:$name@$owner=${renderFileStats(fs)}"
+      }
+    }
+    (txn +: (owners ++ parts ++ schemas ++ statcols ++ stats ++ fstats))
+      .mkString("\n")
   }
 
   private def parseManifestMeta(txn: String,
@@ -293,9 +327,17 @@ object AtomicPublish {
       }}
       .groupBy(_._1)
       .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
+    val fstats = body.filter(_.startsWith("#fstats:"))
+      .map(_.stripPrefix("#fstats:").split("=", 2))
+      .collect { case Array(key, js) => key.split("@", 2) match {
+        case Array(name, owner) => (name, owner, parseFileStats(js))
+      }}
+      .groupBy(_._1)
+      .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
     owners.map { case (name, os) =>
       name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil),
-        statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty))
+        statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty),
+        fstats.getOrElse(name, Map.empty))
     }
   }
 
@@ -450,43 +492,84 @@ object AtomicPublish {
       cols: Seq[String]): Unit =
     validateStatCols(name, df, cols.filter(df.columns.contains))
 
-  /** Zone map of one freshly staged segment, computed by reading the
-    * WRITTEN files back pruned to the stat columns — one column-pruned
-    * scan of the new segment only (never the input lineage again, never
-    * other segments). Columns the slice does not carry (an append
-    * written before/after a schema widening) count as all-null. The
-    * read is PINNED to the slice's declared schema: a bare read would
-    * let partition-directory type inference rewrite values (a StringType
+  /** Zone maps of one freshly staged segment — the per-SEGMENT map and
+    * the per-FILE maps — computed by reading the WRITTEN files back
+    * pruned to the stat columns: ONE column-pruned scan of the new
+    * segment only (grouped by `input_file_name`; the grouped result is
+    * #files rows, persisted, and the segment totals re-aggregate it
+    * in-memory — min/max are associative, so file-level extrema roll up
+    * exactly). Columns the slice does not carry (an append written
+    * before/after a schema widening) count as all-null. The read is
+    * PINNED to the slice's declared schema: a bare read would let
+    * partition-directory type inference rewrite values (a StringType
     * partition column `part=01` infers as int 1) and record min/max
-    * that decode to the wrong values under the recorded type. */
+    * that decode to the wrong values under the recorded type.
+    *
+    * File keys are segment-relative paths (partition subdirs included).
+    * A path the URI round-trip cannot prove exact (percent-escapes) is
+    * left out of the file map — readers keep unmapped files
+    * conservatively, so skipping degrades, never corrupts. */
   private def computeSegStats(spark: SparkSession, segPath: Path,
-      statCols: Seq[String], sliceSchema: Option[StructType]): SegStats = {
+      statCols: Seq[String],
+      sliceSchema: Option[StructType]): (SegStats, Map[String, SegStats]) = {
     val df = sliceSchema match {
       case Some(s) => spark.read.schema(s).parquet(segPath.toString)
       case None => spark.read.parquet(segPath.toString)
     }
     val present = statCols.filter(df.columns.contains)
-    val aggs = org.apache.spark.sql.functions.count(lit(1)).as("_rows") +:
+    import org.apache.spark.sql.functions.{count, input_file_name, max, min, sum}
+    val aggs = count(lit(1)).as("_rows") +:
       present.flatMap { c =>
-        val dt = df.schema(c).dataType
-        Seq(statEncode(org.apache.spark.sql.functions.min(col(c)), dt)
-            .as(s"mn_$c"),
-          statEncode(org.apache.spark.sql.functions.max(col(c)), dt)
-            .as(s"mx_$c"),
-          org.apache.spark.sql.functions.sum(
-            when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"))
+        Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"))
       }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val rows = r.getAs[Long]("_rows")
-    val cols = statCols.map { c =>
-      if (present.contains(c))
-        c -> ColStat(Option(r.getAs[String](s"mn_$c")),
-          Option(r.getAs[String](s"mx_$c")),
-          Option(r.getAs[Any](s"nu_$c")).map(_.asInstanceOf[Long])
-            .getOrElse(0L))
-      else c -> ColStat(None, None, rows)
-    }.toMap
-    SegStats(rows, cols)
+    val perFile = df.groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+    perFile.persist()
+    try {
+      def encoded(base: org.apache.spark.sql.DataFrame, keep: Seq[Column]) =
+        base.select(keep ++ present.flatMap { c =>
+          val dt = df.schema(c).dataType
+          Seq(statEncode(col(s"mn_$c"), dt).as(s"mn_$c"),
+            statEncode(col(s"mx_$c"), dt).as(s"mx_$c"), col(s"nu_$c"))
+        }: _*)
+      def statsOf(r: org.apache.spark.sql.Row): SegStats = {
+        val rows = Option(r.getAs[Any]("_rows"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val cols = statCols.map { c =>
+          if (present.contains(c))
+            c -> ColStat(Option(r.getAs[String](s"mn_$c")),
+              Option(r.getAs[String](s"mx_$c")),
+              Option(r.getAs[Any](s"nu_$c")).map(_.asInstanceOf[Long])
+                .getOrElse(0L))
+          else c -> ColStat(None, None, rows)
+        }.toMap
+        SegStats(rows, cols)
+      }
+      val fs = segPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val segUriPath = fs.makeQualified(segPath).toUri.getPath
+      val fileRows = encoded(perFile, Seq(col("__file"), col("_rows")))
+        .collect()
+      val fileMap = fileRows.flatMap { r =>
+        val uri = new Path(r.getAs[String]("__file")).toUri.getPath
+        // keep only paths the round-trip provably preserves: under the
+        // segment dir and free of percent-escapes (URI decoding could
+        // otherwise rewrite the name the reader reconstructs)
+        if (uri.startsWith(segUriPath + "/") && !uri.contains("%"))
+          Some(uri.stripPrefix(segUriPath + "/") -> statsOf(r))
+        else None
+      }.toMap
+      val rollup = present.flatMap { c =>
+        Seq(min(col(s"mn_$c")).as(s"mn_$c"),
+          max(col(s"mx_$c")).as(s"mx_$c"),
+          sum(col(s"nu_$c")).as(s"nu_$c"))
+      }
+      val segRow = encoded(
+        perFile.agg(sum("_rows").as("_rows"), rollup: _*),
+        Seq(col("_rows"))).head()
+      (statsOf(segRow),
+        if (fileMap.size == fileRows.length) fileMap else Map.empty)
+    } finally { perFile.unpersist(); () }
   }
 
   /** Stage table writes + the version's `_MANIFEST` under scratch, then
@@ -512,9 +595,13 @@ object AtomicPublish {
     }
     val sealedMeta = meta.map { case (name, m) =>
       if (m.statCols.isEmpty || !tables.contains(name)) name -> m
-      else name -> m.copy(segStats = m.segStats +
-        (txn -> computeSegStats(spark, new Path(scratch, name), m.statCols,
-          Some(tables(name).schema))))
+      else {
+        val (ss, fm) = computeSegStats(spark, new Path(scratch, name),
+          m.statCols, Some(tables(name).schema))
+        name -> m.copy(segStats = m.segStats + (txn -> ss),
+          fileStats =
+            if (fm.isEmpty) m.fileStats else m.fileStats + (txn -> fm))
+      }
     }
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mos = fs.create(new Path(scratch, ManifestFile), true)
@@ -707,17 +794,23 @@ object AtomicPublish {
         // without touching a file, so late-declared columns still prune
         // history
         val baseStats = pm.map(_.segStats).getOrElse(Map.empty)
+        val baseFileStats = pm.map(_.fileStats).getOrElse(Map.empty)
         val introduced = parentSchema.map(ps =>
           scols.filterNot(ps.fieldNames.contains)).getOrElse(Nil)
+        def backfill(s: SegStats): SegStats =
+          s.copy(cols = s.cols ++ introduced
+            .filterNot(s.cols.contains)
+            .map(c => c -> ColStat(None, None, s.rows)))
         val backfilled =
           if (introduced.isEmpty) baseStats
-          else baseStats.map { case (o, s) =>
-            o -> s.copy(cols = s.cols ++ introduced
-              .filterNot(s.cols.contains)
-              .map(c => c -> ColStat(None, None, s.rows)))
+          else baseStats.map { case (o, s) => o -> backfill(s) }
+        val backfilledFiles =
+          if (introduced.isEmpty) baseFileStats
+          else baseFileStats.map { case (o, fm) =>
+            o -> fm.map { case (f, s) => f -> backfill(s) }
           }
         n -> TableMeta(pm.map(_.owners).getOrElse(Nil) :+ txn,
-          Some(merged.json), pcols, scols, backfilled)
+          Some(merged.json), pcols, scols, backfilled, backfilledFiles)
       }
       val replaceMeta = replace.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
@@ -922,6 +1015,15 @@ object AtomicPublish {
     def go(x: ce.Expression): Column = x match {
       case ce.And(l, r) => go(l) && go(r)
       case ce.Or(l, r) => go(l) || go(r)
+      // the parser leaves BETWEEN as an unresolved runtime-replaceable
+      // function (not the analyzed And-of-comparisons) — desugar it
+      // here, it is the range-query shape zone maps exist for
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) ==
+            Seq("between") && f.arguments.length == 3 =>
+        go(ce.And(
+          ce.GreaterThanOrEqual(f.arguments(0), f.arguments(1)),
+          ce.LessThanOrEqual(f.arguments(0), f.arguments(2))))
       case ce.EqualTo(l, r) => rel(l, r, eqLeaf, eqLeaf)
       case ce.GreaterThan(l, r) => rel(l, r,
         (n, v) => leaf(n, (_, mx) => mx > v),
@@ -970,16 +1072,27 @@ object AtomicPublish {
       where: String): Seq[String] = {
     if (meta.statCols.isEmpty || meta.segStats.isEmpty) return meta.owners
     val schema = meta.schema.getOrElse(return meta.owners)
-    val typed = meta.statCols.filter(schema.fieldNames.contains)
-    if (typed.isEmpty) return meta.owners
+    pruneEntries(spark, schema, meta.statCols,
+      meta.owners.map(o => o -> meta.segStats.get(o)), where)
+  }
+
+  /** Generic zone-map pruner: of `entries` (key → recorded stats, None
+    * = keep conservatively), the keys whose stats ADMIT `where`. Used
+    * at segment granularity (key = owner) and file granularity (key =
+    * owner + separator + relative path). Always a superset of the keys
+    * holding matching rows. */
+  private def pruneEntries(spark: SparkSession, schema: StructType,
+      statCols: Seq[String], entries: Seq[(String, Option[SegStats])],
+      where: String): Seq[String] = {
+    val typed = statCols.filter(schema.fieldNames.contains)
+    if (typed.isEmpty) return entries.map(_._1)
     val fields = StructField("__owner", StringType) +:
       StructField("__rows", LongType, nullable = true) +:
       typed.flatMap(c => Seq(
         StructField(s"__min_raw_$c", StringType, nullable = true),
         StructField(s"__max_raw_$c", StringType, nullable = true),
         StructField(s"__nulls_$c", LongType, nullable = true)))
-    val rows: Seq[org.apache.spark.sql.Row] = meta.owners.map { o =>
-      val ss = meta.segStats.get(o)
+    val rows: Seq[org.apache.spark.sql.Row] = entries.map { case (o, ss) =>
       val cells = ss.map(s => Long.box(s.rows)).orNull +:
         typed.flatMap { c =>
           ss.flatMap(_.cols.get(c)) match {
@@ -1034,16 +1147,70 @@ object AtomicPublish {
     readSegmentsWhere(spark, root, table, meta, where)
   }
 
+  /** Separator between owner and relative file path in composite
+    * file-pruning keys — NUL cannot appear in a filesystem path. */
+  private val FileKeySep = "\u0000"
+
+  /** Read a file SUBSET of one owner segment under the recorded schema.
+    * `basePath` keeps partition-directory values resolving for
+    * partitioned layouts even though only some leaf files are listed. */
+  private def readFileSubset(spark: SparkSession, segDir: Path,
+      meta: TableMeta, files: Seq[String]): DataFrame = {
+    val r = spark.read.schema(meta.schema.get)
+    (if (meta.partitionCols.nonEmpty)
+       r.option("basePath", segDir.toString)
+     else r)
+      .parquet(files.map(f => new Path(segDir, f).toString): _*)
+  }
+
   private def readSegmentsWhere(spark: SparkSession, root: String,
       table: String, meta: TableMeta, where: String): DataFrame = {
+    def emptyFrame = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      meta.schema.getOrElse(throw new IllegalStateException(
+        s"table '$table' pruned to zero segments without a recorded " +
+          "schema — impossible: pruning requires the schema")))
     val keep = pruneOwners(spark, meta, where)
+    // second granularity: within surviving owners that carry COMPLETE
+    // per-file maps, drop every file the predicate provably rejects
+    // (one local prune over all such owners' files at once); owners
+    // without file maps read whole, conservatively
+    val (mapped, whole) =
+      keep.partition(o => meta.fileStats.get(o).exists(_.nonEmpty) &&
+        meta.schema.isDefined)
+    val fileKeep: Map[String, Seq[String]] =
+      if (mapped.isEmpty) Map.empty
+      else {
+        val entries = mapped.flatMap { o =>
+          meta.fileStats(o).toSeq.map { case (f, s) =>
+            (o + FileKeySep + f) -> Option(s)
+          }
+        }
+        pruneEntries(spark, meta.schema.get, meta.statCols, entries, where)
+          .map { k =>
+            val i = k.indexOf(FileKeySep)
+            (k.substring(0, i), k.substring(i + 1))
+          }
+          .groupBy(_._1).map { case (o, fs) => o -> fs.map(_._2) }
+      }
+    val frames =
+      (if (whole.nonEmpty)
+         Seq(readSegments(spark, root, table, meta, whole))
+       else Nil) ++
+        mapped.flatMap { o =>
+          fileKeep.get(o) match {
+            case None => None // every file of this owner provably rejects
+            case Some(fs) if fs.size == meta.fileStats(o).size =>
+              // nothing pruned — whole-dir read keeps the simpler plan
+              Some(readSegments(spark, root, table, meta, Seq(o)))
+            case Some(fs) =>
+              Some(readFileSubset(spark,
+                new Path(new Path(root, s"v_$o"), table), meta, fs))
+          }
+        }
     val base =
-      if (keep.nonEmpty) readSegments(spark, root, table, meta, keep)
-      else spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        meta.schema.getOrElse(throw new IllegalStateException(
-          s"table '$table' pruned to zero segments without a recorded " +
-            "schema — impossible: pruning requires the schema")))
+      if (frames.isEmpty) emptyFrame
+      else frames.reduce(_.unionByName(_))
     base.where(where)
   }
 

@@ -146,8 +146,19 @@ object Compaction {
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
+  /** `clusterBy` turns the rewrite into data CLUSTERING (the
+    * `OPTIMIZE … ZORDER`-shaped maintenance move): rows are
+    * range-partitioned and sorted by the given columns, so each output
+    * file carries a tight disjoint value range — exactly what makes the
+    * store's per-FILE zone maps selective again after consolidation
+    * collapses the segment-level maps into one all-spanning segment. A
+    * point/range read over a clustered stat column then prunes to a
+    * handful of files regardless of how many ingest batches built the
+    * table. On a partitioned table the cluster key is applied within
+    * the partition layout (partition columns lead the range key). */
   def compactStore(spark: SparkSession, root: String, table: String,
-      targetBytes: Long = 128L * 1024 * 1024): (String, Int) = {
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Seq[String] = Nil): (String, Int) = {
     import org.apache.spark.sql.functions.col
     var attempt = 0
     while (attempt < 5) {
@@ -161,7 +172,11 @@ object Compaction {
       val parts = partitionsFor(bytes, targetBytes)
       val union = AtomicPublish.readTableAt(spark, root, table, parent)
       val consolidated =
-        if (meta.partitionCols.isEmpty) union.repartition(parts)
+        if (clusterBy.nonEmpty) {
+          val key = (meta.partitionCols ++ clusterBy).map(col)
+          union.repartitionByRange(parts, key: _*)
+            .sortWithinPartitions(key: _*)
+        } else if (meta.partitionCols.isEmpty) union.repartition(parts)
         else union.repartition(parts, meta.partitionCols.map(col): _*)
       AtomicPublish.publishDelta(spark, root, append = Map.empty,
         replace = Map(table -> consolidated), parent = Some(parent)) match {
