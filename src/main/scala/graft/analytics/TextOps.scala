@@ -719,6 +719,145 @@ object TextOps {
       |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS sum_ids
       |FROM i GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  // --- t9: PII detection + redaction ------------------------------------------
+
+  /** (kind, regex, replacement) per PII class. The patterns restrict
+    * themselves to syntax Java regex and RE2 evaluate identically
+    * (char classes, bounded repetition, ASCII `\b`) — a PII pass is
+    * exactly the place where a regex-dialect divergence becomes a
+    * silent compliance hole, so the t9 oracle hash-match across the
+    * two engines is the point, not a formality. Redaction applies in
+    * this order, each pattern over the previous result; the patterns
+    * are mutually non-overlapping (an SSN's 3-2-4 digit shape cannot
+    * match inside a phone's 3-3-4 and vice versa — `\b` pins both). */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ssn", "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b", "[SSN]"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "[PHONE]"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b",
+      "[IP]"),
+  )
+
+  /** The REAL operator: per-class match counts (on the input text) +
+    * the fully redacted text. Map-only column expressions, linear scan,
+    * no shuffle — at 100 TB this is the embarrassingly parallel shape
+    * every compliance scrub needs. */
+  def piiScrub(df: DataFrame, textCol: String): DataFrame = {
+    val counted = PiiPatterns.foldLeft(df) { case (d, (kind, re, _)) =>
+      d.withColumn(s"n_$kind",
+        regexp_count(col(textCol), lit(re)).cast("long"))
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, lit(re), lit(token))
+    }
+    counted.withColumn("redacted", redacted)
+  }
+
+  /** T9: PII scrub over the corpus. The synthetic corpus is digit-free,
+    * so raw text would make the oracle vacuous; each doc is first
+    * AUGMENTED with PII-shaped strings derived from `doc_id` by string
+    * construction both engines perform identically (concat + integer
+    * arithmetic + lossless casts) — the hash-match then proves the two
+    * regex engines agree on real positives, which is the risky part of
+    * a PII pass. The augmentation is part of the QUERY, not the
+    * operator: production callers use [[piiScrub]] directly. */
+  def t9PiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    def s(c: Column): Column = c.cast("string")
+    val id = col("doc_id")
+    val aug = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact u"), s(id), lit("@ex"),
+        s(id % 10), lit(".com"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" ssn "), s(id % 900 + 100), lit("-"),
+        s(id % 90 + 10), lit("-"), s(id % 9000 + 1000))).otherwise(lit("")),
+      when(id % 7 === 0, concat(lit(" call 555-"), s(id % 900 + 100),
+        lit("-"), s(id % 9000 + 1000))).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit(" host "), s(id % 256), lit("."),
+        s((id * 7) % 256), lit("."), s((id * 13) % 256), lit("."),
+        s((id * 29) % 256))).otherwise(lit("")))
+    piiScrub(
+      Tables.documents(spark, dir).select(col("doc_id"), aug.as("aug")),
+      "aug")
+      .select(col("doc_id"), col("n_email"), col("n_ssn"), col("n_phone"),
+        col("n_ip"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t9PiiRedactSql: String = {
+    val augSql = Seq(
+      "text",
+      "|| CASE WHEN doc_id % 3 = 0 THEN ' contact u' || CAST(doc_id AS VARCHAR)",
+      "|| '@ex' || CAST(doc_id % 10 AS VARCHAR) || '.com' ELSE '' END",
+      "|| CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR)",
+      "|| '-' || CAST(doc_id % 90 + 10 AS VARCHAR)",
+      "|| '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END",
+      "|| CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || CAST(doc_id % 900 + 100 AS VARCHAR)",
+      "|| '-' || CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END",
+      "|| CASE WHEN doc_id % 2 = 0 THEN ' host ' || CAST(doc_id % 256 AS VARCHAR)",
+      "|| '.' || CAST((doc_id * 7) % 256 AS VARCHAR)",
+      "|| '.' || CAST((doc_id * 13) % 256 AS VARCHAR)",
+      "|| '.' || CAST((doc_id * 29) % 256 AS VARCHAR) ELSE '' END",
+    ).mkString(" ")
+    val counts = PiiPatterns.map { case (kind, re, _) =>
+      s"CAST(len(regexp_extract_all(aug, '$re')) AS BIGINT) AS n_$kind"
+    }.mkString(",\n  ")
+    val redacted = PiiPatterns.foldLeft("aug") { case (c, (_, re, token)) =>
+      s"regexp_replace($c, '$re', '$token', 'g')"
+    }
+    s"""WITH a AS (SELECT doc_id, $augSql AS aug FROM documents)
+      |SELECT doc_id,
+      |  $counts,
+      |  $redacted AS redacted
+      |FROM a ORDER BY doc_id""".stripMargin
+  }
+
+  // --- sp6: curriculum interleave ----------------------------------------------
+
+  /** SP6: deterministic WEIGHTED INTERLEAVE — the training-ORDER
+    * composition op (sp5 decides membership; sp6 decides sequence).
+    * Within each domain, docs rank by the sp2 md5-hash order; doc with
+    * rank r (1-based) in domain d of weight w_d lands at position
+    * (epoch, d, slot) = ((r-1) DIV w_d, d, (r-1) MOD w_d). Reading in
+    * lexicographic (epoch, lang, slot) order yields w_d docs of every
+    * domain per epoch — the [[MixtureParts]] ratio holds in every
+    * training window, not just in aggregate, and when a domain
+    * exhausts, later epochs simply drop it (deterministic tail).
+    *
+    * Scale shape: ONE shuffle (the per-domain rank window); the
+    * position key is pure arithmetic on the rank — there is no global
+    * row_number (a single-reducer window), because the lexicographic
+    * key IS the total order. */
+  def sp6CurriculumInterleave(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val partsDf = MixtureParts.toDF("lang", "p")
+    val hashRank = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(hashRank, col("doc_id"))
+    Tables.documents(spark, dir)
+      .join(broadcast(partsDf), Seq("lang"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .select(col("lang"), col("doc_id"),
+        expr("(rk - 1) DIV p").as("epoch"),
+        ((col("rk") - 1) % col("p")).cast("long").as("slot"))
+      .select(col("epoch"), col("lang"), col("slot"), col("doc_id"))
+      .orderBy(col("epoch"), col("lang"), col("slot"))
+  }
+
+  val sp6CurriculumInterleaveSql: String = {
+    val values = MixtureParts
+      .map { case (l, p) => s"('$l', ${p}::BIGINT)" }.mkString(", ")
+    s"""WITH w(lang, p) AS (VALUES $values),
+      |ranked AS (
+      |  SELECT lang, doc_id, p,
+      |    (row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |               doc_id))::BIGINT AS rk
+      |  FROM documents JOIN w USING (lang))
+      |SELECT (rk - 1) // p AS epoch, lang, (rk - 1) % p AS slot, doc_id
+      |FROM ranked ORDER BY epoch, lang, slot""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -733,6 +872,8 @@ object TextOps {
     "sp3_sequence_pack" -> (sp3SequencePack _),
     "sp4_batch_shuffle" -> (sp4BatchShuffle _),
     "sp5_mixture_sample" -> (sp5MixtureSample _),
+    "sp6_curriculum" -> (sp6CurriculumInterleave _),
+    "t9_pii_redact" -> (t9PiiRedact _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -749,5 +890,7 @@ object TextOps {
     "sp3_sequence_pack" -> sp3SequencePackSql,
     "sp4_batch_shuffle" -> sp4BatchShuffleSql,
     "sp5_mixture_sample" -> sp5MixtureSampleSql,
+    "sp6_curriculum" -> sp6CurriculumInterleaveSql,
+    "t9_pii_redact" -> t9PiiRedactSql,
   )
 }

@@ -181,4 +181,99 @@ class TextOpsSpec extends SparkSuite {
     assert(graft.analytics.TextOps
       .sp5MixtureSample(spark, tmp.toString).count() == 0L)
   }
+
+  test("t9 piiScrub: hand corpus — counts per class, redaction order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail alice.smith+x@corp.example.org today"),
+      (2L, "ssn 123-45-6789 and phone 555-123-4567"),
+      (3L, "hosts 10.0.0.1 and 192.168.255.3"),
+      (4L, "none here"),
+      (5L, "two mails a@b.co c_d%e@f-g.io and ip 8.8.8.8"),
+    ).toDF("doc_id", "text")
+    val out = TextOps.piiScrub(docs, "text")
+      .select("doc_id", "n_email", "n_ssn", "n_phone", "n_ip", "redacted")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getString(5)))).toMap
+    assert(out(1L) == ((1L, 0L, 0L, 0L, "mail [EMAIL] today")))
+    // the SSN's 3-2-4 shape never bleeds into the phone's 3-3-4
+    assert(out(2L) == ((0L, 1L, 1L, 0L, "ssn [SSN] and phone [PHONE]")))
+    assert(out(3L) == ((0L, 0L, 0L, 2L, "hosts [IP] and [IP]")))
+    assert(out(4L) == ((0L, 0L, 0L, 0L, "none here")))
+    assert(out(5L) == ((2L, 0L, 0L, 1L,
+      "two mails [EMAIL] [EMAIL] and ip [IP]")))
+  }
+
+  test("t9 on testdata: every doc row present, redacted text PII-free") {
+    import org.apache.spark.sql.functions._
+    val df = TextOps.t9PiiRedact(spark, dir)
+    val n = graft.core.Tables.documents(spark, dir).count()
+    assert(df.count() == n)
+    // re-scrubbing the redacted text finds nothing: redaction is total
+    val rescrub = TextOps.piiScrub(
+      df.select(col("doc_id"), col("redacted")), "redacted")
+    assert(rescrub.filter(col("n_email") + col("n_ssn") + col("n_phone") +
+      col("n_ip") > 0).count() == 0)
+    // and the injection really exercised every class
+    val tot = df.agg(sum("n_email"), sum("n_ssn"), sum("n_phone"),
+      sum("n_ip")).head()
+    (0 to 3).foreach(i => assert(tot.getLong(i) > 0,
+      s"pattern class $i never fired — vacuous oracle"))
+  }
+
+  test("sp6 curriculum: every epoch window holds the mixture ratio") {
+    import org.apache.spark.sql.functions._
+    val df = sp6Cached
+    // one row per (mixture-domain) doc
+    val n = graft.core.Tables.documents(spark, dir).count()
+    assert(df.count() == n)
+    // within every COMPLETE epoch, each domain contributes exactly its
+    // parts weight (incomplete tail epochs may hold fewer)
+    val parts = TextOps.MixtureParts.toMap
+    val perEpoch = df.groupBy("epoch", "lang").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val full = df.groupBy("lang").agg(max("epoch").as("maxe")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    parts.foreach { case (lang, p) =>
+      (0L until full(lang)).foreach { e =>
+        assert(perEpoch((e, lang)) == p.toLong,
+          s"epoch $e lang $lang: ${perEpoch((e, lang))} != $p")
+      }
+    }
+    // slots within (epoch, lang) are 0..k-1, no duplicate positions
+    assert(df.groupBy("epoch", "lang", "slot").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("sp6 is append-stable: a grown corpus only extends the tail") {
+    import org.apache.spark.sql.functions._
+    // drop the hash-ranked TAIL of each domain (rank > 60) — sp6 on the
+    // truncated corpus must equal sp6 on the full corpus restricted to
+    // the surviving docs with epoch below the truncation point
+    val keepPerLang = 60
+    val tmp = java.nio.file.Files.createTempDirectory("sp6-grow")
+    val hashRank = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(hashRank, col("doc_id"))
+    graft.core.Tables.documents(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= keepPerLang).drop("rk")
+      .write.parquet(tmp.resolve("documents.parquet").toString)
+    val small = TextOps.sp6CurriculumInterleave(spark, tmp.toString)
+      .collect().toSet
+    val fullRestricted = sp6Cached
+      .filter(col("epoch") < TextOps.MixtureParts.map {
+        case (_, p) => keepPerLang / p }.min)
+      .collect().toSet
+    // the small-corpus schedule agrees with the full one on every
+    // position below the guaranteed-complete prefix
+    assert(fullRestricted.subsetOf(small))
+  }
+
+  private lazy val sp6Cached =
+    TextOps.sp6CurriculumInterleave(spark, dir).cache()
 }
