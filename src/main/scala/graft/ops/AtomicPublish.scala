@@ -92,7 +92,8 @@ object AtomicPublish {
       partitionCols: Seq[String] = Nil,
       statCols: Seq[String] = Nil,
       segStats: Map[String, SegStats] = Map.empty,
-      fileStats: Map[String, Map[String, SegStats]] = Map.empty) {
+      fileStats: Map[String, Map[String, SegStats]] = Map.empty,
+      bloomCols: Seq[String] = Nil) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -287,6 +288,9 @@ object AtomicPublish {
     val statcols = names.collect { case (name, m) if m.statCols.nonEmpty =>
       s"#statcols:$name=${m.statCols.mkString(",")}"
     }
+    val bloomcols = names.collect { case (name, m) if m.bloomCols.nonEmpty =>
+      s"#bloomcols:$name=${m.bloomCols.mkString(",")}"
+    }
     val stats = names.flatMap { case (name, m) =>
       m.segStats.toSeq.sortBy(_._1).map { case (owner, s) =>
         s"#stats:$name@$owner=${renderSegStats(s)}"
@@ -298,8 +302,8 @@ object AtomicPublish {
           s"#fstats:$name@$owner=${renderFileStats(fs)}"
       }
     }
-    (txn +: (owners ++ parts ++ schemas ++ statcols ++ stats ++ fstats))
-      .mkString("\n")
+    (txn +: (owners ++ parts ++ schemas ++ statcols ++ bloomcols ++
+      stats ++ fstats)).mkString("\n")
   }
 
   private def parseManifestMeta(txn: String,
@@ -320,6 +324,9 @@ object AtomicPublish {
     val statcols = body.filter(_.startsWith("#statcols:"))
       .map(_.stripPrefix("#statcols:").split("=", 2))
       .collect { case Array(name, cs) => name -> cs.split(",").toSeq }.toMap
+    val bloomcols = body.filter(_.startsWith("#bloomcols:"))
+      .map(_.stripPrefix("#bloomcols:").split("=", 2))
+      .collect { case Array(name, cs) => name -> cs.split(",").toSeq }.toMap
     val stats = body.filter(_.startsWith("#stats:"))
       .map(_.stripPrefix("#stats:").split("=", 2))
       .collect { case Array(key, js) => key.split("@", 2) match {
@@ -337,7 +344,7 @@ object AtomicPublish {
     owners.map { case (name, os) =>
       name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil),
         statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty),
-        fstats.getOrElse(name, Map.empty))
+        fstats.getOrElse(name, Map.empty), bloomcols.getOrElse(name, Nil))
     }
   }
 
@@ -603,6 +610,15 @@ object AtomicPublish {
             if (fm.isEmpty) m.fileStats else m.fileStats + (txn -> fm))
       }
     }
+    sealedMeta.foreach { case (name, m) =>
+      if (m.bloomCols.nonEmpty && tables.contains(name)) {
+        val rows = m.segStats.get(txn).map(_.rows).getOrElse(
+          spark.read.schema(tables(name).schema)
+            .parquet(new Path(scratch, name).toString).count())
+        writeBloomSidecars(spark, new Path(scratch, name), m.bloomCols,
+          tables(name).schema, rows)
+      }
+    }
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val mos = fs.create(new Path(scratch, ManifestFile), true)
     try mos.write(
@@ -630,6 +646,156 @@ object AtomicPublish {
     pcols.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' of table '$name' is not in its schema " +
         s"(${df.columns.mkString(", ")})"))
+
+  // --- bloom-filter sidecars ---------------------------------------------------
+
+  /** Types a bloom sidecar hashes exactly: integral (widened to long)
+    * and string — the key types point lookups probe. */
+  private[ops] def bloomSupported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType => true
+    case _ => false
+  }
+
+  /** A bloom-col absent from the slice is legal (schema evolution); one
+    * present must carry a hashable type. */
+  private def validateBloomCols(name: String, df: DataFrame,
+      cols: Seq[String]): Unit =
+    cols.filter(df.columns.contains).foreach { c =>
+      val dt = df.schema(c).dataType
+      require(bloomSupported(dt),
+        s"bloom column '$c' of table '$name' has type ${dt.simpleString}" +
+          " — bloom sidecars need an integral or string type")
+    }
+
+  private def bloomSidecar(segDir: Path, c: String): Path =
+    new Path(segDir, s"_bloom_$c.bin")
+
+  private val BloomFpp = 0.01
+
+  /** Build + write one segment's bloom sidecars: a `_bloom_<col>.bin`
+    * per declared column, sized from the staged row count, written into
+    * the STAGING dir so the sidecar rides the same atomic seal rename
+    * and is vacuumed with its owner. Sidecars never touch the manifest
+    * (only the column LIST does) — at 100 TB that is the difference
+    * between a pointer file and megabytes of metadata per commit. A
+    * missing sidecar at read time keeps the segment conservatively. */
+  private def writeBloomSidecars(spark: SparkSession, segDir: Path,
+      bloomCols: Seq[String], sliceSchema: StructType, rows: Long): Unit = {
+    val present = bloomCols.filter(sliceSchema.fieldNames.contains)
+    if (present.isEmpty || rows == 0) return
+    val df = spark.read.schema(sliceSchema).parquet(segDir.toString)
+    val fs = segDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    present.foreach { c =>
+      val bf = df.stat.bloomFilter(c, math.max(rows, 1L), BloomFpp)
+      val out = fs.create(bloomSidecar(segDir, c), true)
+      try bf.writeTo(out) finally out.close()
+    }
+  }
+
+  /** Loaded sidecars, memoized by qualified path — segment dirs are
+    * immutable, so a loaded filter never staleifies; None caches the
+    * absent case (pre-bloom segments probe the FS once, not per query). */
+  private val bloomCache = scala.collection.concurrent.TrieMap
+    .empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
+
+  private def loadBloom(spark: SparkSession, segDir: Path,
+      c: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
+    val p = bloomSidecar(segDir, c)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    bloomCache.getOrElseUpdate(fs.makeQualified(p).toString,
+      try {
+        val in = fs.open(p)
+        try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
+        finally in.close()
+      } catch { case _: java.io.IOException => None })
+  }
+
+  /** Equality probes (col → candidate values) extractable from the
+    * TOP-LEVEL conjuncts of `where` for the given bloom columns: `c =
+    * lit`, `c <=> lit` (non-null), and `c IN (lits)`. A disjunct or
+    * anything else contributes nothing (conservative). Values convert
+    * to the probe domain only when exact: integral literal for an
+    * integral column (widened to long), string for string. */
+  private def bloomProbes(e: org.apache.spark.sql.catalyst.expressions.Expression,
+      cols: Map[String, DataType]): Seq[(String, Seq[Any])] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def attrName(x: ce.Expression): Option[String] = x match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.nameParts.length == 1 =>
+        Some(a.nameParts.head).filter(cols.contains)
+      case a: ce.AttributeReference => Some(a.name).filter(cols.contains)
+      case _ => None
+    }
+    def conv(n: String, lt: ce.Literal): Option[Any] =
+      (cols(n), lt.dataType, lt.value) match {
+        case (_, _, null) => None
+        case (ByteType | ShortType | IntegerType | LongType,
+            ByteType | ShortType | IntegerType | LongType, v) =>
+          Some(Long.box(v.asInstanceOf[Number].longValue()))
+        case (StringType, StringType, v) => Some(v.toString)
+        case _ => None
+      }
+    def conjuncts(x: ce.Expression): Seq[ce.Expression] = x match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(e).flatMap {
+      case ce.EqualTo(l, r) => (attrName(l), r, attrName(r), l) match {
+        case (Some(n), lt: ce.Literal, _, _) =>
+          conv(n, lt).map(v => n -> Seq(v))
+        case (_, _, Some(n), lt: ce.Literal) =>
+          conv(n, lt).map(v => n -> Seq(v))
+        case _ => None
+      }
+      case ce.EqualNullSafe(l, r) => (attrName(l), r, attrName(r), l) match {
+        case (Some(n), lt: ce.Literal, _, _) =>
+          conv(n, lt).map(v => n -> Seq(v))
+        case (_, _, Some(n), lt: ce.Literal) =>
+          conv(n, lt).map(v => n -> Seq(v))
+        case _ => None
+      }
+      case ce.In(a, vs) if attrName(a).isDefined &&
+          vs.nonEmpty && vs.forall(_.isInstanceOf[ce.Literal]) =>
+        val n = attrName(a).get
+        val conVs = vs.map(v => conv(n, v.asInstanceOf[ce.Literal]))
+        // all values must convert — a lost value could wrongly drop a
+        // segment that only contains it
+        if (conVs.forall(_.isDefined)) Some(n -> conVs.map(_.get))
+        else None
+      case _ => None
+    }
+  }
+
+  /** Drop every owner of `keep` whose bloom sidecars PROVE no probe
+    * value is present: for a conjunct `c = v` (or IN-list), a segment
+    * whose filter reports mightContain(v) false for EVERY candidate
+    * cannot hold a matching row. ~1% false-positive rate means ~1% of
+    * history segments are read needlessly — never skipped wrongly. */
+  private def pruneOwnersBloom(spark: SparkSession, root: String,
+      table: String, meta: TableMeta, keep: Seq[String],
+      where: String): Seq[String] = {
+    if (meta.bloomCols.isEmpty || keep.isEmpty) return keep
+    val schema = meta.schema.getOrElse(return keep)
+    val typed = meta.bloomCols.filter(schema.fieldNames.contains)
+      .map(c => c -> schema(c).dataType).toMap
+    if (typed.isEmpty) return keep
+    val probes = bloomProbes(
+      spark.sessionState.sqlParser.parseExpression(where), typed)
+    if (probes.isEmpty) return keep
+    keep.filter { o =>
+      val segDir = new Path(new Path(root, s"v_$o"), table)
+      probes.forall { case (c, vs) =>
+        loadBloom(spark, segDir, c) match {
+          case None => true // no sidecar: keep conservatively
+          case Some(bf) => vs.exists {
+            case v: java.lang.Long => bf.mightContainLong(v)
+            case v: String => bf.mightContainString(v)
+            case _ => true
+          }
+        }
+      }
+    }
+  }
 
   /** Merge an appended slice's schema into the table's recorded schema.
     * Same-name fields must have the SAME type (`sameType`, nullability
@@ -668,7 +834,8 @@ object AtomicPublish {
   def publish(spark: SparkSession, root: String,
       tables: Map[String, DataFrame],
       partitionBy: Map[String, Seq[String]] = Map.empty,
-      statsBy: Map[String, Seq[String]] = Map.empty): String = {
+      statsBy: Map[String, Seq[String]] = Map.empty,
+      bloomBy: Map[String, Seq[String]] = Map.empty): String = {
     require(tables.nonEmpty, "publish needs at least one table")
     validateNames(tables.keys)
     partitionBy.foreach { case (n, cs) =>
@@ -679,13 +846,18 @@ object AtomicPublish {
       require(tables.contains(n), s"statsBy names unknown table '$n'")
       validateStatCols(n, tables(n), cs)
     }
+    bloomBy.foreach { case (n, cs) =>
+      require(tables.contains(n), s"bloomBy names unknown table '$n'")
+      validateBloomCols(n, tables(n), cs)
+    }
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
     inFlight.add(txn)
     try {
       val meta = tables.map { case (n, df) =>
         n -> TableMeta(Seq(txn), Some(df.schema.json),
-          partitionBy.getOrElse(n, Nil), statsBy.getOrElse(n, Nil))
+          partitionBy.getOrElse(n, Nil), statsBy.getOrElse(n, Nil),
+          bloomCols = bloomBy.getOrElse(n, Nil))
       }
       val sealedMeta = stageAndSeal(spark, rootPath, txn, tables, meta)
       swapPointer(spark, root, txn,
@@ -751,7 +923,8 @@ object AtomicPublish {
       parent: Option[String] = None,
       partitionBy: Map[String, Seq[String]] = Map.empty,
       statsBy: Map[String, Seq[String]] = Map.empty,
-      txnId: Option[String] = None): Option[String] = {
+      txnId: Option[String] = None,
+      bloomBy: Map[String, Seq[String]] = Map.empty): Option[String] = {
     require(append.nonEmpty || replace.nonEmpty,
       "publishDelta needs at least one appended or replaced table")
     require(append.keySet.intersect(replace.keySet).isEmpty,
@@ -763,6 +936,9 @@ object AtomicPublish {
     statsBy.keys.foreach(n =>
       require(append.contains(n) || replace.contains(n),
         s"statsBy names unknown table '$n'"))
+    bloomBy.keys.foreach(n =>
+      require(append.contains(n) || replace.contains(n),
+        s"bloomBy names unknown table '$n'"))
     val txn =
       txnId.getOrElse(java.util.UUID.randomUUID().toString.replace("-", ""))
     val rootPath = new Path(root)
@@ -783,6 +959,8 @@ object AtomicPublish {
         // may extend them (future segments get the wider map)
         val scols = statsBy.getOrElse(n, pm.map(_.statCols).getOrElse(Nil))
         validateStatColsLenient(n, df, scols)
+        val bcols = bloomBy.getOrElse(n, pm.map(_.bloomCols).getOrElse(Nil))
+        validateBloomCols(n, df, bcols)
         val parentSchema = pm.map(m => parentSchemaOf(spark, root, n, m))
         val merged = parentSchema match {
           case Some(ps) => mergeSchemas(n, ps, df.schema)
@@ -810,7 +988,8 @@ object AtomicPublish {
             o -> fm.map { case (f, s) => f -> backfill(s) }
           }
         n -> TableMeta(pm.map(_.owners).getOrElse(Nil) :+ txn,
-          Some(merged.json), pcols, scols, backfilled, backfilledFiles)
+          Some(merged.json), pcols, scols, backfilled, backfilledFiles,
+          bcols)
       }
       val replaceMeta = replace.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
@@ -819,7 +998,11 @@ object AtomicPublish {
         val scols = statsBy.getOrElse(n,
           parentMeta.get(n).map(_.statCols).getOrElse(Nil))
         validateStatColsLenient(n, df, scols)
-        n -> TableMeta(Seq(txn), Some(df.schema.json), pcols, scols)
+        val bcols = bloomBy.getOrElse(n,
+          parentMeta.get(n).map(_.bloomCols).getOrElse(Nil))
+        validateBloomCols(n, df, bcols)
+        n -> TableMeta(Seq(txn), Some(df.schema.json), pcols, scols,
+          bloomCols = bcols)
       }
       val meta = parentMeta ++ appendMeta ++ replaceMeta
       val sealedMeta =
@@ -1170,7 +1353,8 @@ object AtomicPublish {
       meta.schema.getOrElse(throw new IllegalStateException(
         s"table '$table' pruned to zero segments without a recorded " +
           "schema — impossible: pruning requires the schema")))
-    val keep = pruneOwners(spark, meta, where)
+    val keep = pruneOwnersBloom(spark, root, table, meta,
+      pruneOwners(spark, meta, where), where)
     // second granularity: within surviving owners that carry COMPLETE
     // per-file maps, drop every file the predicate provably rejects
     // (one local prune over all such owners' files at once); owners
