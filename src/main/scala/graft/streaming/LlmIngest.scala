@@ -190,10 +190,12 @@ object LlmIngest {
                   .repartition(1), // 16 B/doc: never larger than one file
                 RunsTable -> run)
             }
-          // zone maps on doc_id: declared at table creation, inherited
-          // by every later append (and maintain's replaces), so a store
-          // consumer's id-range read skips history segments — segments
-          // of a time-ordered ingest carry naturally disjoint id ranges
+          // zone maps + bloom sidecars on doc_id: declared at table
+          // creation, inherited by every later append (and maintain's
+          // replaces). Zone maps serve id-RANGE reads (a time-ordered
+          // ingest carries naturally disjoint id ranges per segment);
+          // the blooms serve doc_id POINT lookups even when batches
+          // interleave ids and the ranges overlap
           val statsNew = nNew > 0 && parent.forall(p =>
             !AtomicPublish.manifestMetaOf(spark, root, p)
               .get(DocsTable).exists(_.statCols.nonEmpty))
@@ -202,7 +204,8 @@ object LlmIngest {
               Map(DocsTable -> Seq("doc_id"), ChunksTable -> Seq("doc_id"))
             else Map.empty
           AtomicPublish.publishDelta(spark, root,
-            append = tables, parent = parent, statsBy = statsBy) match {
+            append = tables, parent = parent, statsBy = statsBy,
+            bloomBy = statsBy) match {
             case Some(txn) =>
               autoCompact(spark, root, txn)
               return nNew

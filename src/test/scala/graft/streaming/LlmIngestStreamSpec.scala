@@ -273,5 +273,20 @@ class LlmIngestStreamSpec extends SparkSuite {
     // chunks carry the same stats; maintain-style replace would inherit
     val cmeta = AtomicPublish.manifestMetaOf(spark, root, txn)(LlmIngest.ChunksTable)
     assert(cmeta.statCols == Seq("doc_id"))
+    // bloom sidecars declared alongside: a point lookup on an id the
+    // RANGES cannot separate still reads one segment (here ranges are
+    // disjoint, so this pins the bloom metadata + sidecar presence)
+    assert(meta.bloomCols == Seq("doc_id"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    meta.owners.foreach { o =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        s"$root/v_$o/${LlmIngest.DocsTable}/_bloom_doc_id.bin")),
+        s"missing bloom sidecar for owner $o")
+    }
+    val point = AtomicPublish.readTableWhere(spark, root,
+      LlmIngest.DocsTable, "doc_id = 103")
+    assert(point.inputFiles.forall(_.contains(s"v_$seg2")))
+    assert(point.count() == 1)
   }
 }
