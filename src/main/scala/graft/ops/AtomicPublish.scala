@@ -1086,32 +1086,112 @@ object AtomicPublish {
       paths.map(p => read(Seq(p))).reduce(_.unionByName(_))
   }
 
+  // --- row-level deletes (merge-on-read tombstones) ----------------------------
+
+  /** Name of `table`'s tombstone companion. A table of this name is BY
+    * CONVENTION the key set deleted from `table`: every public read of
+    * `table` anti-joins it, [[deleteRows]] appends to it (O(deleted
+    * ids), never a data rewrite — the takedown shape a 100 TB corpus
+    * needs), and [[graft.ops.Compaction.compactStore]] applies it
+    * physically and empties it in the same atomic commit. Do not
+    * publish ordinary data under a `__del` suffix. */
+  def deleteTableOf(table: String): String = s"${table}__del"
+
+  /** Anti-join `base` with `table`'s tombstones at the resolved
+    * version, if any — the merge-on-read half of row-level deletes.
+    * Raw-segment consumers ([[readTableSegments]], [[changesSince]])
+    * intentionally skip this: a change-feed consumer sees appends, and
+    * observes deletes as the tombstone table's OWN change feed. */
+  private def applyTombstones(spark: SparkSession, root: String,
+      table: String, metas: Map[String, TableMeta],
+      base: DataFrame): DataFrame =
+    metas.get(deleteTableOf(table)) match {
+      case Some(dm) if dm.owners.nonEmpty =>
+        val tomb = readSegments(spark, root, deleteTableOf(table), dm,
+          dm.owners)
+        base.join(tomb, tomb.columns.toSeq, "left_anti")
+      case _ => base
+    }
+
+  /** Delete rows BY KEY from one or more tables, atomically: each
+    * `table -> keys` frame (exactly one column, named for a column of
+    * the table) appends to `<table>__del`; all tombstones land in ONE
+    * CAS-committed delta. Cost is O(deleted keys) — no data file of any
+    * target table is touched; readers exclude the keys from the commit
+    * on, time travel before it still sees them, and the next
+    * `compactStore` applies the deletion physically. Key-type drift is
+    * rejected by the same recorded-schema validation every append gets.
+    * Returns the commit txn. */
+  def deleteRows(spark: SparkSession, root: String,
+      deletes: Map[String, DataFrame], maxAttempts: Int = 5): String = {
+    require(deletes.nonEmpty, "deleteRows needs at least one table")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (pinned, metas) = currentManifestMeta(spark, root).getOrElse(
+        throw new IllegalStateException(s"no published version under $root"))
+      deletes.foreach { case (t, keys) =>
+        val meta = metas.getOrElse(t, throw new IllegalArgumentException(
+          s"table '$t' is not in version $pinned under $root"))
+        require(keys.columns.length == 1,
+          s"tombstones for '$t' must be a single key column, got " +
+            s"(${keys.columns.mkString(", ")})")
+        val k = keys.columns.head
+        meta.schema.foreach { s =>
+          require(s.fieldNames.contains(k),
+            s"delete key '$k' is not a column of table '$t' " +
+              s"(${s.fieldNames.mkString(", ")})")
+          require(s(k).dataType.catalogString ==
+            keys.schema.head.dataType.catalogString,
+            s"delete key '$k' of table '$t' has type " +
+              s"${s(k).dataType.simpleString} but the tombstone frame " +
+              s"carries ${keys.schema.head.dataType.simpleString}")
+        }
+      }
+      publishDelta(spark, root,
+        append = deletes.map { case (t, keys) =>
+          deleteTableOf(t) -> keys.repartition(1) // ids: tiny by contract
+        },
+        parent = Some(pinned)) match {
+        case Some(txn) => return txn
+        case None => () // lost the race: re-pin, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"deleteRows lost the commit race $maxAttempts times under $root")
+  }
+
   /** Read a table from the CURRENT version — the only resolution path
     * readers use, so partially-published data is unreachable. A reader
     * needing cross-TABLE consistency under concurrent publishers should
     * pin the txn once ([[currentTxn]]) and read every table with
     * [[readTableAt]]: two `readTable` calls can legitimately span a
-    * pointer swap. */
+    * pointer swap. Rows tombstoned by [[deleteRows]] are excluded. */
   def readTable(spark: SparkSession, root: String, table: String): DataFrame = {
     val (txn, metas) = currentManifestMeta(spark, root).getOrElse(
       throw new IllegalStateException(s"no published version under $root"))
     val meta = metas.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' is not in version $txn under $root"))
-    readSegments(spark, root, table, meta, meta.owners)
+    applyTombstones(spark, root, table, metas,
+      readSegments(spark, root, table, meta, meta.owners))
   }
 
   /** Time travel: read a table at an explicit txn. Any version not yet
     * vacuumed is immutable and fully readable — the same guarantee a
     * table-format snapshot id gives, from the layout alone. Resolves
     * the version's manifest: an appended/carried table is the UNION of
-    * its owning versions' dirs (one multi-path parquet read). */
+    * its owning versions' dirs (one multi-path parquet read). Rows
+    * tombstoned AS OF `txn` are excluded; earlier versions still serve
+    * them. */
   def readTableAt(spark: SparkSession, root: String, table: String,
       txn: String): DataFrame = {
-    val meta = manifestMetaOf(spark, root, txn).getOrElse(table,
+    val metas = manifestMetaOf(spark, root, txn)
+    val meta = metas.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' is not in version $txn under $root"))
-    readSegments(spark, root, table, meta, meta.owners)
+    applyTombstones(spark, root, table, metas,
+      readSegments(spark, root, table, meta, meta.owners))
   }
 
   /** Read ONLY the named owner segments of a table at `txn` — the
@@ -1317,17 +1397,20 @@ object AtomicPublish {
     val meta = metas.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' is not in version $txn under $root"))
-    readSegmentsWhere(spark, root, table, meta, where)
+    applyTombstones(spark, root, table, metas,
+      readSegmentsWhere(spark, root, table, meta, where))
   }
 
   /** [[readTableAt]] with zone-map segment skipping — see
     * [[readTableWhere]]. */
   def readTableAtWhere(spark: SparkSession, root: String, table: String,
       txn: String, where: String): DataFrame = {
-    val meta = manifestMetaOf(spark, root, txn).getOrElse(table,
+    val metas = manifestMetaOf(spark, root, txn)
+    val meta = metas.getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' is not in version $txn under $root"))
-    readSegmentsWhere(spark, root, table, meta, where)
+    applyTombstones(spark, root, table, metas,
+      readSegmentsWhere(spark, root, table, meta, where))
   }
 
   /** Separator between owner and relative file path in composite

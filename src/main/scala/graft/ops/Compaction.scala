@@ -170,6 +170,9 @@ object Compaction {
           s"table '$table' is not in version $parent under $root"))
       val bytes = storeTableBytes(spark, root, table, parent)
       val parts = partitionsFor(bytes, targetBytes)
+      // readTableAt applies merge-on-read tombstones, so the rewrite IS
+      // the physical delete; the tombstone table empties in the SAME
+      // commit — a reader never sees "applied twice" or "not yet"
       val union = AtomicPublish.readTableAt(spark, root, table, parent)
       val consolidated =
         if (clusterBy.nonEmpty) {
@@ -178,8 +181,16 @@ object Compaction {
             .sortWithinPartitions(key: _*)
         } else if (meta.partitionCols.isEmpty) union.repartition(parts)
         else union.repartition(parts, meta.partitionCols.map(col): _*)
+      val delTable = AtomicPublish.deleteTableOf(table)
+      val clearTombstones = AtomicPublish
+        .manifestMetaOf(spark, root, parent).get(delTable)
+        .flatMap(_.schema).map { ds =>
+          delTable -> spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](), ds)
+        }
       AtomicPublish.publishDelta(spark, root, append = Map.empty,
-        replace = Map(table -> consolidated), parent = Some(parent)) match {
+        replace = Map(table -> consolidated) ++ clearTombstones,
+        parent = Some(parent)) match {
         case Some(txn) => return (txn, parts)
         case None => () // an appender committed meanwhile; re-pin, retry
       }

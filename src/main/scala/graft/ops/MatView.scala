@@ -112,13 +112,25 @@ object MatView {
       // "already current" means the SOURCE is unchanged since the
       // covered txn — not that the txns are equal: the refresh commit
       // itself advances the live txn, and comparing txns alone would
-      // make every refresh republish an unchanged view forever
-      def srcOwners(txn: String): Option[Seq[String]] =
-        AtomicPublish.manifestOf(spark, root, txn).get(d.src)
+      // make every refresh republish an unchanged view forever. The
+      // source's TOMBSTONE table counts as part of the source: a
+      // delete changes the aggregate without adding a segment
+      def srcOwners(txn: String): (Option[Seq[String]], Option[Seq[String]]) = {
+        val m = AtomicPublish.manifestOf(spark, root, txn)
+        (m.get(d.src), m.get(AtomicPublish.deleteTableOf(d.src)))
+      }
+      // deletes are not incrementally mergeable (min/max cannot be
+      // un-merged): a tombstone change in the interval forces the
+      // full-recompute path, which reads the live (anti-joined) rows
+      def tombstonesChanged(covered: String): Boolean =
+        srcOwners(covered)._2 != srcOwners(pinned)._2
       val merged: Option[DataFrame] = wm match {
         case Some(covered) if covered == pinned ||
             srcOwners(covered) == srcOwners(pinned) =>
           None // already current
+        case Some(covered) if tombstonesChanged(covered) =>
+          Some(aggregate(d,
+            AtomicPublish.readTableAt(spark, root, d.src, pinned)))
         case Some(covered) =>
           AtomicPublish.changesSince(spark, root, d.src, covered,
             Some(pinned)) match {

@@ -103,6 +103,26 @@ object LlmIngest {
     liveChunksAt(spark, root, AtomicPublish.currentTxn(spark, root).getOrElse(
       throw new IllegalStateException(s"no published store under $root")))
 
+  /** TAKEDOWN: remove the named docs from the corpus — the compliance
+    * move (author request, license revocation, privacy order) a
+    * long-lived training store must answer WITHOUT rewriting 100 TB.
+    * One atomic [[AtomicPublish.deleteRows]] commit tombstones the ids
+    * in docs, chunks AND kept_docs: reads exclude them from this commit
+    * on, the next compaction applies the delete physically, and
+    * removing the FINGERPRINT means the dedup barrier forgets the
+    * content — a takedown is an instruction to forget, so a later
+    * legitimate resubmission of identical text is admitted fresh
+    * rather than silently suppressed by a barrier entry whose document
+    * no longer exists. Cost: O(ids). Returns the commit txn. */
+  def takedown(spark: SparkSession, root: String,
+      docIds: Seq[Long]): String = {
+    import spark.implicits._
+    require(docIds.nonEmpty, "takedown needs at least one doc id")
+    val keys = docIds.toDF("doc_id")
+    AtomicPublish.deleteRows(spark, root, Map(
+      DocsTable -> keys, ChunksTable -> keys, KeptTable -> keys))
+  }
+
   /** Retries when a concurrent committer wins the pointer race. */
   private val MaxAttempts = 5
 

@@ -1,0 +1,140 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Row-level deletes (merge-on-read tombstones): `deleteRows` appends
+  * keys to `<table>__del` in one CAS commit — O(ids), no data rewrite —
+  * every public read anti-joins the tombstones, time travel before the
+  * delete still serves the rows, and `compactStore` applies the delete
+  * physically while emptying the tombstone table in the SAME commit.
+  * The takedown path of a 100 TB training corpus. */
+class StoreDeleteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("store-del").resolve("tables").toString
+
+  private def docs(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, s"text-$i")).toDF("doc_id", "text")
+
+  test("delete excludes rows from every read path; history untouched") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 100)),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    val before = AtomicPublish.manifestOf(spark, root, v1)("docs")
+    val dtxn = AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(3L, 7L, 50L).toDF("doc_id")))
+    // O(ids): the data table's owner list did not change
+    assert(AtomicPublish.manifestOf(spark, root, dtxn)("docs") == before)
+    // plain read excludes the keys
+    val live = AtomicPublish.readTable(spark, root, "docs")
+    assert(live.count() == 97)
+    assert(live.filter(col("doc_id").isin(3L, 7L, 50L)).count() == 0)
+    // pruned read excludes them too (tombstones after skipping)
+    val zoned = AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id < 10")
+    assert(zoned.select("doc_id").as[Long].collect().toSet ==
+      (0L until 10L).toSet -- Set(3L, 7L))
+    // time travel BEFORE the delete still serves the rows
+    assert(AtomicPublish.readTableAt(spark, root, "docs", v1)
+      .count() == 100)
+    // deleting again (incl. unknown keys) stacks tombstones harmlessly
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(7L, 999L).toDF("doc_id")))
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 97)
+  }
+
+  test("compaction applies deletes physically and clears the tombstones") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 80)))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> (0L until 40L by 2).toDF("doc_id")))
+    val (ctxn, _) = Compaction.compactStore(spark, root, "docs")
+    // the RAW segments of the compacted version no longer hold the rows
+    val meta = AtomicPublish.manifestMetaOf(spark, root, ctxn)("docs")
+    assert(meta.owners == Seq(ctxn))
+    val raw = spark.read.parquet(s"$root/v_$ctxn/docs")
+    assert(raw.count() == 60)
+    assert(raw.filter(col("doc_id") === 2L).count() == 0)
+    // the tombstone table emptied in the same commit
+    assert(AtomicPublish.readTableAt(spark, root,
+      AtomicPublish.deleteTableOf("docs"), ctxn).count() == 0)
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 60)
+  }
+
+  test("key validation: wrong column, wrong type, unknown table fail fast") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 10)))
+    val badCol = intercept[IllegalArgumentException] {
+      AtomicPublish.deleteRows(spark, root,
+        Map("docs" -> Seq(1L).toDF("nope")))
+    }
+    assert(badCol.getMessage.contains("not a column"))
+    val badType = intercept[IllegalArgumentException] {
+      AtomicPublish.deleteRows(spark, root,
+        Map("docs" -> Seq("x").toDF("doc_id")))
+    }
+    assert(badType.getMessage.contains("type"))
+    intercept[IllegalArgumentException] {
+      AtomicPublish.deleteRows(spark, root,
+        Map("ghost" -> Seq(1L).toDF("doc_id")))
+    }
+  }
+
+  test("matview: a delete in the interval forces the recompute path") {
+    val root = freshRoot()
+    val d = MatView.Def("docs", "stats", Seq("text"),
+      Seq(MatView.Agg("count", "doc_id", "n"),
+        MatView.Agg("max", "doc_id", "hi")))
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> Seq((1L, "a"), (2L, "a"), (3L, "b"))
+        .toDF("doc_id", "text")))
+    assert(MatView.refresh(spark, root, d).isDefined)
+    // max(doc_id) of group 'a' is 2 — deleting id 2 must LOWER it,
+    // which no incremental merge can do
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(2L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, d).isDefined)
+    val rows = AtomicPublish.readTable(spark, root, "stats")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(rows("a") == ((1L, 1L)))
+    assert(rows("b") == ((1L, 3L)))
+    // quiet store: refresh converges to a no-op
+    assert(MatView.refresh(spark, root, d).isEmpty)
+  }
+
+  test("llm takedown: one commit, reads forget, re-ingest re-admits") {
+    import graft.streaming.LlmIngest
+    val root = Files.createTempDirectory("takedown").resolve("s").toString
+    // stopword prefix keeps the docs above the ingest quality gate
+    def mk(n: Int, tag: String) =
+      "the a and of to in is " + (1 to (n - 7)).map(i => s"$tag$i")
+        .mkString(" ")
+    LlmIngest.ingestBatch(spark, root,
+      (1L to 6L).map(i => i -> mk(30, s"doc$i")).toDF("doc_id", "text"),
+      "b0")
+    assert(LlmIngest.liveDocs(spark, root).count() == 6)
+    val t = LlmIngest.takedown(spark, root, Seq(2L, 5L))
+    // one atomic commit tombstones docs, chunks and the dedup barrier
+    val m = AtomicPublish.manifestOf(spark, root, t)
+    Seq("docs", "chunks", "kept_docs").foreach { tb =>
+      assert(m(AtomicPublish.deleteTableOf(tb)).nonEmpty, tb)
+    }
+    assert(LlmIngest.liveDocs(spark, root).count() == 4)
+    assert(LlmIngest.liveChunks(spark, root)
+      .filter(col("doc_id").isin(2L, 5L)).count() == 0)
+    // the fingerprint is forgotten: resubmitting doc 2's exact text is
+    // admitted as a fresh document, not suppressed by the barrier
+    val n = LlmIngest.ingestBatch(spark, root,
+      Seq(100L -> mk(30, "doc2")).toDF("doc_id", "text"), "b1")
+    assert(n == 1, "resubmitted takedown text must be re-admitted")
+    assert(LlmIngest.liveDocs(spark, root).count() == 5)
+  }
+}
