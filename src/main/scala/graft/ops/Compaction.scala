@@ -155,10 +155,19 @@ object Compaction {
     * point/range read over a clustered stat column then prunes to a
     * handful of files regardless of how many ingest batches built the
     * table. On a partitioned table the cluster key is applied within
-    * the partition layout (partition columns lead the range key). */
+    * the partition layout (partition columns lead the range key).
+    *
+    * `zOrder = true` clusters on the MORTON INTERLEAVE of the
+    * `clusterBy` columns' rank buckets ([[ZOrder]]) instead of their
+    * lexicographic order: every clustered dimension gets ~√-quality
+    * file locality, so point/range reads on ANY of them prune — where
+    * lexicographic clustering serves only the leading column. Needs
+    * 2-4 NUMERIC cluster columns on a flat (unpartitioned) table; one
+    * extra `approxQuantile` pass computes the rank boundaries. */
   def compactStore(spark: SparkSession, root: String, table: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Seq[String] = Nil): (String, Int) = {
+      clusterBy: Seq[String] = Nil,
+      zOrder: Boolean = false): (String, Int) = {
     import org.apache.spark.sql.functions.col
     var attempt = 0
     while (attempt < 5) {
@@ -175,7 +184,28 @@ object Compaction {
       // commit — a reader never sees "applied twice" or "not yet"
       val union = AtomicPublish.readTableAt(spark, root, table, parent)
       val consolidated =
-        if (clusterBy.nonEmpty) {
+        if (zOrder) {
+          require(clusterBy.size >= 2 && clusterBy.size <= 4,
+            s"zOrder clustering needs 2-4 columns, got $clusterBy")
+          require(meta.partitionCols.isEmpty,
+            "zOrder clustering applies to flat tables (partition dirs " +
+              "already split the layout; cluster within them instead)")
+          meta.schema.foreach(s => clusterBy.foreach { c =>
+            require(s.fieldNames.contains(c) && s(c).dataType
+              .isInstanceOf[org.apache.spark.sql.types.NumericType],
+              s"zOrder column '$c' must be a numeric column of '$table'")
+          })
+          // one quantile pass for ALL columns' rank boundaries
+          val bs = union.stat.approxQuantile(clusterBy.toArray,
+            ZOrder.probs, 0.001)
+          val z = ZOrder.zCol(clusterBy.zip(bs).map { case (c, b) =>
+            ZOrder.bucketCol(col(c), b.toSeq)
+          })
+          union.withColumn("__z", z)
+            .repartitionByRange(parts, col("__z"))
+            .sortWithinPartitions(col("__z"))
+            .drop("__z")
+        } else if (clusterBy.nonEmpty) {
           val key = (meta.partitionCols ++ clusterBy).map(col)
           union.repartitionByRange(parts, key: _*)
             .sortWithinPartitions(key: _*)
