@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{coalesce, col, lit, timestamp_micros, unix_micros, when}
+import org.apache.spark.sql.functions.{coalesce, col, element_at, input_file_name, lit, regexp_extract, timestamp_micros, typedLit, unix_micros, when}
 import org.apache.spark.sql.types._
 
 /** Atomic multi-table publish (SURVEY.md §2.1; reference transaction
@@ -946,6 +946,24 @@ object AtomicPublish {
     try {
       val parentMeta =
         parent.map(manifestMetaOf(spark, root, _)).getOrElse(Map.empty)
+      // a REPLACE defines the table's full new content, so any pending
+      // merge-on-read tombstones are consumed by it — clear them in the
+      // same commit (unless the caller writes the tombstone table
+      // explicitly). Leaving them would be worse than redundant: their
+      // [[TombAsofCol]] scopes reference the parent's owner POSITIONS,
+      // which the replace resets, so a stale tombstone could wrongly
+      // kill rows appended after the replace.
+      val autoClear: Map[String, DataFrame] = replace.keys
+        .filterNot(_.endsWith("__del"))
+        .flatMap { t =>
+          val dt = deleteTableOf(t)
+          if (append.contains(dt) || replace.contains(dt)) None
+          else parentMeta.get(dt).filter(_.owners.nonEmpty)
+            .flatMap(_.schema).map(ds => dt -> spark.createDataFrame(
+              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+              ds))
+        }.toMap
+      val replaceAll = replace ++ autoClear
       val appendMeta = append.map { case (n, df) =>
         val pm = parentMeta.get(n)
         val pcols = partitionBy.getOrElse(n,
@@ -991,7 +1009,7 @@ object AtomicPublish {
           Some(merged.json), pcols, scols, backfilled, backfilledFiles,
           bcols)
       }
-      val replaceMeta = replace.map { case (n, df) =>
+      val replaceMeta = replaceAll.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
           parentMeta.get(n).map(_.partitionCols).getOrElse(Nil))
         validatePartitionCols(n, df, pcols)
@@ -1006,7 +1024,7 @@ object AtomicPublish {
       }
       val meta = parentMeta ++ appendMeta ++ replaceMeta
       val sealedMeta =
-        stageAndSeal(spark, rootPath, txn, append ++ replace, meta)
+        stageAndSeal(spark, rootPath, txn, append ++ replaceAll, meta)
       val committed = swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(parent))
@@ -1097,21 +1115,64 @@ object AtomicPublish {
     * publish ordinary data under a `__del` suffix. */
   def deleteTableOf(table: String): String = s"${table}__del"
 
+  /** Tombstone scope column: a tombstone with `_asof = n` applies to
+    * the data table's owner segments at positions BELOW n in its owner
+    * list at delete time — so deleting a key does not silently suppress
+    * a LATER legitimate re-append of the same key (a re-crawled doc id,
+    * an upserted row). A null `_asof` applies everywhere. */
+  private[ops] val TombAsofCol = "_asof"
+
   /** Anti-join `base` with `table`'s tombstones at the resolved
     * version, if any — the merge-on-read half of row-level deletes.
-    * Raw-segment consumers ([[readTableSegments]], [[changesSince]])
-    * intentionally skip this: a change-feed consumer sees appends, and
-    * observes deletes as the tombstone table's OWN change feed. */
+    * Each data row's owner POSITION is recovered from its file path
+    * (`input_file_name` → `v_<owner>` → position map literal), and a
+    * tombstone kills only rows from segments older than its `_asof`
+    * scope. Raw-segment consumers ([[readTableSegments]],
+    * [[changesSince]]) intentionally skip this: a change-feed consumer
+    * sees appends, and observes deletes as the tombstone table's OWN
+    * change feed. */
   private def applyTombstones(spark: SparkSession, root: String,
       table: String, metas: Map[String, TableMeta],
       base: DataFrame): DataFrame =
     metas.get(deleteTableOf(table)) match {
       case Some(dm) if dm.owners.nonEmpty =>
-        val tomb = readSegments(spark, root, deleteTableOf(table), dm,
+        val tomb0 = readSegments(spark, root, deleteTableOf(table), dm,
           dm.owners)
-        base.join(tomb, tomb.columns.toSeq, "left_anti")
+        val tomb =
+          if (tomb0.columns.contains(TombAsofCol)) tomb0
+          else tomb0.withColumn(TombAsofCol,
+            lit(null).cast(org.apache.spark.sql.types.IntegerType))
+        val key = tomb.columns.filterNot(_ == TombAsofCol).head
+        val posOf = typedLit(
+          metas(table).owners.zipWithIndex.toMap)
+        val based = base.withColumn("__seg_pos", element_at(posOf,
+          regexp_extract(input_file_name(), "/v_([^/]+)/", 1)))
+        based.join(tomb,
+          based(key) === tomb(key) &&
+            (tomb(TombAsofCol).isNull ||
+              tomb(TombAsofCol) > based("__seg_pos")),
+          "left_anti")
+          .drop("__seg_pos")
       case _ => base
     }
+
+  private def validateDeleteKey(t: String, meta: TableMeta,
+      keys: DataFrame): Unit = {
+    require(keys.columns.length == 1,
+      s"tombstones for '$t' must be a single key column, got " +
+        s"(${keys.columns.mkString(", ")})")
+    val k = keys.columns.head
+    meta.schema.foreach { s =>
+      require(s.fieldNames.contains(k),
+        s"delete key '$k' is not a column of table '$t' " +
+          s"(${s.fieldNames.mkString(", ")})")
+      require(s(k).dataType.catalogString ==
+        keys.schema.head.dataType.catalogString,
+        s"delete key '$k' of table '$t' has type " +
+          s"${s(k).dataType.simpleString} but the tombstone frame " +
+          s"carries ${keys.schema.head.dataType.simpleString}")
+    }
+  }
 
   /** Delete rows BY KEY from one or more tables, atomically: each
     * `table -> keys` frame (exactly one column, named for a column of
@@ -1119,9 +1180,12 @@ object AtomicPublish {
     * CAS-committed delta. Cost is O(deleted keys) — no data file of any
     * target table is touched; readers exclude the keys from the commit
     * on, time travel before it still sees them, and the next
-    * `compactStore` applies the deletion physically. Key-type drift is
-    * rejected by the same recorded-schema validation every append gets.
-    * Returns the commit txn. */
+    * `compactStore` applies the deletion physically. The tombstones are
+    * SCOPED to the segments that exist at delete time ([[TombAsofCol]]):
+    * a later re-append of the same key is a new live row, not a
+    * silently suppressed one. Key-type drift is rejected by the same
+    * recorded-schema validation every append gets. Returns the commit
+    * txn. */
   def deleteRows(spark: SparkSession, root: String,
       deletes: Map[String, DataFrame], maxAttempts: Int = 5): String = {
     require(deletes.nonEmpty, "deleteRows needs at least one table")
@@ -1133,24 +1197,13 @@ object AtomicPublish {
       deletes.foreach { case (t, keys) =>
         val meta = metas.getOrElse(t, throw new IllegalArgumentException(
           s"table '$t' is not in version $pinned under $root"))
-        require(keys.columns.length == 1,
-          s"tombstones for '$t' must be a single key column, got " +
-            s"(${keys.columns.mkString(", ")})")
-        val k = keys.columns.head
-        meta.schema.foreach { s =>
-          require(s.fieldNames.contains(k),
-            s"delete key '$k' is not a column of table '$t' " +
-              s"(${s.fieldNames.mkString(", ")})")
-          require(s(k).dataType.catalogString ==
-            keys.schema.head.dataType.catalogString,
-            s"delete key '$k' of table '$t' has type " +
-              s"${s(k).dataType.simpleString} but the tombstone frame " +
-              s"carries ${keys.schema.head.dataType.simpleString}")
-        }
+        validateDeleteKey(t, meta, keys)
       }
       publishDelta(spark, root,
         append = deletes.map { case (t, keys) =>
-          deleteTableOf(t) -> keys.repartition(1) // ids: tiny by contract
+          deleteTableOf(t) -> keys
+            .withColumn(TombAsofCol, lit(metas(t).owners.size))
+            .repartition(1) // ids: tiny by contract
         },
         parent = Some(pinned)) match {
         case Some(txn) => return txn
@@ -1159,6 +1212,39 @@ object AtomicPublish {
     }
     throw new IllegalStateException(
       s"deleteRows lost the commit race $maxAttempts times under $root")
+  }
+
+  /** UPSERT (merge latest-wins): one CAS commit that appends `rows` to
+    * `table` AND tombstones their keys in every PRE-EXISTING segment —
+    * the new slice lands at owner position = old segment count, exactly
+    * where the `_asof`-scoped tombstones stop applying, so "replace by
+    * key" is a single atomic delta of O(batch) writes. Keys should be
+    * unique within `rows` (duplicates all survive, like any append).
+    * Returns the commit txn. */
+  def upsertRows(spark: SparkSession, root: String, table: String,
+      rows: DataFrame, keyCol: String, maxAttempts: Int = 5): String = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val (pinned, metas) = currentManifestMeta(spark, root).getOrElse(
+        throw new IllegalStateException(s"no published version under $root"))
+      val meta = metas.getOrElse(table, throw new IllegalArgumentException(
+        s"table '$table' is not in version $pinned under $root"))
+      val keys = rows.select(keyCol).distinct()
+      validateDeleteKey(table, meta, keys)
+      publishDelta(spark, root,
+        append = Map(
+          table -> rows,
+          deleteTableOf(table) -> keys
+            .withColumn(TombAsofCol, lit(meta.owners.size))
+            .repartition(1)),
+        parent = Some(pinned)) match {
+        case Some(txn) => return txn
+        case None => ()
+      }
+    }
+    throw new IllegalStateException(
+      s"upsertRows lost the commit race $maxAttempts times under $root")
   }
 
   /** Read a table from the CURRENT version — the only resolution path

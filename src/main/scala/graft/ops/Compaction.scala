@@ -211,15 +211,10 @@ object Compaction {
             .sortWithinPartitions(key: _*)
         } else if (meta.partitionCols.isEmpty) union.repartition(parts)
         else union.repartition(parts, meta.partitionCols.map(col): _*)
-      val delTable = AtomicPublish.deleteTableOf(table)
-      val clearTombstones = AtomicPublish
-        .manifestMetaOf(spark, root, parent).get(delTable)
-        .flatMap(_.schema).map { ds =>
-          delTable -> spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](), ds)
-        }
+      // publishDelta auto-clears the table's merge-on-read tombstones
+      // on any replace — the live read above already consumed them
       AtomicPublish.publishDelta(spark, root, append = Map.empty,
-        replace = Map(table -> consolidated) ++ clearTombstones,
+        replace = Map(table -> consolidated),
         parent = Some(parent)) match {
         case Some(txn) => return (txn, parts)
         case None => () // an appender committed meanwhile; re-pin, retry

@@ -110,6 +110,84 @@ class StoreDeleteSpec extends SparkSuite {
     assert(MatView.refresh(spark, root, d).isEmpty)
   }
 
+  test("a deleted key re-appended later is live again (asof scoping)") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> Seq((5L, "old")).toDF("doc_id", "text")))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(5L).toDF("doc_id")))
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 0)
+    // the re-crawl: the same key arrives again with new content — the
+    // old tombstone is scoped to the pre-delete segments and must NOT
+    // suppress it
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> Seq((5L, "new")).toDF("doc_id", "text")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    val rows = AtomicPublish.readTable(spark, root, "docs").collect()
+    assert(rows.toSeq == Seq(org.apache.spark.sql.Row(5L, "new")))
+    // time travel: v1 serves the original, pre-delete
+    assert(AtomicPublish.readTableAt(spark, root, "docs", v1)
+      .head().getString(1) == "old")
+  }
+
+  test("upsert replaces rows by key in one atomic commit") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> Seq((1L, "a"), (2L, "b"), (3L, "c"))
+        .toDF("doc_id", "text")))
+    val utxn = AtomicPublish.upsertRows(spark, root, "docs",
+      Seq((2L, "B"), (4L, "D")).toDF("doc_id", "text"), "doc_id")
+    // data slice and tombstones landed in the SAME txn
+    val m = AtomicPublish.manifestOf(spark, root, utxn)
+    assert(m("docs").last == utxn)
+    assert(m(AtomicPublish.deleteTableOf("docs")).last == utxn)
+    val now = AtomicPublish.readTable(spark, root, "docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(now == Map(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "D"))
+    // chained upsert: latest wins again
+    AtomicPublish.upsertRows(spark, root, "docs",
+      Seq((2L, "BB")).toDF("doc_id", "text"), "doc_id")
+    assert(AtomicPublish.readTable(spark, root, "docs")
+      .where("doc_id = 2").head().getString(1) == "BB")
+    // time travel is unscathed
+    assert(AtomicPublish.readTableAt(spark, root, "docs", v1)
+      .where("doc_id = 2").head().getString(1) == "b")
+    // physical apply keeps the merged state
+    Compaction.compactStore(spark, root, "docs")
+    assert(AtomicPublish.readTable(spark, root, "docs")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "a", 2L -> "BB", 3L -> "c", 4L -> "D"))
+  }
+
+  test("replace auto-clears tombstones: stale scopes never kill new rows") {
+    val root = freshRoot()
+    // three segments so the tombstone's asof scope is 3
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 10)))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(10 until 20)), parent = Some(v1)).get
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(20 until 30)), parent = Some(v2)).get
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(7L).toDF("doc_id")))
+    // a REPLACE (maintenance-style, not compactStore) resets owner
+    // positions — publishDelta must consume the tombstones with it
+    val rtxn = AtomicPublish.publishDelta(spark, root,
+      replace = Map("docs" ->
+        AtomicPublish.readTable(spark, root, "docs")),
+      append = Map.empty,
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    assert(AtomicPublish.readTableAt(spark, root,
+      AtomicPublish.deleteTableOf("docs"), rtxn).count() == 0)
+    // appends after the replace land at positions the stale tombstone
+    // (asof = 3) would have covered — key 7 must be LIVE
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(7 until 8)), parent = Some(rtxn)).get
+    assert(AtomicPublish.readTable(spark, root, "docs")
+      .where("doc_id = 7").count() == 1)
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 30)
+  }
+
   test("llm takedown: one commit, reads forget, re-ingest re-admits") {
     import graft.streaming.LlmIngest
     val root = Files.createTempDirectory("takedown").resolve("s").toString
