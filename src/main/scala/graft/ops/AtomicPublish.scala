@@ -1214,38 +1214,69 @@ object AtomicPublish {
       s"deleteRows lost the commit race $maxAttempts times under $root")
   }
 
-  /** UPSERT (merge latest-wins): one CAS commit that appends `rows` to
-    * `table` AND tombstones their keys in every PRE-EXISTING segment —
-    * the new slice lands at owner position = old segment count, exactly
-    * where the `_asof`-scoped tombstones stop applying, so "replace by
-    * key" is a single atomic delta of O(batch) writes. Keys should be
-    * unique within `rows` (duplicates all survive, like any append).
+  /** One table's upsert slice: the new rows plus the EXPLICIT key set
+    * whose old versions they supersede. Keys are explicit (not derived
+    * from `rows`) because they can legitimately be wider — replacing a
+    * doc's chunks must tombstone the doc id even when the new version
+    * chunks to zero rows. */
+  final case class Upsert(rows: DataFrame, keys: DataFrame)
+
+  /** UPSERT (merge latest-wins) across tables: ONE CAS commit that, per
+    * table, appends the new slice AND tombstones its key set in every
+    * PRE-EXISTING segment — each slice lands at owner position = old
+    * segment count, exactly where its `_asof`-scoped tombstones stop
+    * applying, so "replace by key" is a single atomic delta of
+    * O(batch) writes across the whole table group. `extraAppend` rides
+    * the same commit for plain append-only tables (run metadata).
     * Returns the commit txn. */
-  def upsertRows(spark: SparkSession, root: String, table: String,
-      rows: DataFrame, keyCol: String, maxAttempts: Int = 5): String = {
+  def upsertMany(spark: SparkSession, root: String,
+      upserts: Map[String, Upsert],
+      extraAppend: Map[String, DataFrame] = Map.empty,
+      maxAttempts: Int = 5): String = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val (pinned, metas) = currentManifestMeta(spark, root).getOrElse(
+      val pinned = currentTxn(spark, root).getOrElse(
         throw new IllegalStateException(s"no published version under $root"))
-      val meta = metas.getOrElse(table, throw new IllegalArgumentException(
-        s"table '$table' is not in version $pinned under $root"))
-      val keys = rows.select(keyCol).distinct()
-      validateDeleteKey(table, meta, keys)
-      publishDelta(spark, root,
-        append = Map(
-          table -> rows,
-          deleteTableOf(table) -> keys
-            .withColumn(TombAsofCol, lit(meta.owners.size))
-            .repartition(1)),
-        parent = Some(pinned)) match {
+      upsertManyAt(spark, root, pinned, upserts, extraAppend) match {
         case Some(txn) => return txn
         case None => ()
       }
     }
     throw new IllegalStateException(
-      s"upsertRows lost the commit race $maxAttempts times under $root")
+      s"upsertMany lost the commit race $maxAttempts times under $root")
   }
+
+  /** One upsert attempt against an explicitly pinned `parent`: None on
+    * CAS loss — for callers whose slices derive from reads at the same
+    * pin (an ingest loop recomputing its changed-set per retry). */
+  def upsertManyAt(spark: SparkSession, root: String, parent: String,
+      upserts: Map[String, Upsert],
+      extraAppend: Map[String, DataFrame] = Map.empty): Option[String] = {
+    require(upserts.nonEmpty, "upsertMany needs at least one table")
+    val metas = manifestMetaOf(spark, root, parent)
+    val tombs = upserts.map { case (t, u) =>
+      val meta = metas.getOrElse(t, throw new IllegalArgumentException(
+        s"table '$t' is not in version $parent under $root"))
+      validateDeleteKey(t, meta, u.keys)
+      deleteTableOf(t) -> u.keys
+        .withColumn(TombAsofCol, lit(meta.owners.size))
+        .repartition(1)
+    }
+    publishDelta(spark, root,
+      append = upserts.map { case (t, u) => t -> u.rows } ++ tombs ++
+        extraAppend,
+      parent = Some(parent))
+  }
+
+  /** Single-table [[upsertMany]]: keys derived from the slice itself.
+    * Keys should be unique within `rows` (duplicates all survive, like
+    * any append). */
+  def upsertRows(spark: SparkSession, root: String, table: String,
+      rows: DataFrame, keyCol: String, maxAttempts: Int = 5): String =
+    upsertMany(spark, root,
+      Map(table -> Upsert(rows, rows.select(keyCol).distinct())),
+      maxAttempts = maxAttempts)
 
   /** Read a table from the CURRENT version — the only resolution path
     * readers use, so partially-published data is unreachable. A reader

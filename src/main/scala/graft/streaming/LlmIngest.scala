@@ -123,6 +123,84 @@ object LlmIngest {
       DocsTable -> keys, ChunksTable -> keys, KeptTable -> keys))
   }
 
+  /** RE-CRAWL ingestion: documents arriving keyed by an EXISTING
+    * doc_id, possibly with new content — the refresh shape of a
+    * continuously crawled corpus. Per batch:
+    *  - same id + same fingerprint → UNCHANGED, skipped (a re-crawl
+    *    sweep over a quiet corpus publishes only its run row — no
+    *    churn, no owner growth);
+    *  - new or changed docs → ONE atomic [[AtomicPublish.upsertMany]]
+    *    commit replacing their rows in docs, their chunk rows (the
+    *    explicit key set tombstones a doc's old chunks even when the
+    *    new version chunks to zero rows), and their fingerprint in the
+    *    dedup barrier — latest content wins everywhere at once.
+    * A batch that fails the quality gate keeps the OLD version (a bad
+    * crawl must not destroy a good document). Returns the changed-doc
+    * count. */
+  def recrawlBatch(spark: SparkSession, root: String, batch: DataFrame,
+      runName: String): Long = {
+    val t0 = System.currentTimeMillis()
+    if (AtomicPublish.currentTxn(spark, root).isEmpty)
+      return ingestBatch(spark, root, batch, runName)
+    val docs = batch.select(col("doc_id"), col("text")).cache()
+    try {
+      val nIn = docs.count()
+      val staged = LlmPrep.qualityStage(
+        LlmPrep.dedupStage(LlmPrep.cleanStage(docs))
+          .withColumn("fingerprint", LlmPrep.fingerprintCol)).cache()
+      try {
+        var attempt = 0
+        while (attempt < MaxAttempts) {
+          attempt += 1
+          val parent = AtomicPublish.currentTxn(spark, root).get
+          val published = AtomicPublish
+            .readTableAt(spark, root, KeptTable, parent)
+            .select(col("doc_id"), col("fingerprint"))
+          val changed = staged
+            .join(published, Seq("doc_id", "fingerprint"), "left_anti")
+            .cache()
+          try {
+            val nChanged = changed.count()
+            val run = Sinks.pipelineRunRow(spark, runName, "completed",
+              new java.sql.Timestamp(t0),
+              new java.sql.Timestamp(System.currentTimeMillis()),
+              inputCount = nIn, outputCount = nChanged,
+              errorsJson = "[]", dagJson = "{}")
+            if (nChanged == 0) {
+              AtomicPublish.publishDelta(spark, root,
+                append = Map(RunsTable -> run.repartition(1)),
+                parent = Some(parent)) match {
+                case Some(_) => return 0
+                case None => ()
+              }
+            } else {
+              val ids = changed.select(col("doc_id")).distinct()
+              val slice = changed.select(col("doc_id"), col("text"))
+              val parts = slicePartitions(changed)
+              AtomicPublish.upsertManyAt(spark, root, parent,
+                Map(
+                  DocsTable -> AtomicPublish.Upsert(
+                    slice.repartition(parts), ids),
+                  ChunksTable -> AtomicPublish.Upsert(
+                    LlmPrep.chunkStage(slice).repartition(parts), ids),
+                  KeptTable -> AtomicPublish.Upsert(
+                    changed.select(col("doc_id"), col("fingerprint"))
+                      .repartition(1), ids)),
+                extraAppend = Map(RunsTable -> run.repartition(1))) match {
+                case Some(txn) =>
+                  autoCompact(spark, root, txn)
+                  return nChanged
+                case None => () // lost the race: re-pin, recompute
+              }
+            }
+          } finally { changed.unpersist(); () }
+        }
+        throw new IllegalStateException(
+          s"recrawl '$runName' lost the commit race $MaxAttempts times")
+      } finally { staged.unpersist(); () }
+    } finally { docs.unpersist(); () }
+  }
+
   /** Retries when a concurrent committer wins the pointer race. */
   private val MaxAttempts = 5
 

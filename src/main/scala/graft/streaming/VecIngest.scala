@@ -95,6 +95,60 @@ object VecIngest {
       s"indexBatch lost the commit race 5 times under $indexRoot")
   }
 
+  /** RE-EMBED upsert: vectors arriving for EXISTING vec_ids — the
+    * index-freshness shape when an embedding model is upgraded or a
+    * document's content (and thus its embedding) changed. A row whose
+    * (vec_id, vector) pair is already published is skipped — replayed
+    * re-embed deliveries publish NOTHING (owner lists stay bounded);
+    * genuinely new versions are assigned against the frozen codebook
+    * and committed as ONE `upsertMany` delta: the new rows land in
+    * their (possibly different) cells and `_asof`-scoped tombstones
+    * retire every older version of those ids wherever it sits. Cost:
+    * O(batch) writes; the next compaction applies retirement
+    * physically. Returns the commit txn, or None when nothing changed. */
+  def reembedBatch(spark: SparkSession, indexRoot: String, batch: DataFrame,
+      centroids: DataFrame): Option[String] = {
+    val withNorm = batch
+      .select(col("vec_id"), col("v"))
+      .dropDuplicates("vec_id")
+      .withColumn("nrm", sqrt(VectorFunctions.dot(col("v"), col("v"))))
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, indexRoot)
+      val hasTable = parent.exists(p =>
+        AtomicPublish.manifestMetaOf(spark, indexRoot, p).contains(IndexTable))
+      if (!hasTable) return indexBatch(spark, indexRoot, batch, centroids)
+      val published = AtomicPublish
+        .readTableAt(spark, indexRoot, IndexTable, parent.get)
+        .select(col("vec_id"), col("v"))
+      // unchanged (vec_id, vector) pairs drop out — the replay barrier;
+      // vector equality joins exactly (arrays compare element-wise)
+      val changed = SimilarityOps
+        .assignCells(withNorm.join(published, Seq("vec_id", "v"),
+          "left_anti"), centroids)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+        .cache()
+      try {
+        if (changed.isEmpty) return None
+        AtomicPublish.upsertManyAt(spark, indexRoot, parent.get,
+          Map(IndexTable -> AtomicPublish.Upsert(changed,
+            changed.select(col("vec_id")).distinct()))) match {
+          case Some(txn) =>
+            graft.ops.Compaction.autoCompact(spark, indexRoot, txn,
+              AutoCompactOwners, TargetFileBytes)
+            return Some(txn)
+          case None => () // lost the race: re-pin, recompute
+        }
+      } finally {
+        changed.unpersist()
+        ()
+      }
+    }
+    throw new IllegalStateException(
+      s"reembedBatch lost the commit race 5 times under $indexRoot")
+  }
+
   /** Bind a vector stream to the index store: one atomic delta per
     * trigger via foreachBatch. Pass a `checkpoint` for restartable
     * deployments — processed source files are never re-read across

@@ -188,6 +188,21 @@ class StoreDeleteSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "docs").count() == 30)
   }
 
+  test("tombstone read plans a broadcast HASH anti-join (never BNLJ)") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 100)))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(1L).toDF("doc_id")))
+    // the scoping condition is equi-key + range residual: Spark must
+    // extract the equi key and broadcast-hash the (tiny) tombstones;
+    // a nested-loop plan would scan data × tombstones at 100 TB
+    val plan = AtomicPublish.readTable(spark, root, "docs")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("llm takedown: one commit, reads forget, re-ingest re-admits") {
     import graft.streaming.LlmIngest
     val root = Files.createTempDirectory("takedown").resolve("s").toString

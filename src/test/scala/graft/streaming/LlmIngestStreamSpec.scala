@@ -289,4 +289,50 @@ class LlmIngestStreamSpec extends SparkSuite {
     assert(point.inputFiles.forall(_.contains(s"v_$seg2")))
     assert(point.count() == 1)
   }
+
+  test("recrawl: unchanged skip, changed replace everywhere, bad crawls kept out") {
+    val root = Files.createTempDirectory("recrawl").resolve("store").toString
+    val b0 = (1L to 4L).map(i => i -> mk(30, s"v1d$i")).toDF("doc_id", "text")
+    assert(LlmIngest.ingestBatch(spark, root, b0, "rc_b0") == 4)
+    // re-crawl: doc 2 unchanged, doc 3 re-written, doc 9 brand new
+    val b1 = Seq(
+      2L -> mk(30, "v1d2"),       // identical content → skip
+      3L -> mk(30, "v2d3"),       // changed → replace
+      9L -> mk(30, "v1d9"),       // new id → insert
+    ).toDF("doc_id", "text")
+    val changed = LlmIngest.recrawlBatch(spark, root, b1, "rc_b1")
+    assert(changed == 2)
+    val live = LlmIngest.liveDocs(spark, root)
+    assert(live.count() == 5)
+    assert(live.where("doc_id = 3").head().getString(1)
+      .contains("v2d3"), "doc 3 must carry the re-crawled content")
+    assert(live.where("doc_id = 2").head().getString(1).contains("v1d2"))
+    // the doc's chunks were replaced consistently (derived view)
+    val c3 = LlmIngest.liveChunks(spark, root).where("doc_id = 3")
+    val expect3 = graft.analytics.LlmPrep.chunkStage(
+      live.where("doc_id = 3").select("doc_id", "text"))
+    assert(c3.select("chunk_md5").as[String].collect().toSet ==
+      expect3.select("chunk_md5").as[String].collect().toSet)
+    // the dedup barrier carries the NEW fingerprint: re-ingesting the
+    // old v1 text of doc 3 under a new id is admitted (old fp gone)...
+    val reAdd = LlmIngest.ingestBatch(spark, root,
+      Seq(50L -> mk(30, "v1d3")).toDF("doc_id", "text"), "rc_b2")
+    assert(reAdd == 1)
+    // ...while the new fingerprint bars replays of the v2 text
+    assert(LlmIngest.ingestBatch(spark, root,
+      Seq(51L -> mk(30, "v2d3")).toDF("doc_id", "text"), "rc_b3") == 0)
+    // a fully-unchanged recrawl publishes only its run row: the data
+    // tables' owner lists do not grow
+    val before = AtomicPublish.currentManifest(spark, root).get._2
+    assert(LlmIngest.recrawlBatch(spark, root,
+      b1.where("doc_id = 2"), "rc_b4") == 0)
+    val after = AtomicPublish.currentManifest(spark, root).get._2
+    assert(after(LlmIngest.DocsTable) == before(LlmIngest.DocsTable))
+    assert(after(LlmIngest.ChunksTable) == before(LlmIngest.ChunksTable))
+    // a re-crawl that fails the quality gate keeps the old version
+    assert(LlmIngest.recrawlBatch(spark, root,
+      Seq(3L -> "x").toDF("doc_id", "text"), "rc_b5") == 0)
+    assert(LlmIngest.liveDocs(spark, root).where("doc_id = 3")
+      .head().getString(1).contains("v2d3"))
+  }
 }

@@ -110,4 +110,33 @@ class VecIngestSpec extends SparkSuite {
     assert(replay.isEmpty)
     assert(AtomicPublish.readTable(spark, root, "ivf_index").count() == 8)
   }
+
+  test("re-embed upsert: latest vector wins, cells move, replays publish nothing") {
+    val root = Files.createTempDirectory("vec-reembed").resolve("index").toString
+    val v0 = VecIngest.indexBatch(spark, root,
+      (0L until 12L).map(vec).toDF("vec_id", "v"), centroids).get
+    // re-embed vec 5 (cell 1) into cell 2's direction, and vec 6 with
+    // an identical vector (must be skipped)
+    val re = Seq(
+      5L -> Seq(0.0, 0.0, 9.0, 0.0),
+      6L -> vec(6L)._2).toDF("vec_id", "v")
+    val t1 = VecIngest.reembedBatch(spark, root, re, centroids)
+    assert(t1.isDefined)
+    val idx = AtomicPublish.readTable(spark, root, "ivf_index")
+    assert(idx.count() == 12) // still one live row per vec_id
+    val r5 = idx.where("vec_id = 5").head()
+    assert(r5.getAs[Int]("cell") == 2, "re-embedded vector moved cell")
+    assert(r5.getSeq[Double](r5.fieldIndex("v")).toSeq ==
+      Seq(0.0, 0.0, 9.0, 0.0))
+    // time travel: the pre-re-embed index still serves the old vector
+    assert(AtomicPublish.readTableAt(spark, root, "ivf_index", v0)
+      .where("vec_id = 5").head().getAs[Int]("cell") == 1)
+    // replaying the exact re-embed batch publishes nothing
+    assert(VecIngest.reembedBatch(spark, root, re, centroids).isEmpty)
+    // physical apply: compaction retires the old version for good
+    graft.ops.Compaction.compactStore(spark, root, "ivf_index")
+    val after = AtomicPublish.readTable(spark, root, "ivf_index")
+    assert(after.count() == 12)
+    assert(after.where("vec_id = 5").head().getAs[Int]("cell") == 2)
+  }
 }
