@@ -678,7 +678,10 @@ object AtomicPublish {
     * and is vacuumed with its owner. Sidecars never touch the manifest
     * (only the column LIST does) — at 100 TB that is the difference
     * between a pointer file and megabytes of metadata per commit. A
-    * missing sidecar at read time keeps the segment conservatively. */
+    * missing sidecar at read time keeps the segment conservatively.
+    * Cost: one COLUMN-PRUNED scan of the freshly staged slice per
+    * declared column (`df.stat.bloomFilter` is one job each) — O(batch)
+    * per commit, accepted for the read-side skipping it buys. */
   private def writeBloomSidecars(spark: SparkSession, segDir: Path,
       bloomCols: Seq[String], sliceSchema: StructType, rows: Long): Unit = {
     val present = bloomCols.filter(sliceSchema.fieldNames.contains)
@@ -694,7 +697,12 @@ object AtomicPublish {
 
   /** Loaded sidecars, memoized by qualified path — segment dirs are
     * immutable, so a loaded filter never staleifies; None caches the
-    * absent case (pre-bloom segments probe the FS once, not per query). */
+    * absent case (pre-bloom segments probe the FS once, not per query).
+    * Size-capped: a weeks-lived driver watching a compacting ingest
+    * cycles through segment paths forever, and vacuumed segments'
+    * entries would otherwise accumulate until OOM — on overflow the
+    * cache resets wholesale (reloads are one small FS read each). */
+  private val BloomCacheMax = 256
   private val bloomCache = scala.collection.concurrent.TrieMap
     .empty[String, Option[org.apache.spark.util.sketch.BloomFilter]]
 
@@ -702,6 +710,7 @@ object AtomicPublish {
       c: String): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val p = bloomSidecar(segDir, c)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (bloomCache.size > BloomCacheMax) bloomCache.clear()
     bloomCache.getOrElseUpdate(fs.makeQualified(p).toString,
       try {
         val in = fs.open(p)
@@ -1145,11 +1154,20 @@ object AtomicPublish {
         val key = tomb.columns.filterNot(_ == TombAsofCol).head
         val posOf = typedLit(
           metas(table).owners.zipWithIndex.toMap)
+        // greedy ".*" pins the LAST v_<owner>/<table>/ component, so a
+        // store ROOT path that itself contains a v_ directory (or even
+        // ".../v_x/<table>/...") cannot shadow the owner capture; the
+        // table name is regex-quoted (names may contain '.')
+        val ownerRe = ".*/v_([^/]+)/" +
+          java.util.regex.Pattern.quote(table) + "/"
         val based = base.withColumn("__seg_pos", element_at(posOf,
-          regexp_extract(input_file_name(), "/v_([^/]+)/", 1)))
+          regexp_extract(input_file_name(), ownerRe, 1)))
+        // an unresolvable position (defensive: the regex above should
+        // always match) errs toward DELETION — resurrecting a deleted
+        // row is the compliance failure, suppressing a re-append is not
         based.join(tomb,
           based(key) === tomb(key) &&
-            (tomb(TombAsofCol).isNull ||
+            (tomb(TombAsofCol).isNull || based("__seg_pos").isNull ||
               tomb(TombAsofCol) > based("__seg_pos")),
           "left_anti")
           .drop("__seg_pos")
@@ -1157,7 +1175,7 @@ object AtomicPublish {
     }
 
   private def validateDeleteKey(t: String, meta: TableMeta,
-      keys: DataFrame): Unit = {
+      keys: DataFrame, metas: Map[String, TableMeta]): Unit = {
     require(keys.columns.length == 1,
       s"tombstones for '$t' must be a single key column, got " +
         s"(${keys.columns.mkString(", ")})")
@@ -1171,6 +1189,17 @@ object AtomicPublish {
         s"delete key '$k' of table '$t' has type " +
           s"${s(k).dataType.simpleString} but the tombstone frame " +
           s"carries ${keys.schema.head.dataType.simpleString}")
+    }
+    // a table has ONE delete key for life: the read-side anti-join
+    // resolves the key from the tombstone table's schema, so a second
+    // delete under a different column would schema-merge into rows the
+    // reader can never match — a silent no-op delete
+    metas.get(deleteTableOf(t)).flatMap(_.schema).foreach { ds =>
+      val existing = ds.fieldNames.filterNot(_ == TombAsofCol)
+      require(existing.isEmpty || existing.sameElements(Array(k)),
+        s"table '$t' already has tombstones keyed by " +
+          s"'${existing.mkString(",")}' — deletes must keep using that " +
+          s"key, got '$k'")
     }
   }
 
@@ -1197,7 +1226,7 @@ object AtomicPublish {
       deletes.foreach { case (t, keys) =>
         val meta = metas.getOrElse(t, throw new IllegalArgumentException(
           s"table '$t' is not in version $pinned under $root"))
-        validateDeleteKey(t, meta, keys)
+        validateDeleteKey(t, meta, keys, metas)
       }
       publishDelta(spark, root,
         append = deletes.map { case (t, keys) =>
@@ -1258,7 +1287,7 @@ object AtomicPublish {
     val tombs = upserts.map { case (t, u) =>
       val meta = metas.getOrElse(t, throw new IllegalArgumentException(
         s"table '$t' is not in version $parent under $root"))
-      validateDeleteKey(t, meta, u.keys)
+      validateDeleteKey(t, meta, u.keys, metas)
       deleteTableOf(t) -> u.keys
         .withColumn(TombAsofCol, lit(meta.owners.size))
         .repartition(1)

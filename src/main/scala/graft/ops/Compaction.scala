@@ -198,13 +198,22 @@ object Compaction {
           // one quantile pass for ALL columns' rank boundaries
           val bs = union.stat.approxQuantile(clusterBy.toArray,
             ZOrder.probs, 0.001)
-          val z = ZOrder.zCol(clusterBy.zip(bs).map { case (c, b) =>
-            ZOrder.bucketCol(col(c), b.toSeq)
-          })
-          union.withColumn("__z", z)
-            .repartitionByRange(parts, col("__z"))
-            .sortWithinPartitions(col("__z"))
-            .drop("__z")
+          if (bs.exists(_.length != ZOrder.Buckets - 1))
+            // degenerate stats (empty table after deletes, or an
+            // all-null column): there is nothing to interleave —
+            // fall back to the lexicographic cluster rewrite, which
+            // handles empty/null inputs natively
+            union.repartitionByRange(parts, clusterBy.map(col): _*)
+              .sortWithinPartitions(clusterBy.map(col): _*)
+          else {
+            val z = ZOrder.zCol(clusterBy.zip(bs).map { case (c, b) =>
+              ZOrder.bucketCol(col(c), b.toSeq)
+            })
+            union.withColumn("__z", z)
+              .repartitionByRange(parts, col("__z"))
+              .sortWithinPartitions(col("__z"))
+              .drop("__z")
+          }
         } else if (clusterBy.nonEmpty) {
           val key = (meta.partitionCols ++ clusterBy).map(col)
           union.repartitionByRange(parts, key: _*)

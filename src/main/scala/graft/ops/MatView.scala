@@ -136,12 +136,19 @@ object MatView {
             Some(pinned)) match {
             case Some(delta) =>
               // O(changed): aggregate the delta only, merge with the
-              // current view state — history segments never re-read
+              // current view state — history segments never re-read.
+              // The join is NULL-SAFE per key (<=>): a null-keyed group
+              // must merge into ONE row the way the recompute's groupBy
+              // treats nulls, not duplicate per refresh
               val cur = AtomicPublish.readTableAt(spark, root, d.view,
                 pinned)
               val part = aggregate(d, delta)
-              Some(cur.as("l").join(part.as("r"), d.keys, "full_outer")
-                .select(d.keys.map(col) ++ mergeCols(d): _*))
+              val cond = d.keys.map(k => col(s"l.$k") <=> col(s"r.$k"))
+                .reduce(_ && _)
+              Some(cur.as("l").join(part.as("r"), cond, "full_outer")
+                .select(d.keys.map(k =>
+                  coalesce(col(s"l.$k"), col(s"r.$k")).as(k)) ++
+                  mergeCols(d): _*))
             case None =>
               // the source was REPLACED in the interval (compaction /
               // corpus maintenance): incremental diffing cannot see a

@@ -119,8 +119,18 @@ object LlmIngest {
     import spark.implicits._
     require(docIds.nonEmpty, "takedown needs at least one doc id")
     val keys = docIds.toDF("doc_id")
+    // DERIVED data of the forgotten docs goes too: published shingle /
+    // n-gram signatures are content-bearing (retaining them both leaks
+    // what was ordered forgotten and lets a dead doc's signature kill a
+    // legitimate future resubmission as a "near-dup" of nothing), and
+    // dropping the judged marker means a re-added id is re-judged
+    val manifest = AtomicPublish.currentManifest(spark, root)
+      .map(_._2).getOrElse(Map.empty)
+    val derived = Seq(SigsTable, NgramsTable, JudgedTable)
+      .filter(manifest.contains).map(_ -> keys)
     AtomicPublish.deleteRows(spark, root, Map(
-      DocsTable -> keys, ChunksTable -> keys, KeptTable -> keys))
+      DocsTable -> keys, ChunksTable -> keys, KeptTable -> keys) ++
+      derived)
   }
 
   /** RE-CRAWL ingestion: documents arriving keyed by an EXISTING
@@ -174,8 +184,20 @@ object LlmIngest {
                 case None => ()
               }
             } else {
+              // cross-doc content dedup, same barrier ingestBatch
+              // enforces: a changed doc whose NEW content equals some
+              // OTHER doc's content (in the pinned snapshot) is not
+              // admitted — its id is tombstoned without a replacement
+              // row, so the corpus keeps exactly-once content
+              val dupIds = changed
+                .join(published.withColumnRenamed("doc_id", "other_id"),
+                  Seq("fingerprint"))
+                .where(col("other_id") =!= col("doc_id"))
+                .select(col("doc_id")).distinct()
+              val unique = changed
+                .join(dupIds, Seq("doc_id"), "left_anti")
               val ids = changed.select(col("doc_id")).distinct()
-              val slice = changed.select(col("doc_id"), col("text"))
+              val slice = unique.select(col("doc_id"), col("text"))
               val parts = slicePartitions(changed)
               AtomicPublish.upsertManyAt(spark, root, parent,
                 Map(
@@ -184,7 +206,7 @@ object LlmIngest {
                   ChunksTable -> AtomicPublish.Upsert(
                     LlmPrep.chunkStage(slice).repartition(parts), ids),
                   KeptTable -> AtomicPublish.Upsert(
-                    changed.select(col("doc_id"), col("fingerprint"))
+                    unique.select(col("doc_id"), col("fingerprint"))
                       .repartition(1), ids)),
                 extraAppend = Map(RunsTable -> run.repartition(1))) match {
                 case Some(txn) =>
@@ -426,14 +448,29 @@ object LlmIngest {
     val judged = tableOrEmpty(spark, root, parent, JudgedTable, "doc_id LONG")
     // the common case reads ONLY the new segment dirs (O(new) I/O); the
     // judged anti join (8 B/doc) restores exactness when a compaction
-    // consolidated judged and unjudged rows into one segment
+    // consolidated judged and unjudged rows into one segment. The
+    // raw-segment read bypasses merge-on-read tombstones by design, so
+    // the TAKEDOWN id set (the docs__del key table — O(deleted), never
+    // the corpus) filters both sides: a taken-down doc sitting in a
+    // not-yet-judged segment must be neither judged nor have its
+    // signatures PUBLISHED (derived data of forgotten content), and a
+    // dead doc's signature must not kill a legitimate resubmission as
+    // a near-dup of nothing. Trade, documented: an id deleted and
+    // later RE-appended (alive under asof scoping) is also filtered —
+    // it escapes near-dup judgment rather than being wrongly killed;
+    // the next FULL maintain restores completeness.
+    val takedownIds = tableOrEmpty(spark, root, parent,
+      AtomicPublish.deleteTableOf(DocsTable), "doc_id LONG, _asof INT")
+      .select("doc_id").distinct()
     val newDocs = AtomicPublish
       .readTableSegments(spark, root, DocsTable, parent, newOwners)
       .join(judged, Seq("doc_id"), "left_anti")
+      .join(takedownIds, Seq("doc_id"), "left_anti")
     // published survivors' signatures: store DATA, never re-shingled
     val pubSigs = tableOrEmpty(spark, root, parent, SigsTable,
       "doc_id LONG, hs ARRAY<LONG>, n LONG")
       .join(tomb, Seq("doc_id"), "left_anti")
+      .join(takedownIds, Seq("doc_id"), "left_anti")
     val newSigs = DedupOps.shingleSets(newDocs)
     // near-dup: pairs with ≥1 new side suffice — survivors are pairwise
     // < θ (each was judged when new), exactly n1b's completeness shape

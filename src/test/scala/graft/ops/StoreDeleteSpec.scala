@@ -188,6 +188,73 @@ class StoreDeleteSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "docs").count() == 30)
   }
 
+  test("a table's delete key is pinned for life (no silent no-op deletes)") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 10)))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(1L).toDF("doc_id")))
+    // a second delete under a DIFFERENT column would schema-merge into
+    // tombstone rows the reader can never match — rejected up front
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.deleteRows(spark, root,
+        Map("docs" -> Seq("text-5").toDF("text")))
+    }
+    assert(e.getMessage.contains("keyed by"))
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 9)
+  }
+
+  test("tombstones survive a store root whose own path contains v_") {
+    // the owner-position regex must bind the LAST v_<owner>/<table>
+    // component, not a v_ directory in the root path
+    val base = java.nio.file.Files.createTempDirectory("store-vroot")
+    val root = base.resolve("v_prod").resolve("docs").resolve("t").toString
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 20)))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(3L).toDF("doc_id")))
+    val live = AtomicPublish.readTable(spark, root, "docs")
+    assert(live.count() == 19)
+    assert(live.where("doc_id = 3").count() == 0)
+    // and the asof scoping still works under that root
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(3 until 4)),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    assert(AtomicPublish.readTable(spark, root, "docs")
+      .where("doc_id = 3").count() == 1)
+  }
+
+  test("matview: null group keys merge into one row incrementally") {
+    val root = freshRoot()
+    val d = MatView.Def("docs", "by_text", Seq("text"),
+      Seq(MatView.Agg("count", "doc_id", "n")))
+    def withNulls(ids: Range) = ids.map(i =>
+      (i.toLong, if (i % 2 == 0) null else "w")).toDF("doc_id", "text")
+    AtomicPublish.publish(spark, root, Map("docs" -> withNulls(0 until 10)))
+    assert(MatView.refresh(spark, root, d).isDefined)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> withNulls(10 until 20)),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    assert(MatView.refresh(spark, root, d).isDefined)
+    val rows = AtomicPublish.readTable(spark, root, "by_text").collect()
+    assert(rows.length == 2, s"null key must stay ONE group: ${rows.toSeq}")
+    assert(rows.map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ==
+      Map(None -> 10L, Some("w") -> 10L))
+  }
+
+  test("zOrder compaction of an emptied table falls back gracefully") {
+    val root = freshRoot()
+    val grid = (0 until 50).map(i => (i.toLong, i.toLong * 2, s"p$i"))
+      .toDF("x", "y", "text")
+    AtomicPublish.publish(spark, root, Map("t" -> grid),
+      statsBy = Map("t" -> Seq("x", "y")))
+    AtomicPublish.deleteRows(spark, root,
+      Map("t" -> (0L until 50L).toDF("x")))
+    // every live row deleted: quantiles are degenerate — the rewrite
+    // must fall back, not crash, and the physical delete still applies
+    val (ctxn, _) = Compaction.compactStore(spark, root, "t",
+      clusterBy = Seq("x", "y"), zOrder = true)
+    assert(AtomicPublish.readTableAt(spark, root, "t", ctxn).count() == 0)
+  }
+
   test("tombstone read plans a broadcast HASH anti-join (never BNLJ)") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 100)))
@@ -201,6 +268,35 @@ class StoreDeleteSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastExchange"), plan.take(2000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("takedown after maintenance: dead signatures cannot kill resubmission") {
+    import graft.streaming.LlmIngest
+    val root = Files.createTempDirectory("takedown-sig").resolve("s").toString
+    def mk(n: Int, tag: String) =
+      "the a and of to in is " + (1 to (n - 7)).map(i => s"$tag$i")
+        .mkString(" ")
+    LlmIngest.ingestBatch(spark, root,
+      (1L to 6L).map(i => i -> mk(40, s"td$i")).toDF("doc_id", "text"),
+      "ts_b0")
+    // maintenance publishes doc 2's shingle/n-gram signatures
+    LlmIngest.maintainIncremental(spark, root)
+    val t = LlmIngest.takedown(spark, root, Seq(2L))
+    // the derived tables are tombstoned with the doc
+    val m = AtomicPublish.manifestOf(spark, root, t)
+    Seq(LlmIngest.SigsTable, LlmIngest.NgramsTable, LlmIngest.JudgedTable)
+      .foreach(tb => assert(m.contains(AtomicPublish.deleteTableOf(tb)), tb))
+    assert(AtomicPublish.readTable(spark, root, LlmIngest.SigsTable)
+      .where("doc_id = 2").count() == 0)
+    // resubmit the identical text under a new id: admitted by the
+    // barrier (fingerprint forgotten) AND it must SURVIVE maintenance —
+    // a dead doc's signature may not kill it as a near-dup of nothing
+    assert(LlmIngest.ingestBatch(spark, root,
+      Seq(101L -> mk(40, "td2")).toDF("doc_id", "text"), "ts_b1") == 1)
+    LlmIngest.maintainIncremental(spark, root)
+    assert(LlmIngest.liveDocs(spark, root)
+      .where("doc_id = 101").count() == 1,
+      "resubmitted doc was killed by a taken-down doc's signature")
   }
 
   test("llm takedown: one commit, reads forget, re-ingest re-admits") {
