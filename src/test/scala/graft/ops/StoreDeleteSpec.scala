@@ -255,6 +255,52 @@ class StoreDeleteSpec extends SparkSuite {
     assert(AtomicPublish.readTableAt(spark, root, "t", ctxn).count() == 0)
   }
 
+  test("composition fuzz: zone maps + file maps + blooms + tombstones ≡ plain filter") {
+    val root = freshRoot()
+    val rnd = new scala.util.Random(11)
+    // three multi-file segments with overlapping ranges, stats AND
+    // blooms declared, then random deletes and an upsert — every
+    // skipping layer plus merge-on-read active at once
+    def seg(lo: Int) = (lo until lo + 120)
+      .map(i => (i.toLong, if (i % 7 == 0) null else s"w${i % 40}",
+        (i % 13).toLong))
+      .toDF("doc_id", "s", "x")
+      .repartitionByRange(3, col("doc_id"))
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> seg(0)),
+      statsBy = Map("t" -> Seq("doc_id", "x")),
+      bloomBy = Map("t" -> Seq("doc_id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> seg(80)), parent = Some(v1)).get
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> seg(160)), parent = Some(v2)).get
+    AtomicPublish.deleteRows(spark, root,
+      Map("t" -> (1 to 30).map(_ => rnd.nextInt(280).toLong)
+        .distinct.toDF("doc_id")))
+    AtomicPublish.upsertRows(spark, root, "t",
+      Seq((50L, "upserted", 99L), (300L, "fresh", 99L))
+        .toDF("doc_id", "s", "x"), "doc_id")
+    val full = AtomicPublish.readTable(spark, root, "t").cache()
+    val preds = Seq(
+      "doc_id = 50", "doc_id = 7", "doc_id IN (3, 99, 260, 300)",
+      "doc_id BETWEEN 75 AND 85", "x = 99", "x > 11", "s IS NULL",
+      "doc_id > 250 AND x < 5", "doc_id = 50 OR doc_id = 300",
+      "s = 'w13' AND doc_id < 100") ++
+      (1 to 25).map(_ => rnd.nextInt(3) match {
+        case 0 => s"doc_id ${Seq("=", "<", ">", "<=", ">=")(rnd.nextInt(5))} ${rnd.nextInt(320)}"
+        case 1 => s"doc_id BETWEEN ${rnd.nextInt(280)} AND ${rnd.nextInt(320)}"
+        case 2 => s"x = ${rnd.nextInt(15)} AND doc_id >= ${rnd.nextInt(300)}"
+      })
+    preds.foreach { p =>
+      val pruned = AtomicPublish.readTableWhere(spark, root, "t", p)
+        .collect().toSet
+      val expect = full.where(p).collect().toSet
+      assert(pruned == expect, s"composition fuzz mismatch for: $p")
+    }
+    full.unpersist()
+    // and the upserted row won
+    assert(full.where("doc_id = 50").head().getString(1) == "upserted")
+  }
+
   test("tombstone read plans a broadcast HASH anti-join (never BNLJ)") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 100)))
