@@ -620,6 +620,59 @@ object AdvancedQueries {
       |  AS acctbal_filled
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  private val store1Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE1: the TABLE-FORMAT surface inside the correctness gate —
+    * documents staged into an [[graft.ops.AtomicPublish]] store as
+    * three INTERLEAVED segments (each spans the full id range: blooms,
+    * not ranges, separate them) of two range-files each (file-level
+    * zone maps active), with a deterministic id slice DELETED via
+    * merge-on-read tombstones; the query is a `readTableWhere` range
+    * read with every skipping layer + the tombstone anti-join in the
+    * plan. The DuckDB oracle never sees the store — it filters the
+    * SOURCE table — so the hash-match proves the whole
+    * stage → publish → delete → pruned-read lifecycle is lossless.
+    * Staging is memoized on the source fingerprint (set3's pattern);
+    * steady-state cost is the pruned read only. */
+  def store1PrunedScan(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AtomicPublish
+    val root = Tables.memoFresh(store1Cache, spark, dir, "documents") {
+      stageStore1(spark, dir)
+    }
+    AtomicPublish.readTableWhere(spark, root, "documents",
+      "doc_id BETWEEN 12 AND 340")
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def stageStore1(spark: SparkSession, dir: String): String = {
+    import graft.ops.AtomicPublish
+    val root = java.nio.file.Files.createTempDirectory("graft-store1")
+      .resolve("store").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def seg(k: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+      .repartitionByRange(2, col("doc_id"))
+    val v1 = AtomicPublish.publish(spark, root, Map("documents" -> seg(0)),
+      statsBy = Map("documents" -> Seq("doc_id")),
+      bloomBy = Map("documents" -> Seq("doc_id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("documents" -> seg(1)), parent = Some(v1)).get
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("documents" -> seg(2)), parent = Some(v2)).get
+    AtomicPublish.deleteRows(spark, root, Map("documents" ->
+      docs.filter(pmod(col("doc_id"), lit(53)) === 5).select("doc_id")))
+    root
+  }
+
+  val store1PrunedScanSql: String =
+    """SELECT doc_id, lang, length(text)::BIGINT AS n_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 12 AND 340 AND doc_id % 53 <> 5
+      |ORDER BY doc_id""".stripMargin
+
   /** HOF predicate battery over the embedding arrays: exists / forall /
     * filter-count in the double domain. */
   def x12HofPredicates(spark: SparkSession, dir: String): DataFrame = {
@@ -1078,6 +1131,7 @@ object AdvancedQueries {
     "w4_topk_agg" -> (w4TopkAgg _),
     "set2_union_by_name" -> (set2UnionByName _),
     "set3_evolved_scan" -> (set3EvolvedScan _),
+    "store1_pruned_scan" -> (store1PrunedScan _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1121,6 +1175,7 @@ object AdvancedQueries {
     "w4_topk_agg" -> w4TopkAggSql,
     "set2_union_by_name" -> set2UnionByNameSql,
     "set3_evolved_scan" -> set3EvolvedScanSql,
+    "store1_pruned_scan" -> store1PrunedScanSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }
