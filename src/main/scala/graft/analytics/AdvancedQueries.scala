@@ -647,10 +647,48 @@ object AdvancedQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** STORE2: the CATALYST-NATIVE read face of the same staged store —
+    * the query goes through [[graft.ops.AtomicPublish.registerViews]]
+    * and a plain SQL `WHERE`, so the predicate reaches the skipping
+    * layers via Catalyst pushdown into [[graft.ops.GraftFileIndex]]
+    * (segment zone maps, file maps, blooms, tombstone anti-join — no
+    * `readTableWhere` side-channel anywhere). Same oracle posture as
+    * store1: DuckDB filters the SOURCE table, so a hash match proves
+    * the lazy pushdown path is lossless too. File-subset equivalence
+    * of this path vs the eager one is pinned in StoreConnectorSpec. */
+  def store2SqlPushdown(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AtomicPublish
+    val root = Tables.memoFresh(store1Cache, spark, dir, "documents") {
+      stageStore1(spark, dir)
+    }
+    AtomicPublish.registerViews(spark, root, prefix = "store2_")
+    spark.sql(
+      """SELECT doc_id, lang, length(text) AS n_chars
+        |FROM store2_documents
+        |WHERE doc_id = 137 OR doc_id BETWEEN 200 AND 260
+        |ORDER BY doc_id""".stripMargin)
+      .select(col("doc_id"), col("lang"), col("n_chars").cast("long"))
+  }
+
+  val store2SqlPushdownSql: String =
+    """SELECT doc_id, lang, length(text)::BIGINT AS n_chars
+      |FROM documents
+      |WHERE (doc_id = 137 OR doc_id BETWEEN 200 AND 260)
+      |  AND doc_id % 53 <> 5
+      |ORDER BY doc_id""".stripMargin
+
   private def stageStore1(spark: SparkSession, dir: String): String = {
     import graft.ops.AtomicPublish
-    val root = java.nio.file.Files.createTempDirectory("graft-store1")
-      .resolve("store").toString
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store1")
+    // harness runs create one store per JVM — reap it on exit instead
+    // of littering /tmp across repeated runs (VERDICT r5 nit #3)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("lang"), col("text"))
     def seg(k: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === k)
@@ -1132,6 +1170,7 @@ object AdvancedQueries {
     "set2_union_by_name" -> (set2UnionByName _),
     "set3_evolved_scan" -> (set3EvolvedScan _),
     "store1_pruned_scan" -> (store1PrunedScan _),
+    "store2_sql_pushdown" -> (store2SqlPushdown _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1176,6 +1215,7 @@ object AdvancedQueries {
     "set2_union_by_name" -> set2UnionByNameSql,
     "set3_evolved_scan" -> set3EvolvedScanSql,
     "store1_pruned_scan" -> store1PrunedScanSql,
+    "store2_sql_pushdown" -> store2SqlPushdownSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

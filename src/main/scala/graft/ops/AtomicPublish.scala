@@ -482,7 +482,9 @@ object AtomicPublish {
   }
 
   private def validateStatCols(name: String, df: DataFrame,
-      cols: Seq[String]): Unit = cols.foreach { c =>
+      cols: Seq[String]): Unit = {
+    validateMetaColNames("stat", name, cols)
+    cols.foreach { c =>
     val f = df.schema.fields.find(_.name == c)
     require(f.isDefined, s"stat column '$c' of table '$name' is not in " +
       s"its schema (${df.columns.mkString(", ")})")
@@ -490,14 +492,17 @@ object AtomicPublish {
       s"stat column '$c' of table '$name' has type " +
         s"${f.get.dataType.simpleString} — zone maps need an ordered " +
         "atomic type (numeric/string/boolean/date/timestamp)")
+    }
   }
 
   /** Delta-slice variant: a stat column ABSENT from the slice is legal
     * (schema evolution — the segment records it all-null), but one that
     * is present must carry a zone-mappable type. */
   private def validateStatColsLenient(name: String, df: DataFrame,
-      cols: Seq[String]): Unit =
+      cols: Seq[String]): Unit = {
+    validateMetaColNames("stat", name, cols) // absent cols still serialize
     validateStatCols(name, df, cols.filter(df.columns.contains))
+  }
 
   /** Zone maps of one freshly staged segment — the per-SEGMENT map and
     * the per-FILE maps — computed by reading the WRITTEN files back
@@ -641,11 +646,29 @@ object AtomicPublish {
           "newlines or '/')")
     }
 
+  /** Partition/stat/bloom column names are serialized RAW into the
+    * line-oriented manifest (`#parts:`/`#statcols:`/`#bloomcols:`,
+    * comma-joined) — a ',' or '=' would mis-parse the list and a
+    * newline would inject lines `parseManifestMeta` reads as owner
+    * entries. Same grammar as table names ([[validateNames]]). */
+  private def validateMetaColNames(kind: String, name: String,
+      cols: Seq[String]): Unit =
+    cols.foreach { c =>
+      require(c.nonEmpty && !c.exists(x =>
+        x == '=' || x == ',' || x == '\n' || x == '\r' || x == '/' ||
+          x == '#' || x == ':' || x == '@'),
+        s"$kind column '$c' of table '$name' is not manifest-safe " +
+          "(must be non-empty, without '=', ',', '#', ':', '@', " +
+          "newlines or '/')")
+    }
+
   private def validatePartitionCols(name: String, df: DataFrame,
-      pcols: Seq[String]): Unit =
+      pcols: Seq[String]): Unit = {
+    validateMetaColNames("partition", name, pcols)
     pcols.foreach(c => require(df.columns.contains(c),
       s"partition column '$c' of table '$name' is not in its schema " +
         s"(${df.columns.mkString(", ")})"))
+  }
 
   // --- bloom-filter sidecars ---------------------------------------------------
 
@@ -659,13 +682,15 @@ object AtomicPublish {
   /** A bloom-col absent from the slice is legal (schema evolution); one
     * present must carry a hashable type. */
   private def validateBloomCols(name: String, df: DataFrame,
-      cols: Seq[String]): Unit =
+      cols: Seq[String]): Unit = {
+    validateMetaColNames("bloom", name, cols)
     cols.filter(df.columns.contains).foreach { c =>
       val dt = df.schema(c).dataType
       require(bloomSupported(dt),
         s"bloom column '$c' of table '$name' has type ${dt.simpleString}" +
           " — bloom sidecars need an integral or string type")
     }
+  }
 
   private def bloomSidecar(segDir: Path, c: String): Path =
     new Path(segDir, s"_bloom_$c.bin")
@@ -716,7 +741,13 @@ object AtomicPublish {
         val in = fs.open(p)
         try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(in))
         finally in.close()
-      } catch { case _: java.io.IOException => None })
+      } catch {
+        // NonFatal, not just IOException: a corrupt/truncated sidecar
+        // makes readFrom throw format/version errors too — any damaged
+        // sidecar must only DISABLE skipping for its segment (cached as
+        // absent), never fail the read
+        case scala.util.control.NonFatal(_) => None
+      })
   }
 
   /** Equality probes (col → candidate values) extractable from the
@@ -782,14 +813,20 @@ object AtomicPublish {
     * history segments are read needlessly — never skipped wrongly. */
   private def pruneOwnersBloom(spark: SparkSession, root: String,
       table: String, meta: TableMeta, keep: Seq[String],
-      where: String): Seq[String] = {
+      where: String): Seq[String] =
+    pruneOwnersBloomExpr(spark, root, table, meta, keep,
+      spark.sessionState.sqlParser.parseExpression(where))
+
+  private[ops] def pruneOwnersBloomExpr(spark: SparkSession, root: String,
+      table: String, meta: TableMeta, keep: Seq[String],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
     if (meta.bloomCols.isEmpty || keep.isEmpty) return keep
     val schema = meta.schema.getOrElse(return keep)
     val typed = meta.bloomCols.filter(schema.fieldNames.contains)
       .map(c => c -> schema(c).dataType).toMap
     if (typed.isEmpty) return keep
-    val probes = bloomProbes(
-      spark.sessionState.sqlParser.parseExpression(where), typed)
+    val probes = bloomProbes(pred, typed)
     if (probes.isEmpty) return keep
     keep.filter { o =>
       val segDir = new Path(new Path(root, s"v_$o"), table)
@@ -1091,27 +1128,28 @@ object AtomicPublish {
       owners: Seq[String]): Seq[String] =
     owners.map(t => new Path(new Path(root, s"v_$t"), table).toString)
 
-  /** Union read of a table's owner segments under its recorded merged
-    * schema: segments written before a column existed serve nulls for
-    * it, and no per-file footer sweep happens at read time. Partitioned
-    * segments resolve their partition values from the dir layout, so a
-    * filter on a partition column prunes to PartitionFilters. */
+  /** Read of a table's owner segments under its recorded merged schema:
+    * segments written before a column existed serve nulls for it, and no
+    * per-file footer sweep happens at read time. With a recorded schema
+    * this mounts ONE [[GraftFileIndex]]-backed relation (not a union):
+    * any filter Catalyst later pushes down reaches
+    * [[GraftFileIndex.listFiles]], where partition pruning, segment/file
+    * zone maps and bloom sidecars all fire — `readTable(...).filter`
+    * and the SQL face skip exactly like [[readTableWhere]]. Pre-schema
+    * manifests fall back to the legacy multi-path parquet union. */
   private def readSegments(spark: SparkSession, root: String, table: String,
-      meta: TableMeta, owners: Seq[String]): DataFrame = {
-    val paths = segmentPaths(root, table, owners)
-    def read(ps: Seq[String]) = meta.schema match {
-      case Some(s) => spark.read.schema(s).parquet(ps: _*)
-      case None => spark.read.parquet(ps: _*)
+      meta: TableMeta, owners: Seq[String]): DataFrame =
+    meta.schema match {
+      case Some(_) =>
+        GraftFileIndex.relationFor(spark, root, table, meta,
+          owners.map(_ -> None))
+      case None =>
+        val paths = segmentPaths(root, table, owners)
+        if (meta.partitionCols.isEmpty || paths.size == 1)
+          spark.read.parquet(paths: _*)
+        else // partition discovery rejects multiple roots
+          paths.map(p => spark.read.parquet(p)).reduce(_.unionByName(_))
     }
-    if (meta.partitionCols.isEmpty || paths.size == 1) read(paths)
-    else
-      // partition discovery rejects multiple roots (conflicting
-      // directory structures); per-segment reads unioned by name keep
-      // both the recorded schema and the pruning — a partition-column
-      // filter pushes through Union into EVERY branch's scan as a
-      // PartitionFilter (pinned in StoreLayoutSpec)
-      paths.map(p => read(Seq(p))).reduce(_.unionByName(_))
-  }
 
   // --- row-level deletes (merge-on-read tombstones) ----------------------------
 
@@ -1160,13 +1198,30 @@ object AtomicPublish {
         // table name is regex-quoted (names may contain '.')
         val ownerRe = ".*/v_([^/]+)/" +
           java.util.regex.Pattern.quote(table) + "/"
-        val based = base.withColumn("__seg_pos", element_at(posOf,
-          regexp_extract(input_file_name(), ownerRe, 1)))
+        // the file path comes from the `_metadata.file_path` METADATA
+        // COLUMN, not input_file_name(): the metadata column is a
+        // deterministic scan attribute, so user predicates still push
+        // THROUGH this projection into the scan (zone maps, blooms,
+        // file pruning all keep firing on delete-aware reads), whereas
+        // input_file_name() is non-deterministic to Catalyst and pins
+        // every filter above the Project — all skipping layers silently
+        // dead. Fallback for plans that expose no metadata column
+        // (pre-schema union reads): the old non-deterministic source.
+        val based = scala.util.Try(
+          base.withColumn("__seg_pos", element_at(posOf,
+            regexp_extract(col("_metadata.file_path"), ownerRe, 1))))
+          .getOrElse(
+            base.withColumn("__seg_pos", element_at(posOf,
+              regexp_extract(input_file_name(), ownerRe, 1))))
         // an unresolvable position (defensive: the regex above should
         // always match) errs toward DELETION — resurrecting a deleted
-        // row is the compliance failure, suppressing a re-append is not
+        // row is the compliance failure, suppressing a re-append is not.
+        // NULL-SAFE key equality: a compliance delete of null-keyed rows
+        // must actually delete them — under plain `===` a null tombstone
+        // key is a silent no-op (and Spark hash joins support <=>, so
+        // this costs no plan degradation)
         based.join(tomb,
-          based(key) === tomb(key) &&
+          based(key) <=> tomb(key) &&
             (tomb(TombAsofCol).isNull || based("__seg_pos").isNull ||
               tomb(TombAsofCol) > based("__seg_pos")),
           "left_anti")
@@ -1478,11 +1533,48 @@ object AtomicPublish {
     * comparison semantics over a #segments-row local frame (driver-side
     * cost is O(segments), no data files are touched). */
   private[ops] def pruneOwners(spark: SparkSession, meta: TableMeta,
-      where: String): Seq[String] = {
-    if (meta.statCols.isEmpty || meta.segStats.isEmpty) return meta.owners
-    val schema = meta.schema.getOrElse(return meta.owners)
+      where: String): Seq[String] =
+    pruneOwnersExpr(spark, meta, meta.owners,
+      spark.sessionState.sqlParser.parseExpression(where))
+
+  /** [[pruneOwners]] over an explicit candidate set and an already-parsed
+    * (or Catalyst-pushed, resolved) predicate — the entry point
+    * [[GraftFileIndex.listFiles]] uses, so DataFrame/SQL filter pushdown
+    * and the eager string API share ONE pruning engine. */
+  private[ops] def pruneOwnersExpr(spark: SparkSession, meta: TableMeta,
+      candidates: Seq[String],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
+    if (meta.statCols.isEmpty || meta.segStats.isEmpty) return candidates
+    val schema = meta.schema.getOrElse(return candidates)
     pruneEntries(spark, schema, meta.statCols,
-      meta.owners.map(o => o -> meta.segStats.get(o)), where)
+      candidates.map(o => o -> meta.segStats.get(o)), pred)
+  }
+
+  /** File-level zone-map pruning for every owner of `owners` that
+    * carries a non-empty per-file map: owner → surviving relative paths
+    * (possibly empty — every file provably rejects). Owners WITHOUT a
+    * file map are absent from the result and must be read whole,
+    * conservatively. One local prune over all mapped owners' files. */
+  private[ops] def pruneFilesExpr(spark: SparkSession, meta: TableMeta,
+      owners: Seq[String],
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Map[String, Seq[String]] = {
+    val schema = meta.schema.getOrElse(return Map.empty)
+    val mapped = owners.filter(o => meta.fileStats.get(o).exists(_.nonEmpty))
+    if (mapped.isEmpty) return Map.empty
+    val entries = mapped.flatMap { o =>
+      meta.fileStats(o).toSeq.map { case (f, s) =>
+        (o + FileKeySep + f) -> Option(s)
+      }
+    }
+    val kept = pruneEntries(spark, schema, meta.statCols, entries, pred)
+      .map { k =>
+        val i = k.indexOf(FileKeySep)
+        (k.substring(0, i), k.substring(i + 1))
+      }
+      .groupBy(_._1).map { case (o, fs) => o -> fs.map(_._2) }
+    mapped.map(o => o -> kept.getOrElse(o, Nil)).toMap
   }
 
   /** Generic zone-map pruner: of `entries` (key → recorded stats, None
@@ -1492,7 +1584,8 @@ object AtomicPublish {
     * holding matching rows. */
   private def pruneEntries(spark: SparkSession, schema: StructType,
       statCols: Seq[String], entries: Seq[(String, Option[SegStats])],
-      where: String): Seq[String] = {
+      pred: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[String] = {
     val typed = statCols.filter(schema.fieldNames.contains)
     if (typed.isEmpty) return entries.map(_._1)
     val fields = StructField("__owner", StringType) +:
@@ -1520,10 +1613,9 @@ object AtomicPublish {
           statDecode(col(s"__max_raw_$c"), dt).as(s"__max_$c"),
           col(s"__nulls_$c"))
       }: _*)
-    val pred = segCanMatch(
-      spark.sessionState.sqlParser.parseExpression(where),
+    val canMatch = segCanMatch(pred,
       typed.map(c => c -> schema(c).dataType).toMap)
-    decoded.filter(pred).select("__owner").collect().map(_.getString(0))
+    decoded.filter(canMatch).select("__owner").collect().map(_.getString(0))
       .toSeq
   }
 
@@ -1563,68 +1655,39 @@ object AtomicPublish {
     * file-pruning keys — NUL cannot appear in a filesystem path. */
   private val FileKeySep = "\u0000"
 
-  /** Read a file SUBSET of one owner segment under the recorded schema.
-    * `basePath` keeps partition-directory values resolving for
-    * partitioned layouts even though only some leaf files are listed. */
-  private def readFileSubset(spark: SparkSession, segDir: Path,
-      meta: TableMeta, files: Seq[String]): DataFrame = {
-    val r = spark.read.schema(meta.schema.get)
-    (if (meta.partitionCols.nonEmpty)
-       r.option("basePath", segDir.toString)
-     else r)
-      .parquet(files.map(f => new Path(segDir, f).toString): _*)
-  }
-
   private def readSegmentsWhere(spark: SparkSession, root: String,
       table: String, meta: TableMeta, where: String): DataFrame = {
-    def emptyFrame = spark.createDataFrame(
-      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      meta.schema.getOrElse(throw new IllegalStateException(
-        s"table '$table' pruned to zero segments without a recorded " +
-          "schema — impossible: pruning requires the schema")))
-    val keep = pruneOwnersBloom(spark, root, table, meta,
-      pruneOwners(spark, meta, where), where)
-    // second granularity: within surviving owners that carry COMPLETE
-    // per-file maps, drop every file the predicate provably rejects
-    // (one local prune over all such owners' files at once); owners
-    // without file maps read whole, conservatively
-    val (mapped, whole) =
-      keep.partition(o => meta.fileStats.get(o).exists(_.nonEmpty) &&
-        meta.schema.isDefined)
-    val fileKeep: Map[String, Seq[String]] =
-      if (mapped.isEmpty) Map.empty
-      else {
-        val entries = mapped.flatMap { o =>
-          meta.fileStats(o).toSeq.map { case (f, s) =>
-            (o + FileKeySep + f) -> Option(s)
-          }
-        }
-        pruneEntries(spark, meta.schema.get, meta.statCols, entries, where)
-          .map { k =>
-            val i = k.indexOf(FileKeySep)
-            (k.substring(0, i), k.substring(i + 1))
-          }
-          .groupBy(_._1).map { case (o, fs) => o -> fs.map(_._2) }
-      }
-    val frames =
-      (if (whole.nonEmpty)
-         Seq(readSegments(spark, root, table, meta, whole))
-       else Nil) ++
-        mapped.flatMap { o =>
+    val pred = spark.sessionState.sqlParser.parseExpression(where)
+    val keep = pruneOwnersBloomExpr(spark, root, table, meta,
+      pruneOwnersExpr(spark, meta, meta.owners, pred), pred)
+    meta.schema match {
+      case Some(_) =>
+        // second granularity: within surviving owners that carry
+        // COMPLETE per-file maps, drop every file the predicate provably
+        // rejects; owners without file maps read whole, conservatively.
+        // Survivors mount as ONE eagerly RESTRICTED relation: the file
+        // set is decided here (so `inputFiles` reflects it — the
+        // spec-pinned contract), and [[GraftFileIndex.listFiles]]
+        // re-applies the same conservative layers to whatever Catalyst
+        // pushes down at planning — one pruning engine, two entry
+        // points.
+        val fileKeep = pruneFilesExpr(spark, meta, keep, pred)
+        val selection = keep.flatMap { o =>
           fileKeep.get(o) match {
-            case None => None // every file of this owner provably rejects
+            case None => Some(o -> None) // no file map: whole segment
+            case Some(fs) if fs.isEmpty => None // provably empty owner
             case Some(fs) if fs.size == meta.fileStats(o).size =>
-              // nothing pruned — whole-dir read keeps the simpler plan
-              Some(readSegments(spark, root, table, meta, Seq(o)))
-            case Some(fs) =>
-              Some(readFileSubset(spark,
-                new Path(new Path(root, s"v_$o"), table), meta, fs))
+              Some(o -> None) // nothing pruned: whole-dir read
+            case Some(fs) => Some(o -> Some(fs))
           }
         }
-    val base =
-      if (frames.isEmpty) emptyFrame
-      else frames.reduce(_.unionByName(_))
-    base.where(where)
+        GraftFileIndex.relationFor(spark, root, table, meta, selection)
+          .where(where)
+      case None =>
+        // pre-schema manifest: zone maps/blooms require the recorded
+        // schema, so nothing can have pruned (keep == owners)
+        readSegments(spark, root, table, meta, keep).where(where)
+    }
   }
 
   /** CHANGE FEED between two versions: the owner segments `table`

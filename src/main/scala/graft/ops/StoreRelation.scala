@@ -1,0 +1,275 @@
+package graft.ops
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.ops.AtomicPublish.TableMeta
+
+/** CATALYST-NATIVE store reads: a snapshot-pinned [[FileIndex]] mounted
+  * under Spark's own [[HadoopFsRelation]] + [[ParquetFileFormat]], so
+  * EVERY read path — `readTable(...).filter(...)`, a `registerViews`
+  * temp view queried in SQL, `spark.read.format("graft")` — routes its
+  * predicates through Catalyst's FileSourceStrategy into
+  * [[GraftFileIndex.listFiles]], where ALL the store's skipping layers
+  * fire: partition-directory pruning, segment zone maps, per-file zone
+  * maps, and bloom sidecars. This is the architecture Delta Lake used
+  * for years (a log-backed `TahoeFileIndex` under `HadoopFsRelation`)
+  * and it is deliberately NOT a DataSource V2 `PartitionReaderFactory`:
+  * reusing Spark's file-source scan keeps the vectorized parquet
+  * reader, parquet row-group predicate pushdown (`PushedFilters`),
+  * column pruning, whole-stage codegen, and dynamic partition pruning —
+  * a custom V2 reader would have to reimplement all five to match.
+  * (Reference analog: the DB indexes at
+  * /root/reference/app/models/patient.py:52,96-99 serve every query
+  * transparently — after this, so do the store's skipping layers.)
+  *
+  * The index is pinned to one manifest snapshot ([[TableMeta]]): the
+  * store's published versions are immutable, so the listing never
+  * staleifies and `refresh()` is a no-op.
+  */
+final class GraftFileIndex(
+    spark: SparkSession,
+    root: String,
+    table: String,
+    meta: TableMeta,
+    /** Candidate owners, each optionally restricted to an explicit
+      * relative-path subset (the eager `readTableWhere` pre-prune).
+      * None = every data file of the segment. */
+    selection: Seq[(String, Option[Seq[String]])])
+  extends FileIndex {
+
+  private val recordedSchema: StructType = meta.schema.getOrElse(
+    throw new IllegalStateException(
+      s"table '$table' has no recorded schema — Catalyst-native reads " +
+        "need one (pre-schema manifests read via the legacy union path)"))
+
+  override val partitionSchema: StructType = StructType(
+    meta.partitionCols.map(c => recordedSchema(c).copy(nullable = true)))
+
+  /** Schema of what is IN the parquet files: recorded schema minus the
+    * partition columns (written `partitionBy`, so they live in the dir
+    * layout, not the footers). */
+  private[ops] val dataSchema: StructType = StructType(
+    recordedSchema.fields.filterNot(f =>
+      meta.partitionCols.contains(f.name)).map(_.copy(nullable = true)))
+
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+
+  private def segDir(o: String): Path =
+    new Path(new Path(root, s"v_$o"), table)
+
+  override def rootPaths: Seq[Path] = selection.map(s => segDir(s._1))
+
+  /** A data file: not a dot/underscore sidecar (`_MANIFEST`,
+    * `_bloom_*.bin`, `_SUCCESS`, checksums). */
+  private def isDataFile(name: String): Boolean =
+    !name.startsWith("_") && !name.startsWith(".")
+
+  /** One owner segment's data files as (segment-relative path, status),
+    * memoized: version dirs are immutable. Listing happens ONLY for
+    * owners that survive manifest-level pruning — at a 1000-segment
+    * ingest history the pruned owners cost zero filesystem calls. */
+  private val listedOwners =
+    TrieMap.empty[String, Seq[(String, FileStatus)]]
+  private def ownerFiles(o: String): Seq[(String, FileStatus)] =
+    listedOwners.getOrElseUpdate(o, {
+      val dir = segDir(o)
+      val fs = dir.getFileSystem(hadoopConf)
+      val qualified = fs.makeQualified(dir).toUri.getPath
+      val out = Seq.newBuilder[(String, FileStatus)]
+      val it = fs.listFiles(dir, true)
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
+        if (isDataFile(p.getName) &&
+            // a file under a dot/underscore SUBDIR is not data either
+            p.toUri.getPath.stripPrefix(qualified + "/").split('/')
+              .forall(isDataFile)) {
+          out += (p.toUri.getPath.stripPrefix(qualified + "/") -> st)
+        }
+      }
+      out.result()
+    })
+
+  /** Partition values parsed from a file's relative path (`k=v` dir
+    * components, hive-escaped, `__HIVE_DEFAULT_PARTITION__` = null),
+    * cast from the path string to the RECORDED column type — the same
+    * resolution `spark.read.schema(recorded)` applied on the legacy
+    * path, so a StringType partition value "01" stays "01". */
+  private val partRowCache = TrieMap.empty[String, InternalRow]
+  private def partValues(relPath: String): InternalRow = {
+    if (meta.partitionCols.isEmpty) return InternalRow.empty
+    val dirPart = relPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i => relPath.substring(0, i)
+    }
+    partRowCache.getOrElseUpdate(dirPart, {
+      val kvs = dirPart.split('/').iterator.filter(_.contains("="))
+        .map { c =>
+          val i = c.indexOf('=')
+          ExternalCatalogUtils.unescapePathName(c.substring(0, i)) ->
+            ExternalCatalogUtils.unescapePathName(c.substring(i + 1))
+        }.toMap
+      val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
+      InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+        kvs.get(f.name) match {
+          case None | Some("__HIVE_DEFAULT_PARTITION__") => null
+          case Some(raw) =>
+            Cast(Literal(UTF8String.fromString(raw), StringType),
+              f.dataType, zone).eval(null)
+        }
+      })
+    })
+  }
+
+  /** The pruning pipeline, driven by what Catalyst pushed down:
+    * manifest-level segment zone maps → bloom sidecars → per-file zone
+    * maps (all on `dataFilters`), then the filesystem listing of only
+    * the survivors, then `partitionFilters` evaluated against each
+    * file's directory-derived partition values. Every layer is
+    * conservative: an untranslatable predicate keeps everything. */
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val pred = dataFilters.reduceOption(And)
+    val candidates = selection.map(_._1)
+    val keep = pred match {
+      case None => candidates
+      case Some(p) =>
+        AtomicPublish.pruneOwnersBloomExpr(spark, root, table, meta,
+          AtomicPublish.pruneOwnersExpr(spark, meta, candidates, p), p)
+    }
+    val fileKeep = pred match {
+      case None => Map.empty[String, Seq[String]]
+      case Some(p) => AtomicPublish.pruneFilesExpr(spark, meta, keep, p)
+    }
+    val restrict = selection.toMap
+    val files: Seq[(String, FileStatus)] = keep.flatMap { o =>
+      var fs = ownerFiles(o)
+      restrict.getOrElse(o, None).foreach { sub =>
+        val s = sub.toSet; fs = fs.filter(x => s.contains(x._1))
+      }
+      fileKeep.get(o).foreach { sub =>
+        val s = sub.toSet; fs = fs.filter(x => s.contains(x._1))
+      }
+      fs
+    }
+    val partitioned =
+      if (meta.partitionCols.isEmpty || partitionFilters.isEmpty) files
+      else {
+        // bind by NAME: pushed filters reference the relation's output
+        // attrs; the values row is laid out in partitionSchema order
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference
+              if partitionSchema.fieldNames.contains(a.name) =>
+            BoundReference(partitionSchema.fieldIndex(a.name),
+              a.dataType, nullable = true)
+        }
+        val p = Predicate.create(bound)
+        p.initialize(0)
+        files.filter(f => p.eval(partValues(f._1)))
+      }
+    if (meta.partitionCols.isEmpty)
+      Seq(PartitionDirectory(InternalRow.empty,
+        partitioned.map(_._2).toArray))
+    else
+      partitioned.groupBy(f => partValues(f._1)).toSeq.map {
+        case (values, fs) =>
+          PartitionDirectory(values, fs.map(_._2).toArray)
+      }
+  }
+
+  override def inputFiles: Array[String] =
+    selection.flatMap { case (o, sub) =>
+      var fs = ownerFiles(o)
+      sub.foreach { s => val set = s.toSet
+        fs = fs.filter(x => set.contains(x._1)) }
+      fs.map(_._2.getPath.toString)
+    }.toArray
+
+  override def refresh(): Unit = () // snapshot-pinned: immutable
+
+  override lazy val sizeInBytes: Long =
+    selection.flatMap { case (o, sub) =>
+      var fs = ownerFiles(o)
+      sub.foreach { s => val set = s.toSet
+        fs = fs.filter(x => set.contains(x._1)) }
+      fs.map(_._2.getLen)
+    }.sum
+}
+
+object GraftFileIndex {
+
+  /** Mount owners of one table snapshot as a single Catalyst file-source
+    * relation (NOT a union — one scan node, one `PartitionFilters` /
+    * `PushedFilters` line in `.explain`), projected back to the recorded
+    * column order (the relation itself appends partition columns last). */
+  private[ops] def relationFor(spark: SparkSession, root: String,
+      table: String, meta: TableMeta,
+      selection: Seq[(String, Option[Seq[String]])]): DataFrame = {
+    val idx = new GraftFileIndex(spark, root, table, meta, selection)
+    val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
+      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+    val ordered = meta.schema.get.fieldNames.toSeq
+    spark.baseRelationToDataFrame(rel).select(ordered.map(col): _*)
+  }
+}
+
+/** `spark.read.format("graft")` — the DataFrameReader face of the store.
+  *
+  * Options: `root` (or `path`) = store root, `table` = table name,
+  * `txn` (optional) = time-travel version, `raw` = "true" to read a
+  * table that has merge-on-read tombstones WITHOUT the delete
+  * anti-join. The relation a format read returns is a LEAF scan, and a
+  * leaf cannot carry the tombstone anti-join — so a tombstoned table
+  * refuses a non-raw format read (resurrecting deleted rows silently is
+  * the compliance failure) and points at [[AtomicPublish.readTable]] /
+  * [[AtomicPublish.registerViews]], which wrap the same pruned relation
+  * with the anti-join. */
+final class GraftSource extends RelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val root = parameters.get("root").orElse(parameters.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "format(\"graft\") needs a 'root' (or 'path') option"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "format(\"graft\") needs a 'table' option"))
+    val txn = parameters.get("txn").getOrElse(
+      AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root")))
+    val metas = AtomicPublish.manifestMetaOf(spark, root, txn)
+    val meta = metas.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' is not in version $txn under $root"))
+    require(meta.schema.isDefined,
+      s"table '$table' predates recorded schemas — read it via " +
+        "AtomicPublish.readTable")
+    val tombstoned = metas.get(AtomicPublish.deleteTableOf(table))
+      .exists(_.owners.nonEmpty)
+    require(!tombstoned ||
+        parameters.get("raw").exists(_.equalsIgnoreCase("true")),
+      s"table '$table' has row-level deletes; a format(\"graft\") leaf " +
+        "scan cannot apply the tombstone anti-join. Read it with " +
+        "AtomicPublish.readTable / registerViews (delete-aware), or " +
+        "pass option(\"raw\", \"true\") for the pre-delete snapshot")
+    val idx = new GraftFileIndex(spark, root, table, meta,
+      meta.owners.map(_ -> None))
+    HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
+      new ParquetFileFormat, Map.empty[String, String])(spark)
+  }
+}

@@ -150,7 +150,12 @@ object LlmIngest {
   def recrawlBatch(spark: SparkSession, root: String, batch: DataFrame,
       runName: String): Long = {
     val t0 = System.currentTimeMillis()
-    if (AtomicPublish.currentTxn(spark, root).isEmpty)
+    // delegate to plain ingest when there is no published version OR no
+    // kept-docs table to diff against (a store whose first batch failed
+    // the quality gate wholesale publishes only its runs table —
+    // readTableAt(KeptTable) would throw, not ingest)
+    if (!AtomicPublish.currentManifest(spark, root)
+        .exists(_._2.contains(KeptTable)))
       return ingestBatch(spark, root, batch, runName)
     val docs = batch.select(col("doc_id"), col("text")).cache()
     try {
@@ -249,10 +254,14 @@ object LlmIngest {
   }
 
   /** The fingerprint set at `parent`, or an empty frame before the
-    * first publish. */
+    * first publish — or when `parent` has no kept-docs table at all (a
+    * store whose first batch failed the quality gate wholesale
+    * publishes only its runs table; readTableAt would throw). */
   private def fingerprintsAt(spark: SparkSession, root: String,
       parent: Option[String]): DataFrame =
-    parent match {
+    parent.filter(txn =>
+        AtomicPublish.manifestMetaOf(spark, root, txn)
+          .contains(KeptTable)) match {
       case Some(txn) =>
         AtomicPublish.readTableAt(spark, root, KeptTable, txn)
           .select(col("fingerprint"))

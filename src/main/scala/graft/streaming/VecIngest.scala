@@ -105,7 +105,22 @@ object VecIngest {
     * their (possibly different) cells and `_asof`-scoped tombstones
     * retire every older version of those ids wherever it sits. Cost:
     * O(batch) writes; the next compaction applies retirement
-    * physically. Returns the commit txn, or None when nothing changed. */
+    * physically. Returns the commit txn, or None when nothing changed.
+    *
+    * DELIVERY-ORDER CONTRACT: the replay barrier is a CONTENT-identity
+    * check ("is this exact (vec_id, vector) already published?"), not a
+    * version-order check — it absorbs at-least-once REdelivery of the
+    * version already applied, but it cannot tell a stale redelivery
+    * from a fresh update: an OLDER embedding redelivered AFTER a newer
+    * one was applied differs from the published vector, so it would
+    * upsert the stale vector back. Callers must therefore feed this
+    * from a per-key-ordered transport (a log partitioned by vec_id, a
+    * Structured Streaming `foreachBatch` checkpoint — both give
+    * per-key order; [[indexStream]]'s binding does). The same contract
+    * applies to [[graft.streaming.LlmIngest.recrawlBatch]]'s
+    * fingerprint barrier. On a transport that cannot promise per-key
+    * order, carry an explicit version in the payload and drop
+    * non-monotone updates UPSTREAM of this call. */
   def reembedBatch(spark: SparkSession, indexRoot: String, batch: DataFrame,
       centroids: DataFrame): Option[String] = {
     val withNorm = batch

@@ -130,6 +130,23 @@ class StoreBloomSpec extends SparkSuite {
       "doc_id = 0").count() == 1)
   }
 
+  test("corrupt sidecar only disables skipping for its segment (NonFatal)") {
+    val root = freshRoot()
+    val Seq(v1, _, _) = interleaved(root, 0 until 90)
+    // truncate/garbage the first segment's sidecar: BloomFilter.readFrom
+    // throws a FORMAT error (not IOException) on this — the read must
+    // degrade to keeping the segment, never fail
+    val sidecar = java.nio.file.Paths.get(root, s"v_$v1", "docs",
+      "_bloom_doc_id.bin")
+    java.nio.file.Files.write(sidecar, Array[Byte](1, 2, 3))
+    val q = AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id = 1") // 1 ≡ 1 (mod 3): lives in v2
+    // v1's damaged bloom keeps v1 conservatively; v2 admits; v3 skips
+    assert(segmentsRead(q).contains(s"v_$v1"))
+    assert(q.collect().toSeq ==
+      Seq(org.apache.spark.sql.Row(1L, "p-1")))
+  }
+
   test("non-hashable bloom columns fail fast at publish") {
     val root = freshRoot()
     val df = Seq((1L, 2.5)).toDF("doc_id", "x")

@@ -110,6 +110,31 @@ class StoreDeleteSpec extends SparkSuite {
     assert(MatView.refresh(spark, root, d).isEmpty)
   }
 
+  test("null-keyed rows are deletable (null-safe tombstone join)") {
+    val root = freshRoot()
+    val rows = Seq(Option(1L) -> "a", Option.empty[Long] -> "b",
+      Option(2L) -> "c").toDF("doc_id", "text")
+    val v1 = AtomicPublish.publish(spark, root, Map("docs" -> rows))
+    // a compliance delete of the null-keyed row must actually delete it
+    // (under plain equality the join condition is null → silent no-op)
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(Option.empty[Long]).toDF("doc_id")))
+    val live = AtomicPublish.readTable(spark, root, "docs")
+    assert(live.count() == 2)
+    assert(live.filter(col("doc_id").isNull).count() == 0)
+    assert(AtomicPublish.readTableAt(spark, root, "docs", v1).count() == 3)
+    // asof scoping covers null keys too: a LATER null-keyed append is a
+    // new live row, not suppressed by the old tombstone
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" ->
+        Seq(Option.empty[Long] -> "d").toDF("doc_id", "text")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    val after = AtomicPublish.readTable(spark, root, "docs")
+    assert(after.count() == 3)
+    assert(after.filter(col("doc_id").isNull).select("text")
+      .as[String].collect().toSeq == Seq("d"))
+  }
+
   test("a deleted key re-appended later is live again (asof scoping)") {
     val root = freshRoot()
     val v1 = AtomicPublish.publish(spark, root,

@@ -39,6 +39,28 @@ class StoreStatsSpec extends SparkSuite {
     Seq(v1, v2, v3)
   }
 
+  test("non-manifest-safe meta column names fail fast at publish") {
+    // stat/bloom/partition column names serialize raw into line-oriented
+    // comma-joined manifest lines: ','/'=' would mis-parse the list, a
+    // newline would inject bogus owner entries — rejected up front
+    val df = sliceDf(0 until 5)
+    intercept[IllegalArgumentException] {
+      AtomicPublish.publish(spark, freshRoot(),
+        Map("docs" -> df.withColumnRenamed("text", "a,b")),
+        statsBy = Map("docs" -> Seq("a,b")))
+    }
+    intercept[IllegalArgumentException] {
+      AtomicPublish.publish(spark, freshRoot(),
+        Map("docs" -> df.withColumnRenamed("text", "a\nb")),
+        bloomBy = Map("docs" -> Seq("a\nb")))
+    }
+    intercept[IllegalArgumentException] {
+      AtomicPublish.publish(spark, freshRoot(),
+        Map("docs" -> df.withColumnRenamed("text", "k=v")),
+        partitionBy = Map("docs" -> Seq("k=v")))
+    }
+  }
+
   test("zone maps recorded per segment and inherited by appends") {
     val root = freshRoot()
     val Seq(v1, v2, v3) = threeSegments(root)

@@ -290,6 +290,22 @@ class LlmIngestStreamSpec extends SparkSuite {
     assert(point.count() == 1)
   }
 
+  test("recrawl on a store with no kept_docs table delegates to ingest") {
+    val root = Files.createTempDirectory("recrawl-nokept")
+      .resolve("store").toString
+    // first batch fails the quality gate WHOLESALE → the store has a
+    // published version but only the runs table (no kept_docs to diff
+    // against) — recrawl must delegate to plain ingest, not throw
+    assert(LlmIngest.ingestBatch(spark, root,
+      Seq(1L -> "tiny doc").toDF("doc_id", "text"), "bad_b0") == 0)
+    val manifest = AtomicPublish.currentManifest(spark, root).get._2
+    assert(!manifest.contains(LlmIngest.KeptTable))
+    val good = Seq(2L -> mk(40, "g")).toDF("doc_id", "text")
+    assert(LlmIngest.recrawlBatch(spark, root, good, "rc_b1") == 1)
+    assert(AtomicPublish.readTable(spark, root, LlmIngest.KeptTable)
+      .count() == 1)
+  }
+
   test("recrawl: unchanged skip, changed replace everywhere, bad crawls kept out") {
     val root = Files.createTempDirectory("recrawl").resolve("store").toString
     val b0 = (1L to 4L).map(i => i -> mk(30, s"v1d$i")).toDF("doc_id", "text")
