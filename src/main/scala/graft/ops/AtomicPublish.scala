@@ -93,7 +93,14 @@ object AtomicPublish {
       statCols: Seq[String] = Nil,
       segStats: Map[String, SegStats] = Map.empty,
       fileStats: Map[String, Map[String, SegStats]] = Map.empty,
-      bloomCols: Seq[String] = Nil) {
+      bloomCols: Seq[String] = Nil,
+      /** Declared clustering layout ([[graft.ops.Compaction
+        * .compactStore]] `clusterBy`), RECORDED so maintenance
+        * re-applies it: without this, the next auto-compaction would
+        * consolidate with an unclustered rewrite and silently destroy
+        * the file-level locality a z-order/cluster rewrite bought. */
+      clusterCols: Seq[String] = Nil,
+      clusterZOrder: Boolean = false) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -291,6 +298,10 @@ object AtomicPublish {
     val bloomcols = names.collect { case (name, m) if m.bloomCols.nonEmpty =>
       s"#bloomcols:$name=${m.bloomCols.mkString(",")}"
     }
+    val cluster = names.collect { case (name, m) if m.clusterCols.nonEmpty =>
+      val mode = if (m.clusterZOrder) "z" else "lex"
+      s"#cluster:$name=$mode:${m.clusterCols.mkString(",")}"
+    }
     val stats = names.flatMap { case (name, m) =>
       m.segStats.toSeq.sortBy(_._1).map { case (owner, s) =>
         s"#stats:$name@$owner=${renderSegStats(s)}"
@@ -303,7 +314,7 @@ object AtomicPublish {
       }
     }
     (txn +: (owners ++ parts ++ schemas ++ statcols ++ bloomcols ++
-      stats ++ fstats)).mkString("\n")
+      cluster ++ stats ++ fstats)).mkString("\n")
   }
 
   private def parseManifestMeta(txn: String,
@@ -327,6 +338,12 @@ object AtomicPublish {
     val bloomcols = body.filter(_.startsWith("#bloomcols:"))
       .map(_.stripPrefix("#bloomcols:").split("=", 2))
       .collect { case Array(name, cs) => name -> cs.split(",").toSeq }.toMap
+    val cluster = body.filter(_.startsWith("#cluster:"))
+      .map(_.stripPrefix("#cluster:").split("=", 2))
+      .collect { case Array(name, spec) => spec.split(":", 2) match {
+        case Array(mode, cs) =>
+          name -> (cs.split(",").toSeq, mode == "z")
+      }}.toMap
     val stats = body.filter(_.startsWith("#stats:"))
       .map(_.stripPrefix("#stats:").split("=", 2))
       .collect { case Array(key, js) => key.split("@", 2) match {
@@ -342,9 +359,11 @@ object AtomicPublish {
       .groupBy(_._1)
       .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
     owners.map { case (name, os) =>
+      val (ccols, z) = cluster.getOrElse(name, (Nil, false))
       name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil),
         statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty),
-        fstats.getOrElse(name, Map.empty), bloomcols.getOrElse(name, Nil))
+        fstats.getOrElse(name, Map.empty), bloomcols.getOrElse(name, Nil),
+        ccols, z)
     }
   }
 
@@ -970,7 +989,13 @@ object AtomicPublish {
       partitionBy: Map[String, Seq[String]] = Map.empty,
       statsBy: Map[String, Seq[String]] = Map.empty,
       txnId: Option[String] = None,
-      bloomBy: Map[String, Seq[String]] = Map.empty): Option[String] = {
+      bloomBy: Map[String, Seq[String]] = Map.empty,
+      /** Declare (or clear, with `(Nil, false)`) a replaced table's
+        * recorded clustering layout — [[graft.ops.Compaction
+        * .compactStore]] records what it clustered by so later
+        * maintenance re-applies it. Absent = inherit the parent's. */
+      clusterBy: Map[String, (Seq[String], Boolean)] = Map.empty)
+      : Option[String] = {
     require(append.nonEmpty || replace.nonEmpty,
       "publishDelta needs at least one appended or replaced table")
     require(append.keySet.intersect(replace.keySet).isEmpty,
@@ -985,6 +1010,10 @@ object AtomicPublish {
     bloomBy.keys.foreach(n =>
       require(append.contains(n) || replace.contains(n),
         s"bloomBy names unknown table '$n'"))
+    clusterBy.keys.foreach(n =>
+      require(replace.contains(n),
+        s"clusterBy names a table '$n' this delta does not replace " +
+          "(a clustering declaration IS a physical rewrite)"))
     val txn =
       txnId.getOrElse(java.util.UUID.randomUUID().toString.replace("-", ""))
     val rootPath = new Path(root)
@@ -1053,7 +1082,12 @@ object AtomicPublish {
           }
         n -> TableMeta(pm.map(_.owners).getOrElse(Nil) :+ txn,
           Some(merged.json), pcols, scols, backfilled, backfilledFiles,
-          bcols)
+          bcols,
+          // the DECLARED layout survives appends untouched — the new
+          // segment is not clustered, but the next compaction re-sorts
+          // everything under the recorded spec
+          pm.map(_.clusterCols).getOrElse(Nil),
+          pm.exists(_.clusterZOrder))
       }
       val replaceMeta = replaceAll.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
@@ -1065,8 +1099,12 @@ object AtomicPublish {
         val bcols = bloomBy.getOrElse(n,
           parentMeta.get(n).map(_.bloomCols).getOrElse(Nil))
         validateBloomCols(n, df, bcols)
+        val (ccols, z) = clusterBy.getOrElse(n,
+          parentMeta.get(n).map(m => (m.clusterCols, m.clusterZOrder))
+            .getOrElse((Nil, false)))
+        validateMetaColNames("cluster", n, ccols)
         n -> TableMeta(Seq(txn), Some(df.schema.json), pcols, scols,
-          bloomCols = bcols)
+          bloomCols = bcols, clusterCols = ccols, clusterZOrder = z)
       }
       val meta = parentMeta ++ appendMeta ++ replaceMeta
       val sealedMeta =
@@ -1181,8 +1219,22 @@ object AtomicPublish {
   private def applyTombstones(spark: SparkSession, root: String,
       table: String, metas: Map[String, TableMeta],
       base: DataFrame): DataFrame =
-    metas.get(deleteTableOf(table)) match {
-      case Some(dm) if dm.owners.nonEmpty =>
+    tombstoneJoin(spark, root, table, metas, base, None, semi = false)
+
+  /** The tombstone join generalized: `semi = false` returns the
+    * SURVIVORS (the read path), `semi = true` the rows the tombstones
+    * KILL (the change-feed's delete side). `restrict` limits which
+    * tombstone segments apply — the CDC path evaluates only the
+    * interval's NEW tombstones; positions still resolve against the
+    * full owner list of `metas`, so asof scopes stay exact. */
+  private def tombstoneJoin(spark: SparkSession, root: String,
+      table: String, metas: Map[String, TableMeta],
+      base: DataFrame, restrict: Option[Seq[String]],
+      semi: Boolean): DataFrame =
+    metas.get(deleteTableOf(table))
+      .map(dm0 => restrict.map(o => dm0.copy(owners = o)).getOrElse(dm0))
+      .filter(_.owners.nonEmpty) match {
+      case Some(dm) =>
         val tomb0 = readSegments(spark, root, deleteTableOf(table), dm,
           dm.owners)
         val tomb =
@@ -1224,9 +1276,9 @@ object AtomicPublish {
           based(key) <=> tomb(key) &&
             (tomb(TombAsofCol).isNull || based("__seg_pos").isNull ||
               tomb(TombAsofCol) > based("__seg_pos")),
-          "left_anti")
+          if (semi) "left_semi" else "left_anti")
           .drop("__seg_pos")
-      case _ => base
+      case _ => if (semi) base.limit(0) else base
     }
 
   private def validateDeleteKey(t: String, meta: TableMeta,
@@ -1721,6 +1773,85 @@ object AtomicPublish {
               readSegments(spark, root, table, after, after.owners).schema))
         else readSegments(spark, root, table, after, added))
     }
+  }
+
+  /** At most this many distinct delete keys are inlined as an `IN`
+    * filter on the change feed's delete side — the filter is what lets
+    * the skipping layers (blooms, zone maps) prune the history scan to
+    * the files that can hold a killed row. Past it, the feed falls back
+    * to the un-pruned semi join (a mass delete has to touch the mass
+    * anyway). */
+  private val MaxInlineDeleteKeys = 100000
+
+  /** FULL CHANGE FEED (CDC) between two versions: the rows the table
+    * GAINED (appended in the interval and still live at `atTxn`) and
+    * the rows it LOST (live at `sinceTxn`, killed by tombstones added
+    * in the interval) — the inserted/deleted halves a downstream
+    * incremental consumer (a signed-merge materialized view, a sync
+    * job) needs. None when the interval REPLACED the table or its
+    * tombstone chain (compaction, upsert merge): a rewrite is not
+    * diffable segment-wise and callers must full-resync, exactly like
+    * [[changesSince]].
+    *
+    * Exactness: asof scopes are evaluated against the stable owner
+    * positions (append-only evolution is a precondition), so a key
+    * deleted twice never double-reports, a row appended after its
+    * key's tombstone is not reported deleted, and a row appended AND
+    * deleted inside the interval appears on neither side. The delete
+    * side reads history THROUGH the skipping layers: killed rows must
+    * carry one of the interval's tombstone keys, so that key set (when
+    * small) is pushed as an `IN` filter and blooms/zone maps prune the
+    * scan to the files that can match. */
+  def changesWithDeletes(spark: SparkSession, root: String, table: String,
+      sinceTxn: String, atTxn: Option[String] = None)
+      : Option[(DataFrame, DataFrame)] = {
+    val at = atTxn.orElse(currentTxn(spark, root)).getOrElse(
+      throw new IllegalStateException(s"no published version under $root"))
+    val mFrom = manifestMetaOf(spark, root, sinceTxn)
+    val mTo = manifestMetaOf(spark, root, at)
+    val srcT = mTo.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' is not in version $at under $root"))
+    val srcF = mFrom.getOrElse(table, return None)
+    if (!srcT.owners.startsWith(srcF.owners)) return None
+    val dt = deleteTableOf(table)
+    val tombF = mFrom.get(dt).map(_.owners).getOrElse(Nil)
+    val tombT = mTo.get(dt).map(_.owners).getOrElse(Nil)
+    if (!tombT.startsWith(tombF)) return None
+    def emptyLike = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      srcT.schema.getOrElse(
+        readSegments(spark, root, table, srcT, srcT.owners).schema))
+    val newOwners = srcT.owners.drop(srcF.owners.size)
+    val inserted =
+      if (newOwners.isEmpty) emptyLike
+      else applyTombstones(spark, root, table, mTo,
+        readSegments(spark, root, table, srcT, newOwners))
+    val newTombs = tombT.drop(tombF.size)
+    val deleted =
+      if (newTombs.isEmpty) emptyLike
+      else {
+        val dm = mTo(dt)
+        val key = dm.schema.map(_.fieldNames.filterNot(_ == TombAsofCol).head)
+          .getOrElse(readSegments(spark, root, dt, dm, newTombs)
+            .columns.filterNot(_ == TombAsofCol).head)
+        val keyRows = readSegments(spark, root, dt, dm, newTombs)
+          .select(key).distinct().limit(MaxInlineDeleteKeys + 1).collect()
+        val base = readSegments(spark, root, table, srcF, srcF.owners)
+        val pruned =
+          if (keyRows.length > MaxInlineDeleteKeys) base
+          else {
+            val (nulls, vals) = keyRows.map(r => Option(r.get(0)))
+              .partition(_.isEmpty)
+            val in =
+              if (vals.isEmpty) lit(false)
+              else col(key).isin(vals.map(_.get).toSeq: _*)
+            base.filter(if (nulls.nonEmpty) in || col(key).isNull else in)
+          }
+        tombstoneJoin(spark, root, table, mTo,
+          applyTombstones(spark, root, table, mFrom, pruned),
+          Some(newTombs), semi = true)
+      }
+    Some((inserted, deleted))
   }
 
   /** SQL face of the store: register every table of ONE version as a

@@ -130,19 +130,30 @@ object Compaction {
     * `maxOwners` — without a trigger like this, a long-running
     * per-micro-batch appender accrues one owner dir per trigger and
     * the union read's plan grows a relation per segment (a
-    * 1000-trigger run = a 1000-branch union). Bounded work: each
-    * consolidation rewrites one table's live union once per
+    * 1000-trigger run = a 1000-branch union). A BASE table also
+    * compacts under TOMBSTONE PRESSURE: a delete-heavy table whose
+    * `<t>__del` chain exceeds `maxOwners` commits gets its
+    * merge-on-read debt applied physically (the replace consumes the
+    * tombstones and empties `<t>__del` in the same atomic commit) even
+    * if no append ever pushes the base chain over the threshold —
+    * otherwise every read pays a growing anti-join forever. Bounded
+    * work: each consolidation rewrites one table's live union once per
     * ~maxOwners triggers; the superseded chain becomes
     * vacuum-reclaimable. Failure is non-fatal — the triggering commit
     * has already landed, and the next trigger retries. */
   def autoCompact(spark: SparkSession, root: String, txn: String,
       maxOwners: Int, targetFileBytes: Long): Unit =
     try {
-      AtomicPublish.manifestOf(spark, root, txn).foreach {
-        case (table, owners) if owners.size > maxOwners =>
+      val metas = AtomicPublish.manifestMetaOf(spark, root, txn)
+      metas.foreach { case (table, m) =>
+        val tombOwners =
+          if (table.endsWith("__del")) 0
+          else metas.get(AtomicPublish.deleteTableOf(table))
+            .map(_.owners.size).getOrElse(0)
+        if (m.owners.size > maxOwners || tombOwners > maxOwners) {
           compactStore(spark, root, table, targetFileBytes)
           ()
-        case _ => ()
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => () }
 
@@ -179,34 +190,42 @@ object Compaction {
           s"table '$table' is not in version $parent under $root"))
       val bytes = storeTableBytes(spark, root, table, parent)
       val parts = partitionsFor(bytes, targetBytes)
+      // the layout to apply: an explicit clusterBy overrides (and is
+      // RECORDED into the manifest); a bare compactStore — including
+      // every autoCompact — re-applies the table's recorded clustering,
+      // so consolidation never silently destroys file-level locality a
+      // z-order/cluster rewrite bought
+      val (ccols, cz) =
+        if (clusterBy.nonEmpty) (clusterBy, zOrder)
+        else (meta.clusterCols, meta.clusterZOrder)
       // readTableAt applies merge-on-read tombstones, so the rewrite IS
       // the physical delete; the tombstone table empties in the SAME
       // commit — a reader never sees "applied twice" or "not yet"
       val union = AtomicPublish.readTableAt(spark, root, table, parent)
       val consolidated =
-        if (zOrder) {
-          require(clusterBy.size >= 2 && clusterBy.size <= 4,
-            s"zOrder clustering needs 2-4 columns, got $clusterBy")
+        if (cz) {
+          require(ccols.size >= 2 && ccols.size <= 4,
+            s"zOrder clustering needs 2-4 columns, got $ccols")
           require(meta.partitionCols.isEmpty,
             "zOrder clustering applies to flat tables (partition dirs " +
               "already split the layout; cluster within them instead)")
-          meta.schema.foreach(s => clusterBy.foreach { c =>
+          meta.schema.foreach(s => ccols.foreach { c =>
             require(s.fieldNames.contains(c) && s(c).dataType
               .isInstanceOf[org.apache.spark.sql.types.NumericType],
               s"zOrder column '$c' must be a numeric column of '$table'")
           })
           // one quantile pass for ALL columns' rank boundaries
-          val bs = union.stat.approxQuantile(clusterBy.toArray,
+          val bs = union.stat.approxQuantile(ccols.toArray,
             ZOrder.probs, 0.001)
           if (bs.exists(_.length != ZOrder.Buckets - 1))
             // degenerate stats (empty table after deletes, or an
             // all-null column): there is nothing to interleave —
             // fall back to the lexicographic cluster rewrite, which
             // handles empty/null inputs natively
-            union.repartitionByRange(parts, clusterBy.map(col): _*)
-              .sortWithinPartitions(clusterBy.map(col): _*)
+            union.repartitionByRange(parts, ccols.map(col): _*)
+              .sortWithinPartitions(ccols.map(col): _*)
           else {
-            val z = ZOrder.zCol(clusterBy.zip(bs).map { case (c, b) =>
+            val z = ZOrder.zCol(ccols.zip(bs).map { case (c, b) =>
               ZOrder.bucketCol(col(c), b.toSeq)
             })
             union.withColumn("__z", z)
@@ -214,8 +233,8 @@ object Compaction {
               .sortWithinPartitions(col("__z"))
               .drop("__z")
           }
-        } else if (clusterBy.nonEmpty) {
-          val key = (meta.partitionCols ++ clusterBy).map(col)
+        } else if (ccols.nonEmpty) {
+          val key = (meta.partitionCols ++ ccols).map(col)
           union.repartitionByRange(parts, key: _*)
             .sortWithinPartitions(key: _*)
         } else if (meta.partitionCols.isEmpty) union.repartition(parts)
@@ -224,7 +243,8 @@ object Compaction {
       // on any replace — the live read above already consumed them
       AtomicPublish.publishDelta(spark, root, append = Map.empty,
         replace = Map(table -> consolidated),
-        parent = Some(parent)) match {
+        parent = Some(parent),
+        clusterBy = Map(table -> (ccols, cz))) match {
         case Some(txn) => return (txn, parts)
         case None => () // an appender committed meanwhile; re-pin, retry
       }

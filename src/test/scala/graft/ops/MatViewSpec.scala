@@ -105,6 +105,120 @@ class MatViewSpec extends SparkSuite {
     assert(e.getMessage.contains("algebraic"))
   }
 
+  private val sumCount = MatView.Def("docs", "sc_stats", Seq("lang"),
+    Seq(MatView.Agg("count", "doc_id", "n_docs"),
+      MatView.Agg("sum", "words", "total_words")))
+
+  private def scRows(root: String): Set[org.apache.spark.sql.Row] =
+    AtomicPublish.readTable(spark, root, "sc_stats").collect().toSet
+
+  private def scExpect(root: String): Set[org.apache.spark.sql.Row] =
+    MatView.recomputed(spark, root, sumCount,
+      AtomicPublish.currentTxn(spark, root).get).collect().toSet
+
+  test("delete in the interval: sum/count views signed-merge incrementally") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 400, "en")
+        .unionByName(slice(400 until 500, "de"))),
+      statsBy = Map("docs" -> Seq("doc_id")),
+      bloomBy = Map("docs" -> Seq("doc_id")))
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    val covered = MatView.watermark(spark, root, sumCount).get
+    // a delete (no appends) in the interval
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(10L, 450L).toDF("doc_id")))
+    // the CDC feed this refresh consumes reads the history through the
+    // skipping layers: two point keys → the EXECUTED scan of the source
+    // table selects a strict subset of its files (lazy pushdown prunes
+    // at planning, so the pin is on scan metrics, not inputFiles)
+    val (_, del) = AtomicPublish.changesWithDeletes(spark, root, "docs",
+      covered).get
+    val total = AtomicPublish.readTable(spark, root, "docs").inputFiles.length
+    del.collect()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case r: ReusedExchangeExec => scans(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case o => o.children.flatMap(scans)
+    }
+    val scanned = scans(del.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.getName == "docs"))
+      .map(_.metrics("numFiles").value).sum
+    assert(scanned > 0 && scanned < total,
+      s"delete side scanned $scanned of $total files")
+    assert(del.count() == 2)
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    assert(scRows(root) == scExpect(root))
+    assert(MatView.refresh(spark, root, sumCount).isEmpty)
+  }
+
+  test("signed merge: group death and sum-goes-null match the recompute") {
+    val root = freshRoot()
+    // group 'b' has one row; group 'a' has a null-words row
+    AtomicPublish.publish(spark, root, Map("docs" ->
+      Seq((1L, "a", Option(10L)), (2L, "a", Option.empty[Long]),
+        (3L, "b", Option(7L))).toDF("doc_id", "lang", "words")))
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    // kill group b entirely AND a's only non-null words row
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(1L, 3L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    val got = scRows(root)
+    assert(got == scExpect(root))
+    // group b VANISHED (not zero-stuck); a's sum went back to NULL
+    assert(!got.exists(_.getString(0) == "b"))
+    val a = got.find(_.getString(0) == "a").get
+    assert(a.getLong(1) == 1L && a.isNullAt(2))
+  }
+
+  test("mixed interval (appends + deletes + replayed delete) stays exact") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 100, "en")))
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    // interval: append fr docs, delete two en docs, delete one of them
+    // AGAIN (at-least-once replay), append more en
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(100 until 130, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(5L, 6L).toDF("doc_id")))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(5L).toDF("doc_id")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(130 until 140, "en")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    assert(scRows(root) == scExpect(root))
+    // a row appended and deleted INSIDE one interval: net zero
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(140 until 141, "en")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(140L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    assert(scRows(root) == scExpect(root))
+  }
+
+  test("null group keys survive signed-merge deletes") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" ->
+      Seq((1L, Option("en"), 10L), (2L, Option.empty[String], 5L),
+        (3L, Option.empty[String], 3L)).toDF("doc_id", "lang", "words")))
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(2L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, sumCount).isDefined)
+    assert(scRows(root) == scExpect(root))
+    val nullRow = scRows(root).find(_.isNullAt(0)).get
+    assert(nullRow.getLong(1) == 1L && nullRow.getLong(2) == 3L)
+  }
+
   test("refresh retries past a concurrent publisher (CAS loss)") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root,

@@ -110,6 +110,44 @@ class StoreDeleteSpec extends SparkSuite {
     assert(MatView.refresh(spark, root, d).isEmpty)
   }
 
+  test("changesWithDeletes: exact inserted/deleted halves (CDC feed)") {
+    val root = freshRoot()
+    val cov = AtomicPublish.publish(spark, root, Map("docs" ->
+      (0L until 10L).map(i => i -> s"old$i").toDF("doc_id", "text")))
+    // interval: append 10-14, delete {3, 12}, re-append 3
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" ->
+        (10L until 15L).map(i => i -> s"new$i").toDF("doc_id", "text")),
+      parent = Some(cov)).get
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(3L, 12L).toDF("doc_id")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> Seq(3L -> "re3").toDF("doc_id", "text")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", cov).get
+    // inserted: the interval's appends still live at the end — 12 died
+    // inside the interval (appears on NEITHER side), re-appended 3 is a
+    // genuine new live row
+    assert(ins.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      Set(10L -> "new10", 11L -> "new11", 13L -> "new13",
+        14L -> "new14", 3L -> "re3"))
+    // deleted: only the OLD copy of 3 was live at `cov` and killed
+    assert(del.collect().map(r => r.getLong(0) -> r.getString(1)).toSet ==
+      Set(3L -> "old3"))
+    // a replayed (duplicate) delete reports nothing new
+    val cov2 = AtomicPublish.currentTxn(spark, root).get
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(12L).toDF("doc_id")))
+    val (ins2, del2) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", cov2).get
+    assert(ins2.count() == 0 && del2.count() == 0)
+    // a replace (compaction) in the interval is not diffable: None
+    Compaction.compactStore(spark, root, "docs")
+    assert(AtomicPublish.changesWithDeletes(spark, root, "docs", cov2)
+      .isEmpty)
+  }
+
   test("null-keyed rows are deletable (null-safe tombstone join)") {
     val root = freshRoot()
     val rows = Seq(Option(1L) -> "a", Option.empty[Long] -> "b",

@@ -82,6 +82,59 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  test("recorded clustering survives auto-compaction") {
+    val root = Files.createTempDirectory("zkeep").resolve("t").toString
+    val grid: DataFrame = spark.range(80L * 80L)
+      .select((col("id") % 80).as("x"), (col("id") / 80).cast("long").as("y"),
+        (col("id") * 31 % 997).as("v"))
+    AtomicPublish.publish(spark, root, Map("t" -> grid.repartition(4)),
+      statsBy = Map("t" -> Seq("x", "y")))
+    val bytes = Compaction.storeTableBytes(spark, root, "t",
+      AtomicPublish.currentTxn(spark, root).get)
+    val target = math.max(bytes / 16, 1L)
+    // declare z-order once — compactStore RECORDS it in the manifest
+    Compaction.compactStore(spark, root, "t", targetBytes = target,
+      clusterBy = Seq("x", "y"), zOrder = true)
+    val cur = AtomicPublish.currentManifestMeta(spark, root).get
+    assert(cur._2("t").clusterCols == Seq("x", "y") &&
+      cur._2("t").clusterZOrder)
+    def files(pred: String): Int =
+      AtomicPublish.readTableWhere(spark, root, "t", pred)
+        .inputFiles.length
+    val freshX = files("x = 40"); val freshY = files("y = 40")
+    // a 20-trigger ingest appends unclustered slices and inherits the
+    // declared layout without re-declaring anything
+    (0 until 20).foreach { i =>
+      AtomicPublish.publishDelta(spark, root, append = Map("t" ->
+        Seq((i.toLong, 100L + i, 0L)).toDF("x", "y", "v")),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    // bare auto-compaction (no clustering args anywhere) must re-apply
+    // the RECORDED z-order, not consolidate into an unclustered blob
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    Compaction.autoCompact(spark, root, txn, maxOwners = 8,
+      targetFileBytes = target)
+    val after = AtomicPublish.currentManifestMeta(spark, root).get
+    assert(after._1 != txn, "auto-compaction should have fired")
+    assert(after._2("t").owners.size == 1)
+    assert(after._2("t").clusterCols == Seq("x", "y") &&
+      after._2("t").clusterZOrder, "recorded clustering lost")
+    // point reads on BOTH dimensions still prune to a strict fraction
+    // of the files — an unclustered consolidation (the regression this
+    // pins against) reads every file on at least one of them. Exact
+    // counts shift by ±2 with the re-derived quantile boundaries, so
+    // the pin is fractional, not equality with the fresh layout.
+    val totalAfter = after._2("t").fileStats(after._2("t").owners.head).size
+    val ax = files("x = 40"); val ay = files("y = 40")
+    assert(ax * 3 <= totalAfter * 2 && ax <= freshX + 3,
+      s"x: $ax of $totalAfter (fresh $freshX)")
+    assert(ay * 3 <= totalAfter * 2 && ay <= freshY + 3,
+      s"y: $ay of $totalAfter (fresh $freshY)")
+    // and the consolidated table is complete
+    assert(AtomicPublish.readTable(spark, root, "t").count() ==
+      80L * 80L + 20L)
+  }
+
   test("zOrder guard rails: column count, types, flat layout") {
     val root = Files.createTempDirectory("zguard").resolve("t").toString
     AtomicPublish.publish(spark, root,
