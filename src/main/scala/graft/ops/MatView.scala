@@ -248,6 +248,33 @@ object MatView {
       s"matview '${d.view}' lost the commit race $maxAttempts times")
   }
 
+  /** CONTINUOUS refresh: subscribe to the store's change feed
+    * (`readStream.format("graft")` over the source table) and bring
+    * the view current once per commit interval — the event-driven
+    * replacement for a caller-scheduled polling loop. The microbatch
+    * frame itself is only the wake-up signal; [[refresh]] re-reads the
+    * store under its own pinned txn and CAS, so delivery semantics
+    * (at-least-once foreachBatch) cannot corrupt the view. If the
+    * source is compacted/replaced mid-stream the query fails with
+    * [[graft.streaming.GraftChangeFeedSource.ResyncRequired]]; the
+    * caller's supervision loop runs one batch [[refresh]] (which
+    * handles the replace by recompute) and restarts from a fresh
+    * checkpoint. */
+  def streamRefresh(spark: SparkSession, root: String, d: Def,
+      checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("graft")
+      .option("root", root).option("table", d.src).load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, root, d); ()
+      }
+      .start()
+
   /** The reference answer: the same aggregate computed from scratch
     * over the source at `txn` — what every refresh path must equal. */
   def recomputed(spark: SparkSession, root: String, d: Def,

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, Bound
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -236,9 +236,38 @@ object GraftFileIndex {
   * the compliance failure) and points at [[AtomicPublish.readTable]] /
   * [[AtomicPublish.registerViews]], which wrap the same pruned relation
   * with the anti-join. */
-final class GraftSource extends RelationProvider with DataSourceRegister {
+final class GraftSource extends RelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  private def streamParams(parameters: Map[String, String]) = {
+    val root = parameters.get("root").orElse(parameters.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "readStream.format(\"graft\") needs a 'root' (or 'path') option"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "readStream.format(\"graft\") needs a 'table' option"))
+    (root, table)
+  }
+
+  /** `spark.readStream.format("graft")` — the microbatch change-feed
+    * face ([[graft.streaming.GraftChangeFeedSource]]). */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val (root, table) = streamParams(parameters)
+    (shortName(), schema.getOrElse(new graft.streaming.GraftChangeFeedSource(
+      ctx.sparkSession, root, table).schema))
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val (root, table) = streamParams(parameters)
+    new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root, table)
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

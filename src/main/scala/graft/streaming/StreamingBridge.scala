@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graftstream
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.connector.read.streaming.SparkDataStream
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Batch→streaming DataFrame bridge for the store's change-feed
+  * source: a V1 `Source.getBatch` must return a frame whose leaf
+  * relations carry `isStreaming = true` (MicroBatchExecution asserts
+  * it), but the store's read stack produces ordinary batch relations.
+  * Re-tagging the analyzed plan's [[LogicalRelation]] leaves — exactly
+  * what Spark's own file stream source and the log-backed lakehouse
+  * sources do — keeps the whole batch scan machinery (recorded schema,
+  * one relation, pruning) under the streaming execution. `ofRows` and
+  * the relation internals are private[sql], so the bridge lives in
+  * this package (the established third-party-source pattern). */
+object StreamingBridge {
+  def asStreaming(df: Dataset[Row], source: SparkDataStream): DataFrame = {
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming =>
+        lr.copy(isStreaming = true, stream = Some(source))
+    }
+    classic.Dataset.ofRows(
+      df.sparkSession.asInstanceOf[classic.SparkSession], plan)
+  }
+}
