@@ -758,6 +758,197 @@ object SimilarityOps {
       .orderBy(col("qid"), col("rank"))
   }
 
+  // --- IVF-PQ (n3f): product-quantized codes + asymmetric distance ------------
+
+  /** PQ subspaces: the 64-dim embedding splits into 8 subvectors of 8
+    * dims, each quantized to an 8-bit code — 8 bytes of code (+ one
+    * reconstruction-norm double) per vector instead of 256 bytes of
+    * float32, the ~32× payload cut that makes a 100 TB embedding
+    * corpus's index memory/IO-resident. */
+  val PqM = 8
+  val PqK = 256
+  /** Exact re-rank depth: ADC scores rank candidates, the top
+    * `PqRefine × TopK` per query are re-scored with true cosine from
+    * the full vectors (the standard IVF-PQ + refine ladder) — so
+    * emitted sims stay exact and recall holds at n3c's level while the
+    * SCAN payload is codes, not vectors. 8×TopK = 80 full-vector
+    * lookups per query — constant, independent of corpus size. */
+  val PqRefine = 8
+
+  /** (vec_id, m, sv): the M subvectors of each vector. */
+  private def subvectors(vectors: DataFrame, idCol: String = "vec_id",
+      vCol: String = "v"): DataFrame = {
+    val subDim = size(col(vCol)) / PqM
+    vectors.select(col(idCol), posexplode(
+      transform(sequence(lit(0), lit(PqM - 1)),
+        m => slice(col(vCol), m * subDim + 1, subDim))).as(Seq("m", "sv")))
+  }
+
+  /** ‖a − b‖² via dots (reuses the codegen'd dot expression). */
+  private def l2sq(a: Column, b: Column): Column =
+    dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)
+
+  /** Deterministic PQ codebooks (m, code, c, cn2): per subspace, seeds
+    * are the subvectors of the K smallest vec_ids (the ivfCentroids
+    * seeding rule), refined by ONE Lloyd step over the deterministic
+    * sample — set-oriented, no RNG, no driver iteration beyond the
+    * model-sized (M×K = 2048-row) collect. `cn2 = ‖c‖²` rides along so
+    * encoding and ADC never recompute it. */
+  def pqCodebooks(vectors: DataFrame, lloydStride: Long = 1L): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val seeds = subvectors(
+      vectors.select(col("vec_id"), col("v")).orderBy(col("vec_id"))
+        .limit(PqK))
+      .collect()
+      .groupBy(_.getInt(1)).toSeq.flatMap { case (m, rows) =>
+        rows.sortBy(_.getLong(0)).zipWithIndex.map { case (r, i) =>
+          (m, i, r.getSeq[Double](2))
+        }
+      }
+    val seedsDf = seeds.toDF("m", "code", "c")
+    val sample =
+      if (lloydStride <= 1L) vectors
+      else vectors.filter(pmod(col("vec_id"), lit(lloydStride)) === 0)
+    val assigned = subvectors(sample).join(broadcast(seedsDf), Seq("m"))
+      .select(col("vec_id"), col("m"), col("sv"),
+        l2sq(col("sv"), col("c")).as("d2"), col("code"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"))).as("best"),
+        first(col("sv")).as("sv"))
+      .select(col("m"), col("best.code").as("code"), col("sv"))
+    val refined = assigned
+      .select(col("m"), col("code"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy(col("m"), col("code"), col("pos")).agg(avg(col("x")).as("mu"))
+      .groupBy(col("m"), col("code"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mu")))).as("pm"))
+      .select(col("m"), col("code"),
+        transform(col("pm"), e => e.getField("mu")).as("c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+    seeds.map { case (m, code, c) =>
+        val cc = refined.getOrElse((m, code), c)
+        (m, code, cc, cc.map(x => x * x).sum)
+      }
+      .toDF("m", "code", "c", "cn2")
+  }
+
+  /** Encode: (vec_id, codes array<int> length M, pnorm2) — per
+    * subspace the L2-nearest code, plus the reconstruction norm²
+    * Σ‖c_m‖² (subspaces partition the dims, so the sum is exact for
+    * the reconstructed vector), precomputed corpus-side so ADC scoring
+    * needs no query-independent work per candidate. */
+  def pqEncode(vectors: DataFrame, books: DataFrame): DataFrame =
+    subvectors(vectors).join(broadcast(books), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        l2sq(col("sv"), col("c")).as("d2"), col("code"), col("cn2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("code"), col("cn2"))).as("best"))
+      .groupBy(col("vec_id"))
+      .agg(
+        array_sort(collect_list(struct(col("m"), col("best.code").as("code"))))
+          .as("mc"),
+        sum(col("best.cn2")).as("pnorm2"))
+      .select(col("vec_id"),
+        transform(col("mc"), e => e.getField("code")).as("codes"),
+        col("pnorm2"))
+
+  /** PQ model per corpus (trained once per JVM, fingerprint-fresh). */
+  private val pqBookCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Seq[(Int, Int, Seq[Double], Double)])]
+  def trainedPqCodebooks(spark: SparkSession, dir: String): DataFrame = {
+    val rows = memoFresh(pqBookCache, spark, dir) {
+      val n = corpusCount(spark, dir)
+      val cells = ivfCellsFor(n)
+      pqCodebooks(corpus(spark, dir), ivfLloydStride(n, cells))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2),
+          r.getDouble(3))).toSeq
+    }
+    import spark.implicits._
+    rows.toDF("m", "code", "c", "cn2")
+  }
+
+  /** Published PQ index per corpus dir: `pq_codes` (vec_id, codes,
+    * pnorm2, cell) in an [[graft.ops.AtomicPublish]] root, PARTITIONED
+    * BY CELL — same layout contract as the n3e index store, so a
+    * probe's cell set prunes the code read to IvfProbes/cells of its
+    * files, and what those files hold is the 8-byte codes, not the
+    * vectors. */
+  private val pqStoreCache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  def publishedPqRoot(spark: SparkSession, dir: String): String =
+    memoFresh(pqStoreCache, spark, dir) {
+      val books = trainedPqCodebooks(spark, dir)
+      val assigned = ivfAssignments(spark, dir)
+      val coded = pqEncode(corpus(spark, dir), books)
+        .join(assigned.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_pq_store_${java.util.UUID.randomUUID().toString.take(12)}")
+        .toString
+      graft.ops.AtomicPublish.publish(spark, root,
+        Map("pq_codes" -> coded),
+        partitionBy = Map("pq_codes" -> Seq("cell")))
+      root
+    }
+
+  /** N3f: IVF-PQ approximate top-10 — probe the IvfProbes best cells,
+    * score candidates by ASYMMETRIC DISTANCE (query stays full
+    * precision; approx dot(q,x) = Σ_m dot(q_m, c_m[code_m]) via a
+    * per-query M×K lookup table that broadcasts at any corpus size),
+    * keep the PqRefine×TopK best per query, re-rank those exactly.
+    * The candidate scan reads the published cell-partitioned CODE
+    * table (pruned to probed cells); full vectors are touched only for
+    * the ~40 refine rows per query. Deterministic; no SQL oracle
+    * (spec: recall ≥ n3c's, exact emitted sims, pruned scan, payload
+    * ratio). */
+  def n3fIvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    val cents = trainedCentroids(spark, dir)
+    val books = trainedPqCodebooks(spark, dir)
+    val queries = all.filter(col("vec_id") < QueryCount)
+    val probes = ivfProbePlan(queries, cents)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val codes = graft.ops.AtomicPublish
+      .readTable(spark, publishedPqRoot(spark, dir), "pq_codes")
+      .filter(col("cell").isin(probedCells: _*)) // → PartitionFilters
+    // per-query ADC lookup table: (qid, m, code, qd = dot(q_m, c)) —
+    // 32 × M×K rows of model-sized state, broadcast to the code scan
+    val qdot = subvectors(queries, "vec_id").join(broadcast(books), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("code"),
+        dot(col("sv"), col("c")).as("qd"))
+    val cand = probes.select(col("qid"), col("cell"))
+      .join(codes, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("pnorm2"),
+        posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(qdot), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd")).as("adot"), first(col("pnorm2")).as("pnorm2"))
+      .select(col("qid"), col("vec_id"),
+        (col("adot") / sqrt(col("pnorm2"))).as("ascore"))
+    import org.apache.spark.sql.expressions.Window
+    val wa = Window.partitionBy(col("qid"))
+      .orderBy(col("ascore").desc, col("vec_id"))
+    val shortlist = cand.withColumn("ar", row_number().over(wa))
+      .filter(col("ar") <= PqRefine * TopK)
+      .select(col("qid"), col("vec_id"))
+    // exact re-rank: full vectors for the shortlist only
+    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"))
+    val sims = shortlist
+      .join(all, Seq("vec_id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val NearDupThreshold = 0.4 // synthetic corpus is i.i.d. random (top pair
                              // sims ~0.4-0.5); real near-dup corpora use ~0.9
 
@@ -844,6 +1035,7 @@ object SimilarityOps {
     "n3c_ivf_ann" -> (n3cIvfAnn _),
     "n3d_ivf2_ann" -> ((s: SparkSession, d: String) => n3dIvf2Ann(s, d)),
     "n3e_ann_incremental" -> (n3eAnnIncremental _),
+    "n3f_ivfpq_ann" -> (n3fIvfPqAnn _),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
     "n8_semantic_clusters" -> (n8SemanticClusters _),
   )
