@@ -109,6 +109,140 @@ object ScaleRehearsal {
     // the vs-linear cost curve is the rehearsed property
     "n8_semantic_clusters", "t8_bigram_lm")
 
+  /** STORE REHEARSAL at one scale: a `segments`-commit ingest history
+    * (auto-compaction off — the point is the un-consolidated worst
+    * case), then the reads a 100 TB table lives on: point lookups and
+    * range scans through the skipping layers, a MASS DELETE of 10% of
+    * the keys (applied merge-on-read; correctness re-asserted with
+    * broadcast joins disabled, so the tombstone anti-join provably
+    * degrades to a shuffled join and not to a wrong answer), and
+    * incremental MatView refreshes (append interval + signed-merge
+    * delete interval, each ≡ recompute). Rows are keyed by a dense
+    * surrogate `rid` so segment slices carry disjoint ranges — zone
+    * maps separate history segments exactly like a time-ordered ingest
+    * key would at production scale. Returns op → seconds (correctness
+    * is asserted inside; timing is min-of-`reps`). */
+  private def storeRehearsal(spark: SparkSession, dir: String,
+      segments: Int, reps: Int): Map[String, Double] = {
+    import graft.ops.{AtomicPublish, MatView}
+    import spark.implicits._
+    val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_store_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+    val docs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("nc"))
+      .withColumn("rid", row_number().over(w).cast("long") - 1)
+      .cache()
+    val n = docs.count()
+    def slice(i: Int): DataFrame = {
+      val lo = i * n / segments; val hi = (i + 1) * n / segments
+      docs.filter(col("rid") >= lo && col("rid") < hi)
+        .select(col("rid"), col("doc_id"), col("lang"), col("nc"))
+        .coalesce(1)
+    }
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    // --- stage the ingest history -------------------------------------
+    val (_, stageSec) = timed {
+      AtomicPublish.publish(spark, root, Map("docs" -> slice(0)),
+        statsBy = Map("docs" -> Seq("rid")),
+        bloomBy = Map("docs" -> Seq("rid")))
+      (1 until segments).foreach { i =>
+        AtomicPublish.publishDelta(spark, root,
+          append = Map("docs" -> slice(i)),
+          parent = AtomicPublish.currentTxn(spark, root))
+      }
+    }
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("docs")
+    require(meta.owners.size == segments,
+      s"expected $segments owner segments, got ${meta.owners.size}")
+    // --- point + range reads through the skipping layers --------------
+    def minOf(f: => Unit): Double =
+      (1 to reps).map(_ => timed(f)._2).min
+    val totalFiles = AtomicPublish.readTable(spark, root, "docs")
+      .inputFiles.length
+    val pointIds = Seq(n / 7, n / 3, (9L * n) / 10)
+    val pointSec = minOf {
+      pointIds.foreach { id =>
+        val q = AtomicPublish.readTableWhere(spark, root, "docs",
+          s"rid = $id")
+        require(q.inputFiles.length <= 2,
+          s"point read planned ${q.inputFiles.length} of $totalFiles files")
+        require(q.count() == 1, s"point read rid=$id lost its row")
+      }
+    }
+    val lo = n / 2; val hi = lo + n / 100
+    val rangeSec = minOf {
+      val q = AtomicPublish.readTableWhere(spark, root, "docs",
+        s"rid >= $lo AND rid < $hi")
+      require(q.inputFiles.length * 20 <= totalFiles,
+        s"1% range read planned ${q.inputFiles.length} of $totalFiles files")
+      require(q.count() == hi - lo, "range read row count off")
+    }
+    // --- matview: init + incremental append interval ------------------
+    val d = MatView.Def("docs", "mv_lang", Seq("lang"),
+      Seq(MatView.Agg("count", "rid", "n_docs"),
+        MatView.Agg("sum", "nc", "chars")))
+    require(MatView.refresh(spark, root, d).isDefined)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs.filter(col("rid") < 10)
+        .withColumn("rid", col("rid") + n)
+        .select(col("rid"), col("doc_id"), col("lang"), col("nc"))),
+      parent = AtomicPublish.currentTxn(spark, root))
+    val (_, mvAppendSec) = timed {
+      require(MatView.refresh(spark, root, d).isDefined)
+    }
+    def mvMatches(): Boolean = {
+      val got = AtomicPublish.readTable(spark, root, "mv_lang")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      val want = MatView.recomputed(spark, root, d,
+        AtomicPublish.currentTxn(spark, root).get)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      got == want
+    }
+    require(mvMatches(), "matview after append interval != recompute")
+    // --- mass delete: 10% of keys, merge-on-read ----------------------
+    val (_, deleteCommitSec) = timed {
+      AtomicPublish.deleteRows(spark, root, Map("docs" ->
+        docs.filter(pmod(col("rid"), lit(10)) === 0).select("rid")))
+    }
+    // live = original n + 10 appended − ceil(n/10) deleted originals
+    // (the appended rids start at n and are not in the key set)
+    val liveExpected = (n + 10) - (n / 10 + (if (n % 10 > 0) 1 else 0))
+    val deleteReadSec = minOf {
+      val live = AtomicPublish.readTable(spark, root, "docs").count()
+      require(live == liveExpected,
+        s"post-delete live count $live != $liveExpected")
+    }
+    // graceful degradation: same answer with broadcast joins OFF (the
+    // tombstone anti-join must survive as a shuffled join — at a 100 TB
+    // mass delete the key side leaves broadcast range)
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      require(AtomicPublish.readTable(spark, root, "docs").count() ==
+        liveExpected, "post-delete count changed under shuffled join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    // --- matview: signed-merge delete interval ------------------------
+    val (_, mvDeleteSec) = timed {
+      require(MatView.refresh(spark, root, d).isDefined)
+    }
+    require(mvMatches(), "matview after delete interval != recompute")
+    docs.unpersist()
+    Map("store_stage" -> stageSec, "store_point_read" -> pointSec,
+      "store_range_read" -> rangeSec,
+      "store_mass_delete_commit" -> deleteCommitSec,
+      "store_delete_read" -> deleteReadSec,
+      "store_mv_append_refresh" -> mvAppendSec,
+      "store_mv_delete_refresh" -> mvDeleteSec)
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = args.headOption.getOrElse("target/scale/sf1")
@@ -197,6 +331,26 @@ object ScaleRehearsal {
       f"$name=${l}%.2f"
     }.mkString(" ")
     System.err.println(s"[rehearsal] vs-linear (<2.0 required): $verdictLine")
+
+    // --- the TABLE FORMAT at scale: 100→1000-segment ingest history ----
+    // (segments scale with the data, so vs_linear compares a 10× corpus
+    // in 10× as many commits — the un-compacted worst case a continuous
+    // ingester presents between maintenance windows)
+    val segs = sys.env.getOrElse("SPARK_GRAFT_STORE_SEGS", "1000").toInt
+    val storeBase = storeRehearsal(spark, src, segs / Replicas, reps)
+    val storeScaled = storeRehearsal(spark, out, segs, reps)
+    val storeLines = storeBase.keys.toSeq.sorted.map { op =>
+      val b = storeBase(op); val s = storeScaled(op)
+      val linear = s / (b * Replicas)
+      f"""{"query":"$op","sf01_sec":$b%.3f,"sf1_sec":$s%.3f,""" +
+        f""""ratio":${s / b}%.2f,"vs_linear":$linear%.2f}"""
+    }
+    storeLines.foreach(println)
+    val storeVerdict = storeBase.keys.toSeq.sorted.map { op =>
+      f"$op=${storeScaled(op) / (storeBase(op) * Replicas)}%.2f"
+    }.mkString(" ")
+    System.err.println(
+      s"[rehearsal] store vs-linear (<2.0 required): $storeVerdict")
     spark.stop()
   }
 }
