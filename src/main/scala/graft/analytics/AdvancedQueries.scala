@@ -711,6 +711,87 @@ object AdvancedQueries {
       |WHERE doc_id BETWEEN 12 AND 340 AND doc_id % 53 <> 5
       |ORDER BY doc_id""".stripMargin
 
+  private val store3Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE3: INCREMENTAL JOIN MATVIEWS inside the correctness gate —
+    * orders (keyed to the customer join column, prices as integer
+    * cents) and customers staged into a store, then a
+    * [[graft.ops.MatView.JoinDef]] view (per-segment order count, cents
+    * revenue, distinct customer count) refreshed after EVERY commit of
+    * a five-step history: init, left append, RIGHT-side delete
+    * (signed-merge through the join identity), another left append,
+    * LEFT-side delete. The final view state was therefore built
+    * entirely through incremental merges — no terminal recompute — and
+    * the DuckDB oracle joins the SOURCE tables with the delete
+    * predicates applied, so a hash match proves the whole signed
+    * join-delta algebra (Δ(A⋈B) = ΔA⋈B_old + A_new⋈ΔB, counting merge,
+    * distinct-value state) is lossless. */
+  def store3MatviewJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AtomicPublish
+    val root = Tables.memoFresh(store3Cache, spark, dir, "orders") {
+      stageStore3(spark, dir)
+    }
+    AtomicPublish.readTable(spark, root, "seg_stats")
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private def stageStore3(spark: SparkSession, dir: String): String = {
+    import graft.ops.{AtomicPublish, MatView}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store3")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    // integer cents: sums stay in the exact domain on both engines
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"),
+      col("o_custkey").as("c_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("cents_v"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def slice(k: Int) = ord.filter(pmod(col("o_orderkey"), lit(3)) === k)
+    val d = MatView.JoinDef("orders", "customer", Seq("c_custkey"),
+      "seg_stats", Seq("c_mktsegment"),
+      Seq(MatView.Agg("count", "o_orderkey", "n_orders"),
+        MatView.Agg("sum", "cents_v", "cents"),
+        MatView.Agg("count_distinct", "c_custkey", "n_custs")))
+    AtomicPublish.publish(spark, root,
+      Map("orders" -> slice(0), "customer" -> cust),
+      statsBy = Map("orders" -> Seq("o_orderkey"),
+        "customer" -> Seq("c_custkey")),
+      bloomBy = Map("customer" -> Seq("c_custkey")))
+    require(MatView.refresh(spark, root, d).isDefined)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("orders" -> slice(1)),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    require(MatView.refresh(spark, root, d).isDefined)
+    AtomicPublish.deleteRows(spark, root, Map("customer" ->
+      cust.filter(pmod(col("c_custkey"), lit(7)) === 3)
+        .select("c_custkey")))
+    require(MatView.refresh(spark, root, d).isDefined)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("orders" -> slice(2)),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    require(MatView.refresh(spark, root, d).isDefined)
+    AtomicPublish.deleteRows(spark, root, Map("orders" ->
+      ord.filter(pmod(col("o_orderkey"), lit(11)) === 5)
+        .select("o_orderkey")))
+    require(MatView.refresh(spark, root, d).isDefined)
+    root
+  }
+
+  val store3MatviewJoinSql: String =
+    """SELECT c.c_mktsegment, count(o.o_orderkey)::BIGINT AS n_orders,
+      |  CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS cents,
+      |  count(DISTINCT c.c_custkey)::BIGINT AS n_custs
+      |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |WHERE o.o_orderkey % 11 <> 5 AND c.c_custkey % 7 <> 3
+      |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin
+
   /** HOF predicate battery over the embedding arrays: exists / forall /
     * filter-count in the double domain. */
   def x12HofPredicates(spark: SparkSession, dir: String): DataFrame = {
@@ -1171,6 +1252,7 @@ object AdvancedQueries {
     "set3_evolved_scan" -> (set3EvolvedScan _),
     "store1_pruned_scan" -> (store1PrunedScan _),
     "store2_sql_pushdown" -> (store2SqlPushdown _),
+    "store3_matview_join" -> (store3MatviewJoin _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1216,6 +1298,7 @@ object AdvancedQueries {
     "set3_evolved_scan" -> set3EvolvedScanSql,
     "store1_pruned_scan" -> store1PrunedScanSql,
     "store2_sql_pushdown" -> store2SqlPushdownSql,
+    "store3_matview_join" -> store3MatviewJoinSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

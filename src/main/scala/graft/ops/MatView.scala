@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** INCREMENTAL MATERIALIZED VIEWS over the store's change feed — the
   * downstream half of the delta format: a grouped aggregate of a store
-  * table, kept current in O(changed data) per refresh instead of a
-  * full recompute, the way a 100 TB ingest corpus keeps its per-key
-  * dashboards alive without re-scanning history every time.
+  * table (or of an equi-join of two store tables), kept current in
+  * O(changed data) per refresh instead of a full recompute, the way a
+  * 100 TB ingest corpus keeps its per-key dashboards alive without
+  * re-scanning history every time.
   *
   * Mechanics per [[refresh]]:
   *  1. pin the live txn T once;
@@ -17,7 +18,12 @@ import org.apache.spark.sql.functions._
   *     [[AtomicPublish.changesSince]]; when tombstones landed too, the
   *     full CDC feed [[AtomicPublish.changesWithDeletes]] adds the
   *     DELETED rows (read through the skipping layers: the interval's
-  *     delete keys prune the history scan);
+  *     delete keys prune the history scan). A JOIN view diffs BOTH
+  *     sides and lifts the row deltas to pair deltas with the signed
+  *     join identity Δ(A⋈B) = ΔA⋈B_old + A_new⋈ΔB (the incremental
+  *     view-maintenance classic): the delta pair set touches each
+  *     side's full snapshot only opposite a (small) delta, never
+  *     re-joins history against history;
   *  4. SIGNED MERGE (the counting algorithm of incremental
   *     view-maintenance literature): aggregate only the inserted rows
   *     (+1) and deleted rows (−1) and fold them into the current
@@ -26,53 +32,107 @@ import org.apache.spark.sql.functions._
   *     per-sum non-null counts (`__n_<col>`) so a group whose rows all
   *     die DISAPPEARS (not "sticks at zero") and a sum whose surviving
   *     values are all null goes back to NULL — both exactly what the
-  *     recompute would produce. min/max cannot be un-merged, so a
+  *     recompute would produce. count_distinct carries a per-aggregate
+  *     DISTINCT-VALUE state table (`<view>_dv_<as>`: group keys +
+  *     value + signed multiplicity) — the distinct count is the number
+  *     of values whose multiplicity stays positive, so inserts AND
+  *     deletes maintain it exactly, at state cost O(live distinct
+  *     values), never O(history). min/max cannot be un-merged, so a
   *     delete in the interval sends views containing them down the
   *     full-recompute fallback;
-  *  5. publish the merged view, its aux state AND the advanced
-  *     watermark in ONE replace delta with `parent = T` — the CAS
-  *     rejects the commit if anything moved, so view, aux and
+  *  5. publish the merged view, its aux + distinct-value state AND the
+  *     advanced watermark in ONE replace delta with `parent = T` — the
+  *     CAS rejects the commit if anything moved, so view, state and
   *     watermark can never drift apart (the torn state "view updated,
   *     watermark stale" is unrepresentable).
   *
-  * The aggregate spec is restricted to ALGEBRAIC functions (sum, count,
-  * min, max) — exactly the class mergeable from partial states without
-  * re-reading inputs; avg is `sum/count` at read time (and therefore
-  * delete-maintainable). Reference analog: none (the reference
-  * recomputes summaries per request, routes.py:68-78); this is the
-  * steady-state shape its dashboards would need at scale.
+  * The aggregate spec is restricted to functions mergeable from
+  * partial states without re-reading inputs: the ALGEBRAIC four (sum,
+  * count, min, max) plus count_distinct via its value state; avg is
+  * `sum/count` at read time (and therefore delete-maintainable).
+  * Reference analog: none (the reference recomputes summaries per
+  * request, routes.py:68-78); this is the steady-state shape its
+  * dashboards would need at scale.
   */
 object MatView {
 
   /** One aggregate column: `fn` over source column `col`, emitted as
-    * `as`. `fn ∈ {sum, count, min, max}`. */
+    * `as`. `fn ∈ {sum, count, min, max, count_distinct}`. */
   final case class Agg(fn: String, col: String, as: String)
 
-  /** View definition: group the source table by `keys`, aggregate per
-    * [[Agg]]. The view table, its hidden merge state and its watermark
-    * live beside the source in the same store root (`<view>` +
-    * `<view>_aux` + `<view>_wm`). */
-  final case class Def(src: String, view: String, keys: Seq[String],
-      aggs: Seq[Agg]) {
-    require(aggs.nonEmpty, "a materialized view needs at least one aggregate")
-    aggs.foreach(a => require(Set("sum", "count", "min", "max")(a.fn),
-      s"aggregate '${a.fn}' is not algebraic-mergeable " +
-        "(sum/count/min/max)"))
-    (keys ++ aggs.map(_.as)).foreach(n => require(!n.startsWith("__"),
-      s"view column '$n': the '__' prefix is reserved for merge state"))
-    def wmTable: String = s"${view}_wm"
-    def auxTable: String = s"${view}_aux"
-    /** Deletes are signed-mergeable iff no agg is min/max. */
-    def deleteMaintainable: Boolean =
-      aggs.forall(a => a.fn == "sum" || a.fn == "count")
+  /** What [[Def]] and [[JoinDef]] share: the view identity, its hidden
+    * state tables, and the aggregate spec. The view table, its merge
+    * state and its watermark live beside the source in the same store
+    * root (`<view>` + `<view>_aux` [+ `<view>_dv_<as>` per distinct
+    * aggregate] + `<view>_wm`). */
+  sealed trait ViewDef {
+    def view: String
+    def keys: Seq[String]
+    def aggs: Seq[Agg]
+
+    final def wmTable: String = s"${view}_wm"
+    final def auxTable: String = s"${view}_aux"
+    final def dvTable(a: Agg): String = s"${view}_dv_${a.as}"
+    final def plainAggs: Seq[Agg] = aggs.filterNot(_.fn == "count_distinct")
+    final def distinctAggs: Seq[Agg] = aggs.filter(_.fn == "count_distinct")
+    /** Deletes are signed-mergeable iff no agg is min/max
+      * (count_distinct un-merges exactly through its value state). */
+    final def deleteMaintainable: Boolean =
+      plainAggs.forall(a => a.fn == "sum" || a.fn == "count")
+
+    protected final def validate(): Unit = {
+      require(aggs.nonEmpty,
+        "a materialized view needs at least one aggregate")
+      aggs.foreach(a => require(
+        Set("sum", "count", "min", "max", "count_distinct")(a.fn),
+        s"aggregate '${a.fn}' is not algebraic-mergeable " +
+          "(sum/count/min/max/count_distinct)"))
+      (keys ++ aggs.map(_.as)).foreach(n => require(!n.startsWith("__"),
+        s"view column '$n': the '__' prefix is reserved for merge state"))
+      val dup = aggs.groupBy(_.as).collect { case (n, as) if as.size > 1 => n }
+      require(dup.isEmpty, s"duplicate aggregate names: ${dup.mkString(", ")}")
+    }
   }
 
-  private def aggCols(d: Def): Seq[Column] = d.aggs.map { a =>
+  /** Single-table view: group `src` by `keys`, aggregate per [[Agg]]. */
+  final case class Def(src: String, view: String, keys: Seq[String],
+      aggs: Seq[Agg]) extends ViewDef {
+    validate()
+  }
+
+  /** JOIN view: group the inner equi-join `left ⋈_on right` (USING
+    * semantics — `on` names shared key columns; all other column names
+    * must be disjoint between the sides) by `keys`, aggregate per
+    * [[Agg]]. Both sides live in the SAME store root, so one watermark
+    * txn covers both consistently. */
+  final case class JoinDef(left: String, right: String, on: Seq[String],
+      view: String, keys: Seq[String], aggs: Seq[Agg]) extends ViewDef {
+    validate()
+    require(on.nonEmpty, "a join view needs at least one join column")
+  }
+
+  /** The equi-join both the recompute and every delta term use; rejects
+    * ambiguous shared columns outside the join key up front (Catalyst
+    * would only fail on first REFERENCE, which could hide in a later
+    * refresh). */
+  private def joined(a: DataFrame, b: DataFrame,
+      on: Seq[String]): DataFrame = {
+    val dup = (a.columns.toSet & b.columns.toSet) -- on.toSet
+    require(dup.isEmpty,
+      s"join view sides share non-join columns: ${dup.mkString(", ")}")
+    a.join(b, on, "inner")
+  }
+
+  /** Aggregate columns for the from-scratch compute (count_distinct is
+    * a real `countDistinct` here; incremental refreshes derive it from
+    * the value state instead). */
+  private def aggCols(aggs: Seq[Agg]): Seq[Column] = aggs.map { a =>
     val c = a.fn match {
       case "sum" => sum(col(a.col))
       case "count" => count(col(a.col))
       case "min" => min(col(a.col))
       case "max" => max(col(a.col))
+      case "count_distinct" => countDistinct(col(a.col))
     }
     c.as(a.as)
   }
@@ -81,23 +141,45 @@ object MatView {
     * input count behind every sum (a sum is NULL iff that count is 0 —
     * signed arithmetic alone would leave 0 where the recompute says
     * null). */
-  private def auxCols(d: Def): Seq[Column] =
+  private def auxCols(d: ViewDef): Seq[Column] =
     count(lit(1)).as("__rows") +:
-      d.aggs.filter(_.fn == "sum")
+      d.plainAggs.filter(_.fn == "sum")
         .map(a => count(col(a.col)).as(s"__n_${a.as}"))
 
-  private def auxNames(d: Def): Seq[String] =
-    "__rows" +: d.aggs.filter(_.fn == "sum").map(a => s"__n_${a.as}")
+  private def auxNames(d: ViewDef): Seq[String] =
+    "__rows" +: d.plainAggs.filter(_.fn == "sum").map(a => s"__n_${a.as}")
 
-  /** One aggregation pass producing BOTH the public agg columns and the
-    * hidden merge state. */
-  private def aggregateAll(d: Def, rows: DataFrame): DataFrame = {
-    val cs = aggCols(d) ++ auxCols(d)
+  /** One aggregation pass producing BOTH the public plain-agg columns
+    * and the hidden merge state. */
+  private def aggregateAll(d: ViewDef, rows: DataFrame): DataFrame = {
+    val cs = aggCols(d.plainAggs) ++ auxCols(d)
     rows.groupBy(d.keys.map(col): _*).agg(cs.head, cs.tail: _*)
   }
 
-  private def viewOf(d: Def, combined: DataFrame): DataFrame =
-    combined.select((d.keys ++ d.aggs.map(_.as)).map(col): _*)
+  /** Distinct-value state of one count_distinct aggregate: per (group,
+    * value) live multiplicity. Nulls are excluded — `count(DISTINCT c)`
+    * ignores them. */
+  private def dvOf(d: ViewDef, a: Agg, rows: DataFrame): DataFrame =
+    rows.filter(col(a.col).isNotNull)
+      .select((d.keys.map(col) :+ col(a.col).as("__v")): _*)
+      .groupBy((d.keys :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__vcnt"))
+
+  /** Signed merge of distinct-value states: current (+) ∪ inserted (+)
+    * ∪ deleted (−), summed per (group, value); values whose
+    * multiplicity reaches 0 vanish, so the surviving row count per
+    * group IS the distinct count. */
+  private def dvMerge(cur: DataFrame, plus: DataFrame,
+      minus: Option[DataFrame]): DataFrame = {
+    val keyCols = cur.columns.filterNot(_ == "__vcnt").toSeq
+    val signed = cur.withColumn("__sign", lit(1L))
+      .unionByName(plus.withColumn("__sign", lit(1L)))
+      .unionByName(minus.map(_.withColumn("__sign", lit(-1L)))
+        .getOrElse(plus.limit(0).withColumn("__sign", lit(1L))))
+    signed.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__vcnt") * col("__sign")).as("__vcnt"))
+      .filter(col("__vcnt") > 0)
+  }
 
   /** The SIGNED MERGE: current state (+), inserted-rows aggregate (+),
     * deleted-rows aggregate (−), folded per group in ONE merge
@@ -105,14 +187,14 @@ object MatView {
     * merge exactly like the recompute's groupBy). Groups whose signed
     * row count reaches 0 vanish; sums whose signed non-null count
     * reaches 0 become null. `minus` must be empty unless
-    * [[Def.deleteMaintainable]]. */
-  private def signedMerge(d: Def, cur: DataFrame, plus: DataFrame,
+    * [[ViewDef.deleteMaintainable]]. */
+  private def signedMerge(d: ViewDef, cur: DataFrame, plus: DataFrame,
       minus: Option[DataFrame]): DataFrame = {
     val signed = cur.withColumn("__sign", lit(1L))
       .unionByName(plus.withColumn("__sign", lit(1L)))
       .unionByName(minus.map(_.withColumn("__sign", lit(-1L)))
         .getOrElse(plus.limit(0).withColumn("__sign", lit(1L))))
-    val mergeCols: Seq[Column] = d.aggs.map { a =>
+    val mergeCols: Seq[Column] = d.plainAggs.map { a =>
       a.fn match {
         case "sum" | "count" => sum(col(a.as) * col("__sign")).as(a.as)
         // min/max only reach here on the append path (minus empty):
@@ -123,16 +205,20 @@ object MatView {
         case "max" => max(col(a.as)).as(a.as)
       }
     } ++ auxNames(d).map(n => sum(col(n) * col("__sign")).as(n))
-    val merged = signed.groupBy(d.keys.map(col): _*)
+    // a KEYLESS (global) view keeps its one row at __rows = 0 — the
+    // recompute's global aggregate over an empty source still returns
+    // one row (count 0, sums null); only keyed groups vanish on death
+    val merged0 = signed.groupBy(d.keys.map(col): _*)
       .agg(mergeCols.head, mergeCols.tail: _*)
-      .filter(col("__rows") > 0)
+    val merged =
+      if (d.keys.isEmpty) merged0 else merged0.filter(col("__rows") > 0)
     // null-fix the sums, restore the declared column types (sum-based
     // merging widens int counts legally — counts are long already —
     // but a sum over ints re-sums as long: cast back via the plus
     // frame's schema, which carries the canonical aggregate types)
     val canon = plus.schema
-    val projected = (d.keys ++ d.aggs.map(_.as) ++ auxNames(d)).map { n =>
-      val c = d.aggs.find(x => x.as == n && x.fn == "sum") match {
+    val projected = (d.keys ++ d.plainAggs.map(_.as) ++ auxNames(d)).map { n =>
+      val c = d.plainAggs.find(x => x.as == n && x.fn == "sum") match {
         case Some(_) =>
           when(col(s"__n_$n") === 0, lit(null)).otherwise(col(n))
         case None => col(n)
@@ -143,9 +229,33 @@ object MatView {
     merged.select(projected: _*)
   }
 
+  /** The published view frame: the merged state's plain aggregates plus
+    * one distinct count per value-state table (a null-safe left join on
+    * the group keys — a group whose distinct column is all-null has no
+    * value rows but must still show 0, like the recompute's
+    * `countDistinct`). */
+  private def assembleView(d: ViewDef, state: DataFrame,
+      dvs: Map[String, DataFrame]): DataFrame = {
+    val withDistinct = d.distinctAggs.foldLeft(state) { (acc, a) =>
+      val cnt = dvs(d.dvTable(a))
+        .groupBy(d.keys.map(col): _*).agg(count(lit(1)).as(a.as))
+      val renamed = d.keys.zipWithIndex.foldLeft(cnt) { case (f, (k, i)) =>
+        f.withColumnRenamed(k, s"__jk$i")
+      }
+      val cond = d.keys.zipWithIndex.map { case (k, i) =>
+        acc(k) <=> renamed(s"__jk$i")
+      }.reduceOption(_ && _).getOrElse(lit(true)) // keyless = global agg
+      val dropped = d.keys.indices.map(i => s"__jk$i")
+      acc.join(renamed, cond, "left")
+        .drop(dropped: _*)
+        .withColumn(a.as, coalesce(col(a.as), lit(0L)))
+    }
+    withDistinct.select((d.keys ++ d.aggs.map(_.as)).map(col): _*)
+  }
+
   /** The view's covered source txn at `atTxn` (None = view not yet
     * initialized). */
-  def watermark(spark: SparkSession, root: String, d: Def,
+  def watermark(spark: SparkSession, root: String, d: ViewDef,
       atTxn: Option[String] = None): Option[String] = {
     val txn = atTxn.orElse(AtomicPublish.currentTxn(spark, root))
       .getOrElse(return None)
@@ -155,12 +265,96 @@ object MatView {
       .select("covered_txn").head().getString(0))
   }
 
-  /** Bring the view current with the live source. Returns the txn of
+  /** What the interval holds for one source table: its data owners and
+    * tombstone owners at a txn. */
+  private def srcOwners(spark: SparkSession, root: String, table: String,
+      txn: String): (Option[Seq[String]], Option[Seq[String]]) = {
+    val m = AtomicPublish.manifestOf(spark, root, txn)
+    (m.get(table), m.get(AtomicPublish.deleteTableOf(table)))
+  }
+
+  /** The interval's shape for one refresh, computed per source spec. */
+  private sealed trait Delta
+  private case object Unchanged extends Delta
+  private case object Recompute extends Delta
+  private final case class Incremental(plus: DataFrame,
+      minus: Option[DataFrame]) extends Delta
+
+  /** Row delta of ONE table over the interval, as (plus, minus):
+    * Unchanged when neither data nor tombstones moved; Recompute when
+    * the table was replaced, or deletes landed that the view cannot
+    * un-merge. */
+  private def tableDelta(spark: SparkSession, root: String, d: ViewDef,
+      table: String, covered: String, pinned: String): Delta = {
+    val before = srcOwners(spark, root, table, covered)
+    val after = srcOwners(spark, root, table, pinned)
+    if (before == after) Unchanged
+    else if (before._2 != after._2) {
+      // tombstones landed in the interval
+      if (!d.deleteMaintainable) Recompute
+      else AtomicPublish.changesWithDeletes(spark, root, table, covered,
+        Some(pinned)) match {
+        case Some((ins, del)) => Incremental(ins, Some(del))
+        case None => Recompute
+      }
+    } else AtomicPublish.changesSince(spark, root, table, covered,
+      Some(pinned)) match {
+      case Some(delta) => Incremental(delta, None)
+      case None => Recompute // replaced (compaction / maintenance)
+    }
+  }
+
+  /** The PAIR delta of a join view, from both sides' row deltas, via
+    * the signed identity Δ(A⋈B) = ΔA⋈B_old + A_new⋈ΔB: with
+    * ΔA = insA − delA this expands to
+    * plus = insA⋈B_old ∪ A_new⋈insB, minus = delA⋈B_old ∪ A_new⋈delB
+    * (terms like insA⋈delB cancel between the two sides exactly).
+    * History never joins history: every term pairs a snapshot with a
+    * delta. */
+  private def joinDelta(spark: SparkSession, root: String, j: JoinDef,
+      covered: String, pinned: String): Delta = {
+    val l = tableDelta(spark, root, j, j.left, covered, pinned)
+    val r = tableDelta(spark, root, j, j.right, covered, pinned)
+    (l, r) match {
+      case (Unchanged, Unchanged) => Unchanged
+      case (Recompute, _) | (_, Recompute) => Recompute
+      case _ =>
+        def half(dl: Delta): (Option[DataFrame], Option[DataFrame]) =
+          dl match {
+            case Incremental(p, m) => (Some(p), m)
+            case _ => (None, None)
+          }
+        val (insL, delL) = half(l)
+        val (insR, delR) = half(r)
+        lazy val bOld = AtomicPublish.readTableAt(spark, root, j.right,
+          covered)
+        lazy val aNew = AtomicPublish.readTableAt(spark, root, j.left,
+          pinned)
+        def merge(ts: Seq[DataFrame]): Option[DataFrame] =
+          ts.reduceOption(_ unionByName _)
+        val plus = merge(
+          insL.map(p => joined(p, bOld, j.on)).toSeq ++
+            insR.map(p => joined(aNew, p, j.on)).toSeq)
+        val minus = merge(
+          delL.map(m => joined(m, bOld, j.on)).toSeq ++
+            delR.map(m => joined(aNew, m, j.on)).toSeq)
+        plus match {
+          case Some(p) => Incremental(p, minus)
+          case None => minus match {
+            // possible only when both sides were delete-only intervals
+            case Some(m) => Incremental(m.limit(0), Some(m))
+            case None => Unchanged
+          }
+        }
+    }
+  }
+
+  /** Bring the view current with the live source(s). Returns the txn of
     * the refresh commit, or None when the view is already current
     * (nothing published — repeated refreshes of a quiet store are
     * free). Retries the CAS a bounded number of times against
     * concurrent publishers. */
-  def refresh(spark: SparkSession, root: String, d: Def,
+  def refresh(spark: SparkSession, root: String, d: ViewDef,
       maxAttempts: Int = 5): Option[String] = {
     import spark.implicits._
     var attempt = 0
@@ -169,79 +363,74 @@ object MatView {
       val pinned = AtomicPublish.currentTxn(spark, root).getOrElse(
         throw new IllegalStateException(s"no published version under $root"))
       val wm = watermark(spark, root, d, Some(pinned))
-      // "already current" means the SOURCE is unchanged since the
-      // covered txn — not that the txns are equal: the refresh commit
-      // itself advances the live txn, and comparing txns alone would
-      // make every refresh republish an unchanged view forever. The
-      // source's TOMBSTONE table counts as part of the source: a
-      // delete changes the aggregate without adding a segment
       val manifest = AtomicPublish.manifestOf(spark, root, pinned)
-      def srcOwners(txn: String): (Option[Seq[String]], Option[Seq[String]]) = {
-        val m = AtomicPublish.manifestOf(spark, root, txn)
-        (m.get(d.src), m.get(AtomicPublish.deleteTableOf(d.src)))
+      def snapshot: DataFrame = d match {
+        case s: Def => AtomicPublish.readTableAt(spark, root, s.src, pinned)
+        case j: JoinDef => joined(
+          AtomicPublish.readTableAt(spark, root, j.left, pinned),
+          AtomicPublish.readTableAt(spark, root, j.right, pinned), j.on)
       }
-      def tombstonesChanged(covered: String): Boolean =
-        srcOwners(covered)._2 != srcOwners(pinned)._2
-      def full = aggregateAll(d,
-        AtomicPublish.readTableAt(spark, root, d.src, pinned))
       // pre-aux views (and replaced sources) lack mergeable state: one
-      // full recompute rebuilds it, every later refresh is incremental
-      def curAux: Option[DataFrame] =
-        if (!manifest.contains(d.auxTable)) None
-        else Some(AtomicPublish.readTableAt(spark, root, d.auxTable, pinned))
-      val merged: Option[DataFrame] = wm match {
-        case Some(covered) if covered == pinned ||
-            srcOwners(covered) == srcOwners(pinned) =>
-          None // already current
-        case Some(covered) if tombstonesChanged(covered) =>
-          // deletes landed in the interval: signed-merge them when the
-          // agg set allows it, otherwise recompute (min/max cannot be
-          // un-merged — the documented narrowing)
-          val inc =
-            if (!d.deleteMaintainable) None
-            else curAux.flatMap { aux =>
-              AtomicPublish.changesWithDeletes(spark, root, d.src,
-                covered, Some(pinned)).map { case (ins, del) =>
-                signedMerge(d, aux, aggregateAll(d, ins),
-                  Some(aggregateAll(d, del)))
-              }
-            }
-          Some(inc.getOrElse(full))
-        case Some(covered) =>
-          AtomicPublish.changesSince(spark, root, d.src, covered,
-            Some(pinned)) match {
-            case Some(delta) =>
-              // O(changed): aggregate the delta only, merge with the
-              // current state — history segments never re-read
-              curAux match {
-                case Some(aux) =>
-                  Some(signedMerge(d, aux, aggregateAll(d, delta), None))
-                case None => Some(full)
-              }
-            case None =>
-              // the source was REPLACED in the interval (compaction /
-              // corpus maintenance): incremental diffing cannot see a
-              // rewrite, recompute from the pinned snapshot
-              Some(full)
-          }
-        case None => Some(full)
+      // full recompute rebuilds it, every later refresh is incremental.
+      // A view published before its distinct-value tables existed
+      // rebuilds the same way.
+      def stateTables: Option[(DataFrame, Map[String, DataFrame])] =
+        if (!manifest.contains(d.auxTable) ||
+          d.distinctAggs.exists(a => !manifest.contains(d.dvTable(a)))) None
+        else Some((
+          AtomicPublish.readTableAt(spark, root, d.auxTable, pinned),
+          d.distinctAggs.map(a => d.dvTable(a) ->
+            AtomicPublish.readTableAt(spark, root, d.dvTable(a), pinned))
+            .toMap))
+      val delta: Delta = wm match {
+        case Some(covered) if covered == pinned => Unchanged
+        case Some(covered) => d match {
+          case s: Def => tableDelta(spark, root, d, s.src, covered, pinned)
+          case j: JoinDef => joinDelta(spark, root, j, covered, pinned)
+        }
+        case None => Recompute
       }
-      merged match {
+      val next: Option[(DataFrame, Map[String, DataFrame])] = delta match {
+        case Unchanged => return None
+        case Recompute =>
+          val rows = snapshot
+          Some((aggregateAll(d, rows),
+            d.distinctAggs.map(a => d.dvTable(a) -> dvOf(d, a, rows)).toMap))
+        case Incremental(plus, minus) => stateTables match {
+          case Some((aux, dvs)) => Some((
+            signedMerge(d, aux, aggregateAll(d, plus),
+              minus.map(aggregateAll(d, _))),
+            d.distinctAggs.map { a =>
+              d.dvTable(a) -> dvMerge(dvs(d.dvTable(a)), dvOf(d, a, plus),
+                minus.map(dvOf(d, a, _)))
+            }.toMap))
+          case None =>
+            val rows = snapshot
+            Some((aggregateAll(d, rows),
+              d.distinctAggs.map(a => d.dvTable(a) -> dvOf(d, a, rows))
+                .toMap))
+        }
+      }
+      next match {
         case None => return None
-        case Some(combined0) =>
-          // one computation feeds two published frames
-          val combined = combined0.cache()
+        case Some((state0, dvs0)) =>
+          // one computation feeds every published frame
+          val state = state0.cache()
+          val dvs = dvs0.map { case (t, f) => t -> f.cache() }
           try {
             AtomicPublish.publishDelta(spark, root, append = Map.empty,
               replace = Map(
-                d.view -> viewOf(d, combined),
-                d.auxTable -> combined,
-                d.wmTable -> Seq(pinned).toDF("covered_txn")),
+                d.view -> assembleView(d, state, dvs),
+                d.auxTable -> state,
+                d.wmTable -> Seq(pinned).toDF("covered_txn")) ++ dvs,
               parent = Some(pinned)) match {
               case Some(txn) => return Some(txn)
               case None => () // a publisher won the race: re-pin, retry
             }
-          } finally combined.unpersist()
+          } finally {
+            state.unpersist()
+            dvs.values.foreach(_.unpersist())
+          }
       }
     }
     throw new IllegalStateException(
@@ -249,24 +438,32 @@ object MatView {
   }
 
   /** CONTINUOUS refresh: subscribe to the store's change feed
-    * (`readStream.format("graft")` over the source table) and bring
+    * (`readStream.format("graft")` over every source table of the
+    * view — a join view wakes on commits to EITHER side) and bring
     * the view current once per commit interval — the event-driven
     * replacement for a caller-scheduled polling loop. The microbatch
     * frame itself is only the wake-up signal; [[refresh]] re-reads the
     * store under its own pinned txn and CAS, so delivery semantics
-    * (at-least-once foreachBatch) cannot corrupt the view. If the
+    * (at-least-once foreachBatch) cannot corrupt the view. If a
     * source is compacted/replaced mid-stream the query fails with
     * [[graft.streaming.GraftChangeFeedSource.ResyncRequired]]; the
     * caller's supervision loop runs one batch [[refresh]] (which
     * handles the replace by recompute) and restarts from a fresh
     * checkpoint. */
-  def streamRefresh(spark: SparkSession, root: String, d: Def,
+  def streamRefresh(spark: SparkSession, root: String, d: ViewDef,
       checkpoint: String,
       trigger: org.apache.spark.sql.streaming.Trigger =
         org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
-      : org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("graft")
-      .option("root", root).option("table", d.src).load()
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val sources = d match {
+      case s: Def => Seq(s.src)
+      case j: JoinDef => Seq(j.left, j.right)
+    }
+    sources.map { t =>
+      spark.readStream.format("graft")
+        .option("root", root).option("table", t).load()
+        .select(lit(1L).as("__wake"))
+    }.reduce(_ unionByName _)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -274,14 +471,20 @@ object MatView {
         refresh(spark, root, d); ()
       }
       .start()
+  }
 
   /** The reference answer: the same aggregate computed from scratch
-    * over the source at `txn` — what every refresh path must equal. */
-  def recomputed(spark: SparkSession, root: String, d: Def,
-      txn: String): DataFrame =
-    aggregate(d, AtomicPublish.readTableAt(spark, root, d.src, txn))
-
-  private def aggregate(d: Def, rows: DataFrame): DataFrame =
-    rows.groupBy(d.keys.map(col): _*)
-      .agg(aggCols(d).head, aggCols(d).tail: _*)
+    * over the source(s) at `txn` — what every refresh path must
+    * equal. */
+  def recomputed(spark: SparkSession, root: String, d: ViewDef,
+      txn: String): DataFrame = {
+    val rows = d match {
+      case s: Def => AtomicPublish.readTableAt(spark, root, s.src, txn)
+      case j: JoinDef => joined(
+        AtomicPublish.readTableAt(spark, root, j.left, txn),
+        AtomicPublish.readTableAt(spark, root, j.right, txn), j.on)
+    }
+    val cs = aggCols(d.aggs)
+    rows.groupBy(d.keys.map(col): _*).agg(cs.head, cs.tail: _*)
+  }
 }
