@@ -3,14 +3,16 @@ package graft.ops
 import scala.collection.concurrent.TrieMap
 
 import org.apache.hadoop.fs.{FileStatus, Path}
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.Sink
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -236,8 +238,11 @@ object GraftFileIndex {
   * the compliance failure) and points at [[AtomicPublish.readTable]] /
   * [[AtomicPublish.registerViews]], which wrap the same pruned relation
   * with the anti-join. */
-final class GraftSource extends RelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+final class GraftSource extends RelationProvider
+    with CreatableRelationProvider with StreamSourceProvider
+    with StreamSinkProvider with DataSourceRegister {
+
+  import GraftSource._
 
   override def shortName(): String = "graft"
 
@@ -300,5 +305,171 @@ final class GraftSource extends RelationProvider with StreamSourceProvider
       meta.owners.map(_ -> None))
     HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
+  }
+
+  /** `df.write.format("graft")` — the batch WRITE face of the store:
+    * every save is one atomic CAS-protected commit through the publish
+    * path (recorded schema validation, stats/bloom sidecars, partition
+    * layout), retried against concurrent publishers.
+    *
+    *  - `Append` appends a delta segment (creates the table if absent);
+    *  - `Overwrite` replaces the table (compaction semantics — history
+    *    stays time-travelable, tombstones auto-clear);
+    *  - `ErrorIfExists` / `Ignore` follow their contracts.
+    *
+    * Options: `root` (or `path`), `table`, and optional comma-joined
+    * `partitionByCols` / `statsBy` / `bloomBy` column lists applied
+    * when the write CREATES or REPLACES the table (append inherits the
+    * recorded layout — the manifest, not the writer, owns it). */
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val root = parameters.get("root").orElse(parameters.get("path"))
+      .getOrElse(throw new IllegalArgumentException(
+        "write.format(\"graft\") needs a 'root' (or 'path') option"))
+    val table = parameters.getOrElse("table",
+      throw new IllegalArgumentException(
+        "write.format(\"graft\") needs a 'table' option"))
+    val partCols = optionCols(parameters, "partitionByCols")
+    val statsCols = optionCols(parameters, "statsBy")
+    val bloomCols = optionCols(parameters, "bloomBy")
+    def layout(of: Seq[String]): Map[String, Seq[String]] =
+      if (of.isEmpty) Map.empty else Map(table -> of)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      AtomicPublish.currentTxn(spark, root) match {
+        case None =>
+          // store birth — publish itself CASes on "no parent yet"
+          AtomicPublish.publish(spark, root, Map(table -> data),
+            partitionBy = layout(partCols), statsBy = layout(statsCols),
+            bloomBy = layout(bloomCols))
+          return schemaOnly(ctx, data.schema)
+        case Some(parent) =>
+          val exists =
+            AtomicPublish.manifestOf(spark, root, parent).contains(table)
+          mode match {
+            case SaveMode.ErrorIfExists if exists =>
+              throw new IllegalStateException(
+                s"table '$table' already exists under $root " +
+                  "(SaveMode.ErrorIfExists)")
+            case SaveMode.Ignore if exists => return schemaOnly(ctx,
+              data.schema)
+            case _ =>
+              // a new table lands via replace (= create); appends to an
+              // existing table inherit its recorded layout
+              val committed =
+                if (!exists || mode == SaveMode.Overwrite)
+                  AtomicPublish.publishDelta(spark, root,
+                    append = Map.empty, replace = Map(table -> data),
+                    parent = Some(parent), partitionBy = layout(partCols),
+                    statsBy = layout(statsCols), bloomBy = layout(bloomCols))
+                else
+                  AtomicPublish.publishDelta(spark, root,
+                    append = Map(table -> data), parent = Some(parent))
+              if (committed.isDefined) return schemaOnly(ctx, data.schema)
+            // CAS lost: re-pin the parent and retry
+          }
+      }
+    }
+    throw new IllegalStateException(
+      s"write to '$table' lost the commit race $MaxCommitAttempts times")
+  }
+
+  /** `df.writeStream.format("graft")` — the streaming SINK face
+    * ([[GraftSink]]): per-microbatch atomic commits with exactly-once
+    * replay protection. Append mode appends each batch; Complete mode
+    * replaces the table with each batch (the streaming-aggregate
+    * shape). */
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val (root, table) = streamParams(parameters)
+    require(outputMode == OutputMode.Append() ||
+      outputMode == OutputMode.Complete(),
+      s"writeStream.format(\"graft\") supports Append and Complete " +
+        s"output modes, not $outputMode")
+    new GraftSink(ctx.sparkSession, root, table,
+      partitionColumns ++ optionCols(parameters, "partitionByCols"),
+      optionCols(parameters, "statsBy"), optionCols(parameters, "bloomBy"),
+      complete = outputMode == OutputMode.Complete())
+  }
+}
+
+object GraftSource {
+  private[ops] val MaxCommitAttempts = 8
+
+  private[ops] def optionCols(parameters: Map[String, String],
+      key: String): Seq[String] =
+    parameters.get(key).map(_.split(",").toSeq.map(_.trim)
+      .filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** The writer contract wants a relation back; the store's read face
+    * needs options the writer doesn't carry, so return the minimal
+    * schema-bearing relation (the pattern every log-backed V1 sink
+    * source uses — the returned relation is not queried by `save()`). */
+  private[ops] def schemaOnly(ctx: SQLContext,
+      dfSchema: StructType): BaseRelation = new BaseRelation {
+    override def sqlContext: SQLContext = ctx
+    override def schema: StructType = dfSchema
+  }
+}
+
+/** The store's streaming sink: one CAS commit per microbatch, carrying
+  * BOTH the batch rows and the sink's replay watermark
+  * (`<table>__sinkwm`, the highest applied batch id) — so at-least-once
+  * microbatch redelivery after a checkpoint restart is filtered
+  * exactly (a replayed `addBatch` sees `batchId <= watermark` in the
+  * SAME snapshot it would commit against and no-ops; the torn state
+  * "rows applied, watermark stale" is unrepresentable). Append mode
+  * appends each batch; Complete mode replaces the table per batch. */
+final class GraftSink(spark: SparkSession, root: String, table: String,
+    partCols: Seq[String], statsCols: Seq[String], bloomCols: Seq[String],
+    complete: Boolean) extends Sink {
+  import GraftSource.MaxCommitAttempts
+
+  private val wmTable = s"${table}__sinkwm"
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    import spark.implicits._
+    val batch = org.apache.spark.sql.graftstream.StreamingBridge
+      .asBatch(data)
+    def wmDF = Seq(batchId).toDF("batch_id")
+    def layout(of: Seq[String]): Map[String, Seq[String]] =
+      if (of.isEmpty) Map.empty else Map(table -> of)
+    var attempt = 0
+    while (attempt < MaxCommitAttempts) {
+      attempt += 1
+      AtomicPublish.currentTxn(spark, root) match {
+        case None =>
+          AtomicPublish.publish(spark, root,
+            Map(table -> batch, wmTable -> wmDF),
+            partitionBy = layout(partCols), statsBy = layout(statsCols),
+            bloomBy = layout(bloomCols))
+          return
+        case Some(parent) =>
+          val manifest = AtomicPublish.manifestOf(spark, root, parent)
+          val applied =
+            if (!manifest.contains(wmTable)) -1L
+            else AtomicPublish.readTableAt(spark, root, wmTable, parent)
+              .head().getLong(0)
+          if (batchId <= applied) return // replayed microbatch: committed
+          val committed =
+            if (complete || !manifest.contains(table))
+              AtomicPublish.publishDelta(spark, root, append = Map.empty,
+                replace = Map(table -> batch, wmTable -> wmDF),
+                parent = Some(parent), partitionBy = layout(partCols),
+                statsBy = layout(statsCols), bloomBy = layout(bloomCols))
+            else
+              AtomicPublish.publishDelta(spark, root,
+                append = Map(table -> batch),
+                replace = Map(wmTable -> wmDF), parent = Some(parent))
+          if (committed.isDefined) return
+        // CAS lost: re-pin and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"streaming sink for '$table' lost the commit race " +
+        s"$MaxCommitAttempts times")
   }
 }

@@ -24,4 +24,16 @@ object StreamingBridge {
     classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession], plan)
   }
+
+  /** The inverse bridge, for the store's streaming SINK: the frame a V1
+    * `Sink.addBatch` receives is backed by the incremental execution
+    * (streaming-tagged leaves), so handing it to a batch writer throws.
+    * Rebinding the executed rows under a fresh batch frame — the
+    * log-backed lakehouse sinks' established move — lets the store's
+    * ordinary publish path consume the microbatch. */
+  def asBatch(data: Dataset[Row]): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
+      isStreaming = false)
+  }
 }
