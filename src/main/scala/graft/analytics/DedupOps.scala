@@ -281,8 +281,10 @@ object DedupOps {
       .orderBy(col("doc_id"))
   }
 
-  val n7DupClustersSql: String =
-    s"""WITH RECURSIVE $shingleCte,
+  /** DuckDB rendering of n2-pair connected components ending in
+    * `lab(doc_id, cluster_id)` — shared by the n7 and n9 oracles. */
+  private val clusterLabCte: String =
+    s"""$shingleCte,
       |pairs AS (
       |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -298,10 +300,102 @@ object DedupOps {
       |  SELECT a AS doc, a AS r FROM edges
       |  UNION
       |  SELECT e.b AS doc, r.r AS r FROM reach r JOIN edges e ON e.a = r.doc),
-      |lab AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)
+      |lab AS (SELECT doc AS doc_id, min(r) AS cluster_id FROM reach GROUP BY doc)""".stripMargin
+
+  val n7DupClustersSql: String =
+    s"""WITH RECURSIVE $clusterLabCte
       |SELECT doc_id, cluster_id,
       |  count(*) OVER (PARTITION BY cluster_id) AS csize
       |FROM lab ORDER BY doc_id""".stripMargin
+
+  /** N9: duplicate-cluster SURVIVOR selection — the step that turns
+    * detection into an actual deduplicated corpus. [[n7DupClusters]]'
+    * connected components decide which docs are mutual near-dups; this
+    * keeps ONE representative per cluster (longest text wins, lowest
+    * doc_id breaks ties — the "keep best copy" policy of the CCNet /
+    * RefinedWeb dedup stages) plus every unclustered doc, and emits the
+    * surviving corpus slice.
+    *
+    * Scale shape: cluster labels are edge-sized (≪ corpus), so the
+    * representative argmax windows over label rows only; the corpus
+    * side sees two doc_id equi-joins (anti + semi) that AQE broadcasts
+    * whenever the label set is small. Document text is never shuffled.
+    */
+  def n9ClusterKeep(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val labels = ClusterOps.connectedComponents(n2PairsShared(spark, dir))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val reps = labels.join(docs, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"))
+    val survivors = docs
+      .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"))
+      .union(reps)
+    docs.join(survivors, Seq("doc_id"), "left_semi")
+      .orderBy(col("doc_id"))
+  }
+
+  val n9ClusterKeepSql: String =
+    s"""WITH RECURSIVE $clusterLabCte,
+      |reps AS (
+      |  SELECT l.doc_id FROM lab l JOIN documents d USING (doc_id)
+      |  QUALIFY row_number() OVER (PARTITION BY l.cluster_id
+      |    ORDER BY d.n_chars DESC, l.doc_id) = 1)
+      |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+      |WHERE d.doc_id IN (SELECT doc_id FROM reps)
+      |   OR d.doc_id NOT IN (SELECT doc_id FROM lab)
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** N10: duplicated-SPAN fraction per document — the repeated-substring
+    * diagnostic of exact-substring corpus dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better") at
+    * word-3-gram granularity: for each doc, how many of its distinct
+    * shingles also occur in at least one OTHER document. A span-removal
+    * pass keys on precisely these cross-document repeats; this emits
+    * the per-doc measurement that drives it, as exact integer basis
+    * points (`dup_bp = n_dup*10000 DIV n_shingles` — floor division on
+    * longs, so the cross-engine hash is exact with no float rounding in
+    * sight).
+    *
+    * Scale shape: shuffles carry 8-byte shingle hashes only (n2's
+    * discipline; the string-rendering DuckDB oracle doubles as the
+    * collision check). The per-doc dedup groupBy reuses the window's
+    * doc_id partitioning (no extra exchange); the per-shingle doc-count
+    * aggregate and the join back are hash-domain. Text never shuffles.
+    */
+  def n10SpanDupfrac(spark: SparkSession, dir: String): DataFrame =
+    n10SpanDupfracOn(Tables.documents(spark, dir))
+
+  def n10SpanDupfracOn(docs: DataFrame): DataFrame = {
+    val perDoc = shingleHashes(docs)
+      .select(col("doc_id"), col("h")).dropDuplicates()
+    val docCounts = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("ndocs"))
+    perDoc.join(docCounts, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_bp", expr("(n_dup * 10000) DIV n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  val n10SpanDupfracSql: String =
+    """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |  generate_series(1, greatest(len(w) - 2, 0)),
+      |  i -> array_to_string(w[i:i+2], ' ')))) AS shingle FROM words),
+      |nd AS (SELECT shingle, count(*) AS ndocs FROM sh GROUP BY shingle),
+      |per AS (SELECT s.doc_id, count(*) AS n_shingles,
+      |          sum(CASE WHEN nd.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+      |        FROM sh s JOIN nd USING (shingle) GROUP BY s.doc_id)
+      |SELECT doc_id, n_shingles, n_dup,
+      |  (n_dup * 10000) // n_shingles AS dup_bp
+      |FROM per ORDER BY doc_id""".stripMargin
 
   /** INCREMENTAL near-dup pairs: every (da < db, jaccard ≥ θ) pair with
     * AT LEAST ONE side in `newSigs`, judged against published
@@ -583,6 +677,8 @@ object DedupOps {
     "n4_simhash" -> (n4Simhash _),
     "n6_decontaminate" -> (n6Decontaminate _),
     "n7_dup_clusters" -> (n7DupClusters _),
+    "n9_cluster_keep" -> (n9ClusterKeep _),
+    "n10_span_dupfrac" -> (n10SpanDupfrac _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -592,6 +688,8 @@ object DedupOps {
     "n4_simhash" -> n4SimhashSql,
     "n6_decontaminate" -> n6DecontaminateSql,
     "n7_dup_clusters" -> n7DupClustersSql,
+    "n9_cluster_keep" -> n9ClusterKeepSql,
+    "n10_span_dupfrac" -> n10SpanDupfracSql,
     // n2b_minhash_lsh: sketch-based (banded MinHash candidates), no SQL oracle
   )
 }

@@ -95,6 +95,54 @@ class DedupOpsSpec extends SparkSuite {
     assert(DedupOps.n6Decontaminate(spark, dir).collect().toSeq == rows.toSeq)
   }
 
+  test("n9 survivor selection: one rep per cluster, longest text wins") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val labels = ClusterOps.connectedComponents(
+      DedupOps.n2PairsShared(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = DedupOps.n9ClusterKeep(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val all = docs.select("doc_id").collect().map(_.getLong(0)).toSet
+    // every unclustered doc survives; every cluster keeps exactly one
+    assert((all -- labels.keySet).subsetOf(kept))
+    val byCluster = labels.groupBy(_._2)
+    byCluster.foreach { case (_, members) =>
+      assert(members.keys.count(kept) == 1)
+    }
+    // the survivor is the longest member (ties by lowest doc_id)
+    val nchars = docs.select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    byCluster.foreach { case (_, members) =>
+      val winner = members.keys.toSeq.sortBy(id => (-nchars(id), id)).head
+      assert(kept(winner), s"expected $winner kept among ${members.keys}")
+    }
+    // survivors keep their source attributes verbatim
+    assert(DedupOps.n9ClusterKeep(spark, dir).columns.toSeq ==
+      Seq("doc_id", "lang", "n_chars"))
+  }
+
+  test("n10 span dup fraction: exact duplicates score 10000 basis points") {
+    import org.apache.spark.sql.functions._
+    val out = DedupOps.n10SpanDupfrac(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (_, n, dup, bp) =>
+      assert(dup <= n && bp == dup * 10000 / n)
+    }
+    // exact duplicates share every shingle (10000 bp); a doc with no
+    // cross-document shingle overlap scores 0
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val bp = DedupOps.n10SpanDupfracOn(synth)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(bp == Map(1L -> 10000L, 2L -> 10000L, 3L -> 0L))
+  }
+
   test("n1b incremental dedup: batch-only ids, unique new fingerprints") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, dir)
