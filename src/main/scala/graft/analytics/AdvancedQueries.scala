@@ -677,6 +677,39 @@ object AdvancedQueries {
       |  AND doc_id % 53 <> 5
       |ORDER BY doc_id""".stripMargin
 
+  /** STORE4: the CATALOG face inside the correctness gate — the same
+    * staged store as store1/store2, but resolved through Spark's
+    * catalog manager ([[graft.ops.GraftCatalog]] mounted at runtime):
+    * a plain three-part-name SQL aggregate, no `registerViews`, no
+    * side-channel API. The read plans through the V1Scan bridge into
+    * the same delete-aware pruned relation, so the DuckDB hash match
+    * (source-table oracle, tombstone predicate applied) proves the
+    * catalog path — name resolution, snapshot pin, pushdown, tombstone
+    * anti-join — is lossless end to end. The catalog name is derived
+    * from the store root so a restaged store (new temp dir) mounts a
+    * fresh catalog instead of colliding with the cached instance. */
+  def store4CatalogSql(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store1Cache, spark, dir, "documents") {
+      stageStore1(spark, dir)
+    }
+    val cat = s"graft_store4_${java.lang.Integer.toHexString(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.ops.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars
+         |FROM $cat.documents
+         |WHERE doc_id BETWEEN 50 AND 400
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  val store4CatalogSqlSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(length(text))::BIGINT AS n_chars
+      |FROM documents
+      |WHERE doc_id BETWEEN 50 AND 400 AND doc_id % 53 <> 5
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private def stageStore1(spark: SparkSession, dir: String): String = {
     import graft.ops.AtomicPublish
     val tmp = java.nio.file.Files.createTempDirectory("graft-store1")
@@ -1253,6 +1286,7 @@ object AdvancedQueries {
     "store1_pruned_scan" -> (store1PrunedScan _),
     "store2_sql_pushdown" -> (store2SqlPushdown _),
     "store3_matview_join" -> (store3MatviewJoin _),
+    "store4_catalog_sql" -> (store4CatalogSql _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1299,6 +1333,7 @@ object AdvancedQueries {
     "store1_pruned_scan" -> store1PrunedScanSql,
     "store2_sql_pushdown" -> store2SqlPushdownSql,
     "store3_matview_join" -> store3MatviewJoinSql,
+    "store4_catalog_sql" -> store4CatalogSqlSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

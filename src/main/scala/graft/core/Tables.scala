@@ -25,30 +25,41 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame      = apply(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame  = apply(spark, dir, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (legacy long mode) and truncate to microseconds — integer
-    * `DIV`, not `/`: epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit
-    * mantissa, so float division would corrupt low microseconds.
-    * Truncation (not rounding) matches how DuckDB/pyarrow cast ns→µs,
-    * keeping the DuckDB oracle hash-identical.
+  /** `events.ts` normalization: the generator has shipped the column as
+    * parquet TIMESTAMP(NANOS) (older rounds) and TIMESTAMP(MICROS,
+    * isAdjustedToUTC=false) (current), and every event query computes in
+    * the `unix_micros` instant domain — so this accessor admits each
+    * physical encoding and lands all of them on TimestampType (UTC
+    * instant):
     *
-    * The session must be BUILT with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (Verify/Bench/SparkSuite
-    * builders do) — this accessor is side-effect-free by design: a read
-    * accessor silently flipping a session-wide legacy flag would change
-    * how every other nanos parquet in the session reads, and race under
-    * concurrent query construction. */
+    *  - NANOS reads as raw longs under `nanosAsLong=true`
+    *    (Verify/Bench/SparkSuite builders set it; Spark's vectorized
+    *    reader rejects NANOS otherwise, [PARQUET_TYPE_ILLEGAL]) and is
+    *    truncated to microseconds — integer `DIV`, not `/`: epoch-nanos
+    *    ≈ 1.7e18 exceeds a double's 53-bit mantissa, so float division
+    *    would corrupt low microseconds; truncation matches how
+    *    DuckDB/pyarrow cast ns→µs, keeping the oracle hash-identical.
+    *  - MICROS-naive surfaces as TIMESTAMP_NTZ and is cast to the
+    *    instant type: sessions here run `spark.sql.session.timeZone=UTC`
+    *    so the cast is micros-value-preserving — the same instants the
+    *    NANOS path produced, and the same naive values the DuckDB
+    *    oracle reads.
+    *
+    * Side-effect-free by design: a read accessor silently flipping a
+    * session-wide legacy flag would change how every other nanos
+    * parquet in the session reads, and race under concurrent query
+    * construction. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    if (!spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
-      throw new IllegalStateException(
-        "events.parquet carries TIMESTAMP(NANOS): build the session with " +
-          "spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val raw = apply(spark, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType => // NANOS read as raw longs (legacy long mode)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = apply(spark, dir, "embeddings")

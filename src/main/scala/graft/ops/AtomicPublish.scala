@@ -1854,6 +1854,30 @@ object AtomicPublish {
     Some((inserted, deleted))
   }
 
+  /** Every COMMITTED version with its commit time (the `_COMMITTED`
+    * marker's mtime — the same clock vacuum retention ranks by),
+    * ascending by (time, name). This is the store's version history:
+    * [[GraftCatalog]] resolves SQL `TIMESTAMP AS OF` against it (latest
+    * commit at-or-before the timestamp, the Delta/Iceberg contract),
+    * and it is the programmatic answer to "what snapshots exist".
+    * Sealed-but-uncommitted dirs (CAS losers, in-flight publishes) are
+    * excluded — they were never readable snapshots. */
+  def committedVersions(spark: SparkSession,
+      root: String): Seq[(String, Long)] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Nil
+    fs.listStatus(rootPath).toSeq
+      .filter(_.getPath.getName.startsWith("v_"))
+      .flatMap { st =>
+        try Some(st.getPath.getName.stripPrefix("v_") ->
+          fs.getFileStatus(new Path(st.getPath, CommitMarker))
+            .getModificationTime)
+        catch { case _: java.io.FileNotFoundException => None }
+      }
+      .sortBy { case (n, t) => (t, n) }
+  }
+
   /** SQL face of the store: register every table of ONE version as a
     * temp view `<prefix><table>` and return the pinned txn. The pin
     * happens once, so `spark.sql` joins across the views see a mutually

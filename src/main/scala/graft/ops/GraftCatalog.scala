@@ -1,0 +1,367 @@
+package graft.ops
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.ops.AtomicPublish.TableMeta
+
+/** The store as a REAL SQL catalog: `spark.sql.catalog.<name> =
+  * graft.ops.GraftCatalog` (+ `.root = <store root>`) mounts every
+  * published table as `<name>.<table>` — no `registerViews` call, no
+  * temp-view lifetime, plain `SELECT`/`INSERT` against names that
+  * resolve through Spark's own catalog manager. The catalog can be
+  * registered at runtime (`spark.conf.set`); Spark instantiates it on
+  * first reference.
+  *
+  * Reads resolve the live version AT ANALYSIS TIME (one snapshot per
+  * query — the consistent-read pin `registerViews` documents, applied
+  * per statement) and plan through [[V1Scan]] into the SAME
+  * delete-aware [[AtomicPublish.readTableAt]] DataFrame every other
+  * read face uses: the inner plan mounts [[GraftFileIndex]], so
+  * partition pruning, segment zone maps, per-file zone maps, bloom
+  * sidecars AND the tombstone anti-join all serve catalog SQL. This is
+  * the V1-relation compatibility route Spark's own JDBC v2 connector
+  * ships on — deliberately NOT a custom `PartitionReaderFactory`, for
+  * the reasons [[GraftFileIndex]]'s scaladoc records (keep the
+  * vectorized parquet reader, row-group pushdown, codegen).
+  *
+  * SQL time travel: `VERSION AS OF '<txn>'` pins an explicit published
+  * version; `TIMESTAMP AS OF <ts>` resolves the latest commit
+  * at-or-before the timestamp via [[AtomicPublish.committedVersions]]
+  * (the Delta/Iceberg contract).
+  *
+  * Writes: `INSERT INTO <name>.<table>` appends one atomic
+  * CAS-committed segment through the same publish path as
+  * `df.write.format("graft")`; `INSERT OVERWRITE` replaces the table
+  * while re-declaring its recorded layout (partitioning, stat/bloom
+  * columns survive the overwrite — the manifest owns the layout, not
+  * the writer). DDL (`CREATE`/`ALTER`/`DROP`/`RENAME TABLE`) is not
+  * supported: tables are born by publishing data
+  * ([[AtomicPublish.publish]] / the write faces), the store has no
+  * empty-table representation to create.
+  *
+  * (Reference analog: /root/reference/app/models/patient.py declares
+  * tables once and every query resolves them by name through the ORM's
+  * metadata — this catalog is that name-resolution layer, grown onto
+  * the store.)
+  */
+final class GraftCatalog extends TableCatalog {
+
+  private var catName: String = _
+  private var root: String = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    root = Option(options.get("root")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.root must point at a graft store root"))
+  }
+
+  override def name(): String = catName
+
+  private def spark = SparkSession.active
+
+  /** Tables live at the catalog root: `<name>.<table>`, with
+    * `default` accepted as an alias namespace so `USE <name>` +
+    * unqualified names resolve too. */
+  private def okNs(ns: Array[String]): Boolean =
+    ns.isEmpty || (ns.length == 1 && ns(0) == "default")
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    if (!okNs(namespace)) throw new NoSuchNamespaceException(namespace)
+    AtomicPublish.currentManifestMeta(spark, root) match {
+      case None => Array.empty
+      case Some((_, metas)) => metas.keys.toSeq.sorted
+        .map(Identifier.of(namespace, _)).toArray
+    }
+  }
+
+  private def load(ident: Identifier, txn: String): Table = {
+    val metas =
+      try AtomicPublish.manifestMetaOf(spark, root, txn)
+      catch { case scala.util.control.NonFatal(_) =>
+        throw new NoSuchTableException(ident) }
+    val meta = metas.getOrElse(ident.name(),
+      throw new NoSuchTableException(ident))
+    new GraftTable(root, ident.name(), txn, meta)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
+    val txn = AtomicPublish.currentTxn(spark, root).getOrElse(
+      throw new NoSuchTableException(ident))
+    load(ident, txn)
+  }
+
+  /** SQL `VERSION AS OF '<txn>'`. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
+    load(ident, version)
+  }
+
+  /** SQL `TIMESTAMP AS OF <ts>` (microseconds since epoch, per the
+    * connector contract): latest version committed at or before it. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
+    val tsMs = timestamp / 1000L
+    val at = AtomicPublish.committedVersions(spark, root)
+      .takeWhile(_._2 <= tsMs).lastOption.getOrElse(
+        throw new NoSuchTableException(ident))
+    load(ident, at._1)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    okNs(ident.namespace()) &&
+      AtomicPublish.currentManifestMeta(spark, root)
+        .exists(_._2.contains(ident.name()))
+
+  private def unsupported(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"graft catalog '$catName' does not support $op — tables are " +
+        "born and reshaped by publishing data (AtomicPublish.publish / " +
+        "df.write.format(\"graft\"))")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    unsupported("CREATE TABLE")
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = unsupported("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean =
+    unsupported("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier,
+      newIdent: Identifier): Unit = unsupported("RENAME TABLE")
+}
+
+/** One store table pinned at one published version — the V2 face over
+  * the store's V1 read/write machinery. */
+final class GraftTable(root: String, table: String, txn: String,
+    meta: TableMeta) extends Table with SupportsRead with SupportsWrite {
+
+  private val recordedSchema: StructType = meta.schema.getOrElse(
+    throw new IllegalStateException(
+      s"table '$table' predates recorded schemas — read it via " +
+        "AtomicPublish.readTable"))
+
+  override def name(): String = s"$table@$txn"
+
+  override def schema(): StructType = recordedSchema
+
+  override def partitioning(): Array[Transform] =
+    meta.partitionCols.map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map("provider" -> "graft", "location" -> root,
+      "version" -> txn).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(root, table, txn, recordedSchema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(root, table, meta)
+}
+
+/** Scan builder: top-level column pruning + conjunctive filter capture.
+  * Every pushed filter is ALSO returned as post-scan (Spark re-applies
+  * it above) — the push is a pruning HINT to the inner
+  * [[GraftFileIndex]] plan, which already re-evaluates predicates
+  * exactly; double evaluation of a row-local predicate is noise next to
+  * the file-skipping it buys, and returning everything keeps
+  * correctness independent of the filter translation. */
+final class GraftScanBuilder(root: String, table: String, txn: String,
+    full: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = full
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(f =>
+      GraftCatalogRead.toColumn(full, f).isDefined)
+    filters // all post-scan: see class doc
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // top-level pruning only: serve the FULL column for each requested
+    // name (nested pruning would have to survive the V1 boundary;
+    // parquet still prunes nested fields inside the inner scan)
+    required = StructType(requiredSchema.fieldNames.toIndexedSeq
+      .flatMap(n => full.fields.find(_.name == n)))
+
+  override def build(): Scan =
+    new GraftV1Scan(root, table, txn, required, pushed)
+}
+
+/** The compatibility scan: `toV1TableScan` hands Spark a relation whose
+  * `buildScan()` executes the delete-aware store read as an INNER plan
+  * and returns its `InternalRow` RDD directly (`needConversion =
+  * false`, the JDBC-v2 route) — so the vectorized parquet reader and
+  * every skipping layer run inside, and the outer plan consumes rows
+  * without a conversion pass. */
+final class GraftV1Scan(root: String, table: String, txn: String,
+    out: StructType, pushed: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = out
+
+  override def description(): String =
+    s"graft $table@$txn pushed=[${pushed.mkString(", ")}]"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      ctx: SQLContext): T =
+    new GraftV1Relation(ctx, root, table, txn, out, pushed)
+      .asInstanceOf[T]
+}
+
+final class GraftV1Relation(ctx: SQLContext, root: String, table: String,
+    txn: String, out: StructType, pushed: Array[Filter])
+  extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = ctx
+  override def schema: StructType = out
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val spark = ctx.sparkSession
+    val base = AtomicPublish.readTableAt(spark, root, table, txn)
+    val filtered = pushed.flatMap(GraftCatalogRead.toColumn(base.schema, _))
+      .foldLeft(base)(_.filter(_))
+    val projected =
+      if (out.fieldNames.isEmpty) filtered.select()
+      else filtered.select(out.fieldNames.toIndexedSeq.map(n =>
+        col(s"`$n`")): _*)
+    GraftCatalogRead.lastInnerScan = Some(projected)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+private[ops] object GraftCatalogRead {
+
+  /** TEST PROBE ONLY: the most recent inner scan a catalog read built.
+    * The outer plan shows a single row-source leaf, so a spec pinning
+    * "the catalog pruned to the same file subset the side-channel
+    * does" needs the inner plan's `numFiles` metric — this is the only
+    * way to reach it from outside. Never read by production code. */
+  @volatile private[ops] var lastInnerScan: Option[DataFrame] = None
+
+  /** Conservative `sources.Filter` → `Column` translation: `None` for
+    * anything not understood (the filter still runs post-scan; only the
+    * pruning hint is lost). Attributes must name a top-level column of
+    * the schema — dotted nested paths are skipped rather than
+    * mis-resolved against a column whose name contains a dot. */
+  def toColumn(schema: StructType, f: Filter): Option[Column] = {
+    def attr(a: String): Option[Column] =
+      if (schema.fieldNames.contains(a)) Some(col(s"`$a`")) else None
+    f match {
+      case sources.EqualTo(a, v) => attr(a).map(_ === lit(v))
+      case sources.EqualNullSafe(a, v) => attr(a).map(_ <=> lit(v))
+      case sources.GreaterThan(a, v) => attr(a).map(_ > lit(v))
+      case sources.GreaterThanOrEqual(a, v) => attr(a).map(_ >= lit(v))
+      case sources.LessThan(a, v) => attr(a).map(_ < lit(v))
+      case sources.LessThanOrEqual(a, v) => attr(a).map(_ <= lit(v))
+      case sources.In(a, vs) =>
+        attr(a).map(_.isin(vs.toIndexedSeq.map(lit): _*))
+      case sources.IsNull(a) => attr(a).map(_.isNull)
+      case sources.IsNotNull(a) => attr(a).map(_.isNotNull)
+      case sources.StringStartsWith(a, v) =>
+        attr(a).map(_.startsWith(v))
+      case sources.StringEndsWith(a, v) => attr(a).map(_.endsWith(v))
+      case sources.StringContains(a, v) => attr(a).map(_.contains(v))
+      case sources.And(l, r) =>
+        for { a <- toColumn(schema, l); b <- toColumn(schema, r) }
+          yield a && b
+      case sources.Or(l, r) =>
+        for { a <- toColumn(schema, l); b <- toColumn(schema, r) }
+          yield a || b
+      case sources.Not(c) => toColumn(schema, c).map(!_)
+      case sources.AlwaysTrue() => Some(lit(true))
+      case sources.AlwaysFalse() => Some(lit(false))
+      case _ => None
+    }
+  }
+}
+
+/** `INSERT INTO` = atomic CAS-committed append; `INSERT OVERWRITE`
+  * (truncate) = replace that RE-DECLARES the table's recorded layout,
+  * so partitioning and stat/bloom columns survive the overwrite. */
+final class GraftWriteBuilder(root: String, table: String,
+    meta: TableMeta) extends WriteBuilder with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ow: Boolean): Unit =
+          GraftCatalogWrite.commitLoop(data.sparkSession, root, table,
+            data, overwrite || ow, meta)
+      }
+  }
+}
+
+private[ops] object GraftCatalogWrite {
+
+  /** The write-face CAS loop ([[GraftSource.createRelation]]'s
+    * contract) for catalog inserts: re-pin the parent and retry on a
+    * lost race; overwrite replaces while re-declaring the RECORDED
+    * layout (from the load-time meta — the manifest owns layout). */
+  def commitLoop(spark: SparkSession, root: String, table: String,
+      data: DataFrame, overwrite: Boolean, meta: TableMeta): Unit = {
+    def layout(of: Seq[String]): Map[String, Seq[String]] =
+      if (of.isEmpty) Map.empty else Map(table -> of)
+    var attempt = 0
+    while (attempt < GraftSource.MaxCommitAttempts) {
+      attempt += 1
+      AtomicPublish.currentTxn(spark, root) match {
+        case None =>
+          AtomicPublish.publish(spark, root, Map(table -> data),
+            partitionBy = layout(meta.partitionCols),
+            statsBy = layout(meta.statCols),
+            bloomBy = layout(meta.bloomCols))
+          return
+        case Some(parent) =>
+          val committed =
+            if (overwrite)
+              AtomicPublish.publishDelta(spark, root, append = Map.empty,
+                replace = Map(table -> data), parent = Some(parent),
+                partitionBy = layout(meta.partitionCols),
+                statsBy = layout(meta.statCols),
+                bloomBy = layout(meta.bloomCols))
+            else
+              AtomicPublish.publishDelta(spark, root,
+                append = Map(table -> data), parent = Some(parent))
+          if (committed.isDefined) return
+        // CAS lost: re-pin and retry
+      }
+    }
+    throw new IllegalStateException(
+      s"catalog insert into '$table' lost the commit race " +
+        s"${GraftSource.MaxCommitAttempts} times")
+  }
+}

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 import graft.core.Tables
 import graft.etl.PatientIngestion
@@ -26,9 +26,13 @@ import graft.etl.PatientIngestion
   */
 object StreamingOps {
 
-  /** Streaming read of the events table. The ns-timestamp workaround
-    * from Tables.events applies: declare ts as raw nanos (long) in the
-    * required source schema, truncate to µs after read.
+  /** Streaming read of the events table, with the SAME `ts`
+    * normalization [[Tables.events]] applies on the batch side (the
+    * generator has shipped NANOS and MICROS-naive encodings across
+    * rounds): the batch-inferred schema tells which physical encoding
+    * this dataset carries, the stream declares exactly that schema, and
+    * the post-read conversion lands on TimestampType instants — so
+    * stream ≡ batch parity specs compare like for like.
     *
     * Spark's streaming file source only accepts directories; the harness
     * testdata ships one parquet FILE per table, so the file is staged
@@ -36,16 +40,18 @@ object StreamingOps {
     * testdata). A production deployment streams a real directory/bucket
     * and skips this. */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // session must be built with spark.sql.legacy.parquet.nanosAsLong=true
+    // NANOS data surfaces as LongType only under nanosAsLong=true
     // (see Tables.events scaladoc) — accessors don't mutate session conf
     val batchSchema = Tables(spark, dir, "events").schema
-    val srcSchema = StructType(batchSchema.map(f =>
-      if (f.name == "ts") f.copy(dataType = LongType) else f))
-    val raw = spark.readStream.schema(srcSchema)
+    val raw = spark.readStream.schema(batchSchema)
       .parquet(stageAsDirectory(s"$dir/events.parquet"))
-    if (srcSchema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else raw
+    batchSchema("ts").dataType match {
+      case LongType => // raw nanos: truncate to µs (integer DIV)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => // naive µs: UTC session makes this exact
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Symlink a single data file into a fresh temp directory, for
