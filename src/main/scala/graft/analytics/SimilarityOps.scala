@@ -1051,6 +1051,96 @@ object SimilarityOps {
       .orderBy(col("vec_id"))
   }
 
+  // --- filtered vector search (n3g exact / n3h IVF) ---------------------------
+
+  /** Metadata predicate for the filtered-search queries: neighbors must
+    * carry this label (the vector-DB "filtered ANN" shape — retrieve
+    * only docs passing a metadata filter). ~10% of the corpus. */
+  val FilterLabel = 5
+
+  private def labeledCorpus(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("nrm", norm(col("v")))
+
+  /** N3g: FILTERED top-k — exact cosine top-10 over only the neighbors
+    * whose `label` passes the metadata predicate (queries themselves
+    * are unfiltered). This is the vector-DB table-stakes operation a
+    * corpus pipeline needs (retrieve-only-from-source-X, dedup within a
+    * license class). The exact formulation IS the right plan when the
+    * filter is selective: the predicate prunes the candidate side
+    * BEFORE any distance work (here to ~10% of the corpus), the query
+    * slice broadcasts, and nothing shuffles full vectors. DuckDB
+    * oracle: same algebra with the label predicate in SQL. */
+  def n3gFilteredTopk(spark: SparkSession, dir: String): DataFrame = {
+    val all = labeledCorpus(spark, dir)
+    val q = all.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val cand = all.filter(col("label") === FilterLabel)
+    val sims = cand.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  val n3gFilteredTopkSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, v, label,
+      |  sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n
+      |  WHERE vec_id < $QueryCount),
+      |sims AS (
+      |  SELECT qid, n.vec_id AS nbr,
+      |    round(list_dot_product(qv, v) / (qn * nrm), 4) AS sim
+      |  FROM q CROSS JOIN n
+      |  WHERE n.vec_id <> qid AND n.label = $FilterLabel),
+      |ranked AS (
+      |  SELECT qid, nbr, sim,
+      |    (row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr))::BIGINT
+      |      AS rank
+      |  FROM sims)
+      |SELECT qid, rank, nbr, sim FROM ranked WHERE rank <= $TopK
+      |ORDER BY qid, rank""".stripMargin
+
+  /** N3h: filtered search through the IVF INDEX — the 100 TB plan when
+    * the filter is NOT selective enough to make exact scan cheap, or
+    * the corpus is cell-partitioned on disk anyway: probe the
+    * `IvfProbes` best cells per query (as n3c) and apply the metadata
+    * predicate INSIDE the probed cells, so the filter rides the same
+    * pruned scan instead of forcing a second pass. Label travels WITH
+    * the index rows (an 8-byte join at build, the way a production
+    * index stores filterable attributes alongside codes); the query
+    * path adds zero extra shuffles over n3c. Approximate (probed cells
+    * only) → no SQL oracle; the spec pins recall against [[
+    * n3gFilteredTopk]] and exactness of every returned sim. */
+  def n3hFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
+    val all = corpus(spark, dir)
+    val cents = trainedCentroids(spark, dir)
+    val labels = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    val assigned = assignCells(all, cents).join(labels, Seq("vec_id"))
+    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
+    val sims = probes
+      .join(assigned.filter(col("label") === FilterLabel), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4).as("sim"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nbr"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .select(col("qid"), col("rank"), col("nbr"), col("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n3_cosine_topk" -> (n3CosineTopk _),
     "n3b_srp_ann" -> (n3bSrpAnn _),
@@ -1058,13 +1148,17 @@ object SimilarityOps {
     "n3d_ivf2_ann" -> ((s: SparkSession, d: String) => n3dIvf2Ann(s, d)),
     "n3e_ann_incremental" -> (n3eAnnIncremental _),
     "n3f_ivfpq_ann" -> (n3fIvfPqAnn _),
+    "n3g_filtered_topk" -> (n3gFilteredTopk _),
+    "n3h_filtered_ivf" -> (n3hFilteredIvf _),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
     "n8_semantic_clusters" -> (n8SemanticClusters _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "n3_cosine_topk" -> n3CosineTopkSql,
-    // n3b_srp_ann, n5_embed_neardup: approximate (LSH candidates) — no
-    // SQL oracle; exact-sim agreement + recall asserted in spec
+    "n3g_filtered_topk" -> n3gFilteredTopkSql,
+    // n3b_srp_ann, n3h_filtered_ivf, n5_embed_neardup: approximate (LSH
+    // /probed candidates) — no SQL oracle; exact-sim agreement + recall
+    // asserted in spec
   )
 }

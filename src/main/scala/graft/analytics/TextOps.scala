@@ -858,6 +858,66 @@ object TextOps {
       |FROM ranked ORDER BY epoch, lang, slot""".stripMargin
   }
 
+  // --- t10: corpus vocabulary coverage / OOV rate ------------------------------
+
+  /** A word is IN-VOCAB when it appears in at least 1/denom of the
+    * corpus' documents — a relative threshold, so the boundary is
+    * scale-stable (an absolute doc-frequency cut would reclassify the
+    * whole vocabulary every time the corpus grows). Kept as an integer
+    * denominator so the boundary test is exact integer arithmetic in
+    * BOTH engines (`df * denom >= n_docs`) — a float fraction would
+    * compute in DECIMAL in DuckDB but double in Spark, and a df landing
+    * exactly on the boundary would hash-diverge. */
+  val OovVocabDenom = 5 // in-vocab iff df ≥ n_docs / 5 (20%)
+
+  /** T10: out-of-vocabulary rate per document — the tokenizer-coverage
+    * diagnostic a training pipeline runs before committing to a vocab:
+    * build the corpus document-frequency table, define the vocabulary
+    * as words above the [[OovVocabDenom]] threshold, score every
+    * document by the fraction of its TOKEN stream that falls outside it
+    * (integer basis points — no float in the cross-engine hash).
+    *
+    * Plan shape at 100 TB: one explode → (word, doc_id-distinct) count
+    * (map-side partial aggregation on 8-byte-ish tokens), the corpus
+    * row count rides a 1-row broadcast (no driver action), and the
+    * OOV test is a LEFT ANTI join of the token stream against the
+    * vocabulary — Spark broadcasts it while it fits and degrades to a
+    * shuffled anti-join when a real web-scale vocabulary doesn't, which
+    * is exactly the right fallback. Nothing shuffles document text. */
+  def t10OovRate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val toks = docs.select(col("doc_id"), explode(words).as("w"))
+    val total = docs.agg(count(lit(1)).as("n_docs"))
+    val dfTab = toks.groupBy(col("w"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val vocab = dfTab.join(broadcast(total))
+      .filter(col("df") * lit(OovVocabDenom) >= col("n_docs"))
+      .select(col("w"))
+    val oov = toks.join(vocab, Seq("w"), "left_anti")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_oov"))
+    docs.select(col("doc_id"), size(words).cast("long").as("n_tokens"))
+      .join(oov, Seq("doc_id"), "left")
+      .withColumn("n_oov", coalesce(col("n_oov"), lit(0L)))
+      .withColumn("oov_bp", expr("(n_oov * 10000) DIV n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t10OovRateSql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |total AS (SELECT count(*) AS n_docs FROM documents),
+      |dfs AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+      |vocab AS (SELECT w FROM dfs, total
+      |  WHERE df * $OovVocabDenom >= n_docs),
+      |oov AS (SELECT doc_id, count(*)::BIGINT AS n_oov FROM toks
+      |  WHERE w NOT IN (SELECT w FROM vocab) GROUP BY doc_id)
+      |SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS n_tokens,
+      |  coalesce(o.n_oov, 0)::BIGINT AS n_oov,
+      |  (coalesce(o.n_oov, 0) * 10000) // len(string_split(d.text, ' '))
+      |    AS oov_bp
+      |FROM documents d LEFT JOIN oov o USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -874,6 +934,7 @@ object TextOps {
     "sp5_mixture_sample" -> (sp5MixtureSample _),
     "sp6_curriculum" -> (sp6CurriculumInterleave _),
     "t9_pii_redact" -> (t9PiiRedact _),
+    "t10_oov_rate" -> (t10OovRate _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -892,5 +953,6 @@ object TextOps {
     "sp5_mixture_sample" -> sp5MixtureSampleSql,
     "sp6_curriculum" -> sp6CurriculumInterleaveSql,
     "t9_pii_redact" -> t9PiiRedactSql,
+    "t10_oov_rate" -> t10OovRateSql,
   )
 }

@@ -178,7 +178,7 @@ final class GraftTable(root: String, table: String, txn: String,
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(root, table, txn, recordedSchema)
+    new GraftScanBuilder(root, table, txn, meta, recordedSchema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, table, meta)
@@ -192,7 +192,7 @@ final class GraftTable(root: String, table: String, txn: String,
   * the file-skipping it buys, and returning everything keeps
   * correctness independent of the filter translation. */
 final class GraftScanBuilder(root: String, table: String, txn: String,
-    full: StructType) extends ScanBuilder
+    meta: TableMeta, full: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -214,7 +214,7 @@ final class GraftScanBuilder(root: String, table: String, txn: String,
       .flatMap(n => full.fields.find(_.name == n)))
 
   override def build(): Scan =
-    new GraftV1Scan(root, table, txn, required, pushed)
+    new GraftV1Scan(root, table, txn, meta, required, pushed)
 }
 
 /** The compatibility scan: `toV1TableScan` hands Spark a relation whose
@@ -224,12 +224,39 @@ final class GraftScanBuilder(root: String, table: String, txn: String,
   * every skipping layer run inside, and the outer plan consumes rows
   * without a conversion pass. */
 final class GraftV1Scan(root: String, table: String, txn: String,
-    out: StructType, pushed: Array[Filter]) extends V1Scan {
+    meta: TableMeta, out: StructType, pushed: Array[Filter])
+  extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = out
 
   override def description(): String =
     s"graft $table@$txn pushed=[${pushed.mkString(", ")}]"
+
+  /** Real bytes from the snapshot's file listing, so the PRE-pushdown
+    * relation reports true size instead of `defaultSizeInBytes`
+    * (= Long.MaxValue — "never broadcastable"). Post-pushdown Spark
+    * wraps this scan in its `V1ScanWrapper`, which does not forward
+    * the statistics interface, so planning-time join sizing falls back
+    * to the conservative default there — at scale AQE's runtime
+    * re-plan (real shuffle sizes) is the decision that matters, and a
+    * too-large static estimate can only miss a broadcast, never OOM
+    * one. Tombstoned rows are included (merge-on-read): an
+    * over-estimate is the safe direction for size-based decisions. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val size =
+      try java.util.OptionalLong.of(
+        new GraftFileIndex(SparkSession.active, root, table, meta,
+          meta.owners.map(_ -> None)).sizeInBytes)
+      catch { case scala.util.control.NonFatal(_) =>
+        java.util.OptionalLong.empty() }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       ctx: SQLContext): T =

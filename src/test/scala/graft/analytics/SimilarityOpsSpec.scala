@@ -192,6 +192,52 @@ class SimilarityOpsSpec extends SparkSuite {
     }
   }
 
+  test("n3g filtered top-k: exact, label-constrained, queries unfiltered") {
+    val rows = SimilarityOps.n3gFilteredTopk(spark, dir).collect()
+    // every query emits a full top-10 (label slice ≫ 10 vectors), every
+    // neighbor passes the predicate, no self-matches
+    assert(rows.length == SimilarityOps.QueryCount * SimilarityOps.TopK)
+    val labelOf = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case Row(qid: Long, _, nbr: Long, _) =>
+      assert(nbr != qid)
+      assert(labelOf(nbr) == SimilarityOps.FilterLabel, s"nbr $nbr")
+    }
+    // sims agree with the unfiltered exact ranking wherever they overlap
+    val exact = SimilarityOps.n3CosineTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    rows.foreach { case Row(qid: Long, _, nbr: Long, sim: Double) =>
+      exact.get((qid, nbr)).foreach(es => assert(es == sim))
+    }
+  }
+
+  test("n3h filtered IVF: sims exact, recall ≥ chance lift, all labeled") {
+    val exact = SimilarityOps.n3gFilteredTopk(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val rows = SimilarityOps.n3hFilteredIvf(spark, dir).collect()
+    val labelOf = graft.core.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case Row(qid: Long, _, nbr: Long, sim: Double) =>
+      assert(nbr != qid)
+      assert(labelOf(nbr) == SimilarityOps.FilterLabel)
+      // every emitted sim is the true cosine (probing is the only
+      // approximation — filtered exact ranking must agree on overlap)
+      exact.get((qid, nbr)).foreach(es => assert(es == sim))
+    }
+    val hit = rows.count { case Row(q: Long, _, n: Long, _) =>
+      exact.contains((q, n)) }
+    val recall = hit.toDouble / exact.size
+    // same probe machinery as n3c: the filter must not collapse recall
+    // below what random candidate sampling at the probed fraction gives
+    val probed = SimilarityOps.IvfProbes.toDouble /
+      SimilarityOps.ivfCellsFor(
+        graft.core.Tables.embeddings(spark, dir).count())
+    info(f"filtered recall@10 = $recall%.3f (probed fraction ≈ $probed%.3f)")
+    assert(recall >= probed, f"recall $recall%.3f below chance $probed%.3f")
+  }
+
   test("n3f IVF-PQ: recall holds n3c's level, sims exact, pruned code " +
       "scan, ~32x payload cut") {
     val exact = SimilarityOps.n3CosineTopk(spark, dir).collect()

@@ -222,6 +222,26 @@ class TextOpsSpec extends SparkSuite {
       s"pattern class $i never fired — vacuous oracle"))
   }
 
+  test("t10 OOV: every doc scored, bp arithmetic exact, vocab boundary " +
+      "is relative (integer test)") {
+    val rows = TextOps.t10OovRate(spark, dir).collect()
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val (nTok, nOov, bp) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nOov <= nTok)
+      assert(bp == nOov * 10000 / nTok) // floor division, both engines
+      assert(bp >= 0 && bp <= 10000)
+    }
+    // the testdata corpus has at least one sub-threshold word (df ≈ 5%
+    // of docs), so OOV is a real signal here, not identically zero
+    assert(rows.exists(_.getLong(2) > 0), "no OOV tokens found")
+    // and the vocabulary keeps the common words: most tokens in-vocab
+    val tot = rows.map(_.getLong(1)).sum.toDouble
+    val oov = rows.map(_.getLong(2)).sum.toDouble
+    assert(oov / tot < 0.5, s"vocabulary collapsed: ${oov / tot}")
+  }
+
   test("sp6 curriculum: every epoch window holds the mixture ratio") {
     import org.apache.spark.sql.functions._
     val df = sp6Cached

@@ -192,6 +192,23 @@ class StoreCatalogSpec extends SparkSuite {
     assert(e.getMessage.toLowerCase.contains("table"))
   }
 
+  test("catalog relation reports real bytes, not defaultSizeInBytes") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 1000, "en")))
+    val cat = mount(root)
+    val reported = spark.table(s"$cat.docs")
+      .queryExecution.analyzed.stats.sizeInBytes
+    // actual data bytes in the store (parquet files only, no sidecars)
+    val actual = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      .filter(p => p.toFile.isFile &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith("."))
+      .mapToLong(_.toFile.length).sum
+    assert(reported == BigInt(actual),
+      s"reported $reported, files on disk $actual")
+  }
+
   test("pushed-filter hint never changes results (translation fuzz)") {
     val root = freshRoot()
     val rows = (0 until 200).map(i =>
