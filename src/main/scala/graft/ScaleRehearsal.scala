@@ -102,7 +102,8 @@ object ScaleRehearsal {
   val Heavyweights = Seq(
     "llm1_prep_counts", "n2_ngram_jaccard", "n2b_minhash_lsh",
     "n3_cosine_topk", "n3b_srp_ann", "n3c_ivf_ann", "n3d_ivf2_ann",
-    "n3e_ann_incremental", "n5_embed_neardup", "n7_dup_clusters",
+    "n3e_ann_incremental", "n3g_filtered_topk", "n3h_filtered_ivf",
+    "n5_embed_neardup", "n7_dup_clusters",
     // timing-only at 10×: t8's short-word bigrams and n8's embedding
     // pairs cross replicas, so their VALUES legitimately differ from
     // 10× the base (corpus-trained LM counts / merged components) —
@@ -183,6 +184,29 @@ object ScaleRehearsal {
         s"1% range read planned ${q.inputFiles.length} of $totalFiles files")
       require(q.count() == hi - lo, "range read row count off")
     }
+    // --- the CATALOG face at the same history: a three-part-name SQL
+    // point read must prune exactly like the side-channel above (the
+    // probe exposes the inner plan's listed-file count — at a
+    // 1000-segment history an unpruned catalog read would be ~500×
+    // this work, so the assertion IS the scale claim)
+    val cat = s"graft_rh_${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.ops.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val catalogPointSec = minOf {
+      pointIds.foreach { id =>
+        require(spark.sql(
+          s"SELECT count(*) FROM $cat.docs WHERE rid = $id")
+          .head().getLong(0) == 1, s"catalog point read rid=$id lost its row")
+        val inner = graft.ops.GraftCatalogRead.lastInnerScan.get
+        val files = inner.queryExecution.executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+        require(files <= 2,
+          s"catalog point read listed $files of $totalFiles files")
+      }
+    }
     // --- matview: init + incremental append interval ------------------
     val d = MatView.Def("docs", "mv_lang", Seq("lang"),
       Seq(MatView.Agg("count", "rid", "n_docs"),
@@ -237,6 +261,7 @@ object ScaleRehearsal {
     docs.unpersist()
     Map("store_stage" -> stageSec, "store_point_read" -> pointSec,
       "store_range_read" -> rangeSec,
+      "store_catalog_point_read" -> catalogPointSec,
       "store_mass_delete_commit" -> deleteCommitSec,
       "store_delete_read" -> deleteReadSec,
       "store_mv_append_refresh" -> mvAppendSec,
@@ -268,7 +293,8 @@ object ScaleRehearsal {
     val n2Base = SparkEntry.queries("n2_ngram_jaccard")(spark, src).count()
     val n2Scaled = SparkEntry.queries("n2_ngram_jaccard")(spark, out).count()
     val annRows = Seq("n3_cosine_topk", "n3b_srp_ann", "n3c_ivf_ann",
-      "n3d_ivf2_ann", "n3e_ann_incremental").map { q =>
+      "n3d_ivf2_ann", "n3e_ann_incremental", "n3g_filtered_topk",
+      "n3h_filtered_ivf").map { q =>
       q -> SparkEntry.queries(q)(spark, out).count()
     }
     val n5Base = SparkEntry.queries("n5_embed_neardup")(spark, src).count()

@@ -23,8 +23,14 @@ import org.apache.spark.sql.functions._
   * shape GraphFrames/GraphX use. Each round is a constant number of
   * hash-joins on (id → label) pairs — 16 bytes a row regardless of
   * document size, so the iteration state at 100 TB of text is a few GB
-  * of ids. `localCheckpoint` truncates lineage per round (an iterative
-  * plan otherwise doubles in depth each round and re-executes history).
+  * of ids. Per-round truncation uses [[org.apache.spark.sql.graftstream
+  * .StreamingBridge.checkpointFresh]] — localCheckpoint to materialize
+  * (an iterative plan otherwise doubles in depth each round and
+  * re-executes history) PLUS a rebind to default statistics: a bare
+  * localCheckpoint carries the round plan's estimated size onto the
+  * checkpoint, round k's estimate multiplies round k-1's, and the
+  * doubly-exponential product overflows BigInteger at ~14 rounds (hit
+  * by long duplicate chains in the 10× rehearsal corpus).
   *
   * Reference boundary: the reference pipeline has no graph surface at
   * all (/root/reference/app/etl/transformers.py deduplicates by exact
@@ -42,14 +48,15 @@ object ClusterOps {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val a = pairs.columns(0)
     val b = pairs.columns(1)
-    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint()
+    import org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh
+    val edges = checkpointFresh(
+      pairs.select(col(a).as("src"), col(b).as("dst"))
+        .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
+        .distinct())
+    var labels = checkpointFresh(
+      edges.select(col("src").as("id"))
+        .distinct()
+        .withColumn("lbl", col("id")))
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -70,12 +77,11 @@ object ClusterOps {
         .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"))
       // pointer jumping: label(x) := label(label(x)) — labels are node
       // ids (minima over node ids), so the lookup always resolves
-      val jumped = propagated
+      val jumped = checkpointFresh(propagated
         .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2"))
           .toDF("lbl", "lbl2"),
           Seq("lbl"))
-        .select(col("id"), col("lbl2").as("lbl"))
-        .localCheckpoint()
+        .select(col("id"), col("lbl2").as("lbl")))
       converged = jumped.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .filter(col("lbl") =!= col("old"))
         .isEmpty

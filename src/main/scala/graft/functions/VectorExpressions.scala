@@ -87,12 +87,22 @@ object GraftVec {
   * `spark.sql.extensions=org.apache.spark.sql.graftvec.GraftSqlExtensions`
   * and every session (including thrift/connect ones the app never
   * touches) resolves `vec_dot` natively. Shares the exact builder the
-  * temp-function path uses, so one behavior test covers both. */
+  * temp-function path uses, so one behavior test covers both.
+  *
+  * The same extension installs the store catalog's native-read rule
+  * ([[graft.ops.GraftNativeReadRule]]): catalog-resolved store tables
+  * rewrite during analysis to the delete-aware `GraftFileIndex` plan,
+  * upgrading catalog SQL from the V1Scan bridge to native file scans
+  * (codegen, vectorized reader, runtime filters). Sessions without the
+  * extension keep the bridge — correctness never depends on it. */
 class GraftSqlExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[DotProduct].getName, "vec_dot"),
       GraftVec.dotBuilder))
+    ext.injectResolutionRule(session =>
+      new graft.ops.GraftNativeReadRule(session))
+  }
 }

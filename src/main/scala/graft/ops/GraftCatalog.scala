@@ -153,8 +153,12 @@ final class GraftCatalog extends TableCatalog {
 
 /** One store table pinned at one published version — the V2 face over
   * the store's V1 read/write machinery. */
-final class GraftTable(root: String, table: String, txn: String,
-    meta: TableMeta) extends Table with SupportsRead with SupportsWrite {
+final class GraftTable(
+    private[ops] val root: String,
+    private[ops] val table: String,
+    private[ops] val txn: String,
+    private[ops] val meta: TableMeta)
+  extends Table with SupportsRead with SupportsWrite {
 
   private val recordedSchema: StructType = meta.schema.getOrElse(
     throw new IllegalStateException(
@@ -286,14 +290,16 @@ final class GraftV1Relation(ctx: SQLContext, root: String, table: String,
   }
 }
 
-private[ops] object GraftCatalogRead {
+private[graft] object GraftCatalogRead {
 
   /** TEST PROBE ONLY: the most recent inner scan a catalog read built.
     * The outer plan shows a single row-source leaf, so a spec pinning
     * "the catalog pruned to the same file subset the side-channel
     * does" needs the inner plan's `numFiles` metric — this is the only
-    * way to reach it from outside. Never read by production code. */
-  @volatile private[ops] var lastInnerScan: Option[DataFrame] = None
+    * way to reach it from outside ([[graft.ScaleRehearsal]] uses it
+    * too, to assert catalog point reads prune at a 1000-segment
+    * history). Never read by production code. */
+  @volatile private[graft] var lastInnerScan: Option[DataFrame] = None
 
   /** Conservative `sources.Filter` → `Column` translation: `None` for
     * anything not understood (the filter still runs post-scan; only the
@@ -330,6 +336,48 @@ private[ops] object GraftCatalogRead {
       case _ => None
     }
   }
+}
+
+/** The NATIVE-READ upgrade for catalog tables, injected through
+  * `spark.sql.extensions` ([[org.apache.spark.sql.graftvec
+  * .GraftSqlExtensions]]): during analysis, every read of a
+  * [[GraftTable]] is rewritten from the V2 relation to the SAME
+  * delete-aware [[GraftFileIndex]] plan `readTable` builds — so on a
+  * session with the extension installed, catalog SQL plans as a native
+  * `FileSourceScan` (whole-stage codegen, vectorized parquet, dynamic
+  * partition pruning / runtime filters — the pieces the [[GraftV1Scan]]
+  * bridge structurally cannot receive through Spark's `V1ScanWrapper`).
+  * Without the extension the V1 bridge still serves every read
+  * correctly; this rule is the best-effort upgrade, not a correctness
+  * dependency — the layering Delta Lake's catalog uses (a
+  * DeltaTableV2 resolved by analyzer rules into a V1 LogicalRelation).
+  *
+  * Write commands are untouched: a `V2WriteCommand`'s target table is a
+  * field, not a child, so the transform never reaches it and
+  * `INSERT INTO` keeps the V2 write path. The snapshot pin (`txn`)
+  * travels with the table, so `VERSION AS OF` reads rewrite to the
+  * matching historical plan. */
+final class GraftNativeReadRule(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions.Alias
+  import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+  import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftTable] =>
+        val t = r.table.asInstanceOf[GraftTable]
+        val native = AtomicPublish
+          .readTableAt(spark, t.root, t.table, t.txn)
+          .queryExecution.analyzed
+        // graft the native plan under the V2 relation's attribute ids,
+        // so references above the relation keep resolving
+        Project(native.output.zip(r.output).map { case (from, to) =>
+          Alias(from, to.name)(exprId = to.exprId)
+        }, native)
+    }
 }
 
 /** `INSERT INTO` = atomic CAS-committed append; `INSERT OVERWRITE`

@@ -36,4 +36,24 @@ object StreamingBridge {
     spark.internalCreateDataFrame(data.queryExecution.toRdd, data.schema,
       isStreaming = false)
   }
+
+  /** Iteration-safe checkpoint: eagerly materialize (localCheckpoint —
+    * lineage truncated, rows cached) and REBIND the result under a
+    * fresh leaf with DEFAULT statistics. `localCheckpoint` alone
+    * carries the origin plan's ESTIMATED size onto the checkpoint
+    * (`LogicalRDD.rewriteStatsAndConstraints`), so in an iterative
+    * algorithm round k's estimate multiplies round k-1's: the
+    * size-in-bytes estimate grows doubly exponentially, and at ~14
+    * rounds `BigInteger` overflows inside stats estimation — the
+    * checkpoint that exists to BOUND per-round planning work becomes
+    * the thing that blows it up. A constant default estimate per round
+    * keeps planning O(round size) forever; the cost is that the round's
+    * joins plan as shuffles instead of broadcasts, which is the safe
+    * direction for an unbounded-size iteration product. */
+  def checkpointFresh(df: Dataset[Row]): DataFrame = {
+    val cp = df.localCheckpoint()
+    val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(cp.queryExecution.toRdd, cp.schema,
+      isStreaming = false)
+  }
 }

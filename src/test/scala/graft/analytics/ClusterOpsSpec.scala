@@ -49,6 +49,20 @@ class ClusterOpsSpec extends SparkSuite {
     assert(got.values.toSet == Set(0L))
   }
 
+  test("cc survives a DEEP chain (stats-overflow regression, ~13 rounds)") {
+    // 5000-node path → ~13 pointer-jumping rounds. Before the
+    // checkpointFresh fix, each round's localCheckpoint inherited the
+    // round plan's ESTIMATED size (rewriteStatsAndConstraints), the
+    // estimates compounded doubly-exponentially across rounds, and
+    // stats estimation threw `BigInteger would overflow supported
+    // range` at about round 14 — first hit by the 10× rehearsal
+    // corpus' long duplicate chains. This chain pins the regime.
+    val chain = (0L until 4999L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got.size == 5000)
+    assert(got.values.toSet == Set(0L))
+  }
+
   test("cc handles high-degree stars and duplicate/reversed edges") {
     val star = (1L to 40L).map(i => (i, 0L)) ++ (1L to 40L).map(i => (0L, i))
     val got = ccOf(star ++ star)

@@ -209,6 +209,66 @@ class StoreCatalogSpec extends SparkSuite {
       s"reported $reported, files on disk $actual")
   }
 
+  test("native-read rule: with the SQL extension, catalog reads plan " +
+      "as FileSourceScan; INSERT keeps working") {
+    import org.apache.spark.sql.SparkSession
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 60, "en")))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(5L).toDF("doc_id")))
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // same SparkContext, new session state WITH the extension.
+      // `spark.sql.extensions` is a STATIC conf read from the
+      // SparkContext's conf, which a reused context never gains — so
+      // the test injects through builder.withExtensions, the same
+      // SparkSessionExtensions object the static conf feeds in a real
+      // spark-submit deployment.
+      val s2 = SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(
+          new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
+        .getOrCreate()
+      assert(s2 ne prev)
+      val cat = "graftnative"
+      s2.conf.set(s"spark.sql.catalog.$cat",
+        classOf[GraftCatalog].getName)
+      s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+      val q = s2.sql(s"SELECT doc_id FROM $cat.docs WHERE doc_id < 20")
+      val ids = q.collect().map(_.getLong(0)).toSet
+      assert(ids == (0L until 20L).toSet - 5L) // delete-aware
+      // the plan's leaves are NATIVE file scans (the rewrite fired) —
+      // no RowDataSourceScan/V1 bridge anywhere (descend through AQE)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def flat(p: SparkPlan): Seq[SparkPlan] = (p match {
+        case a: AdaptiveSparkPlanExec => flat(a.executedPlan)
+        case s: QueryStageExec => flat(s.plan)
+        case o => o.children.flatMap(flat)
+      }) :+ p
+      val nodes = flat(q.queryExecution.executedPlan)
+      if (!nodes.exists(
+          _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]))
+        info("PLAN:\n" + q.queryExecution.executedPlan.treeString +
+          "\nANALYZED:\n" + q.queryExecution.analyzed.treeString +
+          "\nEXT: " + s2.conf.getOption("spark.sql.extensions"))
+      assert(nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec]))
+      assert(!nodes.exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.RowDataSourceScanExec]))
+      // writes are untouched by the rule: INSERT still commits
+      s2.sql(s"INSERT INTO $cat.docs VALUES (100, 'fr', 'x')")
+      assert(s2.sql(s"SELECT count(*) FROM $cat.docs").head().getLong(0)
+        == 60L)
+    } finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
   test("pushed-filter hint never changes results (translation fuzz)") {
     val root = freshRoot()
     val rows = (0 until 200).map(i =>
