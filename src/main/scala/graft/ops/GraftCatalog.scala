@@ -49,10 +49,12 @@ import graft.ops.AtomicPublish.TableMeta
   * `df.write.format("graft")`; `INSERT OVERWRITE` replaces the table
   * while re-declaring its recorded layout (partitioning, stat/bloom
   * columns survive the overwrite — the manifest owns the layout, not
-  * the writer). DDL (`CREATE`/`ALTER`/`DROP`/`RENAME TABLE`) is not
-  * supported: tables are born by publishing data
-  * ([[AtomicPublish.publish]] / the write faces), the store has no
-  * empty-table representation to create.
+  * the writer). `ALTER TABLE ADD COLUMNS` commits widening evolution
+  * without data (see [[alterTable]]). Other DDL
+  * (`CREATE`/`DROP`/`RENAME TABLE`, non-ADD alters) is not supported:
+  * tables are born by publishing data ([[AtomicPublish.publish]] / the
+  * write faces), the store has no empty-table representation to
+  * create.
   *
   * (Reference analog: /root/reference/app/models/patient.py declares
   * tables once and every query resolves them by name through the ORM's
@@ -141,8 +143,56 @@ final class GraftCatalog extends TableCatalog {
       properties: util.Map[String, String]): Table =
     unsupported("CREATE TABLE")
 
+  /** `ALTER TABLE <name> ADD COLUMNS (...)` — widening evolution
+    * WITHOUT data: commits an empty slice carrying the widened schema
+    * through the ordinary append path, so the recorded schema gains the
+    * (nullable) columns, every existing segment reads them as null, and
+    * history stays time-travelable (the pre-ALTER version still serves
+    * the old shape). This rides the same validated schema-merge appends
+    * use — nothing new to trust. Only top-level nullable ADDs are
+    * supported: a non-null add would invent values for existing rows,
+    * and type changes are refused by the merge contract itself. */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table = unsupported("ALTER TABLE")
+      changes: TableChange*): Table = {
+    if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
+    val adds = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"ALTER TABLE on '$catName' supports top-level columns only " +
+            s"(got nested ${a.fieldNames.mkString(".")})")
+        require(a.isNullable,
+          s"ALTER TABLE ADD COLUMNS on '$catName' requires nullable " +
+            s"columns — existing rows have no value for " +
+            a.fieldNames()(0))
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      case other => unsupported(s"ALTER TABLE change $other")
+    }
+    var attempt = 0
+    while (attempt < GraftSource.MaxCommitAttempts) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new NoSuchTableException(ident))
+      val meta = AtomicPublish.manifestMetaOf(spark, root, parent)
+        .getOrElse(ident.name(), throw new NoSuchTableException(ident))
+      val recorded = meta.schema.getOrElse(throw new IllegalStateException(
+        s"table '${ident.name()}' predates recorded schemas"))
+      val dup = adds.map(_.name).filter(recorded.fieldNames.contains)
+      require(dup.isEmpty,
+        s"ALTER TABLE ADD COLUMNS: ${dup.mkString(", ")} already " +
+          s"exist on '${ident.name()}'")
+      val widened = StructType(recorded.fields ++ adds)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
+      val committed = AtomicPublish.publishDelta(spark, root,
+        append = Map(ident.name() -> empty), parent = Some(parent))
+      if (committed.isDefined) return loadTable(ident)
+      // CAS lost: re-pin and retry
+    }
+    throw new IllegalStateException(
+      s"ALTER TABLE '${ident.name()}' lost the commit race " +
+        s"${GraftSource.MaxCommitAttempts} times")
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     unsupported("DROP TABLE")

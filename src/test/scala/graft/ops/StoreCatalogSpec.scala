@@ -175,6 +175,42 @@ class StoreCatalogSpec extends SparkSuite {
     assert(meta.bloomCols == Seq("doc_id"))
   }
 
+  test("ALTER TABLE ADD COLUMNS: widening without data, history intact") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 20, "en")),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    val cat = mount(root)
+    val before = AtomicPublish.currentTxn(spark, root).get
+    spark.sql(s"ALTER TABLE $cat.docs ADD COLUMNS (score DOUBLE, tag STRING)")
+    // recorded schema widened; existing rows read the new columns null
+    val widened = spark.sql(
+      s"SELECT doc_id, score, tag FROM $cat.docs WHERE doc_id = 3")
+      .head()
+    assert(widened.getLong(0) == 3L && widened.isNullAt(1) &&
+      widened.isNullAt(2))
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 20)
+    // inserts with the widened shape land
+    spark.sql(s"INSERT INTO $cat.docs VALUES (100, 'fr', 'x', 0.5, 'good')")
+    val row = spark.sql(
+      s"SELECT score, tag FROM $cat.docs WHERE doc_id = 100").head()
+    assert(row.getDouble(0) == 0.5 && row.getString(1) == "good")
+    // pre-ALTER version still serves the old shape
+    val old = AtomicPublish.readTableAt(spark, root, "docs", before)
+    assert(old.schema.fieldNames.toSeq == Seq("doc_id", "lang", "text"))
+    assert(old.count() == 20)
+    // duplicate add and non-nullable add are refused
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.docs ADD COLUMNS (score DOUBLE)")
+    }
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.docs ADD COLUMNS (must STRING NOT NULL)")
+    }
+    // stats/bloom skipping still fires after the schema commit
+    assert(AtomicPublish.readTableWhere(spark, root, "docs", "doc_id = 3")
+      .count() == 1)
+  }
+
   test("DDL is refused with guidance; unknown table errors cleanly") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 3, "en")))
