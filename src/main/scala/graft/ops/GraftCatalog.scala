@@ -202,13 +202,33 @@ final class GraftCatalog extends TableCatalog {
 }
 
 /** One store table pinned at one published version — the V2 face over
-  * the store's V1 read/write machinery. */
+  * the store's V1 read/write machinery.
+  *
+  * `DELETE FROM <cat>.<table> WHERE <pred>` maps onto merge-on-read
+  * tombstones ([[AtomicPublish.deleteRows]]): the matching rows' key
+  * tuples become the tombstone key set in ONE O(keys) CAS commit — no
+  * data rewrite, history stays time-travelable, and a later re-append
+  * of a deleted key lives (the `_asof` scope). The store fixes ONE
+  * tombstone key per table, so the first DELETE establishes it (the
+  * predicate's referenced columns — exact by construction: the
+  * predicate is a function of those columns alone, so rows sharing a
+  * matching tuple all match); every later DELETE projects its matching
+  * rows onto the ESTABLISHED key and verifies exactness — the rows the
+  * projected key set would kill are counted against the rows the
+  * predicate matches, and a mismatch (non-unique key colliding across
+  * the predicate boundary) REFUSES the delete rather than
+  * over-deleting. `DELETE FROM t` with no predicate truncates: one
+  * replace commit of an empty slice that re-declares the recorded
+  * layout. Untranslatable predicates are refused at analysis
+  * (`canDeleteWhere` false), so a DELETE never silently
+  * under-deletes. */
 final class GraftTable(
     private[ops] val root: String,
     private[ops] val table: String,
     private[ops] val txn: String,
     private[ops] val meta: TableMeta)
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private val recordedSchema: StructType = meta.schema.getOrElse(
     throw new IllegalStateException(
@@ -236,6 +256,58 @@ final class GraftTable(
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, table, meta)
+
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall {
+      case _: sources.AlwaysTrue => true
+      case f => f.references.nonEmpty &&
+        GraftCatalogRead.toColumn(recordedSchema, f).isDefined
+    }
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    if (filters.isEmpty || filters.exists(_.isInstanceOf[sources.AlwaysTrue])) {
+      // unconditioned DELETE = truncate: one replace commit of an empty
+      // slice, recorded layout re-declared (same contract as overwrite)
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], recordedSchema)
+      GraftCatalogWrite.commitLoop(spark, root, table, empty,
+        overwrite = true, meta)
+      return
+    }
+    val pred = filters.flatMap(GraftCatalogRead.toColumn(recordedSchema, _))
+      .reduce(_ && _)
+    // the table's established tombstone key, if deletes happened before
+    val established: Option[Seq[String]] =
+      AtomicPublish.currentManifestMeta(spark, root)
+        .flatMap(_._2.get(AtomicPublish.deleteTableOf(table)))
+        .filter(_.owners.nonEmpty)
+        .flatMap(_.schema)
+        .map(_.fieldNames.toSeq.filterNot(_ == "_asof"))
+    val predCols = filters.flatMap(_.references).distinct.toIndexedSeq
+    val keyCols = established.getOrElse(predCols)
+    def cols(names: Seq[String]) = names.map(c =>
+      org.apache.spark.sql.functions.col(s"`$c`"))
+    val live = AtomicPublish.readTable(spark, root, table)
+    val matching = live.filter(pred)
+    val keys = matching.select(cols(keyCols): _*).distinct()
+    if (established.isDefined && keyCols.toSet != predCols.toSet) {
+      // exactness guard: the key set must kill precisely the matching
+      // rows — a non-unique key colliding across the predicate
+      // boundary would over-delete, so it refuses instead
+      val wouldKill = live.join(keys, keyCols, "left_semi").count()
+      val matches = matching.count()
+      require(wouldKill == matches,
+        s"DELETE on '$table' projects onto the established tombstone " +
+          s"key (${keyCols.mkString(", ")}), but that key would remove " +
+          s"$wouldKill rows where the predicate matches $matches — " +
+          "refusing rather than over-deleting. Use a predicate keyed " +
+          "by the established columns, or compact the table to clear " +
+          "its tombstones first")
+    }
+    AtomicPublish.deleteRows(spark, root, Map(table -> keys))
+    ()
+  }
 }
 
 /** Scan builder: top-level column pruning + conjunctive filter capture.

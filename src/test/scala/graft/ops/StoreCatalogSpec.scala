@@ -211,6 +211,63 @@ class StoreCatalogSpec extends SparkSuite {
       .count() == 1)
   }
 
+  test("SQL DELETE FROM: exact tombstone delete, refusal, truncate") {
+    val root = freshRoot()
+    val rows = (0 until 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else "de", s"text-$i"))
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> rows.toDF("doc_id", "lang", "text")),
+      partitionBy = Map("docs" -> Seq("lang")),
+      bloomBy = Map("docs" -> Seq("doc_id")))
+    val cat = mount(root)
+    val before = AtomicPublish.currentTxn(spark, root).get
+    // range predicate: O(keys) tombstone commit, no rewrite
+    spark.sql(s"DELETE FROM $cat.docs WHERE doc_id >= 40")
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 40)
+    // predicate on a non-key column works too (tuple-exact semantics)
+    spark.sql(s"DELETE FROM $cat.docs WHERE lang = 'en'")
+    val left = AtomicPublish.readTable(spark, root, "docs")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(left == (0L until 40L).filter(_ % 3 != 0).toSet)
+    // the pre-delete snapshot still serves all 60 rows
+    assert(AtomicPublish.readTableAt(spark, root, "docs", before)
+      .count() == 60)
+    // an untranslatable predicate is REFUSED, never under-deleted
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.docs WHERE doc_id % 2 = 0")
+    }
+    assert(AtomicPublish.readTable(spark, root, "docs").count() ==
+      left.size)
+    // unconditioned DELETE truncates in one replace, layout preserved
+    spark.sql(s"DELETE FROM $cat.docs")
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 0)
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("docs")
+    assert(meta.partitionCols == Seq("lang"))
+    assert(meta.bloomCols == Seq("doc_id"))
+  }
+
+  test("SQL DELETE refuses over-delete when the established key is " +
+      "not selective for the predicate") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("t" -> (0 until 30).map(i => (i.toLong, s"g${i % 3}"))
+        .toDF("id", "grp")))
+    val cat = mount(root)
+    // first delete establishes a NON-UNIQUE key (grp)
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'g0'")
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 20)
+    // now an id-predicate delete would project onto grp and kill the
+    // whole group — the exactness guard must refuse it
+    val e = intercept[Exception] {
+      spark.sql(s"DELETE FROM $cat.t WHERE id = 4")
+    }
+    assert(e.getMessage.contains("refusing rather than over-deleting"))
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 20)
+    // aligned predicates still work through the established key
+    spark.sql(s"DELETE FROM $cat.t WHERE grp = 'g1'")
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 10)
+  }
+
   test("DDL is refused with guidance; unknown table errors cleanly") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 3, "en")))
