@@ -692,10 +692,7 @@ object AdvancedQueries {
     val root = Tables.memoFresh(store1Cache, spark, dir, "documents") {
       stageStore1(spark, dir)
     }
-    val cat = s"graft_store4_${java.lang.Integer.toHexString(root.hashCode)}"
-    spark.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.ops.GraftCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val cat = catalogFor(spark, "store4", root)
     spark.sql(
       s"""SELECT lang, count(*) AS n_docs, sum(length(text)) AS n_chars
          |FROM $cat.documents
@@ -708,6 +705,74 @@ object AdvancedQueries {
       |  sum(length(text))::BIGINT AS n_chars
       |FROM documents
       |WHERE doc_id BETWEEN 50 AND 400 AND doc_id % 53 <> 5
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val store5Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  private def catalogFor(spark: SparkSession, tag: String,
+      root: String): String = {
+    val cat = s"graft_${tag}_${java.lang.Integer.toHexString(root.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.ops.GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    cat
+  }
+
+  /** STORE5: the catalog's DML surface inside the correctness gate —
+    * the store is staged two-thirds by API publish, then the LAST third
+    * arrives via SQL `INSERT INTO` (a CAS append commit) and a doc_id
+    * range leaves via SQL `DELETE FROM` (merge-on-read tombstones, the
+    * first delete establishing doc_id as the tombstone key) — every
+    * mutation through three-part catalog names, no store API in the
+    * mutation path. The readback is a catalog SQL aggregate over the
+    * final state; DuckDB reproduces it from the SOURCE table with the
+    * delete predicate applied, so the hash match proves INSERT and
+    * DELETE are lossless end to end (wrong row set, resurrected
+    * deletes, or a dropped append all flip the hash). */
+  def store5CatalogDml(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store5Cache, spark, dir, "documents") {
+      stageStore5(spark, dir)
+    }
+    val cat = catalogFor(spark, "store5", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore5(spark: SparkSession, dir: String): String = {
+    import graft.ops.AtomicPublish
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store5")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def seg(k: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+    val v1 = AtomicPublish.publish(spark, root, Map("documents" -> seg(0)),
+      statsBy = Map("documents" -> Seq("doc_id")),
+      bloomBy = Map("documents" -> Seq("doc_id")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("documents" -> seg(1)), parent = Some(v1))
+    val cat = catalogFor(spark, "store5", root)
+    val src = s"store5_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    docs.createOrReplaceTempView(src)
+    spark.sql(s"INSERT INTO $cat.documents " +
+      s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 3 = 2")
+    spark.sql(s"DELETE FROM $cat.documents WHERE doc_id BETWEEN 120 AND 260")
+    root
+  }
+
+  val store5CatalogDmlSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id
+      |FROM documents
+      |WHERE doc_id NOT BETWEEN 120 AND 260
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   private def stageStore1(spark: SparkSession, dir: String): String = {
@@ -1287,6 +1352,7 @@ object AdvancedQueries {
     "store2_sql_pushdown" -> (store2SqlPushdown _),
     "store3_matview_join" -> (store3MatviewJoin _),
     "store4_catalog_sql" -> (store4CatalogSql _),
+    "store5_catalog_dml" -> (store5CatalogDml _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1334,6 +1400,7 @@ object AdvancedQueries {
     "store2_sql_pushdown" -> store2SqlPushdownSql,
     "store3_matview_join" -> store3MatviewJoinSql,
     "store4_catalog_sql" -> store4CatalogSqlSql,
+    "store5_catalog_dml" -> store5CatalogDmlSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }
