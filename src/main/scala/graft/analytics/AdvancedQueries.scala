@@ -710,9 +710,21 @@ object AdvancedQueries {
   private val store5Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  /** Last mounted catalog name per tag, so a RESTAGED store (new temp
+    * dir → new name) unsets the previous tag's conf entries instead of
+    * accumulating one pair per staging (VERDICT-r6 ADVICE nit). */
+  private val mountedCats =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   private def catalogFor(spark: SparkSession, tag: String,
       root: String): String = {
     val cat = s"graft_${tag}_${java.lang.Integer.toHexString(root.hashCode)}"
+    mountedCats.put(tag, cat).filter(_ != cat).foreach { old =>
+      try {
+        spark.conf.unset(s"spark.sql.catalog.$old")
+        spark.conf.unset(s"spark.sql.catalog.$old.root")
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.ops.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
@@ -774,6 +786,162 @@ object AdvancedQueries {
       |FROM documents
       |WHERE doc_id NOT BETWEEN 120 AND 260
       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val store6Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE6: SQL DDL BIRTH inside the correctness gate — the store is
+    * stood up from NOTHING by SQL alone: `CREATE TABLE` (skipping
+    * layout declared via TBLPROPERTIES), three `INSERT INTO` commits,
+    * and a `DELETE FROM` range — no store API call anywhere in the
+    * staging path (the reference's declarative bootstrap,
+    * /root/reference/app/main.py:30-32, as pure catalog SQL). The
+    * readback aggregates the final state through the same catalog;
+    * DuckDB reproduces it from the SOURCE table with the delete
+    * predicate applied, so the hash match proves the whole
+    * CREATE → INSERT×3 → DELETE → SELECT lifecycle is lossless. */
+  def store6CatalogDdl(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store6Cache, spark, dir, "documents") {
+      stageStore6(spark, dir)
+    }
+    val cat = catalogFor(spark, "store6", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id,
+         |  sum(length(text)) AS n_chars
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore6(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store6")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val cat = catalogFor(spark, "store6", root)
+    val src = s"store6_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""CREATE TABLE $cat.documents
+         |  (doc_id BIGINT, lang STRING, text STRING)
+         |TBLPROPERTIES ('statsBy'='doc_id', 'bloomBy'='doc_id')
+         |""".stripMargin)
+    for (k <- 0 until 3)
+      spark.sql(s"INSERT INTO $cat.documents " +
+        s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 3 = $k")
+    spark.sql(s"DELETE FROM $cat.documents WHERE doc_id BETWEEN 100 AND 220")
+    root
+  }
+
+  val store6CatalogDdlSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  sum(length(text))::BIGINT AS n_chars
+      |FROM documents
+      |WHERE doc_id NOT BETWEEN 100 AND 220
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  private val store7Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE7: SQL `MERGE INTO` inside the correctness gate — the store
+    * holds the EVEN half of documents; one MERGE statement (on a
+    * session with the graft SQL extensions, the deployment shape)
+    * deletes the multiples of ten, rewrites the surviving even rows'
+    * text, and inserts the odd half with an upper-cased lang — the
+    * three-clause cascade (`WHEN MATCHED AND … DELETE` /
+    * `WHEN MATCHED UPDATE` / `WHEN NOT MATCHED INSERT`), executed on
+    * the merge-on-read upsert path ([[graft.ops.GraftMergeCommand]] ≡
+    * `upsertMany`, the reference's insert-or-conflict loop at
+    * routes.py:96-103 as one set-oriented commit). The readback
+    * aggregates the final state through the plain catalog; DuckDB
+    * reproduces it from the SOURCE table by reconstructing the merge
+    * algebra, so the hash match proves update, delete AND insert
+    * landed losslessly. */
+  def store7CatalogMerge(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store7Cache, spark, dir, "documents") {
+      stageStore7(spark, dir)
+    }
+    val cat = catalogFor(spark, "store7", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id,
+         |  sum(length(text)) AS n_chars
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore7(spark: SparkSession, dir: String): String = {
+    import graft.ops.AtomicPublish
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store7")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    AtomicPublish.publish(spark, root,
+      Map("documents" -> docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+      statsBy = Map("documents" -> Seq("doc_id")),
+      bloomBy = Map("documents" -> Seq("doc_id")))
+    // MERGE rides the injected analyzer rule — build the extension
+    // session over the same context (the spark-submit deployment shape)
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es =
+      try org.apache.spark.sql.SparkSession.builder()
+        .config("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(
+          new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
+        .getOrCreate()
+      finally {
+        org.apache.spark.sql.SparkSession.setActiveSession(prev)
+        org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      }
+    try {
+      org.apache.spark.sql.SparkSession.setActiveSession(es)
+      val cat = catalogFor(es, "store7", root)
+      val src = s"store7_src_${java.lang.Integer.toHexString(root.hashCode)}"
+      Tables.documents(es, dir)
+        .select(col("doc_id"), col("lang"), col("text"))
+        .createOrReplaceTempView(src)
+      es.sql(
+        s"""MERGE INTO $cat.documents AS t
+           |USING $src AS s
+           |ON t.doc_id = s.doc_id
+           |WHEN MATCHED AND s.doc_id % 5 = 0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET text = concat(s.text, '!')
+           |WHEN NOT MATCHED THEN INSERT (doc_id, lang, text)
+           |  VALUES (s.doc_id, upper(s.lang), s.text)""".stripMargin)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+    }
+    root
+  }
+
+  val store7CatalogMergeSql: String =
+    """WITH final AS (
+      |  SELECT doc_id, lang, text || '!' AS text FROM documents
+      |  WHERE doc_id % 2 = 0 AND doc_id % 5 <> 0
+      |  UNION ALL
+      |  SELECT doc_id, upper(lang) AS lang, text FROM documents
+      |  WHERE doc_id % 2 = 1
+      |)
+      |SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  sum(length(text))::BIGINT AS n_chars
+      |FROM final GROUP BY lang ORDER BY lang""".stripMargin
 
   private def stageStore1(spark: SparkSession, dir: String): String = {
     import graft.ops.AtomicPublish
@@ -1353,6 +1521,8 @@ object AdvancedQueries {
     "store3_matview_join" -> (store3MatviewJoin _),
     "store4_catalog_sql" -> (store4CatalogSql _),
     "store5_catalog_dml" -> (store5CatalogDml _),
+    "store6_catalog_ddl" -> (store6CatalogDdl _),
+    "store7_catalog_merge" -> (store7CatalogMerge _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1401,6 +1571,8 @@ object AdvancedQueries {
     "store3_matview_join" -> store3MatviewJoinSql,
     "store4_catalog_sql" -> store4CatalogSqlSql,
     "store5_catalog_dml" -> store5CatalogDmlSql,
+    "store6_catalog_ddl" -> store6CatalogDdlSql,
+    "store7_catalog_merge" -> store7CatalogMergeSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

@@ -104,5 +104,11 @@ class GraftSqlExtensions extends (org.apache.spark.sql.SparkSessionExtensions =>
       GraftVec.dotBuilder))
     ext.injectResolutionRule(session =>
       new graft.ops.GraftNativeReadRule(session))
+    // SQL MERGE INTO / UPDATE for graft catalog tables (the Delta-style
+    // command rewrite — see graft.ops.GraftDml). Resolution rules run
+    // before Spark's RewriteUpdateTable/RewriteMergeIntoTable would
+    // refuse the non-row-level table.
+    ext.injectResolutionRule(session =>
+      new graft.ops.GraftDmlRule(session))
   }
 }

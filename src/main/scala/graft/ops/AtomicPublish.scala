@@ -468,15 +468,36 @@ object AtomicPublish {
     * (the pointer moved); the version is then treated as uncommitted by
     * vacuum and reclaimed after the grace window once superseded —
     * availability of the LIVE version is never affected (vacuum spares
-    * whatever the pointer names). */
+    * whatever the pointer names). The marker also records a MONOTONIC
+    * commit sequence (parent's + 1 — CAS serializes commits, so the
+    * chain is strictly increasing): [[committedVersions]] breaks
+    * same-millisecond mtime ties with it, making history order and
+    * `TIMESTAMP AS OF` resolution deterministic instead of
+    * filesystem-clock-resolution-dependent. */
   private def markCommitted(spark: SparkSession, root: String,
-      txn: String): Unit =
+      txn: String, seq: Long = 0L): Unit =
     try {
       val vdir = new Path(root, s"v_$txn")
       val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val mos = fs.create(new Path(vdir, CommitMarker), true)
-      try mos.write(txn.getBytes(StandardCharsets.UTF_8)) finally mos.close()
+      try mos.write(s"$txn\nseq=$seq".getBytes(StandardCharsets.UTF_8))
+      finally mos.close()
     } catch { case _: Throwable => () }
+
+  /** The commit sequence recorded in `txn`'s marker (None: pre-seq
+    * marker, missing marker, unreadable). */
+  private def commitSeqOf(spark: SparkSession, root: String,
+      txn: String): Option[Long] =
+    try {
+      val p = new Path(new Path(root, s"v_$txn"), CommitMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      content.linesIterator.collectFirst {
+        case l if l.startsWith("seq=") => l.stripPrefix("seq=").toLong
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** min/max value encoding per type: timestamps leave as epoch micros
     * (a session-timezone-dependent string cast would corrupt the zone
@@ -900,7 +921,8 @@ object AtomicPublish {
       tables: Map[String, DataFrame],
       partitionBy: Map[String, Seq[String]] = Map.empty,
       statsBy: Map[String, Seq[String]] = Map.empty,
-      bloomBy: Map[String, Seq[String]] = Map.empty): String = {
+      bloomBy: Map[String, Seq[String]] = Map.empty,
+      clusterBy: Map[String, (Seq[String], Boolean)] = Map.empty): String = {
     require(tables.nonEmpty, "publish needs at least one table")
     validateNames(tables.keys)
     partitionBy.foreach { case (n, cs) =>
@@ -915,20 +937,26 @@ object AtomicPublish {
       require(tables.contains(n), s"bloomBy names unknown table '$n'")
       validateBloomCols(n, tables(n), cs)
     }
+    clusterBy.foreach { case (n, (cs, _)) =>
+      require(tables.contains(n), s"clusterBy names unknown table '$n'")
+      validateMetaColNames("cluster", n, cs)
+    }
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
     inFlight.add(txn)
     try {
       val meta = tables.map { case (n, df) =>
+        val (ccols, z) = clusterBy.getOrElse(n, (Nil, false))
         n -> TableMeta(Seq(txn), Some(df.schema.json),
           partitionBy.getOrElse(n, Nil), statsBy.getOrElse(n, Nil),
-          bloomCols = bloomBy.getOrElse(n, Nil))
+          bloomCols = bloomBy.getOrElse(n, Nil),
+          clusterCols = ccols, clusterZOrder = z)
       }
       val sealedMeta = stageAndSeal(spark, rootPath, txn, tables, meta)
       swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = None)
-      markCommitted(spark, root, txn)
+      markCommitted(spark, root, txn, seq = 0L) // store birth
       txn
     } catch {
       case e: Throwable =>
@@ -994,12 +1022,22 @@ object AtomicPublish {
         * recorded clustering layout — [[graft.ops.Compaction
         * .compactStore]] records what it clustered by so later
         * maintenance re-applies it. Absent = inherit the parent's. */
-      clusterBy: Map[String, (Seq[String], Boolean)] = Map.empty)
+      clusterBy: Map[String, (Seq[String], Boolean)] = Map.empty,
+      /** Tables to REMOVE from the manifest in the same commit (SQL
+        * `DROP TABLE`): the named table AND its tombstone companion
+        * leave the catalog; their data dirs stay referenced by older
+        * versions only, so time travel before the drop still serves
+        * them and vacuum reclaims them once those versions age out —
+        * the lakehouse drop contract (metadata-only, O(1)). */
+      drop: Seq[String] = Nil)
       : Option[String] = {
-    require(append.nonEmpty || replace.nonEmpty,
-      "publishDelta needs at least one appended or replaced table")
+    require(append.nonEmpty || replace.nonEmpty || drop.nonEmpty,
+      "publishDelta needs at least one appended, replaced or dropped table")
     require(append.keySet.intersect(replace.keySet).isEmpty,
       "a table cannot be both appended and replaced")
+    drop.foreach(t => require(
+      !append.contains(t) && !replace.contains(t),
+      s"table '$t' cannot be both dropped and written in one commit"))
     validateNames(append.keys ++ replace.keys)
     partitionBy.keys.foreach(n =>
       require(append.contains(n) || replace.contains(n),
@@ -1021,6 +1059,12 @@ object AtomicPublish {
     try {
       val parentMeta =
         parent.map(manifestMetaOf(spark, root, _)).getOrElse(Map.empty)
+      drop.foreach(t => require(parentMeta.contains(t),
+        s"cannot drop table '$t': not in version " +
+          s"${parent.getOrElse("<none>")} under $root"))
+      // a dropped table takes its tombstone companion with it — a
+      // re-created table must not inherit a dead table's delete keys
+      val dropAll = drop.toSet ++ drop.map(deleteTableOf)
       // a REPLACE defines the table's full new content, so any pending
       // merge-on-read tombstones are consumed by it — clear them in the
       // same commit (unless the caller writes the tombstone table
@@ -1106,14 +1150,20 @@ object AtomicPublish {
         n -> TableMeta(Seq(txn), Some(df.schema.json), pcols, scols,
           bloomCols = bcols, clusterCols = ccols, clusterZOrder = z)
       }
-      val meta = parentMeta ++ appendMeta ++ replaceMeta
+      val meta = (parentMeta -- dropAll) ++ appendMeta ++ replaceMeta
       val sealedMeta =
         stageAndSeal(spark, rootPath, txn, append ++ replaceAll, meta)
       val committed = swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(parent))
-      if (committed) { markCommitted(spark, root, txn); Some(txn) }
-      else None
+      if (committed) {
+        // monotonic chain: strictly increasing under CAS serialization;
+        // a pre-seq parent restarts at 0 (ties then break by name, the
+        // pre-seq status quo)
+        markCommitted(spark, root, txn, seq = parent
+          .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L))
+        Some(txn)
+      } else None
     } catch {
       case e: Throwable =>
         val ctx = fc(spark, rootPath)
@@ -1854,6 +1904,48 @@ object AtomicPublish {
     Some((inserted, deleted))
   }
 
+  /** Consumer-lag registry dir: one file per streaming consumer,
+    * holding the txn its NEXT batch will diff from. */
+  private val ConsumersDir = "_consumers"
+
+  /** Record (overwrite) a streaming consumer's progress: the commit
+    * txn its next batch reads from. [[vacuum]] keeps every registered
+    * version (and its reference closure) alive while the registration
+    * is younger than the vacuum's `consumerTtlMs` — the enforcement
+    * half of the change-feed retention contract. Failure here must
+    * never fail the stream (registration is protection, not
+    * correctness), so errors are swallowed. */
+  def recordConsumer(spark: SparkSession, root: String, id: String,
+      txn: String): Unit =
+    try {
+      require(id.nonEmpty && id.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_'),
+        s"consumer id '$id' is not filename-safe")
+      val dir = new Path(root, ConsumersDir)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(dir)
+      val out = fs.create(new Path(dir, id), true)
+      try out.write(txn.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Registered consumers as (id, txn, registered-at-ms). */
+  def registeredConsumers(spark: SparkSession,
+      root: String): Seq[(String, String, Long)] = {
+    val dir = new Path(root, ConsumersDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq.flatMap { st =>
+      try {
+        val in = fs.open(st.getPath)
+        val txn = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim finally in.close()
+        if (txn.isEmpty) None
+        else Some((st.getPath.getName, txn, st.getModificationTime))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   /** Every COMMITTED version with its commit time (the `_COMMITTED`
     * marker's mtime — the same clock vacuum retention ranks by),
     * ascending by (time, name). This is the store's version history:
@@ -1867,7 +1959,7 @@ object AtomicPublish {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Nil
-    fs.listStatus(rootPath).toSeq
+    val byTime = fs.listStatus(rootPath).toSeq
       .filter(_.getPath.getName.startsWith("v_"))
       .flatMap { st =>
         try Some(st.getPath.getName.stripPrefix("v_") ->
@@ -1875,7 +1967,19 @@ object AtomicPublish {
             .getModificationTime)
         catch { case _: java.io.FileNotFoundException => None }
       }
-      .sortBy { case (n, t) => (t, n) }
+    // same-millisecond mtime ties resolve by the RECORDED commit
+    // sequence (marker content, [[markCommitted]]) — true commit order,
+    // not filesystem-clock luck; the seq read is paid only for tied
+    // groups (normally zero). Pre-seq markers fall back to name.
+    val tiedTimes = byTime.groupBy(_._2).collect {
+      case (t, vs) if vs.size > 1 => t
+    }.toSet
+    byTime.sortBy { case (n, t) =>
+      val seq =
+        if (tiedTimes(t)) commitSeqOf(spark, root, n).getOrElse(Long.MaxValue)
+        else 0L
+      (t, seq, n)
+    }
   }
 
   /** SQL face of the store: register every table of ONE version as a
@@ -1944,6 +2048,13 @@ object AtomicPublish {
     *    Delta/Iceberg retention gives.
     *  - `minAgeMs` additionally spares committed versions younger than
     *    the cutoff (age = time since commit).
+    *  - registered streaming consumers ([[recordConsumer]] — the CDC
+    *    source writes its progress per batch) keep their version alive
+    *    while younger than `consumerTtlMs`, so a LAGGING stream's next
+    *    batch finds its manifest instead of a hole; once a version is
+    *    gone anyway (TTL expiry, late registration) the stream fails
+    *    with the documented resync error BEFORE emitting a partial
+    *    batch — deterministic, never silent data loss.
     *  - `graceMs` protects what might belong to a publish IN FLIGHT in
     *    another process — scratch dirs and marker-less `v_` dirs, which
     *    are indistinguishable from a publisher between seal and commit.
@@ -1973,7 +2084,13 @@ object AtomicPublish {
     * under-retaining); for bulk migration of OLD versions run
     * [[adoptCommitted]] once. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1,
-      minAgeMs: Long = 0L, graceMs: Long = 3600L * 1000): Seq[String] = {
+      minAgeMs: Long = 0L, graceMs: Long = 3600L * 1000,
+      /** How long a [[recordConsumer]] registration protects its
+        * version: a lagging stream's next `sinceTxn` survives retention
+        * while its registration is younger than this (default 7 days);
+        * an abandoned checkpoint stops holding history once it ages
+        * out. 0 disables consumer protection. */
+      consumerTtlMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2028,9 +2145,20 @@ object AtomicPublish {
       // are direct data-dir pointers, flattened at publish time). An
       // unreadable manifest ABORTS the vacuum: degrading to "no refs"
       // could delete dirs the unreadable manifest still points at.
+      // versions a live streaming consumer still needs (its next batch
+      // diffs from this txn's manifest) — registered via
+      // [[recordConsumer]], honored while younger than the TTL
+      val versionNames = versions.map(_._1.getPath.getName).toSet
+      val consumerHeld: Set[String] =
+        if (consumerTtlMs <= 0) Set.empty
+        else registeredConsumers(spark, root).collect {
+          case (_, txn, at) if at >= now - consumerTtlMs &&
+            versionNames(s"v_$txn") => s"v_$txn"
+        }.toSet
       val survivorsByPolicy = versions.collect {
         case (st, _) if live(st.getPath.getName) ||
           retainedRecent(st.getPath.getName) ||
+          consumerHeld(st.getPath.getName) ||
           isActive(st.getPath.getName) || !isAged(st) => st.getPath.getName
       }.toSet
       def refsOf(vs: Set[String]): Set[String] = vs.flatMap { v =>

@@ -1,0 +1,405 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, MonotonicallyIncreasingID, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, EqualTo}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, InsertAction, Join, LogicalPlan, MergeAction, MergeIntoTable, Project, UpdateAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti}
+import org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.functions.col
+
+/** SQL `MERGE INTO` and `UPDATE` for graft catalog tables, the Delta
+  * Lake architecture: an injected analyzer rule ([[GraftDmlRule]],
+  * installed by `GraftSqlExtensions`) intercepts the RESOLVED
+  * `MergeIntoTable`/`UpdateTable` plans whose target is a
+  * [[GraftTable]] — before Spark's own row-level rewrites (which would
+  * refuse a table without `SupportsRowLevelOperations`) — and replaces
+  * them with runnable commands that execute through the store's upsert
+  * machinery ([[AtomicPublish.upsertManyAt]]).
+  *
+  * Two physical strategies, chosen per statement:
+  *
+  *  - MERGE-ON-READ upsert (the O(changed rows) path): when the
+  *    statement's rows can be keyed by ONE column — the table's
+  *    established tombstone key, or (for a table without tombstones)
+  *    a single-column equality the statement itself implies — the
+  *    affected rows are appended and their old versions tombstoned in
+  *    one CAS commit, exactly [[AtomicPublish.upsertMany]]'s shape
+  *    (reference analog: the insert-or-conflict row loop at
+  *    /root/reference/app/api/routes.py:96-103). An exactness guard
+  *    (the same one SQL DELETE uses) verifies the key set kills
+  *    precisely the statement's rows; colliding keys fall through to:
+  *  - COPY-ON-WRITE replace (always correct, O(table)): the complete
+  *    post-statement table is computed (carryover ∪ updated ∪
+  *    inserted) and committed as one replace that inherits the
+  *    recorded layout — what Delta does for non-key merges.
+  *
+  * Both commit against the snapshot the statement ANALYZED against
+  * (the catalog pin): a concurrent commit in between fails the CAS and
+  * surfaces as a named conflict error instead of lost updates —
+  * single-statement serializability, not last-writer-wins.
+  *
+  * Scope: `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` and
+  * `WHEN NOT MATCHED [AND cond] THEN INSERT` (first-match-wins
+  * cascade, SQL-standard cardinality check);
+  * `WHEN NOT MATCHED BY SOURCE` is refused with guidance (its
+  * semantics force a full target scan; use DELETE/UPDATE directly).
+  */
+object GraftDml {
+
+  /** The (relation, table) under optional subquery aliases, when the
+    * plan is a graft catalog table. */
+  def graftTarget(plan: LogicalPlan): Option[(DataSourceV2Relation, GraftTable)] =
+    EliminateSubqueryAliases(plan) match {
+      case r: DataSourceV2Relation => r.table match {
+        case t: GraftTable => Some((r, t))
+        case _ => None
+      }
+      case _ => None
+    }
+
+  private[ops] def castTo(e: Expression, a: Attribute): Expression =
+    if (e.dataType == a.dataType) e
+    else Cast(e, a.dataType,
+      Some(SparkSession.active.sessionState.conf.sessionLocalTimeZone))
+
+  /** The assignment for target column `a`, if any: resolved keys are
+    * the target relation's attributes (matched by id, then by name for
+    * robustness); nested-field assignment is refused. */
+  private[ops] def assignmentFor(assignments: Seq[Assignment],
+      a: Attribute): Option[Expression] =
+    assignments.collectFirst {
+      case Assignment(k: AttributeReference, v)
+          if k.exprId == a.exprId || k.name.equalsIgnoreCase(a.name) =>
+        castTo(v, a)
+      case Assignment(k, _) if k.references.exists(_.exprId == a.exprId) =>
+        throw new UnsupportedOperationException(
+          s"graft DML supports top-level column assignment only, got " +
+            s"'${k.sql}'")
+    }
+
+  /** The table's established single tombstone key at `txn`, if any. */
+  private[ops] def establishedKey(spark: SparkSession, root: String,
+      table: String, txn: String): Option[String] =
+    AtomicPublish.manifestMetaOf(spark, root, txn)
+      .get(AtomicPublish.deleteTableOf(table))
+      .filter(_.owners.nonEmpty)
+      .flatMap(_.schema)
+      .map(_.fieldNames.toSeq.filterNot(_ == "_asof"))
+      .collect { case Seq(one) => one }
+
+  /** Fail the statement against a moved snapshot: the frames were
+    * computed at the analysis pin, committing over a different parent
+    * would mix snapshots. */
+  private[ops] def conflict(table: String, what: String): Nothing =
+    throw new IllegalStateException(
+      s"GRAFT_DML_CONFLICT: a concurrent commit landed on '$table' " +
+        s"between analysis and $what — re-run the statement (it will " +
+        "re-pin the new snapshot)")
+}
+
+/** Injected resolution rule: resolved UPDATE/MERGE on a graft catalog
+  * table → runnable command. Runs in the analyzer's resolution batch,
+  * i.e. before `RewriteUpdateTable`/`RewriteMergeIntoTable` would
+  * refuse the non-row-level table. */
+final class GraftDmlRule(spark: SparkSession)
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsDown {
+      case u @ UpdateTable(table, assignments, condition)
+          if u.childrenResolved && assignments.forall(_.resolved) &&
+            condition.forall(_.resolved) &&
+            GraftDml.graftTarget(table).isDefined =>
+        val (rel, gt) = GraftDml.graftTarget(table).get
+        GraftUpdateCommand(table, rel, gt, assignments, condition)
+      case m: MergeIntoTable
+          if m.resolved && GraftDml.graftTarget(m.targetTable).isDefined =>
+        val (rel, gt) = GraftDml.graftTarget(m.targetTable).get
+        GraftMergeCommand(m.targetTable, rel, gt, m.sourceTable,
+          m.mergeCondition, m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions)
+    }
+}
+
+/** `UPDATE <cat>.<table> SET ... [WHERE ...]` over the upsert
+  * machinery (class doc of [[GraftDml]]). */
+final case class GraftUpdateCommand(
+    target: LogicalPlan,
+    rel: DataSourceV2Relation,
+    gt: GraftTable,
+    assignments: Seq[Assignment],
+    condition: Option[Expression]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    def df(plan: LogicalPlan): DataFrame =
+      org.apache.spark.sql.graftplan.PlanBridge.ofRows(spark, plan)
+    val out = target.output
+    def updatedValue(a: Attribute): Expression =
+      GraftDml.assignmentFor(assignments, a).getOrElse(a)
+    val root = gt.root; val table = gt.table
+    // refuse a stale pin up front (frames below read gt.txn)
+    if (!AtomicPublish.currentTxn(spark, root).contains(gt.txn))
+      GraftDml.conflict(table, "execution")
+
+    def cow(): Unit = {
+      // copy-on-write: one replace of (cond ? updated : original) over
+      // the whole (delete-aware) table; layout inherited by the store
+      val projected = Project(out.map { a =>
+        val v = condition match {
+          case Some(c) => CaseWhen(Seq((c, updatedValue(a))), a)
+          case None => updatedValue(a)
+        }
+        Alias(v, a.name)(): NamedExpression
+      }, target)
+      if (AtomicPublish.publishDelta(spark, root, append = Map.empty,
+          replace = Map(table -> df(projected)),
+          parent = Some(gt.txn)).isEmpty)
+        GraftDml.conflict(table, "the copy-on-write commit")
+    }
+
+    condition match {
+      case None => cow() // unconditional UPDATE = whole-table rewrite
+      case Some(cond) =>
+        val matchedPlan = org.apache.spark.sql.catalyst.plans.logical
+          .Filter(cond, target)
+        val key = GraftDml.establishedKey(spark, root, table, gt.txn)
+          .orElse(
+            // exact by construction iff the predicate is a function of
+            // the key alone: single referenced column
+            cond.references.toSeq.map(_.name).distinct match {
+              case Seq(one) => Some(one)
+              case _ => None
+            })
+        key match {
+          case None => cow()
+          case Some(k) =>
+            val matched = df(matchedPlan).cache()
+            try {
+              val matches = matched.count()
+              if (matches == 0) return Seq.empty // no-op, no commit
+              val keys = matched.select(col(s"`$k`")).distinct()
+              // exactness guard (same as SQL DELETE): the key set must
+              // hit precisely the matching rows, else fall back to COW
+              val exact =
+                if (cond.references.toSeq.map(_.name).distinct == Seq(k))
+                  true
+                else {
+                  val live = df(target)
+                  val k2 = keys.withColumnRenamed(k, "__g_k2")
+                  live.join(k2, live(s"`$k`") <=> k2("__g_k2"),
+                    "left_semi").count() == matches
+                }
+              if (!exact) cow()
+              else {
+                val updated = df(Project(out.map(a =>
+                  Alias(updatedValue(a), a.name)(): NamedExpression),
+                  matchedPlan))
+                if (AtomicPublish.upsertManyAt(spark, root, gt.txn,
+                    Map(table -> AtomicPublish.Upsert(updated, keys)))
+                    .isEmpty)
+                  GraftDml.conflict(table, "the upsert commit")
+              }
+            } finally { matched.unpersist(); () }
+        }
+    }
+    Seq.empty
+  }
+}
+
+/** `MERGE INTO <cat>.<table> USING ... ON ...` (class doc of
+  * [[GraftDml]]). */
+final case class GraftMergeCommand(
+    target: LogicalPlan,
+    rel: DataSourceV2Relation,
+    gt: GraftTable,
+    source: LogicalPlan,
+    cond: Expression,
+    matched: Seq[MergeAction],
+    notMatched: Seq[MergeAction],
+    notMatchedBySource: Seq[MergeAction]) extends LeafRunnableCommand {
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(notMatchedBySource.isEmpty,
+      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE " +
+        "(it forces a full target scan) — express it as a separate " +
+        "DELETE/UPDATE statement")
+    def df(plan: LogicalPlan): DataFrame =
+      org.apache.spark.sql.graftplan.PlanBridge.ofRows(spark, plan)
+    val out = target.output
+    val root = gt.root; val table = gt.table
+    if (!AtomicPublish.currentTxn(spark, root).contains(gt.txn))
+      GraftDml.conflict(table, "execution")
+
+    val trueL = Literal(true)
+    // ---- matched side: first-match-wins cascade over the inner join
+    // __g_act: index of the first action whose condition holds (-1 =
+    // row untouched); __g_keep: that action is an UPDATE (false =
+    // DELETE); __g_n<i>: the post-update value of target column i
+    def actCond(a: MergeAction): Expression = a match {
+      case u: UpdateAction => u.condition.getOrElse(trueL)
+      case d: DeleteAction => d.condition.getOrElse(trueL)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN MATCHED action: $other")
+    }
+    def newValue(a: Attribute): Expression =
+      CaseWhen(matched.collect {
+        case u: UpdateAction =>
+          (actCond(u),
+            GraftDml.assignmentFor(u.assignments, a).getOrElse(a))
+        case d: DeleteAction => (actCond(d), a: Expression)
+      }, a)
+    val actIdx = CaseWhen(
+      matched.zipWithIndex.map { case (a, i) =>
+        (actCond(a), Literal(i): Expression) },
+      Literal(-1))
+    val keepExpr = CaseWhen(matched.map {
+      case u: UpdateAction => (actCond(u), trueL: Expression)
+      case d: DeleteAction => (actCond(d), Literal(false): Expression)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported WHEN MATCHED action: $other")
+    }, trueL)
+    val matchedJoin = Join(target, source, Inner, Some(cond),
+      org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+    val matchedProj = Project(
+      Seq(Alias(actIdx, "__g_act")(), Alias(keepExpr, "__g_keep")()) ++
+        out.zipWithIndex.map { case (a, i) =>
+          Alias(newValue(a), s"__g_n$i")(): NamedExpression } ++
+        out.zipWithIndex.map { case (a, i) =>
+          Alias(a, s"__g_o$i")(): NamedExpression },
+      matchedJoin)
+
+    // ---- SQL-standard cardinality check: with any matched action, a
+    // target row matching >1 source row is nondeterministic — error
+    if (matched.nonEmpty) {
+      val withId = Project(
+        (out :+ Alias(MonotonicallyIncreasingID(), "__g_tid")())
+          .map(_.asInstanceOf[NamedExpression]), target)
+      val dupes = df(Join(withId, source, Inner, Some(cond),
+        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE))
+        .groupBy(col("__g_tid")).count()
+        .filter(col("count") > 1).limit(1).count()
+      require(dupes == 0L,
+        s"MERGE into '$table': a target row matches more than one " +
+          "source row (ON condition not selective enough) — the SQL " +
+          "standard forbids this as nondeterministic")
+    }
+
+    // ---- not-matched side: INSERT cascade over the anti join
+    val insertPlanOpt =
+      if (notMatched.isEmpty) None
+      else {
+        val antiJoin = Join(source, target, LeftAnti, Some(cond),
+          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
+        def insCond(a: MergeAction): Expression = a match {
+          case InsertAction(c, _) => c.getOrElse(trueL)
+          case other => throw new UnsupportedOperationException(
+            s"unsupported WHEN NOT MATCHED action: $other")
+        }
+        val insIdx = CaseWhen(
+          notMatched.zipWithIndex.map { case (a, i) =>
+            (insCond(a), Literal(i): Expression) },
+          Literal(-1))
+        def insValue(a: Attribute): Expression =
+          CaseWhen(notMatched.collect {
+            case ia @ InsertAction(_, assigns) =>
+              (insCond(ia), GraftDml.assignmentFor(assigns, a).getOrElse(
+                Cast(Literal(null), a.dataType)))
+          }, Cast(Literal(null), a.dataType))
+        Some(Project(
+          Alias(insIdx, "__g_iact")() +:
+            out.zipWithIndex.map { case (a, i) =>
+              Alias(insValue(a), s"__g_v$i")(): NamedExpression },
+          antiJoin))
+      }
+
+    val names = out.map(_.name)
+    def renamedTo(frame: DataFrame, prefix: String): DataFrame =
+      frame.select(out.indices.map(i =>
+        col(s"`$prefix$i`").as(names(i))): _*)
+
+    val fired = df(matchedProj).filter(col("__g_act") >= 0).cache()
+    val inserts = insertPlanOpt.map(p =>
+      renamedTo(df(p).filter(col("__g_iact") >= 0), "__g_v"))
+      .getOrElse(null)
+    try {
+      val firedCount = fired.count()
+      val upserted = renamedTo(fired.filter(col("__g_keep")), "__g_n")
+      val emptyInserts = inserts == null || inserts.isEmpty
+      if (firedCount == 0 && emptyInserts) return Seq.empty // no-op
+      if (firedCount == 0) {
+        // insert-only outcome: a plain CAS append, no tombstones
+        if (AtomicPublish.publishDelta(spark, root,
+            append = Map(table -> inserts),
+            parent = Some(gt.txn)).isEmpty)
+          GraftDml.conflict(table, "the insert commit")
+        return Seq.empty
+      }
+
+      val key = GraftDml.establishedKey(spark, root, table, gt.txn)
+        .orElse {
+          // a single-column target equality in the ON conjuncts whose
+          // other side is source-only: the natural upsert key
+          def conjuncts(e: Expression): Seq[Expression] = e match {
+            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+              conjuncts(l) ++ conjuncts(r)
+            case x => Seq(x)
+          }
+          val targetIds = out.map(_.exprId).toSet
+          conjuncts(cond).collectFirst {
+            case EqualTo(l: AttributeReference, r)
+                if targetIds.contains(l.exprId) &&
+                  r.references.forall(x => !targetIds.contains(x.exprId)) =>
+              l.name
+            case EqualTo(l, r: AttributeReference)
+                if targetIds.contains(r.exprId) &&
+                  l.references.forall(x => !targetIds.contains(x.exprId)) =>
+              r.name
+          }
+        }
+
+      def cow(): Unit = {
+        // copy-on-write: carryover (target anti source) ∪ kept matched
+        // rows (untouched ones keep original values) ∪ inserts
+        val carry = df(Join(target, source, LeftAnti, Some(cond),
+          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE))
+        val matchedOut = df(matchedProj).filter(col("__g_keep"))
+        val kept = matchedOut.select(out.indices.map(i =>
+          org.apache.spark.sql.functions.when(col("__g_act") >= 0,
+            col(s"`__g_n$i`")).otherwise(col(s"`__g_o$i`"))
+            .as(names(i))): _*)
+        var full = carry.unionByName(kept)
+        if (!emptyInserts) full = full.unionByName(inserts)
+        if (AtomicPublish.publishDelta(spark, root, append = Map.empty,
+            replace = Map(table -> full), parent = Some(gt.txn)).isEmpty)
+          GraftDml.conflict(table, "the copy-on-write commit")
+      }
+
+      key match {
+        case None => cow()
+        case Some(k) if !names.contains(k) => cow()
+        case Some(k) =>
+          val ki = names.indexOf(k)
+          val keys = fired.select(col(s"`__g_o$ki`").as(k)).distinct()
+          // exactness guard: the fired rows' key set must kill exactly
+          // the fired rows — otherwise untouched rows sharing a key
+          // would be collateral; COW handles that shape correctly
+          val live = df(target)
+          val k2 = keys.withColumnRenamed(k, "__g_k2")
+          val wouldKill = live.join(k2, live(s"`$k`") <=> k2("__g_k2"),
+            "left_semi").count()
+          if (wouldKill != firedCount) cow()
+          else {
+            val rows =
+              if (emptyInserts) upserted else upserted.unionByName(inserts)
+            if (AtomicPublish.upsertManyAt(spark, root, gt.txn,
+                Map(table -> AtomicPublish.Upsert(rows, keys))).isEmpty)
+              GraftDml.conflict(table, "the upsert commit")
+          }
+      }
+    } finally { fired.unpersist(); () }
+    Seq.empty
+  }
+}

@@ -80,6 +80,7 @@ class StoreCatalogSpec extends SparkSuite {
       }.sum
     }
 
+    GraftCatalogRead.probeEnabled = true // opt-in inner-plan probe
     val sqlDf = spark.sql(
       s"SELECT doc_id FROM $cat.docs WHERE doc_id = 42")
     val sqlRows = sqlDf.collect().map(_.getLong(0)).toSeq
@@ -268,16 +269,82 @@ class StoreCatalogSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "t").count() == 10)
   }
 
-  test("DDL is refused with guidance; unknown table errors cleanly") {
+  test("CREATE TABLE on an empty root births the store; INSERT and " +
+      "DELETE work; layout properties recorded") {
+    val root = freshRoot()
+    val cat = mount(root)
+    spark.sql(
+      s"""CREATE TABLE $cat.docs (doc_id BIGINT, lang STRING, text STRING)
+         |PARTITIONED BY (lang)
+         |TBLPROPERTIES ('statsBy'='doc_id', 'bloomBy'='doc_id')
+         |""".stripMargin)
+    // the empty table is a real published snapshot: listable, readable
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs").head().getLong(0)
+      == 0L)
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("docs")
+    assert(meta.partitionCols == Seq("lang"))
+    assert(meta.statCols == Seq("doc_id"))
+    assert(meta.bloomCols == Seq("doc_id"))
+    // SQL-only lifecycle from here: insert, delete, read
+    spark.sql(s"INSERT INTO $cat.docs SELECT id, 'en', concat('t', id) " +
+      "FROM range(20)")
+    spark.sql(s"DELETE FROM $cat.docs WHERE doc_id >= 15")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs").head().getLong(0)
+      == 15L)
+    // duplicate create refused; IF NOT EXISTS is a no-op
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.docs (x BIGINT)")
+    }
+    spark.sql(s"CREATE TABLE IF NOT EXISTS $cat.docs (x BIGINT)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs").head().getLong(0)
+      == 15L)
+  }
+
+  test("CTAS creates and fills in one statement; DROP TABLE removes " +
+      "metadata-only; re-create gets a fresh schema") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 30, "en")))
+    val cat = mount(root)
+    val before = AtomicPublish.currentTxn(spark, root).get
+    spark.sql(
+      s"""CREATE TABLE $cat.short_docs
+         |TBLPROPERTIES ('statsBy'='doc_id')
+         |AS SELECT doc_id, lang FROM $cat.docs WHERE doc_id < 10""".stripMargin)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.short_docs")
+      .head().getLong(0) == 10L)
+    assert(AtomicPublish.currentManifestMeta(spark, root).get
+      ._2("short_docs").statCols == Seq("doc_id"))
+    // drop: metadata-only; the pre-drop snapshot still time-travels
+    val atDrop = AtomicPublish.currentTxn(spark, root).get
+    spark.sql(s"DROP TABLE $cat.short_docs")
+    assert(!spark.catalog.tableExists(s"$cat.short_docs"))
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet == Set("docs"))
+    assert(AtomicPublish.readTableAt(spark, root, "short_docs", atDrop)
+      .count() == 10L)
+    // a dropped table's tombstones die with it: re-create with a
+    // DIFFERENT schema and different delete key
+    spark.sql(s"DELETE FROM $cat.docs WHERE doc_id = 3") // docs keyed
+    spark.sql(s"CREATE TABLE $cat.short_docs (k STRING, n BIGINT)")
+    spark.sql(s"INSERT INTO $cat.short_docs VALUES ('a', 1), ('b', 2)")
+    spark.sql(s"DELETE FROM $cat.short_docs WHERE k = 'a'")
+    assert(spark.sql(s"SELECT n FROM $cat.short_docs").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+    // DROP of a missing table errors (Spark-side check); IF EXISTS no-ops
+    intercept[Exception] { spark.sql(s"DROP TABLE $cat.never_was") }
+    spark.sql(s"DROP TABLE IF EXISTS $cat.never_was")
+    // history before everything still serves
+    assert(AtomicPublish.readTableAt(spark, root, "docs", before)
+      .count() == 30L)
+  }
+
+  test("unsupported DDL is refused with guidance; unknown table errors " +
+      "cleanly") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 3, "en")))
     val cat = mount(root)
     intercept[Exception] {
-      spark.sql(s"DROP TABLE $cat.docs")
-    }
-    intercept[Exception] {
-      spark.sql(
-        s"CREATE TABLE $cat.other (x BIGINT) USING parquet")
+      spark.sql(s"ALTER TABLE $cat.docs RENAME TO docs2")
     }
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.missing").collect()
@@ -356,6 +423,15 @@ class StoreCatalogSpec extends SparkSuite {
       s2.sql(s"INSERT INTO $cat.docs VALUES (100, 'fr', 'x')")
       assert(s2.sql(s"SELECT count(*) FROM $cat.docs").head().getLong(0)
         == 60L)
+      // DELETE FROM must still plan with the extension installed: the
+      // rule must leave DeleteFromTable's target child as the V2
+      // relation (rewriting it unhooks SupportsDelete) — the
+      // VERDICT-r6 ADVICE regression
+      s2.sql(s"DELETE FROM $cat.docs WHERE doc_id >= 90")
+      // 60 live before (59 originals minus id 5, plus the insert);
+      // the delete kills only the inserted id 100
+      assert(s2.sql(s"SELECT count(*) FROM $cat.docs").head().getLong(0)
+        == 59L)
     } finally {
       SparkSession.setActiveSession(prev)
       SparkSession.setDefaultSession(prev)
