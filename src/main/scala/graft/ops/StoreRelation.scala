@@ -256,14 +256,24 @@ final class GraftSource extends RelationProvider
     (root, table)
   }
 
+  private def withDeletes(parameters: Map[String, String]): Boolean =
+    parameters.get("withDeletes").exists(_.equalsIgnoreCase("true"))
+
   /** `spark.readStream.format("graft")` — the microbatch change-feed
-    * face ([[graft.streaming.GraftChangeFeedSource]]). */
+    * face ([[graft.streaming.GraftChangeFeedSource]]); with
+    * `option("withDeletes","true")`, the signed-row CDC feed
+    * ([[graft.streaming.GraftCdcFeedSource]] — deletes advance the
+    * stream as `_change_type = delete` rows). */
   override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
     val (root, table) = streamParams(parameters)
-    (shortName(), schema.getOrElse(new graft.streaming.GraftChangeFeedSource(
-      ctx.sparkSession, root, table).schema))
+    (shortName(), schema.getOrElse(
+      if (withDeletes(parameters))
+        new graft.streaming.GraftCdcFeedSource(ctx.sparkSession, root,
+          table, consumerId = "schema-probe").schema
+      else new graft.streaming.GraftChangeFeedSource(
+        ctx.sparkSession, root, table).schema))
   }
 
   override def createSource(ctx: SQLContext, metadataPath: String,
@@ -271,7 +281,16 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (root, table) = streamParams(parameters)
-    new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root, table)
+    if (withDeletes(parameters))
+      // consumer id = digest of the checkpoint's metadata path: stable
+      // across restarts of the same stream, distinct across streams
+      new graft.streaming.GraftCdcFeedSource(ctx.sparkSession, root,
+        table, consumerId = java.security.MessageDigest
+          .getInstance("MD5").digest(metadataPath.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString)
+    else
+      new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root,
+        table)
   }
 
   override def createRelation(ctx: SQLContext,
@@ -320,7 +339,13 @@ final class GraftSource extends RelationProvider
     * Options: `root` (or `path`), `table`, and optional comma-joined
     * `partitionByCols` / `statsBy` / `bloomBy` column lists applied
     * when the write CREATES or REPLACES the table (append inherits the
-    * recorded layout — the manifest, not the writer, owns it). */
+    * recorded layout — the manifest, not the writer, owns it).
+    * `clusterBy` (+ `zOrder` = "true") additionally DECLARES the
+    * table's recorded clustering: the written data is sorted
+    * (lexicographically or z-order, [[ZOrder]]) before the commit so
+    * file-level zone maps are tight from birth, and the recorded spec
+    * makes every later auto-compaction re-apply the same layout —
+    * the writer declares once, maintenance preserves forever. */
   override def createRelation(ctx: SQLContext, mode: SaveMode,
       parameters: Map[String, String], data: DataFrame): BaseRelation = {
     val spark = ctx.sparkSession
@@ -333,17 +358,29 @@ final class GraftSource extends RelationProvider
     val partCols = optionCols(parameters, "partitionByCols")
     val statsCols = optionCols(parameters, "statsBy")
     val bloomCols = optionCols(parameters, "bloomBy")
+    val clusterCols = optionCols(parameters, "clusterBy")
+    val zOrder = parameters.get("zOrder").exists(_.equalsIgnoreCase("true"))
+    require(clusterCols.nonEmpty || !zOrder,
+      "write option zOrder=true needs a clusterBy column list")
     def layout(of: Seq[String]): Map[String, Seq[String]] =
       if (of.isEmpty) Map.empty else Map(table -> of)
+    val clusterLay: Map[String, (Seq[String], Boolean)] =
+      if (clusterCols.isEmpty) Map.empty
+      else Map(table -> (clusterCols, zOrder))
+    // apply the declared clustering to the rows being written, so the
+    // DECLARING write already has the locality its spec promises
+    val toWrite =
+      if (clusterCols.isEmpty) data
+      else ZOrder.cluster(data, clusterCols, zOrder)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
       AtomicPublish.currentTxn(spark, root) match {
         case None =>
           // store birth — publish itself CASes on "no parent yet"
-          AtomicPublish.publish(spark, root, Map(table -> data),
+          AtomicPublish.publish(spark, root, Map(table -> toWrite),
             partitionBy = layout(partCols), statsBy = layout(statsCols),
-            bloomBy = layout(bloomCols))
+            bloomBy = layout(bloomCols), clusterBy = clusterLay)
           return schemaOnly(ctx, data.schema)
         case Some(parent) =>
           val exists =
@@ -361,12 +398,18 @@ final class GraftSource extends RelationProvider
               val committed =
                 if (!exists || mode == SaveMode.Overwrite)
                   AtomicPublish.publishDelta(spark, root,
-                    append = Map.empty, replace = Map(table -> data),
+                    append = Map.empty, replace = Map(table -> toWrite),
                     parent = Some(parent), partitionBy = layout(partCols),
-                    statsBy = layout(statsCols), bloomBy = layout(bloomCols))
-                else
+                    statsBy = layout(statsCols), bloomBy = layout(bloomCols),
+                    clusterBy = clusterLay)
+                else {
+                  require(clusterCols.isEmpty,
+                    s"append to '$table' cannot re-declare clustering — " +
+                      "the manifest owns the recorded layout (use " +
+                      "SaveMode.Overwrite, or let compaction re-sort)")
                   AtomicPublish.publishDelta(spark, root,
                     append = Map(table -> data), parent = Some(parent))
+                }
               if (committed.isDefined) return schemaOnly(ctx, data.schema)
             // CAS lost: re-pin the parent and retry
           }

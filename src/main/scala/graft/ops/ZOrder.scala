@@ -44,6 +44,42 @@ object ZOrder {
       b => b <= c.cast("double"))).cast("int")
   }
 
+  /** Sort a frame under a declared clustering spec: lexicographic
+    * range-sort, or z-order for `zOrder` (2-4 numeric columns; falls
+    * back to lexicographic on degenerate quantile stats — empty input,
+    * all-null column). The write faces use this so the DECLARING write
+    * already has the locality its recorded spec promises; later
+    * auto-compactions re-apply the same spec from the manifest
+    * ([[Compaction.compactStore]]). */
+  def cluster(df: org.apache.spark.sql.DataFrame, cols: Seq[String],
+      zOrder: Boolean): org.apache.spark.sql.DataFrame = {
+    require(cols.nonEmpty, "cluster needs at least one column")
+    if (!zOrder)
+      df.repartitionByRange(cols.map(col): _*)
+        .sortWithinPartitions(cols.map(col): _*)
+    else {
+      require(cols.size >= 2 && cols.size <= 4,
+        s"zOrder clustering needs 2-4 columns, got $cols")
+      cols.foreach(c => require(
+        df.schema.fieldNames.contains(c) && df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"zOrder column '$c' must be a numeric column"))
+      val bs = df.stat.approxQuantile(cols.toArray, probs, 0.001)
+      if (bs.exists(_.length != Buckets - 1))
+        df.repartitionByRange(cols.map(col): _*)
+          .sortWithinPartitions(cols.map(col): _*)
+      else {
+        val z = zCol(cols.zip(bs).map { case (c, b) =>
+          bucketCol(col(c), b.toSeq)
+        })
+        df.withColumn("__z", z)
+          .repartitionByRange(col("__z"))
+          .sortWithinPartitions(col("__z"))
+          .drop("__z")
+      }
+    }
+  }
+
   /** Morton interleave of the buckets' bits: bit i of bucket j lands
     * at position i·k + j of the key (k = number of columns). Pure
     * shift/mask/add arithmetic — no UDF, fully codegen'd. */

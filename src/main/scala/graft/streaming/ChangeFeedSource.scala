@@ -93,13 +93,102 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   override def stop(): Unit = ()
 }
 
+/** STREAMING CDC FACE: `readStream.format("graft")` with
+  * `option("withDeletes", "true")` — each microbatch carries the rows
+  * the table GAINED and the rows it LOST in the commit interval as
+  * SIGNED rows (`_change_type` ∈ insert|delete), computed by the batch
+  * CDC feed [[AtomicPublish.changesWithDeletes]] — so DELETES advance
+  * the stream and a stream-maintained downstream mirror stays exact,
+  * where the plain change feed (appends only) would silently retain
+  * deleted rows.
+  *
+  * Offsets are COMMIT TXN IDS (not owner positions): published
+  * versions are immutable, so `getBatch(start, end)` is replay-
+  * deterministic, and the interval diff inherits every exactness
+  * property of the batch feed (asof scoping, skipping-layer-pruned
+  * delete reads). The first batch of a fresh checkpoint is the full
+  * snapshot at the pinned txn, all `insert` — the resync semantics.
+  * A rewrite in the interval (compaction/upsert), or a `start` version
+  * already vacuumed, fails the stream with
+  * [[GraftChangeFeedSource.ResyncRequired]] BEFORE emitting anything —
+  * never a partial batch.
+  *
+  * Consumer-lag registry: after resolving each batch the source
+  * records its end txn under `_consumers/<checkpoint-id>` at the store
+  * root — [[AtomicPublish.vacuum]] protects every registered version
+  * (and its reference closure) younger than its consumer TTL, so a
+  * LAGGING stream's next `sinceTxn` manifest survives retention
+  * instead of being reclaimed under the stream. */
+final class GraftCdcFeedSource(spark: SparkSession, root: String,
+    table: String, consumerId: String) extends Source {
+
+  import GraftChangeFeedSource._
+
+  private val baseSchema: StructType = {
+    val (txn, metas) = AtomicPublish.currentManifestMeta(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no published version under $root"))
+    val meta = metas.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' is not in version $txn under $root"))
+    meta.schema.getOrElse(
+      AtomicPublish.readTableSegments(spark, root, table, txn,
+        meta.owners).schema)
+  }
+
+  override val schema: StructType =
+    baseSchema.add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
+
+  override def getOffset: Option[Offset] =
+    AtomicPublish.currentTxn(spark, root).map(TxnOffset.apply)
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val endTxn = TxnOffset.of(end).txn
+    val batch = start.map(TxnOffset.of) match {
+      case None =>
+        // fresh checkpoint: the full snapshot at the pinned txn
+        AtomicPublish.readTableAt(spark, root, table, endTxn)
+          .withColumn(ChangeTypeCol, lit("insert"))
+      case Some(s) if s.txn == endTxn =>
+        AtomicPublish.readTableAt(spark, root, table, endTxn).limit(0)
+          .withColumn(ChangeTypeCol, lit("insert"))
+      case Some(s) =>
+        val diff =
+          try AtomicPublish.changesWithDeletes(spark, root, table,
+            s.txn, Some(endTxn))
+          catch { case scala.util.control.NonFatal(e) =>
+            throw new IllegalStateException(resyncMessage(table,
+              s"version ${s.txn} is no longer readable (vacuumed?)"), e)
+          }
+        diff match {
+          case None => throw new IllegalStateException(resyncMessage(
+            table, s"the interval ${s.txn}..$endTxn rewrote the table"))
+          case Some((ins, del)) =>
+            ins.withColumn(ChangeTypeCol, lit("insert"))
+              .unionByName(del.withColumn(ChangeTypeCol, lit("delete")))
+        }
+    }
+    // lag registry: the NEXT batch diffs from endTxn — keep it alive
+    AtomicPublish.recordConsumer(spark, root, consumerId, endTxn)
+    // one streaming LEAF over the whole batch computation: the CDC
+    // diff's tombstone anti-join must stay a batch join
+    org.apache.spark.sql.graftstream.StreamingBridge.asStreamingLeaf(
+      batch)
+  }
+
+  override def stop(): Unit = ()
+}
+
 object GraftChangeFeedSource {
+
+  /** The signed-row discriminator column of the CDC feed. */
+  val ChangeTypeCol = "_change_type"
 
   /** Thrown (inside the StreamingQueryException) when the owner chain
     * was rewritten under a running stream. */
   val ResyncRequired = "GRAFT_RESYNC_REQUIRED"
 
-  private def resyncMessage(table: String, what: String): String =
+  private[streaming] def resyncMessage(table: String, what: String): String =
     s"$ResyncRequired: the owner chain of table '$table' was rewritten " +
       s"under this stream ($what) — a compaction/upsert replaced " +
       "segments, and a segment-offset feed cannot diff across a " +
@@ -107,6 +196,28 @@ object GraftChangeFeedSource {
       "read (e.g. MatView.refresh, which recomputes over a replace), " +
       "then restart the stream from a FRESH checkpoint (its first " +
       "batch re-delivers the full current snapshot)."
+
+  /** CDC offset: the commit txn the stream has consumed through.
+    * Versions are immutable, so the offset alone replay-determines the
+    * batch. */
+  final case class TxnOffset(txn: String) extends Offset {
+    override def json(): String = s"""{"txn":"$txn"}"""
+  }
+
+  object TxnOffset {
+    private val Re = """\{"txn":"([^"]*)"\}""".r
+    def of(o: org.apache.spark.sql.connector.read.streaming.Offset)
+        : TxnOffset = o match {
+      case t: TxnOffset => t
+      case s: SerializedOffset => parse(s.json)
+      case other => parse(other.json())
+    }
+    def parse(json: String): TxnOffset = json match {
+      case Re(t) => TxnOffset(t)
+      case _ => throw new IllegalArgumentException(
+        s"not a graft CDC offset: $json")
+    }
+  }
 
   /** Offset over the append-only owner chain: `n` segments consumed,
     * the last of which is `last` — the id pins the prefix so a rewrite

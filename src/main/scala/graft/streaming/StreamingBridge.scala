@@ -25,6 +25,19 @@ object StreamingBridge {
       df.sparkSession.asInstanceOf[classic.SparkSession], plan)
   }
 
+  /** Batch plan → ONE streaming leaf: executes the whole batch
+    * computation inside an RDD and mounts it as a streaming-tagged
+    * `LogicalRDD`. For batch plans [[asStreaming]]'s leaf re-tagging
+    * cannot carry — the CDC feed's tombstone anti-join would otherwise
+    * plan as a streaming join (which forbids LeftAnti). The inner plan
+    * keeps its full batch machinery (skipping layers, joins); the
+    * streaming side sees a single row source. */
+  def asStreamingLeaf(df: Dataset[Row]): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+
   /** The inverse bridge, for the store's streaming SINK: the frame a V1
     * `Sink.addBatch` receives is backed by the incremental execution
     * (streaming-tagged leaves), so handing it to a batch writer throws.

@@ -150,4 +150,60 @@ class StoreWriteSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(second == Map("en" -> 3L, "de" -> 1L))
   }
+
+  test("write face declares clustering: the declaring write has the " +
+      "locality, the manifest records it, auto-compaction re-applies " +
+      "it") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val grid = spark.range(60L * 60L)
+      .select((col("id") % 60).as("x"),
+        (col("id") / 60).cast("long").as("y"),
+        (col("id") * 31 % 997).as("v"))
+    grid.repartition(8).write.format("graft")
+      .option("root", root).option("table", "t")
+      .option("statsBy", "x,y")
+      .option("clusterBy", "x,y").option("zOrder", "true")
+      .save()
+    // recorded into the manifest by the WRITE — no compactStore call
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("t")
+    assert(meta.clusterCols == Seq("x", "y") && meta.clusterZOrder)
+    def files(pred: String): Int =
+      AtomicPublish.readTableWhere(spark, root, "t", pred)
+        .inputFiles.length
+    val total = files("x >= 0 OR x < 0")
+    // the DECLARING write already prunes on both dimensions
+    if (total >= 4) {
+      assert(files("x = 30") < total, "x should prune on the fresh write")
+      assert(files("y = 30") < total, "y should prune on the fresh write")
+    }
+    // appends inherit; clustering re-declaration on append is refused
+    Seq((1L, 100L, 0L)).toDF("x", "y", "v").write.format("graft")
+      .option("root", root).option("table", "t")
+      .mode(SaveMode.Append).save()
+    intercept[Exception] {
+      Seq((2L, 101L, 0L)).toDF("x", "y", "v").write.format("graft")
+        .option("root", root).option("table", "t")
+        .option("clusterBy", "x,y").option("zOrder", "true")
+        .mode(SaveMode.Append).save()
+    }
+    // bare auto-compaction re-applies the RECORDED spec (the
+    // ZOrderSpec contrast pin, reached from the write face)
+    val bytes = Compaction.storeTableBytes(spark, root, "t",
+      AtomicPublish.currentTxn(spark, root).get)
+    Compaction.autoCompact(spark, root,
+      AtomicPublish.currentTxn(spark, root).get, maxOwners = 1,
+      targetFileBytes = math.max(bytes / 8, 1L))
+    val after = AtomicPublish.currentManifestMeta(spark, root).get._2("t")
+    assert(after.owners.size == 1)
+    assert(after.clusterCols == Seq("x", "y") && after.clusterZOrder,
+      "write-face-declared clustering lost across auto-compaction")
+    val totalAfter = after.fileStats(after.owners.head).size
+    if (totalAfter >= 4) {
+      assert(files("x = 30") * 3 <= totalAfter * 2)
+      assert(files("y = 30") * 3 <= totalAfter * 2)
+    }
+    assert(AtomicPublish.readTable(spark, root, "t").count() ==
+      60L * 60L + 1)
+  }
 }

@@ -70,6 +70,133 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(seen.flatMap(_._2).isEmpty)
   }
 
+  /** CDC feed plumbing: a doc_id-keyed mirror maintained purely from
+    * the signed microbatches (deletes applied first, then inserts —
+    * the interval semantics of [[AtomicPublish.changesWithDeletes]]). */
+  private def startCdc(root: String, checkpoint: String,
+      mirror: mutable.Map[Long, (String, Long)]): StreamingQuery =
+    spark.readStream.format("graft")
+      .option("root", root).option("table", "docs")
+      .option("withDeletes", "true").load()
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val rows = df.collect()
+        rows.filter(_.getString(3) == "delete")
+          .foreach(r => mirror.remove(r.getLong(0)))
+        rows.filter(_.getString(3) == "insert")
+          .foreach(r => mirror.put(r.getLong(0),
+            (r.getString(1), r.getLong(2))))
+        ()
+      }
+      .start()
+
+  private def batchMirror(root: String): Map[Long, (String, Long)] =
+    AtomicPublish.readTable(spark, root, "docs").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+
+  test("CDC feed (withDeletes): deletes advance the stream and a " +
+      "stream-maintained mirror equals the delete-aware batch read") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("cdc-ck").toString
+    AtomicPublish.publish(spark, root, Map("docs" -> slice(0 until 20, "en")))
+    val mirror = mutable.Map.empty[Long, (String, Long)]
+    def run(): Unit = drain(startCdc(root, ckpt, mirror))
+    // batch 0: full snapshot as inserts
+    run()
+    assert(mirror == batchMirror(root))
+    assert(mirror.keySet == (0L until 20L).toSet)
+    // an interval holding BOTH an append and deletes
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(20 until 30, "de")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(3L, 7L).toDF("doc_id")))
+    run()
+    assert(mirror == batchMirror(root))
+    assert(!mirror.contains(3L) && !mirror.contains(7L))
+    // a DELETE-ONLY commit advances this feed (the plain feed stays
+    // quiet on it — that contrast is the r6 gap this closes)
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(11L, 25L).toDF("doc_id")))
+    run()
+    assert(mirror == batchMirror(root))
+    assert(!mirror.contains(25L))
+    // quiet store → empty batch, mirror stable
+    run()
+    assert(mirror == batchMirror(root))
+  }
+
+  test("vacuum honors a lagging CDC consumer (registry); with the TTL " +
+      "disabled the stream fails with the resync error, never a " +
+      "partial batch") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("cdc-lag-ck").toString
+    // v1 hosts docs' first segment (referenced forever by the
+    // append-only chain); churn an UNRELATED table so intermediate
+    // versions hold only replaced-away segments — the shape where a
+    // lagging consumer's manifest is reclaimable
+    AtomicPublish.publish(spark, root, Map(
+      "docs" -> slice(0 until 10, "en"),
+      "aux" -> Seq((1L, "a")).toDF("k", "v")))
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("aux" -> Seq((2L, "b")).toDF("k", "v")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    val mirror = mutable.Map.empty[Long, (String, Long)]
+    // consumer reads through the aux-replace version and registers it
+    drain(startCdc(root, ckpt, mirror))
+    val consumerTxn = AtomicPublish.currentTxn(spark, root).get
+    assert(AtomicPublish.registeredConsumers(spark, root)
+      .exists(_._2 == consumerTxn))
+    // more churn while the stream lags: two aux replaces + a docs append
+    (0 until 2).foreach { i =>
+      AtomicPublish.publishDelta(spark, root, append = Map.empty,
+        replace = Map("aux" -> Seq((10L + i, "x")).toDF("k", "v")),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 15, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    // aggressive vacuum WITH consumer protection: the consumer's
+    // version survives although nothing in the live closure needs it
+    AtomicPublish.vacuum(spark, root, keepLast = 1, graceMs = 0)
+    val fs = new java.io.File(root, s"v_$consumerTxn")
+    assert(fs.exists, "consumer-held version was reclaimed")
+    // the lagging stream continues exactly (no resync, no loss)
+    drain(startCdc(root, ckpt, mirror))
+    assert(mirror == batchMirror(root))
+    assert(mirror.keySet == (0L until 15L).toSet)
+    // now disable the TTL: re-create the same lag shape — the consumer
+    // reads through an aux-replace version (holding nothing the live
+    // closure needs), then the store churns on
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("aux" -> Seq((19L, "w")).toDF("k", "v")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    drain(startCdc(root, ckpt, mirror))
+    val heldTxn = AtomicPublish.currentTxn(spark, root).get
+    (0 until 2).foreach { i =>
+      AtomicPublish.publishDelta(spark, root, append = Map.empty,
+        replace = Map("aux" -> Seq((20L + i, "y")).toDF("k", "v")),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    AtomicPublish.vacuum(spark, root, keepLast = 1, graceMs = 0,
+      consumerTtlMs = 0)
+    assert(!new java.io.File(root, s"v_$heldTxn").exists)
+    // …and the restarted stream fails with the documented resync
+    // error BEFORE applying anything — the mirror is untouched
+    val before = mirror.toMap
+    val e = intercept[StreamingQueryException] {
+      drain(startCdc(root, ckpt, mirror))
+    }
+    def hasResync(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(
+        _.contains(GraftChangeFeedSource.ResyncRequired)) ||
+        hasResync(t.getCause))
+    assert(hasResync(e))
+    assert(mirror.toMap == before)
+  }
+
   test("streaming matview: commits drive refreshes; compaction falls back") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("cfeed-mv-ck").toString
