@@ -37,9 +37,15 @@ import org.apache.spark.sql.functions._
   *     value + signed multiplicity) — the distinct count is the number
   *     of values whose multiplicity stays positive, so inserts AND
   *     deletes maintain it exactly, at state cost O(live distinct
-  *     values), never O(history). min/max cannot be un-merged, so a
-  *     delete in the interval sends views containing them down the
-  *     full-recompute fallback;
+  *     values), never O(history). min/max cannot be un-merged from a
+  *     scalar, so each carries a BOUNDED per-group top-N value state
+  *     (`<view>_mm_<as>`: the [[MinMaxStateValues]] smallest/largest
+  *     distinct values with exact multiplicities) — a delete decrements
+  *     inside the kept region and the published min/max is the state's
+  *     best surviving value, so delete intervals refresh incrementally;
+  *     only when deletes consume a group's ENTIRE kept region while
+  *     rows remain (state exhaustion, detected before commit) does the
+  *     view fall back to one full recompute that rebuilds the state;
   *  5. publish the merged view, its aux + distinct-value state AND the
   *     advanced watermark in ONE replace delta with `parent = T` — the
   *     CAS rejects the commit if anything moved, so view, state and
@@ -60,11 +66,18 @@ object MatView {
     * `as`. `fn ∈ {sum, count, min, max, count_distinct}`. */
   final case class Agg(fn: String, col: String, as: String)
 
+  /** How many distinct values each min/max aggregate keeps per group
+    * ([[ViewDef.mmTable]] state): a delete-heavy workload consumes the
+    * kept values before forcing a rebuild, so larger = fewer recompute
+    * fallbacks, at state cost O(groups × N). */
+  val MinMaxStateValues = 16
+
   /** What [[Def]] and [[JoinDef]] share: the view identity, its hidden
     * state tables, and the aggregate spec. The view table, its merge
     * state and its watermark live beside the source in the same store
     * root (`<view>` + `<view>_aux` [+ `<view>_dv_<as>` per distinct
-    * aggregate] + `<view>_wm`). */
+    * aggregate, `<view>_mm_<as>` per min/max aggregate] +
+    * `<view>_wm`). */
   sealed trait ViewDef {
     def view: String
     def keys: Seq[String]
@@ -73,12 +86,12 @@ object MatView {
     final def wmTable: String = s"${view}_wm"
     final def auxTable: String = s"${view}_aux"
     final def dvTable(a: Agg): String = s"${view}_dv_${a.as}"
-    final def plainAggs: Seq[Agg] = aggs.filterNot(_.fn == "count_distinct")
+    final def mmTable(a: Agg): String = s"${view}_mm_${a.as}"
+    final def plainAggs: Seq[Agg] =
+      aggs.filter(a => a.fn == "sum" || a.fn == "count")
     final def distinctAggs: Seq[Agg] = aggs.filter(_.fn == "count_distinct")
-    /** Deletes are signed-mergeable iff no agg is min/max
-      * (count_distinct un-merges exactly through its value state). */
-    final def deleteMaintainable: Boolean =
-      plainAggs.forall(a => a.fn == "sum" || a.fn == "count")
+    final def mmAggs: Seq[Agg] =
+      aggs.filter(a => a.fn == "min" || a.fn == "max")
 
     protected final def validate(): Unit = {
       require(aggs.nonEmpty,
@@ -137,17 +150,21 @@ object MatView {
     c.as(a.as)
   }
 
-  /** Hidden merge state: the group's live row count, plus the non-null
+  /** Hidden merge state: the group's live row count, the non-null
     * input count behind every sum (a sum is NULL iff that count is 0 —
     * signed arithmetic alone would leave 0 where the recompute says
-    * null). */
+    * null), and the non-null input count behind every min/max (the
+    * completeness denominator of its value state: state covers the
+    * whole group iff its multiplicities sum to this). */
   private def auxCols(d: ViewDef): Seq[Column] =
     count(lit(1)).as("__rows") +:
-      d.plainAggs.filter(_.fn == "sum")
-        .map(a => count(col(a.col)).as(s"__n_${a.as}"))
+      (d.plainAggs.filter(_.fn == "sum")
+        .map(a => count(col(a.col)).as(s"__n_${a.as}")) ++
+        d.mmAggs.map(a => count(col(a.col)).as(s"__nn_${a.as}")))
 
   private def auxNames(d: ViewDef): Seq[String] =
-    "__rows" +: d.plainAggs.filter(_.fn == "sum").map(a => s"__n_${a.as}")
+    "__rows" +: (d.plainAggs.filter(_.fn == "sum")
+      .map(a => s"__n_${a.as}") ++ d.mmAggs.map(a => s"__nn_${a.as}"))
 
   /** One aggregation pass producing BOTH the public plain-agg columns
     * and the hidden merge state. */
@@ -181,30 +198,128 @@ object MatView {
       .filter(col("__vcnt") > 0)
   }
 
+  /** Per-(group, value) multiplicities of one min/max aggregate's
+    * input — the untrimmed building block of the value state. Nulls
+    * are excluded (min/max ignore them). */
+  private def mmValuesOf(d: ViewDef, a: Agg, rows: DataFrame): DataFrame =
+    rows.filter(col(a.col).isNotNull)
+      .select((d.keys.map(col) :+ col(a.col).as("__v")): _*)
+      .groupBy((d.keys :+ "__v").map(col): _*)
+      .agg(count(lit(1)).as("__vcnt"))
+
+  /** Trim a value state to the [[MinMaxStateValues]] best values per
+    * group: smallest for min, largest for max. The trimmed state is
+    * EXACT within its kept region (every copy of a kept value is
+    * counted) and silent beyond it. */
+  private def mmTrim(d: ViewDef, a: Agg, state: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ord = if (a.fn == "min") col("__v").asc else col("__v").desc
+    val w = Window.partitionBy(d.keys.map(col): _*).orderBy(ord)
+    state.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= MinMaxStateValues).drop("__rk")
+  }
+
+  /** Signed merge of one min/max value state over a refresh interval.
+    *
+    * Region invariant: the state is exact for values INSIDE its kept
+    * region (≤ its worst kept value for min, ≥ for max) and knows
+    * nothing beyond; a group whose multiplicities sum to its non-null
+    * input count (`__nn_<as>` BEFORE the interval) is COMPLETE — its
+    * region is everything. Inserts and deletes inside the region merge
+    * exactly; outside it they are DROPPED (an outside value can never
+    * become the min/max while the region still holds survivors, and
+    * admitting it would fabricate an exact count the state cannot
+    * know). The merged state re-trims, which only ever shrinks the
+    * region — monotonically safe. Exhaustion (deletes consumed a
+    * group's whole region while rows remain) is the caller's check
+    * ([[mmExhausted]]) and forces the recompute rebuild. */
+  private def mmMerge(d: ViewDef, a: Agg, cur: DataFrame,
+      auxBefore: DataFrame, plus: DataFrame,
+      minus: Option[DataFrame]): DataFrame = {
+    // per-group region: worst kept value + completeness
+    val asc = a.fn == "min"
+    val horizon = cur.groupBy(d.keys.map(col): _*).agg(
+      (if (asc) max(col("__v")) else min(col("__v"))).as("__hz"),
+      sum(col("__vcnt")).as("__kept"))
+    val nn = auxBefore.select((d.keys.map(col) :+
+      col(s"__nn_${a.as}").as("__nn")): _*)
+    val region = {
+      val rn = d.keys.zipWithIndex.foldLeft(nn) { case (f, (k, i)) =>
+        f.withColumnRenamed(k, s"__rk$i")
+      }
+      val cond = d.keys.zipWithIndex.map { case (k, i) =>
+        horizon(k) <=> rn(s"__rk$i")
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      horizon.join(rn, cond, "left")
+        .select((d.keys.map(horizon(_)) :+ col("__hz") :+
+          (col("__kept") === coalesce(col("__nn"), lit(0L)))
+            .as("__complete")): _*)
+    }
+    def inRegion(values: DataFrame): DataFrame = {
+      val rn = d.keys.zipWithIndex.foldLeft(region) { case (f, (k, i)) =>
+        f.withColumnRenamed(k, s"__gk$i")
+      }
+      val cond = d.keys.zipWithIndex.map { case (k, i) =>
+        values(k) <=> rn(s"__gk$i")
+      }.reduceOption(_ && _).getOrElse(lit(true))
+      // no region row (null __complete) = group new since the last
+      // rebuild = nothing unseen = accept everything
+      values.join(rn, cond, "left")
+        .filter(col("__complete").isNull || col("__complete") ||
+          (if (asc) col("__v") <= col("__hz")
+           else col("__v") >= col("__hz")))
+        .select(values.columns.map(values(_)).toIndexedSeq: _*)
+    }
+    val plusIn = inRegion(plus)
+    val minusIn = minus.map(inRegion)
+    val keyCols = d.keys :+ "__v"
+    val signed = cur.withColumn("__sign", lit(1L))
+      .unionByName(plusIn.withColumn("__sign", lit(1L)))
+      .unionByName(minusIn.map(_.withColumn("__sign", lit(-1L)))
+        .getOrElse(plusIn.limit(0).withColumn("__sign", lit(1L))))
+    mmTrim(d, a, signed.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__vcnt") * col("__sign")).as("__vcnt"))
+      .filter(col("__vcnt") > 0))
+  }
+
+  /** True iff some group's min/max state died while rows remain: its
+    * post-merge non-null count is positive but the merged state kept no
+    * value — the one case the bounded state cannot answer and the
+    * refresh must rebuild from the snapshot. */
+  private def mmExhausted(d: ViewDef, a: Agg, auxAfter: DataFrame,
+      stateAfter: DataFrame): Boolean = {
+    val alive = auxAfter.filter(col(s"__nn_${a.as}") > 0)
+      .select(d.keys.map(col): _*)
+    val groups = stateAfter.select(d.keys.map(col): _*).distinct()
+    val rn = d.keys.zipWithIndex.foldLeft(groups) { case (f, (k, i)) =>
+      f.withColumnRenamed(k, s"__gk$i")
+    }
+    if (d.keys.isEmpty)
+      alive.limit(1).count() > 0 && groups.limit(1).count() == 0
+    else {
+      val cond = d.keys.zipWithIndex.map { case (k, i) =>
+        alive(k) <=> rn(s"__gk$i")
+      }.reduce(_ && _)
+      alive.join(rn, cond, "left_anti").limit(1).count() > 0
+    }
+  }
+
   /** The SIGNED MERGE: current state (+), inserted-rows aggregate (+),
     * deleted-rows aggregate (−), folded per group in ONE merge
     * aggregation (union with a sign column — no joins, null group keys
     * merge exactly like the recompute's groupBy). Groups whose signed
     * row count reaches 0 vanish; sums whose signed non-null count
-    * reaches 0 become null. `minus` must be empty unless
-    * [[ViewDef.deleteMaintainable]]. */
+    * reaches 0 become null. min/max never pass through here — they are
+    * assembled from their value state ([[mmMerge]]). */
   private def signedMerge(d: ViewDef, cur: DataFrame, plus: DataFrame,
       minus: Option[DataFrame]): DataFrame = {
     val signed = cur.withColumn("__sign", lit(1L))
       .unionByName(plus.withColumn("__sign", lit(1L)))
       .unionByName(minus.map(_.withColumn("__sign", lit(-1L)))
         .getOrElse(plus.limit(0).withColumn("__sign", lit(1L))))
-    val mergeCols: Seq[Column] = d.plainAggs.map { a =>
-      a.fn match {
-        case "sum" | "count" => sum(col(a.as) * col("__sign")).as(a.as)
-        // min/max only reach here on the append path (minus empty):
-        // partial mins/maxes fold; null partials (all-null group slices)
-        // are ignored by the agg exactly like the recompute ignores
-        // null inputs
-        case "min" => min(col(a.as)).as(a.as)
-        case "max" => max(col(a.as)).as(a.as)
-      }
-    } ++ auxNames(d).map(n => sum(col(n) * col("__sign")).as(n))
+    val mergeCols: Seq[Column] = d.plainAggs.map(a =>
+      sum(col(a.as) * col("__sign")).as(a.as)) ++
+      auxNames(d).map(n => sum(col(n) * col("__sign")).as(n))
     // a KEYLESS (global) view keeps its one row at __rows = 0 — the
     // recompute's global aggregate over an empty source still returns
     // one row (count 0, sums null); only keyed groups vanish on death
@@ -229,28 +344,40 @@ object MatView {
     merged.select(projected: _*)
   }
 
-  /** The published view frame: the merged state's plain aggregates plus
-    * one distinct count per value-state table (a null-safe left join on
+  /** The published view frame: the merged state's plain aggregates,
+    * one distinct count per value-state table (null-safe left join on
     * the group keys — a group whose distinct column is all-null has no
     * value rows but must still show 0, like the recompute's
-    * `countDistinct`). */
+    * `countDistinct`), and one best-survivor value per min/max state
+    * (absent state = all-null inputs = NULL, like the recompute). */
   private def assembleView(d: ViewDef, state: DataFrame,
-      dvs: Map[String, DataFrame]): DataFrame = {
-    val withDistinct = d.distinctAggs.foldLeft(state) { (acc, a) =>
-      val cnt = dvs(d.dvTable(a))
-        .groupBy(d.keys.map(col): _*).agg(count(lit(1)).as(a.as))
-      val renamed = d.keys.zipWithIndex.foldLeft(cnt) { case (f, (k, i)) =>
+      dvs: Map[String, DataFrame],
+      mms: Map[String, DataFrame]): DataFrame = {
+    def joinOn(acc: DataFrame, extra: DataFrame,
+        fix: DataFrame => DataFrame): DataFrame = {
+      val renamed = d.keys.zipWithIndex.foldLeft(extra) { case (f, (k, i)) =>
         f.withColumnRenamed(k, s"__jk$i")
       }
       val cond = d.keys.zipWithIndex.map { case (k, i) =>
         acc(k) <=> renamed(s"__jk$i")
       }.reduceOption(_ && _).getOrElse(lit(true)) // keyless = global agg
       val dropped = d.keys.indices.map(i => s"__jk$i")
-      acc.join(renamed, cond, "left")
-        .drop(dropped: _*)
-        .withColumn(a.as, coalesce(col(a.as), lit(0L)))
+      fix(acc.join(renamed, cond, "left").drop(dropped: _*))
     }
-    withDistinct.select((d.keys ++ d.aggs.map(_.as)).map(col): _*)
+    val withDistinct = d.distinctAggs.foldLeft(state) { (acc, a) =>
+      joinOn(acc,
+        dvs(d.dvTable(a))
+          .groupBy(d.keys.map(col): _*).agg(count(lit(1)).as(a.as)),
+        _.withColumn(a.as, coalesce(col(a.as), lit(0L))))
+    }
+    val withMm = d.mmAggs.foldLeft(withDistinct) { (acc, a) =>
+      joinOn(acc,
+        mms(d.mmTable(a)).groupBy(d.keys.map(col): _*)
+          .agg((if (a.fn == "min") min(col("__v"))
+                else max(col("__v"))).as(a.as)),
+        identity)
+    }
+    withMm.select((d.keys ++ d.aggs.map(_.as)).map(col): _*)
   }
 
   /** The view's covered source txn at `atTxn` (None = view not yet
@@ -290,9 +417,11 @@ object MatView {
     val after = srcOwners(spark, root, table, pinned)
     if (before == after) Unchanged
     else if (before._2 != after._2) {
-      // tombstones landed in the interval
-      if (!d.deleteMaintainable) Recompute
-      else AtomicPublish.changesWithDeletes(spark, root, table, covered,
+      // tombstones landed in the interval: every aggregate family is
+      // delete-incremental (sum/count by signed merge, count_distinct
+      // by value state, min/max by bounded top-N state — the latter
+      // may still force a recompute via the exhaustion check)
+      AtomicPublish.changesWithDeletes(spark, root, table, covered,
         Some(pinned)) match {
         case Some((ins, del)) => Incremental(ins, Some(del))
         case None => Recompute
@@ -372,15 +501,20 @@ object MatView {
       }
       // pre-aux views (and replaced sources) lack mergeable state: one
       // full recompute rebuilds it, every later refresh is incremental.
-      // A view published before its distinct-value tables existed
-      // rebuilds the same way.
-      def stateTables: Option[(DataFrame, Map[String, DataFrame])] =
+      // A view published before its distinct-value or min/max state
+      // tables existed rebuilds the same way.
+      def stateTables
+          : Option[(DataFrame, Map[String, DataFrame], Map[String, DataFrame])] =
         if (!manifest.contains(d.auxTable) ||
-          d.distinctAggs.exists(a => !manifest.contains(d.dvTable(a)))) None
+          d.distinctAggs.exists(a => !manifest.contains(d.dvTable(a))) ||
+          d.mmAggs.exists(a => !manifest.contains(d.mmTable(a)))) None
         else Some((
           AtomicPublish.readTableAt(spark, root, d.auxTable, pinned),
           d.distinctAggs.map(a => d.dvTable(a) ->
             AtomicPublish.readTableAt(spark, root, d.dvTable(a), pinned))
+            .toMap,
+          d.mmAggs.map(a => d.mmTable(a) ->
+            AtomicPublish.readTableAt(spark, root, d.mmTable(a), pinned))
             .toMap))
       val delta: Delta = wm match {
         case Some(covered) if covered == pinned => Unchanged
@@ -390,39 +524,61 @@ object MatView {
         }
         case None => Recompute
       }
-      val next: Option[(DataFrame, Map[String, DataFrame])] = delta match {
-        case Unchanged => return None
-        case Recompute =>
-          val rows = snapshot
-          Some((aggregateAll(d, rows),
-            d.distinctAggs.map(a => d.dvTable(a) -> dvOf(d, a, rows)).toMap))
-        case Incremental(plus, minus) => stateTables match {
-          case Some((aux, dvs)) => Some((
-            signedMerge(d, aux, aggregateAll(d, plus),
-              minus.map(aggregateAll(d, _))),
-            d.distinctAggs.map { a =>
-              d.dvTable(a) -> dvMerge(dvs(d.dvTable(a)), dvOf(d, a, plus),
-                minus.map(dvOf(d, a, _)))
-            }.toMap))
-          case None =>
-            val rows = snapshot
-            Some((aggregateAll(d, rows),
-              d.distinctAggs.map(a => d.dvTable(a) -> dvOf(d, a, rows))
-                .toMap))
-        }
+      def recomputeAll
+          : (DataFrame, Map[String, DataFrame], Map[String, DataFrame]) = {
+        val rows = snapshot
+        (aggregateAll(d, rows),
+          d.distinctAggs.map(a => d.dvTable(a) -> dvOf(d, a, rows)).toMap,
+          d.mmAggs.map(a =>
+            d.mmTable(a) -> mmTrim(d, a, mmValuesOf(d, a, rows))).toMap)
       }
+      val next: Option[(DataFrame, Map[String, DataFrame], Map[String, DataFrame])] =
+        delta match {
+          case Unchanged => return None
+          case Recompute => Some(recomputeAll)
+          case Incremental(plus, minus) => stateTables match {
+            case Some((aux, dvs, mmsCur)) =>
+              val auxAfter =
+                signedMerge(d, aux, aggregateAll(d, plus),
+                  minus.map(aggregateAll(d, _))).cache()
+              try {
+                val mmsAfter = d.mmAggs.map { a =>
+                  d.mmTable(a) -> mmMerge(d, a, mmsCur(d.mmTable(a)), aux,
+                    mmValuesOf(d, a, plus),
+                    minus.map(mmValuesOf(d, a, _))).cache()
+                }.toMap
+                // a min/max state consumed whole while rows remain
+                // cannot answer — rebuild everything from the snapshot
+                val exhausted = minus.isDefined && d.mmAggs.exists(a =>
+                  mmExhausted(d, a, auxAfter, mmsAfter(d.mmTable(a))))
+                val out =
+                  if (exhausted) { // state rebuild — one full recompute
+                    mmsAfter.values.foreach(_.unpersist())
+                    recomputeAll
+                  } else (auxAfter,
+                    d.distinctAggs.map { a =>
+                      d.dvTable(a) -> dvMerge(dvs(d.dvTable(a)),
+                        dvOf(d, a, plus), minus.map(dvOf(d, a, _)))
+                    }.toMap,
+                    mmsAfter)
+                Some(out)
+              } finally { auxAfter.unpersist(); () }
+            case None => Some(recomputeAll)
+          }
+        }
       next match {
         case None => return None
-        case Some((state0, dvs0)) =>
+        case Some((state0, dvs0, mms0)) =>
           // one computation feeds every published frame
           val state = state0.cache()
           val dvs = dvs0.map { case (t, f) => t -> f.cache() }
+          val mms = mms0.map { case (t, f) => t -> f.cache() }
           try {
             AtomicPublish.publishDelta(spark, root, append = Map.empty,
               replace = Map(
-                d.view -> assembleView(d, state, dvs),
+                d.view -> assembleView(d, state, dvs, mms),
                 d.auxTable -> state,
-                d.wmTable -> Seq(pinned).toDF("covered_txn")) ++ dvs,
+                d.wmTable -> Seq(pinned).toDF("covered_txn")) ++ dvs ++ mms,
               parent = Some(pinned)) match {
               case Some(txn) => return Some(txn)
               case None => () // a publisher won the race: re-pin, retry
@@ -430,6 +586,7 @@ object MatView {
           } finally {
             state.unpersist()
             dvs.values.foreach(_.unpersist())
+            mms.values.foreach(_.unpersist())
           }
       }
     }

@@ -219,6 +219,84 @@ class MatViewSpec extends SparkSuite {
     assert(nullRow.getLong(1) == 1L && nullRow.getLong(2) == 3L)
   }
 
+  test("delete-of-max refreshes min/max INCREMENTALLY (bounded value " +
+      "state, no recompute); exhaustion falls back and rebuilds") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 100, "en")),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    assert(MatView.refresh(spark, root, byLang).isDefined)
+    def mmState(a: String): Seq[Long] =
+      AtomicPublish.readTable(spark, root, s"lang_stats_mm_$a")
+        .select("__v").collect().map(_.getLong(0)).toSeq.sorted
+    // the max state holds the 16 LARGEST ids with exact counts
+    assert(mmState("last_id") == (84L until 100L).toSeq)
+    assert(mmState("first_id") == (0L until 16L).toSeq)
+    // delete the current max: the refresh decrements INSIDE the kept
+    // region — the post-refresh state has 15 values (a recompute would
+    // rebuild to 16), which is the incremental-path pin
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(99L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, byLang).isDefined)
+    assert(viewRows(root) == expect(root))
+    assert(viewRows(root).head.getLong(4) == 98L) // last_id moved
+    assert(mmState("last_id") == (84L until 99L).toSeq,
+      "expected the decremented state, not a rebuilt one")
+    // consume the ENTIRE kept region while rows remain: exhaustion is
+    // detected before commit and the refresh rebuilds from scratch
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> (84L until 99L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, byLang).isDefined)
+    assert(viewRows(root) == expect(root))
+    assert(viewRows(root).head.getLong(4) == 83L)
+    assert(mmState("last_id").size == MatView.MinMaxStateValues,
+      "exhaustion must rebuild the full state")
+    // and the rebuilt state keeps absorbing deletes incrementally
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(83L, 0L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, byLang).isDefined)
+    assert(viewRows(root) == expect(root))
+    val r = viewRows(root).head
+    assert(r.getLong(3) == 1L && r.getLong(4) == 82L)
+  }
+
+  test("min over a nullable column: all-null group goes NULL; keyless " +
+      "(global) min/max views merge and exhaust correctly") {
+    val root = freshRoot()
+    val mn = MatView.Def("docs", "w_stats", Seq("lang"),
+      Seq(MatView.Agg("min", "words", "w_min"),
+        MatView.Agg("count", "doc_id", "n")))
+    AtomicPublish.publish(spark, root, Map("docs" ->
+      Seq((1L, "a", Option(10L)), (2L, "a", Option.empty[Long]),
+        (3L, "b", Option(7L))).toDF("doc_id", "lang", "words")))
+    assert(MatView.refresh(spark, root, mn).isDefined)
+    // delete a's only non-null words row: min must go NULL (row 2 stays)
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(1L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, mn).isDefined)
+    val rows = AtomicPublish.readTable(spark, root, "w_stats").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("a").isNullAt(1) && rows("a").getLong(2) == 1L)
+    assert(rows("b").getLong(1) == 7L)
+    assert(AtomicPublish.readTable(spark, root, "w_stats").collect().toSet
+      == MatView.recomputed(spark, root, mn,
+        AtomicPublish.currentTxn(spark, root).get).collect().toSet)
+    // keyless global view over the same source
+    val g = MatView.Def("docs", "g_stats", Seq.empty,
+      Seq(MatView.Agg("min", "doc_id", "lo"),
+        MatView.Agg("count", "doc_id", "n")))
+    assert(MatView.refresh(spark, root, g).isDefined)
+    def gRow() = AtomicPublish.readTable(spark, root, "g_stats").head()
+    assert(gRow().getLong(0) == 2L && gRow().getLong(1) == 2L)
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(2L).toDF("doc_id")))
+    assert(MatView.refresh(spark, root, g).isDefined)
+    assert(gRow().getLong(0) == 3L && gRow().getLong(1) == 1L)
+    assert(AtomicPublish.readTable(spark, root, "g_stats").collect().toSet
+      == MatView.recomputed(spark, root, g,
+        AtomicPublish.currentTxn(spark, root).get).collect().toSet)
+  }
+
   test("refresh retries past a concurrent publisher (CAS loss)") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root,
