@@ -193,6 +193,7 @@ object ScaleRehearsal {
     spark.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.ops.GraftCatalog].getName)
     spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    graft.ops.GraftCatalogRead.probeEnabled = true // opt-in plan probe
     val catalogPointSec = minOf {
       pointIds.foreach { id =>
         require(spark.sql(
@@ -258,6 +259,75 @@ object ScaleRehearsal {
       require(MatView.refresh(spark, root, d).isDefined)
     }
     require(mvMatches(), "matview after delete interval != recompute")
+    // --- SQL catalog DML at the FULL history ---------------------------
+    // one INSERT INTO and one keyed DELETE FROM against the
+    // `segments`-commit table: each must stay an O(batch)+O(manifest)
+    // commit (the owner count grows by exactly one on insert; the
+    // delete is one tombstone commit on the established key)
+    val liveNow = liveExpected
+    val newRid = 2L * n + 7
+    val ownersBefore = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("docs").owners.size
+    val (_, sqlInsertSec) = timed {
+      spark.sql(
+        s"INSERT INTO $cat.docs VALUES ($newRid, 999999999, 'zz', 7)")
+    }
+    require(AtomicPublish.readTable(spark, root, "docs").count() ==
+      liveNow + 1, "SQL INSERT lost or duplicated rows")
+    require(AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("docs").owners.size == ownersBefore + 1,
+      "SQL INSERT should append exactly one owner segment")
+    val (_, sqlDeleteSec) = timed {
+      spark.sql(s"DELETE FROM $cat.docs WHERE rid = $newRid")
+    }
+    require(AtomicPublish.readTable(spark, root, "docs").count() ==
+      liveNow, "SQL DELETE did not remove exactly the inserted row")
+    // --- streaming sink: `segments/2` microbatch commits + replays -----
+    // (500 at the driver's 1000-segment scale) — per-batch commit cost
+    // must stay flat-ish across the run (manifest growth is the only
+    // superlinear risk), replayed batch ids must no-op, and one
+    // auto-compaction bounds the accumulated owners without losing rows
+    val sinkRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_sink_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    val sink = new graft.ops.GraftSink(spark, sinkRoot, "events",
+      Nil, Seq("rid"), Nil, complete = false)
+    val batches = math.max(segments / 2, 10)
+    val perBatch = 5L
+    def batchDf(i: Long) = spark.range(i * perBatch, (i + 1) * perBatch)
+      .select(col("id").as("rid"), lit("x").as("tag"))
+    val sinkTimes = new Array[Double](batches)
+    val (_, sinkTotalSec) = timed {
+      (0 until batches).foreach { i =>
+        sinkTimes(i) = timed(sink.addBatch(i.toLong, batchDf(i)))._2
+        if (i % 50 == 49) {
+          // replay storm: a redelivered earlier batch must no-op
+          val before = AtomicPublish.currentTxn(spark, sinkRoot)
+          sink.addBatch(i.toLong - 1, batchDf(i - 1))
+          require(AtomicPublish.currentTxn(spark, sinkRoot) == before,
+            "replayed microbatch committed twice")
+        }
+      }
+    }
+    require(AtomicPublish.readTable(spark, sinkRoot, "events").count() ==
+      batches * perBatch, "sink lost or duplicated microbatch rows")
+    def p50(xs: Array[Double]): Double = xs.sorted.apply(xs.length / 2)
+    val q = math.max(batches / 5, 1)
+    val sinkFirstP50 = p50(sinkTimes.take(q))
+    val sinkLastP50 = p50(sinkTimes.takeRight(q))
+    require(sinkLastP50 <= sinkFirstP50 * 8 + 0.05,
+      f"sink per-batch commit grew superlinearly: first-quintile p50 " +
+        f"$sinkFirstP50%.3fs → last-quintile p50 $sinkLastP50%.3fs")
+    graft.ops.Compaction.autoCompact(spark, sinkRoot,
+      AtomicPublish.currentTxn(spark, sinkRoot).get,
+      maxOwners = 32, targetFileBytes = 128L << 20)
+    val sinkMeta = AtomicPublish.currentManifestMeta(spark, sinkRoot)
+      .get._2("events")
+    require(sinkMeta.owners.size <= 32,
+      s"auto-compaction left ${sinkMeta.owners.size} sink owners")
+    require(AtomicPublish.readTable(spark, sinkRoot, "events").count() ==
+      batches * perBatch, "auto-compaction changed the sink row count")
     docs.unpersist()
     Map("store_stage" -> stageSec, "store_point_read" -> pointSec,
       "store_range_read" -> rangeSec,
@@ -265,7 +335,11 @@ object ScaleRehearsal {
       "store_mass_delete_commit" -> deleteCommitSec,
       "store_delete_read" -> deleteReadSec,
       "store_mv_append_refresh" -> mvAppendSec,
-      "store_mv_delete_refresh" -> mvDeleteSec)
+      "store_mv_delete_refresh" -> mvDeleteSec,
+      "store_sql_insert" -> sqlInsertSec,
+      "store_sql_delete" -> sqlDeleteSec,
+      "store_sink_batch_p50" -> p50(sinkTimes),
+      "store_sink_total" -> sinkTotalSec)
   }
 
   def main(args: Array[String]): Unit = {
