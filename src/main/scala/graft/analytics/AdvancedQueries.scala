@@ -930,6 +930,75 @@ object AdvancedQueries {
     root
   }
 
+  private val store8Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE8: SQL MAINTENANCE inside the correctness gate — the whole
+    * operator lifecycle is SQL: CREATE TABLE (skipping + clustering
+    * layout via TBLPROPERTIES), three INSERT INTO commits, a DELETE
+    * FROM range, then `CALL system.compact` (consolidates the owner
+    * chain, PHYSICALLY applies the tombstones, records the clustering)
+    * and `CALL system.vacuum` (reclaims the pre-compaction history) —
+    * the `ProcedureCatalog` face ([[graft.ops.GraftProcedures]]).
+    * The readback aggregates the post-maintenance state; DuckDB
+    * reproduces it from the SOURCE with the delete predicate applied,
+    * so the hash match proves compaction and vacuum are LOSSLESS over
+    * the delete-adjusted state (a compaction that resurrected deleted
+    * rows, dropped a segment, or a vacuum that reclaimed live data all
+    * flip the hash). */
+  def store8CatalogMaintain(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store8Cache, spark, dir, "documents") {
+      stageStore8(spark, dir)
+    }
+    val cat = catalogFor(spark, "store8", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore8(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store8")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val cat = catalogFor(spark, "store8", root)
+    val src = s"store8_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""CREATE TABLE $cat.documents
+         |  (doc_id BIGINT, lang STRING, text STRING)
+         |TBLPROPERTIES ('statsBy'='doc_id', 'bloomBy'='doc_id')
+         |""".stripMargin)
+    for (k <- 0 until 3)
+      spark.sql(s"INSERT INTO $cat.documents " +
+        s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 3 = $k")
+    spark.sql(s"DELETE FROM $cat.documents " +
+      "WHERE doc_id BETWEEN 40 AND 160 OR doc_id >= 430")
+    // maintenance through CALL: consolidate + cluster + reclaim
+    spark.sql(s"CALL $cat.system.compact(table => 'documents', " +
+      "cluster_by => 'doc_id', target_file_mb => 8)").collect()
+    spark.sql(s"CALL $cat.system.vacuum(keep_last => 1, " +
+      "grace_ms => CAST(0 AS BIGINT))").collect()
+    root
+  }
+
+  val store8CatalogMaintainSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  min(doc_id)::BIGINT AS min_id,
+      |  max(doc_id)::BIGINT AS max_id
+      |FROM documents
+      |WHERE NOT (doc_id BETWEEN 40 AND 160 OR doc_id >= 430)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val store7CatalogMergeSql: String =
     """WITH final AS (
       |  SELECT doc_id, lang, text || '!' AS text FROM documents
@@ -1523,6 +1592,7 @@ object AdvancedQueries {
     "store5_catalog_dml" -> (store5CatalogDml _),
     "store6_catalog_ddl" -> (store6CatalogDdl _),
     "store7_catalog_merge" -> (store7CatalogMerge _),
+    "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1573,6 +1643,7 @@ object AdvancedQueries {
     "store5_catalog_dml" -> store5CatalogDmlSql,
     "store6_catalog_ddl" -> store6CatalogDdlSql,
     "store7_catalog_merge" -> store7CatalogMergeSql,
+    "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

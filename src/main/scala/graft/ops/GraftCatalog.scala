@@ -76,8 +76,14 @@ import graft.ops.AtomicPublish.TableMeta
   * tables once and every query resolves them by name through the ORM's
   * metadata — this catalog is that name-resolution layer, grown onto
   * the store.)
+  *
+  * Maintenance is SQL too: the catalog is a [[org.apache.spark.sql
+  * .connector.catalog.ProcedureCatalog]] — `CALL <cat>.system.compact
+  * /vacuum/history/consumers(...)` run the store's maintenance
+  * operations and return their summary rows ([[GraftProcedures]]).
   */
-final class GraftCatalog extends TableCatalog {
+final class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var root: String = _
@@ -303,6 +309,29 @@ final class GraftCatalog extends TableCatalog {
 
   override def renameTable(oldIdent: Identifier,
       newIdent: Identifier): Unit = unsupported("RENAME TABLE")
+
+  /** Procedures live under the `system` namespace (the Iceberg
+    * convention): `CALL <cat>.system.<proc>(...)`. */
+  private def sysNs(ns: Array[String]): Boolean =
+    ns.length == 1 && ns(0).equalsIgnoreCase("system")
+
+  override def listProcedures(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || sysNs(namespace))
+      GraftProcedures.names
+        .map(Identifier.of(Array("system"), _)).toArray
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val known =
+      if (sysNs(ident.namespace()))
+        GraftProcedures.load(root, ident.name()) else None
+    known.getOrElse(throw new UnsupportedOperationException(
+      s"procedure ${ident.namespace().mkString(".")}.${ident.name()} " +
+        s"is not defined on graft catalog '$catName' — available: " +
+        GraftProcedures.names.map("system." + _).mkString(", ")))
+  }
 }
 
 /** One store table pinned at one published version — the V2 face over

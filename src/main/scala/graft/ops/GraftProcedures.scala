@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL stored procedures for store MAINTENANCE — the `CALL` face of the
+  * operations a lakehouse operator runs on a schedule: compaction
+  * (with optional re-clustering), retention vacuum, commit history and
+  * the streaming-consumer registry. Spark 4's `ProcedureCatalog` +
+  * `CALL <cat>.system.<proc>(...)` machinery (SPARK-44167) invokes
+  * these during analysis and surfaces each one's summary row as the
+  * statement's result set — so a SQL-only session can not only create,
+  * load and mutate tables ([[GraftCatalog]]) but also MAINTAIN the
+  * store without ever touching the Scala API. This is the Iceberg
+  * `CALL cat.system.rewrite_data_files(...)` shape re-expressed over
+  * the graft manifest; each procedure delegates to the SAME code path
+  * its API twin uses ([[Compaction.compactStore]],
+  * [[AtomicPublish.vacuum]], …), so `CALL` is a face, not a fork.
+  *
+  * (Reference analog: the reference leaves maintenance to Postgres —
+  * autovacuum, REINDEX; an explicit SQL face is the engine-side
+  * equivalent for a manifest-owned store.)
+  *
+  * All procedures are non-deterministic (they observe or mutate store
+  * state) and return exactly one [[LocalScan]]: the Spark 4.1 invoke
+  * path materializes it as the CALL statement's local result relation.
+  */
+private[ops] object GraftProcedures {
+
+  val names: Seq[String] = Seq("compact", "consumers", "history", "vacuum")
+
+  def load(root: String, name: String): Option[UnboundProcedure] =
+    name match {
+      case "compact" => Some(new CompactProc(root))
+      case "vacuum" => Some(new VacuumProc(root))
+      case "history" => Some(new HistoryProc(root))
+      case "consumers" => Some(new ConsumersProc(root))
+      case _ => None
+    }
+
+  // --- shared plumbing -------------------------------------------------------
+
+  private def spark = SparkSession.active
+
+  /** One-or-many-row local result: what `CALL` renders. */
+  private final class ResultScan(out: StructType,
+      data: Array[InternalRow]) extends LocalScan {
+    override def rows(): Array[InternalRow] = data
+    override def readSchema(): StructType = out
+    override def description(): String = "graft procedure result"
+  }
+
+  private def result(out: StructType,
+      data: Array[InternalRow]): java.util.Iterator[Scan] =
+    java.util.Collections
+      .singletonList[Scan](new ResultScan(out, data)).iterator()
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+
+  private abstract class GraftProc(procName: String)
+    extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  private def param(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      default: String = null): ProcedureParameter = {
+    val b = ProcedureParameter.in(name, dt)
+    if (default != null) b.defaultValue(default)
+    b.build()
+  }
+
+  // --- compact ---------------------------------------------------------------
+
+  /** `CALL <cat>.system.compact(table => 't' [, target_file_mb => 128]
+    * [, cluster_by => 'a,b'] [, z_order => true])` — consolidate one
+    * table's owner chain (and physically apply its tombstones) through
+    * [[Compaction.compactStore]]; an explicit `cluster_by` re-clusters
+    * and RECORDS the layout, a bare call re-applies the recorded one.
+    * Returns the committed version and the owner counts either side. */
+  private final class CompactProc(root: String) extends GraftProc("compact") {
+
+    override def description(): String =
+      "consolidate a table's segments (applying tombstones); " +
+        "optionally (re)cluster and record the layout"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("target_file_mb", IntegerType, "128"),
+      param("cluster_by", StringType, "''"),
+      param("z_order", BooleanType, "false"))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("partitions", IntegerType, nullable = false)
+      .add("owners_before", IntegerType, nullable = false)
+      .add("owners_after", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val targetMb = if (input.isNullAt(1)) 128 else input.getInt(1)
+      require(targetMb > 0, s"target_file_mb must be positive, got $targetMb")
+      val clusterBy =
+        if (input.isNullAt(2)) Nil
+        else input.getUTF8String(2).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
+      val zOrder = !input.isNullAt(3) && input.getBoolean(3)
+      val before = AtomicPublish.currentTxn(spark, root)
+        .flatMap(AtomicPublish.manifestMetaOf(spark, root, _).get(table))
+        .map(_.owners.size).getOrElse(
+          throw new IllegalArgumentException(
+            s"table '$table' is not published under $root"))
+      val (txn, parts) = Compaction.compactStore(spark, root, table,
+        targetBytes = targetMb.toLong * 1024 * 1024,
+        clusterBy = clusterBy, zOrder = zOrder)
+      val after = AtomicPublish.manifestMetaOf(spark, root, txn)
+        .get(table).map(_.owners.size).getOrElse(0)
+      result(out, Array(new GenericInternalRow(
+        Array[Any](utf8(txn), parts, before, after))))
+    }
+  }
+
+  // --- vacuum ----------------------------------------------------------------
+
+  /** `CALL <cat>.system.vacuum([keep_last => 1] [, min_age_ms => 0]
+    * [, grace_ms => 3600000] [, consumer_ttl_ms => 604800000])` —
+    * retention pass over the whole store ([[AtomicPublish.vacuum]]:
+    * reference-closure-safe, in-flight-publish-safe, consumer-lag-
+    * aware). Returns how many paths were reclaimed. */
+  private final class VacuumProc(root: String) extends GraftProc("vacuum") {
+
+    override def description(): String =
+      "reclaim unreferenced versions/segments past retention " +
+        "(consumer-lag aware)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("keep_last", IntegerType, "1"),
+      param("min_age_ms", LongType, "CAST(0 AS BIGINT)"),
+      param("grace_ms", LongType, "CAST(3600000 AS BIGINT)"),
+      param("consumer_ttl_ms", LongType, "CAST(604800000 AS BIGINT)"))
+
+    private val out = new StructType()
+      .add("reclaimed", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val keepLast = if (input.isNullAt(0)) 1 else input.getInt(0)
+      val minAge = if (input.isNullAt(1)) 0L else input.getLong(1)
+      val grace = if (input.isNullAt(2)) 3600000L else input.getLong(2)
+      val ttl = if (input.isNullAt(3)) 604800000L else input.getLong(3)
+      val reclaimed = AtomicPublish.vacuum(spark, root,
+        keepLast = keepLast, minAgeMs = minAge, graceMs = grace,
+        consumerTtlMs = ttl)
+      result(out, Array(new GenericInternalRow(
+        Array[Any](reclaimed.size))))
+    }
+  }
+
+  // --- history ---------------------------------------------------------------
+
+  /** `CALL <cat>.system.history([limit => 100])` — the commit log,
+    * newest first: one row per committed version with its marker
+    * timestamp, the `DESCRIBE HISTORY` analog. Feed a `version` into
+    * `VERSION AS OF` for time travel. */
+  private final class HistoryProc(root: String) extends GraftProc("history") {
+
+    override def description(): String =
+      "committed versions newest-first (time-travel targets)"
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("limit", IntegerType, "100"))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("committed_at_ms", LongType, nullable = false)
+      .add("is_live", BooleanType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val limit = if (input.isNullAt(0)) 100 else input.getInt(0)
+      require(limit > 0, s"limit must be positive, got $limit")
+      val live = AtomicPublish.currentTxn(spark, root)
+      val rows = AtomicPublish.committedVersions(spark, root)
+        .reverse.take(limit).map { case (txn, ts) =>
+          new GenericInternalRow(Array[Any](
+            utf8(txn), ts, live.contains(txn))): InternalRow
+        }
+      result(out, rows.toArray)
+    }
+  }
+
+  // --- consumers -------------------------------------------------------------
+
+  /** `CALL <cat>.system.consumers()` — the streaming-consumer registry
+    * ([[AtomicPublish.recordConsumer]]): one row per registered CDC
+    * checkpoint with the version its next batch diffs from and how many
+    * commits behind the live pointer it lags (null when its version has
+    * already left history — that stream will resync on restart). The
+    * observability half of consumer-lag-aware vacuum. */
+  private final class ConsumersProc(root: String)
+    extends GraftProc("consumers") {
+
+    override def description(): String =
+      "registered streaming consumers with per-checkpoint lag"
+
+    override def parameters(): Array[ProcedureParameter] = Array.empty
+
+    private val out = new StructType()
+      .add("consumer_id", StringType, nullable = false)
+      .add("next_from_version", StringType, nullable = false)
+      .add("registered_at_ms", LongType, nullable = false)
+      .add("commits_behind", IntegerType, nullable = true)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val versions = AtomicPublish.committedVersions(spark, root).map(_._1)
+      val index = versions.zipWithIndex.toMap
+      val rows = AtomicPublish.registeredConsumers(spark, root)
+        .sortBy(_._1).map { case (id, txn, at) =>
+          val behind: Any = index.get(txn)
+            .map(i => versions.size - 1 - i).orNull
+          new GenericInternalRow(Array[Any](
+            utf8(id), utf8(txn), at, behind)): InternalRow
+        }
+      result(out, rows.toArray)
+    }
+  }
+}

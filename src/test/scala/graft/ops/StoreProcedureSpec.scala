@@ -1,0 +1,146 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSuite
+
+/** SQL maintenance procedures ([[GraftProcedures]] via
+  * [[GraftCatalog]]'s `ProcedureCatalog` face): `CALL
+  * <cat>.system.compact/vacuum/history/consumers(...)` must run the
+  * SAME maintenance operations the Scala API exposes and return their
+  * summary rows as the statement result — so a SQL-only session can
+  * operate the store end to end (create → insert → maintain). */
+class StoreProcedureSpec extends SparkSuite {
+  import spark.implicits._
+
+  private var n = 0
+  private def mount(root: String): String = {
+    n += 1
+    val name = s"graftproc$n"
+    spark.conf.set(s"spark.sql.catalog.$name",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("storeproc").resolve("store").toString
+
+  private def docs(ids: Range, lang: String): DataFrame =
+    ids.map(i => (i.toLong, lang, s"text-$i")).toDF("doc_id", "lang", "text")
+
+  /** Multi-owner store: three appended segments. */
+  private def stage(root: String): Unit = {
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 100, "en")),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(100 until 200, "de")),
+      parent = Some(v1)).get
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(200 until 300, "fr")),
+      parent = Some(v2))
+  }
+
+  test("CALL compact consolidates owners and preserves rows") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    val row = spark.sql(
+      s"CALL $cat.system.compact(table => 'docs')").collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Int]("owners_before") == 3)
+    assert(row(0).getAs[Int]("owners_after") == 1)
+    val version = row(0).getAs[String]("version")
+    assert(AtomicPublish.currentTxn(spark, root).contains(version))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 300)
+  }
+
+  test("CALL compact applies tombstones and records clustering") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    spark.sql(s"DELETE FROM $cat.docs WHERE doc_id >= 250")
+    spark.sql(s"CALL $cat.system.compact(table => 'docs', " +
+      "cluster_by => 'doc_id', target_file_mb => 1)").collect()
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val metas = AtomicPublish.manifestMetaOf(spark, root, txn)
+    // the rewrite IS the physical delete: tombstone companion cleared
+    assert(AtomicPublish.readTable(spark, root,
+      AtomicPublish.deleteTableOf("docs")).count() == 0)
+    assert(metas("docs").clusterCols == Seq("doc_id"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 250)
+  }
+
+  test("CALL history lists commits newest-first; versions time-travel") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    val rows = spark.sql(s"CALL $cat.system.history(limit => 10)")
+      .collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Boolean]("is_live"))
+    assert(rows.drop(1).forall(!_.getAs[Boolean]("is_live")))
+    // newest-first ordering by commit time
+    val times = rows.map(_.getAs[Long]("committed_at_ms")).toSeq
+    assert(times == times.sorted.reverse)
+    // the OLDEST version serves the first segment only
+    val oldest = rows.last.getAs[String]("version")
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs " +
+      s"VERSION AS OF '$oldest'").head().getLong(0) == 100)
+    // default limit works too (positional arg)
+    assert(spark.sql(s"CALL $cat.system.history()").collect().length == 3)
+  }
+
+  test("CALL vacuum reclaims aged history; live data survives") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    assert(AtomicPublish.committedVersions(spark, root).size == 3)
+    // append-only history is fully referenced by the live version
+    // (reference closure) — nothing is reclaimable yet, and vacuum
+    // must say so rather than break the chain
+    val noop = spark.sql(s"CALL $cat.system.vacuum(" +
+      "keep_last => 1, grace_ms => CAST(0 AS BIGINT))")
+      .head().getAs[Int]("reclaimed")
+    assert(noop == 0)
+    // after compaction the live version is self-contained: the three
+    // appended versions' dirs age out and CALL vacuum reclaims them
+    spark.sql(s"CALL $cat.system.compact(table => 'docs')").collect()
+    val reclaimed = spark.sql(s"CALL $cat.system.vacuum(" +
+      "keep_last => 1, grace_ms => CAST(0 AS BIGINT))")
+      .head().getAs[Int]("reclaimed")
+    assert(reclaimed > 0)
+    assert(AtomicPublish.committedVersions(spark, root).size == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 300)
+  }
+
+  test("CALL consumers shows registered checkpoints with lag") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    val versions = AtomicPublish.committedVersions(spark, root).map(_._1)
+    AtomicPublish.recordConsumer(spark, root, "ckpt-a", versions.head)
+    AtomicPublish.recordConsumer(spark, root, "ckpt-b", versions.last)
+    AtomicPublish.recordConsumer(spark, root, "ckpt-gone", "v_not_there")
+    val rows = spark.sql(s"CALL $cat.system.consumers()").collect()
+      .map(r => r.getAs[String]("consumer_id") ->
+        Option(r.getAs[Integer]("commits_behind"))).toMap
+    assert(rows.keySet == Set("ckpt-a", "ckpt-b", "ckpt-gone"))
+    assert(rows("ckpt-a").map(_.intValue).contains(versions.size - 1))
+    assert(rows("ckpt-b").map(_.intValue).contains(0))
+    assert(rows("ckpt-gone").isEmpty) // vacuumed away → resync on restart
+  }
+
+  test("SHOW PROCEDURES lists the surface; unknown CALL is refused") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
+      .map(_.getAs[String]("procedure_name")).toSet
+    assert(listed == Set("compact", "vacuum", "history", "consumers"))
+    val err = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
+    }
+    assert(err.getMessage.contains("rewrite_everything"))
+  }
+}
