@@ -999,6 +999,80 @@ object AdvancedQueries {
       |WHERE NOT (doc_id BETWEEN 40 AND 160 OR doc_id >= 430)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val store9Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE9: time-travel ROLLBACK inside the correctness gate — the
+    * "bad load day" lifecycle, all SQL: CREATE TABLE, a clean INSERT
+    * (the good state), then a CORRUPTED second load (mangled lang and
+    * truncated text) followed by an over-eager DELETE — and `CALL
+    * system.restore` rolls the table back to the good version
+    * ([[graft.ops.AtomicPublish.restoreTable]]: O(1) metadata, the
+    * restore target picked from `CALL system.history`), after which
+    * day two re-loads the second half CLEANLY. The readback aggregates
+    * the final state; DuckDB reproduces it from the pristine source
+    * with NO predicates — the hash match proves the rollback erased
+    * every trace of the corrupted load and the bad delete while the
+    * good history kept flowing. (The reference repairs a bad load by
+    * re-running the pipeline, routes.py:62-148; at 100 TB the O(1)
+    * metadata rollback is what makes that survivable.) */
+  def store9CatalogRestore(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store9Cache, spark, dir, "documents") {
+      stageStore9(spark, dir)
+    }
+    val cat = catalogFor(spark, "store9", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id,
+         |  sum(length(text)) AS n_chars
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore9(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store9")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val cat = catalogFor(spark, "store9", root)
+    val src = s"store9_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""CREATE TABLE $cat.documents
+         |  (doc_id BIGINT, lang STRING, text STRING)
+         |TBLPROPERTIES ('statsBy'='doc_id')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.documents " +
+      s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 2 = 0")
+    // the bad day: a corrupted load, then an over-eager delete
+    spark.sql(s"INSERT INTO $cat.documents " +
+      s"SELECT doc_id, 'xx' AS lang, substr(text, 1, 3) AS text " +
+      s"FROM $src WHERE doc_id % 2 = 1")
+    spark.sql(s"DELETE FROM $cat.documents WHERE doc_id BETWEEN 30 AND 90")
+    // commits so far, newest-first: DELETE, bad INSERT, good INSERT,
+    // CREATE — the good state is position 2
+    val good = spark.sql(s"CALL $cat.system.history()")
+      .collect()(2).getAs[String]("version")
+    spark.sql(s"CALL $cat.system.restore(" +
+      s"table => 'documents', version => '$good')").collect()
+    // day two continues from the restored state: the second half
+    // arrives clean
+    spark.sql(s"INSERT INTO $cat.documents " +
+      s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 2 = 1")
+    root
+  }
+
+  val store9CatalogRestoreSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  sum(length(text))::BIGINT AS n_chars
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   val store7CatalogMergeSql: String =
     """WITH final AS (
       |  SELECT doc_id, lang, text || '!' AS text FROM documents
@@ -1593,6 +1667,7 @@ object AdvancedQueries {
     "store6_catalog_ddl" -> (store6CatalogDdl _),
     "store7_catalog_merge" -> (store7CatalogMerge _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
+    "store9_catalog_restore" -> (store9CatalogRestore _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1644,6 +1719,7 @@ object AdvancedQueries {
     "store6_catalog_ddl" -> store6CatalogDdlSql,
     "store7_catalog_merge" -> store7CatalogMergeSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
+    "store9_catalog_restore" -> store9CatalogRestoreSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

@@ -1175,6 +1175,82 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
+  /** RESTORE: reset `table` to its state at version `toTxn` as a NEW
+    * commit — the rollback face of time travel (Delta's `RESTORE TABLE
+    * … TO VERSION AS OF`, re-expressed over the graft manifest). Purely
+    * METADATA: the commit re-points the table's manifest entry (owners,
+    * schema, layout, zone maps, file stats, recorded clustering) and
+    * its tombstone companion at what `toTxn` recorded — O(1), no data
+    * movement, segments are shared with the old version. History is
+    * append-only: the pre-restore state keeps time-traveling (the
+    * restore is just one more commit with a parent CAS), and the LIVE
+    * reference closure now holds the restored segments, so vacuum
+    * protects them from here on. A table absent from the current
+    * version but present at `toTxn` is resurrected (the `DROP TABLE`
+    * undo); a table absent at `toTxn` is refused. If retention already
+    * reclaimed any segment the restored state references, the restore
+    * REFUSES with the missing paths — never a commit that reads
+    * half a table. Returns the new txn, or None on a lost CAS race.
+    *
+    * (Reference analog: the reference has no rollback — a bad load is
+    * repaired by re-running the pipeline, routes.py:62-148; at engine
+    * scale an O(1) metadata rollback is the operation that makes a bad
+    * 100 TB load survivable.) */
+  def restoreTable(spark: SparkSession, root: String, table: String,
+      toTxn: String, parent: Option[String] = None): Option[String] = {
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val p = parent.orElse(currentTxn(spark, root))
+      val parentMeta =
+        p.map(manifestMetaOf(spark, root, _)).getOrElse(Map.empty)
+      val targetMeta =
+        try manifestMetaOf(spark, root, toTxn)
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"cannot restore '$table' to $toTxn: that version's " +
+              s"manifest is not readable under $root — it was never " +
+              "committed, or vacuum already reclaimed it", e)
+        }
+      val restored = targetMeta.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"cannot restore '$table' to $toTxn: the table is not in " +
+            s"that version under $root"))
+      val dt = deleteTableOf(table)
+      val companion = targetMeta.get(dt)
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val needed =
+        restored.owners.map(o => new Path(new Path(rootPath, s"v_$o"), table)) ++
+          companion.toSeq.flatMap(_.owners)
+            .map(o => new Path(new Path(rootPath, s"v_$o"), dt))
+      val missing = needed.filterNot(fs.exists)
+      require(missing.isEmpty,
+        s"cannot restore '$table' to $toTxn: segment(s) " +
+          s"${missing.mkString(", ")} were already reclaimed by vacuum — " +
+          "the restore target has left retention")
+      val newMeta = (parentMeta - table - dt) +
+        (table -> restored) ++ companion.map(dt -> _)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, newMeta)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(p))
+      if (committed) {
+        markCommitted(spark, root, txn, seq = p
+          .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
   /** The live (txn, table→metadata) in ONE `_CURRENT` read, or None
     * before the first successful publish — `_CURRENT` carries the full
     * manifest, so resolving the live version never needs the second

@@ -32,7 +32,8 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 private[ops] object GraftProcedures {
 
-  val names: Seq[String] = Seq("compact", "consumers", "history", "vacuum")
+  val names: Seq[String] =
+    Seq("compact", "consumers", "history", "restore", "vacuum")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -40,6 +41,7 @@ private[ops] object GraftProcedures {
       case "vacuum" => Some(new VacuumProc(root))
       case "history" => Some(new HistoryProc(root))
       case "consumers" => Some(new ConsumersProc(root))
+      case "restore" => Some(new RestoreProc(root))
       case _ => None
     }
 
@@ -124,6 +126,44 @@ private[ops] object GraftProcedures {
         .get(table).map(_.owners.size).getOrElse(0)
       result(out, Array(new GenericInternalRow(
         Array[Any](utf8(txn), parts, before, after))))
+    }
+  }
+
+  // --- restore ---------------------------------------------------------------
+
+  /** `CALL <cat>.system.restore(table => 't', version => '<txn>')` —
+    * roll one table back to a committed version as a NEW commit
+    * ([[AtomicPublish.restoreTable]]: O(1) metadata, history stays
+    * time-travelable, resurrects a dropped table, refuses if the
+    * target's segments left retention). `CALL history` lists the
+    * version ids this accepts. Returns the new commit, what it
+    * restored from, and the restored owner-chain length. */
+  private final class RestoreProc(root: String) extends GraftProc("restore") {
+
+    override def description(): String =
+      "roll a table back to a committed version (metadata-only, " +
+        "history-preserving)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("version", StringType))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("restored_from", StringType, nullable = false)
+      .add("owners", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val toTxn = input.getUTF8String(1).toString
+      val txn = AtomicPublish.restoreTable(spark, root, table, toTxn)
+        .getOrElse(throw new IllegalStateException(
+          s"restore of '$table' to $toTxn lost its commit race — " +
+            "a concurrent writer moved the store; retry the CALL"))
+      val owners = AtomicPublish.manifestMetaOf(spark, root, txn)
+        .get(table).map(_.owners.size).getOrElse(0)
+      result(out, Array(new GenericInternalRow(
+        Array[Any](utf8(txn), utf8(toTxn), owners))))
     }
   }
 

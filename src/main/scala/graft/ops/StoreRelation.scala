@@ -259,6 +259,20 @@ final class GraftSource extends RelationProvider
   private def withDeletes(parameters: Map[String, String]): Boolean =
     parameters.get("withDeletes").exists(_.equalsIgnoreCase("true"))
 
+  /** `option("startingOffsets", "latest"|"earliest")` — Kafka's option
+    * vocabulary. `earliest` (default) re-delivers the full current
+    * snapshot as a fresh checkpoint's first batch (the resync
+    * semantics); `latest` starts the feed at the version current when
+    * the stream starts, for go-forward consumers that only want new
+    * commits. */
+  private def fromLatest(parameters: Map[String, String]): Boolean =
+    parameters.get("startingOffsets").map(_.toLowerCase) match {
+      case None | Some("earliest") => false
+      case Some("latest") => true
+      case Some(other) => throw new IllegalArgumentException(
+        s"startingOffsets must be 'earliest' or 'latest', not '$other'")
+    }
+
   /** `spark.readStream.format("graft")` — the microbatch change-feed
     * face ([[graft.streaming.GraftChangeFeedSource]]); with
     * `option("withDeletes","true")`, the signed-row CDC feed
@@ -287,10 +301,11 @@ final class GraftSource extends RelationProvider
       new graft.streaming.GraftCdcFeedSource(ctx.sparkSession, root,
         table, consumerId = java.security.MessageDigest
           .getInstance("MD5").digest(metadataPath.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString)
+          .map("%02x".format(_)).mkString,
+        fromLatest = fromLatest(parameters))
     else
       new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root,
-        table)
+        table, fromLatest = fromLatest(parameters))
   }
 
   override def createRelation(ctx: SQLContext,

@@ -45,9 +45,19 @@ import graft.ops.AtomicPublish
   * log-compaction/consumer-lag tradeoff).
   */
 final class GraftChangeFeedSource(spark: SparkSession, root: String,
-    table: String) extends Source {
+    table: String, fromLatest: Boolean = false) extends Source {
 
   import GraftChangeFeedSource._
+
+  // `startingOffsets=latest` contract: batch 0 (start = None) delivers
+  // NOTHING — the stream begins AT its first observed offset, and
+  // later batches carry only go-forward commits (the Kafka `latest`
+  // shape: a metrics tap, an alerting feed — consumers whose state
+  // does not need the backlog). Batch 0 must be a pure function of
+  // (None, end): a checkpoint restart REPLAYS it with start = None, so
+  // any state captured at (re)construction time would make the replay
+  // diverge from the original run. "Empty" is the one latest-start
+  // batch 0 that replays identically.
 
   override val schema: StructType = {
     val (txn, metas) = AtomicPublish.currentManifestMeta(spark, root)
@@ -76,7 +86,7 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
     val (txn, os) = owners()
     val endO = ChainOffset.of(end)
     val startN = start.map(ChainOffset.of) match {
-      case None => 0
+      case None => if (fromLatest) endO.n else 0
       case Some(s) =>
         require(s.n <= os.size && os(s.n - 1) == s.last,
           resyncMessage(table, s"segment ${s.n} is no longer '${s.last}'"))
@@ -120,9 +130,15 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   * LAGGING stream's next `sinceTxn` manifest survives retention
   * instead of being reclaimed under the stream. */
 final class GraftCdcFeedSource(spark: SparkSession, root: String,
-    table: String, consumerId: String) extends Source {
+    table: String, consumerId: String, fromLatest: Boolean = false)
+  extends Source {
 
   import GraftChangeFeedSource._
+
+  // `startingOffsets=latest`: batch 0 is EMPTY instead of the
+  // full-snapshot resync batch — see the replay-determinism note on
+  // [[GraftChangeFeedSource]] (batch 0 must be a pure function of
+  // (None, end); the stream then carries only post-start commits).
 
   private val baseSchema: StructType = {
     val (txn, metas) = AtomicPublish.currentManifestMeta(spark, root)
@@ -145,6 +161,9 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
     import org.apache.spark.sql.functions.lit
     val endTxn = TxnOffset.of(end).txn
     val batch = start.map(TxnOffset.of) match {
+      case None if fromLatest =>
+        AtomicPublish.readTableAt(spark, root, table, endTxn).limit(0)
+          .withColumn(ChangeTypeCol, lit("insert"))
       case None =>
         // fresh checkpoint: the full snapshot at the pinned txn
         AtomicPublish.readTableAt(spark, root, table, endTxn)

@@ -132,12 +132,108 @@ class StoreProcedureSpec extends SparkSuite {
     assert(rows("ckpt-gone").isEmpty) // vacuumed away → resync on restart
   }
 
+  test("CALL restore rolls a table back as a new commit; history " +
+      "stays time-travelable both ways") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    val v2 = AtomicPublish.committedVersions(spark, root).map(_._1)(1)
+    spark.sql(s"DELETE FROM $cat.docs WHERE doc_id < 150")
+    val deleted = AtomicPublish.currentTxn(spark, root).get
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 150)
+    // roll back to v2 (two segments, no deletes): O(1) metadata commit
+    val row = spark.sql(s"CALL $cat.system.restore(" +
+      s"table => 'docs', version => '$v2')").head()
+    assert(row.getAs[String]("restored_from") == v2)
+    assert(row.getAs[Int]("owners") == 2)
+    val restoredTxn = row.getAs[String]("version")
+    assert(AtomicPublish.currentTxn(spark, root).contains(restoredTxn))
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 200)
+    // the tombstone companion went with the rollback — no resurrected
+    // delete state (v2 predates the first delete, so no companion at all)
+    assert(!AtomicPublish.manifestMetaOf(spark, root, restoredTxn)
+      .contains(AtomicPublish.deleteTableOf("docs")))
+    // history is append-only: the pre-restore (deleted) state still
+    // time-travels, and so does the pre-delete one
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs " +
+      s"VERSION AS OF '$deleted'").head().getLong(0) == 150)
+    // rolling FORWARD to the deleted state is just another restore
+    spark.sql(s"CALL $cat.system.restore(" +
+      s"table => 'docs', version => '$deleted')").collect()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 150)
+  }
+
+  test("restore resurrects a dropped table (the DROP undo)") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    val preDrop = AtomicPublish.currentTxn(spark, root).get
+    spark.sql(s"DROP TABLE $cat.docs")
+    assert(!spark.catalog.tableExists(s"$cat.docs"))
+    spark.sql(s"CALL $cat.system.restore(" +
+      s"table => 'docs', version => '$preDrop')").collect()
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 300)
+  }
+
+  test("restore refuses a target whose segments left retention; " +
+      "unknown targets are named") {
+    val root = freshRoot(); stage(root)
+    val cat = mount(root)
+    val oldest = AtomicPublish.committedVersions(spark, root).map(_._1).head
+    // compaction rewrites the chain; vacuum then reclaims the three
+    // appended versions' dirs — the restore target is gone
+    spark.sql(s"CALL $cat.system.compact(table => 'docs')").collect()
+    AtomicPublish.vacuum(spark, root, keepLast = 1, graceMs = 0)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.restore(" +
+        s"table => 'docs', version => '$oldest')").collect()
+    }
+    def mentionsVacuum(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(m =>
+        m.contains("reclaimed") || m.contains("vacuum")) ||
+        mentionsVacuum(t.getCause))
+    assert(mentionsVacuum(e))
+    // the failed restore committed nothing
+    assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
+      .head().getLong(0) == 300)
+    val live = AtomicPublish.currentTxn(spark, root).get
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.restore(" +
+        s"table => 'nope', version => '$live')").collect()
+    }
+    assert(e2.getMessage.contains("nope") ||
+      Option(e2.getCause).exists(_.getMessage.contains("nope")))
+  }
+
+  test("store9 oracle query: the rollback lifecycle ends at exactly " +
+      "the pristine source state") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.analytics.AdvancedQueries
+      .store9CatalogRestore(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val want = graft.core.Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(org.apache.spark.sql.functions.count("*").as("n_docs"),
+        org.apache.spark.sql.functions.sum("doc_id").as("sum_id"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text"))).as("n_chars"))
+      .orderBy("lang")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL is refused") {
     val root = freshRoot(); stage(root)
     val cat = mount(root)
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(listed == Set("compact", "vacuum", "history", "consumers"))
+    assert(listed ==
+      Set("compact", "vacuum", "history", "consumers", "restore"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }

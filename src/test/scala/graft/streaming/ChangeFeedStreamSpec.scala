@@ -197,6 +197,59 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(mirror.toMap == before)
   }
 
+  test("startingOffsets=latest: fresh checkpoints skip the backlog on " +
+      "both feeds, then stream exactly the go-forward commits") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> slice(0 until 10, "en")))
+    // plain change feed: batch 0 from a fresh checkpoint is EMPTY (the
+    // backlog is skipped), later commits arrive exactly
+    val ckpt = Files.createTempDirectory("cfeed-latest-ck").toString
+    val seen = mutable.ArrayBuffer.empty[Set[Long]]
+    def run(): Unit = drain(
+      spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("startingOffsets", "latest").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          seen += df.select("doc_id").collect().map(_.getLong(0)).toSet
+          ()
+        }.start())
+    run()
+    assert(seen.flatten.isEmpty, "latest start re-delivered the backlog")
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 15, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    seen.clear()
+    run()
+    assert(seen.flatten.toSet == (10L until 15L).toSet)
+    // CDC feed: same contract, and a go-forward DELETE still arrives
+    // as signed rows (only rows committed after stream start flow)
+    val cdcCk = Files.createTempDirectory("cdc-latest-ck").toString
+    val got = mutable.ArrayBuffer.empty[(String, Long)]
+    def runCdc(): Unit = drain(
+      spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("startingOffsets", "latest").load()
+        .writeStream.option("checkpointLocation", cdcCk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got ++= df.collect().map(r => r.getString(3) -> r.getLong(0))
+          ()
+        }.start())
+    runCdc()
+    assert(got.isEmpty, "latest CDC start re-delivered the snapshot")
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(15 until 18, "de")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(2L).toDF("doc_id")))
+    runCdc()
+    assert(got.toSet == Set("insert" -> 15L, "insert" -> 16L,
+      "insert" -> 17L, "delete" -> 2L))
+  }
+
   test("streaming matview: commits drive refreshes; compaction falls back") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("cfeed-mv-ck").toString
