@@ -1073,6 +1073,56 @@ object AdvancedQueries {
       |FROM documents
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val store10Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE10: BUCKETED store tables inside the correctness gate — the
+    * 100 TB co-location strategy ([[graft.ops.AtomicPublish]]
+    * `bucketBy` → manifest-recorded [[org.apache.spark.sql.catalyst
+    * .catalog.BucketSpec]] on every read face): `documents` and
+    * `embeddings` are published hash-bucketed ON THE JOIN KEY, so the
+    * fact-to-fact join plans with NO exchange on either side (the
+    * BucketedStoreSpec plan pin; at cluster scale this turns the
+    * biggest shuffle in a training-data pipeline — joining text to its
+    * embeddings — into a local merge). The readback aggregates the
+    * joined tables; DuckDB reproduces it from the source parquet, so
+    * the hash match proves the bucketed write+read path is lossless
+    * (a row landing in the wrong bucket double-counts or vanishes in
+    * the bucketed join). */
+  def store10BucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.AtomicPublish
+    val root = Tables.memoFresh(store10Cache, spark, dir, "documents") {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store10")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }
+      val r = tmp.resolve("store").toString
+      AtomicPublish.publish(spark, r, Map(
+        "documents" -> Tables.documents(spark, dir)
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        "embeddings" -> Tables.embeddings(spark, dir)
+          .select(col("vec_id"), col("label"))),
+        bucketBy = Map("documents" -> (Seq("doc_id"), 8),
+          "embeddings" -> (Seq("vec_id"), 8)))
+      r
+    }
+    AtomicPublish.readTable(spark, root, "documents")
+      .join(AtomicPublish.readTable(spark, root, "embeddings"),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("lang"), col("label"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"), col("label"))
+  }
+
+  val store10BucketJoinSql: String =
+    """SELECT lang, label, count(*)::BIGINT AS n_pairs,
+      |  sum(n_chars)::BIGINT AS sum_chars
+      |FROM documents JOIN embeddings ON doc_id = vec_id
+      |GROUP BY lang, label ORDER BY lang, label""".stripMargin
+
   val store7CatalogMergeSql: String =
     """WITH final AS (
       |  SELECT doc_id, lang, text || '!' AS text FROM documents
@@ -1668,6 +1718,7 @@ object AdvancedQueries {
     "store7_catalog_merge" -> (store7CatalogMerge _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
+    "store10_bucket_join" -> (store10BucketJoin _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1720,6 +1771,7 @@ object AdvancedQueries {
     "store7_catalog_merge" -> store7CatalogMergeSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
+    "store10_bucket_join" -> store10BucketJoinSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

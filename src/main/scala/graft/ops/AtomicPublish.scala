@@ -100,7 +100,20 @@ object AtomicPublish {
         * consolidate with an unclustered rewrite and silently destroy
         * the file-level locality a z-order/cluster rewrite bought. */
       clusterCols: Seq[String] = Nil,
-      clusterZOrder: Boolean = false) {
+      clusterZOrder: Boolean = false,
+      /** Declared hash-bucketing layout: every segment of the table is
+        * written `repartition(numBuckets, bucketCols)` with bucket ids
+        * encoded in the file names (Spark's own `_%05d` convention), so
+        * EVERY read face mounts the relation with a [[org.apache.spark
+        * .sql.catalyst.catalog.BucketSpec]] and reports
+        * `HashPartitioning(bucketCols, numBuckets)` — joins and
+        * aggregations on the bucket key plan WITHOUT an exchange on
+        * this side. The manifest owns the layout (like partitionCols):
+        * appends inherit it, compaction re-applies it, a mismatched
+        * redeclaration is refused. The 100 TB co-location strategy:
+        * two tables bucketed the same way join shuffle-free forever. */
+      bucketCols: Seq[String] = Nil,
+      numBuckets: Int = 0) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -302,6 +315,9 @@ object AtomicPublish {
       val mode = if (m.clusterZOrder) "z" else "lex"
       s"#cluster:$name=$mode:${m.clusterCols.mkString(",")}"
     }
+    val bucket = names.collect { case (name, m) if m.numBuckets > 0 =>
+      s"#bucket:$name=${m.numBuckets}@${m.bucketCols.mkString(",")}"
+    }
     val stats = names.flatMap { case (name, m) =>
       m.segStats.toSeq.sortBy(_._1).map { case (owner, s) =>
         s"#stats:$name@$owner=${renderSegStats(s)}"
@@ -314,7 +330,7 @@ object AtomicPublish {
       }
     }
     (txn +: (owners ++ parts ++ schemas ++ statcols ++ bloomcols ++
-      cluster ++ stats ++ fstats)).mkString("\n")
+      cluster ++ bucket ++ stats ++ fstats)).mkString("\n")
   }
 
   private def parseManifestMeta(txn: String,
@@ -323,7 +339,11 @@ object AtomicPublish {
     val owners = body.filterNot(_.startsWith("#")).map { line =>
       line.split("=", 2) match {
         case Array(name) => name -> Seq(txn)
+        // `name=` (empty list) = a table with NO data segments: the
+        // schema/layout lines still apply (an auto-cleared tombstone
+        // companion keeps its pinned delete key this way)
         case Array(name, os) => name -> os.split(",").toSeq
+          .filter(_.nonEmpty)
       }
     }.toMap
     val parts = body.filter(_.startsWith("#parts:"))
@@ -344,6 +364,11 @@ object AtomicPublish {
         case Array(mode, cs) =>
           name -> (cs.split(",").toSeq, mode == "z")
       }}.toMap
+    val bucket = body.filter(_.startsWith("#bucket:"))
+      .map(_.stripPrefix("#bucket:").split("=", 2))
+      .collect { case Array(name, spec) => spec.split("@", 2) match {
+        case Array(n, cs) => name -> (cs.split(",").toSeq, n.toInt)
+      }}.toMap
     val stats = body.filter(_.startsWith("#stats:"))
       .map(_.stripPrefix("#stats:").split("=", 2))
       .collect { case Array(key, js) => key.split("@", 2) match {
@@ -360,10 +385,11 @@ object AtomicPublish {
       .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
     owners.map { case (name, os) =>
       val (ccols, z) = cluster.getOrElse(name, (Nil, false))
+      val (bcols, nb) = bucket.getOrElse(name, (Nil, 0))
       name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil),
         statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty),
         fstats.getOrElse(name, Map.empty), bloomcols.getOrElse(name, Nil),
-        ccols, z)
+        ccols, z, bcols, nb)
     }
   }
 
@@ -640,10 +666,22 @@ object AtomicPublish {
     val ctx = fc(spark, rootPath)
     ctx.mkdir(rootPath, null, true)
     tables.foreach { case (name, df) =>
-      val w = df.write.mode("error")
-      val pcols = meta.get(name).map(_.partitionCols).getOrElse(Nil)
-      (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
-        .parquet(new Path(scratch, name).toString)
+      val m = meta.get(name)
+      val pcols = m.map(_.partitionCols).getOrElse(Nil)
+      m.filter(_.numBuckets > 0) match {
+        case Some(bm) =>
+          // pre-shape so each task holds ~one bucket (file count stays
+          // ~numBuckets); the committer owns bucket-id correctness
+          writeBucketedSegment(spark,
+            df.repartition(bm.numBuckets, bm.bucketCols.map(col): _*),
+            new Path(scratch, name), pcols,
+            org.apache.spark.sql.catalyst.catalog.BucketSpec(
+              bm.numBuckets, bm.bucketCols, Nil))
+        case None =>
+          val w = df.write.mode("error")
+          (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+            .parquet(new Path(scratch, name).toString)
+      }
     }
     val sealedMeta = meta.map { case (name, m) =>
       if (m.statCols.isEmpty || !tables.contains(name)) name -> m
@@ -730,6 +768,90 @@ object AtomicPublish {
         s"bloom column '$c' of table '$name' has type ${dt.simpleString}" +
           " — bloom sidecars need an integral or string type")
     }
+  }
+
+  /** A bucket spec must be declared over columns the slice carries,
+    * with types Spark's bucket hash supports, and it is mutually
+    * exclusive with clustering: bucketing distributes by hash, a
+    * cluster sort orders by value — one table gets one layout owner.
+    * Bucket columns may not be partition columns (partition values
+    * live in the directory layout, not the files the bucket hash is
+    * computed over). */
+  private def validateBucketSpec(name: String, df: DataFrame,
+      spec: (Seq[String], Int), partitionCols: Seq[String],
+      clusterCols: Seq[String]): Unit = {
+    val (cols, n) = spec
+    require(n > 0 && n <= 100000,
+      s"table '$name': numBuckets must be in [1, 100000], got $n")
+    require(cols.nonEmpty,
+      s"table '$name': bucketBy needs at least one column")
+    validateMetaColNames("bucket", name, cols)
+    require(clusterCols.isEmpty,
+      s"table '$name': bucketBy and clusterBy are mutually exclusive " +
+        "layouts (hash distribution vs value ordering) — declare one")
+    cols.foreach { c =>
+      require(!partitionCols.contains(c),
+        s"bucket column '$c' of table '$name' is a partition column")
+      require(df.columns.contains(c),
+        s"bucket column '$c' is not in table '$name'")
+      val dt = df.schema(c).dataType
+      // Spark's bucket hash (HashPartitioning/Murmur3) has no
+      // deterministic order over maps — refuse them up front instead
+      // of failing inside the write committer
+      def mapFree(t: DataType): Boolean = t match {
+        case _: org.apache.spark.sql.types.MapType => false
+        case s: StructType => s.fields.forall(f => mapFree(f.dataType))
+        case a: org.apache.spark.sql.types.ArrayType =>
+          mapFree(a.elementType)
+        case _ => true
+      }
+      require(mapFree(dt),
+        s"bucket column '$c' of table '$name' has type " +
+          s"${dt.simpleString} — not bucketable")
+    }
+  }
+
+  /** Write one bucketed segment through SPARK'S OWN bucketed-write
+    * committer ([[org.apache.spark.sql.execution.datasources
+    * .InsertIntoHadoopFsRelationCommand]] with a [[BucketSpec]]): each
+    * ROW's bucket id is computed from its data by the committer (which
+    * sorts within tasks by bucket id and stamps the `_%05d` file-name
+    * convention the bucketed read parses) — correctness does NOT
+    * depend on upstream partitioning. That matters: a naive
+    * `repartition(n, keys)` + rename-by-task-index scheme silently
+    * mixes buckets when the optimizer ELIDES the repartition (e.g. a
+    * compaction whose input scan is already bucketed reports a
+    * satisfying HashPartitioning, the exchange is dropped, then
+    * `DisableUnnecessaryBucketedScan` turns the bucketed scan off —
+    * observed, not hypothetical). The caller still pre-repartitions by
+    * the bucket keys so each task sees (mostly) one bucket and file
+    * counts stay ~numBuckets; the committer makes that an optimization,
+    * never a correctness dependency. */
+  private def writeBucketedSegment(spark: SparkSession, df: DataFrame,
+      dest: Path, partitionCols: Seq[String],
+      spec: org.apache.spark.sql.catalyst.catalog.BucketSpec): Unit = {
+    val analyzed = df.queryExecution.analyzed
+    val attrs = analyzed.output
+    val partAttrs = partitionCols.map(c => attrs.find(_.name == c)
+      .getOrElse(throw new IllegalStateException(
+        s"partition column '$c' not in staged output")))
+    val cmd = org.apache.spark.sql.execution.datasources
+      .InsertIntoHadoopFsRelationCommand(
+        outputPath = dest,
+        staticPartitions = Map.empty,
+        ifPartitionNotExists = false,
+        partitionColumns = partAttrs,
+        bucketSpec = Some(spec),
+        fileFormat =
+          new org.apache.spark.sql.execution.datasources.parquet
+            .ParquetFileFormat,
+        options = Map.empty,
+        query = analyzed,
+        mode = org.apache.spark.sql.SaveMode.ErrorIfExists,
+        catalogTable = None,
+        fileIndex = None,
+        outputColumnNames = attrs.map(_.name))
+    spark.sessionState.executePlan(cmd).assertCommandExecuted()
   }
 
   private def bloomSidecar(segDir: Path, c: String): Path =
@@ -922,7 +1044,8 @@ object AtomicPublish {
       partitionBy: Map[String, Seq[String]] = Map.empty,
       statsBy: Map[String, Seq[String]] = Map.empty,
       bloomBy: Map[String, Seq[String]] = Map.empty,
-      clusterBy: Map[String, (Seq[String], Boolean)] = Map.empty): String = {
+      clusterBy: Map[String, (Seq[String], Boolean)] = Map.empty,
+      bucketBy: Map[String, (Seq[String], Int)] = Map.empty): String = {
     require(tables.nonEmpty, "publish needs at least one table")
     validateNames(tables.keys)
     partitionBy.foreach { case (n, cs) =>
@@ -941,16 +1064,24 @@ object AtomicPublish {
       require(tables.contains(n), s"clusterBy names unknown table '$n'")
       validateMetaColNames("cluster", n, cs)
     }
+    bucketBy.foreach { case (n, spec) =>
+      require(tables.contains(n), s"bucketBy names unknown table '$n'")
+      validateBucketSpec(n, tables(n), spec,
+        partitionBy.getOrElse(n, Nil),
+        clusterBy.get(n).map(_._1).getOrElse(Nil))
+    }
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
     inFlight.add(txn)
     try {
       val meta = tables.map { case (n, df) =>
         val (ccols, z) = clusterBy.getOrElse(n, (Nil, false))
+        val (bcols, nb) = bucketBy.getOrElse(n, (Nil, 0))
         n -> TableMeta(Seq(txn), Some(df.schema.json),
           partitionBy.getOrElse(n, Nil), statsBy.getOrElse(n, Nil),
           bloomCols = bloomBy.getOrElse(n, Nil),
-          clusterCols = ccols, clusterZOrder = z)
+          clusterCols = ccols, clusterZOrder = z,
+          bucketCols = bcols, numBuckets = nb)
       }
       val sealedMeta = stageAndSeal(spark, rootPath, txn, tables, meta)
       swapPointer(spark, root, txn,
@@ -1029,7 +1160,12 @@ object AtomicPublish {
         * versions only, so time travel before the drop still serves
         * them and vacuum reclaims them once those versions age out —
         * the lakehouse drop contract (metadata-only, O(1)). */
-      drop: Seq[String] = Nil)
+      drop: Seq[String] = Nil,
+      /** Declare (or clear, with `(Nil, 0)`) a replaced table's hash
+        * bucketing ([[TableMeta.bucketCols]]). Absent = inherit the
+        * parent's; appends always inherit (a re-declaration on append
+        * must match — the manifest owns the layout). */
+      bucketBy: Map[String, (Seq[String], Int)] = Map.empty)
       : Option[String] = {
     require(append.nonEmpty || replace.nonEmpty || drop.nonEmpty,
       "publishDelta needs at least one appended, replaced or dropped table")
@@ -1052,6 +1188,9 @@ object AtomicPublish {
       require(replace.contains(n),
         s"clusterBy names a table '$n' this delta does not replace " +
           "(a clustering declaration IS a physical rewrite)"))
+    bucketBy.keys.foreach(n =>
+      require(append.contains(n) || replace.contains(n),
+        s"bucketBy names unknown table '$n'"))
     val txn =
       txnId.getOrElse(java.util.UUID.randomUUID().toString.replace("-", ""))
     val rootPath = new Path(root)
@@ -1071,18 +1210,23 @@ object AtomicPublish {
       // explicitly). Leaving them would be worse than redundant: their
       // [[TombAsofCol]] scopes reference the parent's owner POSITIONS,
       // which the replace resets, so a stale tombstone could wrongly
-      // kill rows appended after the replace.
-      val autoClear: Map[String, DataFrame] = replace.keys
+      // kill rows appended after the replace. The cleared companion
+      // keeps its SCHEMA but drops to ZERO owners (`name=` in the
+      // manifest): the pinned delete key survives for later deletes,
+      // no empty segment is staged, and readers plan NO anti-join —
+      // which also keeps a bucketed table's exchange-free joins after
+      // compaction (an empty-segment anti-join would still shuffle
+      // under a disabled-broadcast plan).
+      val autoCleared: Map[String, TableMeta] = replace.keys
         .filterNot(_.endsWith("__del"))
         .flatMap { t =>
           val dt = deleteTableOf(t)
           if (append.contains(dt) || replace.contains(dt)) None
           else parentMeta.get(dt).filter(_.owners.nonEmpty)
-            .flatMap(_.schema).map(ds => dt -> spark.createDataFrame(
-              java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-              ds))
+            .map(m => dt -> m.copy(owners = Nil,
+              segStats = Map.empty, fileStats = Map.empty))
         }.toMap
-      val replaceAll = replace ++ autoClear
+      val replaceAll = replace
       val appendMeta = append.map { case (n, df) =>
         val pm = parentMeta.get(n)
         val pcols = partitionBy.getOrElse(n,
@@ -1124,6 +1268,24 @@ object AtomicPublish {
           else baseFileStats.map { case (o, fm) =>
             o -> fm.map { case (f, s) => f -> backfill(s) }
           }
+        // bucketing inherits like partitioning: the manifest owns the
+        // layout; an explicit re-declaration on append must MATCH (a
+        // divergent spec would mix hash domains inside one table)
+        val parentBucket =
+          pm.map(m => (m.bucketCols, m.numBuckets)).getOrElse((Nil, 0))
+        val bucketSpec = bucketBy.get(n) match {
+          case Some(s) =>
+            require(parentBucket == ((Nil, 0)) || parentBucket == s,
+              s"append to table '$n' must keep its bucket layout " +
+                s"(${parentBucket._2} buckets on " +
+                s"${parentBucket._1.mkString(",")}), got ${s._2} on " +
+                s"${s._1.mkString(",")}")
+            s
+          case None => parentBucket
+        }
+        if (bucketSpec._2 > 0)
+          validateBucketSpec(n, df, bucketSpec, pcols,
+            pm.map(_.clusterCols).getOrElse(Nil))
         n -> TableMeta(pm.map(_.owners).getOrElse(Nil) :+ txn,
           Some(merged.json), pcols, scols, backfilled, backfilledFiles,
           bcols,
@@ -1131,7 +1293,8 @@ object AtomicPublish {
           // segment is not clustered, but the next compaction re-sorts
           // everything under the recorded spec
           pm.map(_.clusterCols).getOrElse(Nil),
-          pm.exists(_.clusterZOrder))
+          pm.exists(_.clusterZOrder),
+          bucketSpec._1, bucketSpec._2)
       }
       val replaceMeta = replaceAll.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
@@ -1147,10 +1310,17 @@ object AtomicPublish {
           parentMeta.get(n).map(m => (m.clusterCols, m.clusterZOrder))
             .getOrElse((Nil, false)))
         validateMetaColNames("cluster", n, ccols)
+        val (bucketCols, nBuckets) = bucketBy.getOrElse(n,
+          parentMeta.get(n).map(m => (m.bucketCols, m.numBuckets))
+            .getOrElse((Nil, 0)))
+        if (nBuckets > 0)
+          validateBucketSpec(n, df, (bucketCols, nBuckets), pcols, ccols)
         n -> TableMeta(Seq(txn), Some(df.schema.json), pcols, scols,
-          bloomCols = bcols, clusterCols = ccols, clusterZOrder = z)
+          bloomCols = bcols, clusterCols = ccols, clusterZOrder = z,
+          bucketCols = bucketCols, numBuckets = nBuckets)
       }
-      val meta = (parentMeta -- dropAll) ++ appendMeta ++ replaceMeta
+      val meta = (parentMeta -- dropAll) ++ appendMeta ++ replaceMeta ++
+        autoCleared
       val sealedMeta =
         stageAndSeal(spark, rootPath, txn, append ++ replaceAll, meta)
       val committed = swapPointer(spark, root, txn,

@@ -203,7 +203,16 @@ object Compaction {
       // commit — a reader never sees "applied twice" or "not yet"
       val union = AtomicPublish.readTableAt(spark, root, table, parent)
       val consolidated =
-        if (cz) {
+        if (meta.numBuckets > 0) {
+          // a bucketed table's layout is owned by its bucket spec: the
+          // publish path re-distributes `repartition(numBuckets, keys)`
+          // anyway, so any pre-shaping here would just add a shuffle.
+          // Clustering is refused on bucketed tables at declaration, so
+          // no cluster spec can need applying.
+          require(ccols.isEmpty,
+            s"table '$table' is bucketed — clusterBy does not apply")
+          union
+        } else if (cz) {
           require(ccols.size >= 2 && ccols.size <= 4,
             s"zOrder clustering needs 2-4 columns, got $ccols")
           require(meta.partitionCols.isEmpty,

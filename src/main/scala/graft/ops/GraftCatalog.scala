@@ -171,12 +171,30 @@ final class GraftCatalog extends TableCatalog
       properties: util.Map[String, String]): Table = {
     if (!okNs(ident.namespace())) throw new NoSuchNamespaceException(
       ident.namespace())
-    val partCols = partitions.toSeq.map { t =>
+    val (bucketTs, identTs) = partitions.toSeq.partition(_.name == "bucket")
+    val partCols = identTs.map { t =>
       if (t.name == "identity" && t.references.length == 1 &&
           t.references()(0).fieldNames.length == 1)
         t.references()(0).fieldNames()(0)
       else unsupported(
-        s"partition transform '$t' (identity columns only)")
+        s"partition transform '$t' (identity columns and bucket(n, …) only)")
+    }
+    // SQL-native bucketing: `CLUSTERED BY (c, …) INTO n BUCKETS`
+    // arrives as one bucket transform
+    val bucketFromDdl: Option[(Seq[String], Int)] = bucketTs match {
+      case Nil => None
+      case Seq(bt) =>
+        val n = bt.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value.isInstanceOf[Int] => l.value.asInstanceOf[Int]
+        }.getOrElse(unsupported(s"bucket transform '$bt'"))
+        Some((bt.references.toSeq.map { r =>
+          require(r.fieldNames.length == 1,
+            s"bucket column '${r.fieldNames.mkString(".")}' must be " +
+              "top-level")
+          r.fieldNames()(0)
+        }, n))
+      case _ => unsupported("multiple bucket transforms")
     }
     // TBLPROPERTIES keys arrive as written; accept any case
     val props = properties.asScala.map { case (k, v) =>
@@ -190,7 +208,24 @@ final class GraftCatalog extends TableCatalog
     val zOrder = props.get("zorder").exists(_.equalsIgnoreCase("true"))
     require(clusterCols.nonEmpty || !zOrder,
       "zOrder=true needs a clusterBy column list")
-    (partCols ++ statsCols ++ bloomCols ++ clusterCols).foreach(c =>
+    // TBLPROPERTIES fallback for the same declaration:
+    // 'bucketBy' = '<numBuckets>:<col>[,<col>…]'
+    val bucketFromProps: Option[(Seq[String], Int)] =
+      props.get("bucketby").map { s =>
+        s.split(":", 2) match {
+          case Array(n, cs) if scala.util.Try(n.trim.toInt).isSuccess =>
+            (cs.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+              n.trim.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"bucketBy must be '<numBuckets>:<col>[,<col>…]', got '$s'")
+        }
+      }
+    require(bucketFromDdl.isEmpty || bucketFromProps.isEmpty ||
+        bucketFromDdl == bucketFromProps,
+      "CLUSTERED BY … INTO … BUCKETS and TBLPROPERTIES bucketBy disagree")
+    val bucketSpec = bucketFromDdl.orElse(bucketFromProps)
+    (partCols ++ statsCols ++ bloomCols ++ clusterCols ++
+        bucketSpec.map(_._1).getOrElse(Nil)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"layout column '$c' is not in the declared schema of " +
           s"'${ident.name()}'"))
@@ -202,6 +237,8 @@ final class GraftCatalog extends TableCatalog
     val clusterLay: Map[String, (Seq[String], Boolean)] =
       if (clusterCols.isEmpty) Map.empty
       else Map(t -> (clusterCols, zOrder))
+    val bucketLay: Map[String, (Seq[String], Int)] =
+      bucketSpec.map(s => Map(t -> s)).getOrElse(Map.empty)
     var attempt = 0
     while (attempt < GraftSource.MaxCommitAttempts) {
       attempt += 1
@@ -209,7 +246,8 @@ final class GraftCatalog extends TableCatalog
         case None =>
           AtomicPublish.publish(spark, root, Map(t -> empty),
             partitionBy = lay(partCols), statsBy = lay(statsCols),
-            bloomBy = lay(bloomCols), clusterBy = clusterLay)
+            bloomBy = lay(bloomCols), clusterBy = clusterLay,
+            bucketBy = bucketLay)
           return loadTable(ident)
         case Some(parent) =>
           if (AtomicPublish.manifestMetaOf(spark, root, parent)
@@ -221,7 +259,7 @@ final class GraftCatalog extends TableCatalog
             append = Map.empty, replace = Map(t -> empty),
             parent = Some(parent), partitionBy = lay(partCols),
             statsBy = lay(statsCols), bloomBy = lay(bloomCols),
-            clusterBy = clusterLay)
+            clusterBy = clusterLay, bucketBy = bucketLay)
           if (committed.isDefined) return loadTable(ident)
         // CAS lost: re-pin and retry
       }
@@ -380,7 +418,11 @@ final class GraftTable(
   override def schema(): StructType = recordedSchema
 
   override def partitioning(): Array[Transform] =
-    meta.partitionCols.map(Expressions.identity).toArray
+    meta.partitionCols.map(Expressions.identity).toArray ++
+      (if (meta.numBuckets > 0)
+        Array[Transform](Expressions.bucket(meta.numBuckets,
+          meta.bucketCols: _*))
+      else Array.empty[Transform])
 
   override def properties(): util.Map[String, String] =
     Map("provider" -> "graft", "location" -> root,

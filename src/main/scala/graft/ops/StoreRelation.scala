@@ -216,12 +216,26 @@ object GraftFileIndex {
     * relation (NOT a union — one scan node, one `PartitionFilters` /
     * `PushedFilters` line in `.explain`), projected back to the recorded
     * column order (the relation itself appends partition columns last). */
+  /** A bucketed table mounts with its recorded [[BucketSpec]]: the
+    * scan groups files by the bucket id in their names, plans one
+    * partition per bucket and reports `HashPartitioning(bucketCols,
+    * numBuckets)` — a join or aggregation keyed on the bucket columns
+    * needs NO exchange on this side (Spark's own bucketed-table read,
+    * served from the manifest instead of a metastore). */
+  private[ops] def bucketSpecOf(meta: TableMeta)
+      : Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+    if (meta.numBuckets > 0)
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        meta.numBuckets, meta.bucketCols, Nil))
+    else None
+
   private[ops] def relationFor(spark: SparkSession, root: String,
       table: String, meta: TableMeta,
       selection: Seq[(String, Option[Seq[String]])]): DataFrame = {
     val idx = new GraftFileIndex(spark, root, table, meta, selection)
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
-      None, new ParquetFileFormat, Map.empty[String, String])(spark)
+      bucketSpecOf(meta), new ParquetFileFormat,
+      Map.empty[String, String])(spark)
     val ordered = meta.schema.get.fieldNames.toSeq
     spark.baseRelationToDataFrame(rel).select(ordered.map(col): _*)
   }
@@ -337,8 +351,9 @@ final class GraftSource extends RelationProvider
         "pass option(\"raw\", \"true\") for the pre-delete snapshot")
     val idx = new GraftFileIndex(spark, root, table, meta,
       meta.owners.map(_ -> None))
-    HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema, None,
-      new ParquetFileFormat, Map.empty[String, String])(spark)
+    HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
+      GraftFileIndex.bucketSpecOf(meta), new ParquetFileFormat,
+      Map.empty[String, String])(spark)
   }
 
   /** `df.write.format("graft")` — the batch WRITE face of the store:
@@ -377,11 +392,26 @@ final class GraftSource extends RelationProvider
     val zOrder = parameters.get("zOrder").exists(_.equalsIgnoreCase("true"))
     require(clusterCols.nonEmpty || !zOrder,
       "write option zOrder=true needs a clusterBy column list")
+    // `option("bucketBy", "8:doc_id")` — declare hash bucketing at the
+    // table's birth/overwrite (appends inherit the recorded layout)
+    val bucketSpec: Option[(Seq[String], Int)] =
+      parameters.get("bucketBy").map { s =>
+        s.split(":", 2) match {
+          case Array(n, cs) if n.trim.nonEmpty &&
+              scala.util.Try(n.trim.toInt).isSuccess =>
+            (cs.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+              n.trim.toInt)
+          case _ => throw new IllegalArgumentException(
+            s"bucketBy must be '<numBuckets>:<col>[,<col>…]', got '$s'")
+        }
+      }
     def layout(of: Seq[String]): Map[String, Seq[String]] =
       if (of.isEmpty) Map.empty else Map(table -> of)
     val clusterLay: Map[String, (Seq[String], Boolean)] =
       if (clusterCols.isEmpty) Map.empty
       else Map(table -> (clusterCols, zOrder))
+    val bucketLay: Map[String, (Seq[String], Int)] =
+      bucketSpec.map(s => Map(table -> s)).getOrElse(Map.empty)
     // apply the declared clustering to the rows being written, so the
     // DECLARING write already has the locality its spec promises
     val toWrite =
@@ -395,7 +425,8 @@ final class GraftSource extends RelationProvider
           // store birth — publish itself CASes on "no parent yet"
           AtomicPublish.publish(spark, root, Map(table -> toWrite),
             partitionBy = layout(partCols), statsBy = layout(statsCols),
-            bloomBy = layout(bloomCols), clusterBy = clusterLay)
+            bloomBy = layout(bloomCols), clusterBy = clusterLay,
+            bucketBy = bucketLay)
           return schemaOnly(ctx, data.schema)
         case Some(parent) =>
           val exists =
@@ -416,14 +447,15 @@ final class GraftSource extends RelationProvider
                     append = Map.empty, replace = Map(table -> toWrite),
                     parent = Some(parent), partitionBy = layout(partCols),
                     statsBy = layout(statsCols), bloomBy = layout(bloomCols),
-                    clusterBy = clusterLay)
+                    clusterBy = clusterLay, bucketBy = bucketLay)
                 else {
                   require(clusterCols.isEmpty,
                     s"append to '$table' cannot re-declare clustering — " +
                       "the manifest owns the recorded layout (use " +
                       "SaveMode.Overwrite, or let compaction re-sort)")
                   AtomicPublish.publishDelta(spark, root,
-                    append = Map(table -> data), parent = Some(parent))
+                    append = Map(table -> data), parent = Some(parent),
+                    bucketBy = bucketLay)
                 }
               if (committed.isDefined) return schemaOnly(ctx, data.schema)
             // CAS lost: re-pin the parent and retry
