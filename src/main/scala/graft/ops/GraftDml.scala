@@ -41,11 +41,15 @@ import org.apache.spark.sql.functions.col
   * surfaces as a named conflict error instead of lost updates —
   * single-statement serializability, not last-writer-wins.
   *
-  * Scope: `WHEN MATCHED [AND cond] THEN UPDATE/DELETE` and
-  * `WHEN NOT MATCHED [AND cond] THEN INSERT` (first-match-wins
-  * cascade, SQL-standard cardinality check);
-  * `WHEN NOT MATCHED BY SOURCE` is refused with guidance (its
-  * semantics force a full target scan; use DELETE/UPDATE directly).
+  * Scope: `WHEN MATCHED [AND cond] THEN UPDATE/DELETE`,
+  * `WHEN NOT MATCHED [AND cond] THEN INSERT`, and
+  * `WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE/DELETE` — each a
+  * first-match-wins cascade (SQL-standard cardinality check on the
+  * matched side; the by-source side rides the same cascade over the
+  * target-anti-source join, ≤1 match per target row by construction).
+  * The full three-sided MERGE is the sync-table shape: align a target
+  * with a source in ONE statement (update the intersection, insert the
+  * source-only rows, retire the target-only rows).
   */
 object GraftDml {
 
@@ -222,10 +226,6 @@ final case class GraftMergeCommand(
     notMatchedBySource: Seq[MergeAction]) extends LeafRunnableCommand {
 
   override def run(spark: SparkSession): Seq[Row] = {
-    require(notMatchedBySource.isEmpty,
-      "graft MERGE does not support WHEN NOT MATCHED BY SOURCE " +
-        "(it forces a full target scan) — express it as a separate " +
-        "DELETE/UPDATE statement")
     def df(plan: LogicalPlan): DataFrame =
       org.apache.spark.sql.graftplan.PlanBridge.ofRows(spark, plan)
     val out = target.output
@@ -234,42 +234,58 @@ final case class GraftMergeCommand(
       GraftDml.conflict(table, "execution")
 
     val trueL = Literal(true)
-    // ---- matched side: first-match-wins cascade over the inner join
-    // __g_act: index of the first action whose condition holds (-1 =
-    // row untouched); __g_keep: that action is an UPDATE (false =
-    // DELETE); __g_n<i>: the post-update value of target column i
-    def actCond(a: MergeAction): Expression = a match {
-      case u: UpdateAction => u.condition.getOrElse(trueL)
-      case d: DeleteAction => d.condition.getOrElse(trueL)
-      case other => throw new UnsupportedOperationException(
-        s"unsupported WHEN MATCHED action: $other")
+    // ---- update/delete cascade, first-match-wins, over any child that
+    // carries the target's attributes: the INNER join (WHEN MATCHED)
+    // and the target-anti-source join (WHEN NOT MATCHED BY SOURCE —
+    // whose actions may only reference target columns, enforced at
+    // analysis). __g_act: index of the first action whose condition
+    // holds (-1 = row untouched); __g_keep: that action is an UPDATE
+    // (false = DELETE); __g_n<i>: the post-update value of target
+    // column i; __g_o<i>: its original value.
+    def cascadeProj(actions: Seq[MergeAction], kind: String,
+        child: LogicalPlan): Project = {
+      def actCond(a: MergeAction): Expression = a match {
+        case u: UpdateAction => u.condition.getOrElse(trueL)
+        case d: DeleteAction => d.condition.getOrElse(trueL)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN $kind action: $other")
+      }
+      def newValue(a: Attribute): Expression =
+        CaseWhen(actions.collect {
+          case u: UpdateAction =>
+            (actCond(u),
+              GraftDml.assignmentFor(u.assignments, a).getOrElse(a))
+          case d: DeleteAction => (actCond(d), a: Expression)
+        }, a)
+      val actIdx = CaseWhen(
+        actions.zipWithIndex.map { case (a, i) =>
+          (actCond(a), Literal(i): Expression) },
+        Literal(-1))
+      val keepExpr = CaseWhen(actions.map {
+        case u: UpdateAction => (actCond(u), trueL: Expression)
+        case d: DeleteAction => (actCond(d), Literal(false): Expression)
+        case other => throw new UnsupportedOperationException(
+          s"unsupported WHEN $kind action: $other")
+      }, trueL)
+      Project(
+        Seq(Alias(actIdx, "__g_act")(), Alias(keepExpr, "__g_keep")()) ++
+          out.zipWithIndex.map { case (a, i) =>
+            Alias(newValue(a), s"__g_n$i")(): NamedExpression } ++
+          out.zipWithIndex.map { case (a, i) =>
+            Alias(a, s"__g_o$i")(): NamedExpression },
+        child)
     }
-    def newValue(a: Attribute): Expression =
-      CaseWhen(matched.collect {
-        case u: UpdateAction =>
-          (actCond(u),
-            GraftDml.assignmentFor(u.assignments, a).getOrElse(a))
-        case d: DeleteAction => (actCond(d), a: Expression)
-      }, a)
-    val actIdx = CaseWhen(
-      matched.zipWithIndex.map { case (a, i) =>
-        (actCond(a), Literal(i): Expression) },
-      Literal(-1))
-    val keepExpr = CaseWhen(matched.map {
-      case u: UpdateAction => (actCond(u), trueL: Expression)
-      case d: DeleteAction => (actCond(d), Literal(false): Expression)
-      case other => throw new UnsupportedOperationException(
-        s"unsupported WHEN MATCHED action: $other")
-    }, trueL)
     val matchedJoin = Join(target, source, Inner, Some(cond),
       org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
-    val matchedProj = Project(
-      Seq(Alias(actIdx, "__g_act")(), Alias(keepExpr, "__g_keep")()) ++
-        out.zipWithIndex.map { case (a, i) =>
-          Alias(newValue(a), s"__g_n$i")(): NamedExpression } ++
-        out.zipWithIndex.map { case (a, i) =>
-          Alias(a, s"__g_o$i")(): NamedExpression },
-      matchedJoin)
+    val matchedProj = cascadeProj(matched, "MATCHED", matchedJoin)
+    // WHEN NOT MATCHED BY SOURCE rides the SAME cascade over the anti
+    // join; an anti join matches ≤1 row per target row, so it adds no
+    // cardinality hazard
+    val bySourceProjOpt =
+      if (notMatchedBySource.isEmpty) None
+      else Some(cascadeProj(notMatchedBySource, "NOT MATCHED BY SOURCE",
+        Join(target, source, LeftAnti, Some(cond),
+          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)))
 
     // ---- SQL-standard cardinality check: with any matched action, a
     // target row matching >1 source row is nondeterministic — error
@@ -321,15 +337,22 @@ final case class GraftMergeCommand(
         col(s"`$prefix$i`").as(names(i))): _*)
 
     val fired = df(matchedProj).filter(col("__g_act") >= 0).cache()
+    val firedBs = bySourceProjOpt.map(p =>
+      df(p).filter(col("__g_act") >= 0).cache())
     val inserts = insertPlanOpt.map(p =>
       renamedTo(df(p).filter(col("__g_iact") >= 0), "__g_v"))
       .getOrElse(null)
     try {
       val firedCount = fired.count()
-      val upserted = renamedTo(fired.filter(col("__g_keep")), "__g_n")
+      val firedBsCount = firedBs.map(_.count()).getOrElse(0L)
+      val totalFired = firedCount + firedBsCount
+      val upsertedM = renamedTo(fired.filter(col("__g_keep")), "__g_n")
+      val upserted = firedBs.map(b =>
+        upsertedM.unionByName(renamedTo(b.filter(col("__g_keep")), "__g_n")))
+        .getOrElse(upsertedM)
       val emptyInserts = inserts == null || inserts.isEmpty
-      if (firedCount == 0 && emptyInserts) return Seq.empty // no-op
-      if (firedCount == 0) {
+      if (totalFired == 0 && emptyInserts) return Seq.empty // no-op
+      if (totalFired == 0) {
         // insert-only outcome: a plain CAS append, no tombstones
         if (AtomicPublish.publishDelta(spark, root,
             append = Map(table -> inserts),
@@ -361,15 +384,21 @@ final case class GraftMergeCommand(
         }
 
       def cow(): Unit = {
-        // copy-on-write: carryover (target anti source) ∪ kept matched
-        // rows (untouched ones keep original values) ∪ inserts
-        val carry = df(Join(target, source, LeftAnti, Some(cond),
-          org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE))
-        val matchedOut = df(matchedProj).filter(col("__g_keep"))
-        val kept = matchedOut.select(out.indices.map(i =>
-          org.apache.spark.sql.functions.when(col("__g_act") >= 0,
-            col(s"`__g_n$i`")).otherwise(col(s"`__g_o$i`"))
-            .as(names(i))): _*)
+        // copy-on-write: carryover (target anti source — run through
+        // the by-source cascade when one exists: untouched rows keep
+        // original values, fired UPDATEs take new values, fired
+        // DELETEs drop) ∪ kept matched rows ∪ inserts
+        def keepOrOriginal(frame: DataFrame): DataFrame =
+          frame.filter(col("__g_keep")).select(out.indices.map(i =>
+            org.apache.spark.sql.functions.when(col("__g_act") >= 0,
+              col(s"`__g_n$i`")).otherwise(col(s"`__g_o$i`"))
+              .as(names(i))): _*)
+        val carry = bySourceProjOpt match {
+          case None => df(Join(target, source, LeftAnti, Some(cond),
+            org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE))
+          case Some(p) => keepOrOriginal(df(p))
+        }
+        val kept = keepOrOriginal(df(matchedProj))
         var full = carry.unionByName(kept)
         if (!emptyInserts) full = full.unionByName(inserts)
         if (AtomicPublish.publishDelta(spark, root, append = Map.empty,
@@ -382,7 +411,10 @@ final case class GraftMergeCommand(
         case Some(k) if !names.contains(k) => cow()
         case Some(k) =>
           val ki = names.indexOf(k)
-          val keys = fired.select(col(s"`__g_o$ki`").as(k)).distinct()
+          val keysM = fired.select(col(s"`__g_o$ki`").as(k))
+          val keys = firedBs.map(b =>
+            keysM.unionByName(b.select(col(s"`__g_o$ki`").as(k))))
+            .getOrElse(keysM).distinct()
           // exactness guard: the fired rows' key set must kill exactly
           // the fired rows — otherwise untouched rows sharing a key
           // would be collateral; COW handles that shape correctly
@@ -390,7 +422,7 @@ final case class GraftMergeCommand(
           val k2 = keys.withColumnRenamed(k, "__g_k2")
           val wouldKill = live.join(k2, live(s"`$k`") <=> k2("__g_k2"),
             "left_semi").count()
-          if (wouldKill != firedCount) cow()
+          if (wouldKill != totalFired) cow()
           else {
             val rows =
               if (emptyInserts) upserted else upserted.unionByName(inserts)
@@ -399,7 +431,9 @@ final case class GraftMergeCommand(
               GraftDml.conflict(table, "the upsert commit")
           }
       }
-    } finally { fired.unpersist(); () }
+    } finally {
+      fired.unpersist(); firedBs.foreach(_.unpersist()); ()
+    }
     Seq.empty
   }
 }

@@ -198,17 +198,49 @@ class StoreDmlSpec extends SparkSuite {
     assert(after.size == 20)
   }
 
-  test("WHEN NOT MATCHED BY SOURCE is refused with guidance") {
-    val (_, cat) = stageTarget()
-    val e = intercept[Exception] {
-      s2.sql(
-        s"""MERGE INTO $cat.t AS t
-           |USING (SELECT 1 AS sid) AS s
-           |ON t.id = s.sid
-           |WHEN MATCHED THEN UPDATE SET v = 0
-           |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage.contains("NOT MATCHED BY SOURCE"))
+  test("three-sided MERGE (matched + not-matched + NOT MATCHED BY " +
+      "SOURCE) syncs target to source in ONE upsert-path statement") {
+    val (root, cat) = stageTarget() // ids 0..19, v = id*10
+    val before = owners(root)
+    // source: sid 10..24, sv = sid + 990
+    s2.sql(
+      s"""MERGE INTO $cat.t AS t
+         |USING (SELECT id + 10 AS sid, id + 1000 AS sv
+         |       FROM range(15)) AS s
+         |ON t.id = s.sid
+         |WHEN MATCHED THEN UPDATE SET v = s.sv
+         |WHEN NOT MATCHED THEN INSERT (id, grp, v)
+         |  VALUES (s.sid, 'new', s.sv)
+         |WHEN NOT MATCHED BY SOURCE AND id < 5 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grp = 'stale'
+         |""".stripMargin)
+    val got = snap(root)
+    assert(got.keySet == (5L until 25L).toSet) // 0..4 retired
+    (5L until 10L).foreach(i =>
+      assert(got(i) == (("stale", i * 10L)), s"id $i")) // archived
+    (10L until 20L).foreach(i =>
+      assert(got(i) == ((s"g${i % 4}", i + 990L)), s"id $i")) // updated
+    (20L until 25L).foreach(i =>
+      assert(got(i) == (("new", i + 990L)), s"id $i")) // inserted
+    // the statement rode the merge-on-read path: owners GREW (append +
+    // tombstones), no whole-table replace
+    assert(owners(root).startsWith(before))
+    assert(owners(root).size == before.size + 1)
+  }
+
+  test("NOT MATCHED BY SOURCE under the copy-on-write fallback " +
+      "(expression join key) — retire-the-complement shape") {
+    val (root, cat) = stageTarget() // ids 0..19
+    s2.sql(
+      s"""MERGE INTO $cat.t AS t
+         |USING (SELECT id AS sid FROM range(10)) AS s
+         |ON abs(t.id) = s.sid
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    val got = snap(root)
+    assert(got.keySet == (0L until 10L).toSet)
+    (0L until 10L).foreach(i => assert(got(i) == ((s"g${i % 4}", i * 10L))))
+    // expression key → no single-column upsert key → one replace commit
+    assert(owners(root).size == 1)
   }
 
   test("MERGE with insert-only (no matched actions) appends without " +
