@@ -1073,6 +1073,79 @@ object AdvancedQueries {
       |FROM documents
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val store11Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE11: CHECK constraints inside the correctness gate — the
+    * table is born with NOT NULL + a TBLPROPERTIES check (the SQL face
+    * of [[graft.ops.AtomicPublish.TableMeta.checks]], the reference's
+    * validation service as a STORE invariant); a poisoned INSERT
+    * (negative ids violating the check) is REFUSED mid-lifecycle and
+    * the load continues. DuckDB reproduces the readback from the
+    * pristine source: the hash match proves enforcement is atomic
+    * (zero rows of the refused batch leaked) and precise (zero good
+    * rows were wrongly blocked). */
+  def store11Constraints(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store11Cache, spark, dir, "documents") {
+      stageStore11(spark, dir)
+    }
+    val cat = catalogFor(spark, "store11", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id,
+         |  sum(length(text)) AS n_chars
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore11(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store11")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val cat = catalogFor(spark, "store11", root)
+    val src = s"store11_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""CREATE TABLE $cat.documents
+         |  (doc_id BIGINT NOT NULL, lang STRING, text STRING)
+         |TBLPROPERTIES ('check.id_bound' = 'doc_id >= 0',
+         |  'statsBy' = 'doc_id')""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.documents " +
+      s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 2 = 0")
+    // the poisoned batch: negative ids violate id_bound → the WHOLE
+    // insert refuses atomically
+    try {
+      spark.sql(s"INSERT INTO $cat.documents " +
+        s"SELECT -doc_id - 1 AS doc_id, lang, text FROM $src " +
+        s"WHERE doc_id % 2 = 1")
+      throw new IllegalStateException(
+        "store11 staging: the poisoned insert was NOT refused")
+    } catch {
+      case e: Exception if {
+        def m(t: Throwable): String =
+          if (t == null) "" else Option(t.getMessage).getOrElse("") + m(t.getCause)
+        m(e).contains("id_bound")
+      } => () // refused as declared
+    }
+    // the load continues: the clean odd half lands
+    spark.sql(s"INSERT INTO $cat.documents " +
+      s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 2 = 1")
+    root
+  }
+
+  val store11ConstraintsSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  sum(length(text))::BIGINT AS n_chars
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private val store10Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -1719,6 +1792,7 @@ object AdvancedQueries {
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
+    "store11_constraints" -> (store11Constraints _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1772,6 +1846,7 @@ object AdvancedQueries {
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,
+    "store11_constraints" -> store11ConstraintsSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

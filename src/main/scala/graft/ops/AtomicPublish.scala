@@ -113,7 +113,16 @@ object AtomicPublish {
         * redeclaration is refused. The 100 TB co-location strategy:
         * two tables bucketed the same way join shuffle-free forever. */
       bucketCols: Seq[String] = Nil,
-      numBuckets: Int = 0) {
+      numBuckets: Int = 0,
+      /** Named CHECK constraints (name → SQL predicate), enforced on
+        * EVERY write face before the commit stages: a slice holding a
+        * row where the predicate evaluates to FALSE refuses the whole
+        * commit (SQL semantics — NULL passes). The engine-side
+        * generalization of the reference's request validation
+        * (/root/reference/app/services/validation.py — Draft-7 checks
+        * at the API edge): here the TABLE owns its invariants, so no
+        * write face can bypass them. Delta's CHECK-constraint shape. */
+      checks: Map[String, String] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
   }
@@ -318,6 +327,11 @@ object AtomicPublish {
     val bucket = names.collect { case (name, m) if m.numBuckets > 0 =>
       s"#bucket:$name=${m.numBuckets}@${m.bucketCols.mkString(",")}"
     }
+    val checks = names.flatMap { case (name, m) =>
+      m.checks.toSeq.sortBy(_._1).map { case (cn, pred) =>
+        s"#checkc:$name@$cn=$pred"
+      }
+    }
     val stats = names.flatMap { case (name, m) =>
       m.segStats.toSeq.sortBy(_._1).map { case (owner, s) =>
         s"#stats:$name@$owner=${renderSegStats(s)}"
@@ -330,7 +344,7 @@ object AtomicPublish {
       }
     }
     (txn +: (owners ++ parts ++ schemas ++ statcols ++ bloomcols ++
-      cluster ++ bucket ++ stats ++ fstats)).mkString("\n")
+      cluster ++ bucket ++ checks ++ stats ++ fstats)).mkString("\n")
   }
 
   private def parseManifestMeta(txn: String,
@@ -369,6 +383,13 @@ object AtomicPublish {
       .collect { case Array(name, spec) => spec.split("@", 2) match {
         case Array(n, cs) => name -> (cs.split(",").toSeq, n.toInt)
       }}.toMap
+    val checks = body.filter(_.startsWith("#checkc:"))
+      .map(_.stripPrefix("#checkc:").split("=", 2))
+      .collect { case Array(key, pred) => key.split("@", 2) match {
+        case Array(name, cn) => (name, cn, pred)
+      }}
+      .groupBy(_._1)
+      .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
     val stats = body.filter(_.startsWith("#stats:"))
       .map(_.stripPrefix("#stats:").split("=", 2))
       .collect { case Array(key, js) => key.split("@", 2) match {
@@ -389,7 +410,7 @@ object AtomicPublish {
       name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil),
         statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty),
         fstats.getOrElse(name, Map.empty), bloomcols.getOrElse(name, Nil),
-        ccols, z, bcols, nb)
+        ccols, z, bcols, nb, checks.getOrElse(name, Map.empty))
     }
   }
 
@@ -811,6 +832,67 @@ object AtomicPublish {
     }
   }
 
+  /** Check names ride the manifest key grammar; predicates are
+    * serialized RAW after the first '=' of a `#checkc:` line, so the
+    * only character they cannot carry is a newline. */
+  private def validateChecks(name: String,
+      checks: Map[String, String]): Unit =
+    checks.foreach { case (cn, pred) =>
+      require(cn.nonEmpty && !cn.exists(c =>
+        c == '=' || c == ',' || c == '\n' || c == '\r' || c == '/' ||
+          c == '#' || c == ':' || c == '@'),
+        s"check name '$cn' of table '$name' is not manifest-safe")
+      require(pred.trim.nonEmpty && !pred.exists(c => c == '\n' || c == '\r'),
+        s"check '$cn' of table '$name' has an empty or multi-line " +
+          "predicate")
+      require(!name.endsWith("__del"),
+        s"tombstone companion '$name' cannot carry check constraints")
+    }
+
+  /** Error-name prefix of a refused constraint violation. */
+  val CheckViolation = "GRAFT_CHECK_VIOLATION"
+
+  /** Enforce a table's CHECK constraints on the slice about to stage:
+    * SQL semantics — a row violates when the predicate evaluates to
+    * FALSE (NULL passes); the first violating constraint refuses the
+    * WHOLE commit before anything is written, so enforcement is
+    * atomic-by-construction. A check referencing a recorded column the
+    * slice omits (schema evolution) evaluates it as NULL — exactly the
+    * value the merged read would serve. Cost: one column-pruned scan
+    * of the fresh slice per constrained write, the same O(batch) price
+    * bloom sidecars pay. */
+  private def enforceChecks(spark: SparkSession, name: String,
+      df: DataFrame, meta: TableMeta): Unit = {
+    if (meta.checks.isEmpty) return
+    val have = df.columns.toSet
+    val evalFrame = meta.schema match {
+      case Some(s) =>
+        s.fields.filterNot(f => have.contains(f.name)).foldLeft(df) {
+          (d, f) => d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      case None => df
+    }
+    meta.checks.toSeq.sortBy(_._1).foreach { case (cn, predSql) =>
+      val pred =
+        try org.apache.spark.sql.functions.expr(predSql)
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"check '$cn' of table '$name' does not parse: $predSql", e)
+        }
+      val violated =
+        try evalFrame.filter(pred <=> lit(false)).limit(1).count() > 0
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"check '$cn' of table '$name' cannot be evaluated over " +
+              s"the written slice: $predSql", e)
+        }
+      require(!violated,
+        s"$CheckViolation: constraint '$cn' of table '$name' " +
+          s"($predSql) is violated by the written data — the commit " +
+          "was refused before staging (no partial state)")
+    }
+  }
+
   /** Write one bucketed segment through SPARK'S OWN bucketed-write
     * committer ([[org.apache.spark.sql.execution.datasources
     * .InsertIntoHadoopFsRelationCommand]] with a [[BucketSpec]]): each
@@ -1045,7 +1127,8 @@ object AtomicPublish {
       statsBy: Map[String, Seq[String]] = Map.empty,
       bloomBy: Map[String, Seq[String]] = Map.empty,
       clusterBy: Map[String, (Seq[String], Boolean)] = Map.empty,
-      bucketBy: Map[String, (Seq[String], Int)] = Map.empty): String = {
+      bucketBy: Map[String, (Seq[String], Int)] = Map.empty,
+      checks: Map[String, Map[String, String]] = Map.empty): String = {
     require(tables.nonEmpty, "publish needs at least one table")
     validateNames(tables.keys)
     partitionBy.foreach { case (n, cs) =>
@@ -1070,6 +1153,10 @@ object AtomicPublish {
         partitionBy.getOrElse(n, Nil),
         clusterBy.get(n).map(_._1).getOrElse(Nil))
     }
+    checks.foreach { case (n, cs) =>
+      require(tables.contains(n), s"checks names unknown table '$n'")
+      validateChecks(n, cs)
+    }
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     val rootPath = new Path(root)
     inFlight.add(txn)
@@ -1081,8 +1168,10 @@ object AtomicPublish {
           partitionBy.getOrElse(n, Nil), statsBy.getOrElse(n, Nil),
           bloomCols = bloomBy.getOrElse(n, Nil),
           clusterCols = ccols, clusterZOrder = z,
-          bucketCols = bcols, numBuckets = nb)
+          bucketCols = bcols, numBuckets = nb,
+          checks = checks.getOrElse(n, Map.empty))
       }
+      tables.foreach { case (n, df) => enforceChecks(spark, n, df, meta(n)) }
       val sealedMeta = stageAndSeal(spark, rootPath, txn, tables, meta)
       swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
@@ -1165,7 +1254,13 @@ object AtomicPublish {
         * bucketing ([[TableMeta.bucketCols]]). Absent = inherit the
         * parent's; appends always inherit (a re-declaration on append
         * must match — the manifest owns the layout). */
-      bucketBy: Map[String, (Seq[String], Int)] = Map.empty)
+      bucketBy: Map[String, (Seq[String], Int)] = Map.empty,
+      /** Declare (or clear, with an empty map) a replaced table's CHECK
+        * constraints ([[TableMeta.checks]]). Absent = inherit the
+        * parent's; appends always inherit and are ENFORCED against the
+        * slice. Live-table constraint evolution goes through
+        * [[setCheck]] (which validates existing data). */
+      checks: Map[String, Map[String, String]] = Map.empty)
       : Option[String] = {
     require(append.nonEmpty || replace.nonEmpty || drop.nonEmpty,
       "publishDelta needs at least one appended, replaced or dropped table")
@@ -1191,6 +1286,13 @@ object AtomicPublish {
     bucketBy.keys.foreach(n =>
       require(append.contains(n) || replace.contains(n),
         s"bucketBy names unknown table '$n'"))
+    checks.foreach { case (n, cs) =>
+      require(replace.contains(n),
+        s"checks names a table '$n' this delta does not replace " +
+          "(declare constraints at (re)definition; evolve a live " +
+          "table's constraints via setCheck)")
+      validateChecks(n, cs)
+    }
     val txn =
       txnId.getOrElse(java.util.UUID.randomUUID().toString.replace("-", ""))
     val rootPath = new Path(root)
@@ -1294,7 +1396,10 @@ object AtomicPublish {
           // everything under the recorded spec
           pm.map(_.clusterCols).getOrElse(Nil),
           pm.exists(_.clusterZOrder),
-          bucketSpec._1, bucketSpec._2)
+          bucketSpec._1, bucketSpec._2,
+          // constraints inherit like every layout fact: an append is
+          // enforced against the table's recorded invariants
+          pm.map(_.checks).getOrElse(Map.empty))
       }
       val replaceMeta = replaceAll.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
@@ -1317,10 +1422,15 @@ object AtomicPublish {
           validateBucketSpec(n, df, (bucketCols, nBuckets), pcols, ccols)
         n -> TableMeta(Seq(txn), Some(df.schema.json), pcols, scols,
           bloomCols = bcols, clusterCols = ccols, clusterZOrder = z,
-          bucketCols = bucketCols, numBuckets = nBuckets)
+          bucketCols = bucketCols, numBuckets = nBuckets,
+          checks = checks.getOrElse(n,
+            parentMeta.get(n).map(_.checks).getOrElse(Map.empty)))
       }
       val meta = (parentMeta -- dropAll) ++ appendMeta ++ replaceMeta ++
         autoCleared
+      (append ++ replaceAll).foreach { case (n, df) =>
+        enforceChecks(spark, n, df, meta(n))
+      }
       val sealedMeta =
         stageAndSeal(spark, rootPath, txn, append ++ replaceAll, meta)
       val committed = swapPointer(spark, root, txn,
@@ -1408,6 +1518,64 @@ object AtomicPublish {
       if (committed) {
         markCommitted(spark, root, txn, seq = p
           .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
+  /** Evolve a LIVE table's CHECK constraints: `predicate = Some(sql)`
+    * adds (or redefines) the named constraint — after verifying the
+    * EXISTING data satisfies it (one full delete-aware scan at the
+    * pinned snapshot, the Delta `ADD CONSTRAINT` contract: a
+    * constraint is a guarantee over the whole table, not just future
+    * writes); `predicate = None` drops it. Metadata-only CAS commit —
+    * O(1) on disk, history time-travels to the pre-change rules.
+    * Returns the new txn, or None on a lost race. */
+  def setCheck(spark: SparkSession, root: String, table: String,
+      name: String, predicate: Option[String],
+      parent: Option[String] = None): Option[String] = {
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val p = parent.orElse(currentTxn(spark, root)).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val parentMeta = manifestMetaOf(spark, root, p)
+      val meta = parentMeta.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"table '$table' is not in version $p under $root"))
+      val newMeta = predicate match {
+        case Some(pred) =>
+          validateChecks(table, Map(name -> pred))
+          val candidate = meta.copy(checks = meta.checks + (name -> pred))
+          // the whole EXISTING table must already satisfy the rule
+          enforceChecks(spark, table,
+            readTableAt(spark, root, table, p),
+            candidate.copy(checks = Map(name -> pred)))
+          candidate
+        case None =>
+          require(meta.checks.contains(name),
+            s"table '$table' has no check constraint '$name' " +
+              s"(has: ${meta.checks.keys.toSeq.sorted.mkString(", ")})")
+          meta.copy(checks = meta.checks - name)
+      }
+      val all = parentMeta + (table -> newMeta)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, all)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(Some(p)))
+      if (committed) {
+        markCommitted(spark, root, txn, seq =
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
         Some(txn)
       } else None
     } catch {

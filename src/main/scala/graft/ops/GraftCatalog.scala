@@ -224,6 +224,17 @@ final class GraftCatalog extends TableCatalog
         bucketFromDdl == bucketFromProps,
       "CLUSTERED BY … INTO … BUCKETS and TBLPROPERTIES bucketBy disagree")
     val bucketSpec = bucketFromDdl.orElse(bucketFromProps)
+    // CHECK constraints: TBLPROPERTIES 'check.<name>' = '<predicate>';
+    // NOT NULL columns in the declared schema become derived checks
+    // (`nn_<col>`), so the SQL-native nullability declaration is
+    // ENFORCED on every write face, not just recorded
+    val checkProps: Map[String, String] = props.collect {
+      case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
+    }
+    val notNullChecks: Map[String, String] = schema.fields
+      .filterNot(_.nullable)
+      .map(f => s"nn_${f.name}" -> s"`${f.name}` IS NOT NULL").toMap
+    val allChecks = notNullChecks ++ checkProps
     (partCols ++ statsCols ++ bloomCols ++ clusterCols ++
         bucketSpec.map(_._1).getOrElse(Nil)).foreach(c =>
       require(schema.fieldNames.contains(c),
@@ -239,6 +250,8 @@ final class GraftCatalog extends TableCatalog
       else Map(t -> (clusterCols, zOrder))
     val bucketLay: Map[String, (Seq[String], Int)] =
       bucketSpec.map(s => Map(t -> s)).getOrElse(Map.empty)
+    val checkLay: Map[String, Map[String, String]] =
+      if (allChecks.isEmpty) Map.empty else Map(t -> allChecks)
     var attempt = 0
     while (attempt < GraftSource.MaxCommitAttempts) {
       attempt += 1
@@ -247,7 +260,7 @@ final class GraftCatalog extends TableCatalog
           AtomicPublish.publish(spark, root, Map(t -> empty),
             partitionBy = lay(partCols), statsBy = lay(statsCols),
             bloomBy = lay(bloomCols), clusterBy = clusterLay,
-            bucketBy = bucketLay)
+            bucketBy = bucketLay, checks = checkLay)
           return loadTable(ident)
         case Some(parent) =>
           if (AtomicPublish.manifestMetaOf(spark, root, parent)
@@ -259,7 +272,8 @@ final class GraftCatalog extends TableCatalog
             append = Map.empty, replace = Map(t -> empty),
             parent = Some(parent), partitionBy = lay(partCols),
             statsBy = lay(statsCols), bloomBy = lay(bloomCols),
-            clusterBy = clusterLay, bucketBy = bucketLay)
+            clusterBy = clusterLay, bucketBy = bucketLay,
+            checks = checkLay)
           if (committed.isDefined) return loadTable(ident)
         // CAS lost: re-pin and retry
       }

@@ -33,7 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[ops] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("compact", "consumers", "history", "restore", "vacuum")
+    Seq("add_check", "compact", "consumers", "drop_check", "history",
+      "restore", "vacuum")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -42,6 +43,8 @@ private[ops] object GraftProcedures {
       case "history" => Some(new HistoryProc(root))
       case "consumers" => Some(new ConsumersProc(root))
       case "restore" => Some(new RestoreProc(root))
+      case "add_check" => Some(new SetCheckProc(root, add = true))
+      case "drop_check" => Some(new SetCheckProc(root, add = false))
       case _ => None
     }
 
@@ -164,6 +167,46 @@ private[ops] object GraftProcedures {
         .get(table).map(_.owners.size).getOrElse(0)
       result(out, Array(new GenericInternalRow(
         Array[Any](utf8(txn), utf8(toTxn), owners))))
+    }
+  }
+
+  // --- add_check / drop_check ------------------------------------------------
+
+  /** `CALL <cat>.system.add_check(table => 't', name => 'c',
+    * predicate => 'v > 0')` / `CALL drop_check(table, name)` — evolve a
+    * live table's CHECK constraints ([[AtomicPublish.setCheck]]):
+    * adding VERIFIES the existing data first (one delete-aware scan,
+    * the Delta `ADD CONSTRAINT` contract), dropping is metadata-only;
+    * both are O(1) CAS commits and every later write on every face
+    * enforces the new rule set. */
+  private final class SetCheckProc(root: String, add: Boolean)
+    extends GraftProc(if (add) "add_check" else "drop_check") {
+
+    override def description(): String =
+      if (add) "add a CHECK constraint (verifies existing data first)"
+      else "drop a CHECK constraint"
+
+    override def parameters(): Array[ProcedureParameter] =
+      if (add) Array(param("table", StringType), param("name", StringType),
+        param("predicate", StringType))
+      else Array(param("table", StringType), param("name", StringType))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("n_checks", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val name = input.getUTF8String(1).toString
+      val pred = if (add) Some(input.getUTF8String(2).toString) else None
+      val txn = AtomicPublish.setCheck(spark, root, table, name, pred)
+        .getOrElse(throw new IllegalStateException(
+          s"constraint change on '$table' lost its commit race — " +
+            "a concurrent writer moved the store; retry the CALL"))
+      val n = AtomicPublish.manifestMetaOf(spark, root, txn)
+        .get(table).map(_.checks.size).getOrElse(0)
+      result(out, Array(new GenericInternalRow(
+        Array[Any](utf8(txn), n))))
     }
   }
 

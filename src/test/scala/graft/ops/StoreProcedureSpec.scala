@@ -232,8 +232,8 @@ class StoreProcedureSpec extends SparkSuite {
     val cat = mount(root)
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(listed ==
-      Set("compact", "vacuum", "history", "consumers", "restore"))
+    assert(listed == Set("compact", "vacuum", "history", "consumers",
+      "restore", "add_check", "drop_check"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }
