@@ -1531,6 +1531,64 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
+  /** MINOR-compaction commit: replace the table's owner-chain SUFFIX
+    * with one freshly staged segment while the `keepOwners` PREFIX is
+    * carried BY REFERENCE — the head's data files are not read, not
+    * rewritten, not even listed. This is what makes maintenance O(tail)
+    * for a high-frequency appender: the big consolidated head stays
+    * put, only the small recent segments merge. Precondition (caller-
+    * checked, enforced here): the table has NO merge-on-read
+    * tombstones — tombstone `_asof` scopes reference owner POSITIONS,
+    * which a suffix rewrite renumbers, so delete-carrying tables take
+    * the full [[graft.ops.Compaction.compactStore]] path (which
+    * applies them physically). The head's per-owner zone maps and file
+    * stats survive verbatim; the staged tail gets fresh ones. */
+  private[ops] def replaceTail(spark: SparkSession, root: String,
+      table: String, keepOwners: Seq[String], tail: DataFrame,
+      parent: String): Option[String] = {
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val parentMeta = manifestMetaOf(spark, root, parent)
+      val m = parentMeta.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"table '$table' is not in version $parent under $root"))
+      require(m.owners.startsWith(keepOwners) &&
+          keepOwners.size < m.owners.size,
+        s"replaceTail: keepOwners must be a strict prefix of " +
+          s"'$table''s owner chain")
+      require(!parentMeta.get(deleteTableOf(table))
+          .exists(_.owners.nonEmpty),
+        s"replaceTail: table '$table' has merge-on-read tombstones — " +
+          "positions renumber under a suffix rewrite; use compactStore")
+      val keep = keepOwners.toSet
+      val newMeta = m.copy(
+        owners = keepOwners :+ txn,
+        segStats = m.segStats.filter(kv => keep.contains(kv._1)),
+        fileStats = m.fileStats.filter(kv => keep.contains(kv._1)))
+      val all = parentMeta + (table -> newMeta)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn,
+        Map(table -> tail), all)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(Some(parent)))
+      if (committed) {
+        markCommitted(spark, root, txn, seq =
+          commitSeqOf(spark, root, parent).map(_ + 1).getOrElse(0L))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
   /** Evolve a LIVE table's CHECK constraints: `predicate = Some(sql)`
     * adds (or redefines) the named constraint — after verifying the
     * EXISTING data satisfies it (one full delete-aware scan at the

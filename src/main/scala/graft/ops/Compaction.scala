@@ -94,6 +94,85 @@ object Compaction {
       targetBytes: Long): Int =
     partitionsFor(dataFiles(spark, new Path(dir)).map(_.getLen).sum, targetBytes)
 
+  /** Data-file bytes of ONE owner segment (FS listing only). */
+  private def segmentBytes(spark: SparkSession, root: String,
+      table: String, owner: String): Long = {
+    val dir = new Path(root, s"v_$owner/$table")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else {
+      val it = fs.listFiles(dir, true)
+      var sum = 0L
+      while (it.hasNext) {
+        val st = it.next()
+        val n = st.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) sum += st.getLen
+      }
+      sum
+    }
+  }
+
+  /** MINOR (tail) compaction — the O(tail) maintenance move for a
+    * high-frequency appender: merge the owner chain's SUFFIX of
+    * small segments (each under `targetBytes`) into one, while the
+    * consolidated head is carried by reference — its files are never
+    * read or rewritten ([[AtomicPublish.replaceTail]]). At a 100 TB
+    * table fed by micro-batches this is the difference between
+    * maintenance that costs O(recent appends) per cycle and a full
+    * O(table) rewrite; full [[compactStore]] remains the move that
+    * applies tombstones, re-clusters, and migrates schema history.
+    *
+    * Returns None — and commits NOTHING — when there is nothing worth
+    * doing or the precondition fails: fewer than `minSegs` small
+    * trailing segments, or the table carries merge-on-read tombstones
+    * (their `_asof` scopes reference owner positions, which a suffix
+    * rewrite renumbers — the full path applies them instead). A
+    * recorded lexicographic clustering is applied WITHIN the merged
+    * tail (range-sort), so its file zone maps stay tight; z-order
+    * tails stay unsorted until the next full rewrite (the morton
+    * quantile pass is corpus-shaped, not tail-shaped). Bucketed
+    * tables re-bucket the tail automatically in the publish path. */
+  def compactTail(spark: SparkSession, root: String, table: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      minSegs: Int = 2): Option[(String, Int)] = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(s"no published version under $root"))
+      val metas = AtomicPublish.manifestMetaOf(spark, root, parent)
+      val m = metas.getOrElse(table, throw new IllegalArgumentException(
+        s"table '$table' is not in version $parent under $root"))
+      if (metas.get(AtomicPublish.deleteTableOf(table))
+          .exists(_.owners.nonEmpty)) return None
+      val tail = m.owners.reverse
+        .takeWhile(o => segmentBytes(spark, root, table, o) < targetBytes)
+        .reverse
+      if (tail.size < minSegs) return None
+      val keep = m.owners.dropRight(tail.size)
+      val tailBytes = tail.map(segmentBytes(spark, root, table, _)).sum
+      val parts = partitionsFor(tailBytes, targetBytes)
+      val union = AtomicPublish.readTableSegments(spark, root, table,
+        parent, tail)
+      val shaped =
+        if (m.numBuckets > 0) union // the publish path re-buckets
+        else if (m.clusterCols.nonEmpty && !m.clusterZOrder) {
+          val key = (m.partitionCols ++ m.clusterCols).map(col)
+          union.repartitionByRange(parts, key: _*)
+            .sortWithinPartitions(key: _*)
+        } else if (m.partitionCols.isEmpty) union.repartition(parts)
+        else union.repartition(parts, m.partitionCols.map(col): _*)
+      AtomicPublish.replaceTail(spark, root, table, keep, shaped,
+        parent) match {
+        case Some(txn) => return Some((txn, parts))
+        case None => () // a commit landed meanwhile; re-pin, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compactTail lost the commit race 5 times under $root")
+  }
+
   /** Rewrite `dir` into ~`targetBytes` files. Returns before/after
     * counts. The swap is rename-based (stage → old aside → stage in →
     * drop old) and every rename is CHECKED — Hadoop rename reports
@@ -150,9 +229,20 @@ object Compaction {
           if (table.endsWith("__del")) 0
           else metas.get(AtomicPublish.deleteTableOf(table))
             .map(_.owners.size).getOrElse(0)
-        if (m.owners.size > maxOwners || tombOwners > maxOwners) {
+        if (tombOwners > maxOwners) {
+          // tombstone pressure: the FULL rewrite is the point — it
+          // applies the merge-on-read debt physically
           compactStore(spark, root, table, targetFileBytes)
           ()
+        } else if (m.owners.size > maxOwners) {
+          // append pressure: O(tail) minor compaction first — the
+          // consolidated head is carried by reference; fall back to a
+          // full rewrite only when there is no mergeable small tail
+          // (or tombstones block the suffix renumbering)
+          if (compactTail(spark, root, table, targetFileBytes).isEmpty) {
+            compactStore(spark, root, table, targetFileBytes)
+            ()
+          }
         }
       }
     } catch { case scala.util.control.NonFatal(_) => () }

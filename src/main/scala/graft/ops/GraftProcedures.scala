@@ -85,11 +85,16 @@ private[ops] object GraftProcedures {
   // --- compact ---------------------------------------------------------------
 
   /** `CALL <cat>.system.compact(table => 't' [, target_file_mb => 128]
-    * [, cluster_by => 'a,b'] [, z_order => true])` — consolidate one
-    * table's owner chain (and physically apply its tombstones) through
-    * [[Compaction.compactStore]]; an explicit `cluster_by` re-clusters
-    * and RECORDS the layout, a bare call re-applies the recorded one.
-    * Returns the committed version and the owner counts either side. */
+    * [, cluster_by => 'a,b'] [, z_order => true] [, minor => true])` —
+    * consolidate one table's owner chain (and physically apply its
+    * tombstones) through [[Compaction.compactStore]]; an explicit
+    * `cluster_by` re-clusters and RECORDS the layout, a bare call
+    * re-applies the recorded one. `minor => true` runs the O(tail)
+    * minor compaction instead ([[Compaction.compactTail]]: merge the
+    * small trailing segments, carry the consolidated head by
+    * reference) — a no-op result row (partitions = 0) when there is no
+    * mergeable tail. Returns the committed version and the owner
+    * counts either side. */
   private final class CompactProc(root: String) extends GraftProc("compact") {
 
     override def description(): String =
@@ -100,7 +105,8 @@ private[ops] object GraftProcedures {
       param("table", StringType),
       param("target_file_mb", IntegerType, "128"),
       param("cluster_by", StringType, "''"),
-      param("z_order", BooleanType, "false"))
+      param("z_order", BooleanType, "false"),
+      param("minor", BooleanType, "false"))
 
     private val out = new StructType()
       .add("version", StringType, nullable = false)
@@ -117,14 +123,23 @@ private[ops] object GraftProcedures {
         else input.getUTF8String(2).toString.split(",").toSeq
           .map(_.trim).filter(_.nonEmpty)
       val zOrder = !input.isNullAt(3) && input.getBoolean(3)
+      val minor = !input.isNullAt(4) && input.getBoolean(4)
+      require(!minor || (clusterBy.isEmpty && !zOrder),
+        "minor compaction merges the small tail only — clustering " +
+          "needs the full rewrite")
       val before = AtomicPublish.currentTxn(spark, root)
         .flatMap(AtomicPublish.manifestMetaOf(spark, root, _).get(table))
         .map(_.owners.size).getOrElse(
           throw new IllegalArgumentException(
             s"table '$table' is not published under $root"))
-      val (txn, parts) = Compaction.compactStore(spark, root, table,
-        targetBytes = targetMb.toLong * 1024 * 1024,
-        clusterBy = clusterBy, zOrder = zOrder)
+      val (txn, parts) =
+        if (minor)
+          Compaction.compactTail(spark, root, table,
+            targetBytes = targetMb.toLong * 1024 * 1024).getOrElse(
+            (AtomicPublish.currentTxn(spark, root).get, 0))
+        else Compaction.compactStore(spark, root, table,
+          targetBytes = targetMb.toLong * 1024 * 1024,
+          clusterBy = clusterBy, zOrder = zOrder)
       val after = AtomicPublish.manifestMetaOf(spark, root, txn)
         .get(table).map(_.owners.size).getOrElse(0)
       result(out, Array(new GenericInternalRow(
