@@ -328,6 +328,56 @@ object ScaleRehearsal {
       s"auto-compaction left ${sinkMeta.owners.size} sink owners")
     require(AtomicPublish.readTable(spark, sinkRoot, "events").count() ==
       batches * perBatch, "auto-compaction changed the sink row count")
+    // --- minor-compaction ingest: maintenance must stay O(tail) --------
+    // a fresh root fed by `cycles` tiny appends with auto-compaction
+    // after every commit (maxOwners = 8, 64 KB graduation target so the
+    // leveled dynamics play out at test scale: merged tails GRADUATE
+    // into heads that later cycles carry by reference). The claim under
+    // test is that per-cycle maintenance cost does NOT grow with table
+    // size — the difference between O(tail) and the full rewrite, and
+    // the reason a micro-batch ingester can afford maintenance at all
+    // at a 100 TB table. Pinned exactly like the sink: first-vs-last
+    // quintile p50.
+    val tailRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_tail_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    val cycles = math.max(segments / 5, 20)
+    def tailSlice(i: Int): DataFrame = {
+      val lo = i.toLong * n / cycles; val hi = (i + 1).toLong * n / cycles
+      docs.filter(col("rid") >= lo && col("rid") < hi)
+        .select(col("rid"), col("doc_id"), col("lang"), col("nc"))
+        .coalesce(1)
+    }
+    val maintTimes = new Array[Double](cycles - 1)
+    val (_, tailIngestSec) = timed {
+      AtomicPublish.publish(spark, tailRoot, Map("docs" -> tailSlice(0)),
+        statsBy = Map("docs" -> Seq("rid")))
+      (1 until cycles).foreach { i =>
+        AtomicPublish.publishDelta(spark, tailRoot,
+          append = Map("docs" -> tailSlice(i)),
+          parent = AtomicPublish.currentTxn(spark, tailRoot))
+        maintTimes(i - 1) = timed {
+          graft.ops.Compaction.autoCompact(spark, tailRoot,
+            AtomicPublish.currentTxn(spark, tailRoot).get,
+            maxOwners = 8, targetFileBytes = 64L * 1024)
+        }._2
+      }
+    }
+    require(AtomicPublish.readTable(spark, tailRoot, "docs").count() == n,
+      "minor-compaction ingest lost or duplicated rows")
+    val tailOwners = AtomicPublish.currentManifestMeta(spark, tailRoot)
+      .get._2("docs").owners.size
+    require(tailOwners < cycles / 2 + 9,
+      s"minor compaction left $tailOwners owners over $cycles commits " +
+        "(maintenance is not consolidating)")
+    val mq = math.max(maintTimes.length / 5, 1)
+    val maintFirstP50 = p50(maintTimes.take(mq))
+    val maintLastP50 = p50(maintTimes.takeRight(mq))
+    require(maintLastP50 <= maintFirstP50 * 8 + 0.25,
+      f"per-cycle maintenance grew with table size: first-quintile p50 " +
+        f"$maintFirstP50%.3fs → last-quintile p50 $maintLastP50%.3fs " +
+        "(minor compaction is not O(tail))")
     docs.unpersist()
     Map("store_stage" -> stageSec, "store_point_read" -> pointSec,
       "store_range_read" -> rangeSec,
@@ -339,7 +389,9 @@ object ScaleRehearsal {
       "store_sql_insert" -> sqlInsertSec,
       "store_sql_delete" -> sqlDeleteSec,
       "store_sink_batch_p50" -> p50(sinkTimes),
-      "store_sink_total" -> sinkTotalSec)
+      "store_sink_total" -> sinkTotalSec,
+      "store_tail_ingest" -> tailIngestSec,
+      "store_tail_maint_p50" -> p50(maintTimes))
   }
 
   def main(args: Array[String]): Unit = {
