@@ -33,8 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[ops] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("add_check", "compact", "consumers", "drop_check", "history",
-      "restore", "vacuum")
+    Seq("add_check", "compact", "consumers", "detail", "drop_check",
+      "history", "restore", "vacuum")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -45,6 +45,7 @@ private[ops] object GraftProcedures {
       case "restore" => Some(new RestoreProc(root))
       case "add_check" => Some(new SetCheckProc(root, add = true))
       case "drop_check" => Some(new SetCheckProc(root, add = false))
+      case "detail" => Some(new DetailProc(root))
       case _ => None
     }
 
@@ -182,6 +183,84 @@ private[ops] object GraftProcedures {
         .get(table).map(_.owners.size).getOrElse(0)
       result(out, Array(new GenericInternalRow(
         Array[Any](utf8(txn), utf8(toTxn), owners))))
+    }
+  }
+
+  // --- detail ----------------------------------------------------------------
+
+  /** `CALL <cat>.system.detail(table => 't')` — one row of operator
+    * observability for a table (the `DESCRIBE DETAIL` analog): live
+    * version, owner-chain length, file/byte footprint (FS listing,
+    * no data read), raw pre-tombstone row count when every owner
+    * carries recorded segment stats (null otherwise), the declared
+    * layout (partition /
+    * bucket / cluster specs), the CHECK constraints, and the pending
+    * merge-on-read tombstone debt (companion owner count — what
+    * `CALL compact` would consume). */
+  private final class DetailProc(root: String) extends GraftProc("detail") {
+
+    override def description(): String =
+      "one-row table summary: version, footprint, layout, constraints, " +
+        "tombstone debt"
+
+    override def parameters(): Array[ProcedureParameter] =
+      Array(param("table", StringType))
+
+    private val out = new StructType()
+      .add("table", StringType, nullable = false)
+      .add("version", StringType, nullable = false)
+      .add("owners", IntegerType, nullable = false)
+      .add("files", IntegerType, nullable = false)
+      .add("bytes", LongType, nullable = false)
+      .add("rows", LongType, nullable = true)
+      .add("partitioned_by", StringType, nullable = false)
+      .add("buckets", StringType, nullable = false)
+      .add("clustered_by", StringType, nullable = false)
+      .add("checks", StringType, nullable = false)
+      .add("tombstone_owners", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val (txn, metas) = AtomicPublish.currentManifestMeta(spark, root)
+        .getOrElse(throw new IllegalStateException(
+          s"no published version under $root"))
+      val m = metas.getOrElse(table, throw new IllegalArgumentException(
+        s"table '$table' is not in version $txn under $root"))
+      var files = 0; var bytes = 0L
+      val conf = spark.sparkContext.hadoopConfiguration
+      m.owners.foreach { o =>
+        val dir = new org.apache.hadoop.fs.Path(root, s"v_$o/$table")
+        val fs = dir.getFileSystem(conf)
+        if (fs.exists(dir)) {
+          val it = fs.listFiles(dir, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val nm = st.getPath.getName
+            if (!nm.startsWith("_") && !nm.startsWith(".")) {
+              files += 1; bytes += st.getLen
+            }
+          }
+        }
+      }
+      val rows: Any =
+        if (m.owners.forall(m.segStats.contains))
+          m.owners.map(o => m.segStats(o).rows).sum
+        else null
+      val bucketStr =
+        if (m.numBuckets > 0) s"${m.numBuckets}:${m.bucketCols.mkString(",")}"
+        else ""
+      val clusterStr =
+        if (m.clusterCols.isEmpty) ""
+        else (if (m.clusterZOrder) "zorder:" else "lex:") +
+          m.clusterCols.mkString(",")
+      val checkStr = m.checks.toSeq.sortBy(_._1)
+        .map { case (n, p) => s"$n: $p" }.mkString("; ")
+      val tombOwners = metas.get(AtomicPublish.deleteTableOf(table))
+        .map(_.owners.size).getOrElse(0)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(table), utf8(txn), m.owners.size, files, bytes, rows,
+        utf8(m.partitionCols.mkString(",")), utf8(bucketStr),
+        utf8(clusterStr), utf8(checkStr), tombOwners))))
     }
   }
 

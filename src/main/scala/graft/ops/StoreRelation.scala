@@ -394,17 +394,10 @@ final class GraftSource extends RelationProvider
       "write option zOrder=true needs a clusterBy column list")
     // `option("bucketBy", "8:doc_id")` — declare hash bucketing at the
     // table's birth/overwrite (appends inherit the recorded layout)
-    val bucketSpec: Option[(Seq[String], Int)] =
-      parameters.get("bucketBy").map { s =>
-        s.split(":", 2) match {
-          case Array(n, cs) if n.trim.nonEmpty &&
-              scala.util.Try(n.trim.toInt).isSuccess =>
-            (cs.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
-              n.trim.toInt)
-          case _ => throw new IllegalArgumentException(
-            s"bucketBy must be '<numBuckets>:<col>[,<col>…]', got '$s'")
-        }
-      }
+    val bucketSpec = bucketOpt(parameters)
+    // `option("check.<name>", "<predicate>")` — declare CHECK
+    // constraints at birth/overwrite; every later write enforces them
+    val checkOpts = checksOpt(parameters)
     def layout(of: Seq[String]): Map[String, Seq[String]] =
       if (of.isEmpty) Map.empty else Map(table -> of)
     val clusterLay: Map[String, (Seq[String], Boolean)] =
@@ -412,6 +405,8 @@ final class GraftSource extends RelationProvider
       else Map(table -> (clusterCols, zOrder))
     val bucketLay: Map[String, (Seq[String], Int)] =
       bucketSpec.map(s => Map(table -> s)).getOrElse(Map.empty)
+    val checkLay: Map[String, Map[String, String]] =
+      if (checkOpts.isEmpty) Map.empty else Map(table -> checkOpts)
     // apply the declared clustering to the rows being written, so the
     // DECLARING write already has the locality its spec promises
     val toWrite =
@@ -426,7 +421,7 @@ final class GraftSource extends RelationProvider
           AtomicPublish.publish(spark, root, Map(table -> toWrite),
             partitionBy = layout(partCols), statsBy = layout(statsCols),
             bloomBy = layout(bloomCols), clusterBy = clusterLay,
-            bucketBy = bucketLay)
+            bucketBy = bucketLay, checks = checkLay)
           return schemaOnly(ctx, data.schema)
         case Some(parent) =>
           val exists =
@@ -447,7 +442,8 @@ final class GraftSource extends RelationProvider
                     append = Map.empty, replace = Map(table -> toWrite),
                     parent = Some(parent), partitionBy = layout(partCols),
                     statsBy = layout(statsCols), bloomBy = layout(bloomCols),
-                    clusterBy = clusterLay, bucketBy = bucketLay)
+                    clusterBy = clusterLay, bucketBy = bucketLay,
+                    checks = checkLay)
                 else {
                   require(clusterCols.isEmpty,
                     s"append to '$table' cannot re-declare clustering — " +
@@ -481,7 +477,8 @@ final class GraftSource extends RelationProvider
     new GraftSink(ctx.sparkSession, root, table,
       partitionColumns ++ optionCols(parameters, "partitionByCols"),
       optionCols(parameters, "statsBy"), optionCols(parameters, "bloomBy"),
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(),
+      bucketSpec = bucketOpt(parameters), checks = checksOpt(parameters))
   }
 }
 
@@ -492,6 +489,30 @@ object GraftSource {
       key: String): Seq[String] =
     parameters.get(key).map(_.split(",").toSeq.map(_.trim)
       .filter(_.nonEmpty)).getOrElse(Nil)
+
+  /** `bucketBy = "<numBuckets>:<col>[,<col>…]"`. */
+  private[ops] def bucketOpt(parameters: Map[String, String])
+      : Option[(Seq[String], Int)] =
+    parameters.get("bucketBy").map { s =>
+      s.split(":", 2) match {
+        case Array(n, cs) if n.trim.nonEmpty &&
+            scala.util.Try(n.trim.toInt).isSuccess =>
+          (cs.split(",").toSeq.map(_.trim).filter(_.nonEmpty),
+            n.trim.toInt)
+        case _ => throw new IllegalArgumentException(
+          s"bucketBy must be '<numBuckets>:<col>[,<col>…]', got '$s'")
+      }
+    }
+
+  /** `check.<name> = <sql predicate>` options (DataFrameReader
+    * lower-cases option keys; constraint names follow). */
+  private[ops] def checksOpt(parameters: Map[String, String])
+      : Map[String, String] =
+    parameters.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("check.") =>
+        k.substring("check.".length) -> v
+    }
 
   /** The writer contract wants a relation back; the store's read face
     * needs options the writer doesn't carry, so return the minimal
@@ -514,7 +535,14 @@ object GraftSource {
   * appends each batch; Complete mode replaces the table per batch. */
 final class GraftSink(spark: SparkSession, root: String, table: String,
     partCols: Seq[String], statsCols: Seq[String], bloomCols: Seq[String],
-    complete: Boolean) extends Sink {
+    complete: Boolean,
+    /** Declared-at-birth layout/invariants for the streamed table:
+      * bucketing and CHECK constraints land with the FIRST commit (or
+      * each Complete-mode replace) and appends inherit — so a
+      * stream-fed table gets the same co-location and enforcement a
+      * batch-born one does. */
+    bucketSpec: Option[(Seq[String], Int)] = None,
+    checks: Map[String, String] = Map.empty) extends Sink {
   import GraftSource.MaxCommitAttempts
 
   private val wmTable = s"${table}__sinkwm"
@@ -527,6 +555,10 @@ final class GraftSink(spark: SparkSession, root: String, table: String,
     def wmDF = Seq(batchId).toDF("batch_id")
     def layout(of: Seq[String]): Map[String, Seq[String]] =
       if (of.isEmpty) Map.empty else Map(table -> of)
+    val bucketLay: Map[String, (Seq[String], Int)] =
+      bucketSpec.map(s => Map(table -> s)).getOrElse(Map.empty)
+    val checkLay: Map[String, Map[String, String]] =
+      if (checks.isEmpty) Map.empty else Map(table -> checks)
     var attempt = 0
     while (attempt < MaxCommitAttempts) {
       attempt += 1
@@ -535,7 +567,8 @@ final class GraftSink(spark: SparkSession, root: String, table: String,
           AtomicPublish.publish(spark, root,
             Map(table -> batch, wmTable -> wmDF),
             partitionBy = layout(partCols), statsBy = layout(statsCols),
-            bloomBy = layout(bloomCols))
+            bloomBy = layout(bloomCols), bucketBy = bucketLay,
+            checks = checkLay)
           return
         case Some(parent) =>
           val manifest = AtomicPublish.manifestOf(spark, root, parent)
@@ -549,7 +582,8 @@ final class GraftSink(spark: SparkSession, root: String, table: String,
               AtomicPublish.publishDelta(spark, root, append = Map.empty,
                 replace = Map(table -> batch, wmTable -> wmDF),
                 parent = Some(parent), partitionBy = layout(partCols),
-                statsBy = layout(statsCols), bloomBy = layout(bloomCols))
+                statsBy = layout(statsCols), bloomBy = layout(bloomCols),
+                bucketBy = bucketLay, checks = checkLay)
             else
               AtomicPublish.publishDelta(spark, root,
                 append = Map(table -> batch),

@@ -262,13 +262,43 @@ class StoreProcedureSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("CALL detail: one-row summary — footprint, layout, checks, " +
+      "tombstone debt") {
+    import spark.implicits._
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 200, "en")),
+      statsBy = Map("docs" -> Seq("doc_id")),
+      bucketBy = Map("docs" -> (Seq("doc_id"), 4)),
+      checks = Map("docs" -> Map("pos_id" -> "doc_id >= 0")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(200 until 300, "de")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(7L).toDF("doc_id")))
+    val cat = mount(root)
+    val row = spark.sql(s"CALL $cat.system.detail(table => 'docs')").head()
+    assert(row.getAs[String]("table") == "docs")
+    assert(row.getAs[Int]("owners") == 2)
+    assert(row.getAs[Int]("files") > 0 && row.getAs[Long]("bytes") > 0)
+    assert(row.getAs[Long]("rows") == 300L) // raw, pre-tombstone
+    assert(row.getAs[String]("buckets") == "4:doc_id")
+    assert(row.getAs[String]("checks") == "pos_id: doc_id >= 0")
+    assert(row.getAs[Int]("tombstone_owners") == 1)
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.detail(table => 'nope')").collect()
+    }
+    assert(e.getMessage.contains("nope") ||
+      Option(e.getCause).exists(_.getMessage.contains("nope")))
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL is refused") {
     val root = freshRoot(); stage(root)
     val cat = mount(root)
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("compact", "vacuum", "history", "consumers",
-      "restore", "add_check", "drop_check"))
+      "restore", "add_check", "drop_check", "detail"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }
