@@ -1146,6 +1146,67 @@ object AdvancedQueries {
       |FROM documents
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val store12Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE12: ZERO-COPY CLONE inside the correctness gate — the store
+    * holds the even half of documents; `CALL system.clone` forks it
+    * (O(1), segments shared by reference through the per-owner dir
+    * mapping), the FORK then receives the odd half via SQL INSERT
+    * while the SOURCE suffers a DELETE — divergence in both
+    * directions. The readback aggregates the FORK; DuckDB reproduces
+    * it from the pristine source with NO predicates: the hash match
+    * proves the clone serves the shared history losslessly through the
+    * mapped dirs AND that the source's post-clone delete never leaked
+    * into the fork (copy-on-write isolation, hash-checked). */
+  def store12CloneDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store12Cache, spark, dir, "documents") {
+      stageStore12(spark, dir)
+    }
+    val cat = catalogFor(spark, "store12", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id,
+         |  sum(length(text)) AS n_chars
+         |FROM $cat.fork
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore12(spark: SparkSession, dir: String): String = {
+    import graft.ops.AtomicPublish
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store12")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    AtomicPublish.publish(spark, root,
+      Map("documents" -> docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
+      statsBy = Map("documents" -> Seq("doc_id")))
+    val cat = catalogFor(spark, "store12", root)
+    val src = s"store12_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    docs.createOrReplaceTempView(src)
+    spark.sql(s"CALL $cat.system.clone(" +
+      "source => 'documents', target => 'fork')").collect()
+    // the fork receives the odd half; the source loses a range —
+    // divergence in both directions
+    spark.sql(s"INSERT INTO $cat.fork " +
+      s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 2 = 1")
+    spark.sql(s"DELETE FROM $cat.documents " +
+      "WHERE doc_id BETWEEN 20 AND 120")
+    root
+  }
+
+  val store12CloneDivergenceSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  sum(length(text))::BIGINT AS n_chars
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private val store10Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -1793,6 +1854,7 @@ object AdvancedQueries {
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
     "store11_constraints" -> (store11Constraints _),
+    "store12_clone_divergence" -> (store12CloneDivergence _),
     "x12_hof_predicates" -> (x12HofPredicates _),
   )
 
@@ -1847,6 +1909,7 @@ object AdvancedQueries {
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,
     "store11_constraints" -> store11ConstraintsSql,
+    "store12_clone_divergence" -> store12CloneDivergenceSql,
     "x12_hof_predicates" -> x12HofPredicatesSql,
   )
 }

@@ -122,9 +122,20 @@ object AtomicPublish {
         * (/root/reference/app/services/validation.py — Draft-7 checks
         * at the API edge): here the TABLE owns its invariants, so no
         * write face can bypass them. Delta's CHECK-constraint shape. */
-      checks: Map[String, String] = Map.empty) {
+      checks: Map[String, String] = Map.empty,
+      /** Physical directory name per owner, where it differs from the
+        * table's own name — the indirection a ZERO-COPY clone
+        * ([[cloneTable]]) stands on: a cloned table's inherited owners
+        * keep pointing at `v_<owner>/<sourceName>` while its OWN later
+        * segments land under `v_<owner>/<cloneName>` as usual. Absent
+        * entry = the table's name (the overwhelmingly common case —
+        * manifests without clones carry no `#dirs:` line at all). */
+      ownerDirs: Map[String, String] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
+    /** The directory component of `owner`'s segment of this table. */
+    def dirOf(owner: String, table: String): String =
+      ownerDirs.getOrElse(owner, table)
   }
 
   /** One lock object per publish root (same-JVM commit serialization),
@@ -332,6 +343,11 @@ object AtomicPublish {
         s"#checkc:$name@$cn=$pred"
       }
     }
+    val dirs = names.collect {
+      case (name, m) if m.ownerDirs.nonEmpty =>
+        s"#dirs:$name=" + m.ownerDirs.toSeq.sorted
+          .map { case (o, d) => s"$o@$d" }.mkString(",")
+    }
     val stats = names.flatMap { case (name, m) =>
       m.segStats.toSeq.sortBy(_._1).map { case (owner, s) =>
         s"#stats:$name@$owner=${renderSegStats(s)}"
@@ -344,7 +360,8 @@ object AtomicPublish {
       }
     }
     (txn +: (owners ++ parts ++ schemas ++ statcols ++ bloomcols ++
-      cluster ++ bucket ++ checks ++ stats ++ fstats)).mkString("\n")
+      cluster ++ bucket ++ checks ++ dirs ++ stats ++ fstats))
+      .mkString("\n")
   }
 
   private def parseManifestMeta(txn: String,
@@ -390,6 +407,13 @@ object AtomicPublish {
       }}
       .groupBy(_._1)
       .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
+    val dirs = body.filter(_.startsWith("#dirs:"))
+      .map(_.stripPrefix("#dirs:").split("=", 2))
+      .collect { case Array(name, ds) =>
+        name -> ds.split(",").toSeq.filter(_.nonEmpty).map { e =>
+          e.split("@", 2) match { case Array(o, d) => o -> d }
+        }.toMap
+      }.toMap
     val stats = body.filter(_.startsWith("#stats:"))
       .map(_.stripPrefix("#stats:").split("=", 2))
       .collect { case Array(key, js) => key.split("@", 2) match {
@@ -410,7 +434,8 @@ object AtomicPublish {
       name -> TableMeta(os, schemas.get(name), parts.getOrElse(name, Nil),
         statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty),
         fstats.getOrElse(name, Map.empty), bloomcols.getOrElse(name, Nil),
-        ccols, z, bcols, nb, checks.getOrElse(name, Map.empty))
+        ccols, z, bcols, nb, checks.getOrElse(name, Map.empty),
+        dirs.getOrElse(name, Map.empty))
     }
   }
 
@@ -1073,7 +1098,7 @@ object AtomicPublish {
     val probes = bloomProbes(pred, typed)
     if (probes.isEmpty) return keep
     keep.filter { o =>
-      val segDir = new Path(new Path(root, s"v_$o"), table)
+      val segDir = new Path(new Path(root, s"v_$o"), meta.dirOf(o, table))
       probes.forall { case (c, vs) =>
         loadBloom(spark, segDir, c) match {
           case None => true // no sidecar: keep conservatively
@@ -1198,7 +1223,8 @@ object AtomicPublish {
     meta.schema.getOrElse {
       spark.read.option("mergeSchema", "true").parquet(
         meta.owners.map(t =>
-          new Path(new Path(root, s"v_$t"), table).toString): _*).schema
+          new Path(new Path(root, s"v_$t"),
+            meta.dirOf(t, table)).toString): _*).schema
     }
 
   /** Optimistic-concurrency DELTA publish: stage only what changed and
@@ -1399,7 +1425,10 @@ object AtomicPublish {
           bucketSpec._1, bucketSpec._2,
           // constraints inherit like every layout fact: an append is
           // enforced against the table's recorded invariants
-          pm.map(_.checks).getOrElse(Map.empty))
+          pm.map(_.checks).getOrElse(Map.empty),
+          // a clone's shared-dir mapping rides along; the new owner
+          // maps by default to the table's own name
+          pm.map(_.ownerDirs).getOrElse(Map.empty))
       }
       val replaceMeta = replaceAll.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
@@ -1501,9 +1530,10 @@ object AtomicPublish {
       val companion = targetMeta.get(dt)
       val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val needed =
-        restored.owners.map(o => new Path(new Path(rootPath, s"v_$o"), table)) ++
-          companion.toSeq.flatMap(_.owners)
-            .map(o => new Path(new Path(rootPath, s"v_$o"), dt))
+        restored.owners.map(o => new Path(new Path(rootPath, s"v_$o"),
+          restored.dirOf(o, table))) ++
+          companion.toSeq.flatMap(c => c.owners.map(o =>
+            new Path(new Path(rootPath, s"v_$o"), c.dirOf(o, dt))))
       val missing = needed.filterNot(fs.exists)
       require(missing.isEmpty,
         s"cannot restore '$table' to $toTxn: segment(s) " +
@@ -1566,7 +1596,8 @@ object AtomicPublish {
       val newMeta = m.copy(
         owners = keepOwners :+ txn,
         segStats = m.segStats.filter(kv => keep.contains(kv._1)),
-        fileStats = m.fileStats.filter(kv => keep.contains(kv._1)))
+        fileStats = m.fileStats.filter(kv => keep.contains(kv._1)),
+        ownerDirs = m.ownerDirs.filter(kv => keep.contains(kv._1)))
       val all = parentMeta + (table -> newMeta)
       val sealedMeta = stageAndSeal(spark, rootPath, txn,
         Map(table -> tail), all)
@@ -1576,6 +1607,87 @@ object AtomicPublish {
       if (committed) {
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, parent).map(_ + 1).getOrElse(0L))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
+  /** ZERO-COPY table clone (Delta's SHALLOW CLONE shape): `target`
+    * becomes a new manifest entry whose metadata — owners, schema,
+    * layout, zone maps, file stats, checks, tombstone companion — is
+    * `source`'s at the pinned version, sharing every data segment by
+    * REFERENCE. O(1) on disk, O(manifest) in metadata; at a 100 TB
+    * table this is what makes a dev/test fork affordable at all. The
+    * clone then diverges copy-on-write for free: its appends extend
+    * ITS owner list, its deletes tombstone ITS companion, compacting
+    * it rewrites into ITS own segments — the source never observes
+    * any of it — and vacuum's reference closure keeps shared segments
+    * alive as long as EITHER table (or any history version) references
+    * them. `sourceTxn` clones a historical version (time-travel fork).
+    * Returns the new txn, or None on a lost CAS race. */
+  def cloneTable(spark: SparkSession, root: String, source: String,
+      target: String, sourceTxn: Option[String] = None,
+      parent: Option[String] = None): Option[String] = {
+    validateNames(Seq(target))
+    require(source != target, "clone: source and target are the same name")
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val p = parent.orElse(currentTxn(spark, root)).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val parentMeta = manifestMetaOf(spark, root, p)
+      require(!parentMeta.contains(target) &&
+          !parentMeta.contains(deleteTableOf(target)),
+        s"clone: table '$target' already exists under $root")
+      val at = sourceTxn.getOrElse(p)
+      val srcMeta =
+        try manifestMetaOf(spark, root, at)
+        catch { case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"clone: version $at is not readable under $root", e)
+        }
+      val sm = srcMeta.getOrElse(source,
+        throw new IllegalArgumentException(
+          s"clone: table '$source' is not in version $at under $root"))
+      // a historical clone must still have its segments on disk
+      val companion = srcMeta.get(deleteTableOf(source))
+      val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val srcDel = deleteTableOf(source)
+      val needed =
+        sm.owners.map(o => new Path(new Path(rootPath, s"v_$o"),
+          sm.dirOf(o, source))) ++
+          companion.toSeq.flatMap(c => c.owners.map(o =>
+            new Path(new Path(rootPath, s"v_$o"), c.dirOf(o, srcDel))))
+      val missing = needed.filterNot(fs.exists)
+      require(missing.isEmpty,
+        s"clone: segment(s) ${missing.mkString(", ")} of '$source'@$at " +
+          "were already reclaimed by vacuum")
+      // the clone's owners resolve to the SOURCE's physical dirs —
+      // recorded per owner, so later own appends default to the
+      // clone's name while the shared history keeps resolving
+      val cloned = sm.copy(ownerDirs =
+        sm.owners.map(o => o -> sm.dirOf(o, source)).toMap)
+      val clonedCompanion = companion.map(c => c.copy(ownerDirs =
+        c.owners.map(o => o -> c.dirOf(o, srcDel)).toMap))
+      val newMeta = parentMeta + (target -> cloned) ++
+        clonedCompanion.map(deleteTableOf(target) -> _)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, newMeta)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(Some(p)))
+      if (committed) {
+        markCommitted(spark, root, txn, seq =
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
         Some(txn)
       } else None
     } catch {
@@ -1685,8 +1797,9 @@ object AtomicPublish {
     currentManifestMeta(spark, root).map(_._1)
 
   private def segmentPaths(root: String, table: String,
-      owners: Seq[String]): Seq[String] =
-    owners.map(t => new Path(new Path(root, s"v_$t"), table).toString)
+      meta: TableMeta, owners: Seq[String]): Seq[String] =
+    owners.map(t =>
+      new Path(new Path(root, s"v_$t"), meta.dirOf(t, table)).toString)
 
   /** Read of a table's owner segments under its recorded merged schema:
     * segments written before a column existed serve nulls for it, and no
@@ -1704,7 +1817,7 @@ object AtomicPublish {
         GraftFileIndex.relationFor(spark, root, table, meta,
           owners.map(_ -> None))
       case None =>
-        val paths = segmentPaths(root, table, owners)
+        val paths = segmentPaths(root, table, meta, owners)
         if (meta.partitionCols.isEmpty || paths.size == 1)
           spark.read.parquet(paths: _*)
         else // partition discovery rejects multiple roots
@@ -1769,9 +1882,13 @@ object AtomicPublish {
         // greedy ".*" pins the LAST v_<owner>/<table>/ component, so a
         // store ROOT path that itself contains a v_ directory (or even
         // ".../v_x/<table>/...") cannot shadow the owner capture; the
-        // table name is regex-quoted (names may contain '.')
-        val ownerRe = ".*/v_([^/]+)/" +
-          java.util.regex.Pattern.quote(table) + "/"
+        // dir names are regex-quoted (names may contain '.') and a
+        // CLONED table alternates over every physical dir its owners
+        // live under
+        val tm = metas(table)
+        val dirNames = (table +: tm.owners.map(tm.dirOf(_, table))).distinct
+        val ownerRe = ".*/v_([^/]+)/(?:" +
+          dirNames.map(java.util.regex.Pattern.quote).mkString("|") + ")/"
         // the file path comes from the `_metadata.file_path` METADATA
         // COLUMN, not input_file_name(): the metadata column is a
         // deterministic scan attribute, so user predicates still push

@@ -69,11 +69,12 @@ object Compaction {
   def storeTableBytes(spark: SparkSession, root: String, table: String,
       txn: String): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    AtomicPublish.manifestOf(spark, root, txn)
+    val meta = AtomicPublish.manifestMetaOf(spark, root, txn)
       .getOrElse(table, throw new IllegalArgumentException(
         s"table '$table' is not in version $txn under $root"))
+    meta.owners
       .map { t =>
-        val dir = new Path(root, s"v_$t/$table")
+        val dir = new Path(root, s"v_$t/${meta.dirOf(t, table)}")
         val fs = dir.getFileSystem(conf)
         if (!fs.exists(dir)) 0L
         else {
@@ -96,8 +97,8 @@ object Compaction {
 
   /** Data-file bytes of ONE owner segment (FS listing only). */
   private def segmentBytes(spark: SparkSession, root: String,
-      table: String, owner: String): Long = {
-    val dir = new Path(root, s"v_$owner/$table")
+      table: String, meta: AtomicPublish.TableMeta, owner: String): Long = {
+    val dir = new Path(root, s"v_$owner/${meta.dirOf(owner, table)}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) 0L
     else {
@@ -147,11 +148,11 @@ object Compaction {
       if (metas.get(AtomicPublish.deleteTableOf(table))
           .exists(_.owners.nonEmpty)) return None
       val tail = m.owners.reverse
-        .takeWhile(o => segmentBytes(spark, root, table, o) < targetBytes)
+        .takeWhile(o => segmentBytes(spark, root, table, m, o) < targetBytes)
         .reverse
       if (tail.size < minSegs) return None
       val keep = m.owners.dropRight(tail.size)
-      val tailBytes = tail.map(segmentBytes(spark, root, table, _)).sum
+      val tailBytes = tail.map(segmentBytes(spark, root, table, m, _)).sum
       val parts = partitionsFor(tailBytes, targetBytes)
       val union = AtomicPublish.readTableSegments(spark, root, table,
         parent, tail)
@@ -236,10 +237,16 @@ object Compaction {
           ()
         } else if (m.owners.size > maxOwners) {
           // append pressure: O(tail) minor compaction first — the
-          // consolidated head is carried by reference; fall back to a
-          // full rewrite only when there is no mergeable small tail
-          // (or tombstones block the suffix renumbering)
-          if (compactTail(spark, root, table, targetFileBytes).isEmpty) {
+          // consolidated head is carried by reference. A table with
+          // RECORDED CLUSTERING keeps the full rewrite: re-applying
+          // the declared layout over the whole table IS its
+          // maintenance contract (the ZOrderSpec pin), and a merged
+          // unsorted tail would quietly erode file locality. Fall back
+          // to the full rewrite too when there is no mergeable small
+          // tail (or tombstones block the suffix renumbering).
+          val minorDone = m.clusterCols.isEmpty &&
+            compactTail(spark, root, table, targetFileBytes).isDefined
+          if (!minorDone) {
             compactStore(spark, root, table, targetFileBytes)
             ()
           }

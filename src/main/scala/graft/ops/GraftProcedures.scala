@@ -33,8 +33,8 @@ import org.apache.spark.unsafe.types.UTF8String
 private[ops] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("add_check", "compact", "consumers", "detail", "drop_check",
-      "history", "restore", "vacuum")
+    Seq("add_check", "clone", "compact", "consumers", "detail",
+      "drop_check", "history", "restore", "vacuum")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -46,6 +46,7 @@ private[ops] object GraftProcedures {
       case "add_check" => Some(new SetCheckProc(root, add = true))
       case "drop_check" => Some(new SetCheckProc(root, add = false))
       case "detail" => Some(new DetailProc(root))
+      case "clone" => Some(new CloneProc(root))
       case _ => None
     }
 
@@ -186,6 +187,45 @@ private[ops] object GraftProcedures {
     }
   }
 
+  // --- clone -----------------------------------------------------------------
+
+  /** `CALL <cat>.system.clone(source => 's', target => 't'
+    * [, version => '<txn>'])` — zero-copy table clone
+    * ([[AtomicPublish.cloneTable]]): the target shares every data
+    * segment by reference (O(1) on disk) and diverges copy-on-write;
+    * `version` forks a historical snapshot (time-travel clone). The
+    * dev/test-fork move a 100 TB table needs. */
+  private final class CloneProc(root: String) extends GraftProc("clone") {
+
+    override def description(): String =
+      "zero-copy table clone (shares segments; diverges copy-on-write)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("source", StringType),
+      param("target", StringType),
+      param("version", StringType, "''"))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("cloned_from", StringType, nullable = false)
+      .add("owners", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val source = input.getUTF8String(0).toString
+      val target = input.getUTF8String(1).toString
+      val at = Option(input.getUTF8String(2)).map(_.toString)
+        .filter(_.nonEmpty)
+      val txn = AtomicPublish.cloneTable(spark, root, source, target,
+        sourceTxn = at).getOrElse(throw new IllegalStateException(
+        s"clone of '$source' lost its commit race — a concurrent " +
+          "writer moved the store; retry the CALL"))
+      val owners = AtomicPublish.manifestMetaOf(spark, root, txn)
+        .get(target).map(_.owners.size).getOrElse(0)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(txn), utf8(at.getOrElse(source)), owners))))
+    }
+  }
+
   // --- detail ----------------------------------------------------------------
 
   /** `CALL <cat>.system.detail(table => 't')` — one row of operator
@@ -229,7 +269,8 @@ private[ops] object GraftProcedures {
       var files = 0; var bytes = 0L
       val conf = spark.sparkContext.hadoopConfiguration
       m.owners.foreach { o =>
-        val dir = new org.apache.hadoop.fs.Path(root, s"v_$o/$table")
+        val dir = new org.apache.hadoop.fs.Path(root,
+          s"v_$o/${m.dirOf(o, table)}")
         val fs = dir.getFileSystem(conf)
         if (fs.exists(dir)) {
           val it = fs.listFiles(dir, true)

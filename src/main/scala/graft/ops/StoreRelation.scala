@@ -69,7 +69,7 @@ final class GraftFileIndex(
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
   private def segDir(o: String): Path =
-    new Path(new Path(root, s"v_$o"), table)
+    new Path(new Path(root, s"v_$o"), meta.dirOf(o, table))
 
   override def rootPaths: Seq[Path] = selection.map(s => segDir(s._1))
 

@@ -298,7 +298,7 @@ class StoreProcedureSpec extends SparkSuite {
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("compact", "vacuum", "history", "consumers",
-      "restore", "add_check", "drop_check", "detail"))
+      "restore", "add_check", "drop_check", "detail", "clone"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }
