@@ -1701,6 +1701,60 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
+  /** RENAME a table: one O(1) metadata commit — the new name's entry
+    * carries the old one's metadata with every owner resolved through
+    * the per-owner dir mapping (the [[cloneTable]] mechanism), the old
+    * name (and its tombstone companion) leaves the manifest in the
+    * SAME commit. No data moves; pre-rename versions still time-travel
+    * to the old name; vacuum keeps the shared dirs alive through the
+    * new name's reference closure. Returns the new txn, or None on a
+    * lost CAS race. */
+  def renameTable(spark: SparkSession, root: String, from: String,
+      to: String, parent: Option[String] = None): Option[String] = {
+    validateNames(Seq(to))
+    require(from != to, "rename: source and target are the same name")
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val p = parent.orElse(currentTxn(spark, root)).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val parentMeta = manifestMetaOf(spark, root, p)
+      val sm = parentMeta.getOrElse(from,
+        throw new IllegalArgumentException(
+          s"rename: table '$from' is not in version $p under $root"))
+      require(!parentMeta.contains(to) &&
+          !parentMeta.contains(deleteTableOf(to)),
+        s"rename: table '$to' already exists under $root")
+      val fromDel = deleteTableOf(from)
+      val companion = parentMeta.get(fromDel)
+      val renamed = sm.copy(ownerDirs =
+        sm.owners.map(o => o -> sm.dirOf(o, from)).toMap)
+      val renamedCompanion = companion.map(c => c.copy(ownerDirs =
+        c.owners.map(o => o -> c.dirOf(o, fromDel)).toMap))
+      val newMeta = (parentMeta - from - fromDel) + (to -> renamed) ++
+        renamedCompanion.map(deleteTableOf(to) -> _)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, newMeta)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(Some(p)))
+      if (committed) {
+        markCommitted(spark, root, txn, seq =
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
   /** Evolve a LIVE table's CHECK constraints: `predicate = Some(sql)`
     * adds (or redefines) the named constraint — after verifying the
     * EXISTING data satisfies it (one full delete-aware scan at the

@@ -70,7 +70,9 @@ import graft.ops.AtomicPublish.TableMeta
   * its tombstone companion) from the manifest: versions before the
   * drop still time-travel to it, and vacuum reclaims the data once
   * they age out. A dropped name can be re-created with a fresh schema.
-  * `RENAME TABLE` and non-ADD alters remain unsupported.
+  * `ALTER TABLE … RENAME TO` is metadata-only too (the per-owner dir
+  * mapping); `RENAME COLUMN`/`DROP COLUMN` are copy-on-write rewrites
+  * (see [[alterColumnCow]]).
   *
   * (Reference analog: /root/reference/app/models/patient.py declares
   * tables once and every query resolves them by name through the ORM's
@@ -295,6 +297,20 @@ final class GraftCatalog extends TableCatalog
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
+    changes.toList match {
+      case List(r: TableChange.RenameColumn) =>
+        require(r.fieldNames.length == 1,
+          s"ALTER TABLE RENAME COLUMN on '$catName' supports top-level " +
+            s"columns only (got ${r.fieldNames.mkString(".")})")
+        return alterColumnCow(ident, r.fieldNames()(0),
+          rename = Some(r.newName))
+      case List(d: TableChange.DeleteColumn) =>
+        require(d.fieldNames.length == 1,
+          s"ALTER TABLE DROP COLUMN on '$catName' supports top-level " +
+            s"columns only (got ${d.fieldNames.mkString(".")})")
+        return alterColumnCow(ident, d.fieldNames()(0), rename = None)
+      case _ => () // the ADD COLUMNS path below
+    }
     val adds = changes.map {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -334,6 +350,91 @@ final class GraftCatalog extends TableCatalog
         s"${GraftSource.MaxCommitAttempts} times")
   }
 
+  /** `ALTER TABLE … RENAME COLUMN old TO new` / `DROP COLUMN c`:
+    * COPY-ON-WRITE — one replace commit of the projected table under
+    * the evolved schema, with the declared layout (partition / stat /
+    * bloom / cluster / bucket columns) renamed along. Deliberately NOT
+    * Delta-style metadata-only column mapping: that buys O(1) alters
+    * at the price of a field-id indirection inside every parquet read
+    * forever; here the rewrite is paid once and history still
+    * time-travels to the old shape. Refused when the column is the
+    * table's pinned delete key (the tombstone companion's schema names
+    * it) or is referenced by a CHECK constraint (predicate SQL cannot
+    * be rewritten safely) — drop the constraint first. */
+  private def alterColumnCow(ident: Identifier, colName: String,
+      rename: Option[String]): Table = {
+    val t = ident.name()
+    var attempt = 0
+    while (attempt < GraftSource.MaxCommitAttempts) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new NoSuchTableException(ident))
+      val metas = AtomicPublish.manifestMetaOf(spark, root, parent)
+      val meta = metas.getOrElse(t, throw new NoSuchTableException(ident))
+      val recorded = meta.schema.getOrElse(throw new IllegalStateException(
+        s"table '$t' predates recorded schemas"))
+      require(recorded.fieldNames.contains(colName),
+        s"column '$colName' is not in table '$t'")
+      rename.foreach(n => require(!recorded.fieldNames.contains(n),
+        s"column '$n' already exists on '$t'"))
+      require(rename.isDefined || recorded.fields.length > 1,
+        s"cannot drop the only column of '$t'")
+      // the pinned delete key lives in the companion's schema — a
+      // rename/drop would silently unhook every future delete
+      val deleteKey = metas.get(AtomicPublish.deleteTableOf(t))
+        .flatMap(_.schema)
+        .map(_.fieldNames.toSeq.filterNot(_ == "_asof")).getOrElse(Nil)
+      require(!deleteKey.contains(colName),
+        s"column '$colName' is the pinned delete key of '$t' — " +
+          "row-level delete history depends on it")
+      // a CHECK predicate's SQL cannot be rewritten safely
+      meta.checks.foreach { case (cn, pred) =>
+        val refs =
+          try spark.sessionState.sqlParser.parseExpression(pred).collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedAttribute => a.name
+          } catch { case scala.util.control.NonFatal(_) =>
+            Seq(colName) // unparseable → conservatively referencing
+          }
+        require(!refs.exists(_.equalsIgnoreCase(colName)),
+          s"column '$colName' is referenced by check constraint '$cn' " +
+            s"($pred) — CALL drop_check first")
+      }
+      def mapped(cols: Seq[String]): Seq[String] = rename match {
+        case Some(n) => cols.map(c => if (c == colName) n else c)
+        case None => cols // guarded below: layout cols refuse DROP
+      }
+      if (rename.isEmpty) {
+        val layout = (meta.partitionCols ++ meta.statCols ++
+          meta.bloomCols ++ meta.clusterCols ++ meta.bucketCols).distinct
+        require(!layout.contains(colName),
+          s"column '$colName' is part of '$t''s declared layout " +
+            s"(${layout.mkString(", ")}) — redeclare the layout first")
+      }
+      val base = AtomicPublish.readTableAt(spark, root, t, parent)
+      val projected = rename match {
+        case Some(n) => base.withColumnRenamed(colName, n)
+        case None => base.drop(colName)
+      }
+      def lay(of: Seq[String]): Map[String, Seq[String]] =
+        if (of.isEmpty) Map.empty else Map(t -> mapped(of))
+      val committed = AtomicPublish.publishDelta(spark, root,
+        append = Map.empty, replace = Map(t -> projected),
+        parent = Some(parent),
+        partitionBy = lay(meta.partitionCols),
+        statsBy = lay(meta.statCols), bloomBy = lay(meta.bloomCols),
+        clusterBy = if (meta.clusterCols.isEmpty) Map.empty
+          else Map(t -> (mapped(meta.clusterCols), meta.clusterZOrder)),
+        bucketBy = if (meta.numBuckets == 0) Map.empty
+          else Map(t -> (mapped(meta.bucketCols), meta.numBuckets)))
+      if (committed.isDefined) return loadTable(ident)
+      // CAS lost: re-pin and retry
+    }
+    throw new IllegalStateException(
+      s"ALTER TABLE '$t' lost the commit race " +
+        s"${GraftSource.MaxCommitAttempts} times")
+  }
+
   /** `DROP TABLE`: metadata-only removal in one CAS commit ([[
     * AtomicPublish.publishDelta]] `drop`) — O(1), no data touched;
     * pre-drop versions still time-travel, vacuum reclaims later. */
@@ -359,8 +460,26 @@ final class GraftCatalog extends TableCatalog
         s"${GraftSource.MaxCommitAttempts} times")
   }
 
+  /** `ALTER TABLE <name> RENAME TO <new>`: one O(1) metadata commit
+    * through the per-owner dir mapping ([[AtomicPublish.renameTable]])
+    * — no data moves, pre-rename versions still time-travel to the
+    * old name. */
   override def renameTable(oldIdent: Identifier,
-      newIdent: Identifier): Unit = unsupported("RENAME TABLE")
+      newIdent: Identifier): Unit = {
+    if (!okNs(oldIdent.namespace())) throw new NoSuchTableException(oldIdent)
+    if (!okNs(newIdent.namespace())) throw new NoSuchNamespaceException(
+      newIdent.namespace())
+    var attempt = 0
+    while (attempt < GraftSource.MaxCommitAttempts) {
+      attempt += 1
+      if (AtomicPublish.renameTable(spark, root, oldIdent.name(),
+          newIdent.name()).isDefined) return
+      // CAS lost: re-pin and retry
+    }
+    throw new IllegalStateException(
+      s"RENAME TABLE '${oldIdent.name()}' lost the commit race " +
+        s"${GraftSource.MaxCommitAttempts} times")
+  }
 
   /** Procedures live under the `system` namespace (the Iceberg
     * convention): `CALL <cat>.system.<proc>(...)`. */

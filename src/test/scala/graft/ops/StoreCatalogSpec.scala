@@ -343,8 +343,11 @@ class StoreCatalogSpec extends SparkSuite {
     val root = freshRoot()
     AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 3, "en")))
     val cat = mount(root)
+    // still-unsupported alters carry guidance (RENAME TO / RENAME
+    // COLUMN / DROP COLUMN are supported now — SchemaEvolutionSpec)
     intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.docs RENAME TO docs2")
+      spark.sql(s"ALTER TABLE $cat.docs " +
+        "SET TBLPROPERTIES ('foo' = 'bar')")
     }
     val e = intercept[Exception] {
       spark.sql(s"SELECT * FROM $cat.missing").collect()
