@@ -1688,6 +1688,78 @@ object AdvancedQueries {
       |  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
       |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** Q2 shape (TPC-H Q2's minimum-cost-supplier pattern): keep the
+    * lineitems whose price IS the correlated minimum for their part —
+    * an equality against a correlated scalar aggregate in WHERE.
+    * DECORRELATION: Catalyst rewrites the per-part min probe into one
+    * aggregate-then-join (no per-row re-execution); the only plan that
+    * scales past a toy corpus. */
+  def q2MinCost(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT p_partkey, p_brand, l_suppkey, l_orderkey,
+        |  round(l_extendedprice, 2) AS price
+        |FROM graft_part, graft_lineitem l
+        |WHERE p_partkey = l.l_partkey AND p_partkey % 10 = 3
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice) FROM graft_lineitem l2
+        |    WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, l_suppkey, l_orderkey""".stripMargin)
+  }
+
+  val q2MinCostSql: String =
+    """SELECT p_partkey, p_brand, l_suppkey, l_orderkey,
+      |  round(l_extendedprice, 2) AS price
+      |FROM part, lineitem l
+      |WHERE p_partkey = l.l_partkey AND p_partkey % 10 = 3
+      |  AND l.l_extendedprice = (
+      |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+      |    WHERE l2.l_partkey = p_partkey)
+      |ORDER BY p_partkey, l_suppkey, l_orderkey""".stripMargin
+
+  /** Q20 shape (TPC-H Q20's nested-IN + correlated-threshold pattern):
+    * suppliers who dominate some small part's shipments — an IN
+    * subquery whose inner GROUP BY filters against a correlated scalar
+    * aggregate (here a SCALE-STABLE threshold: 3× the part's average
+    * per-supplier share, so the answer is non-trivial at every sf).
+    * Exercises two decorrelation layers at once: the IN → semi join
+    * and the correlated HAVING-style threshold → aggregate join. */
+  def q20NestedIn(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("graft_part")
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT s_suppkey, s_name
+        |FROM graft_supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, l_partkey AS pk, sum(l_quantity) AS sq
+        |    FROM graft_lineitem
+        |    WHERE l_partkey IN
+        |      (SELECT p_partkey FROM graft_part WHERE p_size < 10)
+        |    GROUP BY l_suppkey, l_partkey) g
+        |  WHERE sq > (
+        |    SELECT 3.0 * sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
+        |    FROM graft_lineitem l2 WHERE l2.l_partkey = g.pk))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val q20NestedInSql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM (
+      |    SELECT l_suppkey, l_partkey AS pk, sum(l_quantity) AS sq
+      |    FROM lineitem
+      |    WHERE l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_size < 10)
+      |    GROUP BY l_suppkey, l_partkey) g
+      |  WHERE sq > (
+      |    SELECT 3.0 * sum(l2.l_quantity) / count(DISTINCT l2.l_suppkey)
+      |    FROM lineitem l2 WHERE l2.l_partkey = g.pk))
+      |ORDER BY s_suppkey""".stripMargin
+
   /** Q4: correlated EXISTS through the SQL entry (TPC-H Q4 shape —
     * orders in a date window having at least one qualifying lineitem).
     * DECORRELATION: Catalyst rewrites the per-row EXISTS probe into one
@@ -1833,6 +1905,8 @@ object AdvancedQueries {
     "q17_subquery" -> (q17Subquery _),
     "q4_exists" -> (q4Exists _),
     "q21_not_exists" -> (q21NotExists _),
+    "q2_min_cost" -> (q2MinCost _),
+    "q20_nested_in" -> (q20NestedIn _),
     "j6_q5_volume" -> (j6Q5Volume _),
     "j7_full_outer" -> (j7FullOuter _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
@@ -1888,6 +1962,8 @@ object AdvancedQueries {
     "q17_subquery" -> q17SubquerySql,
     "q4_exists" -> q4ExistsSql,
     "q21_not_exists" -> q21NotExistsSql,
+    "q2_min_cost" -> q2MinCostSql,
+    "q20_nested_in" -> q20NestedInSql,
     "j6_q5_volume" -> j6Q5VolumeSql,
     "j7_full_outer" -> j7FullOuterSql,
     "dd1_dedup_first" -> dd1DedupFirstSql,

@@ -145,6 +145,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(!q21.toLowerCase.contains("subquery"), q21)
   }
 
+  test("q2/q20: correlated-min equality and nested IN + correlated " +
+      "threshold both fully decorrelate") {
+    val q2 = planString(AdvancedQueries.q2MinCost(spark, dir))
+    assert(!q2.contains("ScalarSubquery"), q2)
+    assert(q2.contains("HashAggregate") || q2.contains("SortAggregate"), q2)
+    assert(q2.contains("Join"), q2)
+    val q20 = planString(AdvancedQueries.q20NestedIn(spark, dir))
+    assert(!q20.toLowerCase.contains("scalarsubquery"), q20)
+    assert(q20.contains("LeftSemi"), q20)
+  }
+
   test("AQE re-plans a shuffle join to broadcast from RUNTIME stats") {
     // static planner is denied broadcast (threshold -1), so the initial
     // plan is a shuffle join; the ADAPTIVE threshold stays default, so
