@@ -138,6 +138,50 @@ class IvfMaintenanceSpec extends SparkSuite {
     assert(pre.count() < merged.size)
   }
 
+  test("vector TAKEDOWN without rebuild: deleteRows on the index store " +
+      "excludes the ids from search; compaction applies physically") {
+    import spark.implicits._
+    val all = testdataCorpus(dir)
+    val split = SimilarityOps.ivfSplitPoint(spark, dir)
+    val cents = SimilarityOps.publishedCentroids(spark, dir)
+    val root = java.nio.file.Files.createTempDirectory("ivftakedown")
+      .resolve("index").toString
+    AtomicPublish.publish(spark, root, Map("ivf_index" ->
+      SimilarityOps.assignCells(all.filter(col("vec_id") < split), cents)
+        .select(col("vec_id"), col("v"), col("nrm"), col("cell"))),
+      partitionBy = Map("ivf_index" -> Seq("cell")))
+    val ownersBefore = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("ivf_index").owners
+    val victims = Seq(3L, 11L, split - 1)
+    // the takedown: one O(deleted-ids) tombstone commit — the index is
+    // NOT rebuilt (owner chain unchanged), yet every read excludes the
+    // ids immediately. The compliance shape a vector store needs: a
+    // revoked document's embeddings leave search the moment the
+    // tombstone commits, at any index size.
+    AtomicPublish.deleteRows(spark, root,
+      Map("ivf_index" -> victims.toDF("vec_id")))
+    val owners = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("ivf_index").owners
+    assert(owners == ownersBefore, "takedown rewrote the index")
+    val live = AtomicPublish.readTable(spark, root, "ivf_index")
+      .select("vec_id").as[Long].collect().toSet
+    victims.foreach(v => assert(!live.contains(v), s"vec $v still served"))
+    assert(live.size == split - victims.size)
+    // appends after the takedown do not resurrect (asof scoping), and
+    // a later re-add of the same id LIVES (takedown ≠ forever-ban)
+    SimilarityOps.ivfAppendBatch(spark, root,
+      all.filter(col("vec_id") === (split - 1)), cents)
+    val after = AtomicPublish.readTable(spark, root, "ivf_index")
+      .select("vec_id").as[Long].collect().toSet
+    assert(after.contains(split - 1), "re-added vector suppressed")
+    assert(!after.contains(3L))
+    // maintenance applies the debt physically: companion empties, rows
+    // stay exact
+    graft.ops.Compaction.compactStore(spark, root, "ivf_index")
+    assert(AtomicPublish.readTable(spark, root, "ivf_index")
+      .select("vec_id").as[Long].collect().toSet == after)
+  }
+
   private def scans(p: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
     case a: AdaptiveSparkPlanExec => scans(a.executedPlan)

@@ -141,6 +141,29 @@ class BucketedStoreSpec extends SparkSuite {
     assert(agg.count() == 300)
   }
 
+  test("bucket pruning: a point predicate on the bucket key scans ONE " +
+      "bucket of n") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 400)),
+      bucketBy = Map("docs" -> (Seq("doc_id"), 8)))
+    // autoBucketedScan (default on) trades pruning for scan
+    // parallelism on plain filters; with it off, the planner keeps the
+    // bucketed scan and the point predicate prunes to ONE bucket — the
+    // 1/n-of-the-files point-lookup path a bucketed 100 TB table serves
+    val prev = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val q = AtomicPublish.readTable(spark, root, "docs")
+        .filter(col("doc_id") === 123L)
+      val plan = finalPlan(q)
+      assert(plan.contains("SelectedBucketsCount: 1 out of 8"), plan)
+      assert(q.count() == 1)
+    } finally spark.conf
+      .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
+  }
+
   test("deletes on a bucketed table: delete-aware read parity survives") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root, Map("docs" -> docs(0 until 100)),
