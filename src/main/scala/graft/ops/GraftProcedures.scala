@@ -34,7 +34,8 @@ private[ops] object GraftProcedures {
 
   val names: Seq[String] =
     Seq("add_check", "clone", "compact", "consumers", "detail",
-      "drop_check", "history", "restore", "vacuum")
+      "drop_check", "drop_matview", "history", "matview", "restore",
+      "vacuum")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -47,6 +48,8 @@ private[ops] object GraftProcedures {
       case "drop_check" => Some(new SetCheckProc(root, add = false))
       case "detail" => Some(new DetailProc(root))
       case "clone" => Some(new CloneProc(root))
+      case "matview" => Some(new MatViewProc(root))
+      case "drop_matview" => Some(new DropMatViewProc(root))
       case _ => None
     }
 
@@ -184,6 +187,125 @@ private[ops] object GraftProcedures {
         .get(table).map(_.owners.size).getOrElse(0)
       result(out, Array(new GenericInternalRow(
         Array[Any](utf8(txn), utf8(toTxn), owners))))
+    }
+  }
+
+  // --- matview / drop_matview ------------------------------------------------
+
+  /** `'fn:col:as[,fn:col:as…]'` → [[MatView.Agg]]s. */
+  private def parseAggs(s: String): Seq[MatView.Agg] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { a =>
+      a.split(":") match {
+        case Array(fn, c, as) => MatView.Agg(fn.trim, c.trim, as.trim)
+        case _ => throw new IllegalArgumentException(
+          s"aggs entries must be 'fn:col:as', got '$a'")
+      }
+    }
+
+  private def colList(s: String): Seq[String] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+
+  /** `CALL <cat>.system.matview(view => 'mv', source => 't',
+    * aggs => 'count:id:n,sum:v:total' [, group_by => 'k1,k2']
+    * [, join_right => 'u', join_on => 'id'])` — create-or-refresh an
+    * INCREMENTALLY MAINTAINED aggregate view ([[MatView.refresh]]):
+    * the first call computes and publishes the view (plus its
+    * mergeable aux state); later calls apply only the commit interval
+    * (append deltas, signed-merge deletes, bounded min/max value
+    * state), falling back to a recompute exactly where incrementality
+    * is impossible. With `join_right`/`join_on` the view aggregates
+    * the inner equi-join source⋈right (Δ(A⋈B) maintenance). The view
+    * is an ordinary table: `SELECT * FROM <cat>.<view>` — so a
+    * SQL-only session now owns the full matview lifecycle. */
+  private final class MatViewProc(root: String) extends GraftProc("matview") {
+
+    override def description(): String =
+      "create-or-refresh an incrementally maintained aggregate view"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("view", StringType),
+      param("source", StringType),
+      param("aggs", StringType),
+      param("group_by", StringType, "''"),
+      param("join_right", StringType, "''"),
+      param("join_on", StringType, "''"))
+
+    private val out = new StructType()
+      .add("view", StringType, nullable = false)
+      .add("version", StringType, nullable = true)
+      .add("action", StringType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val view = input.getUTF8String(0).toString
+      val source = input.getUTF8String(1).toString
+      val aggs = parseAggs(input.getUTF8String(2).toString)
+      val keys =
+        if (input.isNullAt(3)) Nil else colList(input.getUTF8String(3).toString)
+      val right =
+        if (input.isNullAt(4)) "" else input.getUTF8String(4).toString.trim
+      val on =
+        if (input.isNullAt(5)) Nil else colList(input.getUTF8String(5).toString)
+      val d: MatView.ViewDef =
+        if (right.isEmpty) MatView.Def(source, view, keys, aggs)
+        else MatView.JoinDef(source, right, on, view, keys, aggs)
+      MatView.refresh(spark, root, d) match {
+        case Some(txn) => result(out, Array(new GenericInternalRow(
+          Array[Any](utf8(view), utf8(txn), utf8("refreshed")))))
+        case None => result(out, Array(new GenericInternalRow(
+          Array[Any](utf8(view), null, utf8("current")))))
+      }
+    }
+  }
+
+  /** `CALL <cat>.system.drop_matview(view => 'mv',
+    * aggs => 'count:id:n,…')` — drop the view AND its aux state
+    * tables (`<view>_aux`, per-aggregate distinct-value and min/max
+    * states) in one metadata commit; `aggs` re-states the definition
+    * so the exact aux names are enumerated instead of pattern-matched
+    * (a prefix scan could catch an unrelated user table). */
+  private final class DropMatViewProc(root: String)
+    extends GraftProc("drop_matview") {
+
+    override def description(): String =
+      "drop a materialized view and its aux state tables"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("view", StringType),
+      param("aggs", StringType))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("dropped", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val view = input.getUTF8String(0).toString
+      val aggs = parseAggs(input.getUTF8String(1).toString)
+      val d = MatView.Def("ignored_src", view, Nil, aggs)
+      val candidates = Seq(view, d.wmTable, d.auxTable) ++
+        aggs.filter(_.fn == "count_distinct").map(d.dvTable) ++
+        aggs.filter(a => a.fn == "min" || a.fn == "max").map(d.mmTable)
+      var attempt = 0
+      while (attempt < GraftSource.MaxCommitAttempts) {
+        attempt += 1
+        val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+          throw new IllegalStateException(
+            s"no published version under $root"))
+        val present = AtomicPublish.manifestMetaOf(spark, root, parent)
+          .keySet
+        val toDrop = candidates.filter(present.contains)
+        require(toDrop.contains(view),
+          s"view '$view' is not published under $root")
+        val committed = AtomicPublish.publishDelta(spark, root,
+          append = Map.empty, drop = toDrop, parent = Some(parent))
+        committed.foreach { txn =>
+          return result(out, Array(new GenericInternalRow(
+            Array[Any](utf8(txn), toDrop.size))))
+        }
+        // CAS lost: re-pin and retry
+      }
+      throw new IllegalStateException(
+        s"drop_matview '$view' lost the commit race " +
+          s"${GraftSource.MaxCommitAttempts} times")
     }
   }
 

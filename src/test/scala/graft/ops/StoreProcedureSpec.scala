@@ -292,13 +292,52 @@ class StoreProcedureSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("nope")))
   }
 
+  test("CALL matview: SQL-only incremental view lifecycle — create, " +
+      "refresh-on-commit, query, drop with aux state") {
+    import spark.implicits._
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 100, "en")))
+    val cat = mount(root)
+    def call(): (Option[String], String) = {
+      val r = spark.sql(s"CALL $cat.system.matview(view => 'mv_lang', " +
+        "source => 'docs', aggs => 'count:doc_id:n,min:doc_id:lo', " +
+        "group_by => 'lang')").head()
+      (Option(r.getString(1)), r.getString(2))
+    }
+    // first call: full compute + publish
+    val (v1, a1) = call()
+    assert(v1.isDefined && a1 == "refreshed")
+    assert(spark.sql(s"SELECT n FROM $cat.mv_lang WHERE lang = 'en'")
+      .head().getLong(0) == 100)
+    // no commits since → current, no-op
+    assert(call() == ((None, "current")))
+    // a commit lands → the next call refreshes INCREMENTALLY and the
+    // view tracks (min state included)
+    spark.sql(s"INSERT INTO $cat.docs VALUES (-5, 'en', 'neg')")
+    val (v2, a2) = call()
+    assert(v2.isDefined && a2 == "refreshed")
+    val row = spark.sql(
+      s"SELECT n, lo FROM $cat.mv_lang WHERE lang = 'en'").head()
+    assert(row.getLong(0) == 101 && row.getLong(1) == -5L)
+    // drop removes the view AND its aux state tables
+    val dropped = spark.sql(s"CALL $cat.system.drop_matview(" +
+      "view => 'mv_lang', aggs => 'count:doc_id:n,min:doc_id:lo')")
+      .head().getAs[Int]("dropped")
+    assert(dropped >= 2) // view + aux (+ min/max value state)
+    val names = AtomicPublish.currentManifestMeta(spark, root).get._2.keySet
+    assert(!names.exists(_.startsWith("mv_lang")),
+      s"matview tables survived the drop: $names")
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL is refused") {
     val root = freshRoot(); stage(root)
     val cat = mount(root)
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("compact", "vacuum", "history", "consumers",
-      "restore", "add_check", "drop_check", "detail", "clone"))
+      "restore", "add_check", "drop_check", "detail", "clone",
+      "matview", "drop_matview"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }
