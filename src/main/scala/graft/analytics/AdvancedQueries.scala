@@ -1760,6 +1760,32 @@ object AdvancedQueries {
       |    FROM lineitem l2 WHERE l2.l_partkey = g.pk))
       |ORDER BY s_suppkey""".stripMargin
 
+  /** Q11 shape (TPC-H Q11's global-threshold pattern): part groups
+    * whose shipped quantity exceeds a FRACTION of the corpus total —
+    * an UNCORRELATED scalar aggregate subquery in HAVING, planned
+    * once and broadcast as a literal (not per group). The threshold
+    * compares sums of whole-number quantities (exact in IEEE doubles),
+    * so the boundary is engine-stable — a revenue-style float sum
+    * would flip boundary rows on summation order. */
+  def q11HavingThreshold(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+        |FROM graft_lineitem
+        |GROUP BY l_partkey
+        |HAVING sum(l_quantity) > (
+        |  SELECT 0.001 * sum(l_quantity) FROM graft_lineitem)
+        |ORDER BY l_partkey""".stripMargin)
+  }
+
+  val q11HavingThresholdSql: String =
+    """SELECT l_partkey, CAST(sum(l_quantity) AS BIGINT) AS qty
+      |FROM lineitem
+      |GROUP BY l_partkey
+      |HAVING sum(l_quantity) > (
+      |  SELECT 0.001 * sum(l_quantity) FROM lineitem)
+      |ORDER BY l_partkey""".stripMargin
+
   /** Q4: correlated EXISTS through the SQL entry (TPC-H Q4 shape —
     * orders in a date window having at least one qualifying lineitem).
     * DECORRELATION: Catalyst rewrites the per-row EXISTS probe into one
@@ -1907,6 +1933,7 @@ object AdvancedQueries {
     "q21_not_exists" -> (q21NotExists _),
     "q2_min_cost" -> (q2MinCost _),
     "q20_nested_in" -> (q20NestedIn _),
+    "q11_having_threshold" -> (q11HavingThreshold _),
     "j6_q5_volume" -> (j6Q5Volume _),
     "j7_full_outer" -> (j7FullOuter _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
@@ -1964,6 +1991,7 @@ object AdvancedQueries {
     "q21_not_exists" -> q21NotExistsSql,
     "q2_min_cost" -> q2MinCostSql,
     "q20_nested_in" -> q20NestedInSql,
+    "q11_having_threshold" -> q11HavingThresholdSql,
     "j6_q5_volume" -> j6Q5VolumeSql,
     "j7_full_outer" -> j7FullOuterSql,
     "dd1_dedup_first" -> dd1DedupFirstSql,

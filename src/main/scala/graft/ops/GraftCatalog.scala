@@ -557,9 +557,24 @@ final class GraftTable(
           meta.bucketCols: _*))
       else Array.empty[Transform])
 
-  override def properties(): util.Map[String, String] =
-    Map("provider" -> "graft", "location" -> root,
-      "version" -> txn).asJava
+  override def properties(): util.Map[String, String] = {
+    // the declared layout and invariants surface through DESCRIBE
+    // TABLE EXTENDED / SHOW TBLPROPERTIES — the operator does not need
+    // the Scala API to see what a table's manifest declares
+    val layout = Seq(
+      "statsBy" -> meta.statCols.mkString(","),
+      "bloomBy" -> meta.bloomCols.mkString(","),
+      "clusterBy" -> meta.clusterCols.mkString(","),
+      "zOrder" -> (if (meta.clusterZOrder) "true" else ""),
+      "bucketBy" -> (if (meta.numBuckets > 0)
+        s"${meta.numBuckets}:${meta.bucketCols.mkString(",")}" else ""),
+      "owners" -> meta.owners.size.toString
+    ).filter(_._2.nonEmpty)
+    val checks = meta.checks.toSeq.sortBy(_._1)
+      .map { case (n, p) => s"check.$n" -> p }
+    (Map("provider" -> "graft", "location" -> root, "version" -> txn) ++
+      layout ++ checks).asJava
+  }
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,

@@ -162,6 +162,12 @@ class StoreConstraintSpec extends SparkSuite {
     // insert resolution; either way nothing landed
     assert(spark.sql(s"SELECT count(*) FROM $cat.docs")
       .head().getLong(0) == 2)
+    // the declared invariants and layout surface through SQL metadata
+    val props = spark.sql(s"SHOW TBLPROPERTIES $cat.docs").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("check.word_bound")
+      .contains("words BETWEEN 0 AND 10000"))
+    assert(props.get("check.nn_doc_id").contains("`doc_id` IS NOT NULL"))
     // live evolution through CALL
     spark.sql(s"CALL $cat.system.add_check(table => 'docs', " +
       "name => 'id_cap', predicate => 'doc_id < 100')").collect()
