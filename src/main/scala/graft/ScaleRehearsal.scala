@@ -378,6 +378,49 @@ object ScaleRehearsal {
       f"per-cycle maintenance grew with table size: first-quintile p50 " +
         f"$maintFirstP50%.3fs → last-quintile p50 $maintLastP50%.3fs " +
         "(minor compaction is not O(tail))")
+    // --- bucketed co-located join vs the same join shuffled ------------
+    // two tables co-bucketed on the join key in ONE publish; the join
+    // plans with no exchange (the BucketedStoreSpec pin) — here the
+    // WALL-CLOCK of that plan is measured against the identical join
+    // with the bucketed read disabled (same files, forced shuffle), so
+    // the report quantifies the co-location win instead of asserting
+    // it. Result parity IS asserted — both plans must agree exactly.
+    val bRoot = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_bkt_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    AtomicPublish.publish(spark, bRoot, Map(
+      "bdocs" -> docs.select(col("rid"), col("lang"), col("nc")),
+      "bscores" -> docs.select(col("rid"),
+        (col("nc") % 97).cast("long").as("score"))),
+      bucketBy = Map("bdocs" -> (Seq("rid"), 16),
+        "bscores" -> (Seq("rid"), 16)))
+    def joinAgg(): Seq[(String, Long, Long)] =
+      AtomicPublish.readTable(spark, bRoot, "bdocs")
+        .join(AtomicPublish.readTable(spark, bRoot, "bscores"), "rid")
+        .groupBy("lang")
+        .agg(org.apache.spark.sql.functions.sum("score").as("s"),
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("cnt"))
+        .orderBy("lang")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (bucketRes, bucketJoinSec) =
+      try { val w = (1 to reps).map(_ => timed(joinAgg()));
+        (w.head._1, w.map(_._2).min) }
+      finally ()
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "false")
+    val (shuffleRes, shuffleJoinSec) =
+      try { val w = (1 to reps).map(_ => timed(joinAgg()))
+        (w.head._1, w.map(_._2).min) }
+      finally {
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+      }
+    require(bucketRes == shuffleRes,
+      "bucketed and shuffled join plans disagree on the answer")
     docs.unpersist()
     Map("store_stage" -> stageSec, "store_point_read" -> pointSec,
       "store_range_read" -> rangeSec,
@@ -391,7 +434,9 @@ object ScaleRehearsal {
       "store_sink_batch_p50" -> p50(sinkTimes),
       "store_sink_total" -> sinkTotalSec,
       "store_tail_ingest" -> tailIngestSec,
-      "store_tail_maint_p50" -> p50(maintTimes))
+      "store_tail_maint_p50" -> p50(maintTimes),
+      "store_join_bucketed" -> bucketJoinSec,
+      "store_join_shuffled" -> shuffleJoinSec)
   }
 
   def main(args: Array[String]): Unit = {

@@ -79,10 +79,14 @@ import graft.ops.AtomicPublish.TableMeta
   * metadata — this catalog is that name-resolution layer, grown onto
   * the store.)
   *
-  * Maintenance is SQL too: the catalog is a [[org.apache.spark.sql
-  * .connector.catalog.ProcedureCatalog]] — `CALL <cat>.system.compact
-  * /vacuum/history/consumers(...)` run the store's maintenance
-  * operations and return their summary rows ([[GraftProcedures]]).
+  * Maintenance and operations are SQL too: the catalog is a
+  * [[org.apache.spark.sql.connector.catalog.ProcedureCatalog]] —
+  * `CALL <cat>.system.compact/vacuum/history/consumers/restore/clone/
+  * detail/add_check/drop_check/matview/drop_matview(...)` run the
+  * store's maintenance, rollback, forking, constraint and
+  * materialized-view operations and return their summary rows
+  * ([[GraftProcedures]]) — a SQL-only session operates the store end
+  * to end.
   */
 final class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
