@@ -1761,12 +1761,17 @@ object AdvancedQueries {
       |ORDER BY s_suppkey""".stripMargin
 
   /** Q11 shape (TPC-H Q11's global-threshold pattern): part groups
-    * whose shipped quantity exceeds a FRACTION of the corpus total —
+    * whose shipped quantity exceeds a fraction of the corpus total —
     * an UNCORRELATED scalar aggregate subquery in HAVING, planned
-    * once and broadcast as a literal (not per group). The threshold
-    * compares sums of whole-number quantities (exact in IEEE doubles),
-    * so the boundary is engine-stable — a revenue-style float sum
-    * would flip boundary rows on summation order. */
+    * once and broadcast as a literal (not per group). The threshold is
+    * SCALE-STABLE: 1.2× the mean per-part share (total / distinct
+    * parts), so real boundary rows exist at EVERY scale factor — a
+    * fixed fraction of the total goes vacuous as the part count grows
+    * (0 rows at sf0.01 made the r7 gate's hash match trivially true,
+    * VERDICT-r7 nit #3). The compare stays engine-stable: sums of
+    * whole-number quantities are exact in IEEE doubles and the
+    * 1.2×/÷ arithmetic is the same two deterministic roundings on
+    * both engines. */
   def q11HavingThreshold(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
     spark.sql(
@@ -1774,7 +1779,8 @@ object AdvancedQueries {
         |FROM graft_lineitem
         |GROUP BY l_partkey
         |HAVING sum(l_quantity) > (
-        |  SELECT 0.001 * sum(l_quantity) FROM graft_lineitem)
+        |  SELECT (1.2 * sum(l_quantity)) / count(DISTINCT l_partkey)
+        |  FROM graft_lineitem)
         |ORDER BY l_partkey""".stripMargin)
   }
 
@@ -1783,7 +1789,8 @@ object AdvancedQueries {
       |FROM lineitem
       |GROUP BY l_partkey
       |HAVING sum(l_quantity) > (
-      |  SELECT 0.001 * sum(l_quantity) FROM lineitem)
+      |  SELECT (1.2 * sum(l_quantity)) / count(DISTINCT l_partkey)
+      |  FROM lineitem)
       |ORDER BY l_partkey""".stripMargin
 
   /** Q4: correlated EXISTS through the SQL entry (TPC-H Q4 shape —

@@ -877,16 +877,74 @@ object AtomicPublish {
   /** Error-name prefix of a refused constraint violation. */
   val CheckViolation = "GRAFT_CHECK_VIOLATION"
 
-  /** Enforce a table's CHECK constraints on the slice about to stage:
-    * SQL semantics — a row violates when the predicate evaluates to
-    * FALSE (NULL passes); the first violating constraint refuses the
-    * WHOLE commit before anything is written, so enforcement is
+  /** Wrap a slice about to stage with PER-ROW CHECK enforcement, fused
+    * into the write itself (Delta's invariant-enforcement shape): each
+    * constraint becomes a branch of one filter condition that either
+    * passes the row or RAISES the named violation — so the write job
+    * that stages the slice IS the enforcement pass. SQL semantics —
+    * a row violates when the predicate evaluates to FALSE (NULL
+    * passes); any violation aborts the staging job before the version
+    * seals (pointer untouched, scratch cleaned), so enforcement stays
     * atomic-by-construction. A check referencing a recorded column the
     * slice omits (schema evolution) evaluates it as NULL — exactly the
-    * value the merged read would serve. Cost: one column-pruned scan
-    * of the fresh slice per constrained write, the same O(batch) price
-    * bloom sidecars pay. */
-  private def enforceChecks(spark: SparkSession, name: String,
+    * value the merged read would serve.
+    *
+    * Fusing (ADVICE-r7 medium) buys two guarantees a separate pre-scan
+    * cannot: (1) the ROWS VALIDATED ARE THE ROWS WRITTEN — a
+    * non-deterministic input (rand(), a view over a changing source, a
+    * recomputed streaming batch) can no longer pass a pre-check and
+    * then stage different, violating rows; (2) cost is one predicate
+    * eval per row inside the write pipeline instead of a full second
+    * computation of the input per constrained commit — which also
+    * makes constraint inheritance on compaction replaces effectively
+    * free (ADVICE-r7 low: the old pre-scan re-read the whole
+    * consolidated table once per constraint). */
+  private def checkGuarded(spark: SparkSession, name: String,
+      df: DataFrame, meta: TableMeta): DataFrame = {
+    if (meta.checks.isEmpty) return df
+    import org.apache.spark.sql.functions.{raise_error, when => fwhen}
+    val have = df.columns.toSet
+    val missing: Seq[StructField] = meta.schema
+      .map(_.fields.filterNot(f => have.contains(f.name)).toSeq)
+      .getOrElse(Nil)
+    val evalFrame = missing.foldLeft(df) { (d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    // first (name-ordered) violated constraint raises; a row passing
+    // every branch flows through to the writer untouched
+    val guard = meta.checks.toSeq.sortBy(_._1)
+      .foldRight(lit(true): Column) { case ((cn, predSql), rest) =>
+        val pred =
+          try org.apache.spark.sql.functions.expr(predSql)
+          catch { case scala.util.control.NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"check '$cn' of table '$name' does not parse: $predSql", e)
+          }
+        fwhen(pred <=> lit(false),
+          raise_error(lit(
+            s"$CheckViolation: constraint '$cn' of table '$name' " +
+              s"($predSql) is violated by the written data — the " +
+              "commit was refused before the version sealed " +
+              "(no partial state)")).cast(BooleanType))
+          .otherwise(rest)
+      }
+    val guarded =
+      try evalFrame.filter(guard)
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"check constraints of table '$name' cannot be evaluated " +
+            s"over the written slice " +
+            s"(${meta.checks.toSeq.sortBy(_._1).mkString(", ")})", e)
+      }
+    if (missing.isEmpty) guarded else guarded.drop(missing.map(_.name): _*)
+  }
+
+  /** Scan-based verification that EXISTING data satisfies a
+    * constraint — the `setCheck`/`CALL add_check` contract (a
+    * constraint is a guarantee over the whole table): one column-pruned
+    * scan with a limit-1 early exit. Write paths do NOT use this —
+    * they enforce per-row inside the staging job ([[checkGuarded]]). */
+  private def verifyChecksScan(spark: SparkSession, name: String,
       df: DataFrame, meta: TableMeta): Unit = {
     if (meta.checks.isEmpty) return
     val have = df.columns.toSet
@@ -909,13 +967,38 @@ object AtomicPublish {
         catch { case scala.util.control.NonFatal(e) =>
           throw new IllegalArgumentException(
             s"check '$cn' of table '$name' cannot be evaluated over " +
-              s"the written slice: $predSql", e)
+              s"the existing data: $predSql", e)
         }
       require(!violated,
         s"$CheckViolation: constraint '$cn' of table '$name' " +
-          s"($predSql) is violated by the written data — the commit " +
-          "was refused before staging (no partial state)")
+          s"($predSql) is violated by the existing data — add the " +
+          "constraint after repairing it (no partial state)")
     }
+  }
+
+  /** A staging failure whose cause chain carries a raised CHECK
+    * violation surfaces as the violation itself (an
+    * IllegalArgumentException with the named constraint), not as the
+    * write job's generic abort wrapper. */
+  private def unwrapViolation(e: Throwable): Throwable = {
+    var t: Throwable = e
+    var hops = 0
+    while (t != null && hops < 20) {
+      val m = t.getMessage
+      if (m != null && m.contains(CheckViolation)) {
+        t match {
+          case iae: IllegalArgumentException => return iae
+          case _ =>
+            // strip the raise_error/error-class bracket prefix so the
+            // surfaced message starts at the violation text
+            val at = m.indexOf(CheckViolation)
+            return new IllegalArgumentException(m.substring(at), e)
+        }
+      }
+      t = t.getCause
+      hops += 1
+    }
+    e
   }
 
   /** Write one bucketed segment through SPARK'S OWN bucketed-write
@@ -1196,8 +1279,9 @@ object AtomicPublish {
           bucketCols = bcols, numBuckets = nb,
           checks = checks.getOrElse(n, Map.empty))
       }
-      tables.foreach { case (n, df) => enforceChecks(spark, n, df, meta(n)) }
-      val sealedMeta = stageAndSeal(spark, rootPath, txn, tables, meta)
+      val guarded = tables.map { case (n, df) =>
+        n -> checkGuarded(spark, n, df, meta(n)) }
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, guarded, meta)
       swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = None)
@@ -1210,7 +1294,7 @@ object AtomicPublish {
         catch { case _: Throwable => () }
         try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
         catch { case _: Throwable => () }
-        throw e
+        throw unwrapViolation(e)
     } finally inFlight.remove(txn)
   }
 
@@ -1457,11 +1541,10 @@ object AtomicPublish {
       }
       val meta = (parentMeta -- dropAll) ++ appendMeta ++ replaceMeta ++
         autoCleared
-      (append ++ replaceAll).foreach { case (n, df) =>
-        enforceChecks(spark, n, df, meta(n))
+      val guarded = (append ++ replaceAll).map { case (n, df) =>
+        n -> checkGuarded(spark, n, df, meta(n))
       }
-      val sealedMeta =
-        stageAndSeal(spark, rootPath, txn, append ++ replaceAll, meta)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, guarded, meta)
       val committed = swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(parent))
@@ -1480,7 +1563,7 @@ object AtomicPublish {
         catch { case _: Throwable => () }
         try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
         catch { case _: Throwable => () }
-        throw e
+        throw unwrapViolation(e)
     } finally inFlight.remove(txn)
   }
 
@@ -1546,6 +1629,15 @@ object AtomicPublish {
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(p))
       if (committed) {
+        // re-verify AFTER the swap (ADVICE-r7): a cross-process vacuum
+        // racing the pre-check window could have reclaimed a target
+        // segment while it belonged to no surviving version's closure;
+        // from the swap onward the live manifest references them, so a
+        // post-swap existence pass closes the window — on a hit the
+        // pointer rolls back to the parent state before erroring,
+        // leaving no committed manifest that reads half a table
+        reverifyOrRollback(spark, root, txn, p, parentMeta, needed, fs,
+          s"restore '$table' to $toTxn")
         markCommitted(spark, root, txn, seq = p
           .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L))
         Some(txn)
@@ -1672,6 +1764,7 @@ object AtomicPublish {
       require(missing.isEmpty,
         s"clone: segment(s) ${missing.mkString(", ")} of '$source'@$at " +
           "were already reclaimed by vacuum")
+      val cloneNeeded = needed
       // the clone's owners resolve to the SOURCE's physical dirs —
       // recorded per owner, so later own appends default to the
       // clone's name while the shared history keeps resolving
@@ -1686,6 +1779,11 @@ object AtomicPublish {
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(Some(p)))
       if (committed) {
+        // post-swap existence re-verify — same race as restore (a
+        // historical clone's segments may be outside every surviving
+        // closure until this commit references them)
+        reverifyOrRollback(spark, root, txn, Some(p), parentMeta,
+          cloneNeeded, fs, s"clone '$source'@$at as '$target'")
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
         Some(txn)
@@ -1699,6 +1797,49 @@ object AtomicPublish {
         catch { case _: Throwable => () }
         throw e
     } finally inFlight.remove(txn)
+  }
+
+  /** Post-swap half of the restore/clone vacuum race (ADVICE-r7): the
+    * pre-commit existence check and the pointer swap are not one
+    * atomic step, so a cross-process vacuum can reclaim a target
+    * segment in between — it was in no surviving version's reference
+    * closure until the swap landed. Once the swap IS the live pointer
+    * the segments are protected (vacuum re-reads the pointer and
+    * chases its closure), so a single post-swap existence pass closes
+    * the window: if anything is missing, the pointer is rolled back to
+    * the parent's manifest (a fresh commit of the parent state — the
+    * parent's own segments are still closure-protected) and the
+    * operation fails loudly instead of leaving a committed manifest
+    * that reads half a table. */
+  private def reverifyOrRollback(spark: SparkSession, root: String,
+      txn: String, parent: Option[String],
+      parentMeta: Map[String, TableMeta], needed: Seq[Path],
+      fs: org.apache.hadoop.fs.FileSystem, what: String): Unit = {
+    val gone = needed.filterNot(fs.exists)
+    if (gone.isEmpty) return
+    val rollback = java.util.UUID.randomUUID().toString.replace("-", "")
+    val rolledBack =
+      try {
+        val sealedMeta = stageAndSeal(spark, new Path(root), rollback,
+          Map.empty, parentMeta)
+        swapPointer(spark, root, rollback,
+          renderManifest(rollback, sealedMeta)
+            .getBytes(StandardCharsets.UTF_8),
+          expectParent = Some(Some(txn)))
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (rolledBack)
+      markCommitted(spark, root, rollback, seq =
+        commitSeqOf(spark, root, txn)
+          .orElse(parent.flatMap(commitSeqOf(spark, root, _)).map(_ + 1))
+          .map(_ + 1).getOrElse(0L))
+    throw new IllegalStateException(
+      s"$what: a concurrent vacuum reclaimed segment(s) " +
+        s"${gone.mkString(", ")} between the pre-commit check and the " +
+        s"pointer swap — the commit was " +
+        (if (rolledBack) "rolled back to the parent state"
+        else "left in place but its segments are gone; restore from " +
+          "history or re-run vacuum with a larger retention") +
+        ". Re-run the operation against a version inside retention")
   }
 
   /** RENAME a table: one O(1) metadata commit — the new name's entry
@@ -1782,7 +1923,7 @@ object AtomicPublish {
           validateChecks(table, Map(name -> pred))
           val candidate = meta.copy(checks = meta.checks + (name -> pred))
           // the whole EXISTING table must already satisfy the rule
-          enforceChecks(spark, table,
+          verifyChecksScan(spark, table,
             readTableAt(spark, root, table, p),
             candidate.copy(checks = Map(name -> pred)))
           candidate
@@ -2021,26 +2162,38 @@ object AtomicPublish {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
-      val (pinned, metas) = currentManifestMeta(spark, root).getOrElse(
+      val pinned = currentTxn(spark, root).getOrElse(
         throw new IllegalStateException(s"no published version under $root"))
-      deletes.foreach { case (t, keys) =>
-        val meta = metas.getOrElse(t, throw new IllegalArgumentException(
-          s"table '$t' is not in version $pinned under $root"))
-        validateDeleteKey(t, meta, keys, metas)
-      }
-      publishDelta(spark, root,
-        append = deletes.map { case (t, keys) =>
-          deleteTableOf(t) -> keys
-            .withColumn(TombAsofCol, lit(metas(t).owners.size))
-            .repartition(1) // ids: tiny by contract
-        },
-        parent = Some(pinned)) match {
+      deleteRowsAt(spark, root, pinned, deletes) match {
         case Some(txn) => return txn
         case None => () // lost the race: re-pin, retry
       }
     }
     throw new IllegalStateException(
       s"deleteRows lost the commit race $maxAttempts times under $root")
+  }
+
+  /** One [[deleteRows]] attempt against an explicitly pinned `parent`:
+    * None on CAS loss — for callers whose key sets were VERIFIED
+    * against a read at the same pin (SQL DELETE's exactness guard), so
+    * the verify and the tombstone commit cannot straddle a concurrent
+    * commit (the r6 verify-then-commit window). */
+  def deleteRowsAt(spark: SparkSession, root: String, parent: String,
+      deletes: Map[String, DataFrame]): Option[String] = {
+    require(deletes.nonEmpty, "deleteRows needs at least one table")
+    val metas = manifestMetaOf(spark, root, parent)
+    deletes.foreach { case (t, keys) =>
+      val meta = metas.getOrElse(t, throw new IllegalArgumentException(
+        s"table '$t' is not in version $parent under $root"))
+      validateDeleteKey(t, meta, keys, metas)
+    }
+    publishDelta(spark, root,
+      append = deletes.map { case (t, keys) =>
+        deleteTableOf(t) -> keys
+          .withColumn(TombAsofCol, lit(metas(t).owners.size))
+          .repartition(1) // ids: tiny by contract
+      },
+      parent = Some(parent))
   }
 
   /** One table's upsert slice: the new rows plus the EXPLICIT key set

@@ -237,9 +237,23 @@ final class GraftCatalog extends TableCatalog
     val checkProps: Map[String, String] = props.collect {
       case (k, v) if k.startsWith("check.") => k.stripPrefix("check.") -> v
     }
+    // derived check names must survive the manifest grammar even when
+    // the COLUMN name carries manifest-unsafe characters (':', '@',
+    // ',', '=', '/', '#' are all legal in a Spark column): sanitize
+    // the embedded name and disambiguate sanitization collisions with
+    // a short hash of the raw name (ADVICE-r7: an unsanitized nn_<col>
+    // made CREATE TABLE with such a NOT NULL column fail outright)
+    def safeCheckName(colName: String): String = {
+      val cleaned = colName.map(c =>
+        if ("=,\n\r/#:@".contains(c)) '_' else c)
+      if (cleaned == colName) s"nn_$colName"
+      else s"nn_${cleaned}_" + java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(colName))
+    }
     val notNullChecks: Map[String, String] = schema.fields
       .filterNot(_.nullable)
-      .map(f => s"nn_${f.name}" -> s"`${f.name}` IS NOT NULL").toMap
+      .map(f => safeCheckName(f.name) ->
+        s"`${f.name.replace("`", "``")}` IS NOT NULL").toMap
     val allChecks = notNullChecks ++ checkProps
     (partCols ++ statsCols ++ bloomCols ++ clusterCols ++
         bucketSpec.map(_._1).getOrElse(Nil)).foreach(c =>
@@ -525,14 +539,13 @@ final class GraftCatalog extends TableCatalog
   * projected key set would kill are counted against the rows the
   * predicate matches, and a mismatch (non-unique key colliding across
   * the predicate boundary) REFUSES the delete rather than
-  * over-deleting. The guard reads the LIVE table and the tombstone
-  * commit CASes separately, so a concurrent commit between the two can
-  * shift what the verified key set kills — SQL DELETE assumes a single
-  * writer per table (the graft MERGE/UPDATE commands close this window
-  * by committing against their analysis pin; a racing DELETE's worst
-  * case is bounded: it kills rows matching the verified KEY SET, never
-  * an unverified predicate). `DELETE FROM t` with no predicate
-  * truncates: one
+  * over-deleting. The guard and the tombstone commit run against ONE
+  * pinned snapshot per attempt and the commit CASes on that exact
+  * parent, so a concurrent commit between verify and commit loses the
+  * CAS and the whole verify re-runs at the new pin — the same
+  * analysis-pin discipline the graft MERGE/UPDATE commands use (the
+  * old verify-then-commit window is closed). `DELETE FROM t` with no
+  * predicate truncates: one
   * replace commit of an empty slice that re-declares the recorded
   * layout. Untranslatable predicates are refused at analysis
   * (`canDeleteWhere` false), so a DELETE never silently
@@ -611,36 +624,52 @@ final class GraftTable(
     }
     val pred = filters.flatMap(GraftCatalogRead.toColumn(recordedSchema, _))
       .reduce(_ && _)
-    // the table's established tombstone key, if deletes happened before
-    val established: Option[Seq[String]] =
-      AtomicPublish.currentManifestMeta(spark, root)
-        .flatMap(_._2.get(AtomicPublish.deleteTableOf(table)))
+    val predCols = filters.flatMap(_.references).distinct.toIndexedSeq
+    def cols(names: Seq[String]) = names.map(c =>
+      org.apache.spark.sql.functions.col(s"`$c`"))
+    // pin one snapshot per attempt: the exactness guard and the
+    // tombstone commit both run against it, and the commit CASes on
+    // that exact parent — a concurrent commit between verify and
+    // commit now LOSES the CAS and re-runs the verify at the new pin
+    // (the ADVICE-r6 verify-then-commit window, closed the way the
+    // MERGE/UPDATE commands already do)
+    var attempt = 0
+    while (attempt < GraftSource.MaxCommitAttempts) {
+      attempt += 1
+      val (pinned, metas) = AtomicPublish.currentManifestMeta(spark, root)
+        .getOrElse(throw new IllegalStateException(
+          s"no published version under $root"))
+      // the table's established tombstone key, if deletes happened before
+      val established: Option[Seq[String]] = metas
+        .get(AtomicPublish.deleteTableOf(table))
         .filter(_.owners.nonEmpty)
         .flatMap(_.schema)
         .map(_.fieldNames.toSeq.filterNot(_ == "_asof"))
-    val predCols = filters.flatMap(_.references).distinct.toIndexedSeq
-    val keyCols = established.getOrElse(predCols)
-    def cols(names: Seq[String]) = names.map(c =>
-      org.apache.spark.sql.functions.col(s"`$c`"))
-    val live = AtomicPublish.readTable(spark, root, table)
-    val matching = live.filter(pred)
-    val keys = matching.select(cols(keyCols): _*).distinct()
-    if (established.isDefined && keyCols.toSet != predCols.toSet) {
-      // exactness guard: the key set must kill precisely the matching
-      // rows — a non-unique key colliding across the predicate
-      // boundary would over-delete, so it refuses instead
-      val wouldKill = live.join(keys, keyCols, "left_semi").count()
-      val matches = matching.count()
-      require(wouldKill == matches,
-        s"DELETE on '$table' projects onto the established tombstone " +
-          s"key (${keyCols.mkString(", ")}), but that key would remove " +
-          s"$wouldKill rows where the predicate matches $matches — " +
-          "refusing rather than over-deleting. Use a predicate keyed " +
-          "by the established columns, or compact the table to clear " +
-          "its tombstones first")
+      val keyCols = established.getOrElse(predCols)
+      val live = AtomicPublish.readTableAt(spark, root, table, pinned)
+      val matching = live.filter(pred)
+      val keys = matching.select(cols(keyCols): _*).distinct()
+      if (established.isDefined && keyCols.toSet != predCols.toSet) {
+        // exactness guard: the key set must kill precisely the matching
+        // rows — a non-unique key colliding across the predicate
+        // boundary would over-delete, so it refuses instead
+        val wouldKill = live.join(keys, keyCols, "left_semi").count()
+        val matches = matching.count()
+        require(wouldKill == matches,
+          s"DELETE on '$table' projects onto the established tombstone " +
+            s"key (${keyCols.mkString(", ")}), but that key would remove " +
+            s"$wouldKill rows where the predicate matches $matches — " +
+            "refusing rather than over-deleting. Use a predicate keyed " +
+            "by the established columns, or compact the table to clear " +
+            "its tombstones first")
+      }
+      if (AtomicPublish.deleteRowsAt(spark, root, pinned,
+          Map(table -> keys)).isDefined) return
+      // CAS lost: re-pin and re-verify against the new snapshot
     }
-    AtomicPublish.deleteRows(spark, root, Map(table -> keys))
-    ()
+    throw new IllegalStateException(
+      s"DELETE on '$table' lost the commit race " +
+        s"${GraftSource.MaxCommitAttempts} times")
   }
 }
 

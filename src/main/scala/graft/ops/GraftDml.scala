@@ -243,7 +243,8 @@ final case class GraftMergeCommand(
     // (false = DELETE); __g_n<i>: the post-update value of target
     // column i; __g_o<i>: its original value.
     def cascadeProj(actions: Seq[MergeAction], kind: String,
-        child: LogicalPlan): Project = {
+        child: LogicalPlan,
+        extra: Seq[NamedExpression] = Nil): Project = {
       def actCond(a: MergeAction): Expression = a match {
         case u: UpdateAction => u.condition.getOrElse(trueL)
         case d: DeleteAction => d.condition.getOrElse(trueL)
@@ -272,12 +273,23 @@ final case class GraftMergeCommand(
           out.zipWithIndex.map { case (a, i) =>
             Alias(newValue(a), s"__g_n$i")(): NamedExpression } ++
           out.zipWithIndex.map { case (a, i) =>
-            Alias(a, s"__g_o$i")(): NamedExpression },
+            Alias(a, s"__g_o$i")(): NamedExpression } ++ extra,
         child)
     }
-    val matchedJoin = Join(target, source, Inner, Some(cond),
+    // target rows carry a per-row id BELOW the matched join, so the
+    // SQL-standard cardinality check (a target row modified through >1
+    // source matches is nondeterministic — refuse) rides the SAME
+    // matched projection as a windowed per-id match count instead of a
+    // second full target⋈source join (VERDICT-r7 nit #4: the old
+    // separate check doubled the matched-join work per statement)
+    val withTid = Project(
+      (out :+ Alias(MonotonicallyIncreasingID(), "__g_tid")())
+        .map(_.asInstanceOf[NamedExpression]), target)
+    val tidAttr = withTid.output.find(_.name == "__g_tid").get
+    val matchedJoin = Join(withTid, source, Inner, Some(cond),
       org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)
-    val matchedProj = cascadeProj(matched, "MATCHED", matchedJoin)
+    val matchedProj = cascadeProj(matched, "MATCHED", matchedJoin,
+      extra = Seq(tidAttr))
     // WHEN NOT MATCHED BY SOURCE rides the SAME cascade over the anti
     // join; an anti join matches ≤1 row per target row, so it adds no
     // cardinality hazard
@@ -286,22 +298,6 @@ final case class GraftMergeCommand(
       else Some(cascadeProj(notMatchedBySource, "NOT MATCHED BY SOURCE",
         Join(target, source, LeftAnti, Some(cond),
           org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE)))
-
-    // ---- SQL-standard cardinality check: with any matched action, a
-    // target row matching >1 source row is nondeterministic — error
-    if (matched.nonEmpty) {
-      val withId = Project(
-        (out :+ Alias(MonotonicallyIncreasingID(), "__g_tid")())
-          .map(_.asInstanceOf[NamedExpression]), target)
-      val dupes = df(Join(withId, source, Inner, Some(cond),
-        org.apache.spark.sql.catalyst.plans.logical.JoinHint.NONE))
-        .groupBy(col("__g_tid")).count()
-        .filter(col("count") > 1).limit(1).count()
-      require(dupes == 0L,
-        s"MERGE into '$table': a target row matches more than one " +
-          "source row (ON condition not selective enough) — the SQL " +
-          "standard forbids this as nondeterministic")
-    }
 
     // ---- not-matched side: INSERT cascade over the anti join
     val insertPlanOpt =
@@ -336,7 +332,20 @@ final case class GraftMergeCommand(
       frame.select(out.indices.map(i =>
         col(s"`$prefix$i`").as(names(i))): _*)
 
-    val fired = df(matchedProj).filter(col("__g_act") >= 0).cache()
+    // per-target-row match count, fused into the matched projection as
+    // a window over the pre-join row id (one shuffle by __g_tid, no
+    // second join) — computed over ALL matched rows, checked below
+    // over the rows an action actually FIRED for: a multi-match whose
+    // duplicates never fire any action has a deterministic outcome
+    // (Delta's row-level check shape)
+    val matchedDf =
+      if (matched.isEmpty) df(matchedProj)
+      else df(matchedProj).withColumn("__g_dup",
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(
+            col("__g_tid"))))
+    val fired = matchedDf.filter(col("__g_act") >= 0).cache()
     val firedBs = bySourceProjOpt.map(p =>
       df(p).filter(col("__g_act") >= 0).cache())
     val inserts = insertPlanOpt.map(p =>
@@ -344,6 +353,15 @@ final case class GraftMergeCommand(
       .getOrElse(null)
     try {
       val firedCount = fired.count()
+      // ---- SQL-standard cardinality check (reads the CACHED fired
+      // frame): a fired row whose target id matched >1 source row is
+      // the nondeterministic shape MERGE forbids
+      if (matched.nonEmpty &&
+          fired.filter(col("__g_dup") > 1).limit(1).count() > 0)
+        throw new IllegalArgumentException(
+          s"MERGE into '$table': a target row matches more than one " +
+            "source row (ON condition not selective enough) — the SQL " +
+            "standard forbids this as nondeterministic")
       val firedBsCount = firedBs.map(_.count()).getOrElse(0L)
       val totalFired = firedCount + firedBsCount
       val upsertedM = renamedTo(fired.filter(col("__g_keep")), "__g_n")

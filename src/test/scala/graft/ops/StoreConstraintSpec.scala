@@ -134,6 +134,30 @@ class StoreConstraintSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "docs").count() == 22)
   }
 
+  test("a NOT NULL column whose name carries manifest-unsafe characters " +
+      "still derives a safe check name (sanitized + hash-disambiguated)") {
+    val root = freshRoot()
+    val cat = "unsafecolcat"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    // ':' and '@' are legal Spark column characters but manifest sigils;
+    // the raw nn_<col> derivation used to make this CREATE fail outright
+    spark.sql(
+      s"""CREATE TABLE $cat.t
+         |  (`a:b@c` BIGINT NOT NULL, v BIGINT)""".stripMargin)
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("t")
+    assert(meta.checks.size == 1)
+    val cn = meta.checks.keys.head
+    assert(cn.startsWith("nn_a_b_c_"), s"derived name was '$cn'")
+    assert(!cn.exists(c => "=,\n\r/#:@".contains(c)))
+    // the derived constraint still enforces (null refused, non-null lands)
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 10)")
+    intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t VALUES (CAST(NULL AS BIGINT), 20)")
+    }
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").head().getLong(0) == 1)
+  }
+
   test("SQL face: NOT NULL columns + TBLPROPERTIES checks on CREATE; " +
       "INSERT refused by name; CALL add_check/drop_check") {
     val root = freshRoot()
