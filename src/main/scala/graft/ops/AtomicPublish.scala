@@ -2071,7 +2071,10 @@ object AtomicPublish {
           if (tomb0.columns.contains(TombAsofCol)) tomb0
           else tomb0.withColumn(TombAsofCol,
             lit(null).cast(org.apache.spark.sql.types.IntegerType))
-        val key = tomb.columns.filterNot(_ == TombAsofCol).head
+        // the pinned delete key — ONE OR MORE columns (a composite
+        // natural key tombstones as the full tuple; the reference's own
+        // unique constraint is two-column, patient.py:74-76)
+        val keyCols = tomb.columns.filterNot(_ == TombAsofCol).toSeq
         val posOf = typedLit(
           metas(table).owners.zipWithIndex.toMap)
         // greedy ".*" pins the LAST v_<owner>/<table>/ component, so a
@@ -2102,12 +2105,14 @@ object AtomicPublish {
         // an unresolvable position (defensive: the regex above should
         // always match) errs toward DELETION — resurrecting a deleted
         // row is the compliance failure, suppressing a re-append is not.
-        // NULL-SAFE key equality: a compliance delete of null-keyed rows
-        // must actually delete them — under plain `===` a null tombstone
-        // key is a silent no-op (and Spark hash joins support <=>, so
-        // this costs no plan degradation)
+        // NULL-SAFE key equality on EVERY key column: a compliance
+        // delete of null-keyed rows must actually delete them — under
+        // plain `===` a null tombstone key is a silent no-op (and Spark
+        // hash joins support <=> conjunctions, so a composite key still
+        // plans one hash join on the full tuple)
+        val keyEq = keyCols.map(k => based(k) <=> tomb(k)).reduce(_ && _)
         based.join(tomb,
-          based(key) <=> tomb(key) &&
+          keyEq &&
             (tomb(TombAsofCol).isNull || based("__seg_pos").isNull ||
               tomb(TombAsofCol) > based("__seg_pos")),
           if (semi) "left_semi" else "left_anti")
@@ -2117,36 +2122,45 @@ object AtomicPublish {
 
   private def validateDeleteKey(t: String, meta: TableMeta,
       keys: DataFrame, metas: Map[String, TableMeta]): Unit = {
-    require(keys.columns.length == 1,
-      s"tombstones for '$t' must be a single key column, got " +
+    require(keys.columns.nonEmpty,
+      s"tombstones for '$t' need at least one key column")
+    require(keys.columns.distinct.length == keys.columns.length,
+      s"tombstone key for '$t' repeats a column " +
         s"(${keys.columns.mkString(", ")})")
-    val k = keys.columns.head
-    meta.schema.foreach { s =>
-      require(s.fieldNames.contains(k),
-        s"delete key '$k' is not a column of table '$t' " +
-          s"(${s.fieldNames.mkString(", ")})")
-      require(s(k).dataType.catalogString ==
-        keys.schema.head.dataType.catalogString,
-        s"delete key '$k' of table '$t' has type " +
-          s"${s(k).dataType.simpleString} but the tombstone frame " +
-          s"carries ${keys.schema.head.dataType.simpleString}")
+    require(!keys.columns.contains(TombAsofCol),
+      s"'$TombAsofCol' is the tombstone scope column — it cannot be " +
+        s"part of '$t''s delete key")
+    keys.schema.fields.foreach { kf =>
+      meta.schema.foreach { s =>
+        require(s.fieldNames.contains(kf.name),
+          s"delete key '${kf.name}' is not a column of table '$t' " +
+            s"(${s.fieldNames.mkString(", ")})")
+        require(s(kf.name).dataType.catalogString ==
+          kf.dataType.catalogString,
+          s"delete key '${kf.name}' of table '$t' has type " +
+            s"${s(kf.name).dataType.simpleString} but the tombstone " +
+            s"frame carries ${kf.dataType.simpleString}")
+      }
     }
-    // a table has ONE delete key for life: the read-side anti-join
-    // resolves the key from the tombstone table's schema, so a second
-    // delete under a different column would schema-merge into rows the
-    // reader can never match — a silent no-op delete
+    // a table has ONE delete key (single or COMPOSITE) for life: the
+    // read-side anti-join resolves the key columns from the tombstone
+    // table's schema, so a delete under a different column set would
+    // schema-merge into rows the reader can never match — a silent
+    // no-op delete
     metas.get(deleteTableOf(t)).flatMap(_.schema).foreach { ds =>
       val existing = ds.fieldNames.filterNot(_ == TombAsofCol)
-      require(existing.isEmpty || existing.sameElements(Array(k)),
+      require(existing.isEmpty ||
+        existing.toSet == keys.columns.toSet,
         s"table '$t' already has tombstones keyed by " +
-          s"'${existing.mkString(",")}' — deletes must keep using that " +
-          s"key, got '$k'")
+          s"(${existing.mkString(",")}) — deletes must keep using that " +
+          s"key, got (${keys.columns.mkString(",")})")
     }
   }
 
   /** Delete rows BY KEY from one or more tables, atomically: each
-    * `table -> keys` frame (exactly one column, named for a column of
-    * the table) appends to `<table>__del`; all tombstones land in ONE
+    * `table -> keys` frame (one or more columns, each named for a
+    * column of the table — a multi-column frame deletes by the
+    * COMPOSITE tuple) appends to `<table>__del`; all tombstones land in ONE
     * CAS-committed delta. Cost is O(deleted keys) — no data file of any
     * target table is touched; readers exclude the keys from the commit
     * on, time travel before it still sees them, and the next
@@ -2677,21 +2691,31 @@ object AtomicPublish {
       if (newTombs.isEmpty) emptyLike
       else {
         val dm = mTo(dt)
-        val key = dm.schema.map(_.fieldNames.filterNot(_ == TombAsofCol).head)
+        val keyCols = dm.schema
+          .map(_.fieldNames.toSeq.filterNot(_ == TombAsofCol))
           .getOrElse(readSegments(spark, root, dt, dm, newTombs)
-            .columns.filterNot(_ == TombAsofCol).head)
+            .columns.toSeq.filterNot(_ == TombAsofCol))
         val keyRows = readSegments(spark, root, dt, dm, newTombs)
-          .select(key).distinct().limit(MaxInlineDeleteKeys + 1).collect()
+          .select(keyCols.map(col): _*).distinct()
+          .limit(MaxInlineDeleteKeys + 1).collect()
         val base = readSegments(spark, root, table, srcF, srcF.owners)
         val pruned =
           if (keyRows.length > MaxInlineDeleteKeys) base
           else {
-            val (nulls, vals) = keyRows.map(r => Option(r.get(0)))
-              .partition(_.isEmpty)
-            val in =
-              if (vals.isEmpty) lit(false)
-              else col(key).isin(vals.map(_.get).toSeq: _*)
-            base.filter(if (nulls.nonEmpty) in || col(key).isNull else in)
+            // per-COLUMN membership conjunction — for a composite key
+            // this admits the cartesian superset of the tombstoned
+            // tuples, which is safe: the exact tuple-level semi join
+            // below decides membership; the filter only exists so the
+            // skipping layers can prune the history scan
+            val perCol = keyCols.zipWithIndex.map { case (k, i) =>
+              val (nulls, vals) = keyRows.map(r => Option(r.get(i)))
+                .partition(_.isEmpty)
+              val in =
+                if (vals.isEmpty) lit(false)
+                else col(k).isin(vals.map(_.get).toIndexedSeq: _*)
+              if (nulls.nonEmpty) in || col(k).isNull else in
+            }
+            base.filter(perCol.reduce(_ && _))
           }
         tombstoneJoin(spark, root, table, mTo,
           applyTombstones(spark, root, table, mFrom, pruned),

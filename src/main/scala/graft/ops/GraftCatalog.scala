@@ -531,7 +531,8 @@ final class GraftCatalog extends TableCatalog
   * tuples become the tombstone key set in ONE O(keys) CAS commit — no
   * data rewrite, history stays time-travelable, and a later re-append
   * of a deleted key lives (the `_asof` scope). The store fixes ONE
-  * tombstone key per table, so the first DELETE establishes it (the
+  * tombstone key per table — a single column or a COMPOSITE tuple —
+  * so the first DELETE establishes it (the
   * predicate's referenced columns — exact by construction: the
   * predicate is a function of those columns alone, so rows sharing a
   * matching tuple all match); every later DELETE projects its matching

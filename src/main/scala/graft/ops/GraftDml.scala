@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions.col
   * Two physical strategies, chosen per statement:
   *
   *  - MERGE-ON-READ upsert (the O(changed rows) path): when the
-  *    statement's rows can be keyed by ONE column — the table's
-  *    established tombstone key, or (for a table without tombstones)
-  *    a single-column equality the statement itself implies — the
-  *    affected rows are appended and their old versions tombstoned in
+  *    statement's rows can be keyed — by the table's established
+  *    tombstone key, or (for a table without tombstones) by the
+  *    column equalities the statement itself implies; ONE column or a
+  *    COMPOSITE tuple (`ON t.a = s.a AND t.b = s.b` keys by (a, b),
+  *    the reference's own two-column unique constraint at
+  *    /root/reference/app/models/patient.py:74-76) — the affected
+  *    rows are appended and their old versions tombstoned in
   *    one CAS commit, exactly [[AtomicPublish.upsertMany]]'s shape
   *    (reference analog: the insert-or-conflict row loop at
   *    /root/reference/app/api/routes.py:96-103). An exactness guard
@@ -84,15 +87,18 @@ object GraftDml {
             s"'${k.sql}'")
     }
 
-  /** The table's established single tombstone key at `txn`, if any. */
+  /** The table's established tombstone key columns at `txn`, if any —
+    * one OR MORE (a composite natural key pins the full tuple; the
+    * reference's own unique constraint is the two-column shape,
+    * /root/reference/app/models/patient.py:74-76). */
   private[ops] def establishedKey(spark: SparkSession, root: String,
-      table: String, txn: String): Option[String] =
+      table: String, txn: String): Option[Seq[String]] =
     AtomicPublish.manifestMetaOf(spark, root, txn)
       .get(AtomicPublish.deleteTableOf(table))
       .filter(_.owners.nonEmpty)
       .flatMap(_.schema)
       .map(_.fieldNames.toSeq.filterNot(_ == "_asof"))
-      .collect { case Seq(one) => one }
+      .filter(_.nonEmpty)
 
   /** Fail the statement against a moved snapshot: the frames were
     * computed at the analysis pin, committing over a different parent
@@ -169,32 +175,39 @@ final case class GraftUpdateCommand(
       case Some(cond) =>
         val matchedPlan = org.apache.spark.sql.catalyst.plans.logical
           .Filter(cond, target)
-        val key = GraftDml.establishedKey(spark, root, table, gt.txn)
-          .orElse(
-            // exact by construction iff the predicate is a function of
-            // the key alone: single referenced column
-            cond.references.toSeq.map(_.name).distinct match {
-              case Seq(one) => Some(one)
-              case _ => None
-            })
+        val predCols = cond.references.toSeq.map(_.name).distinct
+        val key: Option[Seq[String]] =
+          GraftDml.establishedKey(spark, root, table, gt.txn)
+            .orElse(
+              // exact by construction iff the predicate is a function
+              // of the key columns alone: rows sharing a matching
+              // row's FULL key tuple all satisfy the predicate too —
+              // holds for one column or a composite
+              if (predCols.nonEmpty &&
+                  predCols.forall(out.map(_.name).contains))
+                Some(predCols)
+              else None)
         key match {
           case None => cow()
-          case Some(k) =>
+          case Some(ks) if !ks.forall(out.map(_.name).contains) => cow()
+          case Some(ks) =>
             val matched = df(matchedPlan).cache()
             try {
               val matches = matched.count()
               if (matches == 0) return Seq.empty // no-op, no commit
-              val keys = matched.select(col(s"`$k`")).distinct()
+              val keys = matched.select(ks.map(k => col(s"`$k`")): _*)
+                .distinct()
               // exactness guard (same as SQL DELETE): the key set must
               // hit precisely the matching rows, else fall back to COW
               val exact =
-                if (cond.references.toSeq.map(_.name).distinct == Seq(k))
-                  true
+                if (predCols.toSet == ks.toSet) true
                 else {
                   val live = df(target)
-                  val k2 = keys.withColumnRenamed(k, "__g_k2")
-                  live.join(k2, live(s"`$k`") <=> k2("__g_k2"),
-                    "left_semi").count() == matches
+                  val k2 = ks.foldLeft(keys)((d, k) =>
+                    d.withColumnRenamed(k, s"__g_k2_$k"))
+                  val joinCond = ks.map(k =>
+                    live(s"`$k`") <=> k2(s"__g_k2_$k")).reduce(_ && _)
+                  live.join(k2, joinCond, "left_semi").count() == matches
                 }
               if (!exact) cow()
               else {
@@ -379,27 +392,32 @@ final case class GraftMergeCommand(
         return Seq.empty
       }
 
-      val key = GraftDml.establishedKey(spark, root, table, gt.txn)
-        .orElse {
-          // a single-column target equality in the ON conjuncts whose
-          // other side is source-only: the natural upsert key
-          def conjuncts(e: Expression): Seq[Expression] = e match {
-            case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-              conjuncts(l) ++ conjuncts(r)
-            case x => Seq(x)
+      val key: Option[Seq[String]] =
+        GraftDml.establishedKey(spark, root, table, gt.txn)
+          .orElse {
+            // the target-column equalities in the ON conjuncts whose
+            // other side is source-only: together they form the natural
+            // upsert key — ONE column or a COMPOSITE (`ON t.a = s.a AND
+            // t.b = s.b` upserts by the (a, b) tuple, the reference's
+            // (patient_id, consent_type) unique-constraint shape)
+            def conjuncts(e: Expression): Seq[Expression] = e match {
+              case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+                conjuncts(l) ++ conjuncts(r)
+              case x => Seq(x)
+            }
+            val targetIds = out.map(_.exprId).toSet
+            val keyColsFromOn = conjuncts(cond).collect {
+              case EqualTo(l: AttributeReference, r)
+                  if targetIds.contains(l.exprId) &&
+                    r.references.forall(x => !targetIds.contains(x.exprId)) =>
+                l.name
+              case EqualTo(l, r: AttributeReference)
+                  if targetIds.contains(r.exprId) &&
+                    l.references.forall(x => !targetIds.contains(x.exprId)) =>
+                r.name
+            }.distinct
+            if (keyColsFromOn.nonEmpty) Some(keyColsFromOn) else None
           }
-          val targetIds = out.map(_.exprId).toSet
-          conjuncts(cond).collectFirst {
-            case EqualTo(l: AttributeReference, r)
-                if targetIds.contains(l.exprId) &&
-                  r.references.forall(x => !targetIds.contains(x.exprId)) =>
-              l.name
-            case EqualTo(l, r: AttributeReference)
-                if targetIds.contains(r.exprId) &&
-                  l.references.forall(x => !targetIds.contains(x.exprId)) =>
-              r.name
-          }
-        }
 
       def cow(): Unit = {
         // copy-on-write: carryover (target anti source — run through
@@ -426,20 +444,24 @@ final case class GraftMergeCommand(
 
       key match {
         case None => cow()
-        case Some(k) if !names.contains(k) => cow()
-        case Some(k) =>
-          val ki = names.indexOf(k)
-          val keysM = fired.select(col(s"`__g_o$ki`").as(k))
-          val keys = firedBs.map(b =>
-            keysM.unionByName(b.select(col(s"`__g_o$ki`").as(k))))
+        case Some(ks) if !ks.forall(names.contains) => cow()
+        case Some(ks) =>
+          val kis = ks.map(names.indexOf)
+          def keyProj(frame: DataFrame): DataFrame =
+            frame.select(ks.zip(kis).map { case (k, ki) =>
+              col(s"`__g_o$ki`").as(k) }: _*)
+          val keysM = keyProj(fired)
+          val keys = firedBs.map(b => keysM.unionByName(keyProj(b)))
             .getOrElse(keysM).distinct()
-          // exactness guard: the fired rows' key set must kill exactly
-          // the fired rows — otherwise untouched rows sharing a key
-          // would be collateral; COW handles that shape correctly
+          // exactness guard: the fired rows' key-tuple set must kill
+          // exactly the fired rows — otherwise untouched rows sharing
+          // a tuple would be collateral; COW handles that shape
           val live = df(target)
-          val k2 = keys.withColumnRenamed(k, "__g_k2")
-          val wouldKill = live.join(k2, live(s"`$k`") <=> k2("__g_k2"),
-            "left_semi").count()
+          val k2 = ks.foldLeft(keys)((d, k) =>
+            d.withColumnRenamed(k, s"__g_k2_$k"))
+          val joinCond = ks.map(k =>
+            live(s"`$k`") <=> k2(s"__g_k2_$k")).reduce(_ && _)
+          val wouldKill = live.join(k2, joinCond, "left_semi").count()
           if (wouldKill != totalFired) cow()
           else {
             val rows =

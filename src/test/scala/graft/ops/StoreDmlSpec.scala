@@ -243,6 +243,91 @@ class StoreDmlSpec extends SparkSuite {
     assert(owners(root).size == 1)
   }
 
+  /** (root, cat) with `c(a BIGINT, b STRING, v BIGINT)` where (a, b)
+    * is unique but `a` ALONE is not: a 0..9 × b in {x, y} — the
+    * composite-natural-key shape (the reference's (patient_id,
+    * consent_type) unique constraint, patient.py:74-76). */
+  private def stageComposite(): (String, String) = {
+    import spark.implicits._
+    val root = freshRoot()
+    def rows(r: Range) = r.flatMap(a => Seq("x", "y").map(b =>
+      (a.toLong, b, a * 10L + (if (b == "x") 0L else 1L))))
+      .toDF("a", "b", "v")
+    val v1 = AtomicPublish.publish(spark, root, Map("c" -> rows(0 until 6)),
+      statsBy = Map("c" -> Seq("a")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("c" -> rows(6 until 10)), parent = Some(v1))
+    (root, mount(root))
+  }
+
+  private def snapC(root: String): Map[(Long, String), Long] =
+    AtomicPublish.readTable(spark, root, "c").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+
+  test("composite-key MERGE (two-column ON) stays merge-on-read and " +
+      "upserts by the full tuple") {
+    val (root, cat) = stageComposite()
+    val before = owners(root, "c")
+    s2.sql(
+      s"""MERGE INTO $cat.c AS t
+         |USING (SELECT id AS sa, 'x' AS sb, id + 500 AS sv
+         |       FROM range(12)) AS s
+         |ON t.a = s.sa AND t.b = s.sb
+         |WHEN MATCHED THEN UPDATE SET v = s.sv
+         |WHEN NOT MATCHED THEN INSERT (a, b, v)
+         |  VALUES (s.sa, s.sb, s.sv)""".stripMargin)
+    val got = snapC(root)
+    assert(got.size == 22) // 20 original (10 updated) + 2 inserted
+    for (a <- 0L until 10L) {
+      assert(got((a, "x")) == a + 500, s"updated ($a, x)")
+      assert(got((a, "y")) == a * 10 + 1, s"untouched ($a, y)")
+    }
+    assert(got((10L, "x")) == 510 && got((11L, "x")) == 511)
+    // merge-on-read: owners grew, no rewrite — possible ONLY because
+    // the upsert keyed by the COMPOSITE tuple (keying by `a` alone
+    // would collide with the (a, y) rows and fall back to COW)
+    assert(owners(root, "c").startsWith(before))
+    assert(owners(root, "c").size == before.size + 1)
+    // the tombstone companion pinned the two-column key
+    val delSchema = AtomicPublish.currentManifestMeta(spark, root).get
+      ._2(AtomicPublish.deleteTableOf("c")).schema.get
+    assert(delSchema.fieldNames.toSet == Set("a", "b", "_asof"))
+  }
+
+  test("composite SQL DELETE establishes the two-column tombstone key; " +
+      "a later single-column DELETE projects onto it exactly") {
+    val (root, cat) = stageComposite()
+    val before = owners(root, "c")
+    s2.sql(s"DELETE FROM $cat.c WHERE a = 3 AND b = 'y'")
+    val got = snapC(root)
+    assert(!got.contains((3L, "y")) && got.contains((3L, "x")),
+      "tuple delete must not kill the sibling b")
+    assert(got.size == 19)
+    assert(owners(root, "c") == before, "O(keys) delete: no rewrite")
+    val delSchema = AtomicPublish.currentManifestMeta(spark, root).get
+      ._2(AtomicPublish.deleteTableOf("c")).schema.get
+    assert(delSchema.fieldNames.toSet == Set("a", "b", "_asof"))
+    // a later delete keyed by a DIFFERENT single column projects its
+    // matching rows onto the established composite key — exact here
+    // (all rows of a=7 match), so it lands as tombstones
+    s2.sql(s"DELETE FROM $cat.c WHERE a = 7")
+    val got2 = snapC(root)
+    assert(!got2.contains((7L, "x")) && !got2.contains((7L, "y")))
+    assert(got2.size == 17)
+  }
+
+  test("UPDATE keyed by a two-column predicate rides the upsert path") {
+    val (root, cat) = stageComposite()
+    val before = owners(root, "c")
+    s2.sql(s"UPDATE $cat.c SET v = -5 WHERE a = 4 AND b = 'y'")
+    val got = snapC(root)
+    assert(got((4L, "y")) == -5L && got((4L, "x")) == 40L)
+    assert(got.size == 20)
+    assert(owners(root, "c").startsWith(before) &&
+      owners(root, "c").size == before.size + 1,
+      "expected merge-on-read (composite predicate key)")
+  }
+
   test("MERGE with insert-only (no matched actions) appends without " +
       "cardinality scan; unassigned insert columns become null") {
     val (root, cat) = stageTarget()
