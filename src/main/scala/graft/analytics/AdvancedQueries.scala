@@ -1391,6 +1391,64 @@ object AdvancedQueries {
       |FROM final GROUP BY lang, chunk_no ORDER BY lang, chunk_no"""
       .stripMargin
 
+  private val store14Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE14: HIDDEN TIME PARTITIONING inside the correctness gate —
+    * the store's events table is laid out `PARTITIONED BY (days(ts))`
+    * ([[graft.ops.PartSpec]]): the UTC-day ordinal lives only in the
+    * directory layout, the raw timestamp stays in the files, and the
+    * readback filters on the RAW column — the layout never leaks into
+    * the query (VERDICT-r7 ask #2: the default event-table layout
+    * without a hand-maintained date column). Staged as two appends so
+    * pruning spans the owner chain. DuckDB reproduces the readback
+    * from the raw parquet with the same predicate: a transform that
+    * mis-bucketed a boundary day, or pruning that dropped a matching
+    * file, flips the hash. The file-subset pin (3 of 10 day-dirs
+    * scanned) lives in StoreLayoutSpec — here the gate proves
+    * VALUE-exactness end to end. */
+  def store14TimePartition(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store14Cache, spark, dir, "events") {
+      stageStore14(spark, dir)
+    }
+    val cat = catalogFor(spark, "store14", root)
+    spark.sql(
+      s"""SELECT date_trunc('day', ts) AS day, event_type,
+         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM $cat.events
+         |WHERE ts >= '2024-01-10' AND ts < '2024-01-20'
+         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+  }
+
+  private def stageStore14(spark: SparkSession, dir: String): String = {
+    import graft.ops.AtomicPublish
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store14")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def seg(k: Int) = ev.filter(pmod(col("event_id"), lit(2)) === k)
+      .repartition(2)
+    val v1 = AtomicPublish.publish(spark, root, Map("events" -> seg(0)),
+      partitionBy = Map("events" -> Seq("days(ts)")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("events" -> seg(1)), parent = Some(v1))
+    root
+  }
+
+  val store14TimePartitionSql: String =
+    """SELECT date_trunc('day', ts) AS day, event_type,
+      |  count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE ts >= '2024-01-10' AND ts < '2024-01-20'
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   private def stageStore1(spark: SparkSession, dir: String): String = {
     import graft.ops.AtomicPublish
     val tmp = java.nio.file.Files.createTempDirectory("graft-store1")
@@ -2080,6 +2138,7 @@ object AdvancedQueries {
     "store6_catalog_ddl" -> (store6CatalogDdl _),
     "store7_catalog_merge" -> (store7CatalogMerge _),
     "store13_composite_merge" -> (store13CompositeMerge _),
+    "store14_time_partition" -> (store14TimePartition _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -2139,6 +2198,7 @@ object AdvancedQueries {
     "store6_catalog_ddl" -> store6CatalogDdlSql,
     "store7_catalog_merge" -> store7CatalogMergeSql,
     "store13_composite_merge" -> store13CompositeMergeSql,
+    "store14_time_partition" -> store14TimePartitionSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

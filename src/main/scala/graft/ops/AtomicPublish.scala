@@ -9,6 +9,183 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{coalesce, col, element_at, input_file_name, lit, regexp_extract, timestamp_micros, typedLit, unix_micros, when}
 import org.apache.spark.sql.types._
 
+/** Partition-spec grammar: an entry of [[AtomicPublish.TableMeta
+  * .partitionCols]] is either an IDENTITY column name (`region`) or a
+  * CALENDAR transform `days(ts)` / `months(ts)` — Iceberg's hidden
+  * partitioning, re-expressed over the manifest: the transform's
+  * ordinal (UTC days / months since epoch) is materialized at WRITE
+  * time into a derived directory column (`ts__day=19234/`), the source
+  * column stays in the data files untouched, and READS derive
+  * partition bounds from predicates on the RAW column — the user
+  * filters on `ts`, never on a hand-maintained date column
+  * (VERDICT-r7 ask #2: event/log tables default to time layouts, and
+  * without this the layout leaks into every query).
+  *
+  * Ordinals are UTC-anchored and timezone-free by construction: a
+  * timestamp's micros-since-epoch floor-divide to days, and months
+  * decompose from the UTC day via tz-free DATE arithmetic — so a table
+  * written and read under different session zones prunes identically.
+  * Conservative by design: only top-level conjuncts on the source
+  * column translate to ordinal bounds; anything else keeps every
+  * partition (correctness never depends on the translation — the full
+  * predicate re-evaluates above the scan). */
+private[ops] object PartSpec {
+
+  import org.apache.spark.sql.functions.{datediff, lit => flit, month, pmod, to_date, unix_micros, year, date_add}
+
+  /** A parsed calendar transform. `derivedName` is the directory
+    * column (double-underscore infix: never collides with the manifest
+    * sidecar convention of a LEADING underscore, and a user column of
+    * the same name is refused at declaration). */
+  final case class Transform(kind: String, src: String) {
+    def derivedName: String =
+      s"${src}__${if (kind == "days") "day" else "month"}"
+    def render: String = s"$kind($src)"
+  }
+
+  private val TransformRe = "^(days|months)\\(([^()]+)\\)$".r
+
+  /** Some(transform) for a transform spec, None for an identity column. */
+  def parse(spec: String): Option[Transform] = spec match {
+    case TransformRe(kind, src) => Some(Transform(kind, src.trim))
+    case _ => None
+  }
+
+  def transformsOf(pcols: Seq[String]): Seq[Transform] =
+    pcols.flatMap(parse)
+
+  def identityCols(pcols: Seq[String]): Seq[String] =
+    pcols.filter(parse(_).isEmpty)
+
+  /** The physical directory-column name of one spec entry. */
+  def physicalName(spec: String): String =
+    parse(spec).map(_.derivedName).getOrElse(spec)
+
+  /** Columns a spec entry reads (identity: itself; transform: source). */
+  def referencedCol(spec: String): String =
+    parse(spec).map(_.src).getOrElse(spec)
+
+  /** Spec entry with a renamed source column. */
+  def renameIn(spec: String, from: String, to: String): String =
+    parse(spec) match {
+      case Some(t) if t.src == from => t.copy(src = to).render
+      case Some(t) => t.render
+      case None => if (spec == from) to else spec
+    }
+
+  /** UTC epoch-day of a date/timestamp column — exact integer
+    * arithmetic: `(us - pmod(us, d)) / d` divides an exact multiple,
+    * which IEEE doubles round exactly for |us| < 2^53 (year ~2255). */
+  private def epochDay(c: Column, dt: DataType): Column = dt match {
+    case DateType => datediff(c, to_date(flit("1970-01-01")))
+    case _ =>
+      val us = unix_micros(c)
+      val d = flit(86400000000L)
+      ((us - pmod(us, d)) / d).cast(IntegerType)
+  }
+
+  /** The derivation expression for one transform over its source. */
+  def derive(t: Transform, c: Column, dt: DataType): Column = {
+    val day = epochDay(c, dt)
+    if (t.kind == "days") day
+    else {
+      // months decompose from the UTC day via DATE functions — which
+      // are timezone-free over DateType, unlike year()/month() over a
+      // timestamp (session-zone-dependent)
+      val date = date_add(to_date(flit("1970-01-01")), day)
+      ((year(date) - flit(1970)) * flit(12) + month(date) - flit(1))
+        .cast(IntegerType)
+    }
+  }
+
+  /** Shuffle/cluster expressions for a partition spec over a frame of
+    * `schema` — identity entries by column, transforms by their
+    * derivation (so a rewrite co-locates rows of one partition dir
+    * without materializing the derived column). */
+  def partitionExprs(pcols: Seq[String], schema: StructType): Seq[Column] =
+    pcols.map { spec =>
+      parse(spec) match {
+        case None => org.apache.spark.sql.functions.col(spec)
+        case Some(t) => derive(t,
+          org.apache.spark.sql.functions.col(t.src),
+          schema(t.src).dataType)
+      }
+    }
+
+  /** The transform ordinal of one LITERAL of the source column's type
+    * (micros Long for timestamps, epoch-day Int for dates) — the
+    * read-side mirror of [[derive]]. None: untranslatable. */
+  def ordinalOf(t: Transform, value: Any, dt: DataType): Option[Int] = {
+    val day: Option[Long] = (dt, value) match {
+      case (_, null) => None
+      case (DateType, d: java.lang.Integer) => Some(d.longValue())
+      case (TimestampType | TimestampNTZType, us: java.lang.Long) =>
+        Some(Math.floorDiv(us.longValue(), 86400000000L))
+      case _ => None
+    }
+    day.map { d =>
+      if (t.kind == "days") d.toInt
+      else {
+        val ld = java.time.LocalDate.ofEpochDay(d)
+        (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
+      }
+    }
+  }
+
+  /** An ordinal-level test derived from `pred`'s TOP-LEVEL conjuncts
+    * on the transform's source column, or None when nothing
+    * translates. The test is CONSERVATIVE (a superset of matching
+    * ordinals): `ts > L` admits the whole boundary day/month. */
+  def ordinalTest(
+      pred: org.apache.spark.sql.catalyst.expressions.Expression,
+      t: Transform, dt: DataType): Option[Int => Boolean] = {
+    import org.apache.spark.sql.catalyst.{expressions => ce}
+    def isSrc(x: ce.Expression): Boolean = x match {
+      case a: ce.AttributeReference => a.name == t.src
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.length == 1 && a.nameParts.head == t.src
+      case _ => false
+    }
+    def ord(l: ce.Expression): Option[Int] = l match {
+      case lt: ce.Literal => ordinalOf(t, lt.value, lt.dataType)
+      case _ => None
+    }
+    def conjuncts(x: ce.Expression): Seq[ce.Expression] = x match {
+      case ce.And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val tests: Seq[Int => Boolean] = conjuncts(pred).flatMap {
+      case ce.EqualTo(a, v) if isSrc(a) => ord(v).map(o => (x: Int) => x == o)
+      case ce.EqualTo(v, a) if isSrc(a) => ord(v).map(o => (x: Int) => x == o)
+      case ce.GreaterThan(a, v) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x >= o)
+      case ce.GreaterThanOrEqual(a, v) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x >= o)
+      case ce.LessThan(a, v) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x <= o)
+      case ce.LessThanOrEqual(a, v) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x <= o)
+      case ce.GreaterThan(v, a) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x <= o)
+      case ce.GreaterThanOrEqual(v, a) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x <= o)
+      case ce.LessThan(v, a) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x >= o)
+      case ce.LessThanOrEqual(v, a) if isSrc(a) =>
+        ord(v).map(o => (x: Int) => x >= o)
+      case ce.In(a, vs) if isSrc(a) && vs.nonEmpty =>
+        val ords = vs.map(ord)
+        if (ords.forall(_.isDefined)) {
+          val set = ords.map(_.get).toSet
+          Some((x: Int) => set.contains(x))
+        } else None
+      case _ => None
+    }
+    if (tests.isEmpty) None
+    else Some((x: Int) => tests.forall(_(x)))
+  }
+}
+
 /** Atomic multi-table publish (SURVEY.md §2.1; reference transaction
   * boundary: /root/reference/app/api/routes.py:86-148 persists patients,
   * consents, clinical, audit and run-metadata under ONE `db.commit()` at
@@ -714,18 +891,26 @@ object AtomicPublish {
     tables.foreach { case (name, df) =>
       val m = meta.get(name)
       val pcols = m.map(_.partitionCols).getOrElse(Nil)
+      // calendar transforms materialize their ordinal as a derived
+      // directory column just for the write — the data files keep the
+      // raw source column, the derived one lives only in the layout
+      val transforms = PartSpec.transformsOf(pcols)
+      val staged = transforms.foldLeft(df)((d, t) =>
+        d.withColumn(t.derivedName,
+          PartSpec.derive(t, col(t.src), d.schema(t.src).dataType)))
+      val physCols = pcols.map(PartSpec.physicalName)
       m.filter(_.numBuckets > 0) match {
         case Some(bm) =>
           // pre-shape so each task holds ~one bucket (file count stays
           // ~numBuckets); the committer owns bucket-id correctness
           writeBucketedSegment(spark,
-            df.repartition(bm.numBuckets, bm.bucketCols.map(col): _*),
-            new Path(scratch, name), pcols,
+            staged.repartition(bm.numBuckets, bm.bucketCols.map(col): _*),
+            new Path(scratch, name), physCols,
             org.apache.spark.sql.catalyst.catalog.BucketSpec(
               bm.numBuckets, bm.bucketCols, Nil))
         case None =>
-          val w = df.write.mode("error")
-          (if (pcols.nonEmpty) w.partitionBy(pcols: _*) else w)
+          val w = staged.write.mode("error")
+          (if (physCols.nonEmpty) w.partitionBy(physCols: _*) else w)
             .parquet(new Path(scratch, name).toString)
       }
     }
@@ -789,9 +974,31 @@ object AtomicPublish {
   private def validatePartitionCols(name: String, df: DataFrame,
       pcols: Seq[String]): Unit = {
     validateMetaColNames("partition", name, pcols)
-    pcols.foreach(c => require(df.columns.contains(c),
-      s"partition column '$c' of table '$name' is not in its schema " +
-        s"(${df.columns.mkString(", ")})"))
+    pcols.foreach { spec =>
+      PartSpec.parse(spec) match {
+        case None => require(df.columns.contains(spec),
+          s"partition column '$spec' of table '$name' is not in its " +
+            s"schema (${df.columns.mkString(", ")})")
+        case Some(t) =>
+          require(df.columns.contains(t.src),
+            s"partition transform '$spec' of table '$name' references " +
+              s"'${t.src}', not in its schema " +
+              s"(${df.columns.mkString(", ")})")
+          val dt = df.schema(t.src).dataType
+          require(dt == DateType || dt == TimestampType ||
+            dt == TimestampNTZType,
+            s"partition transform '$spec' of table '$name' needs a " +
+              s"date/timestamp source, got ${dt.simpleString}")
+          require(!df.columns.contains(t.derivedName),
+            s"partition transform '$spec' of table '$name' derives " +
+              s"directory column '${t.derivedName}', which collides " +
+              "with a schema column")
+      }
+    }
+    val phys = pcols.map(PartSpec.physicalName)
+    require(phys.distinct.length == phys.length,
+      s"partition spec of table '$name' repeats a directory column " +
+        s"(${phys.mkString(", ")})")
   }
 
   // --- bloom-filter sidecars ---------------------------------------------------

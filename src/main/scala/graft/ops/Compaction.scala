@@ -159,11 +159,13 @@ object Compaction {
       val shaped =
         if (m.numBuckets > 0) union // the publish path re-buckets
         else if (m.clusterCols.nonEmpty && !m.clusterZOrder) {
-          val key = (m.partitionCols ++ m.clusterCols).map(col)
+          val key = PartSpec.partitionExprs(m.partitionCols,
+            union.schema) ++ m.clusterCols.map(col)
           union.repartitionByRange(parts, key: _*)
             .sortWithinPartitions(key: _*)
         } else if (m.partitionCols.isEmpty) union.repartition(parts)
-        else union.repartition(parts, m.partitionCols.map(col): _*)
+        else union.repartition(parts,
+          PartSpec.partitionExprs(m.partitionCols, union.schema): _*)
       AtomicPublish.replaceTail(spark, root, table, keep, shaped,
         parent) match {
         case Some(txn) => return Some((txn, parts))
@@ -340,11 +342,13 @@ object Compaction {
               .drop("__z")
           }
         } else if (ccols.nonEmpty) {
-          val key = (meta.partitionCols ++ ccols).map(col)
+          val key = PartSpec.partitionExprs(meta.partitionCols,
+            union.schema) ++ ccols.map(col)
           union.repartitionByRange(parts, key: _*)
             .sortWithinPartitions(key: _*)
         } else if (meta.partitionCols.isEmpty) union.repartition(parts)
-        else union.repartition(parts, meta.partitionCols.map(col): _*)
+        else union.repartition(parts,
+          PartSpec.partitionExprs(meta.partitionCols, union.schema): _*)
       // publishDelta auto-clears the table's merge-on-read tombstones
       // on any replace — the live read above already consumed them
       AtomicPublish.publishDelta(spark, root, append = Map.empty,

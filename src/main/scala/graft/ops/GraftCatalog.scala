@@ -179,11 +179,23 @@ final class GraftCatalog extends TableCatalog
       ident.namespace())
     val (bucketTs, identTs) = partitions.toSeq.partition(_.name == "bucket")
     val partCols = identTs.map { t =>
-      if (t.name == "identity" && t.references.length == 1 &&
-          t.references()(0).fieldNames.length == 1)
+      def oneCol: String = {
+        require(t.references.length == 1 &&
+          t.references()(0).fieldNames.length == 1,
+          s"partition transform '$t' must reference one top-level column")
         t.references()(0).fieldNames()(0)
-      else unsupported(
-        s"partition transform '$t' (identity columns and bucket(n, …) only)")
+      }
+      t.name match {
+        case "identity" => oneCol
+        // `PARTITIONED BY (days(ts))` / `months(ts)` — hidden calendar
+        // partitioning ([[PartSpec]]): the layout derives from the raw
+        // column at write time and predicates on it prune at read time
+        case "days" | "months" => s"${t.name}($oneCol)"
+        // Spark's DDL parses years(c)/hours(c) too — unsupported here
+        case _ => unsupported(
+          s"partition transform '$t' (identity columns, days(col), " +
+            "months(col) and bucket(n, …) only)")
+      }
     }
     // SQL-native bucketing: `CLUSTERED BY (c, …) INTO n BUCKETS`
     // arrives as one bucket transform
@@ -255,7 +267,8 @@ final class GraftCatalog extends TableCatalog
       .map(f => safeCheckName(f.name) ->
         s"`${f.name.replace("`", "``")}` IS NOT NULL").toMap
     val allChecks = notNullChecks ++ checkProps
-    (partCols ++ statsCols ++ bloomCols ++ clusterCols ++
+    (partCols.map(PartSpec.referencedCol) ++ statsCols ++
+        bloomCols ++ clusterCols ++
         bucketSpec.map(_._1).getOrElse(Nil)).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"layout column '$c' is not in the declared schema of " +
@@ -422,8 +435,15 @@ final class GraftCatalog extends TableCatalog
         case Some(n) => cols.map(c => if (c == colName) n else c)
         case None => cols // guarded below: layout cols refuse DROP
       }
+      // partition specs may be calendar transforms — rename maps the
+      // SOURCE column inside the spec; drop refuses on the source
+      def mappedParts(specs: Seq[String]): Seq[String] = rename match {
+        case Some(n) => specs.map(PartSpec.renameIn(_, colName, n))
+        case None => specs
+      }
       if (rename.isEmpty) {
-        val layout = (meta.partitionCols ++ meta.statCols ++
+        val layout = (meta.partitionCols.map(PartSpec.referencedCol) ++
+          meta.statCols ++
           meta.bloomCols ++ meta.clusterCols ++ meta.bucketCols).distinct
         require(!layout.contains(colName),
           s"column '$colName' is part of '$t''s declared layout " +
@@ -439,7 +459,8 @@ final class GraftCatalog extends TableCatalog
       val committed = AtomicPublish.publishDelta(spark, root,
         append = Map.empty, replace = Map(t -> projected),
         parent = Some(parent),
-        partitionBy = lay(meta.partitionCols),
+        partitionBy = if (meta.partitionCols.isEmpty) Map.empty
+          else Map(t -> mappedParts(meta.partitionCols)),
         statsBy = lay(meta.statCols), bloomBy = lay(meta.bloomCols),
         clusterBy = if (meta.clusterCols.isEmpty) Map.empty
           else Map(t -> (mapped(meta.clusterCols), meta.clusterZOrder)),
@@ -569,7 +590,13 @@ final class GraftTable(
   override def schema(): StructType = recordedSchema
 
   override def partitioning(): Array[Transform] =
-    meta.partitionCols.map(Expressions.identity).toArray ++
+    meta.partitionCols.map { spec =>
+      PartSpec.parse(spec) match {
+        case None => Expressions.identity(spec)
+        case Some(t) if t.kind == "days" => Expressions.days(t.src)
+        case Some(t) => Expressions.months(t.src)
+      }
+    }.toArray ++
       (if (meta.numBuckets > 0)
         Array[Transform](Expressions.bucket(meta.numBuckets,
           meta.bucketCols: _*))

@@ -56,15 +56,29 @@ final class GraftFileIndex(
       s"table '$table' has no recorded schema — Catalyst-native reads " +
         "need one (pre-schema manifests read via the legacy union path)"))
 
+  /** Calendar-transform entries of the partition spec ([[PartSpec]]):
+    * their ordinals live ONLY in the directory layout as derived
+    * columns; the source columns stay in the data files. */
+  private val transforms = PartSpec.transformsOf(meta.partitionCols)
+
   override val partitionSchema: StructType = StructType(
-    meta.partitionCols.map(c => recordedSchema(c).copy(nullable = true)))
+    meta.partitionCols.map { spec =>
+      PartSpec.parse(spec) match {
+        case None => recordedSchema(spec).copy(nullable = true)
+        case Some(t) => org.apache.spark.sql.types.StructField(
+          t.derivedName, org.apache.spark.sql.types.IntegerType,
+          nullable = true)
+      }
+    })
 
   /** Schema of what is IN the parquet files: recorded schema minus the
-    * partition columns (written `partitionBy`, so they live in the dir
-    * layout, not the footers). */
+    * IDENTITY partition columns (written `partitionBy`, so they live in
+    * the dir layout, not the footers); transform SOURCE columns stay in
+    * the files. */
   private[ops] val dataSchema: StructType = StructType(
     recordedSchema.fields.filterNot(f =>
-      meta.partitionCols.contains(f.name)).map(_.copy(nullable = true)))
+      PartSpec.identityCols(meta.partitionCols).contains(f.name))
+      .map(_.copy(nullable = true)))
 
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
 
@@ -166,8 +180,27 @@ final class GraftFileIndex(
       }
       fs
     }
+    // calendar-transform pruning: predicates on the RAW source column
+    // (`ts >= X`) translate to ordinal bounds on the derived directory
+    // column — the hidden-partitioning contract ([[PartSpec]]). A file
+    // whose dir ordinal provably misses every bound is dropped; a
+    // missing/unparseable ordinal keeps the file conservatively.
+    val tfTests: Seq[(Int, Int => Boolean)] = pred match {
+      case None => Nil
+      case Some(p) => transforms.flatMap { t =>
+        PartSpec.ordinalTest(p, t, recordedSchema(t.src).dataType)
+          .map(test => partitionSchema.fieldIndex(t.derivedName) -> test)
+      }
+    }
+    val tfFiltered =
+      if (tfTests.isEmpty) files
+      else files.filter { f =>
+        val row = partValues(f._1)
+        tfTests.forall { case (i, test) =>
+          row.isNullAt(i) || test(row.getInt(i)) }
+      }
     val partitioned =
-      if (meta.partitionCols.isEmpty || partitionFilters.isEmpty) files
+      if (meta.partitionCols.isEmpty || partitionFilters.isEmpty) tfFiltered
       else {
         // bind by NAME: pushed filters reference the relation's output
         // attrs; the values row is laid out in partitionSchema order
@@ -179,7 +212,7 @@ final class GraftFileIndex(
         }
         val p = Predicate.create(bound)
         p.initialize(0)
-        files.filter(f => p.eval(partValues(f._1)))
+        tfFiltered.filter(f => p.eval(partValues(f._1)))
       }
     if (meta.partitionCols.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty,

@@ -53,6 +53,111 @@ class StoreLayoutSpec extends SparkSuite {
     assert(meta.schema.get.fieldNames.toSeq == Seq("id", "payload", "cell"))
   }
 
+  /** Executed-plan file count of the (non-AQE) store scan — the
+    * transform-pruning observable: fewer files than dirs proves the
+    * raw-column predicate reached the directory layout. */
+  private def scannedFiles(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.metrics("numFiles").value
+    }.sum
+  }
+
+  private def tsDf(ids: Range): DataFrame =
+    ids.map(i => (i.toLong,
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        i.toLong * 21600)), s"p$i")) // 4 rows per UTC day
+      .toDF("id", "ts", "payload")
+
+  test("days(ts) hidden partitioning: UTC-day dirs on disk, a RAW " +
+      "timestamp range predicate prunes files, results exact") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("ev" -> tsDf(0 until 40).repartition(1)),
+      partitionBy = Map("ev" -> Seq("days(ts)")))
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val seg = new java.io.File(s"$root/v_$txn/ev")
+    assert(seg.listFiles().exists(_.getName == "ts__day=0"),
+      seg.listFiles().toSeq.map(_.getName))
+    // the derived column is layout-only: reads serve the recorded shape
+    val all = AtomicPublish.readTable(spark, root, "ev")
+    assert(all.columns.toSeq == Seq("id", "ts", "payload"))
+    assert(all.count() == 40)
+    // raw-column predicate → directory pruning: days 7..9 of 0..9
+    val pruned = AtomicPublish.readTable(spark, root, "ev")
+      .filter(col("ts") >= lit("1970-01-08 00:00:00").cast("timestamp"))
+    assert(pruned.count() == 12)
+    assert(scannedFiles(pruned) == 3,
+      "expected 3 of 10 day-dirs scanned")
+    // equality on a timestamp inside one day prunes to that day
+    val one = AtomicPublish.readTable(spark, root, "ev")
+      .filter(col("ts") === lit("1970-01-03 06:00:00").cast("timestamp"))
+    assert(one.count() == 1 && scannedFiles(one) == 1)
+    val meta = AtomicPublish.manifestMetaOf(spark, root, txn)("ev")
+    assert(meta.partitionCols == Seq("days(ts)"))
+    assert(meta.schema.get.fieldNames.toSeq == Seq("id", "ts", "payload"))
+  }
+
+  test("months(ts): appends inherit the transform, pruning spans " +
+      "owners, compaction preserves the layout") {
+    val root = freshRoot()
+    def monthDf(ids: Range) = ids.map(i => (i.toLong,
+      java.sql.Timestamp.from(java.time.Instant.parse(
+        f"1970-${1 + i % 4}%02d-15T12:00:00Z")), i * 2L))
+      .toDF("id", "ts", "v")
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("ev" -> monthDf(0 until 20).repartition(1)),
+      partitionBy = Map("ev" -> Seq("months(ts)")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("ev" -> monthDf(20 until 40).repartition(1)),
+      parent = Some(v1))
+    val pruned = AtomicPublish.readTable(spark, root, "ev")
+      .filter(col("ts") >= lit("1970-03-01 00:00:00").cast("timestamp"))
+    assert(pruned.count() == 20) // months 3 and 4
+    assert(scannedFiles(pruned) == 4, "2 month-dirs × 2 owners")
+    // compaction rewrites under the same layout and still prunes
+    Compaction.compactStore(spark, root, "ev", targetBytes = 1L << 30)
+    val txn2 = AtomicPublish.currentTxn(spark, root).get
+    assert(AtomicPublish.manifestMetaOf(spark, root, txn2)("ev")
+      .partitionCols == Seq("months(ts)"))
+    val pruned2 = AtomicPublish.readTable(spark, root, "ev")
+      .filter(col("ts") < lit("1970-02-01 00:00:00").cast("timestamp"))
+    assert(pruned2.count() == 10)
+    val total2 = scannedFiles(AtomicPublish.readTable(spark, root, "ev"))
+    assert(scannedFiles(pruned2) < total2,
+      "post-compaction read must still prune month dirs")
+  }
+
+  test("SQL DDL face: CREATE TABLE PARTITIONED BY (days(ts)) + INSERT " +
+      "prunes from a raw predicate; rename maps the transform source") {
+    val root = freshRoot()
+    val cat = "layouttf"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(
+      s"""CREATE TABLE $cat.ev (id BIGINT, ts TIMESTAMP, payload STRING)
+         |PARTITIONED BY (days(ts))""".stripMargin)
+    tsDf(0 until 40).repartition(1).createOrReplaceTempView("layouttf_src")
+    spark.sql(s"INSERT INTO $cat.ev SELECT * FROM layouttf_src")
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ev WHERE ts >= '1970-01-08'")
+      .head().getLong(0) == 12)
+    val meta = AtomicPublish.currentManifestMeta(spark, root).get._2("ev")
+    assert(meta.partitionCols == Seq("days(ts)"))
+    // ALTER TABLE RENAME COLUMN maps the spec's source column
+    spark.sql(s"ALTER TABLE $cat.ev RENAME COLUMN ts TO event_ts")
+    val meta2 = AtomicPublish.currentManifestMeta(spark, root).get._2("ev")
+    assert(meta2.partitionCols == Seq("days(event_ts)"))
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ev WHERE event_ts >= '1970-01-08'")
+      .head().getLong(0) == 12)
+  }
+
   test("partitioned append: layout inherited, union prunes across owners") {
     val root = freshRoot()
     val v1 = AtomicPublish.publish(spark, root,
