@@ -917,8 +917,20 @@ object AtomicPublish {
     val sealedMeta = meta.map { case (name, m) =>
       if (m.statCols.isEmpty || !tables.contains(name)) name -> m
       else {
-        val (ss, fm) = computeSegStats(spark, new Path(scratch, name),
-          m.statCols, Some(tables(name).schema))
+        val sliceSchema = tables(name).schema
+        val (ss0, fm0) = computeSegStats(spark, new Path(scratch, name),
+          m.statCols, Some(sliceSchema))
+        // a FLOAT slice landing in a DoubleType-recorded column (a
+        // narrow writer appending after a widen): its fresh stats are
+        // float-rendered — re-encode exactly under the recorded type
+        val floatCols = m.statCols.filter(c =>
+          sliceSchema.fieldNames.contains(c) &&
+            sliceSchema(c).dataType == FloatType &&
+            m.schema.exists(rs => rs.fieldNames.contains(c) &&
+              rs(c).dataType == DoubleType)).toSet
+        val ss = widenFloatStats(ss0, floatCols)
+        val fm = fm0.map { case (f, s) =>
+          f -> widenFloatStats(s, floatCols) }
         name -> m.copy(segStats = m.segStats + (txn -> ss),
           fileStats =
             if (fm.isEmpty) m.fileStats else m.fileStats + (txn -> fm))
@@ -1402,11 +1414,57 @@ object AtomicPublish {
     }
   }
 
+  /** Re-encode one segment's float-rendered min/max as EXACT doubles:
+    * a float's shortest string rendering ("0.3") parses as a double
+    * BELOW/ABOVE the true widened value ((double)0.3f =
+    * 0.30000001192…), so decoding float-era stats under a widened
+    * DoubleType column breaks the zone-map envelope — a `x >=
+    * 0.30000001` predicate would prune a segment that holds 0.3f.
+    * Parsing the recorded string as FLOAT first recovers the exact
+    * stored value; widening that to double is lossless. Applied to a
+    * column's stats in the same commit that records the wider type. */
+  private def widenFloatStats(s: SegStats, cols: Set[String]): SegStats =
+    if (cols.isEmpty) s
+    else s.copy(cols = s.cols.map { case (c, st) =>
+      if (!cols.contains(c)) c -> st
+      else c -> st.copy(
+        min = st.min.map(x => java.lang.Float.parseFloat(x)
+          .toDouble.toString),
+        max = st.max.map(x => java.lang.Float.parseFloat(x)
+          .toDouble.toString))
+    })
+
+  /** The WIDER of two atomic types under the lossless-promotion
+    * lattice (byte < short < int < long; float < double) — the
+    * Delta/Iceberg type-widening set whose promotions the Spark 4
+    * parquet readers execute natively (a narrow-typed file column
+    * reads under the wider requested type). None: not a widening pair
+    * (including any nested/decimal/string change — refused). */
+  private[ops] def widerOf(a: DataType, b: DataType): Option[DataType] = {
+    val intChain: Seq[DataType] =
+      Seq(ByteType, ShortType, IntegerType, LongType)
+    if (a.catalogString == b.catalogString) Some(a)
+    else (intChain.indexOf(a), intChain.indexOf(b)) match {
+      case (ia, ib) if ia >= 0 && ib >= 0 =>
+        Some(if (ia >= ib) a else b)
+      case _ => (a, b) match {
+        case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+          Some(DoubleType)
+        case _ => None
+      }
+    }
+  }
+
   /** Merge an appended slice's schema into the table's recorded schema.
-    * Same-name fields must have the SAME type (`sameType`, nullability
-    * aside) — a conflict fails the publish before anything commits (the
+    * Same-name fields must have the same type OR form a lossless
+    * WIDENING pair ([[widerOf]]) — the recorded type becomes the wider
+    * one (int→long / float→double evolution, the shape a long-lived
+    * ingest table eventually needs, VERDICT-r7 ask #3); any other
+    * conflict fails the publish before anything commits (the
     * silent-drift hole: parquet multi-path reads otherwise resolve to
-    * whichever footer Spark samples). New fields widen the schema at the
+    * whichever footer Spark samples). Narrow-typed segments keep their
+    * files untouched — the parquet readers promote at scan time under
+    * the recorded wider schema. New fields widen the schema at the
     * end; fields present on only one side become nullable (segments
     * written without them serve nulls). */
   private[ops] def mergeSchemas(table: String, parent: StructType,
@@ -1417,14 +1475,16 @@ object AtomicPublish {
       sliceByName.get(pf.name) match {
         case Some(sf) =>
           // catalogString renders the full nested type WITHOUT
-          // nullability — exactly the "same type, nullability aside"
+          // nullability — the "same type, nullability aside"
           // comparison (DataType.sameType is private to Spark)
-          require(sf.dataType.catalogString == pf.dataType.catalogString,
-            s"schema conflict on table '$table' column '${pf.name}': " +
-              s"recorded ${pf.dataType.simpleString} vs appended " +
-              s"${sf.dataType.simpleString} — appends may add columns " +
-              "but never change a column's type")
-          StructField(pf.name, pf.dataType, pf.nullable || sf.nullable)
+          val widened = widerOf(pf.dataType, sf.dataType).getOrElse(
+            throw new IllegalArgumentException(
+              s"schema conflict on table '$table' column '${pf.name}': " +
+                s"recorded ${pf.dataType.simpleString} vs appended " +
+                s"${sf.dataType.simpleString} — appends may add columns " +
+                "or widen int→long / float→double, never otherwise " +
+                "change a column's type"))
+          StructField(pf.name, widened, pf.nullable || sf.nullable)
         case None => pf.copy(nullable = true)
       }
     } ++ slice.fields.filterNot(f => parentNames.contains(f.name))
@@ -1666,6 +1726,28 @@ object AtomicPublish {
           case Some(ps) => mergeSchemas(n, ps, df.schema)
           case None => df.schema
         }
+        // type-widening evolution bookkeeping: columns whose RECORDED
+        // type this append widens (float→double additionally needs its
+        // historical zone maps re-encoded — see [[widenFloatStats]])
+        val typeWidened: Set[String] = parentSchema.map(ps =>
+          ps.fields.collect {
+            case pf if merged(pf.name).dataType.catalogString !=
+              pf.dataType.catalogString => pf.name
+          }.toSet).getOrElse(Set.empty)
+        val floatWidened: Set[String] = parentSchema.map(ps =>
+          ps.fields.collect {
+            case pf if pf.dataType == FloatType &&
+              merged(pf.name).dataType == DoubleType => pf.name
+          }.toSet).getOrElse(Set.empty)
+        // a BUCKET column cannot widen: Spark's bucket hash is
+        // type-sensitive (murmur3 of int 5 ≠ long 5L), so segments
+        // written under the two types would hash to different buckets
+        // inside one table — refuse rather than silently mis-join
+        pm.foreach(m => m.bucketCols.find(typeWidened).foreach(c =>
+          throw new IllegalArgumentException(
+            s"append to table '$n' widens bucket column '$c' — the " +
+              "bucket hash domain is type-sensitive; rewrite the " +
+              "table (overwrite) to change a bucket column's type")))
         // a stat column this append INTRODUCES (absent from the parent
         // schema — which is the union of every prior slice) is provably
         // all-null in every existing segment: backfill their zone maps
@@ -1679,13 +1761,25 @@ object AtomicPublish {
           s.copy(cols = s.cols ++ introduced
             .filterNot(s.cols.contains)
             .map(c => c -> ColStat(None, None, s.rows)))
-        val backfilled =
+        val backfilled0 =
           if (introduced.isEmpty) baseStats
           else baseStats.map { case (o, s) => o -> backfill(s) }
-        val backfilledFiles =
+        val backfilledFiles0 =
           if (introduced.isEmpty) baseFileStats
           else baseFileStats.map { case (o, fm) =>
             o -> fm.map { case (f, s) => f -> backfill(s) }
+          }
+        // float→double widen: the historical float-rendered stats
+        // re-encode exactly in the same commit that records DoubleType
+        val backfilled =
+          if (floatWidened.isEmpty) backfilled0
+          else backfilled0.map { case (o, s) =>
+            o -> widenFloatStats(s, floatWidened) }
+        val backfilledFiles =
+          if (floatWidened.isEmpty) backfilledFiles0
+          else backfilledFiles0.map { case (o, fm) =>
+            o -> fm.map { case (f, s) =>
+              f -> widenFloatStats(s, floatWidened) }
           }
         // bucketing inherits like partitioning: the manifest owns the
         // layout; an explicit re-declaration on append must MATCH (a

@@ -30,6 +30,138 @@ class SchemaEvolutionSpec extends SparkSuite {
   private def docs(ids: Range, lang: String = "en"): DataFrame =
     ids.map(i => (i.toLong, lang, i * 10L)).toDF("doc_id", "lang", "words")
 
+  test("type-widening append: int→long widens the recorded schema; " +
+      "narrow segments read promoted; later narrow appends still land") {
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot()
+    val narrow = (0 until 10).map(i => (i, s"p$i")).toDF("id", "payload")
+    assert(narrow.schema("id").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> narrow),
+      statsBy = Map("t" -> Seq("id")))
+    // the widening append: same column, LongType
+    val wide = (10L until 20L).map(i => (i, s"p$i")).toDF("id", "payload")
+    AtomicPublish.publishDelta(spark, root, append = Map("t" -> wide),
+      parent = Some(v1))
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val recorded = AtomicPublish.manifestMetaOf(spark, root, txn)("t")
+      .schema.get
+    assert(recorded("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // both segments read under the WIDER type — the int32 files promote
+    val all = AtomicPublish.readTable(spark, root, "t")
+    assert(all.schema("id").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(all.agg(org.apache.spark.sql.functions.sum("id")).head()
+      .getLong(0) == (0L until 20L).sum)
+    // zone maps stay sound across the widen: an id-range read over the
+    // NARROW segment's range still finds its rows
+    assert(AtomicPublish.readTableWhere(spark, root, "t", "id <= 3")
+      .count() == 4)
+    // a narrow (int) append AFTER the widen also lands and promotes
+    val narrow2 = (20 until 25).map(i => (i, s"p$i")).toDF("id", "payload")
+    AtomicPublish.publishDelta(spark, root, append = Map("t" -> narrow2),
+      parent = Some(txn))
+    assert(AtomicPublish.readTable(spark, root, "t").count() == 25)
+    assert(AtomicPublish.readTable(spark, root, "t")
+      .filter(col("id") >= 20L).count() == 5)
+    // time travel: the pre-widen version still serves the narrow shape
+    assert(AtomicPublish.readTableAt(spark, root, "t", v1)
+      .schema("id").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("float→double widen re-encodes historical zone maps exactly — " +
+      "a boundary predicate keeps the float-era segment") {
+    val root = freshRoot()
+    // 0.3f renders as "0.3"; decoded as a double that string is BELOW
+    // (double)0.3f — an untranslated map would wrongly prune this
+    // segment for x >= 0.30000001
+    val floats = Seq((1L, 0.3f), (2L, 0.1f)).toDF("id", "x")
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> floats),
+      statsBy = Map("t" -> Seq("x")))
+    val doubles = Seq((3L, 0.5d)).toDF("id", "x")
+    AtomicPublish.publishDelta(spark, root, append = Map("t" -> doubles),
+      parent = Some(v1))
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    assert(AtomicPublish.manifestMetaOf(spark, root, txn)("t")
+      .schema.get("x").dataType == org.apache.spark.sql.types.DoubleType)
+    val hits = AtomicPublish.readTableWhere(spark, root, "t",
+      "x >= 0.30000001").collect()
+    assert(hits.map(_.getLong(0)).toSet == Set(1L, 3L),
+      s"float-era row lost to an unsound zone map: ${hits.toSeq}")
+    // and the skipping layer still PRUNES where sound: nothing above 1
+    assert(AtomicPublish.readTableWhere(spark, root, "t", "x > 1.0")
+      .count() == 0)
+    // a float slice appended AFTER the widen re-encodes its stats too
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> Seq((4L, 0.7f)).toDF("id", "x")),
+      parent = Some(txn))
+    // (double)0.7f = 0.699999988…; the untranslated "0.7" decodes to
+    // 0.7d, whose min-envelope would wrongly prune this upper bound
+    assert(AtomicPublish.readTableWhere(spark, root, "t",
+      "x >= 0.69999998 AND x <= 0.69999999").collect()
+      .map(_.getLong(0)).toSet == Set(4L))
+  }
+
+  test("skipping-layer fuzz over a widened table: zone-map reads ≡ " +
+      "plain filters across narrow/wide segments and boundary values") {
+    val root = freshRoot()
+    val rnd = new scala.util.Random(42)
+    // segment 1: ints + floats (narrow era, stats recorded narrow)
+    val seg1 = (0 until 40).map(i =>
+      (i, rnd.nextFloat() * 10f)).toDF("id", "x")
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> seg1),
+      statsBy = Map("t" -> Seq("id", "x")))
+    // segment 2: widened (long ids, double x)
+    val seg2 = (40L until 80L).map(i =>
+      (i, rnd.nextDouble() * 10d)).toDF("id", "x")
+    AtomicPublish.publishDelta(spark, root, append = Map("t" -> seg2),
+      parent = Some(v1))
+    // segment 3: narrow again after the widen
+    val seg3 = (80 until 120).map(i =>
+      (i, rnd.nextFloat() * 10f)).toDF("id", "x")
+    AtomicPublish.publishDelta(spark, root, append = Map("t" -> seg3),
+      parent = AtomicPublish.currentTxn(spark, root))
+    val plain = AtomicPublish.readTable(spark, root, "t")
+    // predicates probe float-exact boundaries, ranges and equality on
+    // BOTH the int-chain and the float-chain widened columns
+    val xs = plain.select("x").collect().map(_.getDouble(0))
+    val preds = Seq(
+      "id <= 10", "id > 100", "id BETWEEN 35 AND 45",
+      s"x >= ${xs(7)}", s"x <= ${xs(53)}", s"x = ${xs(17)}",
+      s"x > ${xs(99)} AND id >= 80", "x > 10.0", "x < 0.0")
+    for (p <- preds) {
+      val viaMaps = AtomicPublish.readTableWhere(spark, root, "t", p)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val viaFilter = plain.where(p)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(viaMaps == viaFilter, s"predicate '$p': " +
+        s"maps=${viaMaps.size} filter=${viaFilter.size} " +
+        s"missing=${(viaFilter -- viaMaps).take(5)}")
+    }
+  }
+
+  test("widening a BUCKET column is refused (type-sensitive hash " +
+      "domain); a non-widening type change still fails fast") {
+    val root = freshRoot()
+    val narrow = (0 until 10).map(i => (i, i * 2L)).toDF("id", "v")
+    AtomicPublish.publish(spark, root, Map("t" -> narrow),
+      bucketBy = Map("t" -> (Seq("id"), 4)))
+    val wide = (10L until 20L).map(i => (i, i * 2)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.publishDelta(spark, root, append = Map("t" -> wide),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    assert(e.getMessage.contains("bucket column"))
+    // string→long is NOT a widening pair: refused as before
+    val bad = (0 until 5).map(i => (s"$i", i * 2L)).toDF("id", "v")
+    val e2 = intercept[Exception] {
+      AtomicPublish.publishDelta(spark, root, append = Map("t" -> bad),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    assert(e2.getMessage.contains("schema conflict"))
+  }
+
   test("ALTER TABLE RENAME TO: O(1), no data staged, reads identical, " +
       "tombstones and time travel intact") {
     val root = freshRoot()
