@@ -1969,6 +1969,29 @@ object AtomicPublish {
   private[ops] def replaceTail(spark: SparkSession, root: String,
       table: String, keepOwners: Seq[String], tail: DataFrame,
       parent: String): Option[String] = {
+    val prefixCheck = manifestMetaOf(spark, root, parent).get(table)
+      .map(_.owners)
+    require(prefixCheck.exists(_.startsWith(keepOwners)),
+      s"replaceTail: keepOwners must be a strict prefix of " +
+        s"'$table''s owner chain")
+    replaceOwners(spark, root, table, keepOwners, tail, parent)
+  }
+
+  /** SUBSET-compaction commit — [[replaceTail]] generalized from
+    * "suffix" to "any order-preserving subset" (VERDICT-r7 ask #4):
+    * the owners NOT in `keepOwners` are rewritten into one freshly
+    * staged segment appended at the END of the chain, while every
+    * kept owner is carried BY REFERENCE — its data files are not
+    * read, not rewritten, not even listed, and its per-owner zone
+    * maps and file stats survive verbatim. This is what makes an
+    * `OPTIMIZE WHERE`-shaped rewrite of one hot partition O(matching
+    * segments) instead of O(table). Precondition (enforced): NO
+    * merge-on-read tombstones — their `_asof` scopes reference owner
+    * POSITIONS, which removing mid-chain owners renumbers; tombstoned
+    * tables take the full [[graft.ops.Compaction.compactStore]]. */
+  private[ops] def replaceOwners(spark: SparkSession, root: String,
+      table: String, keepOwners: Seq[String], tail: DataFrame,
+      parent: String): Option[String] = {
     val rootPath = new Path(root)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     inFlight.add(txn)
@@ -1977,14 +2000,17 @@ object AtomicPublish {
       val m = parentMeta.getOrElse(table,
         throw new IllegalArgumentException(
           s"table '$table' is not in version $parent under $root"))
-      require(m.owners.startsWith(keepOwners) &&
-          keepOwners.size < m.owners.size,
-        s"replaceTail: keepOwners must be a strict prefix of " +
-          s"'$table''s owner chain")
+      // keepOwners must be an order-preserving strict subset
+      val keepSet = keepOwners.toSet
+      require(keepOwners.size < m.owners.size &&
+          keepSet.subsetOf(m.owners.toSet) &&
+          m.owners.filter(keepSet) == keepOwners,
+        s"replaceOwners: keepOwners must be an order-preserving " +
+          s"strict subset of '$table''s owner chain")
       require(!parentMeta.get(deleteTableOf(table))
           .exists(_.owners.nonEmpty),
-        s"replaceTail: table '$table' has merge-on-read tombstones — " +
-          "positions renumber under a suffix rewrite; use compactStore")
+        s"replaceOwners: table '$table' has merge-on-read tombstones — " +
+          "positions renumber under a subset rewrite; use compactStore")
       val keep = keepOwners.toSet
       val newMeta = m.copy(
         owners = keepOwners :+ txn,

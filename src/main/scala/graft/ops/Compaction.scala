@@ -176,6 +176,68 @@ object Compaction {
       s"compactTail lost the commit race 5 times under $root")
   }
 
+  /** PREDICATE-SCOPED compaction — `OPTIMIZE WHERE` for the store
+    * (VERDICT-r7 ask #4): rewrite ONLY the owner segments whose zone
+    * maps ADMIT `where` (they may hold matching rows) into one
+    * consolidated segment, carrying every non-admitting owner BY
+    * REFERENCE — untouched files, surviving zone maps
+    * ([[AtomicPublish.replaceOwners]]). Re-clustering a 100 TB
+    * table's hot partition then costs O(matching segments), not the
+    * full-table price. Admission is CONSERVATIVE (zone-map semantics:
+    * an owner without stats is admitted), so the scope is always a
+    * superset of the predicate's true span — more rewritten, never
+    * rows lost. The rewritten subset is re-sorted under the table's
+    * recorded lexicographic clustering so its file maps stay tight
+    * (z-order re-interleave stays a full-compaction move, like
+    * [[compactTail]]).
+    *
+    * Returns None — commits NOTHING — when fewer than 2 owners admit
+    * (nothing to consolidate) or the table carries merge-on-read
+    * tombstones (asof scopes pin owner POSITIONS, which a subset
+    * rewrite renumbers — run [[compactStore]] to apply them first). */
+  def compactWhere(spark: SparkSession, root: String, table: String,
+      where: String, targetBytes: Long = 128L * 1024 * 1024)
+      : Option[(String, Int)] = {
+    import org.apache.spark.sql.functions.col
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(s"no published version under $root"))
+      val metas = AtomicPublish.manifestMetaOf(spark, root, parent)
+      val m = metas.getOrElse(table, throw new IllegalArgumentException(
+        s"table '$table' is not in version $parent under $root"))
+      if (metas.get(AtomicPublish.deleteTableOf(table))
+          .exists(_.owners.nonEmpty)) return None
+      val admitted = AtomicPublish.pruneOwners(spark, m, where)
+      if (admitted.size < 2) return None
+      val admittedSet = admitted.toSet
+      val keep = m.owners.filterNot(admittedSet)
+      val bytes = admitted
+        .map(segmentBytes(spark, root, table, m, _)).sum
+      val parts = partitionsFor(bytes, targetBytes)
+      val union = AtomicPublish.readTableSegments(spark, root, table,
+        parent, admitted)
+      val shaped =
+        if (m.numBuckets > 0) union // the publish path re-buckets
+        else if (m.clusterCols.nonEmpty && !m.clusterZOrder) {
+          val key = PartSpec.partitionExprs(m.partitionCols,
+            union.schema) ++ m.clusterCols.map(col)
+          union.repartitionByRange(parts, key: _*)
+            .sortWithinPartitions(key: _*)
+        } else if (m.partitionCols.isEmpty) union.repartition(parts)
+        else union.repartition(parts,
+          PartSpec.partitionExprs(m.partitionCols, union.schema): _*)
+      AtomicPublish.replaceOwners(spark, root, table, keep, shaped,
+        parent) match {
+        case Some(txn) => return Some((txn, parts))
+        case None => () // a commit landed meanwhile; re-pin, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"compactWhere lost the commit race 5 times under $root")
+  }
+
   /** Rewrite `dir` into ~`targetBytes` files. Returns before/after
     * counts. The swap is rename-based (stage → old aside → stage in →
     * drop old) and every rename is CHECKED — Hadoop rename reports

@@ -98,8 +98,11 @@ private[ops] object GraftProcedures {
     * minor compaction instead ([[Compaction.compactTail]]: merge the
     * small trailing segments, carry the consolidated head by
     * reference) — a no-op result row (partitions = 0) when there is no
-    * mergeable tail. Returns the committed version and the owner
-    * counts either side. */
+    * mergeable tail. `where => '<predicate>'` runs the PREDICATE-SCOPED
+    * rewrite instead ([[Compaction.compactWhere]]: only segments whose
+    * zone maps admit the predicate are rewritten, the rest carry by
+    * reference — `OPTIMIZE WHERE` for one hot partition). Returns the
+    * committed version and the owner counts either side. */
   private final class CompactProc(root: String) extends GraftProc("compact") {
 
     override def description(): String =
@@ -111,7 +114,8 @@ private[ops] object GraftProcedures {
       param("target_file_mb", IntegerType, "128"),
       param("cluster_by", StringType, "''"),
       param("z_order", BooleanType, "false"),
-      param("minor", BooleanType, "false"))
+      param("minor", BooleanType, "false"),
+      param("where", StringType, "''"))
 
     private val out = new StructType()
       .add("version", StringType, nullable = false)
@@ -129,16 +133,26 @@ private[ops] object GraftProcedures {
           .map(_.trim).filter(_.nonEmpty)
       val zOrder = !input.isNullAt(3) && input.getBoolean(3)
       val minor = !input.isNullAt(4) && input.getBoolean(4)
+      val whereScope =
+        if (input.isNullAt(5)) "" else input.getUTF8String(5).toString.trim
       require(!minor || (clusterBy.isEmpty && !zOrder),
         "minor compaction merges the small tail only — clustering " +
           "needs the full rewrite")
+      require(whereScope.isEmpty || (!minor && clusterBy.isEmpty && !zOrder),
+        "where-scoped compaction rewrites the admitting segments under " +
+          "the RECORDED layout — combine it with neither minor nor a " +
+          "clustering re-declaration")
       val before = AtomicPublish.currentTxn(spark, root)
         .flatMap(AtomicPublish.manifestMetaOf(spark, root, _).get(table))
         .map(_.owners.size).getOrElse(
           throw new IllegalArgumentException(
             s"table '$table' is not published under $root"))
       val (txn, parts) =
-        if (minor)
+        if (whereScope.nonEmpty)
+          Compaction.compactWhere(spark, root, table, whereScope,
+            targetBytes = targetMb.toLong * 1024 * 1024).getOrElse(
+            (AtomicPublish.currentTxn(spark, root).get, 0))
+        else if (minor)
           Compaction.compactTail(spark, root, table,
             targetBytes = targetMb.toLong * 1024 * 1024).getOrElse(
             (AtomicPublish.currentTxn(spark, root).get, 0))

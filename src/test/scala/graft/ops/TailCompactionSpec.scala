@@ -67,6 +67,71 @@ class TailCompactionSpec extends SparkSuite {
     assert(meta.segStats.keySet == Set(head, txn))
   }
 
+  test("predicate-scoped compaction: only admitting segments rewrite; " +
+      "non-matching owners byte-identical; content and layout survive") {
+    val root = freshRoot()
+    // four disjoint doc_id ranges, one owner each, zone maps on doc_id
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 500).repartition(2)),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    var parent = v1
+    for (r <- Seq(500 until 1000, 1000 until 1500, 1500 until 2000)) {
+      parent = AtomicPublish.publishDelta(spark, root,
+        append = Map("docs" -> docs(r).repartition(2)),
+        parent = Some(parent)).get
+    }
+    val before = owners(root)
+    assert(before.size == 4)
+    val keptExpected = Seq(before(0), before(3))
+    val keptFilesBefore = keptExpected.map(o => segFiles(root, o))
+    val beforeRows = AtomicPublish.readTable(spark, root, "docs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // the middle two owners admit; the outer two provably reject
+    val res = Compaction.compactWhere(spark, root, "docs",
+      "doc_id BETWEEN 600 AND 1400", targetBytes = 1L << 30)
+    assert(res.isDefined)
+    val after = owners(root)
+    assert(after == keptExpected :+ res.get._1,
+      s"expected [kept0, kept3, new], got $after")
+    // the kept owners' files: same paths, same mtimes — never touched
+    keptExpected.zip(keptFilesBefore).foreach { case (o, fb) =>
+      assert(segFiles(root, o) == fb, s"owner $o was rewritten")
+    }
+    // content identical; zone maps still prune on the kept owners
+    val afterRows = AtomicPublish.readTable(spark, root, "docs")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(afterRows == beforeRows)
+    assert(AtomicPublish.readTableWhere(spark, root, "docs",
+      "doc_id < 100").count() == 100)
+    // nothing admits twice-compacted: a disjoint scope over ONE owner
+    assert(Compaction.compactWhere(spark, root, "docs",
+      "doc_id > 1900", targetBytes = 1L << 30).isEmpty,
+      "a single admitting owner has nothing to consolidate")
+  }
+
+  test("CALL compact(where => …): the SQL face of the scoped rewrite") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 300)),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    var parent = v1
+    for (r <- Seq(300 until 600, 600 until 900)) {
+      parent = AtomicPublish.publishDelta(spark, root,
+        append = Map("docs" -> docs(r)), parent = Some(parent)).get
+    }
+    val cat = "scopedcompact"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val row = spark.sql(s"CALL $cat.system.compact(table => 'docs', " +
+      "where => 'doc_id < 550')").collect().head
+    assert(row.getAs[Int]("owners_before") == 3)
+    assert(row.getAs[Int]("owners_after") == 2) // two admitted → one
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs").head()
+      .getLong(0) == 900)
+  }
+
   test("nothing worth doing → None, no commit: too few small segments; " +
       "tombstones route to the full path") {
     val root = freshRoot()
