@@ -31,9 +31,13 @@ import graft.ops.AtomicPublish.TableMeta
   * each `loadTable` resolution pins the then-current txn, so one
   * statement touching one table reads one immutable snapshot, but a
   * query joining two catalog tables can observe different versions if
-  * a commit lands between the two resolutions (for cross-table
-  * consistency under concurrent writers, pin once via
-  * `registerViews`/`readTableAt`). Reads plan through [[V1Scan]] into
+  * a commit lands between the two resolutions. For cross-table
+  * consistency under concurrent writers, pin the SESSION: `SET
+  * graft.snapshot.<catalog> = auto` (pin-at-first-resolution) or
+  * `= '<txn>'` (explicit version) makes every resolution serve ONE
+  * snapshot until the conf is unset (see [[GraftCatalog.pinnedTxn]];
+  * `registerViews`/`readTableAt` remain the programmatic routes).
+  * Reads plan through [[V1Scan]] into
   * the SAME
   * delete-aware [[AtomicPublish.readTableAt]] DataFrame every other
   * read face uses: the inner plan mounts [[GraftFileIndex]], so
@@ -88,6 +92,14 @@ import graft.ops.AtomicPublish.TableMeta
   * ([[GraftProcedures]]) — a SQL-only session operates the store end
   * to end.
   */
+object GraftCatalog {
+  /** `graft.snapshot=auto` pins, keyed by (session identity, catalog,
+    * root) — dropped whenever the conf is unset or made explicit, so a
+    * pin never outlives the directive that created it. */
+  private[ops] val autoPins =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
+}
+
 final class GraftCatalog extends TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
@@ -131,10 +143,43 @@ final class GraftCatalog extends TableCatalog
     new GraftTable(root, ident.name(), txn, meta)
   }
 
+  /** SESSION-PINNED SNAPSHOT (VERDICT-r7 ask #5): `SET
+    * graft.snapshot.<catalog> = auto` (or the catalog-agnostic
+    * `graft.snapshot`) pins the catalog's version at the FIRST
+    * resolution after the SET, so a multi-table SQL join reads ONE
+    * consistent snapshot even when commits land between its table
+    * resolutions — `registerViews`-grade consistency without leaving
+    * SQL. An explicit txn id instead of `auto` pins that exact
+    * version. Unsetting the conf drops the pin (the next resolution
+    * re-pins live; a later `auto` re-pins fresh). The pin governs
+    * READS: writes always commit against the LIVE chain, and
+    * MERGE/UPDATE under a stale pin fail with their named conflict
+    * error rather than mixing snapshots. */
+  private def pinnedTxn(): Option[String] = {
+    val key = (System.identityHashCode(spark), catName, root)
+    def confOpt(k: String): Option[String] =
+      try spark.conf.getOption(k)
+      catch { case scala.util.control.NonFatal(_) => None }
+    confOpt(s"graft.snapshot.$catName")
+      .orElse(confOpt("graft.snapshot"))
+      .map(_.trim).filter(_.nonEmpty) match {
+      case None =>
+        GraftCatalog.autoPins.remove(key); None
+      case Some("auto") =>
+        Some(GraftCatalog.autoPins.getOrElseUpdate(key,
+          AtomicPublish.currentTxn(spark, root).getOrElse(
+            throw new IllegalStateException(
+              s"graft.snapshot=auto: no published version under $root"))))
+      case Some(explicit) =>
+        GraftCatalog.autoPins.remove(key); Some(explicit)
+    }
+  }
+
   override def loadTable(ident: Identifier): Table = {
     if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
-    val txn = AtomicPublish.currentTxn(spark, root).getOrElse(
-      throw new NoSuchTableException(ident))
+    val txn = pinnedTxn()
+      .orElse(AtomicPublish.currentTxn(spark, root)).getOrElse(
+        throw new NoSuchTableException(ident))
     load(ident, txn)
   }
 

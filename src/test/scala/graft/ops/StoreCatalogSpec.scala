@@ -115,6 +115,50 @@ class StoreCatalogSpec extends SparkSuite {
       == 48L)
   }
 
+  test("graft.snapshot session pin: one consistent version across " +
+      "resolutions with a commit landing in between; unset re-lives") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("a" -> docs(0 until 100, "en"), "b" -> docs(0 until 50, "de")))
+    val cat = mount(root)
+    try {
+      spark.conf.set(s"graft.snapshot.$cat", "auto")
+      // first resolution pins the session to v1
+      assert(spark.sql(s"SELECT count(*) FROM $cat.a")
+        .head().getLong(0) == 100)
+      // a commit lands on BOTH tables after the pin
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("a" -> docs(100 until 150, "en"),
+          "b" -> docs(50 until 80, "de")), parent = Some(v1))
+      // every later resolution — including a two-table join — still
+      // serves the pinned snapshot (the un-pinned behavior would see
+      // the new counts, and a join could even mix versions)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.a")
+        .head().getLong(0) == 100)
+      val joined = spark.sql(
+        s"""SELECT count(*) FROM $cat.a a JOIN $cat.b b
+           |ON a.doc_id = b.doc_id""".stripMargin).head().getLong(0)
+      assert(joined == 50, s"pinned join saw $joined (v1 is 50)")
+      // an EXPLICIT txn pin serves that exact version
+      spark.conf.set(s"graft.snapshot.$cat", v1)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.b")
+        .head().getLong(0) == 50)
+      // unset → live again
+      spark.conf.unset(s"graft.snapshot.$cat")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.a")
+        .head().getLong(0) == 150)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.b")
+        .head().getLong(0) == 80)
+      // a fresh auto pin re-pins at the NEW live version
+      spark.conf.set(s"graft.snapshot.$cat", "auto")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.a")
+        .head().getLong(0) == 150)
+    } finally {
+      try spark.conf.unset(s"graft.snapshot.$cat")
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
   test("SQL time travel: VERSION AS OF and TIMESTAMP AS OF") {
     val root = freshRoot()
     val v1 = AtomicPublish.publish(spark, root,
