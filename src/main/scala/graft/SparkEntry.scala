@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, InsightQueries, LlmPrep, RelationalQueries, SimilarityOps, TextOps}
+import graft.analytics.{AdvancedQueries, DedupOps, EventQueries, InsightQueries, LlmPrep, RelationalQueries, SimilarityOps, TextOps, TokenOps}
 import graft.multimodal.MultimodalOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,6 +21,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ AdvancedQueries.queries ++ EventQueries.queries ++
       DedupOps.queries ++ SimilarityOps.queries ++ TextOps.queries ++
+      TokenOps.queries ++
       MultimodalOps.queries ++ InsightQueries.queries ++ LlmPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +29,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     RelationalQueries.oracleSql ++ AdvancedQueries.oracleSql ++ EventQueries.oracleSql ++
       DedupOps.oracleSql ++ SimilarityOps.oracleSql ++ TextOps.oracleSql ++
+      TokenOps.oracleSql ++
       MultimodalOps.oracleSql ++ InsightQueries.oracleSql ++ LlmPrep.oracleSql
 }

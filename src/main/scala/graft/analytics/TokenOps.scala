@@ -1,0 +1,178 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** TOKEN-AWARE text operations (VERDICT-r7 ask #8): a deterministic
+  * subword tokenizer — greedy longest-match wordpiece over a broadcast
+  * vocabulary built IN-PLAN from corpus word frequencies — and a
+  * sequence-packing variant that budgets by TOKENS, the unit training
+  * actually bills in (word-budget packing under-fills sequences of
+  * short-word text and overflows sequences of rare-word text; the
+  * token budget is what the accelerator sees).
+  *
+  * Design for 100 TB:
+  *  - the vocabulary is ONE distributed word-count aggregate (shuffles
+  *    (word, count) pairs only) truncated to [[VocabSize]] rows on the
+  *    driver and BROADCAST — the classic small-dim broadcast shape;
+  *  - tokenization is map-only (a per-row function over the broadcast
+  *    vocab — no shuffle, no state);
+  *  - packing reuses sp3's sharded streaming-greedy shape: per-shard
+  *    running token sums over a PARTITIONED window, never a global
+  *    one ([[TextOps.sp3SequencePack]]).
+  *
+  * Determinism (the property the whole gate stands on): vocabulary
+  * selection breaks frequency ties by word (count desc, word asc);
+  * greedy longest-match is a deterministic recurrence; no RNG, no
+  * timestamps. The greedy-match recurrence is not SQL-expressible, so
+  * these queries are spec-verified against a driver-side reference
+  * implementation instead of a DuckDB oracle (like n2b/n5 — see
+  * TokenOpsSpec).
+  *
+  * (Reference analog: the reference counts words nowhere — this is
+  * part of the beyond-reference training-data surface, SURVEY.md §2's
+  * LLM-pipeline block.)
+  */
+object TokenOps {
+
+  /** Top-K corpus words kept as whole-word tokens. Deliberately TINY:
+    * the synthetic corpus has a closed ~31-word vocabulary, so a
+    * production-sized K would put every word in-vocab and the greedy
+    * recurrence would never run — 16 keeps a genuine head/tail split
+    * (frequent words whole, the tail decomposing into pieces), which
+    * is the shape the operator exists to exercise. A real deployment
+    * raises this to 30k+; nothing else changes. */
+  val VocabSize = 16
+
+  /** Tokens per packed training sequence ([[sp3bTokenPackOn]]). */
+  val TokenPackBudget = 256
+
+  /** The deterministic vocabulary: the corpus's [[VocabSize]] most
+    * frequent words, ties broken by word — ONE aggregate over (word,
+    * count) pairs, truncated on the driver. */
+  def buildVocab(docs: DataFrame): Seq[String] =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(VocabSize)
+      .select("w").collect().map(_.getString(0)).toSeq
+
+  /** Greedy longest-match piece count of ONE word against the vocab:
+    * an in-vocab word is 1 token; otherwise the longest vocab entry
+    * that prefixes the remaining suffix is consumed, and a position no
+    * entry matches consumes one character as an unknown token (so
+    * tokenization is total). The BERT-wordpiece recurrence with a
+    * position-independent piece set. */
+  private[analytics] def wordPieces(word: String, vocab: Set[String],
+      maxLen: Int): Int = {
+    if (word.isEmpty) 0
+    else if (vocab.contains(word)) 1
+    else {
+      var pos = 0
+      var pieces = 0
+      val n = word.length
+      while (pos < n) {
+        var l = math.min(maxLen, n - pos)
+        var hit = 0
+        while (l >= 1 && hit == 0) {
+          if (vocab.contains(word.substring(pos, pos + l))) hit = l
+          l -= 1
+        }
+        pieces += 1
+        pos += math.max(hit, 1) // unknown char: one unk token
+      }
+      pieces
+    }
+  }
+
+  /** (token-count column builders) over a broadcast vocab: one for a
+    * whole space-separated text, one for a word array. */
+  private def counters(spark: SparkSession, docs: DataFrame)
+      : (Column => Column, Column => Column) = {
+    val vocab = buildVocab(docs)
+    val bc = spark.sparkContext.broadcast(
+      (vocab.toSet, vocab.map(_.length).foldLeft(1)(math.max)))
+    val countWords = (ws: Seq[String]) => {
+      val (set, maxLen) = bc.value
+      var sum = 0L
+      ws.foreach(w => sum += wordPieces(w, set, maxLen))
+      sum
+    }
+    val textUdf = udf((text: String) =>
+      if (text == null) 0L
+      else countWords(text.split(' ').toIndexedSeq))
+    val arrUdf = udf((ws: Seq[String]) =>
+      if (ws == null) 0L else countWords(ws))
+    (textUdf(_), arrUdf(_))
+  }
+
+  /** T11: per-document wordpiece token statistics — whitespace words,
+    * subword tokens under the corpus-frequency vocab, and the
+    * tokens-per-word expansion in integer BASIS POINTS (integral
+    * arithmetic hashes identically everywhere; a float ratio would
+    * flip at half-way boundaries). The expansion is the signal a
+    * token-budgeted pipeline filters and bills on. */
+  def t11Wordpiece(spark: SparkSession, dir: String): DataFrame =
+    t11WordpieceOn(spark, Tables.documents(spark, dir))
+
+  def t11WordpieceOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (countText, _) = counters(spark, docs)
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        countText(col("text")).as("wp_tokens"))
+      .withColumn("expansion_bp",
+        expr("wp_tokens * 10000 DIV ws_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** SP3B: TOKEN-BUDGET sequence packing — the t5 chunk stream packed
+    * into ~[[TokenPackBudget]]-token training sequences by the same
+    * sharded streaming-greedy recurrence as word-budget sp3 (chunk →
+    * pack floor(tokens_before / budget) within its shard). Chunk token
+    * counts come from the wordpiece tokenizer, so a chunk of rare long
+    * words occupies proportionally more of its sequence — what the
+    * accelerator's context window actually experiences. */
+  def sp3bTokenPack(spark: SparkSession, dir: String): DataFrame =
+    sp3bTokenPackOn(spark, Tables.documents(spark, dir))
+
+  def sp3bTokenPackOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (_, countArr) = counters(spark, docs)
+    val words = split(col("text"), " ")
+    val chunks = docs
+      .select(col("doc_id"), words.as("ws"),
+        posexplode(sequence(lit(0), size(words) - 1,
+          lit(TextOps.ChunkStride))).as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("ws"), col("start") + 1,
+          lit(TextOps.ChunkWords)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        countArr(col("chunk")).as("n_tokens"))
+      .withColumn("shard",
+        pmod(col("doc_id"), lit(TextOps.PackShards.toLong)))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("shard"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    chunks
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tokens_before DIV $TokenPackBudget"))
+      .groupBy(col("shard"), col("pack_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("shard"), col("pack_id"))
+  }
+
+  /** No oracleSql: the greedy longest-match recurrence is not
+    * SQL-expressible in DuckDB — both queries are spec-verified
+    * against a driver-side reference implementation (TokenOpsSpec),
+    * the n2b contract. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t11_wordpiece" -> (t11Wordpiece _),
+    "sp3b_token_pack" -> (sp3bTokenPack _))
+
+  def oracleSql: Map[String, String] = Map.empty
+}
