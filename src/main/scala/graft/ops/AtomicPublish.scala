@@ -11,9 +11,10 @@ import org.apache.spark.sql.types._
 
 /** Partition-spec grammar: an entry of [[AtomicPublish.TableMeta
   * .partitionCols]] is either an IDENTITY column name (`region`) or a
-  * CALENDAR transform `days(ts)` / `months(ts)` — Iceberg's hidden
+  * CALENDAR transform `years(ts)` / `months(ts)` / `days(ts)` /
+  * `hours(ts)` — Iceberg's hidden
   * partitioning, re-expressed over the manifest: the transform's
-  * ordinal (UTC days / months since epoch) is materialized at WRITE
+  * ordinal (UTC units since epoch) is materialized at WRITE
   * time into a derived directory column (`ts__day=19234/`), the source
   * column stays in the data files untouched, and READS derive
   * partition bounds from predicates on the RAW column — the user
@@ -38,12 +39,16 @@ private[ops] object PartSpec {
     * sidecar convention of a LEADING underscore, and a user column of
     * the same name is refused at declaration). */
   final case class Transform(kind: String, src: String) {
-    def derivedName: String =
-      s"${src}__${if (kind == "days") "day" else "month"}"
+    def derivedName: String = s"${src}__" + (kind match {
+      case "days" => "day"
+      case "months" => "month"
+      case "years" => "year"
+      case "hours" => "hour"
+    })
     def render: String = s"$kind($src)"
   }
 
-  private val TransformRe = "^(days|months)\\(([^()]+)\\)$".r
+  private val TransformRe = "^(days|months|years|hours)\\(([^()]+)\\)$".r
 
   /** Some(transform) for a transform spec, None for an identity column. */
   def parse(spec: String): Option[Transform] = spec match {
@@ -84,18 +89,29 @@ private[ops] object PartSpec {
       ((us - pmod(us, d)) / d).cast(IntegerType)
   }
 
+  /** UTC epoch-hour (timestamps only — hour of a DateType is 0). */
+  private def epochHour(c: Column, dt: DataType): Column = dt match {
+    case DateType => datediff(c, to_date(flit("1970-01-01"))) * flit(24)
+    case _ =>
+      val us = unix_micros(c)
+      val d = flit(3600000000L)
+      ((us - pmod(us, d)) / d).cast(IntegerType)
+  }
+
   /** The derivation expression for one transform over its source. */
-  def derive(t: Transform, c: Column, dt: DataType): Column = {
-    val day = epochDay(c, dt)
-    if (t.kind == "days") day
-    else {
-      // months decompose from the UTC day via DATE functions — which
-      // are timezone-free over DateType, unlike year()/month() over a
-      // timestamp (session-zone-dependent)
-      val date = date_add(to_date(flit("1970-01-01")), day)
-      ((year(date) - flit(1970)) * flit(12) + month(date) - flit(1))
-        .cast(IntegerType)
-    }
+  def derive(t: Transform, c: Column, dt: DataType): Column = t.kind match {
+    case "days" => epochDay(c, dt)
+    case "hours" => epochHour(c, dt)
+    case _ =>
+      // months/years decompose from the UTC day via DATE functions —
+      // which are timezone-free over DateType, unlike year()/month()
+      // over a timestamp (session-zone-dependent)
+      val date = date_add(to_date(flit("1970-01-01")), epochDay(c, dt))
+      val ord =
+        if (t.kind == "months")
+          (year(date) - flit(1970)) * flit(12) + month(date) - flit(1)
+        else year(date) - flit(1970)
+      ord.cast(IntegerType)
   }
 
   /** Shuffle/cluster expressions for a partition spec over a frame of
@@ -123,11 +139,22 @@ private[ops] object PartSpec {
         Some(Math.floorDiv(us.longValue(), 86400000000L))
       case _ => None
     }
-    day.map { d =>
-      if (t.kind == "days") d.toInt
-      else {
-        val ld = java.time.LocalDate.ofEpochDay(d)
-        (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
+    t.kind match {
+      case "hours" => (dt, value) match {
+        case (_, null) => None
+        case (DateType, d: java.lang.Integer) => Some(d.intValue() * 24)
+        case (TimestampType | TimestampNTZType, us: java.lang.Long) =>
+          Some(Math.floorDiv(us.longValue(), 3600000000L).toInt)
+        case _ => None
+      }
+      case _ => day.map { d =>
+        t.kind match {
+          case "days" => d.toInt
+          case "months" =>
+            val ld = java.time.LocalDate.ofEpochDay(d)
+            (ld.getYear - 1970) * 12 + (ld.getMonthValue - 1)
+          case _ => java.time.LocalDate.ofEpochDay(d).getYear - 1970
+        }
       }
     }
   }

@@ -232,14 +232,14 @@ final class GraftCatalog extends TableCatalog
       }
       t.name match {
         case "identity" => oneCol
-        // `PARTITIONED BY (days(ts))` / `months(ts)` — hidden calendar
+        // `PARTITIONED BY (days(ts))` etc. — hidden calendar
         // partitioning ([[PartSpec]]): the layout derives from the raw
         // column at write time and predicates on it prune at read time
-        case "days" | "months" => s"${t.name}($oneCol)"
-        // Spark's DDL parses years(c)/hours(c) too — unsupported here
+        case "days" | "months" | "years" | "hours" =>
+          s"${t.name}($oneCol)"
         case _ => unsupported(
-          s"partition transform '$t' (identity columns, days(col), " +
-            "months(col) and bucket(n, …) only)")
+          s"partition transform '$t' (identity columns, " +
+            "years/months/days/hours(col) and bucket(n, …) only)")
       }
     }
     // SQL-native bucketing: `CLUSTERED BY (c, …) INTO n BUCKETS`
@@ -374,6 +374,52 @@ final class GraftCatalog extends TableCatalog
       changes: TableChange*): Table = {
     if (!okNs(ident.namespace())) throw new NoSuchTableException(ident)
     changes.toList match {
+      case List(u: TableChange.UpdateColumnType) =>
+        // `ALTER TABLE t ALTER COLUMN c TYPE BIGINT` — O(1) metadata
+        // WIDENING: one empty-slice append whose schema carries the
+        // wider type rides the ordinary merge ([[AtomicPublish
+        // .mergeSchemas]] widens; float-era zone maps re-encode in the
+        // same commit). Non-widening changes are refused by the merge
+        // contract itself; no data is read or written.
+        require(u.fieldNames.length == 1,
+          s"ALTER COLUMN on '$catName' supports top-level columns " +
+            s"only (got ${u.fieldNames.mkString(".")})")
+        val colName = u.fieldNames()(0)
+        var attempt = 0
+        while (attempt < GraftSource.MaxCommitAttempts) {
+          attempt += 1
+          val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+            throw new NoSuchTableException(ident))
+          val meta = AtomicPublish.manifestMetaOf(spark, root, parent)
+            .getOrElse(ident.name(), throw new NoSuchTableException(ident))
+          val recorded = meta.schema.getOrElse(
+            throw new IllegalStateException(
+              s"table '${ident.name()}' predates recorded schemas"))
+          require(recorded.fieldNames.contains(colName),
+            s"column '$colName' is not in table '${ident.name()}'")
+          val cur = recorded(colName).dataType
+          // must be a STRICT widening — a narrower/equal target would
+          // silently no-op under the merge (which keeps the wider side)
+          require(cur.catalogString != u.newDataType.catalogString &&
+            AtomicPublish.widerOf(cur, u.newDataType)
+              .exists(_.catalogString == u.newDataType.catalogString),
+            s"ALTER COLUMN '$colName': ${cur.simpleString} → " +
+              s"${u.newDataType.simpleString} is not a lossless " +
+              "widening (byte→short→int→long, float→double)")
+          val widened = StructType(recorded.fields.map(f =>
+            if (f.name == colName) f.copy(dataType = u.newDataType) else f))
+          val empty = spark.createDataFrame(
+            spark.sparkContext.emptyRDD[Row], widened)
+          // the merge validates the pair is a lossless widening
+          if (AtomicPublish.publishDelta(spark, root,
+              append = Map(ident.name() -> empty),
+              parent = Some(parent)).isDefined)
+            return loadTable(ident)
+          // CAS lost: re-pin and retry
+        }
+        throw new IllegalStateException(
+          s"ALTER COLUMN '${ident.name()}.$colName' lost the commit " +
+            s"race ${GraftSource.MaxCommitAttempts} times")
       case List(r: TableChange.RenameColumn) =>
         require(r.fieldNames.length == 1,
           s"ALTER TABLE RENAME COLUMN on '$catName' supports top-level " +
@@ -638,8 +684,12 @@ final class GraftTable(
     meta.partitionCols.map { spec =>
       PartSpec.parse(spec) match {
         case None => Expressions.identity(spec)
-        case Some(t) if t.kind == "days" => Expressions.days(t.src)
-        case Some(t) => Expressions.months(t.src)
+        case Some(t) => t.kind match {
+          case "days" => Expressions.days(t.src)
+          case "months" => Expressions.months(t.src)
+          case "years" => Expressions.years(t.src)
+          case _ => Expressions.hours(t.src)
+        }
       }
     }.toArray ++
       (if (meta.numBuckets > 0)

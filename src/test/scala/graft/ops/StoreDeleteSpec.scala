@@ -148,6 +148,45 @@ class StoreDeleteSpec extends SparkSuite {
       .isEmpty)
   }
 
+  test("composite-key deletes: tuple-exact reads, CDC halves, and the " +
+      "per-column prune never loses a cartesian sibling") {
+    val root = freshRoot()
+    // (a, b) unique; a alone is not — the cartesian-superset hazard:
+    // the CDC delete-side prune admits (1,x),(1,y),(2,x),(2,y) for
+    // tombstones {(1,y),(2,x)}, and the exact tuple join must keep
+    // the two siblings alive
+    def rows(r: Range) = r.flatMap(a => Seq("x", "y").map(b =>
+      (a.toLong, b, s"v$a$b"))).toDF("a", "b", "text")
+    val cov = AtomicPublish.publish(spark, root,
+      Map("docs" -> rows(0 until 6)))
+    AtomicPublish.deleteRows(spark, root, Map("docs" ->
+      Seq((1L, "y"), (2L, "x")).toDF("a", "b")))
+    val live = AtomicPublish.readTable(spark, root, "docs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!live.contains((1L, "y")) && !live.contains((2L, "x")))
+    assert(live.contains((1L, "x")) && live.contains((2L, "y")),
+      "tuple delete must never kill a sibling sharing one key column")
+    assert(live.size == 10)
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", cov).get
+    assert(ins.count() == 0)
+    assert(del.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "y"), (2L, "x")))
+    // a later delete keyed by a DIFFERENT column set is refused
+    val e = intercept[Exception] {
+      AtomicPublish.deleteRows(spark, root,
+        Map("docs" -> Seq(3L).toDF("a")))
+    }
+    assert(e.getMessage.contains("keyed by"), e.getMessage)
+    // upsert by the composite key replaces exactly the tuple
+    AtomicPublish.upsertMany(spark, root, Map("docs" ->
+      AtomicPublish.Upsert(Seq((0L, "x", "NEW")).toDF("a", "b", "text"),
+        Seq((0L, "x")).toDF("a", "b"))))
+    val after = AtomicPublish.readTable(spark, root, "docs").collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getString(2)).toMap
+    assert(after((0L, "x")) == "NEW" && after((0L, "y")) == "v0y")
+  }
+
   test("null-keyed rows are deletable (null-safe tombstone join)") {
     val root = freshRoot()
     val rows = Seq(Option(1L) -> "a", Option.empty[Long] -> "b",

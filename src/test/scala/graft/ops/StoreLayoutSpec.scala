@@ -133,6 +133,67 @@ class StoreLayoutSpec extends SparkSuite {
       "post-compaction read must still prune month dirs")
   }
 
+  test("years(ts) and hours(ts): the remaining calendar transforms " +
+      "lay out and prune like days/months") {
+    val root = freshRoot()
+    // hours: 4 rows per UTC day = one row each at hours 0/6/12/18
+    AtomicPublish.publish(spark, root,
+      Map("ev" -> tsDf(0 until 40).repartition(1)),
+      partitionBy = Map("ev" -> Seq("hours(ts)")))
+    val hPruned = AtomicPublish.readTable(spark, root, "ev")
+      .filter(col("ts") >= lit("1970-01-09 12:00:00").cast("timestamp"))
+    assert(hPruned.count() == 6)
+    assert(scannedFiles(hPruned) == 6, "one hour-dir per row")
+    // years: 1970..1973, 10 rows each
+    val root2 = freshRoot()
+    def yearDf(ids: Range) = ids.map(i => (i.toLong,
+      java.sql.Timestamp.from(java.time.Instant.parse(
+        f"${1970 + i % 4}%04d-06-15T00:00:00Z")), i * 2L))
+      .toDF("id", "ts", "v")
+    AtomicPublish.publish(spark, root2,
+      Map("ev" -> yearDf(0 until 40).repartition(1)),
+      partitionBy = Map("ev" -> Seq("years(ts)")))
+    // upper bound INSIDE year 1971, so the conservative boundary
+    // ordinal is year 1 and exactly 2 of 4 year-dirs scan
+    val yPruned = AtomicPublish.readTable(spark, root2, "ev")
+      .filter(col("ts") < lit("1971-12-31 00:00:00").cast("timestamp"))
+    assert(yPruned.count() == 20)
+    assert(scannedFiles(yPruned) == 2, "2 of 4 year-dirs")
+  }
+
+  test("ALTER TABLE ALTER COLUMN TYPE: O(1) SQL widening; narrowing " +
+      "and non-widening changes refused") {
+    val root = freshRoot()
+    val cat = "altertype"
+    spark.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    spark.sql(s"CREATE TABLE $cat.t (id INT, x FLOAT, p STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, CAST(0.3 AS FLOAT), 'a')")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN x TYPE DOUBLE")
+    val recorded = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("t").schema.get
+    assert(recorded("id").dataType == org.apache.spark.sql.types.LongType)
+    assert(recorded("x").dataType == org.apache.spark.sql.types.DoubleType)
+    // the pre-widen int/float files read promoted; new wide rows land
+    val big = 1L << 40 // far past Int range
+    spark.sql(s"INSERT INTO $cat.t VALUES ($big, 1.5, 'b')")
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.t").head().getLong(0) ==
+      big + 1L)
+    // narrowing refused — Spark's own up-cast analysis catches it
+    // before the catalog's widening guard (which still protects the
+    // direct TableCatalog API path)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN id TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("widening"), e.getMessage)
+    // a non-widening change refused too
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN p TYPE BIGINT")
+    }
+  }
+
   test("SQL DDL face: CREATE TABLE PARTITIONED BY (days(ts)) + INSERT " +
       "prunes from a raw predicate; rename maps the transform source") {
     val root = freshRoot()
