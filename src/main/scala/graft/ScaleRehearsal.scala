@@ -208,6 +208,109 @@ object ScaleRehearsal {
           s"catalog point read listed $files of $totalFiles files")
       }
     }
+    // --- scoped vs FULL compaction on zero-copy clones (r8) -----------
+    // two O(1) clones of the `segments`-owner table; compactWhere on
+    // one rewrites ONLY the owners admitting a ~5% rid range (zone-map
+    // admission), compactStore on the other pays the full rewrite —
+    // the wall-clock gap IS the OPTIMIZE-WHERE claim, measured at the
+    // un-consolidated worst case instead of asserted. Row counts must
+    // survive both.
+    import graft.ops.Compaction
+    require(AtomicPublish.cloneTable(spark, root, "docs", "docs_sc")
+      .isDefined)
+    require(AtomicPublish.cloneTable(spark, root, "docs", "docs_fc")
+      .isDefined)
+    // scope spans max(5% of rows, 3 segments' worth) so at least two
+    // owners admit at every configured segment count
+    val scLo = n / 4
+    val scHi = scLo + math.max(n / 20, 3 * n / segments + 1)
+    val (_, scopedCompactSec) = timed {
+      require(Compaction.compactWhere(spark, root, "docs_sc",
+        s"rid >= $scLo AND rid < $scHi").isDefined,
+        "scoped compaction found nothing to consolidate")
+    }
+    val (_, fullCompactSec) = timed {
+      Compaction.compactStore(spark, root, "docs_fc")
+    }
+    require(AtomicPublish.readTable(spark, root, "docs_sc").count() == n,
+      "scoped compaction lost rows")
+    require(AtomicPublish.readTable(spark, root, "docs_fc").count() == n,
+      "full compaction lost rows")
+    val scOwners = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("docs_sc").owners.size
+    require(scOwners > 1 && scOwners < segments,
+      s"scoped compaction owner count $scOwners not a strict subset " +
+        s"rewrite of $segments")
+    if (segments >= 100)
+      require(scopedCompactSec < fullCompactSec,
+        f"scoped ($scopedCompactSec%.2fs) not cheaper than full " +
+          f"($fullCompactSec%.2fs) at $segments segments")
+    // --- composite-key upsert at the full history (r8) ----------------
+    // a third clone takes a (rid, lang)-keyed upsert: the tuple
+    // tombstones + appended rows land in ONE O(batch) commit however
+    // long the owner chain is, and the tuple-keyed anti-join read
+    // stays one hash join over the whole history
+    require(AtomicPublish.cloneTable(spark, root, "docs", "docs_cc")
+      .isDefined)
+    val upRows = docs.filter(col("rid") < 10)
+      .select(col("rid"), col("doc_id"), col("lang"),
+        lit(-1L).as("nc"))
+    val (_, compositeUpsertSec) = timed {
+      AtomicPublish.upsertMany(spark, root, Map("docs_cc" ->
+        AtomicPublish.Upsert(upRows,
+          upRows.select(col("rid"), col("lang")))))
+      ()
+    }
+    val compositeReadSec = minOf {
+      require(AtomicPublish.readTable(spark, root, "docs_cc").count()
+        == n, "composite upsert changed the live count (replace, not add)")
+    }
+    require(AtomicPublish.readTable(spark, root, "docs_cc")
+      .filter(col("rid") < 10).select("nc").collect()
+      .forall(_.getLong(0) == -1L),
+      "composite upsert did not replace the keyed tuples")
+    // the clones served their phases — drop them so later phases and
+    // vacuum reasoning see the original store shape
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      drop = Seq("docs_sc", "docs_fc", "docs_cc"),
+      parent = AtomicPublish.currentTxn(spark, root))
+    // --- hidden time partitioning at a production dir count (r8) ------
+    // days(ts)-partitioned events: one UTC-day dir per ~30-minute rid
+    // step (dir count scales with the corpus), then a ~1% RAW-timestamp
+    // range read must scan ~1% of the files — the layout the user
+    // never sees doing the pruning the layout exists for
+    val tfRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_tf_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    val stepUs = 1800000000L // 30 min per rid
+    val ev = docs.select(col("rid"),
+      timestamp_micros(col("rid") * stepUs).as("ts"), col("nc"))
+    val (_, tfStageSec) = timed {
+      AtomicPublish.publish(spark, tfRoot, Map("events" ->
+        ev.repartition(32,
+          expr("CAST(unix_micros(timestamp_micros(rid * " +
+            s"$stepUs)) DIV 86400000000 AS INT)"))),
+        partitionBy = Map("events" -> Seq("days(ts)")))
+    }
+    val tfTotalFiles = AtomicPublish.readTable(spark, tfRoot, "events")
+      .inputFiles.length
+    val tfLoUs = (n / 2) * stepUs
+    val tfHiUs = tfLoUs + math.max((n / 100) * stepUs, 86400000000L * 2)
+    val tfRangeSec = minOf {
+      val q = AtomicPublish.readTable(spark, tfRoot, "events")
+        .filter(col("ts") >= timestamp_micros(lit(tfLoUs)) &&
+          col("ts") < timestamp_micros(lit(tfHiUs)))
+      val expected = ev.filter(col("rid") * stepUs >= tfLoUs &&
+        col("rid") * stepUs < tfHiUs).count()
+      require(q.count() == expected, "transform range read row count off")
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      require(scan * 10 <= tfTotalFiles,
+        s"raw-ts range read scanned $scan of $tfTotalFiles day files " +
+          "(hidden partitioning is not pruning)")
+    }
     // --- matview: init + incremental append interval ------------------
     val d = MatView.Def("docs", "mv_lang", Seq("lang"),
       Seq(MatView.Agg("count", "rid", "n_docs"),
@@ -442,6 +545,12 @@ object ScaleRehearsal {
     Map("store_stage" -> stageSec, "store_point_read" -> pointSec,
       "store_range_read" -> rangeSec,
       "store_catalog_point_read" -> catalogPointSec,
+      "store_scoped_compact" -> scopedCompactSec,
+      "store_full_compact" -> fullCompactSec,
+      "store_composite_upsert" -> compositeUpsertSec,
+      "store_composite_read" -> compositeReadSec,
+      "store_transform_stage" -> tfStageSec,
+      "store_transform_range_read" -> tfRangeSec,
       "store_mass_delete_commit" -> deleteCommitSec,
       "store_delete_read" -> deleteReadSec,
       "store_mv_append_refresh" -> mvAppendSec,
