@@ -182,9 +182,17 @@ object RelationalQueries {
     * reference's FK constraint, /root/reference/app/models/patient.py:62,86
     * — and its duplicate-mrn 409 path, routes.py:96-103, is the same
     * anti-join shape). */
+  /** The orphan check runs against a DEGRADED parent set (orders with
+    * `o_orderkey % 3 = 1` treated as absent): the pristine corpus has
+    * 0 orphans at sf0.01, and a 0-row result hash-matches vacuously
+    * (the q11 lesson, VERDICT-r7 nit #3) — the filtered parent yields
+    * real anti-join survivors at every scale factor (3 at sf0.01,
+    * 20 at sf0.1), so the gate exercises anti-join hash semantics on
+    * non-empty output. */
   def j3AntiJoin(spark: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(spark, dir)
     val o = Tables.orders(spark, dir)
+      .filter(pmod(col("o_orderkey"), lit(3)) =!= 1)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
@@ -192,7 +200,8 @@ object RelationalQueries {
 
   val j3AntiJoinSql: String =
     """SELECT c_custkey, c_name FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_orderkey % 3 <> 1)
       |ORDER BY c_custkey""".stripMargin
 
   // ===========================================================================
