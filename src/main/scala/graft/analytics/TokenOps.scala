@@ -88,10 +88,10 @@ object TokenOps {
     }
   }
 
-  /** (token-count column builders) over a broadcast vocab: one for a
-    * whole space-separated text, one for a word array. */
+  /** (token-count column builders) over a broadcast vocab: for a
+    * whole space-separated text, for a word array, and for ONE word. */
   private def counters(spark: SparkSession, docs: DataFrame)
-      : (Column => Column, Column => Column) = {
+      : (Column => Column, Column => Column, Column => Column) = {
     val vocab = buildVocab(docs)
     val bc = spark.sparkContext.broadcast(
       (vocab.toSet, vocab.map(_.length).foldLeft(1)(math.max)))
@@ -106,7 +106,11 @@ object TokenOps {
       else countWords(text.split(' ').toIndexedSeq))
     val arrUdf = udf((ws: Seq[String]) =>
       if (ws == null) 0L else countWords(ws))
-    (textUdf(_), arrUdf(_))
+    val wordUdf = udf((w: String) => {
+      val (set, maxLen) = bc.value
+      if (w == null) 0L else wordPieces(w, set, maxLen).toLong
+    })
+    (textUdf(_), arrUdf(_), wordUdf(_))
   }
 
   /** T11: per-document wordpiece token statistics — whitespace words,
@@ -119,7 +123,7 @@ object TokenOps {
     t11WordpieceOn(spark, Tables.documents(spark, dir))
 
   def t11WordpieceOn(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val (countText, _) = counters(spark, docs)
+    val (countText, _, _) = counters(spark, docs)
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         countText(col("text")).as("wp_tokens"))
@@ -139,7 +143,7 @@ object TokenOps {
     sp3bTokenPackOn(spark, Tables.documents(spark, dir))
 
   def sp3bTokenPackOn(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val (_, countArr) = counters(spark, docs)
+    val (_, countArr, _) = counters(spark, docs)
     val words = split(col("text"), " ")
     val chunks = docs
       .select(col("doc_id"), words.as("ws"),
@@ -166,12 +170,46 @@ object TokenOps {
       .orderBy(col("shard"), col("pack_id"))
   }
 
+  /** Tokens per [[t12TokenChunks]] training chunk. */
+  val ChunkTokenBudget = 64
+
+  /** T12: TOKEN-BUDGET chunking — t5's word-stride chunking re-keyed
+    * to the tokenizer: each document's word stream is cut into chunks
+    * of ~[[ChunkTokenBudget]] wordpiece tokens (word w lands in chunk
+    * floor(tokens_before_w / budget) — the same arithmetic split the
+    * sp3 family uses, so a rare-long-word region yields SHORTER word
+    * runs per chunk and a stopword region longer ones; a fixed word
+    * stride would overflow the former's context budget). Per-doc
+    * cumulative sums run under a doc-partitioned window — parallel
+    * across documents, never a global window. */
+  def t12TokenChunks(spark: SparkSession, dir: String): DataFrame =
+    t12TokenChunksOn(spark, Tables.documents(spark, dir))
+
+  def t12TokenChunksOn(spark: SparkSession, docs: DataFrame): DataFrame = {
+    val (_, _, countWord) = counters(spark, docs)
+    val exploded = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      .withColumn("tok", countWord(col("word")))
+    val W = org.apache.spark.sql.expressions.Window
+    val w = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    exploded
+      .withColumn("tokens_before",
+        coalesce(sum(col("tok")).over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"tokens_before DIV $ChunkTokenBudget"))
+      .groupBy(col("doc_id"), col("chunk_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("tok")).as("n_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** No oracleSql: the greedy longest-match recurrence is not
     * SQL-expressible in DuckDB — both queries are spec-verified
     * against a driver-side reference implementation (TokenOpsSpec),
     * the n2b contract. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_wordpiece" -> (t11Wordpiece _),
+    "t12_token_chunks" -> (t12TokenChunks _),
     "sp3b_token_pack" -> (sp3bTokenPack _))
 
   def oracleSql: Map[String, String] = Map.empty

@@ -3264,7 +3264,11 @@ object AtomicPublish {
         * while its registration is younger than this (default 7 days);
         * an abandoned checkpoint stops holding history once it ages
         * out. 0 disables consumer protection. */
-      consumerTtlMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+      consumerTtlMs: Long = 7L * 24 * 3600 * 1000,
+      /** Report the reclaimable paths WITHOUT deleting anything — the
+        * ops pre-flight (`CALL vacuum(dry_run => true)`): same
+        * retention/closure/consumer computation, zero side effects. */
+      dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -3364,7 +3368,10 @@ object AtomicPublish {
           !isActive(n) && isAged(st) &&
             ((isVersion && !protectedVersions(n)) || isScratch)
         }
-        .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+        .map { st =>
+          if (!dryRun) fs.delete(st.getPath, true)
+          st.getPath.toString
+        }
     }
   }
 }

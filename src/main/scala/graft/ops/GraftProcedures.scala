@@ -498,21 +498,24 @@ private[ops] object GraftProcedures {
       param("keep_last", IntegerType, "1"),
       param("min_age_ms", LongType, "CAST(0 AS BIGINT)"),
       param("grace_ms", LongType, "CAST(3600000 AS BIGINT)"),
-      param("consumer_ttl_ms", LongType, "CAST(604800000 AS BIGINT)"))
+      param("consumer_ttl_ms", LongType, "CAST(604800000 AS BIGINT)"),
+      param("dry_run", BooleanType, "false"))
 
     private val out = new StructType()
       .add("reclaimed", IntegerType, nullable = false)
+      .add("dry_run", BooleanType, nullable = false)
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val keepLast = if (input.isNullAt(0)) 1 else input.getInt(0)
       val minAge = if (input.isNullAt(1)) 0L else input.getLong(1)
       val grace = if (input.isNullAt(2)) 3600000L else input.getLong(2)
       val ttl = if (input.isNullAt(3)) 604800000L else input.getLong(3)
+      val dryRun = !input.isNullAt(4) && input.getBoolean(4)
       val reclaimed = AtomicPublish.vacuum(spark, root,
         keepLast = keepLast, minAgeMs = minAge, graceMs = grace,
-        consumerTtlMs = ttl)
+        consumerTtlMs = ttl, dryRun = dryRun)
       result(out, Array(new GenericInternalRow(
-        Array[Any](reclaimed.size))))
+        Array[Any](reclaimed.size, dryRun))))
     }
   }
 

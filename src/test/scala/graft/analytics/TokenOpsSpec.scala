@@ -109,10 +109,39 @@ class TokenOpsSpec extends SparkSuite {
     assert(packs.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
-  test("registry: both queries exposed, neither claims an oracle") {
-    assert(graft.SparkEntry.queries.contains("t11_wordpiece"))
-    assert(graft.SparkEntry.queries.contains("sp3b_token_pack"))
-    assert(!graft.SparkEntry.oracleSql.contains("t11_wordpiece"))
-    assert(!graft.SparkEntry.oracleSql.contains("sp3b_token_pack"))
+  test("t12 token chunking: per-doc token totals equal t11, chunk ids " +
+      "dense, every chunk within the greedy budget bound") {
+    val chunks = TokenOps.t12TokenChunks(spark, dir).collect()
+    val t11 = TokenOps.t11Wordpiece(spark, dir)
+      .select("doc_id", "wp_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perDoc = chunks.groupBy(_.getLong(0))
+    assert(perDoc.keySet == t11.keySet, "every doc chunks")
+    perDoc.foreach { case (id, cs) =>
+      assert(cs.map(_.getAs[Long]("n_tokens")).sum == t11(id),
+        s"doc $id chunk tokens != t11 total")
+      val ids = cs.map(_.getAs[Long]("chunk_id")).sorted.toSeq
+      assert(ids == (0L until ids.length.toLong).toSeq,
+        s"doc $id sparse chunk ids: $ids")
+    }
+    // arithmetic-split bound: a chunk exceeds the budget only by its
+    // straddling last word's pieces
+    val maxWordTok = TokenOps.t12TokenChunks(spark, dir)
+      .agg(max("n_tokens")).head().getLong(0)
+    chunks.foreach { c =>
+      assert(c.getAs[Long]("n_tokens") <
+        TokenOps.ChunkTokenBudget + maxWordTok,
+        s"chunk $c exceeds the greedy bound")
+    }
+    // the budget is genuinely TOKEN-keyed: chunk word counts vary
+    // (a fixed word stride would make them constant)
+    assert(chunks.map(_.getAs[Long]("n_words")).distinct.length > 1)
+  }
+
+  test("registry: all three queries exposed, none claims an oracle") {
+    for (q <- Seq("t11_wordpiece", "t12_token_chunks", "sp3b_token_pack")) {
+      assert(graft.SparkEntry.queries.contains(q), q)
+      assert(!graft.SparkEntry.oracleSql.contains(q), q)
+    }
   }
 }

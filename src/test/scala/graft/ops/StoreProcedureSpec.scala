@@ -142,10 +142,20 @@ class StoreProcedureSpec extends SparkSuite {
     // after compaction the live version is self-contained: the three
     // appended versions' dirs age out and CALL vacuum reclaims them
     spark.sql(s"CALL $cat.system.compact(table => 'docs')").collect()
+    // dry_run first: reports the SAME reclaimable count, deletes
+    // NOTHING (the ops pre-flight)
+    val preview = spark.sql(s"CALL $cat.system.vacuum(" +
+      "keep_last => 1, grace_ms => CAST(0 AS BIGINT), " +
+      "dry_run => true)").head()
+    assert(preview.getAs[Boolean]("dry_run"))
+    assert(preview.getAs[Int]("reclaimed") > 0)
+    assert(AtomicPublish.committedVersions(spark, root).size == 4,
+      "dry_run must not delete")
     val reclaimed = spark.sql(s"CALL $cat.system.vacuum(" +
       "keep_last => 1, grace_ms => CAST(0 AS BIGINT))")
       .head().getAs[Int]("reclaimed")
-    assert(reclaimed > 0)
+    assert(reclaimed == preview.getAs[Int]("reclaimed"),
+      "the real run must reclaim exactly what the preview reported")
     assert(AtomicPublish.committedVersions(spark, root).size == 1)
     assert(spark.sql(s"SELECT count(*) AS n FROM $cat.docs")
       .head().getLong(0) == 300)
