@@ -3267,7 +3267,10 @@ object AtomicPublish {
       consumerTtlMs: Long = 7L * 24 * 3600 * 1000,
       /** Report the reclaimable paths WITHOUT deleting anything — the
         * ops pre-flight (`CALL vacuum(dry_run => true)`): same
-        * retention/closure/consumer computation, zero side effects. */
+        * retention/closure/consumer computation, no data reclaimed.
+        * (The live version's missing commit marker may still
+        * self-heal — benign metadata repair that makes the preview
+        * match the later real run on a pre-marker store.) */
       dryRun: Boolean = false): Seq[String] = {
     require(keepLast >= 1, "keepLast must retain at least the live version")
     val rootPath = new Path(root)

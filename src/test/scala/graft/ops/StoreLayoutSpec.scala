@@ -219,6 +219,42 @@ class StoreLayoutSpec extends SparkSuite {
       .head().getLong(0) == 12)
   }
 
+  test("calendar transforms compose with zone maps and bloom sidecars " +
+      "(stat computation survives the derived dir column)") {
+    val root = freshRoot()
+    // the staged segment's read-back for stats/blooms pins the SLICE
+    // schema, which lacks the derived ts__day dir column — this test
+    // exists because that read must DROP the unknown partition dir
+    // column, not error or inject it
+    AtomicPublish.publish(spark, root,
+      Map("ev" -> tsDf(0 until 40).repartition(1)),
+      partitionBy = Map("ev" -> Seq("days(ts)")),
+      statsBy = Map("ev" -> Seq("id")),
+      bloomBy = Map("ev" -> Seq("id")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("ev" -> tsDf(40 until 80).repartition(1)),
+      parent = AtomicPublish.currentTxn(spark, root))
+    val txn = AtomicPublish.currentTxn(spark, root).get
+    val meta = AtomicPublish.manifestMetaOf(spark, root, txn)("ev")
+    assert(meta.segStats.size == 2, "both segments carry zone maps")
+    assert(meta.segStats.values.forall(_.cols.contains("id")))
+    // point read: blooms + zone maps prune to ONE segment, day dirs
+    // prune within it
+    val one = AtomicPublish.readTableWhere(spark, root, "ev", "id = 5")
+    assert(one.count() == 1)
+    assert(one.inputFiles.length <= 2,
+      s"expected segment+day pruning, read ${one.inputFiles.length}")
+    // combined predicate: zone map on id AND day dirs on raw ts —
+    // Jan 17 is epoch day 16, so ids 64..79 match (16 rows); the id
+    // zone map drops segment 1 entirely and day dirs 16..19 of
+    // segment 2 serve the rest
+    val both = AtomicPublish.readTable(spark, root, "ev")
+      .filter(col("id") >= 60L &&
+        col("ts") >= lit("1970-01-17 00:00:00").cast("timestamp"))
+    assert(both.count() == 16)
+    assert(scannedFiles(both) <= 4)
+  }
+
   test("streaming sink into a days(ts)-partitioned table: microbatches " +
       "inherit the transform layout and raw-predicate pruning works") {
     val root = freshRoot()
