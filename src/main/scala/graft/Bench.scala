@@ -97,10 +97,16 @@ object Bench {
         name -> ts.head / ts.drop(1).min }.toSeq.sortBy(-_._2)
     System.err.println(f"[bench] worst bring-up (round1/steady-min): " +
       bringUp.take(3).map { case (n, s) => f"$n=$s%.2fx" }.mkString(" "))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision keeps the one-line contract SHORT: the driver
+    // captures a bounded stdout tail, and a 125-query map at full
+    // double precision overflows it (BENCH_r06–r08 "parsed": null) —
+    // 3 decimals halves the line and loses nothing a benchmark needs
+    def r3(v: Double): String =
+      "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -311,6 +311,48 @@ object ScaleRehearsal {
         s"raw-ts range read scanned $scan of $tfTotalFiles day files " +
           "(hidden partitioning is not pruning)")
     }
+    // --- partition-spec EVOLUTION at the production dir count (r9) ----
+    // days → months in ONE metadata commit over the corpus-scaled dir
+    // count: the commit must stay O(1) (no data read — scale-FLAT),
+    // the next append must land month-laid WITHOUT a stream/writer
+    // re-declaration, and the same raw-ts range read must keep pruning
+    // the day-laid history afterwards (per-owner layouts).
+    val (_, specEvolveSec) = timed {
+      require(AtomicPublish.setPartitionSpec(spark, tfRoot, "events",
+        Seq("months(ts)")).isDefined,
+        "spec evolution lost its commit race")
+    }
+    val evolvedAppend = docs.filter(col("rid") < math.max(n / 10, 10L))
+      .select((col("rid") + n).as("rid"),
+        timestamp_micros((col("rid") + n) * stepUs).as("ts"), col("nc"))
+      .coalesce(8)
+    AtomicPublish.publishDelta(spark, tfRoot,
+      append = Map("events" -> evolvedAppend),
+      parent = AtomicPublish.currentTxn(spark, tfRoot))
+    val evMeta = AtomicPublish.currentManifestMeta(spark, tfRoot)
+      .get._2("events")
+    require(evMeta.partitionCols == Seq("months(ts)") &&
+      evMeta.ownerParts.values.toSeq == Seq(Seq("days(ts)")),
+      s"evolution bookkeeping off: ${evMeta.partitionCols} " +
+        s"${evMeta.ownerParts}")
+    val evolvedTotal = AtomicPublish.readTable(spark, tfRoot, "events")
+      .inputFiles.length
+    val evolvedRangeSec = minOf {
+      val q = AtomicPublish.readTable(spark, tfRoot, "events")
+        .filter(col("ts") >= timestamp_micros(lit(tfLoUs)) &&
+          col("ts") < timestamp_micros(lit(tfHiUs)))
+      val expected = ev.filter(col("rid") * stepUs >= tfLoUs &&
+        col("rid") * stepUs < tfHiUs).count()
+      require(q.count() == expected,
+        "post-evolution range read row count off")
+      val scan = q.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numFiles").value
+      }.sum
+      require(scan * 10 <= evolvedTotal,
+        s"post-evolution range read scanned $scan of $evolvedTotal " +
+          "files (evolved per-owner pruning regressed)")
+    }
     // --- matview: init + incremental append interval ------------------
     val d = MatView.Def("docs", "mv_lang", Seq("lang"),
       Seq(MatView.Agg("count", "rid", "n_docs"),
@@ -551,6 +593,8 @@ object ScaleRehearsal {
       "store_composite_read" -> compositeReadSec,
       "store_transform_stage" -> tfStageSec,
       "store_transform_range_read" -> tfRangeSec,
+      "store_spec_evolve_commit" -> specEvolveSec,
+      "store_evolved_range_read" -> evolvedRangeSec,
       "store_mass_delete_commit" -> deleteCommitSec,
       "store_delete_read" -> deleteReadSec,
       "store_mv_append_refresh" -> mvAppendSec,

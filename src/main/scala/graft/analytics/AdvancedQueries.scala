@@ -1449,6 +1449,70 @@ object AdvancedQueries {
       |WHERE ts >= '2024-01-10' AND ts < '2024-01-20'
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  private val store15Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE15: PARTITION-SPEC EVOLUTION inside the correctness gate —
+    * the events table is born `PARTITIONED BY (days(ts))`, evolved to
+    * `months(ts)` via the SQL `CALL set_partition_spec` face (ONE O(1)
+    * metadata commit, [[graft.ops.AtomicPublish.setPartitionSpec]]),
+    * then appended — so the owner chain holds a day-laid segment AND a
+    * month-laid segment at once, and the readback's raw-timestamp
+    * range predicate must parse + prune EACH owner under the spec it
+    * was written with ([[graft.ops.GraftFileIndex]] per-owner
+    * layouts). DuckDB reproduces the readback from the raw parquet: a
+    * mis-parsed evolved directory, a boundary day/month bucketing
+    * error, or pruning that dropped a matching file in either layout
+    * flips the hash. */
+  def store15PartitionEvolution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val root = Tables.memoFresh(store15Cache, spark, dir, "events") {
+      stageStore15(spark, dir)
+    }
+    val cat = catalogFor(spark, "store15", root)
+    spark.sql(
+      s"""SELECT date_trunc('day', ts) AS day, event_type,
+         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM $cat.events
+         |WHERE ts >= '2024-01-08' AND ts < '2024-01-25'
+         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+  }
+
+  private def stageStore15(spark: SparkSession, dir: String): String = {
+    import graft.ops.AtomicPublish
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store15")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def seg(k: Int) = ev.filter(pmod(col("event_id"), lit(2)) === k)
+      .repartition(2)
+    AtomicPublish.publish(spark, root, Map("events" -> seg(0)),
+      partitionBy = Map("events" -> Seq("days(ts)")))
+    val cat = catalogFor(spark, "store15stage", root)
+    // evolve through the SQL face — the CALL is part of what the gate
+    // exercises; the append then lands month-laid
+    spark.sql(s"CALL $cat.system.set_partition_spec(" +
+      "table => 'events', spec => 'months(ts)')")
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("events" -> seg(1)),
+      parent = AtomicPublish.currentTxn(spark, root))
+    root
+  }
+
+  val store15PartitionEvolutionSql: String =
+    """SELECT date_trunc('day', ts) AS day, event_type,
+      |  count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+      |FROM events
+      |WHERE ts >= '2024-01-08' AND ts < '2024-01-25'
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   private def stageStore1(spark: SparkSession, dir: String): String = {
     import graft.ops.AtomicPublish
     val tmp = java.nio.file.Files.createTempDirectory("graft-store1")
@@ -1972,6 +2036,93 @@ object AdvancedQueries {
       |  FROM lineitem)
       |ORDER BY l_partkey""".stripMargin
 
+  /** Q15 shape (TPC-H Q15's top-supplier view): per-supplier revenue
+    * over a shipdate quarter, then the supplier(s) matching the MAX —
+    * an uncorrelated scalar MAX subquery over a reused grouped view
+    * (Catalyst plans the CTE once and reuses the exchange). Revenue is
+    * INTEGER-EXACT: each line item's discounted price rounds to cents
+    * BEFORE summing (`round(x*100)::BIGINT` is the same deterministic
+    * double→integer step in both engines), so the MAX equality — the
+    * fragile part of Q15 under floating-point summation order — is an
+    * exact integer compare at every scale factor. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(spark, dir).createOrReplaceTempView("graft_supplier")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("graft_lineitem")
+    spark.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |        AS BIGINT)) AS total_cents
+        |  FROM graft_lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_cents
+        |FROM graft_supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+      |        AS BIGINT))::BIGINT AS total_cents
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_cents
+      |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_cents = (SELECT max(total_cents) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q22 shape (TPC-H Q22's global-sales-opportunity pattern):
+    * above-average-balance customers with NO RECENT orders, grouped
+    * by nation — an uncorrelated scalar AVG subquery and an anti-join
+    * decorrelation (NOT EXISTS) in one query. Balances compare in
+    * INTEGER CENTS against the FLOOR of the average (sums of cent
+    * integers are IEEE-exact below 2^53, so both engines floor the
+    * same value) — no floating-point boundary can flip membership.
+    * The NOT EXISTS is date-bounded (orders since 2000) so real rows
+    * exist at every sf: every customer has SOME order in this corpus,
+    * and an unbounded anti-join would gate a vacuous 0-row match
+    * (the q11 lesson, VERDICT-r7 nit #3). */
+  def q22SalesOpportunity(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """WITH cust AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM graft_customer)
+        |SELECT c_nationkey, count(*) AS numcust, sum(cents) AS tot_cents
+        |FROM cust c
+        |WHERE cents > (SELECT CAST(floor(avg(cents)) AS BIGINT)
+        |               FROM cust WHERE cents > 0)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM graft_orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
+  }
+
+  val q22SalesOpportunitySql: String =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+      |  FROM customer)
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  sum(cents)::BIGINT AS tot_cents
+      |FROM cust c
+      |WHERE cents > (SELECT CAST(floor(avg(cents)) AS BIGINT)
+      |               FROM cust WHERE cents > 0)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   /** Q4: correlated EXISTS through the SQL entry (TPC-H Q4 shape —
     * orders in a date window having at least one qualifying lineitem).
     * DECORRELATION: Catalyst rewrites the per-row EXISTS probe into one
@@ -2120,6 +2271,8 @@ object AdvancedQueries {
     "q2_min_cost" -> (q2MinCost _),
     "q20_nested_in" -> (q20NestedIn _),
     "q11_having_threshold" -> (q11HavingThreshold _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "j6_q5_volume" -> (j6Q5Volume _),
     "j7_full_outer" -> (j7FullOuter _),
     "dd1_dedup_first" -> (dd1DedupFirst _),
@@ -2139,6 +2292,7 @@ object AdvancedQueries {
     "store7_catalog_merge" -> (store7CatalogMerge _),
     "store13_composite_merge" -> (store13CompositeMerge _),
     "store14_time_partition" -> (store14TimePartition _),
+    "store15_partition_evolution" -> (store15PartitionEvolution _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -2180,6 +2334,8 @@ object AdvancedQueries {
     "q2_min_cost" -> q2MinCostSql,
     "q20_nested_in" -> q20NestedInSql,
     "q11_having_threshold" -> q11HavingThresholdSql,
+    "q15_top_supplier" -> q15TopSupplierSql,
+    "q22_sales_opportunity" -> q22SalesOpportunitySql,
     "j6_q5_volume" -> j6Q5VolumeSql,
     "j7_full_outer" -> j7FullOuterSql,
     "dd1_dedup_first" -> dd1DedupFirstSql,
@@ -2199,6 +2355,7 @@ object AdvancedQueries {
     "store7_catalog_merge" -> store7CatalogMergeSql,
     "store13_composite_merge" -> store13CompositeMergeSql,
     "store14_time_partition" -> store14TimePartitionSql,
+    "store15_partition_evolution" -> store15PartitionEvolutionSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

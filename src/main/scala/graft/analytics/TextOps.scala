@@ -858,6 +858,65 @@ object TextOps {
       |FROM ranked ORDER BY epoch, lang, slot""".stripMargin
   }
 
+  // --- sp7: per-domain quota cap -----------------------------------------------
+
+  /** SP7: PER-DOMAIN QUOTA CAP — the CCNet/RefinedWeb-style corpus
+    * balancing step: no source (domain) may contribute more than a cap
+    * of documents, so one over-crawled site cannot dominate the
+    * training mixture. The cap is SCALE-RELATIVE and integer-exact —
+    * half the mean per-source size, `total DIV (2 * n_sources)` — so
+    * it binds (and the oracle exercises real boundaries) at every sf.
+    * WHICH documents survive is md5-rank-deterministic per source
+    * (the sp5 pattern: dialect-stable hex-prefix rank, doc_id
+    * tiebreak), never an RNG sample.
+    *
+    * Plan shape at 100 TB: the cap is a 1-row broadcast from one
+    * corpus pass; ranking is a PER-SOURCE window (partition-parallel —
+    * a domain's documents co-locate on one shuffle key, the standard
+    * web-corpus layout); output is a per-source aggregate, not the
+    * document stream. */
+  def sp7DomainCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+    val cap = broadcast(docs.agg(
+      expr("greatest(1L, count(*) DIV (2 * count(DISTINCT source)))")
+        .as("cap")))
+    val hashRank = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(hashRank, col("doc_id"))
+    val kept = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(cap)
+      .filter(col("rk") <= col("cap"))
+    kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+      .join(docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total")), Seq("source"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        col("sum_kept"))
+      .orderBy(col("source"))
+  }
+
+  val sp7DomainCapSql: String =
+    """WITH cap AS (
+      |  SELECT greatest(1, count(*) // (2 * count(DISTINCT source)))
+      |    AS cap FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |               doc_id) AS rk
+      |  FROM documents),
+      |kept AS (SELECT source, doc_id FROM ranked, cap WHERE rk <= cap.cap),
+      |tot AS (SELECT source, count(*)::BIGINT AS n_total
+      |        FROM documents GROUP BY source)
+      |SELECT source, n_total, count(*)::BIGINT AS n_kept,
+      |  sum(doc_id)::BIGINT AS sum_kept
+      |FROM kept JOIN tot USING (source)
+      |GROUP BY source, n_total ORDER BY source""".stripMargin
+
   // --- t10: corpus vocabulary coverage / OOV rate ------------------------------
 
   /** A word is IN-VOCAB when it appears in at least 1/denom of the
@@ -933,6 +992,7 @@ object TextOps {
     "sp4_batch_shuffle" -> (sp4BatchShuffle _),
     "sp5_mixture_sample" -> (sp5MixtureSample _),
     "sp6_curriculum" -> (sp6CurriculumInterleave _),
+    "sp7_domain_cap" -> (sp7DomainCap _),
     "t9_pii_redact" -> (t9PiiRedact _),
     "t10_oov_rate" -> (t10OovRate _),
   )
@@ -952,6 +1012,7 @@ object TextOps {
     "sp4_batch_shuffle" -> sp4BatchShuffleSql,
     "sp5_mixture_sample" -> sp5MixtureSampleSql,
     "sp6_curriculum" -> sp6CurriculumInterleaveSql,
+    "sp7_domain_cap" -> sp7DomainCapSql,
     "t9_pii_redact" -> t9PiiRedactSql,
     "t10_oov_rate" -> t10OovRateSql,
   )

@@ -32,7 +32,7 @@ import org.apache.spark.sql.types._
   * predicate re-evaluates above the scan). */
 private[ops] object PartSpec {
 
-  import org.apache.spark.sql.functions.{datediff, lit => flit, month, pmod, to_date, unix_micros, year, date_add}
+  import org.apache.spark.sql.functions.{datediff, hour, lit => flit, month, pmod, to_date, unix_micros, year, date_add}
 
   /** A parsed calendar transform. `derivedName` is the directory
     * column (double-underscore infix: never collides with the manifest
@@ -80,18 +80,32 @@ private[ops] object PartSpec {
 
   /** UTC epoch-day of a date/timestamp column — exact integer
     * arithmetic: `(us - pmod(us, d)) / d` divides an exact multiple,
-    * which IEEE doubles round exactly for |us| < 2^53 (year ~2255). */
+    * which IEEE doubles round exactly for |us| < 2^53 (year ~2255).
+    *
+    * TIMESTAMP_NTZ (ADVICE-r8 medium) cannot go through `unix_micros`
+    * (DATATYPE_MISMATCH in Spark 4.1.2), so its ordinal derives
+    * zone-free from the wall clock: `cast(c as date)` truncates the
+    * NTZ wall-clock date with no session-zone involvement, which
+    * equals `floorDiv(ntzMicros, day)` — the same value the read-side
+    * [[ordinalOf]] computes from an NTZ literal's internal micros. */
   private def epochDay(c: Column, dt: DataType): Column = dt match {
     case DateType => datediff(c, to_date(flit("1970-01-01")))
+    case TimestampNTZType =>
+      datediff(c.cast(DateType), to_date(flit("1970-01-01")))
     case _ =>
       val us = unix_micros(c)
       val d = flit(86400000000L)
       ((us - pmod(us, d)) / d).cast(IntegerType)
   }
 
-  /** UTC epoch-hour (timestamps only — hour of a DateType is 0). */
+  /** UTC epoch-hour (timestamps only — hour of a DateType is 0).
+    * NTZ: `hour(c)` extracts the wall-clock hour field (zone-free over
+    * NTZ), so `day*24 + hour` equals `floorDiv(ntzMicros, hour)` —
+    * including pre-1970 values (day is floored negative, hour stays
+    * 0..23). */
   private def epochHour(c: Column, dt: DataType): Column = dt match {
     case DateType => datediff(c, to_date(flit("1970-01-01"))) * flit(24)
+    case TimestampNTZType => epochDay(c, dt) * flit(24) + hour(c)
     case _ =>
       val us = unix_micros(c)
       val d = flit(3600000000L)
@@ -211,6 +225,27 @@ private[ops] object PartSpec {
     if (tests.isEmpty) None
     else Some((x: Int) => tests.forall(_(x)))
   }
+}
+
+/** Always-FALSE nondeterministic leaf — the pushdown barrier of the
+  * per-row CHECK guard ([[AtomicPublish]] `checkGuarded`, ADVICE-r8
+  * medium). `guard || GuardBarrier()` makes the enforcement Filter's
+  * condition nondeterministic, so no optimizer rule moves it below the
+  * user's slice plan (PushDownPredicates) or evaluates it eagerly over
+  * local data (ConvertToLocalRelation) — the guard raises only on rows
+  * that actually reach the writer. Runtime cost is zero: Or
+  * short-circuits left-to-right and the guard branch is `true` or
+  * raises, so the barrier itself is never evaluated. */
+private[ops] case class GuardBarrier()
+    extends org.apache.spark.sql.catalyst.expressions.LeafExpression
+    with org.apache.spark.sql.catalyst.expressions.Nondeterministic
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def nullable: Boolean = false
+  override def dataType: DataType = BooleanType
+  override protected def initializeInternal(partitionIndex: Int): Unit = ()
+  override protected def evalInternal(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = false
+  override def prettyName: String = "graft_check_barrier"
 }
 
 /** Atomic multi-table publish (SURVEY.md §2.1; reference transaction
@@ -334,12 +369,32 @@ object AtomicPublish {
         * segments land under `v_<owner>/<cloneName>` as usual. Absent
         * entry = the table's name (the overwhelmingly common case —
         * manifests without clones carry no `#dirs:` line at all). */
-      ownerDirs: Map[String, String] = Map.empty) {
+      ownerDirs: Map[String, String] = Map.empty,
+      /** PARTITION-SPEC EVOLUTION (Iceberg's spec-evolution shape,
+        * restricted to CALENDAR TRANSFORMS): the partition spec each
+        * owner was WRITTEN under, where it differs from the table's
+        * current `partitionCols`. [[setPartitionSpec]] records the
+        * old spec for every existing owner in one O(1) metadata
+        * commit; new appends lay out under the new spec; reads parse
+        * and prune each owner against ITS spec. The identity entries
+        * of every spec are the same set by construction (only
+        * transforms may evolve — identity columns live in dirs, not
+        * files, so changing them would fork the data schema per
+        * owner). Failure mode is SAFE by design: an entry lost by a
+        * careless meta rewrite makes that owner's dirs unparseable
+        * under the current spec, which degrades to "no transform
+        * pruning for that owner" — never wrong rows. Compaction
+        * rewrites consolidate under the current spec and clear the
+        * rewritten owners' entries. */
+      ownerParts: Map[String, Seq[String]] = Map.empty) {
     def schema: Option[StructType] =
       schemaJson.map(DataType.fromJson(_).asInstanceOf[StructType])
     /** The directory component of `owner`'s segment of this table. */
     def dirOf(owner: String, table: String): String =
       ownerDirs.getOrElse(owner, table)
+    /** The partition spec `owner`'s segment was laid out under. */
+    def partsOf(owner: String): Seq[String] =
+      ownerParts.getOrElse(owner, partitionCols)
   }
 
   /** One lock object per publish root (same-JVM commit serialization),
@@ -552,6 +607,14 @@ object AtomicPublish {
         s"#dirs:$name=" + m.ownerDirs.toSeq.sorted
           .map { case (o, d) => s"$o@$d" }.mkString(",")
     }
+    // per-owner evolved partition specs: one line per owner (spec
+    // entries are comma-joined inside, so the owner key rides the
+    // same `name@owner=` grammar as #stats)
+    val partsev = names.flatMap { case (name, m) =>
+      m.ownerParts.toSeq.sortBy(_._1).map { case (o, spec) =>
+        s"#partsev:$name@$o=${spec.mkString(",")}"
+      }
+    }
     val stats = names.flatMap { case (name, m) =>
       m.segStats.toSeq.sortBy(_._1).map { case (owner, s) =>
         s"#stats:$name@$owner=${renderSegStats(s)}"
@@ -564,7 +627,7 @@ object AtomicPublish {
       }
     }
     (txn +: (owners ++ parts ++ schemas ++ statcols ++ bloomcols ++
-      cluster ++ bucket ++ checks ++ dirs ++ stats ++ fstats))
+      cluster ++ bucket ++ checks ++ dirs ++ partsev ++ stats ++ fstats))
       .mkString("\n")
   }
 
@@ -618,6 +681,14 @@ object AtomicPublish {
           e.split("@", 2) match { case Array(o, d) => o -> d }
         }.toMap
       }.toMap
+    val partsev = body.filter(_.startsWith("#partsev:"))
+      .map(_.stripPrefix("#partsev:").split("=", 2))
+      .collect { case Array(key, cs) => key.split("@", 2) match {
+        case Array(name, owner) =>
+          (name, owner, cs.split(",").toSeq.filter(_.nonEmpty))
+      }}
+      .groupBy(_._1)
+      .map { case (name, xs) => name -> xs.map(x => x._2 -> x._3).toMap }
     val stats = body.filter(_.startsWith("#stats:"))
       .map(_.stripPrefix("#stats:").split("=", 2))
       .collect { case Array(key, js) => key.split("@", 2) match {
@@ -639,7 +710,8 @@ object AtomicPublish {
         statcols.getOrElse(name, Nil), stats.getOrElse(name, Map.empty),
         fstats.getOrElse(name, Map.empty), bloomcols.getOrElse(name, Nil),
         ccols, z, bcols, nb, checks.getOrElse(name, Map.empty),
-        dirs.getOrElse(name, Map.empty))
+        dirs.getOrElse(name, Map.empty),
+        partsev.getOrElse(name, Map.empty))
     }
   }
 
@@ -1011,24 +1083,29 @@ object AtomicPublish {
     }
 
   private def validatePartitionCols(name: String, df: DataFrame,
-      pcols: Seq[String]): Unit = {
+      pcols: Seq[String]): Unit =
+    validatePartitionColsSchema(name, df.schema, pcols)
+
+  private def validatePartitionColsSchema(name: String,
+      schema: StructType, pcols: Seq[String]): Unit = {
+    val columns = schema.fieldNames
     validateMetaColNames("partition", name, pcols)
     pcols.foreach { spec =>
       PartSpec.parse(spec) match {
-        case None => require(df.columns.contains(spec),
+        case None => require(columns.contains(spec),
           s"partition column '$spec' of table '$name' is not in its " +
-            s"schema (${df.columns.mkString(", ")})")
+            s"schema (${columns.mkString(", ")})")
         case Some(t) =>
-          require(df.columns.contains(t.src),
+          require(columns.contains(t.src),
             s"partition transform '$spec' of table '$name' references " +
               s"'${t.src}', not in its schema " +
-              s"(${df.columns.mkString(", ")})")
-          val dt = df.schema(t.src).dataType
+              s"(${columns.mkString(", ")})")
+          val dt = schema(t.src).dataType
           require(dt == DateType || dt == TimestampType ||
             dt == TimestampNTZType,
             s"partition transform '$spec' of table '$name' needs a " +
               s"date/timestamp source, got ${dt.simpleString}")
-          require(!df.columns.contains(t.derivedName),
+          require(!columns.contains(t.derivedName),
             s"partition transform '$spec' of table '$name' derives " +
               s"directory column '${t.derivedName}', which collides " +
               "with a schema column")
@@ -1174,8 +1251,25 @@ object AtomicPublish {
               "(no partial state)")).cast(BooleanType))
           .otherwise(rest)
       }
+    // Pushdown barrier (ADVICE-r8 medium): raise_error builds a
+    // DETERMINISTIC expression in Spark 4.1.2, so a bare Filter(guard)
+    // is fair game for PushDownPredicates — it can sink below joins or
+    // aggregates INSIDE the user's slice plan (and even be EAGERLY
+    // evaluated by ConvertToLocalRelation, which checks only for
+    // unevaluable exprs) and raise on rows the plan later discards — a
+    // spurious violation refusing a commit whose actually-written rows
+    // all pass. OR-ing a never-true NONDETERMINISTIC term pins the
+    // Filter at the top of the plan (every filter-moving rule keeps
+    // nondeterministic conditions in place) without changing the
+    // outcome: `guard` is `true` or raises, and Or short-circuits
+    // left-to-right. The term must be a [[GuardBarrier]], not
+    // `rand() < -1` (OptimizeRand folds that to `false` and the
+    // condition turns deterministic again) and not an And-conjunct
+    // (splitConjunctivePredicates would push the guard half alone).
+    val barrier =
+      org.apache.spark.sql.graftvec.CatalystBridge.column(GuardBarrier())
     val guarded =
-      try evalFrame.filter(guard)
+      try evalFrame.filter(guard || barrier)
       catch { case scala.util.control.NonFatal(e) =>
         throw new IllegalArgumentException(
           s"check constraints of table '$name' cannot be evaluated " +
@@ -1840,7 +1934,10 @@ object AtomicPublish {
           pm.map(_.checks).getOrElse(Map.empty),
           // a clone's shared-dir mapping rides along; the new owner
           // maps by default to the table's own name
-          pm.map(_.ownerDirs).getOrElse(Map.empty))
+          pm.map(_.ownerDirs).getOrElse(Map.empty),
+          // evolved per-owner partition specs ride along too: the new
+          // owner has no entry = laid out under the CURRENT spec
+          pm.map(_.ownerParts).getOrElse(Map.empty))
       }
       val replaceMeta = replaceAll.map { case (n, df) =>
         val pcols = partitionBy.getOrElse(n,
@@ -2043,7 +2140,10 @@ object AtomicPublish {
         owners = keepOwners :+ txn,
         segStats = m.segStats.filter(kv => keep.contains(kv._1)),
         fileStats = m.fileStats.filter(kv => keep.contains(kv._1)),
-        ownerDirs = m.ownerDirs.filter(kv => keep.contains(kv._1)))
+        ownerDirs = m.ownerDirs.filter(kv => keep.contains(kv._1)),
+        // the consolidated segment lays out under the CURRENT spec;
+        // kept owners keep their evolved-spec entries
+        ownerParts = m.ownerParts.filter(kv => keep.contains(kv._1)))
       val all = parentMeta + (table -> newMeta)
       val sealedMeta = stageAndSeal(spark, rootPath, txn,
         Map(table -> tail), all)
@@ -2153,24 +2253,43 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
-  /** Post-swap half of the restore/clone vacuum race (ADVICE-r7): the
-    * pre-commit existence check and the pointer swap are not one
-    * atomic step, so a cross-process vacuum can reclaim a target
-    * segment in between — it was in no surviving version's reference
-    * closure until the swap landed. Once the swap IS the live pointer
-    * the segments are protected (vacuum re-reads the pointer and
-    * chases its closure), so a single post-swap existence pass closes
-    * the window: if anything is missing, the pointer is rolled back to
-    * the parent's manifest (a fresh commit of the parent state — the
-    * parent's own segments are still closure-protected) and the
-    * operation fails loudly instead of leaving a committed manifest
-    * that reads half a table. */
+  /** Post-swap half of the restore/clone vacuum race (ADVICE-r7,
+    * honesty pass ADVICE-r8): the pre-commit existence check and the
+    * pointer swap are not one atomic step, so a cross-process vacuum
+    * can reclaim a target segment in between — it was in no surviving
+    * version's reference closure until the swap landed. This
+    * post-swap pass NARROWS that window, it does not close it: a
+    * vacuum whose closure was computed from the PRE-swap pointer can
+    * still delete after our existence checks succeed (the swap and
+    * the checks are separate filesystem operations with no fence
+    * between processes). Two passes run, with a live-pointer re-read
+    * between them — by the second pass any vacuum that re-reads the
+    * pointer sees txn's closure and protects it, so only a vacuum
+    * already past its pointer read and mid-delete can slip through.
+    * On detection the pointer rolls back to the parent's manifest (a
+    * fresh commit of the parent state — the parent's own segments are
+    * still closure-protected) and the operation fails loudly instead
+    * of leaving a live manifest that reads half a table; the
+    * superseded txn is marked committed (it DID hold the pointer), so
+    * the seq chain stays dense and the version ages out of history
+    * through the normal grace cutoff. */
   private def reverifyOrRollback(spark: SparkSession, root: String,
       txn: String, parent: Option[String],
       parentMeta: Map[String, TableMeta], needed: Seq[Path],
       fs: org.apache.hadoop.fs.FileSystem, what: String): Unit = {
-    val gone = needed.filterNot(fs.exists)
+    val gone1 = needed.filterNot(fs.exists)
+    val gone =
+      if (gone1.nonEmpty) gone1
+      else {
+        currentTxn(spark, root) // any later vacuum re-read sees txn live
+        needed.filterNot(fs.exists)
+      }
     if (gone.isEmpty) return
+    // txn held the pointer between swap and rollback: record it so the
+    // rollback's seq derives from it and no slot is skipped
+    val txnSeq = parent.flatMap(commitSeqOf(spark, root, _))
+      .map(_ + 1).getOrElse(0L)
+    markCommitted(spark, root, txn, seq = txnSeq)
     val rollback = java.util.UUID.randomUUID().toString.replace("-", "")
     val rolledBack =
       try {
@@ -2182,15 +2301,14 @@ object AtomicPublish {
           expectParent = Some(Some(txn)))
       } catch { case scala.util.control.NonFatal(_) => false }
     if (rolledBack)
-      markCommitted(spark, root, rollback, seq =
-        commitSeqOf(spark, root, txn)
-          .orElse(parent.flatMap(commitSeqOf(spark, root, _)).map(_ + 1))
-          .map(_ + 1).getOrElse(0L))
+      markCommitted(spark, root, rollback, seq = txnSeq + 1)
     throw new IllegalStateException(
       s"$what: a concurrent vacuum reclaimed segment(s) " +
         s"${gone.mkString(", ")} between the pre-commit check and the " +
         s"pointer swap — the commit was " +
-        (if (rolledBack) "rolled back to the parent state"
+        (if (rolledBack) "rolled back to the parent state (the " +
+          "superseded version stays in history and ages out via the " +
+          "vacuum grace cutoff)"
         else "left in place but its segments are gone; restore from " +
           "history or re-run vacuum with a larger retention") +
         ". Re-run the operation against a version inside retention")
@@ -2230,6 +2348,84 @@ object AtomicPublish {
         c.owners.map(o => o -> c.dirOf(o, fromDel)).toMap))
       val newMeta = (parentMeta - from - fromDel) + (to -> renamed) ++
         renamedCompanion.map(deleteTableOf(to) -> _)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, newMeta)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(Some(p)))
+      if (committed) {
+        markCommitted(spark, root, txn, seq =
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's spec evolution, restricted
+    * to CALENDAR TRANSFORMS): change `table`'s partition spec in ONE
+    * O(1) metadata commit — no data moves, no rewrite. Existing
+    * owners keep their recorded layout via [[TableMeta.ownerParts]];
+    * reads parse and prune each owner's directories under the spec it
+    * was WRITTEN with ([[graft.ops.GraftFileIndex]]); appends after
+    * this commit lay out under the new spec; a (full or predicate-
+    * scoped) compaction rewrites old owners under the current spec
+    * and drops their entries. At 100 TB this is the operation that
+    * lets an ingest table move from `days(ts)` to `hours(ts)` when
+    * traffic grows 100× — an in-place rewrite would be a full-table
+    * job.
+    *
+    * Only TRANSFORM entries may change: the identity entries must
+    * stay the same set, because identity partition values live in the
+    * directory names rather than the data files, so evolving them
+    * would fork the physical data schema per owner. (Iceberg has the
+    * same practical rule: void-transforming an identity field leaves
+    * the column unreadable from old files unless it was also kept in
+    * the data — graft refuses instead.) Returns the new txn, or None
+    * on a lost CAS race. */
+  def setPartitionSpec(spark: SparkSession, root: String, table: String,
+      newSpec: Seq[String], parent: Option[String] = None)
+      : Option[String] = {
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val p = parent.orElse(currentTxn(spark, root)).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val parentMeta = manifestMetaOf(spark, root, p)
+      require(!table.endsWith("__del"),
+        s"setPartitionSpec: tombstone companion '$table' owns no layout")
+      val m = parentMeta.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"table '$table' is not in version $p under $root"))
+      val schema = m.schema.getOrElse(throw new IllegalStateException(
+        s"table '$table' has no recorded schema — partition-spec " +
+          "evolution needs one"))
+      validatePartitionColsSchema(table, schema, newSpec)
+      require(newSpec != m.partitionCols,
+        s"setPartitionSpec: table '$table' already has spec " +
+          s"(${m.partitionCols.mkString(",")})")
+      require(PartSpec.identityCols(newSpec).toSet ==
+          PartSpec.identityCols(m.partitionCols).toSet,
+        s"setPartitionSpec may evolve calendar transforms only — " +
+          s"identity entries must stay " +
+          s"(${PartSpec.identityCols(m.partitionCols).mkString(",")}), " +
+          s"got (${PartSpec.identityCols(newSpec).mkString(",")})")
+      val evolved = m.copy(
+        partitionCols = newSpec,
+        // every existing owner keeps the spec it was written under;
+        // an owner whose recorded spec EQUALS the new one needs no
+        // entry (evolving back drops bookkeeping instead of growing it)
+        ownerParts = m.owners.map(o => o -> m.partsOf(o))
+          .filter(_._2 != newSpec).toMap)
+      val newMeta = parentMeta + (table -> evolved)
       val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, newMeta)
       val committed = swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),

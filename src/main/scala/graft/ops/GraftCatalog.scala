@@ -93,11 +93,30 @@ import graft.ops.AtomicPublish.TableMeta
   * to end.
   */
 object GraftCatalog {
-  /** `graft.snapshot=auto` pins, keyed by (session identity, catalog,
-    * root) — dropped whenever the conf is unset or made explicit, so a
-    * pin never outlives the directive that created it. */
-  private[ops] val autoPins =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), String]
+  /** `graft.snapshot=auto` pins: WEAK-keyed by the owning
+    * SparkSession (real reference identity — ADVICE-r8 low:
+    * `System.identityHashCode` could collide or be reused after a GC
+    * and serve one session's pin to another, and dead-session entries
+    * accumulated forever; weak keys make the GC the eviction policy),
+    * then by (catalog, root) within the session. A pin is dropped
+    * whenever the conf is unset or made explicit, so it never outlives
+    * the directive that created it. */
+  private[ops] val autoPins: java.util.Map[
+      org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[(String, String), String]] =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap())
+
+  private[ops] def pinsOf(spark: org.apache.spark.sql.SparkSession)
+      : scala.collection.concurrent.TrieMap[(String, String), String] =
+    autoPins.synchronized {
+      var m = autoPins.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), String]
+        autoPins.put(spark, m)
+      }
+      m
+    }
 }
 
 final class GraftCatalog extends TableCatalog
@@ -156,7 +175,8 @@ final class GraftCatalog extends TableCatalog
     * MERGE/UPDATE under a stale pin fail with their named conflict
     * error rather than mixing snapshots. */
   private def pinnedTxn(): Option[String] = {
-    val key = (System.identityHashCode(spark), catName, root)
+    val pins = GraftCatalog.pinsOf(spark)
+    val key = (catName, root)
     def confOpt(k: String): Option[String] =
       try spark.conf.getOption(k)
       catch { case scala.util.control.NonFatal(_) => None }
@@ -164,14 +184,14 @@ final class GraftCatalog extends TableCatalog
       .orElse(confOpt("graft.snapshot"))
       .map(_.trim).filter(_.nonEmpty) match {
       case None =>
-        GraftCatalog.autoPins.remove(key); None
+        pins.remove(key); None
       case Some("auto") =>
-        Some(GraftCatalog.autoPins.getOrElseUpdate(key,
+        Some(pins.getOrElseUpdate(key,
           AtomicPublish.currentTxn(spark, root).getOrElse(
             throw new IllegalStateException(
               s"graft.snapshot=auto: no published version under $root"))))
       case Some(explicit) =>
-        GraftCatalog.autoPins.remove(key); Some(explicit)
+        pins.remove(key); Some(explicit)
     }
   }
 
@@ -420,6 +440,27 @@ final class GraftCatalog extends TableCatalog
         throw new IllegalStateException(
           s"ALTER COLUMN '${ident.name()}.$colName' lost the commit " +
             s"race ${GraftSource.MaxCommitAttempts} times")
+      case List(sp: TableChange.SetProperty)
+          if sp.property == "partition-spec" =>
+        // `ALTER TABLE t SET TBLPROPERTIES('partition-spec' =
+        // 'months(ts)')` — the SQL face of [[AtomicPublish
+        // .setPartitionSpec]]: O(1) spec evolution, calendar
+        // transforms only, no data movement. The property name
+        // mirrors what DESCRIBE EXTENDED / SHOW TBLPROPERTIES report.
+        val spec = sp.value.split(",").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+        var attempt = 0
+        while (attempt < GraftSource.MaxCommitAttempts) {
+          attempt += 1
+          val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+            throw new NoSuchTableException(ident))
+          if (AtomicPublish.setPartitionSpec(spark, root, ident.name(),
+              spec, Some(parent)).isDefined)
+            return loadTable(ident)
+        }
+        throw new IllegalStateException(
+          s"ALTER TABLE '${ident.name()}' SET partition-spec lost the " +
+            s"commit race ${GraftSource.MaxCommitAttempts} times")
       case List(r: TableChange.RenameColumn) =>
         require(r.fieldNames.length == 1,
           s"ALTER TABLE RENAME COLUMN on '$catName' supports top-level " +
@@ -702,6 +743,11 @@ final class GraftTable(
     // TABLE EXTENDED / SHOW TBLPROPERTIES — the operator does not need
     // the Scala API to see what a table's manifest declares
     val layout = Seq(
+      "partition-spec" -> meta.partitionCols.mkString(","),
+      // owners still laid out under a PREVIOUS spec (drops to zero as
+      // compaction rewrites them under the current one)
+      "partition-spec.evolved-owners" ->
+        (if (meta.ownerParts.isEmpty) "" else meta.ownerParts.size.toString),
       "statsBy" -> meta.statCols.mkString(","),
       "bloomBy" -> meta.bloomCols.mkString(","),
       "clusterBy" -> meta.clusterCols.mkString(","),

@@ -35,7 +35,7 @@ private[ops] object GraftProcedures {
   val names: Seq[String] =
     Seq("add_check", "clone", "compact", "consumers", "detail",
       "drop_check", "drop_matview", "history", "matview", "restore",
-      "vacuum")
+      "set_partition_spec", "vacuum")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -50,6 +50,7 @@ private[ops] object GraftProcedures {
       case "clone" => Some(new CloneProc(root))
       case "matview" => Some(new MatViewProc(root))
       case "drop_matview" => Some(new DropMatViewProc(root))
+      case "set_partition_spec" => Some(new SetPartitionSpecProc(root))
       case _ => None
     }
 
@@ -201,6 +202,56 @@ private[ops] object GraftProcedures {
         .get(table).map(_.owners.size).getOrElse(0)
       result(out, Array(new GenericInternalRow(
         Array[Any](utf8(txn), utf8(toTxn), owners))))
+    }
+  }
+
+  // --- set_partition_spec ----------------------------------------------------
+
+  /** `CALL <cat>.system.set_partition_spec(table => 't',
+    * spec => 'months(ts)')` — PARTITION-SPEC EVOLUTION
+    * ([[AtomicPublish.setPartitionSpec]]): one O(1) metadata commit
+    * re-declares the table's calendar-transform layout; existing
+    * owners keep (and keep pruning under) the spec they were written
+    * with, new appends lay out under the new one, the next compaction
+    * normalizes. `spec` is the comma-joined entry list — identity
+    * entries must match the current spec's (transforms only may
+    * evolve). Returns the committed version, the old and new specs,
+    * and how many owners still carry an older layout. */
+  private final class SetPartitionSpecProc(root: String)
+    extends GraftProc("set_partition_spec") {
+
+    override def description(): String =
+      "evolve a table's calendar-transform partition spec " +
+        "(O(1), metadata-only; per-owner layouts keep pruning)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("spec", StringType))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("old_spec", StringType, nullable = false)
+      .add("new_spec", StringType, nullable = false)
+      .add("evolved_owners", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val spec = input.getUTF8String(1).toString
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val oldSpec = AtomicPublish.manifestMetaOf(spark, root, parent)
+        .get(table).map(_.partitionCols).getOrElse(Nil)
+      val txn = AtomicPublish.setPartitionSpec(spark, root, table, spec,
+        Some(parent)).getOrElse(throw new IllegalStateException(
+          s"set_partition_spec('$table') lost its commit race — a " +
+            "concurrent writer moved the store; retry the CALL"))
+      val evolved = AtomicPublish.manifestMetaOf(spark, root, txn)
+        .get(table).map(_.ownerParts.size).getOrElse(0)
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(txn), utf8(oldSpec.mkString(",")),
+        utf8(spec.mkString(",")), evolved))))
     }
   }
 

@@ -6,7 +6,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Cast, Expression, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BasePredicate, BoundReference, Cast, Expression, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.functions.col
@@ -56,20 +56,70 @@ final class GraftFileIndex(
       s"table '$table' has no recorded schema — Catalyst-native reads " +
         "need one (pre-schema manifests read via the legacy union path)"))
 
-  /** Calendar-transform entries of the partition spec ([[PartSpec]]):
-    * their ordinals live ONLY in the directory layout as derived
-    * columns; the source columns stay in the data files. */
+  /** Calendar-transform entries of the CURRENT partition spec
+    * ([[PartSpec]]): their ordinals live ONLY in the directory layout
+    * as derived columns; the source columns stay in the data files. */
   private val transforms = PartSpec.transformsOf(meta.partitionCols)
 
-  override val partitionSchema: StructType = StructType(
-    meta.partitionCols.map { spec =>
-      PartSpec.parse(spec) match {
-        case None => recordedSchema(spec).copy(nullable = true)
+  private def dirSchemaOf(spec: Seq[String]): StructType = StructType(
+    spec.map { s =>
+      PartSpec.parse(s) match {
+        case None => recordedSchema(s).copy(nullable = true)
         case Some(t) => org.apache.spark.sql.types.StructField(
           t.derivedName, org.apache.spark.sql.types.IntegerType,
           nullable = true)
       }
     })
+
+  /** The FULL directory layout of the current spec (identity columns +
+    * derived transform ordinals, in spec order). Internal only:
+    * derived columns must not reach the relation's output schema
+    * (ADVICE-r8 low — `spark.read.format("graft")` on a transform-
+    * partitioned table leaked `ts__day` into SELECT *). */
+  private val dirSchema: StructType = dirSchemaOf(meta.partitionCols)
+
+  /** What the relation EXPOSES: identity partition columns only. The
+    * derived ordinals stay layout-internal — pruning on them fires
+    * from RAW-column predicates (dataFilters), since the source column
+    * lives in the data files. Spec EVOLUTION rides on this: per-owner
+    * transform layouts ([[AtomicPublish.TableMeta.ownerParts]]) never
+    * surface to the planner, because the identity entry SET is
+    * invariant across specs ([[AtomicPublish.setPartitionSpec]]). */
+  override val partitionSchema: StructType = StructType(
+    dirSchema.fields.filterNot(f =>
+      transforms.exists(_.derivedName == f.name)))
+
+  /** One owner's directory layout: the spec it was WRITTEN under
+    * (current spec unless evolution recorded an older one), its
+    * transforms, and the projection from its dir-values row to the
+    * exposed partition schema. Memoized per DISTINCT spec — a
+    * thousand-owner chain with one evolution holds two. */
+  private final class Layout(val spec: Seq[String]) {
+    val transforms: Seq[PartSpec.Transform] = PartSpec.transformsOf(spec)
+    val dirSchema: StructType = dirSchemaOf(spec)
+    /** Exposed-field positions in THIS spec's dir row (bind by name:
+      * identity sets match across specs, order may not). */
+    val exposedIdx: Array[Int] =
+      partitionSchema.fields.map(f => dirSchema.fieldIndex(f.name))
+    val identityLayout: Boolean =
+      exposedIdx.length == dirSchema.length &&
+        exposedIdx.zipWithIndex.forall { case (a, b) => a == b }
+  }
+  private val layouts = TrieMap.empty[Seq[String], Layout]
+  private def layoutOf(o: String): Layout = {
+    val spec = meta.partsOf(o)
+    layouts.getOrElseUpdate(spec, new Layout(spec))
+  }
+
+  /** Project a dir-values row down to the EXPOSED partition schema
+    * (derived ordinals dropped, identity order normalized).
+    * Value-equal rows compare equal (GenericInternalRow), so files
+    * from different derived dirs — or differently-evolved owners —
+    * with the same identity values group into one PartitionDirectory. */
+  private def exposedValues(lay: Layout, row: InternalRow): InternalRow =
+    if (lay.identityLayout) row
+    else InternalRow.fromSeq(lay.exposedIdx.toSeq.map(i =>
+      row.get(i, lay.dirSchema.fields(i).dataType)))
 
   /** Schema of what is IN the parquet files: recorded schema minus the
     * IDENTITY partition columns (written `partitionBy`, so they live in
@@ -123,14 +173,14 @@ final class GraftFileIndex(
     * cast from the path string to the RECORDED column type — the same
     * resolution `spark.read.schema(recorded)` applied on the legacy
     * path, so a StringType partition value "01" stays "01". */
-  private val partRowCache = TrieMap.empty[String, InternalRow]
-  private def partValues(relPath: String): InternalRow = {
-    if (meta.partitionCols.isEmpty) return InternalRow.empty
+  private val partRowCache = TrieMap.empty[(Seq[String], String), InternalRow]
+  private def partValues(lay: Layout, relPath: String): InternalRow = {
+    if (lay.spec.isEmpty) return InternalRow.empty
     val dirPart = relPath.lastIndexOf('/') match {
       case -1 => ""
       case i => relPath.substring(0, i)
     }
-    partRowCache.getOrElseUpdate(dirPart, {
+    partRowCache.getOrElseUpdate((lay.spec, dirPart), {
       val kvs = dirPart.split('/').iterator.filter(_.contains("="))
         .map { c =>
           val i = c.indexOf('=')
@@ -138,7 +188,7 @@ final class GraftFileIndex(
             ExternalCatalogUtils.unescapePathName(c.substring(i + 1))
         }.toMap
       val zone = Option(spark.sessionState.conf.sessionLocalTimeZone)
-      InternalRow.fromSeq(partitionSchema.fields.toSeq.map { f =>
+      InternalRow.fromSeq(lay.dirSchema.fields.toSeq.map { f =>
         kvs.get(f.name) match {
           case None | Some("__HIVE_DEFAULT_PARTITION__") => null
           case Some(raw) =>
@@ -170,7 +220,9 @@ final class GraftFileIndex(
       case Some(p) => AtomicPublish.pruneFilesExpr(spark, meta, keep, p)
     }
     val restrict = selection.toMap
-    val files: Seq[(String, FileStatus)] = keep.flatMap { o =>
+    // files keep their OWNER: each owner's paths parse and prune under
+    // the spec that owner was written with (spec evolution)
+    val files: Seq[(Layout, String, FileStatus)] = keep.flatMap { o =>
       var fs = ownerFiles(o)
       restrict.getOrElse(o, None).foreach { sub =>
         val s = sub.toSet; fs = fs.filter(x => s.contains(x._1))
@@ -178,50 +230,73 @@ final class GraftFileIndex(
       fileKeep.get(o).foreach { sub =>
         val s = sub.toSet; fs = fs.filter(x => s.contains(x._1))
       }
-      fs
+      val lay = layoutOf(o)
+      fs.map { case (rel, st) => (lay, rel, st) }
     }
     // calendar-transform pruning: predicates on the RAW source column
     // (`ts >= X`) translate to ordinal bounds on the derived directory
     // column — the hidden-partitioning contract ([[PartSpec]]). A file
     // whose dir ordinal provably misses every bound is dropped; a
-    // missing/unparseable ordinal keeps the file conservatively.
-    val tfTests: Seq[(Int, Int => Boolean)] = pred match {
+    // missing/unparseable ordinal keeps the file conservatively (which
+    // is also the safety net for an owner whose evolved-spec entry was
+    // somehow lost: its dirs stop pruning, they never drop rows).
+    // Tests are derived PER LAYOUT — a days(ts) owner prunes on day
+    // ordinals while a months(ts) owner of the same table prunes on
+    // month ordinals, from the SAME raw predicate.
+    val tfTestCache =
+      scala.collection.mutable.Map.empty[Seq[String],
+        Seq[(Int, Int => Boolean)]]
+    def tfTests(lay: Layout): Seq[(Int, Int => Boolean)] = pred match {
       case None => Nil
-      case Some(p) => transforms.flatMap { t =>
-        PartSpec.ordinalTest(p, t, recordedSchema(t.src).dataType)
-          .map(test => partitionSchema.fieldIndex(t.derivedName) -> test)
-      }
+      case Some(p) => tfTestCache.getOrElseUpdate(lay.spec,
+        lay.transforms.flatMap { t =>
+          PartSpec.ordinalTest(p, t, recordedSchema(t.src).dataType)
+            .map(test => lay.dirSchema.fieldIndex(t.derivedName) -> test)
+        })
     }
     val tfFiltered =
-      if (tfTests.isEmpty) files
-      else files.filter { f =>
-        val row = partValues(f._1)
-        tfTests.forall { case (i, test) =>
-          row.isNullAt(i) || test(row.getInt(i)) }
+      if (pred.isEmpty) files
+      else files.filter { case (lay, rel, _) =>
+        val tests = tfTests(lay)
+        tests.isEmpty || {
+          val row = partValues(lay, rel)
+          tests.forall { case (i, test) =>
+            row.isNullAt(i) || test(row.getInt(i)) }
+        }
       }
     val partitioned =
       if (meta.partitionCols.isEmpty || partitionFilters.isEmpty) tfFiltered
       else {
-        // bind by NAME: pushed filters reference the relation's output
-        // attrs; the values row is laid out in partitionSchema order
-        val bound = partitionFilters.reduce(And).transform {
-          case a: AttributeReference
-              if partitionSchema.fieldNames.contains(a.name) =>
-            BoundReference(partitionSchema.fieldIndex(a.name),
-              a.dataType, nullable = true)
-        }
-        val p = Predicate.create(bound)
-        p.initialize(0)
-        tfFiltered.filter(f => p.eval(partValues(f._1)))
+        // bind by NAME per layout: pushed filters reference the
+        // relation's output attrs (exposed identity columns — present
+        // in every layout's dirSchema); the values row is laid out in
+        // that layout's dirSchema order
+        val boundCache =
+          scala.collection.mutable.Map.empty[Seq[String], BasePredicate]
+        def predOf(lay: Layout): BasePredicate =
+          boundCache.getOrElseUpdate(lay.spec, {
+            val bound = partitionFilters.reduce(And).transform {
+              case a: AttributeReference
+                  if lay.dirSchema.fieldNames.contains(a.name) =>
+                BoundReference(lay.dirSchema.fieldIndex(a.name),
+                  a.dataType, nullable = true)
+            }
+            val p = Predicate.create(bound)
+            p.initialize(0)
+            p
+          })
+        tfFiltered.filter { case (lay, rel, _) =>
+          predOf(lay).eval(partValues(lay, rel)) }
       }
     if (meta.partitionCols.isEmpty)
       Seq(PartitionDirectory(InternalRow.empty,
-        partitioned.map(_._2).toArray))
+        partitioned.map(_._3).toArray))
     else
-      partitioned.groupBy(f => partValues(f._1)).toSeq.map {
-        case (values, fs) =>
-          PartitionDirectory(values, fs.map(_._2).toArray)
-      }
+      partitioned.groupBy { case (lay, rel, _) =>
+        exposedValues(lay, partValues(lay, rel)) }.toSeq
+        .map { case (values, fs) =>
+          PartitionDirectory(values, fs.map(_._3).toArray)
+        }
   }
 
   override def inputFiles: Array[String] =
@@ -352,7 +427,15 @@ final class GraftSource extends RelationProvider
         fromLatest = fromLatest(parameters))
     else
       new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root,
-        table, fromLatest = fromLatest(parameters))
+        table, fromLatest = fromLatest(parameters),
+        maxOwnersPerTrigger = parameters.get("maxOwnersPerTrigger")
+          .map { v =>
+            try v.trim.toInt
+            catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"maxOwnersPerTrigger must be an integer, got '$v'")
+            }
+          })
   }
 
   override def createRelation(ctx: SQLContext,

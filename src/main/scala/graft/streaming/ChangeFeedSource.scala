@@ -45,9 +45,29 @@ import graft.ops.AtomicPublish
   * log-compaction/consumer-lag tradeoff).
   */
 final class GraftChangeFeedSource(spark: SparkSession, root: String,
-    table: String, fromLatest: Boolean = false) extends Source {
+    table: String, fromLatest: Boolean = false,
+    /** BACKLOG ADMISSION CONTROL (`option("maxOwnersPerTrigger", n)`
+      * — Kafka's `maxOffsetsPerTrigger` / Delta's `maxFilesPerTrigger`
+      * shape): cap each microbatch at `n` owner segments, so a fresh
+      * checkpoint over a deep ingest history (1000 commits of
+      * micro-batch appends) drains as a paced sequence of bounded
+      * batches instead of one giant snapshot read — at 100 TB the
+      * difference between a stream that starts and one that OOMs its
+      * first trigger. None = unbounded (the prior behavior). */
+    maxOwnersPerTrigger: Option[Int] = None) extends Source {
 
   import GraftChangeFeedSource._
+
+  maxOwnersPerTrigger.foreach(m => require(m >= 1,
+    s"maxOwnersPerTrigger must be >= 1, got $m"))
+
+  /** The chain position this source has ADMITTED through (V1 sources
+    * rate-limit by remembering their last returned offset — the Kafka
+    * V1 pattern). Seeded by [[getBatch]] on a checkpoint restart: the
+    * engine replays the recovered interval through getBatch before it
+    * ever calls getOffset, so the tracker resumes from the checkpoint,
+    * never behind it. */
+  @volatile private var admittedN: Option[Int] = None
 
   // `startingOffsets=latest` contract: batch 0 (start = None) delivers
   // NOTHING — the stream begins AT its first observed offset, and
@@ -79,12 +99,25 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
 
   override def getOffset: Option[Offset] = {
     val (_, os) = owners()
-    if (os.isEmpty) None else Some(ChainOffset(os.size, os.last))
+    if (os.isEmpty) return None
+    val n = maxOwnersPerTrigger match {
+      case None => os.size
+      case Some(m) =>
+        // from == os.size (caught up) returns the unchanged end offset
+        // and the engine plans no batch
+        val from = admittedN.getOrElse(if (fromLatest) os.size else 0)
+        math.min(from + m, os.size)
+    }
+    admittedN = Some(n)
+    if (n == 0) None else Some(ChainOffset(n, os(n - 1)))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val (txn, os) = owners()
     val endO = ChainOffset.of(end)
+    // seed/advance the admission tracker — on restart the engine
+    // replays the checkpointed interval through here first
+    admittedN = Some(math.max(admittedN.getOrElse(0), endO.n))
     val startN = start.map(ChainOffset.of) match {
       case None => if (fromLatest) endO.n else 0
       case Some(s) =>

@@ -3,6 +3,7 @@ package graft.ops
 import java.nio.file.Files
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSuite
 
@@ -82,6 +83,36 @@ class StoreConstraintSpec extends SparkSuite {
       append = Map("docs" -> Seq((3L, 30L)).toDF("doc_id", "words")),
       parent = AtomicPublish.currentTxn(spark, root))
     assert(AtomicPublish.readTable(spark, root, "docs").count() == 3)
+  }
+
+  test("the guard is NOT pushed below the slice plan (ADVICE-r8): " +
+      "violating rows that exist only below a join that removes them " +
+      "do not refuse the commit") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> docs(1 until 4)),
+      checks = Map("docs" -> Map("pos_words" -> "words > 0")))
+    // src row (40, -99) VIOLATES words > 0 but its key has no match in
+    // dim — the join removes it, so the written rows all pass. A
+    // deterministic guard Filter would be pushed below the join (it
+    // references only src columns) and raise on the discarded row.
+    val dim = Seq((10L, "en"), (20L, "fr")).toDF("k", "lang")
+    val src = Seq((10L, 100L), (20L, 200L), (40L, -99L)).toDF("k", "words")
+    val slice = src.join(dim, "k")
+      .select(col("k").as("doc_id"), col("lang"), col("words"))
+    assert(AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice),
+      parent = AtomicPublish.currentTxn(spark, root)).isDefined)
+    val got = AtomicPublish.readTable(spark, root, "docs")
+    assert(got.count() == 5)
+    assert(got.filter(col("words") < 0).count() == 0)
+    // and the guard still FIRES when a surviving row violates
+    val bad = src.join(Seq((40L, "de")).toDF("k", "lang"), "k")
+      .select(col("k").as("doc_id"), col("lang"), col("words"))
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.publishDelta(spark, root, append = Map("docs" -> bad),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    assert(e.getMessage.contains("pos_words"))
   }
 
   test("constraints survive compaction (replace inherits) and restore") {

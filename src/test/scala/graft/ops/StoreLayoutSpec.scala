@@ -103,6 +103,61 @@ class StoreLayoutSpec extends SparkSuite {
     assert(meta.schema.get.fieldNames.toSeq == Seq("id", "ts", "payload"))
   }
 
+  test("TIMESTAMP_NTZ source (ADVICE-r8): days()/hours() derive " +
+      "zone-free wall-clock ordinals under a non-UTC session zone, " +
+      "raw NTZ predicates prune, results exact") {
+    val root = freshRoot()
+    val prevZone = spark.conf.get("spark.sql.session.timeZone")
+    // +05:45 — an offset with minutes catches any session-zone leakage
+    // into the wall-clock ordinal (hour AND day boundaries would shift)
+    spark.conf.set("spark.sql.session.timeZone", "Asia/Kathmandu")
+    try {
+      val ntz = spark.range(0, 40).select(
+        col("id"),
+        expr("timestampadd(HOUR, cast(id * 6 as int), " +
+          "cast('1970-01-01 00:00:00' as timestamp_ntz))").as("ts"),
+        concat(lit("p"), col("id")).as("payload"))
+      assert(ntz.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      AtomicPublish.publish(spark, root,
+        Map("ev" -> ntz.repartition(1), "evh" -> ntz.repartition(1)),
+        partitionBy = Map("ev" -> Seq("days(ts)"),
+          "evh" -> Seq("hours(ts)")))
+      val txn = AtomicPublish.currentTxn(spark, root).get
+      // wall-clock day dirs: 40 rows * 6h = 10 days, ordinals 0..9
+      val seg = new java.io.File(s"$root/v_$txn/ev")
+      val dayDirs = seg.listFiles().map(_.getName).filter(_.startsWith("ts__day="))
+      assert(dayDirs.sorted.toSeq == (0 until 10).map(d => s"ts__day=$d").sorted,
+        dayDirs.toSeq)
+      // a row at wall 18:00 of day 2 (id=11) must sit in ts__day=2 —
+      // a UTC-converted derivation under +05:45 would place it in day 3
+      val all = AtomicPublish.readTable(spark, root, "ev")
+      assert(all.columns.toSeq == Seq("id", "ts", "payload"))
+      assert(all.count() == 40)
+      val pruned = all.filter(
+        col("ts") >= lit("1970-01-08 00:00:00").cast("timestamp_ntz"))
+      assert(pruned.count() == 12)
+      assert(scannedFiles(pruned) == 3, "expected 3 of 10 day-dirs scanned")
+      // hours(ts): 40 distinct 6-hour ordinals; a half-open wall range
+      // keeps exactly its hours
+      val segH = new java.io.File(s"$root/v_$txn/evh")
+      assert(segH.listFiles().exists(_.getName == "ts__hour=0"),
+        segH.listFiles().toSeq.map(_.getName))
+      // upper bound mid-day: an exact-boundary bound would
+      // conservatively admit the (empty here, so harmless elsewhere)
+      // boundary hour-dir
+      val prunedH = AtomicPublish.readTable(spark, root, "evh").filter(
+        col("ts") >= lit("1970-01-02 00:00:00").cast("timestamp_ntz") &&
+        col("ts") < lit("1970-01-02 23:00:00").cast("timestamp_ntz"))
+      assert(prunedH.count() == 4)
+      assert(scannedFiles(prunedH) == 4, "expected 4 of 40 hour-dirs scanned")
+      // exact row identity through the layout round-trip
+      val got = all.filter(col("id") === 11).select("ts")
+        .as[java.time.LocalDateTime].head()
+      assert(got == java.time.LocalDateTime.of(1970, 1, 3, 18, 0, 0))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevZone)
+  }
+
   test("months(ts): appends inherit the transform, pruning spans " +
       "owners, compaction preserves the layout") {
     val root = freshRoot()
@@ -217,6 +272,28 @@ class StoreLayoutSpec extends SparkSuite {
     assert(spark.sql(
       s"SELECT count(*) FROM $cat.ev WHERE event_ts >= '1970-01-08'")
       .head().getLong(0) == 12)
+  }
+
+  test("format(\"graft\") read of a transform-partitioned table serves " +
+      "the RECORDED schema — no derived dir column in SELECT * " +
+      "(ADVICE-r8) — and raw-predicate pruning still fires") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("ev" -> tsDf(0 until 40).repartition(1)),
+      partitionBy = Map("ev" -> Seq("days(ts)")))
+    val df = spark.read.format("graft")
+      .option("root", root).option("table", "ev").load()
+    assert(df.columns.toSeq == Seq("id", "ts", "payload"),
+      s"derived dir column leaked: ${df.columns.toSeq}")
+    assert(df.count() == 40)
+    val pruned = df.filter(
+      col("ts") >= lit("1970-01-08 00:00:00").cast("timestamp"))
+    assert(pruned.count() == 12)
+    assert(scannedFiles(pruned) == 3, "format-face pruning regressed")
+    // the catalog face agrees (relationFor already reprojected; now
+    // the leaf itself never exposes the internal column)
+    val viaApi = AtomicPublish.readTable(spark, root, "ev")
+    assert(viaApi.columns.toSeq == Seq("id", "ts", "payload"))
   }
 
   test("calendar transforms compose with zone maps and bloom sidecars " +

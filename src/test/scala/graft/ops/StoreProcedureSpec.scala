@@ -347,7 +347,7 @@ class StoreProcedureSpec extends SparkSuite {
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("compact", "vacuum", "history", "consumers",
       "restore", "add_check", "drop_check", "detail", "clone",
-      "matview", "drop_matview"))
+      "matview", "drop_matview", "set_partition_spec"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }
