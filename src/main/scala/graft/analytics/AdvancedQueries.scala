@@ -442,20 +442,30 @@ object AdvancedQueries {
 
   /** Exact interpolated percentiles per group (ANSI percentile_cont
     * semantics = DuckDB quantile_cont). */
+  /** Percentiles surface as FLOOR-of-cents BIGINTs, not
+    * `round(x, 2)`: both engines linearly interpolate the same doubles
+    * (bit-identical), but an interpolated midpoint landing exactly on
+    * a half-cent (….245) renders differently under their tie-break
+    * conventions — observed at sf0.001 (p50 52724.245 → .24 vs .25).
+    * `floor(x * 100)` only diverges if the engines' doubles differ,
+    * which interpolation over identical inputs never produces. */
   def a7Percentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        r2(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
-        r2(expr("percentile(l_extendedprice, 0.95)")).as("p95"),
-        r2(expr("percentile(l_extendedprice, 0.99)")).as("p99"))
+        expr("CAST(floor(percentile(l_extendedprice, 0.5) * 100) AS BIGINT)")
+          .as("p50_cents"),
+        expr("CAST(floor(percentile(l_extendedprice, 0.95) * 100) AS BIGINT)")
+          .as("p95_cents"),
+        expr("CAST(floor(percentile(l_extendedprice, 0.99) * 100) AS BIGINT)")
+          .as("p99_cents"))
       .orderBy(col("l_returnflag"))
 
   val a7PercentileSql: String =
     """SELECT l_returnflag,
-      |round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-      |round(quantile_cont(l_extendedprice, 0.95), 2) AS p95,
-      |round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+      |CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+      |CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS p95_cents,
+      |CAST(floor(quantile_cont(l_extendedprice, 0.99) * 100) AS BIGINT) AS p99_cents
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** A13: approximate percentiles (Greenwald-Khanna sketch,
@@ -1513,6 +1523,85 @@ object AdvancedQueries {
       |WHERE ts >= '2024-01-08' AND ts < '2024-01-25'
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  private val store16Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE16: PREDICATE-SCOPED OVERWRITE inside the correctness gate —
+    * the `INSERT OVERWRITE`/`replaceWhere` backfill: a two-day range
+    * of the time-partitioned events table is RE-STATED through the SQL
+    * write face (`writeTo(...).overwrite(cond)` →
+    * [[graft.ops.AtomicPublish.overwriteWhere]]) with corrected rows
+    * (values doubled, every 7th event dropped) — only segments that
+    * can hold matching rows rewrite, rows outside the range survive
+    * untouched, and the replacement is row-guarded to stay inside the
+    * predicate. DuckDB reconstructs the final state from the raw
+    * parquet (outside-range UNION corrected), so the hash match proves
+    * the scoped rewrite replaced EXACTLY the predicate's rows: a row
+    * leaked into or out of the range, a dropped non-matching row, or a
+    * double-applied correction all flip it. */
+  def store16ReplaceWhere(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store16Cache, spark, dir, "events") {
+      stageStore16(spark, dir)
+    }
+    val cat = catalogFor(spark, "store16", root)
+    spark.sql(
+      s"""SELECT date_trunc('day', ts) AS day, event_type,
+         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+         |FROM $cat.events
+         |WHERE ts >= '2024-01-05' AND ts < '2024-01-20'
+         |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin)
+  }
+
+  private def stageStore16(spark: SparkSession, dir: String): String = {
+    import graft.ops.AtomicPublish
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store16")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    def seg(k: Int) = ev.filter(pmod(col("event_id"), lit(2)) === k)
+      .repartition(2)
+    val v1 = AtomicPublish.publish(spark, root, Map("events" -> seg(0)),
+      partitionBy = Map("events" -> Seq("days(ts)")),
+      statsBy = Map("events" -> Seq("ts")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("events" -> seg(1)), parent = Some(v1))
+    val cat = catalogFor(spark, "store16stage", root)
+    val lo = lit("2024-01-10 00:00:00").cast("timestamp")
+    val hi = lit("2024-01-12 00:00:00").cast("timestamp")
+    // corrected rows derive from the PRE-overwrite snapshot (the scan
+    // pins at resolution; the staged rewrite reads the old files)
+    val corrected = spark.table(s"$cat.events")
+      .filter(col("ts") >= lo && col("ts") < hi &&
+        pmod(col("event_id"), lit(7)) =!= 0)
+      .withColumn("value", col("value") * 2)
+    corrected.writeTo(s"$cat.events")
+      .overwrite(col("ts") >= lo && col("ts") < hi)
+    root
+  }
+
+  val store16ReplaceWhereSql: String =
+    """WITH corrected AS (
+      |  SELECT event_id, ts, user_id, event_type, value * 2 AS value
+      |  FROM events
+      |  WHERE ts >= '2024-01-10' AND ts < '2024-01-12'
+      |    AND event_id % 7 <> 0),
+      |final AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  WHERE NOT (ts >= '2024-01-10' AND ts < '2024-01-12')
+      |  UNION ALL SELECT * FROM corrected)
+      |SELECT date_trunc('day', ts) AS day, event_type,
+      |  count(*)::BIGINT AS n_events, round(sum(value), 2) AS sum_value
+      |FROM final
+      |WHERE ts >= '2024-01-05' AND ts < '2024-01-20'
+      |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
+
   private def stageStore1(spark: SparkSession, dir: String): String = {
     import graft.ops.AtomicPublish
     val tmp = java.nio.file.Files.createTempDirectory("graft-store1")
@@ -2293,6 +2382,7 @@ object AdvancedQueries {
     "store13_composite_merge" -> (store13CompositeMerge _),
     "store14_time_partition" -> (store14TimePartition _),
     "store15_partition_evolution" -> (store15PartitionEvolution _),
+    "store16_replace_where" -> (store16ReplaceWhere _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -2356,6 +2446,7 @@ object AdvancedQueries {
     "store13_composite_merge" -> store13CompositeMergeSql,
     "store14_time_partition" -> store14TimePartitionSql,
     "store15_partition_evolution" -> store15PartitionEvolutionSql,
+    "store16_replace_where" -> store16ReplaceWhereSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

@@ -1320,20 +1320,29 @@ object AtomicPublish {
     * violation surfaces as the violation itself (an
     * IllegalArgumentException with the named constraint), not as the
     * write job's generic abort wrapper. */
+  /** Row-guard violation markers whose raise unwraps to a named
+    * IllegalArgumentException (CHECK constraints and the
+    * overwrite-containment guard share the fused-raise machinery). */
+  private val ViolationMarkers =
+    Seq(CheckViolation, "GRAFT_OVERWRITE_OUTSIDE_PREDICATE")
+
   private def unwrapViolation(e: Throwable): Throwable = {
     var t: Throwable = e
     var hops = 0
     while (t != null && hops < 20) {
       val m = t.getMessage
-      if (m != null && m.contains(CheckViolation)) {
-        t match {
+      val marker = if (m == null) None
+        else ViolationMarkers.find(m.contains)
+      marker match {
+        case Some(mk) => t match {
           case iae: IllegalArgumentException => return iae
           case _ =>
             // strip the raise_error/error-class bracket prefix so the
             // surfaced message starts at the violation text
-            val at = m.indexOf(CheckViolation)
-            return new IllegalArgumentException(m.substring(at), e)
+            return new IllegalArgumentException(
+              m.substring(m.indexOf(mk)), e)
         }
+        case None => ()
       }
       t = t.getCause
       hops += 1
@@ -2446,6 +2455,90 @@ object AtomicPublish {
     } finally inFlight.remove(txn)
   }
 
+  /** PREDICATE-SCOPED OVERWRITE — Delta's `replaceWhere` / the
+    * `INSERT OVERWRITE` backfill shape: atomically replace exactly the
+    * rows matching `where` with `replacement`, leaving every other row
+    * untouched. THE re-statement operation of a 100 TB ingest table —
+    * "yesterday's partition was wrong, here is the corrected day" —
+    * priced at O(segments holding matching rows), not O(table):
+    * owner segments whose zone maps PROVABLY hold no matching row are
+    * carried by reference ([[replaceOwners]] — files never read or
+    * listed); admitted owners are rewritten with their non-matching
+    * rows kept (SQL semantics: a NULL predicate KEEPS the row — only
+    * provably-matching rows are replaced). Every replacement row must
+    * itself satisfy `where` (enforced per row INSIDE the staging
+    * write, [[GuardBarrier]]-pinned like CHECK constraints — the
+    * refusal that keeps "replace day X" from silently smuggling rows
+    * into day Y). A table carrying merge-on-read tombstones takes a
+    * full copy-on-write replace instead (subset rewrites renumber the
+    * positional `_asof` scopes), which also consumes the tombstone
+    * debt. Returns the committed txn; retries lost CAS races. */
+  def overwriteWhere(spark: SparkSession, root: String, table: String,
+      replacement: DataFrame, where: String,
+      maxAttempts: Int = 5): String = {
+    import org.apache.spark.sql.functions.{coalesce => fcoalesce, expr => fexpr, not => fnot, raise_error, when => fwhen}
+    require(where.trim.nonEmpty,
+      "overwriteWhere needs a predicate; a full overwrite is " +
+        "publishDelta(replace = …)")
+    val matches = fcoalesce(fexpr(where), lit(false))
+    // per-row containment guard, fused into the staging write with the
+    // same pushdown barrier as CHECK enforcement
+    val guard = fwhen(matches <=> lit(false),
+      raise_error(lit(
+        s"GRAFT_OVERWRITE_OUTSIDE_PREDICATE: overwriteWhere('$table', " +
+          s"$where) was given a replacement row that does not satisfy " +
+          "the predicate — the commit was refused before the version " +
+          "sealed (no partial state)")).cast(BooleanType))
+      .otherwise(lit(true))
+    val guarded = replacement.filter(guard ||
+      org.apache.spark.sql.graftvec.CatalystBridge.column(GuardBarrier()))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val parent = currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val metas = manifestMetaOf(spark, root, parent)
+      val m = metas.getOrElse(table, throw new IllegalArgumentException(
+        s"table '$table' is not in version $parent under $root"))
+      val tombstoned = metas.get(deleteTableOf(table))
+        .exists(_.owners.nonEmpty)
+      val committed: Option[String] = try {
+        if (tombstoned) {
+          // COW fallback: delete-aware read, keep non-matching rows
+          val kept = readTableAt(spark, root, table, parent)
+            .filter(fnot(matches))
+          publishDelta(spark, root, append = Map.empty,
+            replace = Map(table -> kept.unionByName(guarded)),
+            parent = Some(parent))
+        } else {
+          val admitted = pruneOwners(spark, m, where)
+          if (admitted.isEmpty)
+            // no segment can hold a matching row: pure append
+            publishDelta(spark, root, append = Map(table -> guarded),
+              parent = Some(parent))
+          else {
+            val admittedSet = admitted.toSet
+            val keep = m.owners.filterNot(admittedSet)
+            val kept = readTableSegments(spark, root, table, parent,
+              admitted).filter(fnot(matches))
+            replaceOwners(spark, root, table, keep,
+              kept.unionByName(guarded), parent)
+          }
+        }
+      } catch { case scala.util.control.NonFatal(e) =>
+        throw unwrapViolation(e)
+      }
+      committed match {
+        case Some(txn) => return txn
+        case None => () // a commit landed meanwhile; re-pin, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"overwriteWhere('$table') lost the commit race $maxAttempts " +
+        s"times under $root")
+  }
+
   /** Evolve a LIVE table's CHECK constraints: `predicate = Some(sql)`
     * adds (or redefines) the named constraint — after verifying the
     * EXISTING data satisfies it (one full delete-aware scan at the
@@ -3212,6 +3305,18 @@ object AtomicPublish {
     * carry one of the interval's tombstone keys, so that key set (when
     * small) is pushed as an `IN` filter and blooms/zone maps prune the
     * scan to the files that can match. */
+  /** The recorded delete-key columns of `table` at version `at` (the
+    * tombstone companion's schema minus the internal scope column), or
+    * None when the table has never recorded a delete key. The CDC
+    * update-image classification keys on this
+    * ([[graft.streaming.GraftCdcFeedSource]]). */
+  def deleteKeyColsAt(spark: SparkSession, root: String, table: String,
+      at: String): Option[Seq[String]] =
+    manifestMetaOf(spark, root, at).get(deleteTableOf(table))
+      .flatMap(_.schema)
+      .map(_.fieldNames.toSeq.filterNot(_ == TombAsofCol))
+      .filter(_.nonEmpty)
+
   def changesWithDeletes(spark: SparkSession, root: String, table: String,
       sinceTxn: String, atTxn: Option[String] = None)
       : Option[(DataFrame, DataFrame)] = {

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchT
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
@@ -764,7 +764,8 @@ final class GraftTable(
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1068,19 +1069,89 @@ final class GraftNativeReadRule(spark: SparkSession)
   * (truncate) = replace that RE-DECLARES the table's recorded layout,
   * so partitioning and stat/bloom columns survive the overwrite. */
 final class GraftWriteBuilder(root: String, table: String,
-    meta: TableMeta) extends WriteBuilder with SupportsTruncate {
+    meta: TableMeta) extends WriteBuilder with SupportsTruncate
+    with SupportsOverwrite {
 
   private var overwrite = false
+  private var replaceWhere: Option[String] = None
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = {
+    overwrite = true; replaceWhere = None; this
+  }
+
+  /** `INSERT OVERWRITE t PARTITION (…)` / `df.writeTo(t)
+    * .overwrite(cond)` — PREDICATE-SCOPED overwrite: the pushed V1
+    * filters translate to one predicate and the write routes through
+    * [[AtomicPublish.overwriteWhere]] (only segments that can hold
+    * matching rows rewrite; replacement rows are row-guarded to
+    * satisfy the predicate). An always-true filter set degrades to
+    * the full-replace (truncate) path. */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.exists(_.isInstanceOf[sources.AlwaysTrue])) {
+      overwrite = true; replaceWhere = None
+    } else {
+      val conds = filters.toSeq.map { f =>
+        GraftWriteBuilder.filterSql(f).getOrElse(
+          throw new UnsupportedOperationException(
+            s"INSERT OVERWRITE on '$table': filter $f is not " +
+              "translatable to a scoped overwrite predicate"))
+      }
+      replaceWhere = Some(conds.mkString("(", ") AND (", ")"))
+    }
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, ow: Boolean): Unit =
-          GraftCatalogWrite.commitLoop(data.sparkSession, root, table,
-            data, overwrite || ow, meta)
+          replaceWhere match {
+            case Some(where) =>
+              AtomicPublish.overwriteWhere(data.sparkSession, root,
+                table, data, where)
+              ()
+            case None =>
+              GraftCatalogWrite.commitLoop(data.sparkSession, root,
+                table, data, overwrite || ow, meta)
+          }
       }
+  }
+}
+
+private[ops] object GraftWriteBuilder {
+
+  /** One pushed V1 [[Filter]] as a SQL predicate string — the grammar
+    * [[AtomicPublish.overwriteWhere]] consumes (it re-parses for both
+    * zone-map pruning and the exact row filter). Literals render
+    * through Catalyst's `Literal.sql` (typed, re-parseable); nested
+    * (dotted) references and string-match filters translate to None —
+    * the caller refuses rather than over- or under-scoping. */
+  private[ops] def filterSql(f: Filter): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    def lit(v: Any): String = CLit(v).sql
+    def q(c: String): Option[String] =
+      if (c.contains(".")) None else Some(s"`$c`")
+    f match {
+      case sources.EqualTo(c, v) => q(c).map(n => s"$n = ${lit(v)}")
+      case sources.EqualNullSafe(c, v) =>
+        q(c).map(n => s"$n <=> ${lit(v)}")
+      case sources.GreaterThan(c, v) => q(c).map(n => s"$n > ${lit(v)}")
+      case sources.GreaterThanOrEqual(c, v) =>
+        q(c).map(n => s"$n >= ${lit(v)}")
+      case sources.LessThan(c, v) => q(c).map(n => s"$n < ${lit(v)}")
+      case sources.LessThanOrEqual(c, v) =>
+        q(c).map(n => s"$n <= ${lit(v)}")
+      case sources.In(c, vs) =>
+        q(c).map(n => s"$n IN (${vs.map(lit).mkString(", ")})")
+      case sources.IsNull(c) => q(c).map(n => s"$n IS NULL")
+      case sources.IsNotNull(c) => q(c).map(n => s"$n IS NOT NULL")
+      case sources.And(l, r) => for { a <- filterSql(l); b <- filterSql(r) }
+        yield s"($a AND $b)"
+      case sources.Or(l, r) => for { a <- filterSql(l); b <- filterSql(r) }
+        yield s"($a OR $b)"
+      case sources.Not(x) => filterSql(x).map(a => s"(NOT $a)")
+      case _ => None
+    }
   }
 }
 

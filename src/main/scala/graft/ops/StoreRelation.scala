@@ -424,7 +424,9 @@ final class GraftSource extends RelationProvider
         table, consumerId = java.security.MessageDigest
           .getInstance("MD5").digest(metadataPath.getBytes("UTF-8"))
           .map("%02x".format(_)).mkString,
-        fromLatest = fromLatest(parameters))
+        fromLatest = fromLatest(parameters),
+        updateImages = parameters.get("updateImages")
+          .exists(_.equalsIgnoreCase("true")))
     else
       new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root,
         table, fromLatest = fromLatest(parameters),

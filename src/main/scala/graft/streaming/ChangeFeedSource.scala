@@ -163,7 +163,18 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   * LAGGING stream's next `sinceTxn` manifest survives retention
   * instead of being reclaimed under the stream. */
 final class GraftCdcFeedSource(spark: SparkSession, root: String,
-    table: String, consumerId: String, fromLatest: Boolean = false)
+    table: String, consumerId: String, fromLatest: Boolean = false,
+    /** `option("updateImages", "true")` — Delta CDF's four-valued
+      * `_change_type` vocabulary: within each commit interval, a
+      * delete and an insert sharing the table's recorded delete-key
+      * tuple classify as `update_preimage` / `update_postimage`
+      * instead of plain delete/insert — so a MERGE's updated rows
+      * arrive as updates, the way a downstream auditor or
+      * slowly-changing-dimension sync wants them. Keys with a NULL
+      * component keep the plain tags (the classification join is
+      * equi, like SQL's); a table that never recorded a delete key
+      * has nothing to classify by and streams the two-valued feed. */
+    updateImages: Boolean = false)
   extends Source {
 
   import GraftChangeFeedSource._
@@ -216,8 +227,36 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
           case None => throw new IllegalStateException(resyncMessage(
             table, s"the interval ${s.txn}..$endTxn rewrote the table"))
           case Some((ins, del)) =>
-            ins.withColumn(ChangeTypeCol, lit("insert"))
-              .unionByName(del.withColumn(ChangeTypeCol, lit("delete")))
+            val keyCols =
+              if (!updateImages) None
+              else AtomicPublish.deleteKeyColsAt(spark, root, table,
+                endTxn)
+            keyCols match {
+              case None =>
+                ins.withColumn(ChangeTypeCol, lit("insert"))
+                  .unionByName(del.withColumn(ChangeTypeCol,
+                    lit("delete")))
+              case Some(keys) =>
+                import org.apache.spark.sql.functions.{col, when}
+                // keys present on BOTH sides of the interval are
+                // updates; the key set is tiny relative to the rows
+                // (distinct tuples), so both classification joins
+                // broadcast at any realistic batch size
+                val kc = keys.map(col)
+                val updKeys = del.select(kc: _*).distinct()
+                  .join(ins.select(kc: _*).distinct(), keys, "left_semi")
+                def tag(side: DataFrame, hit: String, miss: String) =
+                  side.join(
+                    org.apache.spark.sql.functions.broadcast(updKeys)
+                      .withColumn("__g_upd", lit(true)),
+                    keys, "left")
+                    .withColumn(ChangeTypeCol,
+                      when(col("__g_upd").isNotNull, hit)
+                        .otherwise(miss))
+                    .drop("__g_upd")
+                tag(ins, "update_postimage", "insert")
+                  .unionByName(tag(del, "update_preimage", "delete"))
+            }
         }
     }
     // lag registry: the NEXT batch diffs from endTxn — keep it alive

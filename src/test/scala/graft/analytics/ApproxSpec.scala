@@ -24,8 +24,11 @@ class ApproxSpec extends SparkSuite {
   }
 
   test("approx_percentile tracks exact percentiles within 5%") {
+    // a7 reports floor-of-cents BIGINTs (tie-free rendering) — scale
+    // back to currency units for the relative-error compare
     val exact = AdvancedQueries.a7Percentile(spark, dir).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      .map(r => r.getString(0) ->
+        (r.getLong(1) / 100.0, r.getLong(2) / 100.0)).toMap
     val approx = AdvancedQueries.a13ApproxPercentile(spark, dir).collect()
     assert(approx.length == exact.size)
     approx.foreach { r =>

@@ -250,6 +250,50 @@ class ChangeFeedStreamSpec extends SparkSuite {
       "insert" -> 17L, "delete" -> 2L))
   }
 
+  test("CDC updateImages (Delta CDF vocabulary): an upsert's changed " +
+      "keys stream as update_preimage/update_postimage pairs; fresh " +
+      "keys stay insert, pure deletes stay delete") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> slice(0 until 10, "en")))
+    val ckpt = Files.createTempDirectory("cdc-upd-ck").toString
+    val got = mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def run(): Unit = drain(
+      spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("updateImages", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got ++= df.collect().map(r =>
+            (r.getString(3), r.getLong(0), r.getLong(2)))
+          ()
+        }.start())
+    run() // fresh checkpoint: the snapshot batch is all insert
+    assert(got.size == 10 && got.forall(_._1 == "insert"))
+    // ONE upsert commit: keys 2,3 get new values, keys 10,11 are fresh
+    val up = Seq((2L, "en", 2000L), (3L, "en", 3000L),
+      (10L, "en", 100L), (11L, "en", 110L))
+      .toDF("doc_id", "lang", "words")
+    AtomicPublish.upsertMany(spark, root,
+      Map("docs" -> AtomicPublish.Upsert(up, up.select("doc_id"))))
+    got.clear(); run()
+    val byType = got.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    assert(byType.get("update_preimage").contains(Set((2L, 20L), (3L, 30L))),
+      byType)
+    assert(byType.get("update_postimage")
+      .contains(Set((2L, 2000L), (3L, 3000L))), byType)
+    assert(byType.get("insert").contains(Set((10L, 100L), (11L, 110L))),
+      byType)
+    assert(!byType.contains("delete"), byType)
+    // a pure delete (no matching insert in the interval) stays delete
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(5L).toDF("doc_id")))
+    got.clear(); run()
+    assert(got.toSet == Set(("delete", 5L, 50L)), got)
+  }
+
   test("maxOwnersPerTrigger (ADMISSION CONTROL): a deep backlog drains " +
       "as bounded paced batches — no batch exceeds the cap, nothing " +
       "lost, nothing duplicated, restart resumes exactly") {
