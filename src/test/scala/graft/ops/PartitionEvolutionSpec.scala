@@ -87,6 +87,19 @@ class PartitionEvolutionSpec extends SparkSuite {
     val expect = 12 + febMar.filter(
       col("ts") < lit("1970-02-20 00:00:00").cast("timestamp")).count()
     assert(pruned.count() == expect)
+    // per-owner layouts never fork the plan: the evolved chain is
+    // still ONE file-source scan (a file-index concern, invisible to
+    // Catalyst — no union of per-layout relations)
+    val scans = {
+      pruned.collect()
+      (pruned.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }).collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    }
+    assert(scans.size == 1, s"evolved chain forked into ${scans.size}")
     // 3 day files + 1 month file (Feb); the conservative boundary
     // admits at most one extra dir per layout
     assert(scannedFiles(pruned) <= 5,
