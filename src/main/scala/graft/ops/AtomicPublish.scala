@@ -823,12 +823,17 @@ object AtomicPublish {
     * `TIMESTAMP AS OF` resolution deterministic instead of
     * filesystem-clock-resolution-dependent. */
   private def markCommitted(spark: SparkSession, root: String,
-      txn: String, seq: Long = 0L): Unit =
+      txn: String, seq: Long = 0L, op: String = ""): Unit =
     try {
       val vdir = new Path(root, s"v_$txn")
       val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val mos = fs.create(new Path(vdir, CommitMarker), true)
-      try mos.write(s"$txn\nseq=$seq".getBytes(StandardCharsets.UTF_8))
+      // `op=` names WHAT the commit did (DESCRIBE HISTORY-grade
+      // observability); single-line, best-effort like the rest
+      val opLine =
+        if (op.isEmpty) "" else "\nop=" + op.replaceAll("[\r\n]", " ")
+      try mos.write(
+        s"$txn\nseq=$seq$opLine".getBytes(StandardCharsets.UTF_8))
       finally mos.close()
     } catch { case _: Throwable => () }
 
@@ -844,6 +849,21 @@ object AtomicPublish {
         .mkString finally in.close()
       content.linesIterator.collectFirst {
         case l if l.startsWith("seq=") => l.stripPrefix("seq=").toLong
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** The operation label recorded in `txn`'s marker (None: pre-label
+    * marker, missing marker, unreadable). */
+  def commitOpOf(spark: SparkSession, root: String,
+      txn: String): Option[String] =
+    try {
+      val p = new Path(new Path(root, s"v_$txn"), CommitMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      content.linesIterator.collectFirst {
+        case l if l.startsWith("op=") => l.stripPrefix("op=")
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1682,7 +1702,7 @@ object AtomicPublish {
       swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = None)
-      markCommitted(spark, root, txn, seq = 0L) // store birth
+      markCommitted(spark, root, txn, seq = 0L, op = "CREATE")
       txn
     } catch {
       case e: Throwable =>
@@ -1767,7 +1787,11 @@ object AtomicPublish {
         * parent's; appends always inherit and are ENFORCED against the
         * slice. Live-table constraint evolution goes through
         * [[setCheck]] (which validates existing data). */
-      checks: Map[String, Map[String, String]] = Map.empty)
+      checks: Map[String, Map[String, String]] = Map.empty,
+      /** Operation label for the commit marker (`CALL history`'s
+        * `operation` column). None = derived from the delta's shape
+        * (APPEND / REPLACE / DROP, joined by '+'). */
+      opLabel: Option[String] = None)
       : Option[String] = {
     require(append.nonEmpty || replace.nonEmpty || drop.nonEmpty,
       "publishDelta needs at least one appended, replaced or dropped table")
@@ -1987,7 +2011,12 @@ object AtomicPublish {
         // a pre-seq parent restarts at 0 (ties then break by name, the
         // pre-seq status quo)
         markCommitted(spark, root, txn, seq = parent
-          .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L))
+          .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L),
+          op = opLabel.getOrElse(Seq(
+            if (append.nonEmpty) Some("APPEND") else None,
+            if (replace.nonEmpty) Some("REPLACE") else None,
+            if (drop.nonEmpty) Some("DROP " + drop.mkString(","))
+            else None).flatten.mkString("+")))
         Some(txn)
       } else None
     } catch {
@@ -2073,7 +2102,8 @@ object AtomicPublish {
         reverifyOrRollback(spark, root, txn, p, parentMeta, needed, fs,
           s"restore '$table' to $toTxn")
         markCommitted(spark, root, txn, seq = p
-          .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L))
+          .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L),
+          op = s"RESTORE $table")
         Some(txn)
       } else None
     } catch {
@@ -2107,7 +2137,8 @@ object AtomicPublish {
     require(prefixCheck.exists(_.startsWith(keepOwners)),
       s"replaceTail: keepOwners must be a strict prefix of " +
         s"'$table''s owner chain")
-    replaceOwners(spark, root, table, keepOwners, tail, parent)
+    replaceOwners(spark, root, table, keepOwners, tail, parent,
+      op = s"COMPACT TAIL $table")
   }
 
   /** SUBSET-compaction commit — [[replaceTail]] generalized from
@@ -2124,7 +2155,7 @@ object AtomicPublish {
     * tables take the full [[graft.ops.Compaction.compactStore]]. */
   private[ops] def replaceOwners(spark: SparkSession, root: String,
       table: String, keepOwners: Seq[String], tail: DataFrame,
-      parent: String): Option[String] = {
+      parent: String, op: String = "REPLACE SUBSET"): Option[String] = {
     val rootPath = new Path(root)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     inFlight.add(txn)
@@ -2161,7 +2192,8 @@ object AtomicPublish {
         expectParent = Some(Some(parent)))
       if (committed) {
         markCommitted(spark, root, txn, seq =
-          commitSeqOf(spark, root, parent).map(_ + 1).getOrElse(0L))
+          commitSeqOf(spark, root, parent).map(_ + 1).getOrElse(0L),
+          op = op)
         Some(txn)
       } else None
     } catch {
@@ -2248,7 +2280,8 @@ object AtomicPublish {
         reverifyOrRollback(spark, root, txn, Some(p), parentMeta,
           cloneNeeded, fs, s"clone '$source'@$at as '$target'")
         markCommitted(spark, root, txn, seq =
-          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
+          op = s"CLONE $source -> $target")
         Some(txn)
       } else None
     } catch {
@@ -2310,7 +2343,8 @@ object AtomicPublish {
           expectParent = Some(Some(txn)))
       } catch { case scala.util.control.NonFatal(_) => false }
     if (rolledBack)
-      markCommitted(spark, root, rollback, seq = txnSeq + 1)
+      markCommitted(spark, root, rollback, seq = txnSeq + 1,
+        op = "ROLLBACK")
     throw new IllegalStateException(
       s"$what: a concurrent vacuum reclaimed segment(s) " +
         s"${gone.mkString(", ")} between the pre-commit check and the " +
@@ -2363,7 +2397,8 @@ object AtomicPublish {
         expectParent = Some(Some(p)))
       if (committed) {
         markCommitted(spark, root, txn, seq =
-          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
+          op = s"RENAME $from -> $to")
         Some(txn)
       } else None
     } catch {
@@ -2441,7 +2476,9 @@ object AtomicPublish {
         expectParent = Some(Some(p)))
       if (committed) {
         markCommitted(spark, root, txn, seq =
-          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
+          op = s"SET PARTITION SPEC $table (" +
+            newSpec.mkString(",") + ")")
         Some(txn)
       } else None
     } catch {
@@ -2510,20 +2547,23 @@ object AtomicPublish {
             .filter(fnot(matches))
           publishDelta(spark, root, append = Map.empty,
             replace = Map(table -> kept.unionByName(guarded)),
-            parent = Some(parent))
+            parent = Some(parent),
+            opLabel = Some(s"REPLACE WHERE $table ($where)"))
         } else {
           val admitted = pruneOwners(spark, m, where)
           if (admitted.isEmpty)
             // no segment can hold a matching row: pure append
             publishDelta(spark, root, append = Map(table -> guarded),
-              parent = Some(parent))
+              parent = Some(parent),
+              opLabel = Some(s"REPLACE WHERE $table ($where)"))
           else {
             val admittedSet = admitted.toSet
             val keep = m.owners.filterNot(admittedSet)
             val kept = readTableSegments(spark, root, table, parent,
               admitted).filter(fnot(matches))
             replaceOwners(spark, root, table, keep,
-              kept.unionByName(guarded), parent)
+              kept.unionByName(guarded), parent,
+              op = s"REPLACE WHERE $table ($where)")
           }
         }
       } catch { case scala.util.control.NonFatal(e) =>
@@ -2583,7 +2623,9 @@ object AtomicPublish {
         expectParent = Some(Some(p)))
       if (committed) {
         markCommitted(spark, root, txn, seq =
-          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L))
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
+          op = (if (predicate.isDefined) "ADD CHECK " else "DROP CHECK ") +
+            s"$table.$name")
         Some(txn)
       } else None
     } catch {
@@ -2850,6 +2892,7 @@ object AtomicPublish {
           .withColumn(TombAsofCol, lit(metas(t).owners.size))
           .repartition(1) // ids: tiny by contract
       },
+      opLabel = Some("DELETE " + deletes.keys.toSeq.sorted.mkString(",")),
       parent = Some(parent))
   }
 
@@ -2891,7 +2934,8 @@ object AtomicPublish {
     * pin (an ingest loop recomputing its changed-set per retry). */
   def upsertManyAt(spark: SparkSession, root: String, parent: String,
       upserts: Map[String, Upsert],
-      extraAppend: Map[String, DataFrame] = Map.empty): Option[String] = {
+      extraAppend: Map[String, DataFrame] = Map.empty,
+      opLabel: Option[String] = None): Option[String] = {
     require(upserts.nonEmpty, "upsertMany needs at least one table")
     val metas = manifestMetaOf(spark, root, parent)
     val tombs = upserts.map { case (t, u) =>
@@ -2905,7 +2949,9 @@ object AtomicPublish {
     publishDelta(spark, root,
       append = upserts.map { case (t, u) => t -> u.rows } ++ tombs ++
         extraAppend,
-      parent = Some(parent))
+      parent = Some(parent),
+      opLabel = opLabel.orElse(
+        Some("UPSERT " + upserts.keys.toSeq.sorted.mkString(","))))
   }
 
   /** Single-table [[upsertMany]]: keys derived from the slice itself.

@@ -229,7 +229,7 @@ object Compaction {
         else union.repartition(parts,
           PartSpec.partitionExprs(m.partitionCols, union.schema): _*)
       AtomicPublish.replaceOwners(spark, root, table, keep, shaped,
-        parent) match {
+        parent, op = s"COMPACT WHERE $table ($where)") match {
         case Some(txn) => return Some((txn, parts))
         case None => () // a commit landed meanwhile; re-pin, retry
       }
@@ -416,7 +416,8 @@ object Compaction {
       AtomicPublish.publishDelta(spark, root, append = Map.empty,
         replace = Map(table -> consolidated),
         parent = Some(parent),
-        clusterBy = Map(table -> (ccols, cz))) match {
+        clusterBy = Map(table -> (ccols, cz)),
+        opLabel = Some(s"COMPACT $table")) match {
         case Some(txn) => return (txn, parts)
         case None => () // an appender committed meanwhile; re-pin, retry
       }

@@ -166,7 +166,8 @@ final case class GraftUpdateCommand(
       }, target)
       if (AtomicPublish.publishDelta(spark, root, append = Map.empty,
           replace = Map(table -> df(projected)),
-          parent = Some(gt.txn)).isEmpty)
+          parent = Some(gt.txn),
+          opLabel = Some(s"UPDATE $table")).isEmpty)
         GraftDml.conflict(table, "the copy-on-write commit")
     }
 
@@ -215,8 +216,8 @@ final case class GraftUpdateCommand(
                   Alias(updatedValue(a), a.name)(): NamedExpression),
                   matchedPlan))
                 if (AtomicPublish.upsertManyAt(spark, root, gt.txn,
-                    Map(table -> AtomicPublish.Upsert(updated, keys)))
-                    .isEmpty)
+                    Map(table -> AtomicPublish.Upsert(updated, keys)),
+                    opLabel = Some(s"UPDATE $table")).isEmpty)
                   GraftDml.conflict(table, "the upsert commit")
               }
             } finally { matched.unpersist(); () }
@@ -387,7 +388,8 @@ final case class GraftMergeCommand(
         // insert-only outcome: a plain CAS append, no tombstones
         if (AtomicPublish.publishDelta(spark, root,
             append = Map(table -> inserts),
-            parent = Some(gt.txn)).isEmpty)
+            parent = Some(gt.txn),
+            opLabel = Some(s"MERGE $table")).isEmpty)
           GraftDml.conflict(table, "the insert commit")
         return Seq.empty
       }
@@ -438,7 +440,8 @@ final case class GraftMergeCommand(
         var full = carry.unionByName(kept)
         if (!emptyInserts) full = full.unionByName(inserts)
         if (AtomicPublish.publishDelta(spark, root, append = Map.empty,
-            replace = Map(table -> full), parent = Some(gt.txn)).isEmpty)
+            replace = Map(table -> full), parent = Some(gt.txn),
+            opLabel = Some(s"MERGE $table")).isEmpty)
           GraftDml.conflict(table, "the copy-on-write commit")
       }
 
@@ -467,7 +470,8 @@ final case class GraftMergeCommand(
             val rows =
               if (emptyInserts) upserted else upserted.unionByName(inserts)
             if (AtomicPublish.upsertManyAt(spark, root, gt.txn,
-                Map(table -> AtomicPublish.Upsert(rows, keys))).isEmpty)
+                Map(table -> AtomicPublish.Upsert(rows, keys)),
+                opLabel = Some(s"MERGE $table")).isEmpty)
               GraftDml.conflict(table, "the upsert commit")
           }
       }

@@ -588,6 +588,7 @@ private[ops] object GraftProcedures {
       .add("version", StringType, nullable = false)
       .add("committed_at_ms", LongType, nullable = false)
       .add("is_live", BooleanType, nullable = false)
+      .add("operation", StringType, nullable = true)
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val limit = if (input.isNullAt(0)) 100 else input.getInt(0)
@@ -595,8 +596,12 @@ private[ops] object GraftProcedures {
       val live = AtomicPublish.currentTxn(spark, root)
       val rows = AtomicPublish.committedVersions(spark, root)
         .reverse.take(limit).map { case (txn, ts) =>
+          // operation label from the commit marker (DESCRIBE HISTORY's
+          // operation column) — null for pre-label markers
+          val op: Any = AtomicPublish.commitOpOf(spark, root, txn)
+            .map(utf8).orNull
           new GenericInternalRow(Array[Any](
-            utf8(txn), ts, live.contains(txn))): InternalRow
+            utf8(txn), ts, live.contains(txn), op)): InternalRow
         }
       result(out, rows.toArray)
     }

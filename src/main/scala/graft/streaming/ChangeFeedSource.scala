@@ -239,16 +239,16 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
               case Some(keys) =>
                 import org.apache.spark.sql.functions.{col, when}
                 // keys present on BOTH sides of the interval are
-                // updates; the key set is tiny relative to the rows
-                // (distinct tuples), so both classification joins
-                // broadcast at any realistic batch size
+                // updates. The key set is distinct tuples — usually
+                // tiny next to the rows, and the planner/AQE broadcasts
+                // it when it is; no forced broadcast hint, because a
+                // snapshot-sized upsert interval can legitimately carry
+                // millions of keys and must be allowed to shuffle
                 val kc = keys.map(col)
                 val updKeys = del.select(kc: _*).distinct()
                   .join(ins.select(kc: _*).distinct(), keys, "left_semi")
                 def tag(side: DataFrame, hit: String, miss: String) =
-                  side.join(
-                    org.apache.spark.sql.functions.broadcast(updKeys)
-                      .withColumn("__g_upd", lit(true)),
+                  side.join(updKeys.withColumn("__g_upd", lit(true)),
                     keys, "left")
                     .withColumn(ChangeTypeCol,
                       when(col("__g_upd").isNotNull, hit)

@@ -238,6 +238,45 @@ class PartitionEvolutionSpec extends SparkSuite {
     assert(AtomicPublish.readTable(spark, root, "ev").count() == 8)
   }
 
+  test("evolution COMPOSES with the skipping layers: zone maps + bloom " +
+      "sidecars keep pruning across differently-laid owners, and both " +
+      "fire together with per-owner transform pruning") {
+    val root = freshRoot()
+    // owner A: ids 0..39 over days 0..9, day-laid, stats+bloom on id
+    AtomicPublish.publish(spark, root,
+      Map("ev" -> tsDf(0 until 40).repartition(1)),
+      partitionBy = Map("ev" -> Seq("days(ts)")),
+      statsBy = Map("ev" -> Seq("id")),
+      bloomBy = Map("ev" -> Seq("id")))
+    AtomicPublish.setPartitionSpec(spark, root, "ev",
+      Seq("months(ts)")).get
+    // owner B: ids 100..139 over the same days, month-laid
+    val later = tsDf(0 until 40)
+      .withColumn("id", col("id") + 100L).repartition(1)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("ev" -> later),
+      parent = AtomicPublish.currentTxn(spark, root))
+    // point read on id: segment zone maps + blooms drop the other
+    // owner entirely — layout evolution never blunts value skipping
+    val pointA = AtomicPublish.readTableWhere(spark, root, "ev", "id = 7")
+    assert(pointA.count() == 1)
+    assert(pointA.inputFiles.length <= 10, "id=7 read B's month files")
+    val pointB = AtomicPublish.readTableWhere(spark, root, "ev",
+      "id = 107")
+    assert(pointB.count() == 1)
+    assert(pointB.inputFiles.length <= 1,
+      s"id=107 should prune to B's single month file, " +
+        s"read ${pointB.inputFiles.length}")
+    // combined: id range (zone map → owner A only) AND raw ts range
+    // (day dirs within A) — both layers fire on one query
+    val both = AtomicPublish.readTable(spark, root, "ev")
+      .filter(col("id") < 40L &&
+        col("ts") >= lit("1970-01-08 00:00:00").cast("timestamp"))
+    assert(both.count() == 12)
+    assert(scannedFiles(both) == 3,
+      "zone-map owner pruning + day-dir pruning did not compose")
+  }
+
   test("SQL faces: ALTER TABLE SET TBLPROPERTIES('partition-spec') " +
       "and CALL set_partition_spec; DESCRIBE surfaces the spec") {
     val root = freshRoot()

@@ -340,6 +340,24 @@ class StoreProcedureSpec extends SparkSuite {
       s"matview tables survived the drop: $names")
   }
 
+  test("CALL history carries OPERATION labels: every commit names " +
+      "what it did (DESCRIBE HISTORY-grade observability)") {
+    val root = freshRoot()
+    stage(root) // CREATE + APPEND + APPEND
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(5L, 6L).toDF("doc_id")))
+    AtomicPublish.upsertMany(spark, root, Map("docs" ->
+      AtomicPublish.Upsert(docs(0 until 3, "xx"),
+        Seq(0L, 1L, 2L).toDF("doc_id"))))
+    Compaction.compactStore(spark, root, "docs")
+    val cat = mount(root)
+    val ops = spark.sql(s"CALL $cat.system.history()").collect()
+      .map(r => Option(r.getString(3)).getOrElse("")).toSeq
+    assert(ops.take(5) == Seq("COMPACT docs", "UPSERT docs",
+      "DELETE docs", "APPEND", "APPEND"), ops)
+    assert(ops.last == "CREATE", ops)
+  }
+
   test("SHOW PROCEDURES lists the surface; unknown CALL is refused") {
     val root = freshRoot(); stage(root)
     val cat = mount(root)
