@@ -445,6 +445,7 @@ private[ops] object GraftProcedures {
       .add("clustered_by", StringType, nullable = false)
       .add("checks", StringType, nullable = false)
       .add("tombstone_owners", IntegerType, nullable = false)
+      .add("evolved_owners", IntegerType, nullable = false)
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
@@ -488,7 +489,10 @@ private[ops] object GraftProcedures {
       result(out, Array(new GenericInternalRow(Array[Any](
         utf8(table), utf8(txn), m.owners.size, files, bytes, rows,
         utf8(m.partitionCols.mkString(",")), utf8(bucketStr),
-        utf8(clusterStr), utf8(checkStr), tombOwners))))
+        utf8(clusterStr), utf8(checkStr), tombOwners,
+        // owners still laid out under a PREVIOUS partition spec
+        // (partition-spec evolution bookkeeping; 0 = uniform layout)
+        m.ownerParts.size))))
     }
   }
 
