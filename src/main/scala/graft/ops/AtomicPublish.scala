@@ -2561,9 +2561,14 @@ object AtomicPublish {
             val keep = m.owners.filterNot(admittedSet)
             val kept = readTableSegments(spark, root, table, parent,
               admitted).filter(fnot(matches))
+            // the subset commit stages directly (replaceOwners —
+            // publishDelta's per-table checkGuarded never runs), and
+            // the REPLACEMENT rows are new data: enforce the table's
+            // CHECK constraints on them here. `kept` rows passed the
+            // checks when they were first written.
             replaceOwners(spark, root, table, keep,
-              kept.unionByName(guarded), parent,
-              op = s"REPLACE WHERE $table ($where)")
+              kept.unionByName(checkGuarded(spark, table, guarded, m)),
+              parent, op = s"REPLACE WHERE $table ($where)")
           }
         }
       } catch { case scala.util.control.NonFatal(e) =>

@@ -1141,7 +1141,7 @@ private[ops] object GraftWriteBuilder {
       case sources.LessThan(c, v) => q(c).map(n => s"$n < ${lit(v)}")
       case sources.LessThanOrEqual(c, v) =>
         q(c).map(n => s"$n <= ${lit(v)}")
-      case sources.In(c, vs) =>
+      case sources.In(c, vs) if vs.nonEmpty =>
         q(c).map(n => s"$n IN (${vs.map(lit).mkString(", ")})")
       case sources.IsNull(c) => q(c).map(n => s"$n IS NULL")
       case sources.IsNotNull(c) => q(c).map(n => s"$n IS NOT NULL")

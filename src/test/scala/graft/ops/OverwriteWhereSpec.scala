@@ -150,4 +150,55 @@ class OverwriteWhereSpec extends SparkSuite {
       "SELECT id, tag, v FROM VALUES (900L, 'all', 1L) AS t(id, tag, v)")
     assert(spark.table(s"$cat.docs").count() == 1)
   }
+
+  test("CHECK constraints are enforced on the replacement rows of the " +
+      "SUBSET path (replaceOwners stages directly — no free pass)") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> docs(0 until 10).repartition(1)),
+      statsBy = Map("docs" -> Seq("id")),
+      checks = Map("docs" -> Map("pos_v" -> "v >= 0")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> docs(10 until 20).repartition(1)),
+      parent = AtomicPublish.currentTxn(spark, root))
+    val before = AtomicPublish.currentTxn(spark, root)
+    // replacement inside the predicate but violating the table's CHECK
+    val bad = Seq((12L, "fixed", -5L)).toDF("id", "tag", "v")
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.overwriteWhere(spark, root, "docs", bad,
+        "id >= 10 AND id < 20")
+    }
+    assert(e.getMessage.contains(AtomicPublish.CheckViolation) &&
+      e.getMessage.contains("pos_v"), e.getMessage)
+    assert(AtomicPublish.currentTxn(spark, root) == before, "partial state")
+    // a clean replacement passes and keeps the rules recorded
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      Seq((12L, "fixed", 5L)).toDF("id", "tag", "v"),
+      "id >= 10 AND id < 20")
+    val m = AtomicPublish.currentManifestMeta(spark, root).get._2("docs")
+    assert(m.checks == Map("pos_v" -> "v >= 0"))
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 11)
+  }
+
+  test("classic syntax: INSERT OVERWRITE t PARTITION (c = v) on an " +
+      "identity-partitioned table replaces exactly that partition") {
+    val root = freshRoot()
+    val cat = "owpcat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val cells = (0 until 30).map(i => (i.toLong, s"p$i", i % 3))
+      .toDF("id", "payload", "cell")
+    AtomicPublish.publish(spark, root, Map("cells" -> cells),
+      partitionBy = Map("cells" -> Seq("cell")))
+    spark.sql(s"INSERT OVERWRITE $cat.cells PARTITION (cell = 1) " +
+      "SELECT id, payload FROM VALUES (100L, 'fresh'), (101L, 'fresh') " +
+      "AS t(id, payload)")
+    val got = spark.table(s"$cat.cells")
+    assert(got.count() == 22, "two partitions kept + two fresh rows")
+    assert(got.filter(col("cell") === 1).count() == 2)
+    assert(got.filter(col("cell") === 1 && col("payload") === "fresh")
+      .count() == 2)
+    assert(got.filter(col("cell") =!= 1).count() == 20, "other cells lost")
+  }
 }
