@@ -917,6 +917,70 @@ object TextOps {
       |FROM kept JOIN tot USING (source)
       |GROUP BY source, n_total ORDER BY source""".stripMargin
 
+  // --- sp8: temperature-flattened language rebalance ---------------------------
+
+  /** SP8: TEMPERATURE-FLATTENED language rebalancing — the α-sampling
+    * step of every multilingual training mix (XLM-R's p_i ∝ n_i^α):
+    * over-represented languages downsample toward the geometric mean
+    * of their size and the SMALLEST language's, i.e. α = 0.5 with
+    * `k_i = floor(sqrt(n_i * min_n))` — the smallest language keeps
+    * everything (sqrt(min²) = min), a 10×-larger one keeps ~√10×, and
+    * the exponent gap to uniform shrinks by half. The formula is
+    * deliberately NORMALIZATION-FREE: a Σ n_j^α denominator would sum
+    * doubles in engine-dependent order and flip floor boundaries,
+    * while `n_i * min_n` is an exact integer product (< 2^53), sqrt
+    * is correctly rounded IEEE in both engines, and floor of it is
+    * therefore engine-stable everywhere except exact perfect squares —
+    * where sqrt is exact anyway. WHICH documents survive is
+    * md5-rank-deterministic per language (the sp5/sp7 pattern).
+    *
+    * Plan shape at 100 TB: per-language counts are one aggregate
+    * (broadcast back — #langs rows), ranking is a per-language window
+    * (partition-parallel), output is a per-language aggregate. */
+  def sp8TemperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+    val minN = broadcast(docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("min_n")))
+    val hashRank = conv(substring(
+      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(hashRank, col("doc_id"))
+    val perLang = broadcast(docs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_total")))
+    val kept = docs
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(perLang, Seq("lang"))
+      .crossJoin(minN)
+      .filter(col("rk") <=
+        expr("CAST(floor(sqrt(CAST(n_total * min_n AS DOUBLE))) AS BIGINT)"))
+    kept.groupBy(col("lang"), col("n_total"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept"))
+      .select(col("lang"), col("n_total"), col("n_kept"), col("sum_kept"))
+      .orderBy(col("lang"))
+  }
+
+  val sp8TemperatureSampleSql: String =
+    """WITH counts AS (
+      |  SELECT lang, count(*)::BIGINT AS n_total
+      |  FROM documents GROUP BY lang),
+      |m AS (SELECT min(n_total) AS min_n FROM counts),
+      |ranked AS (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |               doc_id) AS rk
+      |  FROM documents),
+      |kept AS (
+      |  SELECT r.lang, r.doc_id, c.n_total
+      |  FROM ranked r JOIN counts c USING (lang), m
+      |  WHERE r.rk <= CAST(floor(sqrt(CAST(c.n_total * m.min_n AS DOUBLE))) AS BIGINT))
+      |SELECT lang, n_total, count(*)::BIGINT AS n_kept,
+      |  sum(doc_id)::BIGINT AS sum_kept
+      |FROM kept GROUP BY lang, n_total ORDER BY lang""".stripMargin
+
   // --- t10: corpus vocabulary coverage / OOV rate ------------------------------
 
   /** A word is IN-VOCAB when it appears in at least 1/denom of the
@@ -993,6 +1057,7 @@ object TextOps {
     "sp5_mixture_sample" -> (sp5MixtureSample _),
     "sp6_curriculum" -> (sp6CurriculumInterleave _),
     "sp7_domain_cap" -> (sp7DomainCap _),
+    "sp8_temperature_sample" -> (sp8TemperatureSample _),
     "t9_pii_redact" -> (t9PiiRedact _),
     "t10_oov_rate" -> (t10OovRate _),
   )
@@ -1013,6 +1078,7 @@ object TextOps {
     "sp5_mixture_sample" -> sp5MixtureSampleSql,
     "sp6_curriculum" -> sp6CurriculumInterleaveSql,
     "sp7_domain_cap" -> sp7DomainCapSql,
+    "sp8_temperature_sample" -> sp8TemperatureSampleSql,
     "t9_pii_redact" -> t9PiiRedactSql,
     "t10_oov_rate" -> t10OovRateSql,
   )
