@@ -269,10 +269,38 @@ object ScaleRehearsal {
       .filter(col("rid") < 10).select("nc").collect()
       .forall(_.getLong(0) == -1L),
       "composite upsert did not replace the keyed tuples")
+    // --- predicate-scoped OVERWRITE (day-backfill) at the history (r9)
+    // a fourth clone takes overwriteWhere over the SAME ~5% rid range:
+    // only the admitting owners rewrite (their non-matching rows kept,
+    // replacement row-guarded inside the predicate), everything else
+    // carries by reference — the re-statement cost must sit with the
+    // scoped compaction, nowhere near the full rewrite
+    require(AtomicPublish.cloneTable(spark, root, "docs", "docs_rw")
+      .isDefined)
+    val rwReplacement = docs
+      .filter(col("rid") >= scLo && col("rid") < scHi)
+      .select(col("rid"), col("doc_id"), col("lang"),
+        (col("nc") + 1L).as("nc"))
+    val (_, replaceWhereSec) = timed {
+      AtomicPublish.overwriteWhere(spark, root, "docs_rw",
+        rwReplacement, s"rid >= $scLo AND rid < $scHi")
+      ()
+    }
+    require(AtomicPublish.readTable(spark, root, "docs_rw").count() == n,
+      "replaceWhere changed the row count (1:1 re-statement)")
+    val rwOwners = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("docs_rw").owners.size
+    require(rwOwners > 1 && rwOwners < segments,
+      s"replaceWhere owner count $rwOwners not a strict subset " +
+        s"rewrite of $segments")
+    if (segments >= 100)
+      require(replaceWhereSec < fullCompactSec,
+        f"replaceWhere ($replaceWhereSec%.2fs) not cheaper than the " +
+          f"full rewrite ($fullCompactSec%.2fs) at $segments segments")
     // the clones served their phases — drop them so later phases and
     // vacuum reasoning see the original store shape
     AtomicPublish.publishDelta(spark, root, append = Map.empty,
-      drop = Seq("docs_sc", "docs_fc", "docs_cc"),
+      drop = Seq("docs_sc", "docs_fc", "docs_cc", "docs_rw"),
       parent = AtomicPublish.currentTxn(spark, root))
     // --- hidden time partitioning at a production dir count (r8) ------
     // days(ts)-partitioned events: one UTC-day dir per ~30-minute rid
@@ -589,6 +617,7 @@ object ScaleRehearsal {
       "store_catalog_point_read" -> catalogPointSec,
       "store_scoped_compact" -> scopedCompactSec,
       "store_full_compact" -> fullCompactSec,
+      "store_replace_where" -> replaceWhereSec,
       "store_composite_upsert" -> compositeUpsertSec,
       "store_composite_read" -> compositeReadSec,
       "store_transform_stage" -> tfStageSec,

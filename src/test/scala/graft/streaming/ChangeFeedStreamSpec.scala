@@ -294,6 +294,47 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(got.toSet == Set(("delete", 5L, 50L)), got)
   }
 
+  test("CDC updateImages over a COMPOSITE delete key: classification " +
+      "matches the full tuple — a sibling chunk of the same doc is " +
+      "not misread as updated") {
+    val root = freshRoot()
+    // (doc_id, chunk_no)-keyed chunks: doc_id alone is NOT unique
+    val chunks = Seq((1L, 0L, "a0"), (1L, 1L, "a1"), (2L, 0L, "b0"))
+      .toDF("doc_id", "chunk_no", "text")
+    AtomicPublish.publish(spark, root, Map("chunks" -> chunks))
+    val ckpt = Files.createTempDirectory("cdc-comp-ck").toString
+    val got = mutable.ArrayBuffer.empty[(String, Long, Long, String)]
+    def run(): Unit = drain(
+      spark.readStream.format("graft")
+        .option("root", root).option("table", "chunks")
+        .option("withDeletes", "true")
+        .option("updateImages", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got ++= df.collect().map(r =>
+            (r.getString(3), r.getLong(0), r.getLong(1), r.getString(2)))
+          ()
+        }.start())
+    run()
+    assert(got.size == 3 && got.forall(_._1 == "insert"))
+    // ONE upsert keyed by the TUPLE: only (1,1) changes; (1,0) — same
+    // doc_id, different chunk — must stay untouched and untagged
+    val up = Seq((1L, 1L, "a1-fixed"), (3L, 0L, "c0"))
+      .toDF("doc_id", "chunk_no", "text")
+    AtomicPublish.upsertMany(spark, root, Map("chunks" ->
+      AtomicPublish.Upsert(up, up.select("doc_id", "chunk_no"))))
+    got.clear(); run()
+    val byType = got.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3, x._4)).toSet).toMap
+    assert(byType.get("update_preimage")
+      .contains(Set((1L, 1L, "a1"))), byType)
+    assert(byType.get("update_postimage")
+      .contains(Set((1L, 1L, "a1-fixed"))), byType)
+    assert(byType.get("insert").contains(Set((3L, 0L, "c0"))), byType)
+    assert(!byType.contains("delete"), byType)
+  }
+
   test("maxOwnersPerTrigger (ADMISSION CONTROL): a deep backlog drains " +
       "as bounded paced batches — no batch exceeds the cap, nothing " +
       "lost, nothing duplicated, restart resumes exactly") {
