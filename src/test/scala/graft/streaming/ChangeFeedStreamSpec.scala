@@ -294,6 +294,68 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(got.toSet == Set(("delete", 5L, 50L)), got)
   }
 
+  test("SQL MERGE INTO feeds updateImages: the full CDF journey — a " +
+      "catalog MERGE's updated keys stream as pre/post pairs") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> slice(0 until 10, "en")))
+    // MERGE INTO needs the DML-rewrite extensions: a second session
+    // over the shared context (the StoreDmlSpec pattern); the stream
+    // keeps running on the plain session — same store, same commits
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2: SparkSession =
+      try SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(
+          new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
+        .getOrCreate()
+      finally {
+        SparkSession.setActiveSession(prev)
+        SparkSession.setDefaultSession(prev)
+      }
+    val cat = "cdcmerge"
+    s2.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.ops.GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val ckpt = Files.createTempDirectory("cdc-merge-ck").toString
+    val got = mutable.ArrayBuffer.empty[(String, Long, Long)]
+    def run(): Unit = drain(
+      spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("updateImages", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          got ++= df.collect().map(r =>
+            (r.getString(3), r.getLong(0), r.getLong(2)))
+          ()
+        }.start())
+    run() // snapshot
+    assert(got.size == 10 && got.forall(_._1 == "insert"))
+    // one SQL MERGE: key 2 updates, key 20 is fresh — the merge-on-read
+    // upsert commit (tombstone + append) classifies in the feed
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    try s2.sql(
+      s"""MERGE INTO $cat.docs t
+         |USING (SELECT col1 AS doc_id, col2 AS lang, col3 AS words
+         |       FROM VALUES (2L, 'xx', 999L), (20L, 'xx', 200L)) s
+         |ON t.doc_id = s.doc_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    finally prevActive.foreach(SparkSession.setActiveSession)
+    got.clear(); run()
+    val byType = got.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3)).toSet).toMap
+    assert(byType.get("update_preimage").contains(Set((2L, 20L))), byType)
+    assert(byType.get("update_postimage").contains(Set((2L, 999L))), byType)
+    assert(byType.get("insert").contains(Set((20L, 200L))), byType)
+    assert(!byType.contains("delete"), byType)
+  }
+
   test("CDC updateImages over a COMPOSITE delete key: classification " +
       "matches the full tuple — a sibling chunk of the same doc is " +
       "not misread as updated") {
