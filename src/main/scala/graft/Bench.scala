@@ -107,6 +107,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures a bounded stdout TAIL: the long per-query line
+    // above can get its head (where "metric":"total" lives) cut off
+    // (BENCH_r06–r09 "parsed": null). Emit a short summary LAST — the
+    // tail always contains the final line — so the total stays parseable
+    // regardless of how many queries the big line carries.
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

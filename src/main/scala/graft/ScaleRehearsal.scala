@@ -492,6 +492,31 @@ object ScaleRehearsal {
     require(sinkLastP50 <= sinkFirstP50 * 8 + 0.05,
       f"sink per-batch commit grew superlinearly: first-quintile p50 " +
         f"$sinkFirstP50%.3fs → last-quintile p50 $sinkLastP50%.3fs")
+    // --- CDC continuity across auto-compaction (r10) -------------------
+    // a change-feed consumer that drained the sink BEFORE maintenance
+    // must ride through the auto-compaction (a reorganization commit,
+    // dataChange=false) on the SAME checkpoint instead of resyncing —
+    // the operational contract that lets a downstream stream survive
+    // the engine's own upkeep, at the rehearsal's commit depth
+    val sinkCk = new java.io.File(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_sinkck_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    var feedRows = 0L
+    def drainFeed(): Unit = {
+      val fq = spark.readStream.format("graft")
+        .option("root", sinkRoot).option("table", "events").load()
+        .writeStream.option("checkpointLocation", sinkCk)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          feedRows += df.count(); ()
+        }
+        .start()
+      fq.awaitTermination()
+    }
+    drainFeed() // consumes the pre-maintenance backlog
+    require(feedRows == batches * perBatch,
+      s"pre-maintenance change feed saw $feedRows rows")
     graft.ops.Compaction.autoCompact(spark, sinkRoot,
       AtomicPublish.currentTxn(spark, sinkRoot).get,
       maxOwners = 32, targetFileBytes = 128L << 20)
@@ -501,6 +526,17 @@ object ScaleRehearsal {
       s"auto-compaction left ${sinkMeta.owners.size} sink owners")
     require(AtomicPublish.readTable(spark, sinkRoot, "events").count() ==
       batches * perBatch, "auto-compaction changed the sink row count")
+    // one more microbatch after the maintenance, then the SAME
+    // checkpoint drains an interval spanning the compaction: exactly
+    // the new rows arrive — no resync, nothing spurious, nothing lost
+    sink.addBatch(batches.toLong, batchDf(batches.toLong))
+    drainFeed()
+    require(feedRows == (batches + 1) * perBatch,
+      s"change feed across auto-compaction saw $feedRows rows, " +
+        s"expected ${(batches + 1) * perBatch} (resync or loss)")
+    require(AtomicPublish.readTable(spark, sinkRoot, "events").count() ==
+      (batches + 1) * perBatch,
+      "post-maintenance microbatch lost rows")
     // --- minor-compaction ingest: maintenance must stay O(tail) --------
     // a fresh root fed by `cycles` small appends with auto-compaction
     // after every commit (maxOwners = 8; the GRADUATION target scales

@@ -1602,6 +1602,110 @@ object AdvancedQueries {
       |WHERE ts >= '2024-01-05' AND ts < '2024-01-20'
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  private val store17Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** store17 — CDC-TRANSPARENT COMPACTION end to end (VERDICT-r9 ask
+    * #1): a downstream MIRROR store is maintained purely from the CDC
+    * stream (`withDeletes`) of a source table whose un-drained window
+    * holds an append, row deletes, a FULL COMPACTION (the tombstone
+    * debt applied physically — a reorganization commit,
+    * dataChange=false), and a post-compaction append. Pre-r10 the
+    * compaction forced `GRAFT_RESYNC_REQUIRED` on the stream; now the
+    * commit chain's dataChange markers let the interval diff ride
+    * through, and the stream-maintained mirror must hash-match
+    * DuckDB's recomputation of the same delete/append algebra. */
+  def store17CdcCompaction(spark: SparkSession, dir: String): DataFrame = {
+    val mirrorRoot = Tables.memoFresh(store17Cache, spark, dir,
+      "documents") {
+      stageStore17(spark, dir)
+    }
+    val cat = catalogFor(spark, "store17", mirrorRoot)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(length(text)) AS n_chars
+         |FROM $cat.mirror
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore17(spark: SparkSession, dir: String): String = {
+    import graft.ops.{AtomicPublish, Compaction}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store17")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val srcRoot = tmp.resolve("src").toString
+    val mirRoot = tmp.resolve("mirror").toString
+    val ckpt = tmp.resolve("ckpt").toString
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+    def seg(k: Int) = docs.filter(pmod(col("doc_id"), lit(3)) === k)
+      .repartition(2)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("root", srcRoot).option("table", "documents")
+        .option("withDeletes", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          // a real SCD sync: the signed batch's deletes tombstone the
+          // mirror, its inserts append — both through the mirror's own
+          // atomic commits
+          val cached = df.persist()
+          try {
+            val del = cached
+              .filter(col("_change_type") === "delete").select("doc_id")
+            val ins = cached
+              .filter(col("_change_type") === "insert")
+              .drop("_change_type")
+            if (AtomicPublish.currentTxn(spark, mirRoot).isEmpty) {
+              AtomicPublish.publish(spark, mirRoot, Map("mirror" -> ins))
+              ()
+            } else {
+              if (!del.isEmpty)
+                AtomicPublish.deleteRows(spark, mirRoot,
+                  Map("mirror" -> del))
+              if (!ins.isEmpty)
+                AtomicPublish.publishDelta(spark, mirRoot,
+                  append = Map("mirror" -> ins),
+                  parent = AtomicPublish.currentTxn(spark, mirRoot))
+              ()
+            }
+          } finally { cached.unpersist(); () }
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    // v1: first segment; the snapshot batch bootstraps the mirror
+    AtomicPublish.publish(spark, srcRoot, Map("documents" -> seg(0)))
+    drain()
+    // ONE un-drained window: append, delete, full compaction, append —
+    // the stream must ride through the reorganization exactly. The
+    // mod-41 deletes kill only the seg0/seg1 copies (seg2 lands after
+    // the tombstones' asof scope — re-appended keys stay live).
+    AtomicPublish.publishDelta(spark, srcRoot,
+      append = Map("documents" -> seg(1)),
+      parent = AtomicPublish.currentTxn(spark, srcRoot))
+    AtomicPublish.deleteRows(spark, srcRoot, Map("documents" ->
+      docs.filter(pmod(col("doc_id"), lit(41)) === 3).select("doc_id")))
+    Compaction.compactStore(spark, srcRoot, "documents")
+    AtomicPublish.publishDelta(spark, srcRoot,
+      append = Map("documents" -> seg(2)),
+      parent = AtomicPublish.currentTxn(spark, srcRoot))
+    drain()
+    mirRoot
+  }
+
+  val store17CdcCompactionSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(length(text))::BIGINT AS n_chars
+      |FROM documents
+      |WHERE doc_id % 3 = 2 OR doc_id % 41 <> 3
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private def stageStore1(spark: SparkSession, dir: String): String = {
     import graft.ops.AtomicPublish
     val tmp = java.nio.file.Files.createTempDirectory("graft-store1")
@@ -2383,6 +2487,7 @@ object AdvancedQueries {
     "store14_time_partition" -> (store14TimePartition _),
     "store15_partition_evolution" -> (store15PartitionEvolution _),
     "store16_replace_where" -> (store16ReplaceWhere _),
+    "store17_cdc_compaction" -> (store17CdcCompaction _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -2447,6 +2552,7 @@ object AdvancedQueries {
     "store14_time_partition" -> store14TimePartitionSql,
     "store15_partition_evolution" -> store15PartitionEvolutionSql,
     "store16_replace_where" -> store16ReplaceWhereSql,
+    "store17_cdc_compaction" -> store17CdcCompactionSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

@@ -823,49 +823,92 @@ object AtomicPublish {
     * `TIMESTAMP AS OF` resolution deterministic instead of
     * filesystem-clock-resolution-dependent. */
   private def markCommitted(spark: SparkSession, root: String,
-      txn: String, seq: Long = 0L, op: String = ""): Unit =
+      txn: String, seq: Long = 0L, op: String = "",
+      parent: Option[String] = None,
+      dataChange: Boolean = true): Unit =
     try {
       val vdir = new Path(root, s"v_$txn")
       val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val mos = fs.create(new Path(vdir, CommitMarker), true)
       // `op=` names WHAT the commit did (DESCRIBE HISTORY-grade
-      // observability); single-line, best-effort like the rest
+      // observability); single-line, best-effort like the rest.
+      // `parent=` records the commit chain link (the CDC chain walk
+      // rides it); `datachange=false` marks a REORGANIZATION commit —
+      // same logical rows, new layout (compaction, clustering) — the
+      // Delta `dataChange=false` vocabulary: change-feed consumers
+      // skip it instead of resyncing.
       val opLine =
         if (op.isEmpty) "" else "\nop=" + op.replaceAll("[\r\n]", " ")
+      val parentLine = parent.map(p => s"\nparent=$p").getOrElse("")
+      val dcLine = if (dataChange) "" else "\ndatachange=false"
       try mos.write(
-        s"$txn\nseq=$seq$opLine".getBytes(StandardCharsets.UTF_8))
+        s"$txn\nseq=$seq$opLine$parentLine$dcLine"
+          .getBytes(StandardCharsets.UTF_8))
       finally mos.close()
     } catch { case _: Throwable => () }
+
+  /** Everything a commit marker records about `txn`. Fields absent
+    * from older markers parse as None/default; a missing or unreadable
+    * marker is None (marker writes are best-effort). */
+  final case class CommitInfo(seq: Option[Long], op: Option[String],
+      parent: Option[String], dataChange: Boolean)
+
+  def commitInfoOf(spark: SparkSession, root: String,
+      txn: String): Option[CommitInfo] =
+    try {
+      val p = new Path(new Path(root, s"v_$txn"), CommitMarker)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val in = fs.open(p)
+      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .mkString finally in.close()
+      val lines = content.linesIterator.toSeq
+      Some(CommitInfo(
+        seq = lines.collectFirst {
+          case l if l.startsWith("seq=") => l.stripPrefix("seq=").toLong },
+        op = lines.collectFirst {
+          case l if l.startsWith("op=") => l.stripPrefix("op=") },
+        parent = lines.collectFirst {
+          case l if l.startsWith("parent=") => l.stripPrefix("parent=") },
+        dataChange = !lines.contains("datachange=false")))
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The commit sequence recorded in `txn`'s marker (None: pre-seq
     * marker, missing marker, unreadable). */
   private def commitSeqOf(spark: SparkSession, root: String,
       txn: String): Option[Long] =
-    try {
-      val p = new Path(new Path(root, s"v_$txn"), CommitMarker)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString finally in.close()
-      content.linesIterator.collectFirst {
-        case l if l.startsWith("seq=") => l.stripPrefix("seq=").toLong
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    commitInfoOf(spark, root, txn).flatMap(_.seq)
 
   /** The operation label recorded in `txn`'s marker (None: pre-label
     * marker, missing marker, unreadable). */
   def commitOpOf(spark: SparkSession, root: String,
       txn: String): Option[String] =
-    try {
-      val p = new Path(new Path(root, s"v_$txn"), CommitMarker)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val in = fs.open(p)
-      val content = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .mkString finally in.close()
-      content.linesIterator.collectFirst {
-        case l if l.startsWith("op=") => l.stripPrefix("op=")
+    commitInfoOf(spark, root, txn).flatMap(_.op)
+
+  /** The commit chain from `sinceTxn` (EXCLUSIVE) to `at` (inclusive),
+    * oldest first, each txn with its dataChange flag — walked BACKWARD
+    * via the `parent=` links commit markers record. None when a link
+    * is missing (a pre-link marker, or the best-effort marker write
+    * failed) or the walk does not reach `sinceTxn`: callers fall back
+    * to the endpoint-diff behavior (resync on a rewrite). O(interval)
+    * marker reads, no manifest or data access. */
+  private[ops] def chainBetween(spark: SparkSession, root: String,
+      sinceTxn: String, at: String): Option[Seq[(String, Boolean)]] = {
+    val acc = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+    var cur = at
+    var steps = 0
+    while (cur != sinceTxn) {
+      steps += 1
+      // backstop far above any real history depth (vacuum bounds it)
+      if (steps > 1000000) return None
+      commitInfoOf(spark, root, cur) match {
+        case Some(ci) if ci.parent.isDefined =>
+          acc.prepend((cur, ci.dataChange))
+          cur = ci.parent.get
+        case _ => return None
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    Some(acc.toList)
+  }
 
   /** min/max value encoding per type: timestamps leave as epoch micros
     * (a session-timezone-dependent string cast would corrupt the zone
@@ -1791,7 +1834,14 @@ object AtomicPublish {
       /** Operation label for the commit marker (`CALL history`'s
         * `operation` column). None = derived from the delta's shape
         * (APPEND / REPLACE / DROP, joined by '+'). */
-      opLabel: Option[String] = None)
+      opLabel: Option[String] = None,
+      /** `false` marks this commit as a REORGANIZATION (Delta's
+        * `dataChange=false`): the replace carries the SAME logical
+        * rows in a new layout (compaction, clustering), so change-feed
+        * consumers ride through it instead of resyncing. The caller
+        * GUARANTEES content preservation — only the engine's own
+        * maintenance paths ([[graft.ops.Compaction]]) should set it. */
+      dataChange: Boolean = true)
       : Option[String] = {
     require(append.nonEmpty || replace.nonEmpty || drop.nonEmpty,
       "publishDelta needs at least one appended, replaced or dropped table")
@@ -2016,7 +2066,8 @@ object AtomicPublish {
             if (append.nonEmpty) Some("APPEND") else None,
             if (replace.nonEmpty) Some("REPLACE") else None,
             if (drop.nonEmpty) Some("DROP " + drop.mkString(","))
-            else None).flatten.mkString("+")))
+            else None).flatten.mkString("+")),
+          parent = parent, dataChange = dataChange)
         Some(txn)
       } else None
     } catch {
@@ -2103,7 +2154,7 @@ object AtomicPublish {
           s"restore '$table' to $toTxn")
         markCommitted(spark, root, txn, seq = p
           .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L),
-          op = s"RESTORE $table")
+          op = s"RESTORE $table", parent = p)
         Some(txn)
       } else None
     } catch {
@@ -2137,8 +2188,10 @@ object AtomicPublish {
     require(prefixCheck.exists(_.startsWith(keepOwners)),
       s"replaceTail: keepOwners must be a strict prefix of " +
         s"'$table''s owner chain")
+    // a tail compaction preserves every logical row — mark the commit
+    // dataChange=false so change-feed consumers ride through it
     replaceOwners(spark, root, table, keepOwners, tail, parent,
-      op = s"COMPACT TAIL $table")
+      op = s"COMPACT TAIL $table", dataChange = false)
   }
 
   /** SUBSET-compaction commit — [[replaceTail]] generalized from
@@ -2155,7 +2208,8 @@ object AtomicPublish {
     * tables take the full [[graft.ops.Compaction.compactStore]]. */
   private[ops] def replaceOwners(spark: SparkSession, root: String,
       table: String, keepOwners: Seq[String], tail: DataFrame,
-      parent: String, op: String = "REPLACE SUBSET"): Option[String] = {
+      parent: String, op: String = "REPLACE SUBSET",
+      dataChange: Boolean = true): Option[String] = {
     val rootPath = new Path(root)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     inFlight.add(txn)
@@ -2193,7 +2247,7 @@ object AtomicPublish {
       if (committed) {
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, parent).map(_ + 1).getOrElse(0L),
-          op = op)
+          op = op, parent = Some(parent), dataChange = dataChange)
         Some(txn)
       } else None
     } catch {
@@ -2281,7 +2335,7 @@ object AtomicPublish {
           cloneNeeded, fs, s"clone '$source'@$at as '$target'")
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
-          op = s"CLONE $source -> $target")
+          op = s"CLONE $source -> $target", parent = Some(p))
         Some(txn)
       } else None
     } catch {
@@ -2331,7 +2385,7 @@ object AtomicPublish {
     // rollback's seq derives from it and no slot is skipped
     val txnSeq = parent.flatMap(commitSeqOf(spark, root, _))
       .map(_ + 1).getOrElse(0L)
-    markCommitted(spark, root, txn, seq = txnSeq)
+    markCommitted(spark, root, txn, seq = txnSeq, parent = parent)
     val rollback = java.util.UUID.randomUUID().toString.replace("-", "")
     val rolledBack =
       try {
@@ -2344,7 +2398,7 @@ object AtomicPublish {
       } catch { case scala.util.control.NonFatal(_) => false }
     if (rolledBack)
       markCommitted(spark, root, rollback, seq = txnSeq + 1,
-        op = "ROLLBACK")
+        op = "ROLLBACK", parent = Some(txn))
     throw new IllegalStateException(
       s"$what: a concurrent vacuum reclaimed segment(s) " +
         s"${gone.mkString(", ")} between the pre-commit check and the " +
@@ -2398,7 +2452,7 @@ object AtomicPublish {
       if (committed) {
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
-          op = s"RENAME $from -> $to")
+          op = s"RENAME $from -> $to", parent = Some(p))
         Some(txn)
       } else None
     } catch {
@@ -2478,7 +2532,7 @@ object AtomicPublish {
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
           op = s"SET PARTITION SPEC $table (" +
-            newSpec.mkString(",") + ")")
+            newSpec.mkString(",") + ")", parent = Some(p))
         Some(txn)
       } else None
     } catch {
@@ -2538,6 +2592,28 @@ object AtomicPublish {
       val metas = manifestMetaOf(spark, root, parent)
       val m = metas.getOrElse(table, throw new IllegalArgumentException(
         s"table '$table' is not in version $parent under $root"))
+      // up-front named validation (ADVICE-r9): without it the subset
+      // path's checkGuarded would null-fill columns the replacement
+      // forgot (a malformed replacement silently committing NULLs)
+      // while the COW path surfaced a raw unionByName analysis error —
+      // refuse malformed replacements identically on every route,
+      // before any data moves
+      m.schema.foreach { rec =>
+        val recNames = rec.fieldNames.toSet
+        val replNames = replacement.columns.toSet
+        val missing = rec.fieldNames.filterNot(replNames)
+        val unknown = replacement.columns.filterNot(recNames)
+        if (missing.nonEmpty || unknown.nonEmpty)
+          throw new IllegalArgumentException(
+            s"GRAFT_OVERWRITE_SCHEMA_MISMATCH: overwriteWhere('$table') " +
+              "replacement does not match the recorded schema" +
+              (if (missing.nonEmpty)
+                s"; missing: ${missing.mkString(", ")}" else "") +
+              (if (unknown.nonEmpty)
+                s"; unknown: ${unknown.mkString(", ")}" else "") +
+              " — an overwrite re-states rows of the table's recorded " +
+              "shape (schema evolution goes through append/ALTER)")
+      }
       val tombstoned = metas.get(deleteTableOf(table))
         .exists(_.owners.nonEmpty)
       val committed: Option[String] = try {
@@ -2630,7 +2706,7 @@ object AtomicPublish {
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
           op = (if (predicate.isDefined) "ADD CHECK " else "DROP CHECK ") +
-            s"$table.$name")
+            s"$table.$name", parent = Some(p))
         Some(txn)
       } else None
     } catch {
@@ -2947,9 +3023,18 @@ object AtomicPublish {
       val meta = metas.getOrElse(t, throw new IllegalArgumentException(
         s"table '$t' is not in version $parent under $root"))
       validateDeleteKey(t, meta, u.keys, metas)
+      // tombstone key frames are id-only but a snapshot-sized upsert
+      // can carry millions of keys: size the frame from the plan's
+      // byte estimate (the Compaction.partitionsFor rule) instead of
+      // funnelling through one task, clamped so the usual tiny frame
+      // still lands as a single file
+      val estBytes = u.keys.queryExecution.optimizedPlan.stats
+        .sizeInBytes.min(BigInt(Long.MaxValue)).toLong
+      val keyParts = math.min(256,
+        Compaction.partitionsFor(estBytes, 64L * 1024 * 1024))
       deleteTableOf(t) -> u.keys
         .withColumn(TombAsofCol, lit(meta.owners.size))
-        .repartition(1)
+        .repartition(keyParts)
     }
     publishDelta(spark, root,
       append = upserts.map { case (t, u) => t -> u.rows } ++ tombs ++
@@ -3314,19 +3399,222 @@ object AtomicPublish {
     val after = manifestMetaOf(spark, root, at).getOrElse(table,
       throw new IllegalArgumentException(
         s"table '$table' is not in version $at under $root"))
+    def emptyLike = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      after.schema.getOrElse(
+        readSegments(spark, root, table, after, after.owners).schema))
     // append-only evolution keeps every prior owner; a missing one
     // means the table was replaced in the interval
-    if (!before.forall(after.owners.contains)) None
-    else {
+    if (before.forall(after.owners.contains)) {
       val added = after.owners.filterNot(before.contains)
       Some(
-        if (added.isEmpty)
-          spark.createDataFrame(
-            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-            after.schema.getOrElse(
-              readSegments(spark, root, table, after, after.owners).schema))
+        if (added.isEmpty) emptyLike
         else readSegments(spark, root, table, after, added))
+    } else {
+      // REPLACED in the interval: ride through if every chain-breaking
+      // commit is a content-preserving reorganization (dataChange=false
+      // — compaction, clustering). The walk splits the interval into
+      // data-changing sub-intervals at the reorg commits; each
+      // sub-interval's appended owners read at THEIR OWN version (the
+      // segments survive on disk under the retention contract), so a
+      // row appended before a compaction is served from its original
+      // segment, never re-derived from the mixed rewrite output. A
+      // chain-breaking commit that IS a data change (upsert, scoped
+      // overwrite) still returns None — a rewrite is not diffable.
+      chainBetween(spark, root, sinceTxn, at).flatMap { chain =>
+        walkAppendedOwners(spark, root, table, sinceTxn, chain)
+          .map { parts =>
+            val frames = parts.map { case (meta, owners) =>
+              readSegments(spark, root, table, meta, owners) }
+            if (frames.isEmpty) emptyLike
+            else alignFrames(frames, after.schema.getOrElse(
+              frames.last.schema))
+          }
+      }
     }
+  }
+
+  /** The per-sub-interval appended owners of `table` across `chain`
+    * (each with the manifest meta of its sub-interval END, which is
+    * how the segments must be read), or None when a DATA-CHANGING
+    * commit in the chain broke the owner-prefix invariant (a genuine
+    * rewrite — not diffable). Reorganization commits
+    * (dataChange=false) are skipped: their rewrites carry the same
+    * logical rows, so they contribute nothing and re-base the
+    * bookkeeping. */
+  private def walkAppendedOwners(spark: SparkSession, root: String,
+      table: String, sinceTxn: String, chain: Seq[(String, Boolean)],
+      /** Cap the named version's chain at this position — the
+        * streaming face paces batches to offsets that may cover only a
+        * PREFIX of the end version's chain. */
+      endCap: Option[(String, Int)] = None)
+      : Option[Seq[(TableMeta, Seq[String])]] = {
+    val memo = scala.collection.mutable.Map.empty[String, Seq[String]]
+    val metaMemo = scala.collection.mutable.Map.empty[String, Option[TableMeta]]
+    def metaAt(t: String): Option[TableMeta] =
+      metaMemo.getOrElseUpdate(t, manifestMetaOf(spark, root, t).get(table))
+    def ownersAt(t: String): Seq[String] = {
+      val full = memo.getOrElseUpdate(t,
+        metaAt(t).map(_.owners).getOrElse(Nil))
+      endCap match {
+        case Some((ct, n)) if ct == t => full.take(n)
+        case _ => full
+      }
+    }
+    val out = scala.collection.mutable.ListBuffer
+      .empty[(TableMeta, Seq[String])]
+    // consecutive append steps coalesce into one run, read with the
+    // run-END version's meta (its chain holds every owner of the run,
+    // and its schema is the latest the run saw) — one relation per
+    // maximal append run, not one per commit
+    val runAdded = scala.collection.mutable.ListBuffer.empty[String]
+    var runMeta: Option[TableMeta] = None
+    def flush(): Unit = {
+      if (runAdded.nonEmpty) {
+        out += ((runMeta.get, runAdded.toList))
+        runAdded.clear()
+      }
+      runMeta = None
+    }
+    var prev = sinceTxn
+    for ((txn, dc) <- chain) {
+      val a = ownersAt(prev)
+      val b = ownersAt(txn)
+      if (b.startsWith(a)) {
+        runAdded ++= b.drop(a.size)
+        if (runAdded.nonEmpty) runMeta = metaAt(txn)
+      } else if (!dc) {
+        // reorganization: same rows, new chain — nothing appended;
+        // close the run (later owners live on the REWRITTEN chain and
+        // need the post-reorg meta)
+        flush()
+      } else {
+        return None // data-changing rewrite: not diffable
+      }
+      prev = txn
+    }
+    flush()
+    Some(out.toList)
+  }
+
+  /** The owner chain of `table` at version `txn` (empty when the
+    * table is absent) — the streaming face's offset arithmetic. */
+  def ownerChainAt(spark: SparkSession, root: String, table: String,
+      txn: String): Seq[String] =
+    manifestMetaOf(spark, root, txn).get(table).map(_.owners)
+      .getOrElse(Nil)
+
+  /** A CONTIGUOUS slice `[fromN, toN)` of `table`'s owner chain at
+    * `txn`, read delete-aware (merge-on-read tombstones applied, asof
+    * scopes exact) — the paced-snapshot batch of the CDC stream: the
+    * union of all slices of a version equals [[readTableAt]] of it. */
+  def readTableSlice(spark: SparkSession, root: String, table: String,
+      txn: String, fromN: Int, toN: Int): DataFrame = {
+    val metas = manifestMetaOf(spark, root, txn)
+    val m = metas.getOrElse(table, throw new IllegalArgumentException(
+      s"table '$table' is not in version $txn under $root"))
+    applyTombstones(spark, root, table, metas,
+      readSegments(spark, root, table, m, m.owners.slice(fromN, toN)))
+  }
+
+  /** The rows `table` GAINED between chain position `fromN` of
+    * `fromTxn` and position `toN` of `toTxn` — the plain change feed's
+    * batch, riding through reorganization commits (dataChange=false):
+    * owners appended before a reorg are served from their ORIGINAL
+    * segments (still on disk under the retention contract), the reorg
+    * itself contributes nothing. None when the interval holds a
+    * data-changing rewrite or the commit chain cannot be walked — the
+    * caller resyncs, exactly like [[changesSince]]. The result is
+    * conformed to `toTxn`'s recorded schema. */
+  def appendedBetween(spark: SparkSession, root: String, table: String,
+      fromTxn: String, fromN: Int, toTxn: String, toN: Int)
+      : Option[DataFrame] = {
+    val mTo = manifestMetaOf(spark, root, toTxn).getOrElse(table,
+      throw new IllegalArgumentException(
+        s"table '$table' is not in version $toTxn under $root"))
+    def emptyLike = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      mTo.schema.getOrElse(
+        readSegments(spark, root, table, mTo, mTo.owners).schema))
+    if (fromTxn == toTxn)
+      Some(
+        if (fromN >= toN) emptyLike
+        else readSegments(spark, root, table, mTo,
+          mTo.owners.slice(fromN, toN)))
+    else {
+      val mFrom = manifestMetaOf(spark, root, fromTxn).get(table)
+      val chainA = mFrom.map(_.owners).getOrElse(Nil)
+      chainBetween(spark, root, fromTxn, toTxn).flatMap { chain =>
+        walkAppendedOwners(spark, root, table, fromTxn, chain,
+          endCap = Some((toTxn, toN))).map { walked =>
+          // un-consumed backlog at the START version first, read at its
+          // own meta — a later reorg may have rewritten those owners,
+          // but their version's segments persist
+          val backlog =
+            if (fromN < chainA.size)
+              Seq((mFrom.get, chainA.drop(fromN)))
+            else Nil
+          val parts = backlog ++ walked
+          val frames = parts.map { case (meta, owners) =>
+            readSegments(spark, root, table, meta, owners) }
+          if (frames.isEmpty) emptyLike
+          else alignFrames(frames, mTo.schema.getOrElse(
+            frames.last.schema))
+        }
+      }
+    }
+  }
+
+  /** Public face of the commit-chain walk for the streaming sources:
+    * txns from `sinceTxn` (exclusive) to `at` (inclusive), oldest
+    * first, each with its dataChange flag; None when the chain cannot
+    * be walked (pre-link markers, vacuumed intermediates). */
+  def commitChainBetween(spark: SparkSession, root: String,
+      sinceTxn: String, at: String): Option[Seq[(String, Boolean)]] =
+    chainBetween(spark, root, sinceTxn, at)
+
+  /** COMMIT-INTERVAL PACING for the CDC stream: the txn on the chain
+    * from `fromTxn` to `toTxn` that admits at most ~`maxOwners` newly
+    * appended owner segments of `table` (and its tombstone companion —
+    * delete work is paced too), always at least one commit so the
+    * stream makes progress. `toTxn` when the chain cannot be walked
+    * (the unpaced behavior — the diff then resyncs if it must). */
+  def paceCommits(spark: SparkSession, root: String, table: String,
+      fromTxn: String, toTxn: String, maxOwners: Int): String =
+    chainBetween(spark, root, fromTxn, toTxn) match {
+      case None => toTxn
+      case Some(chain) =>
+        val dt = deleteTableOf(table)
+        def size(t: String): Int = {
+          val m = manifestMetaOf(spark, root, t)
+          m.get(table).map(_.owners.size).getOrElse(0) +
+            m.get(dt).map(_.owners.size).getOrElse(0)
+        }
+        var budget = maxOwners
+        var last = fromTxn
+        var prev = size(fromTxn)
+        for ((t, _) <- chain) {
+          val s = size(t)
+          val added = math.max(0, s - prev) // reorgs shrink chains → 0
+          if (last != fromTxn && added > budget) return last
+          budget -= added
+          last = t; prev = s
+        }
+        last
+    }
+
+  /** Union frames whose schemas may differ by mid-interval evolution
+    * (columns added/widened), conformed to `want` — the schema the
+    * interval's END version records, which is the feed's contract. */
+  private def alignFrames(frames: Seq[DataFrame],
+      want: StructType): DataFrame = {
+    val unioned =
+      if (frames.size == 1) frames.head
+      else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (unioned.schema == want) unioned
+    else unioned.select(want.fields.toIndexedSeq.map(f =>
+      (if (unioned.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
   }
 
   /** At most this many distinct delete keys are inlined as an `IN`
@@ -3377,6 +3665,76 @@ object AtomicPublish {
     val mTo = manifestMetaOf(spark, root, at)
     val srcT = mTo.getOrElse(table, throw new IllegalArgumentException(
       s"table '$table' is not in version $at under $root"))
+    def wantSchema: StructType = srcT.schema.getOrElse(
+      readSegments(spark, root, table, srcT, srcT.owners).schema)
+    def emptyLike = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      wantSchema)
+    cdcDiffPrefix(spark, root, table, mFrom, mTo).orElse {
+      // the interval REPLACED the table (or its tombstone chain): ride
+      // through if every chain-breaking commit is a content-preserving
+      // REORGANIZATION (dataChange=false — compaction, clustering,
+      // including the tombstone-applying full rewrite: rows it kills
+      // were already dead to every reader). The walk splits the
+      // interval into data-changing sub-intervals at the reorg commits
+      // and CONCATENATES their signed diffs. Concatenation is
+      // signed-exact (a downstream mirror applying insert/delete lands
+      // on the same end state as the endpoint diff) but not
+      // interval-net: a row appended in one sub-interval and deleted
+      // in a later one appears on BOTH sides — exactly what a
+      // restarted stream would have observed batch by batch.
+      chainBetween(spark, root, sinceTxn, at).flatMap { chain =>
+        val metaMemo = scala.collection.mutable
+          .Map(sinceTxn -> mFrom, at -> mTo)
+        def metasAt(t: String): Map[String, TableMeta] =
+          metaMemo.getOrElseUpdate(t, manifestMetaOf(spark, root, t))
+        val dt = deleteTableOf(table)
+        def unchanged(a: Map[String, TableMeta],
+            b: Map[String, TableMeta]): Boolean =
+          a.get(table).map(_.owners) == b.get(table).map(_.owners) &&
+            a.get(dt).map(_.owners) == b.get(dt).map(_.owners)
+        // sub-interval boundaries: a reorg commit closes the current
+        // sub-interval and becomes the next one's base
+        val bounds = scala.collection.mutable.ListBuffer
+          .empty[(String, String)]
+        var start = sinceTxn
+        var prev = sinceTxn
+        chain.foreach { case (t, dc) =>
+          if (!dc) {
+            if (start != prev) bounds += ((start, prev))
+            start = t
+          }
+          prev = t
+        }
+        if (start != prev) bounds += ((start, prev))
+        val parts = bounds.toList.map { case (a, b) =>
+          if (unchanged(metasAt(a), metasAt(b)))
+            Some(None) // nothing touched this table — no read at all
+          else cdcDiffPrefix(spark, root, table, metasAt(a), metasAt(b))
+            .map(Some(_))
+        }
+        if (parts.exists(_.isEmpty)) None // a data-changing rewrite
+        else {
+          val frames = parts.flatten.flatten
+          if (frames.isEmpty) Some((emptyLike, emptyLike))
+          else {
+            val want = wantSchema
+            Some((alignFrames(frames.map(_._1), want),
+              alignFrames(frames.map(_._2), want)))
+          }
+        }
+      }
+    }
+  }
+
+  /** The endpoint CDC diff of one PREFIX-EXTENDING interval — the
+    * exactness core of [[changesWithDeletes]]: None when either the
+    * table's owner chain or its tombstone chain is not a prefix
+    * extension across the interval. */
+  private def cdcDiffPrefix(spark: SparkSession, root: String,
+      table: String, mFrom: Map[String, TableMeta],
+      mTo: Map[String, TableMeta]): Option[(DataFrame, DataFrame)] = {
+    val srcT = mTo.getOrElse(table, return None)
     val srcF = mFrom.getOrElse(table, return None)
     if (!srcT.owners.startsWith(srcF.owners)) return None
     val dt = deleteTableOf(table)

@@ -229,7 +229,9 @@ object Compaction {
         else union.repartition(parts,
           PartSpec.partitionExprs(m.partitionCols, union.schema): _*)
       AtomicPublish.replaceOwners(spark, root, table, keep, shaped,
-        parent, op = s"COMPACT WHERE $table ($where)") match {
+        parent, op = s"COMPACT WHERE $table ($where)",
+        // same logical rows, new layout — CDC consumers ride through
+        dataChange = false) match {
         case Some(txn) => return Some((txn, parts))
         case None => () // a commit landed meanwhile; re-pin, retry
       }
@@ -417,7 +419,11 @@ object Compaction {
         replace = Map(table -> consolidated),
         parent = Some(parent),
         clusterBy = Map(table -> (ccols, cz)),
-        opLabel = Some(s"COMPACT $table")) match {
+        opLabel = Some(s"COMPACT $table"),
+        // the rewrite carries exactly the live rows (tombstone debt is
+        // APPLIED, not a content change: killed rows were already dead
+        // to every reader) — CDC consumers ride through
+        dataChange = false) match {
         case Some(txn) => return (txn, parts)
         case None => () // an appender committed meanwhile; re-pin, retry
       }

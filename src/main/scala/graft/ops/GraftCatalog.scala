@@ -1087,10 +1087,16 @@ final class GraftWriteBuilder(root: String, table: String,
     * satisfy the predicate). An always-true filter set degrades to
     * the full-replace (truncate) path. */
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
-    if (filters.isEmpty || filters.exists(_.isInstanceOf[sources.AlwaysTrue])) {
+    // the pushed filters are CONJUNCTS: an AlwaysTrue among them is a
+    // no-op term, not a truncate — only an all-AlwaysTrue (or empty)
+    // array means full overwrite. Treating `exists` as truncate would
+    // discard the remaining conjuncts and over-delete.
+    val conjuncts = filters.toSeq
+      .filterNot(_.isInstanceOf[sources.AlwaysTrue])
+    if (conjuncts.isEmpty) {
       overwrite = true; replaceWhere = None
     } else {
-      val conds = filters.toSeq.map { f =>
+      val conds = conjuncts.map { f =>
         GraftWriteBuilder.filterSql(f).getOrElse(
           throw new UnsupportedOperationException(
             s"INSERT OVERWRITE on '$table': filter $f is not " +
@@ -1129,8 +1135,13 @@ private[ops] object GraftWriteBuilder {
   private[ops] def filterSql(f: Filter): Option[String] = {
     import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
     def lit(v: Any): String = CLit(v).sql
+    // identifiers quote via Spark's own rule (backtick doubling) so a
+    // name containing a backtick round-trips through the re-parse
+    // instead of producing a mis-scoped predicate string
     def q(c: String): Option[String] =
-      if (c.contains(".")) None else Some(s"`$c`")
+      if (c.contains(".")) None
+      else Some(org.apache.spark.sql.catalyst.util.QuotingUtils
+        .quoteIdentifier(c))
     f match {
       case sources.EqualTo(c, v) => q(c).map(n => s"$n = ${lit(v)}")
       case sources.EqualNullSafe(c, v) =>

@@ -417,6 +417,13 @@ final class GraftSource extends RelationProvider
       parameters: Map[String, String])
       : org.apache.spark.sql.execution.streaming.Source = {
     val (root, table) = streamParams(parameters)
+    val cap = parameters.get("maxOwnersPerTrigger").map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"maxOwnersPerTrigger must be an integer, got '$v'")
+      }
+    }
     if (withDeletes(parameters))
       // consumer id = digest of the checkpoint's metadata path: stable
       // across restarts of the same stream, distinct across streams
@@ -426,18 +433,12 @@ final class GraftSource extends RelationProvider
           .map("%02x".format(_)).mkString,
         fromLatest = fromLatest(parameters),
         updateImages = parameters.get("updateImages")
-          .exists(_.equalsIgnoreCase("true")))
+          .exists(_.equalsIgnoreCase("true")),
+        maxOwnersPerTrigger = cap)
     else
       new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root,
         table, fromLatest = fromLatest(parameters),
-        maxOwnersPerTrigger = parameters.get("maxOwnersPerTrigger")
-          .map { v =>
-            try v.trim.toInt
-            catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"maxOwnersPerTrigger must be an integer, got '$v'")
-            }
-          })
+        maxOwnersPerTrigger = cap)
   }
 
   override def createRelation(ctx: SQLContext,

@@ -1,44 +1,51 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.SerializedOffset
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.AtomicPublish
 
 /** STREAMING FACE OF THE STORE'S CHANGE FEED: a microbatch
-  * `readStream` source over [[AtomicPublish.changesSince]]'s
-  * owner-segment model, so a downstream consumer (a continuously
-  * maintained MatView, a sync job) subscribes to commits instead of
-  * scheduling its own polling loop. Mounted through the same
-  * `format("graft")` face as batch reads:
+  * `readStream` source over the owner-segment model of
+  * [[AtomicPublish.appendedBetween]], so a downstream consumer (a
+  * continuously maintained MatView, a sync job) subscribes to commits
+  * instead of scheduling its own polling loop. Mounted through the
+  * same `format("graft")` face as batch reads:
   *
   * {{{
   * spark.readStream.format("graft")
   *   .option("root", storeRoot).option("table", "docs").load()
   * }}}
   *
-  * Offsets are (owner-count, last-owner-id) pairs over the table's
-  * APPEND-ONLY owner chain: each microbatch reads exactly the segments
-  * committed in its interval via [[AtomicPublish.readTableSegments]] —
-  * a plain pruned batch read, so the microbatch plan keeps the store's
-  * whole scan stack (recorded schema, one relation, skipping layers on
-  * any further filter). The first batch of a fresh checkpoint is the
-  * full current snapshot (offset `None` → everything), which IS the
-  * resync semantics a restarted consumer needs.
+  * Offsets are (owner-count, last-owner-id, txn) triples: a position
+  * in the named VERSION's owner chain. Versions are immutable, so a
+  * batch is replay-deterministic, and because the offset pins its own
+  * version, the feed RIDES THROUGH reorganization commits
+  * (dataChange=false — compaction, clustering): owners appended
+  * before a compaction are served from their ORIGINAL segments (the
+  * retention contract keeps them), the rewrite itself contributes
+  * nothing, and the offset re-bases. Only a DATA-CHANGING rewrite
+  * (upsert merge, scoped overwrite) still fails the stream with
+  * [[GraftChangeFeedSource.ResyncRequired]] naming the fallback:
+  * refresh downstream state from a batch read and restart from a
+  * fresh checkpoint. Deletes ([[AtomicPublish.deleteRows]]) add
+  * tombstones, not owners: they do not advance this feed (its
+  * contract is the APPENDED rows, like a log's); delete-aware
+  * consumers use the CDC feed ([[GraftCdcFeedSource]]).
   *
-  * REPLACE-AWARE: a compaction/upsert rewrites the owner chain, and a
-  * segment-offset feed cannot diff across a rewrite (same reason
-  * [[AtomicPublish.changesSince]] returns None). Both offsets carry
-  * the id of the last owner they cover, and [[getBatch]] verifies the
-  * chain still has that id at that position — a mismatch fails the
-  * stream with [[GraftChangeFeedSource.ResyncRequired]] naming the
-  * fallback: refresh downstream state from a batch read and restart
-  * from a fresh checkpoint. Deletes ([[AtomicPublish.deleteRows]]) add
-  * tombstones, not owners: they do not advance this feed (its contract
-  * is the APPENDED rows, like a log's); delete-aware consumers use the
-  * batch CDC feed [[AtomicPublish.changesWithDeletes]] per interval.
+  * The source implements [[SupportsTriggerAvailableNow]] /
+  * admission control, so the ENGINE hands every `latestOffset` call
+  * the prior end offset — no source-side offset tracking that a
+  * checkpointed restart could observe half-seeded (the r9
+  * `maxOwnersPerTrigger` design carried that flaw: an AvailableNow
+  * capture could race the restart replay and regress the offset) —
+  * and `Trigger.AvailableNow` drains the WHOLE backlog as paced
+  * batches toward a target frozen at trigger start, instead of one
+  * cap's worth.
   *
   * Retention contract: vacuum must keep every version a lagging
   * consumer's next offset still references (the standard
@@ -54,30 +61,20 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
       * batches instead of one giant snapshot read — at 100 TB the
       * difference between a stream that starts and one that OOMs its
       * first trigger. None = unbounded (the prior behavior). */
-    maxOwnersPerTrigger: Option[Int] = None) extends Source {
+    maxOwnersPerTrigger: Option[Int] = None)
+  extends Source with SupportsTriggerAvailableNow {
 
   import GraftChangeFeedSource._
 
   maxOwnersPerTrigger.foreach(m => require(m >= 1,
     s"maxOwnersPerTrigger must be >= 1, got $m"))
 
-  /** The chain position this source has ADMITTED through (V1 sources
-    * rate-limit by remembering their last returned offset — the Kafka
-    * V1 pattern). Seeded by [[getBatch]] on a checkpoint restart: the
-    * engine replays the recovered interval through getBatch before it
-    * ever calls getOffset, so the tracker resumes from the checkpoint,
-    * never behind it. */
-  @volatile private var admittedN: Option[Int] = None
-
   // `startingOffsets=latest` contract: batch 0 (start = None) delivers
   // NOTHING — the stream begins AT its first observed offset, and
   // later batches carry only go-forward commits (the Kafka `latest`
-  // shape: a metrics tap, an alerting feed — consumers whose state
-  // does not need the backlog). Batch 0 must be a pure function of
-  // (None, end): a checkpoint restart REPLAYS it with start = None, so
-  // any state captured at (re)construction time would make the replay
-  // diverge from the original run. "Empty" is the one latest-start
-  // batch 0 that replays identically.
+  // shape). Batch 0 must be a pure function of (None, end): a
+  // checkpoint restart REPLAYS it with start = None, so any state
+  // captured at (re)construction time would make the replay diverge.
 
   override val schema: StructType = {
     val (txn, metas) = AtomicPublish.currentManifestMeta(spark, root)
@@ -90,34 +87,170 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
         meta.owners).schema)
   }
 
-  private def owners(): (String, Seq[String]) = {
+  /** Trigger.AvailableNow freezes the drain target here — versions
+    * are immutable, so the frozen (txn, chain) stays valid however
+    * long the drain takes. */
+  @volatile private var frozenTarget: Option[(String, Seq[String])] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenTarget = Some(liveChain())
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def liveChain(): (String, Seq[String]) = {
     val (txn, metas) = AtomicPublish.currentManifestMeta(spark, root)
       .getOrElse(throw new IllegalStateException(
         s"no published version under $root"))
     txn -> metas.get(table).map(_.owners).getOrElse(Nil)
   }
 
-  override def getOffset: Option[Offset] = {
-    val (_, os) = owners()
-    if (os.isEmpty) return None
-    val n = maxOwnersPerTrigger match {
-      case None => os.size
-      case Some(m) =>
-        // from == os.size (caught up) returns the unchanged end offset
-        // and the engine plans no batch
-        val from = admittedN.getOrElse(if (fromLatest) os.size else 0)
-        math.min(from + m, os.size)
+  private def targetChain(): (String, Seq[String]) =
+    frozenTarget.getOrElse(liveChain())
+
+  /** The engine's offset advance (admission-control protocol: `start`
+    * is the PRIOR end offset, null before the first batch). */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val (txnT, osT) = targetChain()
+    def terminal: OffsetV2 =
+      if (osT.isEmpty) null
+      else ChainOffset(osT.size, osT.last, txnT)
+    Option(start).map(ChainOffset.of) match {
+      case None =>
+        if (osT.isEmpty) null
+        else if (fromLatest) terminal // batch 0 delivers nothing
+        else maxOwnersPerTrigger match {
+          case None => terminal
+          case Some(m) =>
+            val n = math.min(m, osT.size)
+            ChainOffset(n, osT(n - 1), txnT)
+        }
+      case Some(so) if so.txn.isEmpty =>
+        // legacy (pre-txn) checkpoint: old positional semantics over
+        // the target chain; the offset upgrades to txn-ful from here
+        val n = maxOwnersPerTrigger.map(m => math.min(so.n + m, osT.size))
+          .getOrElse(osT.size)
+        if (n <= so.n) start else ChainOffset(n, osT(n - 1), txnT)
+      case Some(so) =>
+        maxOwnersPerTrigger match {
+          case None =>
+            // one batch to the head: getBatch's chain walk rides
+            // through reorganizations and resyncs on real rewrites
+            if (so.txn == txnT && so.n == osT.size) start else terminal
+          case Some(m) => paceFrom(so, m, txnT, osT)
+        }
     }
-    admittedN = Some(n)
-    if (n == 0) None else Some(ChainOffset(n, os(n - 1)))
   }
 
+  /** Capped pacing: drain backlog WITHIN the offset's pinned version
+    * first (old versions stay readable), then advance version by
+    * version — positions carry over append commits, re-base over
+    * reorganizations. Each batch stays within one version's chain. */
+  private def paceFrom(so: ChainOffset, cap: Int, txnT: String,
+      osT: Seq[String]): OffsetV2 = {
+    def ownersAt(t: String): Seq[String] =
+      if (t == txnT) osT
+      else AtomicPublish.ownerChainAt(spark, root, table, t)
+    var curTxn = so.txn
+    var curN = so.n
+    val steps: Iterator[(String, Boolean)] =
+      if (curTxn == txnT) Iterator.empty
+      else AtomicPublish.commitChainBetween(spark, root, curTxn, txnT)
+        .getOrElse(
+          // unwalkable chain: emit the terminal offset — getBatch then
+          // decides (and resyncs with the documented error if it must)
+          return ChainOffset(osT.size,
+            if (osT.isEmpty) "" else osT.last, txnT))
+        .iterator
+    while (true) {
+      val chainCur = ownersAt(curTxn)
+      if (curN < chainCur.size) {
+        val n = math.min(curN + cap, chainCur.size)
+        return ChainOffset(n, chainCur(n - 1), curTxn)
+      }
+      if (!steps.hasNext)
+        return ChainOffset(curN,
+          if (curN == 0) "" else chainCur(curN - 1), curTxn)
+      val (t1, dc) = steps.next()
+      val chainNext = ownersAt(t1)
+      if (chainNext.startsWith(chainCur)) {
+        curTxn = t1 // append (or unrelated) commit: positions carry
+      } else if (!dc) {
+        // reorganization: content-equivalent — fully-caught-up stays
+        // fully caught up on the rewritten chain
+        curTxn = t1
+        curN = chainNext.size
+      } else {
+        // data-changing rewrite: not rideable — surface the terminal
+        // offset; getBatch fails with the documented resync error
+        return ChainOffset(osT.size,
+          if (osT.isEmpty) "" else osT.last, txnT)
+      }
+    }
+    null // unreachable
+  }
+
+  override def getOffset: Option[Offset] = {
+    // legacy V1 entry point — the engine dispatches admission-control
+    // sources through latestOffset, so this is unreached there; kept
+    // total (unpaced head offset) for any exotic caller
+    val (txn, os) = targetChain()
+    if (os.isEmpty) None else Some(ChainOffset(os.size, os.last, txn))
+  }
+
+  private def emptyBatch: DataFrame = spark.createDataFrame(
+    java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+
+  /** Conform a batch to the stream's declared schema (mid-stream
+    * schema evolution may have widened the version the batch reads). */
+  private def conform(df: DataFrame): DataFrame =
+    if (df.schema == schema) df
+    else df.select(schema.fields.toIndexedSeq.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
+
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val (txn, os) = owners()
     val endO = ChainOffset.of(end)
-    // seed/advance the admission tracker — on restart the engine
-    // replays the checkpointed interval through here first
-    admittedN = Some(math.max(admittedN.getOrElse(0), endO.n))
+    val batch: DataFrame =
+      if (endO.txn.isEmpty) legacyBatch(start, endO)
+      else {
+        val chainE = AtomicPublish.ownerChainAt(spark, root, table,
+          endO.txn)
+        require(endO.n <= chainE.size &&
+            (endO.n == 0 || chainE(endO.n - 1) == endO.last),
+          resyncMessage(table, s"version ${endO.txn} no longer serves " +
+            s"segment ${endO.n} = '${endO.last}' (vacuumed?)"))
+        start.map(ChainOffset.of) match {
+          case None if fromLatest => emptyBatch
+          case None =>
+            AtomicPublish.appendedBetween(spark, root, table,
+              endO.txn, 0, endO.txn, endO.n).get
+          case Some(s) if s.txn.isEmpty =>
+            // legacy start offset with a txn-ful end: the old position
+            // pins the PREFIX of the end version's chain
+            require(s.n <= chainE.size &&
+                (s.n == 0 || chainE(s.n - 1) == s.last),
+              resyncMessage(table,
+                s"segment ${s.n} is no longer '${s.last}'"))
+            AtomicPublish.appendedBetween(spark, root, table,
+              endO.txn, s.n, endO.txn, endO.n).get
+          case Some(s) =>
+            AtomicPublish.appendedBetween(spark, root, table,
+              s.txn, s.n, endO.txn, endO.n).getOrElse(
+              throw new IllegalStateException(resyncMessage(table,
+                s"the interval ${s.txn}..${endO.txn} rewrote the " +
+                  "table (data change)")))
+        }
+      }
+    org.apache.spark.sql.graftstream.StreamingBridge.asStreaming(
+      conform(batch), this)
+  }
+
+  /** Pre-txn checkpoint replay: the original positional semantics
+    * against the CURRENT chain (resync on any rewrite) — bit-identical
+    * to the r8 behavior so old checkpoints keep working. */
+  private def legacyBatch(start: Option[Offset],
+      endO: ChainOffset): DataFrame = {
+    val (txn, os) = liveChain()
     val startN = start.map(ChainOffset.of) match {
       case None => if (fromLatest) endO.n else 0
       case Some(s) =>
@@ -127,10 +260,8 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
     }
     require(endO.n <= os.size && os(endO.n - 1) == endO.last,
       resyncMessage(table, s"segment ${endO.n} is no longer '${endO.last}'"))
-    org.apache.spark.sql.graftstream.StreamingBridge.asStreaming(
-      AtomicPublish.readTableSegments(spark, root, table, txn,
-        os.slice(startN, endO.n)),
-      this)
+    AtomicPublish.readTableSegments(spark, root, table, txn,
+      os.slice(startN, endO.n))
   }
 
   override def stop(): Unit = ()
@@ -145,16 +276,27 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   * where the plain change feed (appends only) would silently retain
   * deleted rows.
   *
-  * Offsets are COMMIT TXN IDS (not owner positions): published
-  * versions are immutable, so `getBatch(start, end)` is replay-
-  * deterministic, and the interval diff inherits every exactness
-  * property of the batch feed (asof scoping, skipping-layer-pruned
-  * delete reads). The first batch of a fresh checkpoint is the full
-  * snapshot at the pinned txn, all `insert` — the resync semantics.
-  * A rewrite in the interval (compaction/upsert), or a `start` version
-  * already vacuumed, fails the stream with
+  * Offsets are COMMIT TXN IDS (plus a snapshot position while the
+  * initial snapshot drains — see below): published versions are
+  * immutable, so `getBatch(start, end)` is replay-deterministic, and
+  * the interval diff inherits every exactness property of the batch
+  * feed (asof scoping, skipping-layer-pruned delete reads). The first
+  * batch of a fresh checkpoint is the full snapshot at the pinned
+  * txn, all `insert` — the resync semantics. REORGANIZATION commits
+  * (compaction/clustering, dataChange=false) stream through as empty
+  * intervals — the batch feed diffs across them exactly; only a
+  * data-changing rewrite (upsert merge, scoped overwrite), or a
+  * `start` version already vacuumed, fails the stream with
   * [[GraftChangeFeedSource.ResyncRequired]] BEFORE emitting anything —
   * never a partial batch.
+  *
+  * ADMISSION CONTROL (`option("maxOwnersPerTrigger", n)`): the
+  * initial snapshot drains as PACED owner-slices (offsets carry a
+  * `snap` position while it runs, each slice read delete-aware), and
+  * catch-up intervals are paced by COMMITS admitting ~n appended
+  * owners per trigger — so a fresh checkpoint against a 100 TB
+  * deep-history table starts instead of OOMing its first trigger.
+  * Unset = unpaced (the prior behavior).
   *
   * Consumer-lag registry: after resolving each batch the source
   * records its end txn under `_consumers/<checkpoint-id>` at the store
@@ -174,10 +316,14 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
       * component keep the plain tags (the classification join is
       * equi, like SQL's); a table that never recorded a delete key
       * has nothing to classify by and streams the two-valued feed. */
-    updateImages: Boolean = false)
-  extends Source {
+    updateImages: Boolean = false,
+    maxOwnersPerTrigger: Option[Int] = None)
+  extends Source with SupportsTriggerAvailableNow {
 
   import GraftChangeFeedSource._
+
+  maxOwnersPerTrigger.foreach(m => require(m >= 1,
+    s"maxOwnersPerTrigger must be >= 1, got $m"))
 
   // `startingOffsets=latest`: batch 0 is EMPTY instead of the
   // full-snapshot resync batch — see the replay-determinism note on
@@ -198,65 +344,101 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
   override val schema: StructType =
     baseSchema.add(ChangeTypeCol, org.apache.spark.sql.types.StringType)
 
+  @volatile private var frozenTxn: Option[String] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    frozenTxn = AtomicPublish.currentTxn(spark, root)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def targetTxn: Option[String] =
+    frozenTxn.orElse(AtomicPublish.currentTxn(spark, root))
+
+  private def chainLen(txn: String): Int =
+    AtomicPublish.ownerChainAt(spark, root, table, txn).size
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val txnT = targetTxn.getOrElse(return null)
+    Option(start).map(TxnOffset.of) match {
+      case None =>
+        if (fromLatest) TxnOffset(txnT)
+        else maxOwnersPerTrigger match {
+          case None => TxnOffset(txnT) // single-snapshot batch 0
+          case Some(m) =>
+            val len = chainLen(txnT)
+            if (len <= m) TxnOffset(txnT)
+            else TxnOffset(txnT, Some(m)) // paced snapshot begins
+        }
+      case Some(so) =>
+        so.snap match {
+          case Some(k) =>
+            val len = chainLen(so.txn)
+            if (k < len) {
+              val m = maxOwnersPerTrigger.getOrElse(len)
+              if (k + m >= len) TxnOffset(so.txn) // snapshot completes
+              else TxnOffset(so.txn, Some(k + m))
+            } else cdcAdvance(so.txn, txnT, start)
+          case None => cdcAdvance(so.txn, txnT, start)
+        }
+    }
+  }
+
+  private def cdcAdvance(from: String, txnT: String,
+      start: OffsetV2): OffsetV2 =
+    if (from == txnT) start // caught up — no batch
+    else maxOwnersPerTrigger match {
+      case None => TxnOffset(txnT)
+      case Some(m) =>
+        TxnOffset(AtomicPublish.paceCommits(spark, root, table,
+          from, txnT, m))
+    }
+
   override def getOffset: Option[Offset] =
-    AtomicPublish.currentTxn(spark, root).map(TxnOffset.apply)
+    targetTxn.map(TxnOffset(_)) // legacy entry point, unreached
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    import org.apache.spark.sql.functions.lit
-    val endTxn = TxnOffset.of(end).txn
+    val endO = TxnOffset.of(end)
+    val endTxn = endO.txn
+    def tagged(df: DataFrame, t: String): DataFrame =
+      df.withColumn(ChangeTypeCol, lit(t))
+    def snapshotSlice(txn: String, fromN: Int, toN: Int): DataFrame =
+      tagged(AtomicPublish.readTableSlice(spark, root, table, txn,
+        fromN, toN), "insert")
     val batch = start.map(TxnOffset.of) match {
       case None if fromLatest =>
-        AtomicPublish.readTableAt(spark, root, table, endTxn).limit(0)
-          .withColumn(ChangeTypeCol, lit("insert"))
+        tagged(AtomicPublish.readTableAt(spark, root, table, endTxn)
+          .limit(0), "insert")
       case None =>
-        // fresh checkpoint: the full snapshot at the pinned txn
-        AtomicPublish.readTableAt(spark, root, table, endTxn)
-          .withColumn(ChangeTypeCol, lit("insert"))
-      case Some(s) if s.txn == endTxn =>
-        AtomicPublish.readTableAt(spark, root, table, endTxn).limit(0)
-          .withColumn(ChangeTypeCol, lit("insert"))
+        endO.snap match {
+          // fresh checkpoint: the full snapshot at the pinned txn —
+          // paced to its first `snap` owners when admission control is
+          // on (each slice delete-aware, their union IS the snapshot)
+          case None =>
+            tagged(AtomicPublish.readTableAt(spark, root, table, endTxn),
+              "insert")
+          case Some(k) => snapshotSlice(endTxn, 0, k)
+        }
       case Some(s) =>
-        val diff =
-          try AtomicPublish.changesWithDeletes(spark, root, table,
-            s.txn, Some(endTxn))
-          catch { case scala.util.control.NonFatal(e) =>
-            throw new IllegalStateException(resyncMessage(table,
-              s"version ${s.txn} is no longer readable (vacuumed?)"), e)
-          }
-        diff match {
-          case None => throw new IllegalStateException(resyncMessage(
-            table, s"the interval ${s.txn}..$endTxn rewrote the table"))
-          case Some((ins, del)) =>
-            val keyCols =
-              if (!updateImages) None
-              else AtomicPublish.deleteKeyColsAt(spark, root, table,
-                endTxn)
-            keyCols match {
-              case None =>
-                ins.withColumn(ChangeTypeCol, lit("insert"))
-                  .unionByName(del.withColumn(ChangeTypeCol,
-                    lit("delete")))
-              case Some(keys) =>
-                import org.apache.spark.sql.functions.{col, when}
-                // keys present on BOTH sides of the interval are
-                // updates. The key set is distinct tuples — usually
-                // tiny next to the rows, and the planner/AQE broadcasts
-                // it when it is; no forced broadcast hint, because a
-                // snapshot-sized upsert interval can legitimately carry
-                // millions of keys and must be allowed to shuffle
-                val kc = keys.map(col)
-                val updKeys = del.select(kc: _*).distinct()
-                  .join(ins.select(kc: _*).distinct(), keys, "left_semi")
-                def tag(side: DataFrame, hit: String, miss: String) =
-                  side.join(updKeys.withColumn("__g_upd", lit(true)),
-                    keys, "left")
-                    .withColumn(ChangeTypeCol,
-                      when(col("__g_upd").isNotNull, hit)
-                        .otherwise(miss))
-                    .drop("__g_upd")
-                tag(ins, "update_postimage", "insert")
-                  .unionByName(tag(del, "update_preimage", "delete"))
-            }
+        (s.snap, endO.snap) match {
+          case (Some(k), Some(k2)) =>
+            require(s.txn == endTxn, resyncMessage(table,
+              s"snapshot offsets span versions ${s.txn}..$endTxn"))
+            snapshotSlice(endTxn, k, k2)
+          case (Some(k), None) if s.txn == endTxn =>
+            // final snapshot slice (the pacer only then moves to txns)
+            snapshotSlice(endTxn, k, chainLen(endTxn))
+          case (Some(k), None) =>
+            // defensive: close the snapshot at its own version, then
+            // diff the commits — one batch, same union
+            snapshotSlice(s.txn, k, chainLen(s.txn))
+              .unionByName(diffBatch(s.txn, endTxn))
+          case (None, Some(_)) => throw new IllegalStateException(
+            s"invalid CDC offset interval: ${s.json()} .. ${endO.json()}")
+          case (None, None) =>
+            if (s.txn == endTxn)
+              tagged(AtomicPublish.readTableAt(spark, root, table, endTxn)
+                .limit(0), "insert")
+            else diffBatch(s.txn, endTxn)
         }
     }
     // lag registry: the NEXT batch diffs from endTxn — keep it alive
@@ -265,6 +447,53 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
     // diff's tombstone anti-join must stay a batch join
     org.apache.spark.sql.graftstream.StreamingBridge.asStreamingLeaf(
       batch)
+  }
+
+  /** The signed diff of one commit interval — the batch CDC feed plus
+    * the optional update-image classification. */
+  private def diffBatch(sinceTxn: String, endTxn: String): DataFrame = {
+    val diff =
+      try AtomicPublish.changesWithDeletes(spark, root, table,
+        sinceTxn, Some(endTxn))
+      catch { case scala.util.control.NonFatal(e) =>
+        throw new IllegalStateException(resyncMessage(table,
+          s"version $sinceTxn is no longer readable (vacuumed?)"), e)
+      }
+    diff match {
+      case None => throw new IllegalStateException(resyncMessage(
+        table, s"the interval $sinceTxn..$endTxn rewrote the table " +
+          "(data change)"))
+      case Some((ins, del)) =>
+        val keyCols =
+          if (!updateImages) None
+          else AtomicPublish.deleteKeyColsAt(spark, root, table, endTxn)
+        keyCols match {
+          case None =>
+            ins.withColumn(ChangeTypeCol, lit("insert"))
+              .unionByName(del.withColumn(ChangeTypeCol,
+                lit("delete")))
+          case Some(keys) =>
+            import org.apache.spark.sql.functions.when
+            // keys present on BOTH sides of the interval are
+            // updates. The key set is distinct tuples — usually
+            // tiny next to the rows, and the planner/AQE broadcasts
+            // it when it is; no forced broadcast hint, because a
+            // snapshot-sized upsert interval can legitimately carry
+            // millions of keys and must be allowed to shuffle
+            val kc = keys.map(col)
+            val updKeys = del.select(kc: _*).distinct()
+              .join(ins.select(kc: _*).distinct(), keys, "left_semi")
+            def tag(side: DataFrame, hit: String, miss: String) =
+              side.join(updKeys.withColumn("__g_upd", lit(true)),
+                keys, "left")
+                .withColumn(ChangeTypeCol,
+                  when(col("__g_upd").isNotNull, hit)
+                    .otherwise(miss))
+                .drop("__g_upd")
+            tag(ins, "update_postimage", "insert")
+              .unionByName(tag(del, "update_preimage", "delete"))
+        }
+    }
   }
 
   override def stop(): Unit = ()
@@ -276,27 +505,36 @@ object GraftChangeFeedSource {
   val ChangeTypeCol = "_change_type"
 
   /** Thrown (inside the StreamingQueryException) when the owner chain
-    * was rewritten under a running stream. */
+    * was rewritten under a running stream by a DATA-CHANGING commit
+    * (reorganization commits stream through). */
   val ResyncRequired = "GRAFT_RESYNC_REQUIRED"
 
   private[streaming] def resyncMessage(table: String, what: String): String =
     s"$ResyncRequired: the owner chain of table '$table' was rewritten " +
-      s"under this stream ($what) — a compaction/upsert replaced " +
-      "segments, and a segment-offset feed cannot diff across a " +
-      "rewrite. Fall back: bring downstream state current with a batch " +
-      "read (e.g. MatView.refresh, which recomputes over a replace), " +
-      "then restart the stream from a FRESH checkpoint (its first " +
-      "batch re-delivers the full current snapshot)."
+      s"under this stream ($what) — a data-changing rewrite (upsert " +
+      "merge, scoped overwrite) replaced segments, and a segment feed " +
+      "cannot diff across it. Fall back: bring downstream state " +
+      "current with a batch read (e.g. MatView.refresh, which " +
+      "recomputes over a replace), then restart the stream from a " +
+      "FRESH checkpoint (its first batch re-delivers the full current " +
+      "snapshot)."
 
-  /** CDC offset: the commit txn the stream has consumed through.
-    * Versions are immutable, so the offset alone replay-determines the
-    * batch. */
-  final case class TxnOffset(txn: String) extends Offset {
-    override def json(): String = s"""{"txn":"$txn"}"""
+  /** CDC offset: the commit txn the stream has consumed through;
+    * while the initial snapshot drains under admission control,
+    * `snap` carries the owner position reached inside that pinned
+    * version. Versions are immutable, so the offset alone
+    * replay-determines the batch. */
+  final case class TxnOffset(txn: String, snap: Option[Int] = None)
+    extends Offset {
+    override def json(): String = snap match {
+      case None => s"""{"txn":"$txn"}"""
+      case Some(k) => s"""{"txn":"$txn","snap":$k}"""
+    }
   }
 
   object TxnOffset {
     private val Re = """\{"txn":"([^"]*)"\}""".r
+    private val ReSnap = """\{"txn":"([^"]*)","snap":(\d+)\}""".r
     def of(o: org.apache.spark.sql.connector.read.streaming.Offset)
         : TxnOffset = o match {
       case t: TxnOffset => t
@@ -305,21 +543,28 @@ object GraftChangeFeedSource {
     }
     def parse(json: String): TxnOffset = json match {
       case Re(t) => TxnOffset(t)
+      case ReSnap(t, k) => TxnOffset(t, Some(k.toInt))
       case _ => throw new IllegalArgumentException(
         s"not a graft CDC offset: $json")
     }
   }
 
-  /** Offset over the append-only owner chain: `n` segments consumed,
-    * the last of which is `last` — the id pins the prefix so a rewrite
-    * is detected, not silently misread. */
-  final case class ChainOffset(n: Int, last: String) extends Offset {
+  /** Offset over the owner chain of the version `txn` names: `n`
+    * segments consumed, the last of which is `last` — the id pins the
+    * prefix so a rewrite is detected, not silently misread. `txn`
+    * empty = a pre-r10 checkpoint (positions resolve against the
+    * CURRENT chain, the legacy semantics). */
+  final case class ChainOffset(n: Int, last: String, txn: String = "")
+    extends Offset {
     override def json(): String =
-      s"""{"n":$n,"last":"$last"}"""
+      if (txn.isEmpty) s"""{"n":$n,"last":"$last"}"""
+      else s"""{"n":$n,"last":"$last","txn":"$txn"}"""
   }
 
   object ChainOffset {
     private val Re = """\{"n":(\d+),"last":"([^"]*)"\}""".r
+    private val ReTxn =
+      """\{"n":(\d+),"last":"([^"]*)","txn":"([^"]*)"\}""".r
     def of(o: org.apache.spark.sql.connector.read.streaming.Offset)
         : ChainOffset = o match {
       case c: ChainOffset => c
@@ -328,6 +573,7 @@ object GraftChangeFeedSource {
     }
     def parse(json: String): ChainOffset = json match {
       case Re(n, last) => ChainOffset(n.toInt, last)
+      case ReTxn(n, last, txn) => ChainOffset(n.toInt, last, txn)
       case _ => throw new IllegalArgumentException(
         s"not a graft change-feed offset: $json")
     }

@@ -20,8 +20,17 @@ object StreamingBridge {
     val plan = df.queryExecution.analyzed.transform {
       case lr: LogicalRelation if !lr.isStreaming =>
         lr.copy(isStreaming = true, stream = Some(source))
+      case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+          if !loc.isStreaming =>
+        // an empty interval's batch is a LocalRelation leaf
+        loc.copy(isStreaming = true)
     }
-    classic.Dataset.ofRows(
+    // a batch whose plan carries leaves the re-tag can't reach (the
+    // ride-through feed unions segment reads across versions) executes
+    // as one streaming leaf instead — same rows, batch machinery kept
+    // inside the RDD
+    if (plan.collectLeaves().exists(!_.isStreaming)) asStreamingLeaf(df)
+    else classic.Dataset.ofRows(
       df.sparkSession.asInstanceOf[classic.SparkSession], plan)
   }
 

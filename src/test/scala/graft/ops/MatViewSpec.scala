@@ -72,7 +72,9 @@ class MatViewSpec extends SparkSuite {
     assert(viewRows(root) == expect(root))
   }
 
-  test("a source replace (compaction) triggers the full-recompute fallback") {
+  test("a compaction inside the refresh interval stays incremental " +
+      "(r10 ride-through); a data-changing replace falls back to " +
+      "full recompute") {
     val root = freshRoot()
     AtomicPublish.publish(spark, root,
       Map("docs" -> slice(0 until 60, "en")))
@@ -80,9 +82,17 @@ class MatViewSpec extends SparkSuite {
     AtomicPublish.publishDelta(spark, root,
       append = Map("docs" -> slice(60 until 90, "es")),
       parent = AtomicPublish.currentTxn(spark, root)).get
-    // compact: the covered→live interval now contains a replace, so
-    // changesSince = None and refresh must recompute, not skip
+    // compact: the covered→live interval holds a REORGANIZATION commit
+    // (r10, dataChange=false) — changesSince rides through it, so the
+    // refresh merges exactly the appended slice instead of recomputing
     Compaction.compactStore(spark, root, "docs")
+    assert(MatView.refresh(spark, root, byLang).isDefined)
+    assert(viewRows(root) == expect(root))
+    // a data-changing replace is NOT rideable: refresh still lands the
+    // correct view (the full-recompute fallback)
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("docs" -> slice(0 until 25, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
     assert(MatView.refresh(spark, root, byLang).isDefined)
     assert(viewRows(root) == expect(root))
   }

@@ -142,9 +142,20 @@ class StoreDeleteSpec extends SparkSuite {
     val (ins2, del2) = AtomicPublish.changesWithDeletes(spark, root,
       "docs", cov2).get
     assert(ins2.count() == 0 && del2.count() == 0)
-    // a replace (compaction) in the interval is not diffable: None
+    // a COMPACTION in the interval is a reorganization commit (r10,
+    // dataChange=false): the diff rides through it — the replayed
+    // delete still reports nothing, no resync
     Compaction.compactStore(spark, root, "docs")
-    assert(AtomicPublish.changesWithDeletes(spark, root, "docs", cov2)
+    val (ins3, del3) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", cov2).get
+    assert(ins3.count() == 0 && del3.count() == 0)
+    // a DATA-CHANGING replace in the interval stays non-diffable: None
+    val cov3 = AtomicPublish.currentTxn(spark, root).get
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("docs" ->
+        Seq(900L -> "rw").toDF("doc_id", "text")),
+      parent = Some(cov3)).get
+    assert(AtomicPublish.changesWithDeletes(spark, root, "docs", cov3)
       .isEmpty)
   }
 

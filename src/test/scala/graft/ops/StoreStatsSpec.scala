@@ -325,8 +325,19 @@ class StoreStatsSpec extends SparkSuite {
     // no change: empty frame with the table schema
     val none = AtomicPublish.changesSince(spark, root, "docs", v3).get
     assert(none.count() == 0 && none.columns.toSeq == Seq("doc_id", "text"))
-    // a replace (compaction) breaks append-only evolution → None
+    // a COMPACTION is a reorganization commit (r10, dataChange=false):
+    // the feed rides through it — the same appended rows, served from
+    // their ORIGINAL segments, not re-derived from the rewrite
     Compaction.compactStore(spark, root, "docs")
+    val rode = AtomicPublish.changesSince(spark, root, "docs", v1).get
+    assert(rode.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (100L until 300L).toSet)
+    // a DATA-CHANGING replace still signals the fallback → None
+    val v4 = AtomicPublish.currentTxn(spark, root).get
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("docs" ->
+        Seq(999L -> "rw").toDF("doc_id", "text")),
+      parent = Some(v4)).get
     assert(AtomicPublish.changesSince(spark, root, "docs", v1).isEmpty)
   }
 

@@ -445,7 +445,130 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(batches.forall(_.size <= 20))
   }
 
-  test("streaming matview: commits drive refreshes; compaction falls back") {
+  test("REORGANIZATION TRANSPARENCY (r10): plain and CDC streams ride " +
+      "through tail and full compaction on the SAME checkpoint with " +
+      "zero spurious rows; a data-changing replace still resyncs") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("cfeed-reorg-ck").toString
+    val cdcCk = Files.createTempDirectory("cdc-reorg-ck").toString
+    AtomicPublish.publish(spark, root, Map("docs" -> slice(0 until 10, "en")))
+    val plainSeen = mutable.ArrayBuffer.empty[Long]
+    def runPlain(): Unit = drain(startFeed(root, ckpt) { (df, _) =>
+      plainSeen ++= df.select("doc_id").collect().map(_.getLong(0))
+      ()
+    })
+    val mirror = mutable.Map.empty[Long, (String, Long)]
+    def runCdc(): Unit = drain(startCdc(root, cdcCk, mirror))
+    runPlain(); runCdc() // snapshots
+    plainSeen.clear()
+    // two small appends, then a TAIL compaction (reorg commit)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 15, "de")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(15 until 20, "de")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    assert(Compaction.compactTail(spark, root, "docs",
+      minSegs = 2).isDefined, "tail compaction did not trigger")
+    runPlain(); runCdc()
+    assert(plainSeen.sorted == (10L until 20L),
+      s"plain feed across tail compaction delivered ${plainSeen.sorted}")
+    assert(mirror == batchMirror(root))
+    // deletes, then a FULL compaction (applies the tombstone debt —
+    // still a reorg: live rows unchanged)
+    plainSeen.clear()
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(2L, 12L).toDF("doc_id")))
+    Compaction.compactStore(spark, root, "docs")
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(20 until 23, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    runPlain(); runCdc()
+    assert(plainSeen.sorted == (20L until 23L),
+      s"plain feed across full compaction delivered ${plainSeen.sorted}")
+    assert(mirror == batchMirror(root))
+    assert(!mirror.contains(2L) && !mirror.contains(12L))
+    // an interval that is ONLY a compaction: both feeds stay quiet
+    plainSeen.clear()
+    Compaction.compactStore(spark, root, "docs")
+    runPlain(); runCdc()
+    assert(plainSeen.isEmpty,
+      s"a pure reorganization emitted rows: ${plainSeen.sorted}")
+    assert(mirror == batchMirror(root))
+    // a DATA-CHANGING replace still fails both streams by name
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("docs" -> slice(500 until 505, "pt")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    def hasResync(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(
+        _.contains(GraftChangeFeedSource.ResyncRequired)) ||
+        hasResync(t.getCause))
+    assert(hasResync(intercept[StreamingQueryException] { runPlain() }))
+    val mirrorBefore = mirror.toMap
+    assert(hasResync(intercept[StreamingQueryException] { runCdc() }))
+    assert(mirror.toMap == mirrorBefore,
+      "resync path applied a partial CDC batch")
+  }
+
+  test("CDC admission control (r10): the initial snapshot drains as " +
+      "bounded delete-aware slices and catch-up is commit-paced — " +
+      "exact mirror, no batch over the cap") {
+    val root = freshRoot()
+    // 6-owner history with tombstones: 6 commits à 10 rows, 2 deletes
+    AtomicPublish.publish(spark, root, Map("docs" -> slice(0 until 10, "en")))
+    (1 until 6).foreach { k =>
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("docs" -> slice(k * 10 until (k + 1) * 10, "en")),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(4L, 44L).toDF("doc_id")))
+    val ckpt = Files.createTempDirectory("cdc-paced-ck").toString
+    val mirror = mutable.Map.empty[Long, (String, Long)]
+    val batchSizes = mutable.ArrayBuffer.empty[Int]
+    def run(): Unit = drain(
+      spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("maxOwnersPerTrigger", "2").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.collect()
+          batchSizes += rows.length
+          rows.filter(_.getString(3) == "delete")
+            .foreach(r => mirror.remove(r.getLong(0)))
+          rows.filter(_.getString(3) == "insert")
+            .foreach(r => mirror.put(r.getLong(0),
+              (r.getString(1), r.getLong(2))))
+          ()
+        }.start())
+    run()
+    assert(mirror == batchMirror(root))
+    assert(!mirror.contains(4L) && !mirror.contains(44L))
+    assert(batchSizes.forall(_ <= 20),
+      s"a snapshot slice exceeded the 2-owner cap: $batchSizes")
+    assert(batchSizes.count(_ > 0) >= 3,
+      s"snapshot was not paced: $batchSizes")
+    // catch-up: 4 more commits while the stream is down → paced drain,
+    // exact mirror, no re-delivery
+    batchSizes.clear()
+    (6 until 9).foreach { k =>
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("docs" -> slice(k * 10 until (k + 1) * 10, "fr")),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(61L).toDF("doc_id")))
+    run()
+    assert(mirror == batchMirror(root))
+    assert(!mirror.contains(61L))
+    assert(batchSizes.count(_ > 0) >= 2,
+      s"catch-up was not commit-paced: $batchSizes")
+  }
+
+  test("streaming matview: commits drive refreshes; compaction rides " +
+      "through (r10); a data-changing replace falls back") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("cfeed-mv-ck").toString
     val d = MatView.Def("docs", "lang_counts", Seq("lang"),
@@ -469,11 +592,21 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(view() == expect())
     // equivalence with a plain batch refresh (already current → no-op)
     assert(MatView.refresh(spark, root, d).isEmpty)
-    // COMPACTION mid-stream rewrites the owner chain: the next drain
-    // fails with the documented resync signal…
+    // COMPACTION mid-stream is a REORGANIZATION commit (r10,
+    // dataChange=false): the streaming matview RIDES THROUGH it on the
+    // SAME checkpoint — the next drain applies exactly the
+    // post-compaction appends, no resync, no spurious rows
     Compaction.compactStore(spark, root, "docs")
     AtomicPublish.publishDelta(spark, root,
       append = Map("docs" -> slice(100 until 105, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    run(ckpt)
+    assert(view() == expect(),
+      "stream-maintained view diverged across a compaction")
+    // a DATA-CHANGING replace is NOT rideable: the next drain fails
+    // with the documented resync signal…
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("docs" -> slice(300 until 310, "pt")),
       parent = AtomicPublish.currentTxn(spark, root))
     val e = intercept[StreamingQueryException] {
       drain(startFeed(root, ckpt) { (_, _) => () })
