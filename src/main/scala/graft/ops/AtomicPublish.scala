@@ -397,6 +397,45 @@ object AtomicPublish {
       ownerParts.getOrElse(owner, partitionCols)
   }
 
+  /** Commit-concurrency observability (multi-writer triage + spec
+    * instrumentation): `staged` counts commits that WROTE data (one
+    * staging = one evaluation of the caller's frames — a recompute
+    * retry stages again, a rebase does not); `rebased` counts commits
+    * that LANDED on a parent other than the one they staged against
+    * (a lost CAS resolved without restaging); `conflicts` counts
+    * refused rebases, with the last refusal's reason in
+    * `lastConflict` (the named-conflict surface: why the writers
+    * could not be proven disjoint). */
+  object Concurrency {
+    val staged = new java.util.concurrent.atomic.AtomicLong
+    val rebased = new java.util.concurrent.atomic.AtomicLong
+    val conflicts = new java.util.concurrent.atomic.AtomicLong
+    @volatile var lastConflict: String = ""
+  }
+
+  /** Record a refused rebase and fall back to the caller's lost-CAS
+    * contract (None → recompute-and-retry, the pre-rebase behavior). */
+  private def rebaseConflict(reason: String): Option[String] = {
+    Concurrency.conflicts.incrementAndGet()
+    Concurrency.lastConflict = reason
+    None
+  }
+
+  /** Overwrite a SEALED version dir's `_MANIFEST` with the rebased
+    * manifest about to be committed: every durable read of a version —
+    * [[manifestMetaOf]] (time travel, CDC, restore) and vacuum's
+    * reference closure — goes through `v_txn/_MANIFEST`, so it must
+    * say exactly what `_CURRENT` will. Safe to rewrite: the dir is
+    * sealed but NOT yet committed (no reader resolves it), and a crash
+    * here leaves a consistent uncommitted dir for vacuum. */
+  private def rewriteSealedManifest(spark: SparkSession, root: String,
+      txn: String, manifest: Array[Byte]): Unit = {
+    val p = new Path(new Path(root, s"v_$txn"), ManifestFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(manifest) finally os.close()
+  }
+
   /** One lock object per publish root (same-JVM commit serialization),
     * keyed on the FS-qualified path so spelling aliases of one root
     * ("/p", "/p/", "file:/p") share a lock. */
@@ -1050,6 +1089,7 @@ object AtomicPublish {
     val versioned = new Path(rootPath, s"v_$txn")
     val ctx = fc(spark, rootPath)
     ctx.mkdir(rootPath, null, true)
+    Concurrency.staged.incrementAndGet()
     tables.foreach { case (name, df) =>
       val m = meta.get(name)
       val pcols = m.map(_.partitionCols).getOrElse(Nil)
@@ -1841,7 +1881,19 @@ object AtomicPublish {
         * consumers ride through it instead of resyncing. The caller
         * GUARANTEES content preservation — only the engine's own
         * maintenance paths ([[graft.ops.Compaction]]) should set it. */
-      dataChange: Boolean = true)
+      dataChange: Boolean = true,
+      /** `true` lets an APPEND-ONLY delta that loses its CAS race LAND
+        * on the new live version by REBASE ([[rebaseAppendOnto]]):
+        * the already-sealed segments commit against the winner's
+        * manifest without restaging or re-evaluating the caller's
+        * frames, unless a logical conflict is detected (then None, the
+        * usual lost-CAS contract). OPT-IN because it is only sound
+        * when the appended CONTENT does not depend on the parent
+        * snapshot: caller-supplied rows (an INSERT, an ingest slice)
+        * qualify; rows or key scopes derived from a read at the pin
+        * (a verified upsert, a MERGE) do not — those need the conflict
+        * signal to recompute against the new snapshot. */
+      rebase: Boolean = false)
       : Option[String] = {
     require(append.nonEmpty || replace.nonEmpty || drop.nonEmpty,
       "publishDelta needs at least one appended, replaced or dropped table")
@@ -2069,7 +2121,11 @@ object AtomicPublish {
             else None).flatten.mkString("+")),
           parent = parent, dataChange = dataChange)
         Some(txn)
-      } else None
+      } else if (rebase && replace.isEmpty && drop.isEmpty)
+        rebaseAppendOnto(spark, root, txn, parentMeta, sealedMeta,
+          append.map { case (n, df) => n -> df.schema },
+          opLabel, dataChange)
+      else None
     } catch {
       case e: Throwable =>
         val ctx = fc(spark, rootPath)
@@ -2209,7 +2265,14 @@ object AtomicPublish {
   private[ops] def replaceOwners(spark: SparkSession, root: String,
       table: String, keepOwners: Seq[String], tail: DataFrame,
       parent: String, op: String = "REPLACE SUBSET",
-      dataChange: Boolean = true): Option[String] = {
+      dataChange: Boolean = true,
+      /** A predicate this rewrite claims exclusivity over
+        * (overwriteWhere's WHERE): a lost CAS rebase then refuses if
+        * any owner that landed concurrently COULD hold a matching row
+        * (zone-map check, conservative) — those rows would wrongly
+        * survive the "replace all rows where P" contract. None (a
+        * compaction) imposes no predicate condition. */
+      conflictPredicate: Option[String] = None): Option[String] = {
     val rootPath = new Path(root)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     inFlight.add(txn)
@@ -2249,7 +2312,11 @@ object AtomicPublish {
           commitSeqOf(spark, root, parent).map(_ + 1).getOrElse(0L),
           op = op, parent = Some(parent), dataChange = dataChange)
         Some(txn)
-      } else None
+      } else
+        rebaseSubsetOnto(spark, root, table, txn, m,
+          m.owners.toSet -- keepOwners.toSet,
+          sealedMeta.getOrElse(table, newMeta), conflictPredicate,
+          op, dataChange)
     } catch {
       case e: Throwable =>
         val ctx = fc(spark, rootPath)
@@ -2259,6 +2326,277 @@ object AtomicPublish {
         catch { case _: Throwable => () }
         throw e
     } finally inFlight.remove(txn)
+  }
+
+  /** [[rebaseAppendOnto]]'s sibling for a SUBSET rewrite
+    * ([[replaceOwners]]) that lost its CAS race: the staged
+    * consolidated segment replaces exactly the owners in `replaced`,
+    * whose segments are immutable — so as long as every one of them
+    * is STILL in the winner's chain (nothing rewrote them), the
+    * winner's other changes (appends, disjoint rewrites) compose: the
+    * rebased chain is the winner's minus `replaced` plus our segment.
+    * Refusals (None → caller recomputes, the pre-r10 contract):
+    *  - a replaced owner left the chain (a concurrent rewrite touched
+    *    the same data — the genuinely overlapping pair);
+    *  - the table was dropped, gained merge-on-read tombstones
+    *    (positional `_asof` scopes forbid subset rewrites), or changed
+    *    a layout fact (partition/bucket/stat/bloom/CHECK set);
+    *  - `conflictPredicate` is set and a concurrently-landed owner
+    *    could hold a matching row (zone maps, conservative). */
+  private def rebaseSubsetOnto(spark: SparkSession, root: String,
+      table: String, txn: String, pm: TableMeta, replaced: Set[String],
+      sealedM: TableMeta, conflictPredicate: Option[String],
+      op: String, dataChange: Boolean): Option[String] = {
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val q = currentTxn(spark, root) match {
+        case Some(v) => v
+        case None => return rebaseConflict(
+          s"rebase under $root: the store has no live version")
+      }
+      val qMeta = manifestMetaOf(spark, root, q)
+      val qm = qMeta.get(table) match {
+        case Some(v) => v
+        case None => return rebaseConflict(
+          s"table '$table' was dropped concurrently")
+      }
+      if (!replaced.subsetOf(qm.owners.toSet))
+        return rebaseConflict(s"table '$table': a concurrent commit " +
+          "rewrote one of the owners this rewrite replaces " +
+          "(overlapping write sets)")
+      if (qMeta.get(deleteTableOf(table)).exists(_.owners.nonEmpty))
+        return rebaseConflict(s"table '$table' gained merge-on-read " +
+          "tombstones concurrently (positional _asof scopes forbid " +
+          "a subset rewrite)")
+      if (qm.partitionCols != pm.partitionCols)
+        return rebaseConflict(
+          s"table '$table': partition spec changed concurrently")
+      if (qm.bucketCols != pm.bucketCols || qm.numBuckets != pm.numBuckets)
+        return rebaseConflict(
+          s"table '$table': bucket layout changed concurrently")
+      if (qm.checks != pm.checks)
+        return rebaseConflict(
+          s"table '$table': CHECK constraints changed concurrently")
+      if (qm.statCols != pm.statCols || qm.bloomCols != pm.bloomCols)
+        return rebaseConflict(
+          s"table '$table': stat/bloom columns changed concurrently")
+      conflictPredicate.foreach { w =>
+        // owners that landed since our read: appends, or the output of
+        // disjoint rewrites. Sound because pruneOwners is conservative:
+        // an owner without stats ADMITS and refuses the rebase.
+        val fresh = qm.owners.filterNot(pm.owners.contains)
+        val admits = pruneOwners(spark, qm.copy(owners = fresh), w)
+        if (admits.nonEmpty)
+          return rebaseConflict(s"table '$table': owners landed " +
+            s"concurrently that may hold rows matching '$w' " +
+            s"(${admits.mkString(", ")})")
+      }
+      val newMeta = qm.copy(
+        owners = qm.owners.filterNot(replaced) :+ txn,
+        segStats = (qm.segStats -- replaced) ++
+          sealedM.segStats.get(txn).map(txn -> _),
+        fileStats = (qm.fileStats -- replaced) ++
+          sealedM.fileStats.get(txn).map(txn -> _),
+        ownerDirs = qm.ownerDirs -- replaced,
+        ownerParts = qm.ownerParts -- replaced)
+      val bytes = renderManifest(txn, qMeta + (table -> newMeta))
+        .getBytes(StandardCharsets.UTF_8)
+      // keep the version dir's _MANIFEST in lockstep with what commits
+      // (see rebaseAppendOnto: time travel / vacuum read it)
+      rewriteSealedManifest(spark, root, txn, bytes)
+      if (swapPointer(spark, root, txn, bytes,
+          expectParent = Some(Some(q)))) {
+        Concurrency.rebased.incrementAndGet()
+        markCommitted(spark, root, txn,
+          seq = commitSeqOf(spark, root, q).map(_ + 1).getOrElse(0L),
+          op = op, parent = Some(q), dataChange = dataChange)
+        return Some(txn)
+      }
+    }
+    rebaseConflict(s"rebase under $root: lost 5 successive races")
+  }
+
+  /** COMMIT REBASE for an append-only delta that LOST its CAS race:
+    * land the already-sealed `v_txn` segments on the NEW live version
+    * without restaging or re-evaluating anything — multi-writer
+    * optimistic concurrency with logical conflict detection
+    * (VERDICT-r9 ask #2; the Delta commit-protocol insight: an
+    * append's write-set is just its new immutable files, so it
+    * composes with ANY concurrent commit unless a table-level fact it
+    * was staged under moved). The rebase REFUSES (None → the caller's
+    * recompute loop takes over, exactly the pre-r10 behavior; reason
+    * recorded in [[Concurrency.lastConflict]]) when an appended table:
+    *
+    *  - was dropped, or created concurrently by another writer;
+    *  - changed a layout fact the sealed segment was written under:
+    *    partition spec, bucket spec, CHECK constraints (the staged
+    *    rows were only guarded against the OLD checks), zone-map or
+    *    bloom column set;
+    *  - changed its recorded schema other than by pure WIDENING (a
+    *    concurrent rename/drop/replace would make "re-add at the end"
+    *    resurrect columns the winner removed), or the merge against
+    *    the new recorded schema fails / widens a bucket column;
+    *  - is a tombstone companion (`__del`) whose BASE owner chain was
+    *    rewritten — `_asof` scopes are positional, a reorganization
+    *    under them would re-aim the delete at the wrong rows.
+    *
+    * A PLAIN append needs NO owner-chain condition at all: the new
+    * owner lands at the END of whatever chain the winner left, so
+    * appends ride over concurrent appends, deletes, compactions, even
+    * predicate overwrites — none of which can invalidate immutable
+    * caller-supplied rows. Schema-widening bookkeeping (introduced
+    * stat-column backfill, float→double zone-map re-encode) is
+    * recomputed against the WINNER's metadata, metadata-only. */
+  private def rebaseAppendOnto(spark: SparkSession, root: String,
+      txn: String, parentMeta: Map[String, TableMeta],
+      sealedMeta: Map[String, TableMeta],
+      appendSchemas: Map[String, StructType],
+      opLabel: Option[String], dataChange: Boolean): Option[String] = {
+    var attempt = 0
+    while (attempt < 5) {
+      attempt += 1
+      val q = currentTxn(spark, root) match {
+        case Some(v) => v
+        case None => return rebaseConflict(
+          s"rebase under $root: the store has no live version")
+      }
+      val qMeta = manifestMetaOf(spark, root, q)
+      var conflict: Option[String] = None
+      def bad(r: String): Seq[(String, TableMeta)] = {
+        conflict = Some(r); Nil
+      }
+      val rebuilt: Map[String, TableMeta] =
+        appendSchemas.toSeq.sortBy(_._1).flatMap { case (n, sliceSchema) =>
+          if (conflict.nonEmpty) Nil
+          else if (n.endsWith("__del") && {
+              // a tombstone slice carries POSITIONAL `_asof` scopes
+              // counted against the base chain at the pin — whether or
+              // not the companion table existed yet, a rewritten base
+              // chain re-aims them
+              val base = n.stripSuffix("__del")
+              val pb = parentMeta.get(base).map(_.owners).getOrElse(Nil)
+              val qb = qMeta.get(base).map(_.owners).getOrElse(Nil)
+              !qb.startsWith(pb)
+            })
+            bad(s"table '$n': the tombstoned base table's owner " +
+              "chain was rewritten concurrently (positional " +
+              "_asof scopes would re-aim)")
+          else {
+            val sm = sealedMeta(n)
+            (parentMeta.get(n), qMeta.get(n)) match {
+              case (None, Some(_)) =>
+                bad(s"table '$n' was created concurrently")
+              case (Some(_), None) =>
+                bad(s"table '$n' was dropped concurrently")
+              case (None, None) =>
+                // our commit creates the table: every recorded fact is
+                // ours, sealed as staged
+                Seq(n -> sm)
+              case (Some(pm), Some(qm)) =>
+                if (qm.partitionCols != sm.partitionCols)
+                  bad(s"table '$n': partition spec changed concurrently")
+                else if (qm.bucketCols != sm.bucketCols ||
+                    qm.numBuckets != sm.numBuckets)
+                  bad(s"table '$n': bucket layout changed concurrently")
+                else if (qm.checks != sm.checks)
+                  bad(s"table '$n': CHECK constraints changed " +
+                    "concurrently (the sealed rows were guarded " +
+                    "against the old set)")
+                else if (qm.statCols != pm.statCols)
+                  bad(s"table '$n': zone-map columns changed concurrently")
+                else if (qm.bloomCols != pm.bloomCols)
+                  bad(s"table '$n': bloom columns changed concurrently")
+                else {
+                  val pSchema = parentSchemaOf(spark, root, n, pm)
+                  val qSchema = parentSchemaOf(spark, root, n, qm)
+                  // the winner may only have WIDENED what we staged
+                  // against (concurrent evolving appends compose);
+                  // catalogString ignores nullability by design
+                  val qWidensP =
+                    try mergeSchemas(n, pSchema, qSchema).catalogString ==
+                      qSchema.catalogString
+                    catch { case _: IllegalArgumentException => false }
+                  if (!qWidensP)
+                    bad(s"table '$n': recorded schema was rewritten " +
+                      "concurrently (not a pure widening)")
+                  else {
+                    try {
+                      val merged = mergeSchemas(n, qSchema, sliceSchema)
+                      val typeWidened = qSchema.fields.collect {
+                        case f if merged(f.name).dataType.catalogString !=
+                          f.dataType.catalogString => f.name
+                      }.toSet
+                      if (qm.bucketCols.exists(typeWidened))
+                        bad(s"table '$n': the rebase would widen a " +
+                          "bucket column")
+                      else {
+                        val scols = sm.statCols
+                        val introduced =
+                          scols.filterNot(qSchema.fieldNames.contains)
+                        def backfill(s: SegStats): SegStats =
+                          s.copy(cols = s.cols ++ introduced
+                            .filterNot(s.cols.contains)
+                            .map(c => c -> ColStat(None, None, s.rows)))
+                        val qWiden = qSchema.fields.collect {
+                          case f if f.dataType == FloatType &&
+                            merged(f.name).dataType == DoubleType => f.name
+                        }.toSet
+                        val txnWiden: Set[String] = sm.schema
+                          .map(ss => ss.fields.collect {
+                            case sf if sf.dataType == FloatType &&
+                              merged.fieldNames.contains(sf.name) &&
+                              merged(sf.name).dataType == DoubleType =>
+                              sf.name
+                          }.toSet).getOrElse(Set.empty)
+                        val qStats = qm.segStats.map { case (o, s) =>
+                          o -> widenFloatStats(backfill(s), qWiden) }
+                        val qFiles = qm.fileStats.map { case (o, fm) =>
+                          o -> fm.map { case (f, s) =>
+                            f -> widenFloatStats(backfill(s), qWiden) } }
+                        Seq(n -> qm.copy(
+                          owners = qm.owners :+ txn,
+                          schemaJson = Some(merged.json),
+                          statCols = scols,
+                          bloomCols = sm.bloomCols,
+                          segStats = qStats ++ sm.segStats.get(txn)
+                            .map(s => txn -> widenFloatStats(s, txnWiden)),
+                          fileStats = qFiles ++ sm.fileStats.get(txn)
+                            .map(fm => txn -> fm.map { case (f, s) =>
+                              f -> widenFloatStats(s, txnWiden) })))
+                      }
+                    } catch { case e: IllegalArgumentException =>
+                      bad(s"table '$n': ${e.getMessage}")
+                    }
+                  }
+                }
+            }
+          }
+        }.toMap
+      conflict match {
+        case Some(c) => return rebaseConflict(
+          s"rebase under $root refused: $c")
+        case None => ()
+      }
+      val bytes = renderManifest(txn, qMeta ++ rebuilt)
+        .getBytes(StandardCharsets.UTF_8)
+      // the version dir's own _MANIFEST was sealed with the STAGED
+      // (pre-race) manifest — rewrite it to the rebased one BEFORE the
+      // swap, or time travel, restore and vacuum's reference closure
+      // would read a manifest that omits the winner's owners (vacuum
+      // could then reclaim segments the live version references)
+      rewriteSealedManifest(spark, root, txn, bytes)
+      if (swapPointer(spark, root, txn, bytes,
+          expectParent = Some(Some(q)))) {
+        Concurrency.rebased.incrementAndGet()
+        markCommitted(spark, root, txn,
+          seq = commitSeqOf(spark, root, q).map(_ + 1).getOrElse(0L),
+          op = opLabel.getOrElse("APPEND"),
+          parent = Some(q), dataChange = dataChange)
+        return Some(txn)
+      }
+    }
+    rebaseConflict(s"rebase under $root: lost 5 successive races")
   }
 
   /** ZERO-COPY table clone (Delta's SHALLOW CLONE shape): `target`
@@ -2644,7 +2982,12 @@ object AtomicPublish {
             // checks when they were first written.
             replaceOwners(spark, root, table, keep,
               kept.unionByName(checkGuarded(spark, table, guarded, m)),
-              parent, op = s"REPLACE WHERE $table ($where)")
+              parent, op = s"REPLACE WHERE $table ($where)",
+              // lost-CAS rebase: provably-disjoint concurrent commits
+              // (appends outside the predicate, rewrites of other
+              // owners) compose without recomputing; anything that
+              // may overlap `where` refuses and recomputes here
+              conflictPredicate = Some(where))
           }
         }
       } catch { case scala.util.control.NonFatal(e) =>
@@ -2944,7 +3287,15 @@ object AtomicPublish {
       attempt += 1
       val pinned = currentTxn(spark, root).getOrElse(
         throw new IllegalStateException(s"no published version under $root"))
-      deleteRowsAt(spark, root, pinned, deletes) match {
+      // rebase on a lost race: the tombstone rows are caller keys with
+      // an `_asof` scope counted at the pin — a scope that stays exact
+      // under concurrent appends (they land at later positions, which
+      // the delete must not cover: it was issued against the pin), and
+      // the rebase refuses if the base chain was REWRITTEN (scopes
+      // would re-aim). Verified-delete callers use deleteRowsAt
+      // directly, where rebase stays off — their exactness guard needs
+      // the conflict signal.
+      deleteRowsAt(spark, root, pinned, deletes, rebase = true) match {
         case Some(txn) => return txn
         case None => () // lost the race: re-pin, retry
       }
@@ -2959,7 +3310,8 @@ object AtomicPublish {
     * the verify and the tombstone commit cannot straddle a concurrent
     * commit (the r6 verify-then-commit window). */
   def deleteRowsAt(spark: SparkSession, root: String, parent: String,
-      deletes: Map[String, DataFrame]): Option[String] = {
+      deletes: Map[String, DataFrame],
+      rebase: Boolean = false): Option[String] = {
     require(deletes.nonEmpty, "deleteRows needs at least one table")
     val metas = manifestMetaOf(spark, root, parent)
     deletes.foreach { case (t, keys) =>
@@ -2974,7 +3326,7 @@ object AtomicPublish {
           .repartition(1) // ids: tiny by contract
       },
       opLabel = Some("DELETE " + deletes.keys.toSeq.sorted.mkString(",")),
-      parent = Some(parent))
+      parent = Some(parent), rebase = rebase)
   }
 
   /** One table's upsert slice: the new rows plus the EXPLICIT key set

@@ -430,10 +430,11 @@ final class GraftCatalog extends TableCatalog
             if (f.name == colName) f.copy(dataType = u.newDataType) else f))
           val empty = spark.createDataFrame(
             spark.sparkContext.emptyRDD[Row], widened)
-          // the merge validates the pair is a lossless widening
+          // the merge validates the pair is a lossless widening; an
+          // empty append carries no data so a lost race rebases freely
           if (AtomicPublish.publishDelta(spark, root,
               append = Map(ident.name() -> empty),
-              parent = Some(parent)).isDefined)
+              parent = Some(parent), rebase = true).isDefined)
             return loadTable(ident)
           // CAS lost: re-pin and retry
         }
@@ -504,7 +505,8 @@ final class GraftCatalog extends TableCatalog
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
       val committed = AtomicPublish.publishDelta(spark, root,
-        append = Map(ident.name() -> empty), parent = Some(parent))
+        append = Map(ident.name() -> empty), parent = Some(parent),
+        rebase = true)
       if (committed.isDefined) return loadTable(ident)
       // CAS lost: re-pin and retry
     }
@@ -1195,8 +1197,12 @@ private[ops] object GraftCatalogWrite {
                 statsBy = layout(meta.statCols),
                 bloomBy = layout(meta.bloomCols))
             else
+              // caller-supplied rows: a lost race REBASES (the sealed
+              // segment lands on the winner's manifest, no restaging)
+              // unless a table fact moved — then the loop recomputes
               AtomicPublish.publishDelta(spark, root,
-                append = Map(table -> data), parent = Some(parent))
+                append = Map(table -> data), parent = Some(parent),
+                rebase = true)
           if (committed.isDefined) return
         // CAS lost: re-pin and retry
       }

@@ -568,9 +568,11 @@ final class GraftSource extends RelationProvider
                     s"append to '$table' cannot re-declare clustering — " +
                       "the manifest owns the recorded layout (use " +
                       "SaveMode.Overwrite, or let compaction re-sort)")
+                  // caller-supplied rows: a lost race rebases instead
+                  // of re-staging (see publishDelta's rebase contract)
                   AtomicPublish.publishDelta(spark, root,
                     append = Map(table -> data), parent = Some(parent),
-                    bucketBy = bucketLay)
+                    bucketBy = bucketLay, rebase = true)
                 }
               if (committed.isDefined) return schemaOnly(ctx, data.schema)
             // CAS lost: re-pin the parent and retry
