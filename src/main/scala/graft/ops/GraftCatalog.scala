@@ -477,16 +477,49 @@ final class GraftCatalog extends TableCatalog
     }
     val adds = changes.map {
       case a: TableChange.AddColumn =>
-        require(a.fieldNames.length == 1,
-          s"ALTER TABLE on '$catName' supports top-level columns only " +
-            s"(got nested ${a.fieldNames.mkString(".")})")
         require(a.isNullable,
           s"ALTER TABLE ADD COLUMNS on '$catName' requires nullable " +
             s"columns — existing rows have no value for " +
-            a.fieldNames()(0))
-        org.apache.spark.sql.types.StructField(
-          a.fieldNames()(0), a.dataType, nullable = true)
+            a.fieldNames().mkString("."))
+        a
       case other => unsupported(s"ALTER TABLE change $other")
+    }
+
+    /** Insert `dt` at `path` (a dotted field path whose LAST component
+      * is the new field's name, every prefix an existing struct):
+      * nested schema evolution's DDL face — `ADD COLUMNS (s.f type)`.
+      * Old segments serve null at the nested path (the parquet readers
+      * clip the requested schema per file footer). */
+    def addAt(schema: org.apache.spark.sql.types.StructType,
+        path: Seq[String], dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.StructType = {
+      val name = path.head
+      if (path.length == 1) {
+        require(!schema.fieldNames.contains(name),
+          s"ALTER TABLE ADD COLUMNS: '$name' already exists " +
+            s"on '${ident.name()}'")
+        org.apache.spark.sql.types.StructType(schema.fields :+
+          org.apache.spark.sql.types.StructField(name, dt,
+            nullable = true))
+      } else {
+        val idx =
+          try schema.fieldIndex(name)
+          catch { case _: IllegalArgumentException =>
+            throw new IllegalArgumentException(
+              s"ALTER TABLE ADD COLUMNS: no field '$name' " +
+                s"on '${ident.name()}'")
+          }
+        schema.fields(idx).dataType match {
+          case st: org.apache.spark.sql.types.StructType =>
+            org.apache.spark.sql.types.StructType(schema.fields
+              .updated(idx, schema.fields(idx)
+                .copy(dataType = addAt(st, path.tail, dt))))
+          case other => throw new IllegalArgumentException(
+            s"ALTER TABLE ADD COLUMNS: '$name' on '${ident.name()}' " +
+              s"is ${other.simpleString}, not a struct — nested adds " +
+              "need a struct at every path prefix")
+        }
+      }
     }
     var attempt = 0
     while (attempt < GraftSource.MaxCommitAttempts) {
@@ -497,11 +530,8 @@ final class GraftCatalog extends TableCatalog
         .getOrElse(ident.name(), throw new NoSuchTableException(ident))
       val recorded = meta.schema.getOrElse(throw new IllegalStateException(
         s"table '${ident.name()}' predates recorded schemas"))
-      val dup = adds.map(_.name).filter(recorded.fieldNames.contains)
-      require(dup.isEmpty,
-        s"ALTER TABLE ADD COLUMNS: ${dup.mkString(", ")} already " +
-          s"exist on '${ident.name()}'")
-      val widened = StructType(recorded.fields ++ adds)
+      val widened = adds.foldLeft(recorded)((s, a) =>
+        addAt(s, a.fieldNames().toSeq, a.dataType))
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], widened)
       val committed = AtomicPublish.publishDelta(spark, root,
@@ -785,7 +815,11 @@ final class GraftTable(
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    if (filters.isEmpty || filters.exists(_.isInstanceOf[sources.AlwaysTrue])) {
+    // the pushed filters are CONJUNCTS: an AlwaysTrue among them is a
+    // no-op term, not a truncate — only an all-AlwaysTrue (or empty)
+    // array means unconditioned DELETE (the same over-delete hazard
+    // the overwrite face guards against)
+    if (filters.forall(_.isInstanceOf[sources.AlwaysTrue])) {
       // unconditioned DELETE = truncate: one replace commit of an empty
       // slice, recorded layout re-declared (same contract as overwrite)
       val empty = spark.createDataFrame(

@@ -248,4 +248,151 @@ class SchemaEvolutionSpec extends SparkSuite {
     }
     assert(msgs(e3).contains("delete key"))
   }
+
+  // --- nested-struct evolution (r10) -----------------------------------
+
+  test("nested evolution: an append may add a field INSIDE a struct; " +
+      "old segments serve null at the nested path; narrow appends " +
+      "still land; time travel reads the narrow shape") {
+    import org.apache.spark.sql.functions.{col, struct, lit}
+    val root = freshRoot()
+    val v1Rows = (0 until 5).map(i => (i.toLong, s"en$i"))
+      .toDF("doc_id", "lang")
+      .select(col("doc_id"), struct(col("lang").as("lang")).as("meta"))
+    val v1 = AtomicPublish.publish(spark, root, Map("t" -> v1Rows))
+    // the evolved slice: meta gains a `score` field
+    val v2Rows = (5 until 8).map(i => (i.toLong, s"fr$i", i * 1.5))
+      .toDF("doc_id", "lang", "score")
+      .select(col("doc_id"), struct(col("lang").as("lang"),
+        col("score").as("score")).as("meta"))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> v2Rows), parent = Some(v1)).get
+    val live = AtomicPublish.readTable(spark, root, "t")
+    val metaType = live.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(metaType.fieldNames.toSeq == Seq("lang", "score"),
+      "the recorded struct widened in place")
+    val got = live.select(col("doc_id"), col("meta.lang"),
+      col("meta.score")).as[(Long, String, Option[Double])]
+      .collect().map { case (id, l, s) => id -> ((l, s)) }.toMap
+    assert(got(0L) == (("en0", None)), "old segment: nested null")
+    assert(got(6L) == (("fr6", Some(9.0))))
+    // a narrow (pre-evolution shaped) append still lands and serves
+    // null at the evolved path
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> (8 until 9).map(i => (i.toLong, "de"))
+        .toDF("doc_id", "lang")
+        .select(col("doc_id"),
+          struct(col("lang").as("lang")).as("meta"))),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    assert(AtomicPublish.readTable(spark, root, "t")
+      .where("meta.score IS NULL").count() == 6)
+    // time travel to the pre-evolution version reads the NARROW shape
+    val narrow = AtomicPublish.readTableAt(spark, root, "t", v1)
+    assert(narrow.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("lang"))
+    assert(narrow.count() == 5)
+  }
+
+  test("nested evolution: a type conflict INSIDE a struct is refused " +
+      "naming the nested path; nested atomic widening is allowed") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root, Map("t" ->
+      (0 until 4).map(i => (i.toLong, i))
+        .toDF("doc_id", "n")
+        .select(col("doc_id"),
+          struct(col("n").cast("int").as("n")).as("meta"))))
+    // nested int→long widen: allowed, recorded type widens, the old
+    // narrow nested segment reads promoted
+    AtomicPublish.publishDelta(spark, root, append = Map("t" ->
+      (4 until 6).map(i => (i.toLong, i.toLong * 100))
+        .toDF("doc_id", "n")
+        .select(col("doc_id"), struct(col("n").as("n")).as("meta"))),
+      parent = Some(v1)).get
+    val live = AtomicPublish.readTable(spark, root, "t")
+    assert(live.schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("n")
+      .dataType == org.apache.spark.sql.types.LongType)
+    assert(live.select("meta.n").as[Long].collect().toSet ==
+      Set(0L, 1L, 2L, 3L, 400L, 500L))
+    // nested string-vs-long: refused, naming meta.n
+    val e = intercept[Exception] {
+      AtomicPublish.publishDelta(spark, root, append = Map("t" ->
+        (6 until 7).map(i => (i.toLong, s"x$i"))
+          .toDF("doc_id", "n")
+          .select(col("doc_id"),
+            struct(col("n").as("n")).as("meta"))),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        msgs(t.getCause)
+    assert(msgs(e).contains("meta.n"))
+  }
+
+  test("nested evolution DDL face: ALTER TABLE ADD COLUMNS (s.f type) " +
+      "adds inside the struct; a non-struct prefix is refused") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val root = freshRoot()
+    val cat = mount(root)
+    AtomicPublish.publish(spark, root, Map("docs" ->
+      (0 until 4).map(i => (i.toLong, s"en$i"))
+        .toDF("doc_id", "lang")
+        .select(col("doc_id"),
+          struct(col("lang").as("lang")).as("meta"))))
+    spark.sql(s"ALTER TABLE $cat.docs ADD COLUMNS (meta.score DOUBLE)")
+    val schema = spark.table(s"$cat.docs").schema
+    assert(schema("meta").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("lang", "score"))
+    // existing rows serve null at the new nested path, and an insert
+    // of the evolved shape lands
+    assert(spark.sql(s"SELECT count(*) FROM $cat.docs " +
+      "WHERE meta.score IS NULL").head().getLong(0) == 4)
+    spark.sql(s"INSERT INTO $cat.docs SELECT 9L AS doc_id, " +
+      "named_struct('lang', 'fr', 'score', 0.5) AS meta")
+    assert(spark.sql(s"SELECT meta.score FROM $cat.docs " +
+      "WHERE doc_id = 9").head().getDouble(0) == 0.5)
+    // a non-struct path prefix is refused by name
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.docs ADD COLUMNS (doc_id.x INT)")
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") +
+        msgs(t.getCause)
+    assert(msgs(e).contains("not a struct"))
+  }
+
+  test("skipping-layer fuzz over a nested-evolved table: zone-map " +
+      "reads ≡ unpruned filters") {
+    import org.apache.spark.sql.functions.{col, struct}
+    val root = freshRoot()
+    def slice(ids: Range, withScore: Boolean) = {
+      val base = ids.map(i => (i.toLong, s"l${i % 3}", i * 0.5))
+        .toDF("doc_id", "lang", "score")
+      base.select(col("doc_id"),
+        if (withScore) struct(col("lang").as("lang"),
+          col("score").as("score")).as("meta")
+        else struct(col("lang").as("lang")).as("meta"))
+    }
+    AtomicPublish.publish(spark, root,
+      Map("t" -> slice(0 until 40, withScore = false)),
+      statsBy = Map("t" -> Seq("doc_id")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> slice(40 until 80, withScore = true)),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("t" -> slice(80 until 120, withScore = true)),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    for (w <- Seq("doc_id < 25", "doc_id BETWEEN 45 AND 90",
+        "doc_id >= 100", "doc_id = 7 OR doc_id = 113")) {
+      val pruned = AtomicPublish.readTableWhere(spark, root, "t", w)
+        .select("doc_id").as[Long].collect().toSet
+      val full = AtomicPublish.readTable(spark, root, "t")
+        .where(w).select("doc_id").as[Long].collect().toSet
+      assert(pruned == full, s"pruned ≠ full for '$w'")
+    }
+  }
 }
