@@ -472,16 +472,37 @@ object AdvancedQueries {
     * `approx_percentile` with explicit accuracy) — THE 100 TB percentile
     * path: a7's exact interpolated percentile must materialize each
     * group's full value set, while the sketch is fixed-size per group
-    * and merges associatively map-side. No SQL oracle (sketch estimates
-    * are implementation-specific — same policy as a5); the spec asserts
-    * the estimates bracket a7's exact values within sketch error. */
+    * and merges associatively map-side. Sketch ESTIMATES are
+    * implementation-specific (DuckDB's t-digest vs Spark's GK), so the
+    * raw values can't hash-match an oracle; instead the query emits the
+    * exact floor-cents percentiles (oracle-able, a7's convention) plus
+    * bracket FLAGS asserting the sketch estimate lies inside the exact
+    * [q−0.01, q+0.01] rank window — ~10× the accuracy-1000 rank-error
+    * bound, engine-computed, so a sketch regression flips a hashed
+    * boolean. The exact side is test-scale scaffolding only; the
+    * production path is the sketch column. */
   def a13ApproxPercentile(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        r2(expr("approx_percentile(l_extendedprice, 0.5, 1000)")).as("p50_approx"),
-        r2(expr("approx_percentile(l_extendedprice, 0.95, 1000)")).as("p95_approx"))
+        expr("CAST(floor(percentile(l_extendedprice, 0.5) * 100) AS BIGINT)")
+          .as("p50_cents"),
+        expr("CAST(floor(percentile(l_extendedprice, 0.95) * 100) AS BIGINT)")
+          .as("p95_cents"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+          .between(expr("percentile(l_extendedprice, 0.49)"),
+            expr("percentile(l_extendedprice, 0.51)")).as("p50_in_tol"),
+        expr("approx_percentile(l_extendedprice, 0.95, 1000)")
+          .between(expr("percentile(l_extendedprice, 0.94)"),
+            expr("percentile(l_extendedprice, 0.96)")).as("p95_in_tol"))
       .orderBy(col("l_returnflag"))
+
+  val a13ApproxPercentileSql: String =
+    """SELECT l_returnflag,
+      |CAST(floor(quantile_cont(l_extendedprice, 0.5) * 100) AS BIGINT) AS p50_cents,
+      |CAST(floor(quantile_cont(l_extendedprice, 0.95) * 100) AS BIGINT) AS p95_cents,
+      |true AS p50_in_tol, true AS p95_in_tol
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Pivot (long→wide): order counts per priority pivoted by status.
     * Spark's relational pivot; the oracle renders the same wide shape
@@ -2510,7 +2531,8 @@ object AdvancedQueries {
     "x13_map_funcs" -> x13MapFuncsSql,
     "x14_regex_funcs" -> x14RegexFuncsSql,
     "x15_string_shape" -> x15StringShapeSql,
-    // a5_approx_distinct, a13_approx_percentile: no oracle (sketch-based)
+    // a5_approx_distinct: no oracle (sketch-based estimate)
+    "a13_approx_percentile" -> a13ApproxPercentileSql,
     "a6_cube" -> a6CubeSql,
     "w1_rank_topk" -> w1RankTopKSql,
     "w2_lag_delta" -> w2LagDeltaSql,

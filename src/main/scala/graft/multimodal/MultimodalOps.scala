@@ -246,12 +246,64 @@ object MultimodalOps {
     * [[graft.analytics.DedupOps.simhashPairs]] banding. Because the
     * 4×16-bit banding is pigeonhole-COMPLETE for hamming ≤ 3, the
     * result equals brute-force all-pairs comparison exactly (spec-
-    * pinned) while shuffling only (id, band, bucket) rows. No SQL
-    * oracle — the decode kernel is engine-side, like mm3. */
+    * pinned) while shuffling only (id, band, bucket) rows. Fully
+    * SQL-oracled ([[mm5PhashNearDupSql]]): the stub decode kernel is
+    * deterministic byte arithmetic, so the oracle re-derives the
+    * features from hex-decoded UTF-8 bytes, reproduces the phash
+    * bit-for-bit (same double→float rounding), and brute-forces the
+    * pairs — pinning kernel, hash AND banding completeness at once. */
   def mm5PhashNearDup(spark: SparkSession, dir: String): DataFrame =
     graft.analytics.DedupOps.simhashPairs(
         mediaPhash(spark, dir).withColumnRenamed("media_id", "doc_id"))
       .toDF("ma", "mb", "hamming")
+
+  /** The decode kernel + phash, re-expressed in portable SQL: per-byte
+    * values via hex(encode(text)) digit lookup; lane features as
+    * (sum/count/255.0)::REAL — the same IEEE double arithmetic then
+    * float truncation as [[StubDecoder]], so comparisons agree exactly;
+    * the 64 [[PhashPairs]] regenerated as the first 64 lexicographic
+    * (i<j) pairs; bit 63 spelled as BIGINT MinValue (DuckDB refuses the
+    * overflowing 1<<63). Brute-force pairs stand in for the banding
+    * because banding is complete at hamming ≤ 3. */
+  val mm5PhashNearDupSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         octet_length(encode(text)) AS n FROM documents),
+      |byt AS (
+      |  SELECT doc_id, ((p - 1) % 16)::INT AS lane,
+      |    (strpos('0123456789ABCDEF', substring(h, 2*p-1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(h, 2*p, 1)) - 1 AS v
+      |  FROM raw, LATERAL unnest(generate_series(1, n)) AS u(p)),
+      |feat AS (
+      |  SELECT doc_id, lane,
+      |    (sum(v)::DOUBLE / count(*)::DOUBLE / 255.0)::REAL AS f
+      |  FROM byt GROUP BY doc_id, lane),
+      |grid AS (
+      |  SELECT d.doc_id, l.lane, coalesce(f.f, 0.0::REAL) AS f
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 15))::INT AS lane) l
+      |  LEFT JOIN feat f ON f.doc_id = d.doc_id AND f.lane = l.lane),
+      |pairs AS (
+      |  SELECT i, j, row_number() OVER (ORDER BY i, j) - 1 AS k
+      |  FROM (SELECT a.i::INT AS i, b.j::INT AS j
+      |        FROM (SELECT unnest(generate_series(0,15)) AS i) a,
+      |             (SELECT unnest(generate_series(0,15)) AS j) b
+      |        WHERE a.i < b.j ORDER BY i, j LIMIT 64)),
+      |ph AS (
+      |  SELECT ga.doc_id,
+      |    bit_or(CASE WHEN ga.f > gb.f THEN
+      |      CASE WHEN p.k = 63 THEN (-9223372036854775808)::BIGINT
+      |           ELSE (1::BIGINT << p.k::INT) END
+      |      ELSE 0::BIGINT END) AS simhash
+      |  FROM pairs p
+      |  JOIN grid ga ON ga.lane = p.i
+      |  JOIN grid gb ON gb.lane = p.j AND gb.doc_id = ga.doc_id
+      |  GROUP BY ga.doc_id)
+      |SELECT a.doc_id AS ma, b.doc_id AS mb,
+      |  bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      |FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY ma, mb""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_stats" -> (mm1MediaStats _),
@@ -265,6 +317,7 @@ object MultimodalOps {
     "mm1_media_stats" -> mm1MediaStatsSql,
     "mm2_frame_sample" -> mm2FrameSampleSql,
     "mm4_audio_windows" -> mm4AudioWindowsSql,
+    "mm5_phash_neardup" -> mm5PhashNearDupSql,
     // mm3_decode_features: engine-side decode kernel — no SQL oracle
   )
 }
