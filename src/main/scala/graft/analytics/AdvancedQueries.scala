@@ -1480,6 +1480,46 @@ object AdvancedQueries {
       |WHERE ts >= '2024-01-10' AND ts < '2024-01-20'
       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin
 
+  /** STORE18: DYNAMIC HIDDEN-PARTITION PRUNING inside the correctness
+    * gate ([[graft.ops.HiddenPartitionPruning]], VERDICT-r9 ask #5) —
+    * the fact side is the SAME `days(ts)`-partitioned store as
+    * store14, but here the day window arrives through a JOIN, not a
+    * predicate: a selective dimension (distinct purchase timestamps of
+    * a 6-day window, read from the raw parquet) equi-joins the store
+    * on the RAW timestamp. No static predicate touches the fact scan —
+    * only the runtime day ordinals derived from the dim's join values
+    * can prune it, so a pruning filter that dropped a matching day
+    * directory (or a derivation that mis-bucketed a boundary day)
+    * flips the hash. DuckDB reproduces the join from the raw parquet.
+    * The dirs-pruned pin (2 of 20 day dirs) lives in StoreDppSpec —
+    * here the gate proves VALUE-exactness of the pruned plan. */
+  def store18DppJoin(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store14Cache, spark, dir, "events") {
+      stageStore14(spark, dir)
+    }
+    val fact = graft.ops.AtomicPublish.readTable(spark, root, "events")
+    val dim = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("ts") < lit("2024-01-16").cast("timestamp"))
+      .select(col("ts")).distinct()
+    fact.join(dim, "ts")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
+  val store18DppJoinSql: String =
+    """WITH dim AS (
+      |  SELECT DISTINCT ts FROM events
+      |  WHERE event_type = 'purchase'
+      |    AND ts >= '2024-01-10' AND ts < '2024-01-16')
+      |SELECT e.event_type, count(*)::BIGINT AS n_rows,
+      |  round(sum(e.value), 2) AS sum_value
+      |FROM events e JOIN dim d ON e.ts = d.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val store15Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -2509,6 +2549,7 @@ object AdvancedQueries {
     "store15_partition_evolution" -> (store15PartitionEvolution _),
     "store16_replace_where" -> (store16ReplaceWhere _),
     "store17_cdc_compaction" -> (store17CdcCompaction _),
+    "store18_dpp_join" -> (store18DppJoin _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -2575,6 +2616,7 @@ object AdvancedQueries {
     "store15_partition_evolution" -> store15PartitionEvolutionSql,
     "store16_replace_where" -> store16ReplaceWhereSql,
     "store17_cdc_compaction" -> store17CdcCompactionSql,
+    "store18_dpp_join" -> store18DppJoinSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

@@ -1,0 +1,202 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, Cast, DateAdd, DateDiff, DynamicPruningSubquery, EqualTo, Expression, Hour, IntegralDivide, Literal, Month, Multiply, Pmod, PredicateHelper, Subtract, UnixMicros, Year}
+import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, LeftSemi, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{DateType, IntegerType, TimestampNTZType}
+
+/** DYNAMIC pruning of HIDDEN partitions: when an equi-join keys on the
+  * SOURCE column of a calendar-transform partition spec (`fact.ts =
+  * dim.ts` over a `days(ts)`-partitioned store table), collect the dim
+  * side's distinct day ordinals at runtime and skip the fact day
+  * directories that can't match.
+  *
+  * Spark's own `PartitionPruning` cannot see this: the join key `ts`
+  * is a DATA column (hidden partitioning keeps transform sources in
+  * the files — [[PartSpec]]), so no partition-column reference exists
+  * for it to latch onto. Iceberg closes the same gap with
+  * `SupportsRuntimeV2Filtering`; this store's V1 mount closes it by
+  * (a) exposing the derived dir ordinal (`ts__day`) in the file
+  * index's `partitionSchema` ([[GraftFileIndex.exposedDerived]] —
+  * projected away from every user-facing schema) and (b) this rule
+  * inserting a standard [[DynamicPruningSubquery]] whose pruning key
+  * is that derived attribute and whose build keys re-derive the SAME
+  * ordinal from the dim side's join key ([[deriveExpr]] mirrors
+  * [[PartSpec.derive]] value-for-value). Everything downstream is
+  * stock Spark: `PlanDynamicPruningFilters` /
+  * `PlanAdaptiveDynamicPruningFilters` plan the subquery,
+  * `FileSourceScanExec.dynamicallySelectedPartitions` evaluates it
+  * against each [[org.apache.spark.sql.execution.datasources
+  * .PartitionDirectory]]'s values, and whole directories drop before
+  * a byte of the fact table is read.
+  *
+  * At 100 TB this is the difference between scanning a month and
+  * scanning a history on every dim-driven fact lookup: a static
+  * `ts >= X` predicate prunes only what the QUERY states; the
+  * dim-side join values prune what the DATA implies.
+  *
+  * Safety:
+  *  - dropping a fact directory is only sound when a non-matching row
+  *    cannot affect the join result, so insertion is gated on the same
+  *    join types Spark's own DPP prunes (inner/semi on the pruned
+  *    side; a null source value never equi-joins, so dropping the
+  *    null-ordinal directory is sound too);
+  *  - evolved tables ([[GraftFileIndex.exposedDerived]] false) never
+  *    expose an ordinal, so this rule cannot fire on a mixed-layout
+  *    chain where an old owner would surface a null partition value;
+  *  - the subquery is `onlyInBroadcast` unless the build side is
+  *    small by stats: a broadcast-reused prune is ~free, while the
+  *    aggregate-subquery fallback re-executes the dim subtree — worth
+  *    it only when that subtree is cheap.
+  *
+  * Runs from `spark.experimental.extraOptimizations` (registered
+  * idempotently at store-mount time — [[register]]): the LAST
+  * optimizer batch, after `CleanupDynamicPruningFilters`, so the
+  * inserted filter survives and the captured build plan is fully
+  * optimized (stable `sameResult` for broadcast reuse).
+  */
+object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
+
+  /** Idempotently add this rule to `spark.experimental.extraOptimizations`. */
+  def register(spark: SparkSession): Unit = synchronized {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_ eq this))
+      spark.experimental.extraOptimizations = cur :+ this
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.dynamicPartitionPruningEnabled) return plan
+    plan.transformUp {
+      case j @ Join(left, right, joinType, Some(condition), _) =>
+        var newLeft = left
+        var newRight = right
+        splitConjunctivePredicates(condition).foreach {
+          case EqualTo(a, b) =>
+            val pair =
+              if (a.references.subsetOf(left.outputSet) &&
+                  b.references.subsetOf(right.outputSet)) Some((a, b))
+              else if (b.references.subsetOf(left.outputSet) &&
+                  a.references.subsetOf(right.outputSet)) Some((b, a))
+              else None
+            pair.foreach { case (lk, rk) =>
+              if (canPruneLeft(joinType) && hasSelectiveFilter(right))
+                newLeft = tryInsert(newLeft, lk, right, rk)
+              if (canPruneRight(joinType) && hasSelectiveFilter(left))
+                newRight = tryInsert(newRight, rk, left, lk)
+            }
+          case _ => ()
+        }
+        if ((newLeft eq left) && (newRight eq right)) j
+        else j.copy(left = newLeft, right = newRight)
+    }
+  }
+
+  // the join types whose semantics permit dropping non-matching rows
+  // from each side — same sets as Spark's PartitionPruning
+  private def canPruneLeft(jt: JoinType): Boolean = jt match {
+    case Inner | LeftSemi | RightOuter => true
+    case _ => false
+  }
+  private def canPruneRight(jt: JoinType): Boolean = jt match {
+    case Inner | LeftOuter => true
+    case _ => false
+  }
+
+  /** Pruning pays only when the dim side actually narrows: require a
+    * likely-selective filter somewhere in the build plan (Spark's own
+    * DPP heuristic). */
+  private def hasSelectiveFilter(plan: LogicalPlan): Boolean =
+    plan.exists {
+      case f: Filter => isLikelySelective(f.condition)
+      case _ => false
+    }
+
+  /** Insert a [[DynamicPruningSubquery]] filter directly above the
+    * store scan that `key` traces down to, when that scan exposes a
+    * derived transform ordinal for `key`'s source column. Returns the
+    * side unchanged when any link in that chain is missing. */
+  private def tryInsert(side: LogicalPlan, key: Expression,
+      buildPlan: LogicalPlan, buildKey: Expression): LogicalPlan = {
+    val attr = key match {
+      case a: AttributeReference => a
+      case _ => return side // composite/cast keys: ordinal equality unprovable
+    }
+    findExpressionAndTrackLineageDown(attr, side) match {
+      case Some((src: AttributeReference,
+          lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _))) =>
+        fs.location match {
+          case g: GraftFileIndex =>
+            (for {
+              t <- g.prunableTransforms.find(_.src == src.name)
+              derived <- lr.output.find(_.name == t.derivedName)
+              if !alreadyPruned(side, derived)
+              ord <- deriveExpr(t, buildKey)
+            } yield {
+              // small build by stats => the aggregate-subquery fallback
+              // is cheap; otherwise prune only via broadcast reuse
+              val cheap = buildPlan.stats.sizeInBytes <=
+                BigInt(math.max(conf.autoBroadcastJoinThreshold, 0L))
+              side.transformUp {
+                case r: LogicalRelation if r eq lr =>
+                  Filter(DynamicPruningSubquery(derived, buildPlan,
+                    Seq(ord), Seq(0), onlyInBroadcast = !cheap), r)
+              }
+            }).getOrElse(side)
+          case _ => side
+        }
+      case _ => side
+    }
+  }
+
+  private def alreadyPruned(side: LogicalPlan,
+      derived: AttributeReference): Boolean =
+    side.exists {
+      case Filter(c, _) => c.exists {
+        case d: DynamicPruningSubquery => d.pruningKey.semanticEquals(derived)
+        case _ => false
+      }
+      case _ => false
+    }
+
+  /** Catalyst mirror of [[PartSpec.derive]]: the transform ordinal of
+    * `c`, value-identical to the directory ordinals the writer laid
+    * down (exactness is what makes the prune sound). `(us - pmod(us,
+    * d))` is an exact multiple of `d`, so integral division equals the
+    * floored quotient for negatives too. None when the source type
+    * can't be derived (then no filter is inserted). */
+  private def deriveExpr(t: PartSpec.Transform,
+      c: Expression): Option[Expression] = {
+    val zone = Some(conf.sessionLocalTimeZone)
+    def epochDay: Expression = c.dataType match {
+      case DateType => DateDiff(c, Literal(0, DateType))
+      case TimestampNTZType =>
+        DateDiff(Cast(c, DateType, zone), Literal(0, DateType))
+      case _ =>
+        val us = UnixMicros(c)
+        val d = Literal(86400000000L)
+        Cast(IntegralDivide(Subtract(us, Pmod(us, d)), d), IntegerType)
+    }
+    def epochHour: Expression = c.dataType match {
+      case DateType => Multiply(DateDiff(c, Literal(0, DateType)), Literal(24))
+      case TimestampNTZType =>
+        Add(Multiply(epochDay, Literal(24)), Hour(c, zone))
+      case _ =>
+        val us = UnixMicros(c)
+        val d = Literal(3600000000L)
+        Cast(IntegralDivide(Subtract(us, Pmod(us, d)), d), IntegerType)
+    }
+    scala.util.Try(t.kind match {
+      case "days" => epochDay
+      case "hours" => epochHour
+      case kind =>
+        val date = DateAdd(Literal(0, DateType), epochDay)
+        if (kind == "months")
+          Add(Multiply(Subtract(Year(date), Literal(1970)), Literal(12)),
+            Subtract(Month(date), Literal(1)))
+        else Subtract(Year(date), Literal(1970))
+    }).toOption.filter(_.resolved)
+  }
+}

@@ -48,7 +48,18 @@ final class GraftFileIndex(
     /** Candidate owners, each optionally restricted to an explicit
       * relative-path subset (the eager `readTableWhere` pre-prune).
       * None = every data file of the segment. */
-    selection: Seq[(String, Option[Seq[String]])])
+    selection: Seq[(String, Option[Seq[String]])],
+    /** Expose derived calendar-transform ordinals (`ts__day`) as
+      * partition columns so DYNAMIC pruning can evaluate them against
+      * [[PartitionDirectory]] values at runtime
+      * ([[HiddenPartitionPruning]]). Only honored when every selected
+      * owner was written under the CURRENT spec — see
+      * [[exposedDerived]]. The format face keeps this off: a
+      * `BaseRelation`'s schema is its public contract and must not
+      * carry layout-internal columns (the ADVICE-r8 leak). The mounts
+      * that project back to the recorded columns ([[GraftFileIndex
+      * .relationFor]]) turn it on. */
+    exposeDerived: Boolean = false)
   extends FileIndex {
 
   private val recordedSchema: StructType = meta.schema.getOrElse(
@@ -78,15 +89,38 @@ final class GraftFileIndex(
     * partitioned table leaked `ts__day` into SELECT *). */
   private val dirSchema: StructType = dirSchemaOf(meta.partitionCols)
 
-  /** What the relation EXPOSES: identity partition columns only. The
-    * derived ordinals stay layout-internal — pruning on them fires
-    * from RAW-column predicates (dataFilters), since the source column
-    * lives in the data files. Spec EVOLUTION rides on this: per-owner
-    * transform layouts ([[AtomicPublish.TableMeta.ownerParts]]) never
-    * surface to the planner, because the identity entry SET is
-    * invariant across specs ([[AtomicPublish.setPartitionSpec]]). */
-  override val partitionSchema: StructType = StructType(
-    dirSchema.fields.filterNot(f =>
+  /** Derived-ordinal exposure is gated on a UNIFORM layout: every
+    * selected owner written under the current spec. An owner written
+    * under an OLDER spec has no current-derived directory component,
+    * so its files would surface a null partition value — and a
+    * runtime `IN`-subquery pruning filter evaluates null to false,
+    * silently DROPPING that owner's rows. With the guard, evolved
+    * tables simply fall back to identity-only exposure (static
+    * transform pruning in [[listFiles]] still fires from raw-column
+    * predicates, exactly as before). */
+  private[ops] val exposedDerived: Boolean =
+    exposeDerived && transforms.nonEmpty &&
+      selection.forall(s => meta.partsOf(s._1) == meta.partitionCols)
+
+  /** Transforms that dynamic pruning may key on ([[HiddenPartitionPruning]]):
+    * the current spec's, iff their ordinals are exposed. */
+  private[ops] def prunableTransforms: Seq[PartSpec.Transform] =
+    if (exposedDerived) transforms else Nil
+
+  /** What the relation EXPOSES: identity partition columns, plus the
+    * derived transform ordinals when [[exposedDerived]] (consumed only
+    * by dynamic pruning — the relation mounts project back to the
+    * recorded columns, so user-facing schemas never carry them).
+    * Otherwise the derived ordinals stay layout-internal — pruning on
+    * them fires from RAW-column predicates (dataFilters), since the
+    * source column lives in the data files. Spec EVOLUTION rides on
+    * this: per-owner transform layouts
+    * ([[AtomicPublish.TableMeta.ownerParts]]) never surface to the
+    * planner, because the identity entry SET is invariant across specs
+    * ([[AtomicPublish.setPartitionSpec]]). */
+  override val partitionSchema: StructType =
+    if (exposedDerived) dirSchema
+    else StructType(dirSchema.fields.filterNot(f =>
       transforms.exists(_.derivedName == f.name)))
 
   /** One owner's directory layout: the spec it was WRITTEN under
@@ -340,7 +374,12 @@ object GraftFileIndex {
   private[ops] def relationFor(spark: SparkSession, root: String,
       table: String, meta: TableMeta,
       selection: Seq[(String, Option[Seq[String]])]): DataFrame = {
-    val idx = new GraftFileIndex(spark, root, table, meta, selection)
+    val idx = new GraftFileIndex(spark, root, table, meta, selection,
+      exposeDerived = true)
+    // a transform-partitioned mount is dynamically prunable: make sure
+    // this session runs the hidden-partition DPP rule (idempotent)
+    if (idx.prunableTransforms.nonEmpty)
+      HiddenPartitionPruning.register(spark)
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
       bucketSpecOf(meta), new ParquetFileFormat,
       Map.empty[String, String])(spark)

@@ -220,6 +220,17 @@ class PlanAuditSpec extends SparkSuite {
     assert("\\*\\(\\d+\\)".r.findFirstIn(t4).isDefined, t4)
   }
 
+  test("store18: hidden-partition DPP filter reaches the store fact scan") {
+    // the gate query's fact side is a days(ts)-partitioned store scan
+    // joined on the RAW timestamp — only graft.ops.HiddenPartitionPruning
+    // can prune it (Spark's rule sees no partition-column reference);
+    // pin that the planned filter is really there (value-exactness is
+    // the store18 oracle's job, dirs-pruned counts are StoreDppSpec's)
+    val df = AdvancedQueries.store18DppJoin(spark, dir)
+    val p = planString(df)
+    assert(p.toLowerCase.contains("dynamicpruning"), p)
+  }
+
   test("p1b: approx profiler plans WITHOUT Expand; exact profiler needs it") {
     // N exact countDistincts in one pass force an Expand (each input row
     // replicated N+1 times, all distinct values shuffled) — the reason
