@@ -397,6 +397,72 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(!byType.contains("delete"), byType)
   }
 
+  test("CDC updateImages with NULL key components (mixed commit): the " +
+      "null-keyed update keeps plain delete/insert tags (equi-join " +
+      "semantics, like SQL), the non-null update classifies as a " +
+      "pre/post pair, and a tuple-keyed mirror still equals the " +
+      "delete-aware batch read") {
+    val root = freshRoot()
+    // (doc_id, variant)-keyed rows; variant is NULLABLE — the
+    // null-safe tombstone join (<=>) deletes null-keyed rows, but the
+    // updateImages classification join is deliberately EQUI (a null
+    // component never pairs), so those rows keep the plain two-valued
+    // tags. This pins that asymmetry end to end.
+    val base = Seq((1L, "a", "v1"), (2L, null, "v2"), (3L, "c", "v3"))
+      .toDF("doc_id", "variant", "text")
+    AtomicPublish.publish(spark, root, Map("docs" -> base))
+    val ckpt = Files.createTempDirectory("cdc-nullkey-ck").toString
+    val got = mutable.ArrayBuffer
+      .empty[(String, Long, Option[String], String)]
+    val mirror = mutable.Map.empty[(Long, Option[String]), String]
+    def run(): Unit = drain(
+      spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("updateImages", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.collect().map(r => (r.getString(3), r.getLong(0),
+            Option(r.getString(1)), r.getString(2)))
+          got ++= rows
+          // interval semantics: removals (delete/preimage) first,
+          // then arrivals (insert/postimage)
+          rows.filter(x => x._1 == "delete" || x._1 == "update_preimage")
+            .foreach(x => mirror.remove((x._2, x._3)))
+          rows.filter(x => x._1 == "insert" || x._1 == "update_postimage")
+            .foreach(x => mirror.put((x._2, x._3), x._4))
+          ()
+        }.start())
+    run()
+    assert(got.size == 3 && got.forall(_._1 == "insert"))
+    // ONE mixed upsert commit: (1,'a') and (2,NULL) both replaced,
+    // (4,NULL) fresh
+    val up = Seq((1L, "a", "v1-new"), (2L, null, "v2-new"),
+      (4L, null, "v4")).toDF("doc_id", "variant", "text")
+    AtomicPublish.upsertMany(spark, root, Map("docs" ->
+      AtomicPublish.Upsert(up, up.select("doc_id", "variant"))))
+    got.clear(); run()
+    val byType = got.groupBy(_._1).view
+      .mapValues(_.map(x => (x._2, x._3, x._4)).toSet).toMap
+    // the non-null tuple classifies
+    assert(byType.get("update_preimage")
+      .contains(Set((1L, Some("a"), "v1"))), byType)
+    assert(byType.get("update_postimage")
+      .contains(Set((1L, Some("a"), "v1-new"))), byType)
+    // the NULL-component tuple keeps plain tags — but the null-safe
+    // tombstone really deleted the old row, so the two tags carry the
+    // complete story and no row is lost or duplicated
+    assert(byType.get("delete").contains(Set((2L, None, "v2"))), byType)
+    assert(byType.get("insert")
+      .contains(Set((2L, None, "v2-new"), (4L, None, "v4"))), byType)
+    // mirror parity with the delete-aware batch read
+    val batch = AtomicPublish.readTable(spark, root, "docs").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1))) -> r.getString(2))
+      .toMap
+    assert(mirror.toMap == batch && batch.size == 4, s"$mirror vs $batch")
+  }
+
   test("maxOwnersPerTrigger (ADMISSION CONTROL): a deep backlog drains " +
       "as bounded paced batches — no batch exceeds the cap, nothing " +
       "lost, nothing duplicated, restart resumes exactly") {
