@@ -1520,6 +1520,59 @@ object AdvancedQueries {
       |FROM events e JOIN dim d ON e.ts = d.ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  private val store19Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE19: METADATA-ONLY AGGREGATES inside the correctness gate
+    * ([[graft.ops.MetadataAggregates]]) — full-table count(*)/
+    * count(col)/min/max over a stats-covered two-segment store answer
+    * from the manifest's recorded segment stats with ZERO data files
+    * read (the plan pin lives in PlanAuditSpec; MetadataAggregatesSpec
+    * pins the zero-scan metric and every fallback gate). DuckDB
+    * computes the same aggregates from the raw parquet, so a stats
+    * line that drifted from the data — a wrong row count, a truncated
+    * or mis-encoded min/max, a null-count error — flips the hash. The
+    * catalog-lookup query every operator runs hourly, free at any
+    * scale. */
+  def store19MetadataAgg(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store19Cache, spark, dir, "documents") {
+      import graft.ops.AtomicPublish
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store19")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }
+      val r = tmp.resolve("store").toString
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def seg(k: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === k)
+        .repartition(2)
+      val v1 = AtomicPublish.publish(spark, r, Map("documents" -> seg(0)),
+        statsBy = Map("documents" -> Seq("doc_id", "lang", "n_chars")))
+      AtomicPublish.publishDelta(spark, r,
+        append = Map("documents" -> seg(1)), parent = Some(v1))
+      r
+    }
+    graft.ops.AtomicPublish.readTable(spark, root, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      count(col("n_chars")).as("n_known"),
+      min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+      min(col("lang")).as("min_lang"), max(col("lang")).as("max_lang"),
+      min(col("n_chars")).as("min_chars"),
+      max(col("n_chars")).as("max_chars"))
+  }
+
+  val store19MetadataAggSql: String =
+    """SELECT count(*)::BIGINT AS n_docs,
+      |  count(n_chars)::BIGINT AS n_known,
+      |  min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id,
+      |  min(lang) AS min_lang, max(lang) AS max_lang,
+      |  min(n_chars)::BIGINT AS min_chars,
+      |  max(n_chars)::BIGINT AS max_chars
+      |FROM documents""".stripMargin
+
   private val store15Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -2550,6 +2603,7 @@ object AdvancedQueries {
     "store16_replace_where" -> (store16ReplaceWhere _),
     "store17_cdc_compaction" -> (store17CdcCompaction _),
     "store18_dpp_join" -> (store18DppJoin _),
+    "store19_metadata_agg" -> (store19MetadataAgg _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -2617,6 +2671,7 @@ object AdvancedQueries {
     "store16_replace_where" -> store16ReplaceWhereSql,
     "store17_cdc_compaction" -> store17CdcCompactionSql,
     "store18_dpp_join" -> store18DppJoinSql,
+    "store19_metadata_agg" -> store19MetadataAggSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

@@ -107,6 +107,23 @@ final class GraftFileIndex(
   private[ops] def prunableTransforms: Seq[PartSpec.Transform] =
     if (exposedDerived) transforms else Nil
 
+  /** Inputs for METADATA-ONLY aggregates ([[MetadataAggregates]]):
+    * one [[AtomicPublish.SegStats]] per selected owner, available only
+    * when this mount covers WHOLE owners (no eager file subset — a
+    * `readTableWhere` pre-prune would make segment totals overcount)
+    * and every owner carries recorded stats. Zero owners = Some(Nil):
+    * an empty table metadata-counts to 0. */
+  private[ops] def metadataSegStats: Option[Seq[AtomicPublish.SegStats]] =
+    if (selection.forall(s =>
+        s._2.isEmpty && meta.segStats.contains(s._1)))
+      Some(selection.map(s => meta.segStats(s._1)))
+    else None
+
+  /** The columns whose per-owner min/max/null stats are recorded. */
+  private[ops] def statColumns: Seq[String] = meta.statCols
+
+  private[ops] def recordedTableSchema: StructType = recordedSchema
+
   /** What the relation EXPOSES: identity partition columns, plus the
     * derived transform ordinals when [[exposedDerived]] (consumed only
     * by dynamic pruning — the relation mounts project back to the
@@ -380,6 +397,10 @@ object GraftFileIndex {
     // this session runs the hidden-partition DPP rule (idempotent)
     if (idx.prunableTransforms.nonEmpty)
       HiddenPartitionPruning.register(spark)
+    // a stats-covered mount can serve full-table aggregates from the
+    // manifest alone (idempotent; the rule itself re-checks coverage)
+    if (idx.metadataSegStats.exists(_.nonEmpty))
+      MetadataAggregates.register(spark)
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
       bucketSpecOf(meta), new ParquetFileFormat,
       Map.empty[String, String])(spark)

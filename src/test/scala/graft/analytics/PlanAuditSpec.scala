@@ -231,6 +231,17 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.toLowerCase.contains("dynamicpruning"), p)
   }
 
+  test("store19: metadata aggregates plan with NO file scan at all") {
+    // the whole point of graft.ops.MetadataAggregates: the gate query
+    // collapses to a LocalRelation of manifest totals — a FileSourceScan
+    // (or any Scan) anywhere in the plan means the rewrite regressed
+    val df = AdvancedQueries.store19MetadataAgg(spark, dir)
+    val p = planString(df)
+    assert(!p.contains("FileScan") && !p.contains("BatchScan") &&
+      !p.contains("parquet"), p)
+    assert(p.contains("LocalTableScan"), p)
+  }
+
   test("p1b: approx profiler plans WITHOUT Expand; exact profiler needs it") {
     // N exact countDistincts in one pass force an Expand (each input row
     // replicated N+1 times, all distinct values shuffled) — the reason
