@@ -208,6 +208,44 @@ object ScaleRehearsal {
           s"catalog point read listed $files of $totalFiles files")
       }
     }
+    // --- metadata-only aggregates at the full history (r10) ------------
+    // the hourly operator queries must cost O(manifest): count(*) and
+    // min/max over the stat column answer from recorded segment stats
+    // with ZERO files read ([[graft.ops.MetadataAggregates]]); the
+    // identical aggregate with the rewrite disabled really scans —
+    // equal answers required, the wall-clock gap is the claim
+    def scannedFilesOf(df: DataFrame): Long = {
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Long =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            go(q.plan)
+        }.sum
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => go(a.executedPlan)
+        case p => go(p)
+      }
+    }
+    def totalsDf(): DataFrame = AtomicPublish.readTable(spark, root, "docs")
+      .agg(count(lit(1)).as("c"), min(col("rid")).as("mn"),
+        max(col("rid")).as("mx"))
+    def checkTotals(expectScan: Boolean): Unit = {
+      val df = totalsDf()
+      val r = df.collect()(0)
+      require(r.getLong(0) == n && r.getLong(1) == 0 &&
+        r.getLong(2) == n - 1, s"table totals off: $r")
+      val files = scannedFilesOf(df)
+      if (expectScan) require(files > 0, "control aggregate did not scan")
+      else require(files == 0,
+        s"metadata aggregate read $files files (rewrite regressed)")
+    }
+    val metaAggSec = minOf { checkTotals(expectScan = false) }
+    spark.conf.set("spark.graft.metadataAggregates", "false")
+    val scanAggSec =
+      try minOf { checkTotals(expectScan = true) }
+      finally spark.conf.set("spark.graft.metadataAggregates", "true")
     // --- scoped vs FULL compaction on zero-copy clones (r8) -----------
     // two O(1) clones of the `segments`-owner table; compactWhere on
     // one rewrites ONLY the owners admitting a ~5% rid range (zone-map
@@ -324,21 +362,67 @@ object ScaleRehearsal {
       .inputFiles.length
     val tfLoUs = (n / 2) * stepUs
     val tfHiUs = tfLoUs + math.max((n / 100) * stepUs, 86400000000L * 2)
+    // the EXACT pruning bound: a window touching k UTC days may scan
+    // at most k day files (one file per day dir here) — measured on
+    // the EXECUTED aggregate's plan (an unexecuted DataFrame's metrics
+    // read zero and would pass vacuously — r10 fix)
+    val tfWindowDays =
+      (tfHiUs - 1) / 86400000000L - tfLoUs / 86400000000L + 1
     val tfRangeSec = minOf {
       val q = AtomicPublish.readTable(spark, tfRoot, "events")
         .filter(col("ts") >= timestamp_micros(lit(tfLoUs)) &&
           col("ts") < timestamp_micros(lit(tfHiUs)))
       val expected = ev.filter(col("rid") * stepUs >= tfLoUs &&
         col("rid") * stepUs < tfHiUs).count()
-      require(q.count() == expected, "transform range read row count off")
-      val scan = q.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numFiles").value
-      }.sum
-      require(scan * 10 <= tfTotalFiles,
+      val cdf = q.agg(count(lit(1)).as("c"))
+      require(cdf.collect()(0).getLong(0) == expected,
+        "transform range read row count off")
+      val scan = scannedFilesOf(cdf)
+      require(scan > 0 && scan <= tfWindowDays,
         s"raw-ts range read scanned $scan of $tfTotalFiles day files " +
-          "(hidden partitioning is not pruning)")
+          s"for a $tfWindowDays-day window (hidden partitioning is " +
+          "not pruning)")
     }
+    // --- DYNAMIC hidden-partition pruning at the dir count (r10) -------
+    // the same ~1% window arrives through a JOIN this time: a dim of
+    // its distinct timestamps equi-joins the fact on the RAW ts, and
+    // [[graft.ops.HiddenPartitionPruning]] must confine the scan to
+    // ~the day-file subset the static predicate achieved — measured
+    // against the identical join with dynamic pruning disabled (every
+    // file read), equal answers required. At the corpus-scaled dir
+    // count the gap IS the dim-driven-lookup claim.
+    val dimTs = ev.filter(col("rid") * stepUs >= tfLoUs &&
+      col("rid") * stepUs < tfHiUs).select("ts").distinct()
+    val dppExpected = dimTs.count()
+    // exact bound, like the static phase: the dim's values touch
+    // `tfWindowDays` UTC days, so the pruned fact scan may read at
+    // most that many day files — and strictly fewer than the table
+    // holds, or the phase proves nothing at this scale
+    require(tfWindowDays < tfTotalFiles,
+      s"dpp phase mis-staged: $tfWindowDays-day window over " +
+        s"$tfTotalFiles files cannot demonstrate pruning")
+    def dppCountDf(): DataFrame =
+      AtomicPublish.readTable(spark, tfRoot, "events").join(dimTs, "ts")
+        .agg(count(lit(1)).as("c"))
+    val dppJoinSec = minOf {
+      val df = dppCountDf()
+      require(df.collect()(0).getLong(0) == dppExpected,
+        "dim-join pruned read row count off")
+      val files = scannedFilesOf(df)
+      require(files > 0 && files <= tfWindowDays,
+        s"dim-join read scanned $files of $tfTotalFiles day files " +
+          s"for a $tfWindowDays-day dim window (hidden-partition DPP " +
+          "is not pruning)")
+    }
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "false")
+    val dppUnprunedSec =
+      try minOf {
+        val df = dppCountDf()
+        require(df.collect()(0).getLong(0) == dppExpected,
+          "unpruned dim-join answer off")
+      } finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     // --- partition-spec EVOLUTION at the production dir count (r9) ----
     // days → months in ONE metadata commit over the corpus-scaled dir
     // count: the commit must stay O(1) (no data read — scale-FLAT),
@@ -371,15 +455,27 @@ object ScaleRehearsal {
           col("ts") < timestamp_micros(lit(tfHiUs)))
       val expected = ev.filter(col("rid") * stepUs >= tfLoUs &&
         col("rid") * stepUs < tfHiUs).count()
-      require(q.count() == expected,
+      val cdf = q.agg(count(lit(1)).as("c"))
+      require(cdf.collect()(0).getLong(0) == expected,
         "post-evolution range read row count off")
-      val scan = q.queryExecution.executedPlan.collect {
-        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
-          f.metrics("numFiles").value
-      }.sum
-      require(scan * 10 <= evolvedTotal,
+      // executed-plan metric (r10 fix); per-owner bound = each owner
+      // prunes at ITS granularity: the day-laid owner may scan the
+      // window's day dirs, the month-laid appended owner its month
+      // dirs (the appended rids sit outside the window, but a month
+      // dir OVERLAPPING it is a legitimate conservative keep — rows
+      // filter to zero, the dir cannot be dropped at month grain)
+      val windowMonths = {
+        def m(us: Long) = {
+          val d = java.time.LocalDate.ofEpochDay(us / 86400000000L)
+          d.getYear * 12 + d.getMonthValue
+        }
+        m(tfHiUs - 1) - m(tfLoUs) + 1
+      }
+      val scan = scannedFilesOf(cdf)
+      require(scan > 0 && scan <= tfWindowDays + windowMonths,
         s"post-evolution range read scanned $scan of $evolvedTotal " +
-          "files (evolved per-owner pruning regressed)")
+          s"files for a $tfWindowDays-day/$windowMonths-month window " +
+          "(evolved per-owner pruning regressed)")
     }
     // --- matview: init + incremental append interval ------------------
     val d = MatView.Def("docs", "mv_lang", Seq("lang"),
@@ -658,6 +754,10 @@ object ScaleRehearsal {
       "store_composite_read" -> compositeReadSec,
       "store_transform_stage" -> tfStageSec,
       "store_transform_range_read" -> tfRangeSec,
+      "store_metadata_agg" -> metaAggSec,
+      "store_scan_agg" -> scanAggSec,
+      "store_dpp_join_read" -> dppJoinSec,
+      "store_dpp_unpruned_read" -> dppUnprunedSec,
       "store_spec_evolve_commit" -> specEvolveSec,
       "store_evolved_range_read" -> evolvedRangeSec,
       "store_mass_delete_commit" -> deleteCommitSec,

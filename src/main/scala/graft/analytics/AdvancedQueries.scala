@@ -101,11 +101,27 @@ object AdvancedQueries {
     * are implementation-specific; the driver records a rows-only check.
     * This IS the 100 TB path for distinct counts: fixed-size sketch per
     * group, no distinct shuffle. */
+  /** A5 joined the hash gate the a13 way (VERDICT-r9 ask #8 pattern):
+    * the exact distinct count is the hashed value, and the HLL++
+    * estimate contributes a BRACKET FLAG — inside ±15% (3σ of the
+    * default 5% rsd, non-flaky at every sf) of the exact count. A
+    * sketch regression flips a hashed boolean; the raw estimate stays
+    * out of the hash (engine-specific, can't match DuckDB's HLL). */
   def a5ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        (approx_count_distinct(col("l_partkey")).cast("double") /
+          countDistinct(col("l_partkey")).cast("double"))
+          .between(0.85, 1.15).as("approx_in_tol"))
       .orderBy(col("l_returnflag"))
+
+  val a5ApproxDistinctSql: String =
+    """SELECT l_returnflag,
+      |count(DISTINCT l_partkey)::BIGINT AS n_parts,
+      |true AS approx_in_tol
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** A14: statistical aggregate battery — corr / covariance / stddev /
     * variance / least-squares regression per group, ALL native
@@ -2343,6 +2359,110 @@ object AdvancedQueries {
       |  FROM lineitem)
       |ORDER BY l_partkey""".stripMargin
 
+  /** Q12 shape (TPC-H Q12 re-keyed to this corpus's columns): line
+    * counts by line status split into high/low order priority — the
+    * join + CONDITIONAL AGGREGATION shape (two sums fold from one
+    * pass; the date window pushes to the lineitem scan; the join
+    * broadcasts orders' two needed columns at this selectivity or
+    * shuffles at scale — either way one partial-agg pass). */
+  def q12PriorityLines(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linestatus"))
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+  }
+
+  val q12PriorityLinesSql: String =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END)::BIGINT AS low_line_count
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Q14 shape (TPC-H Q14, promo revenue): one shipdate month of
+    * lineitem joined to part, promo and total discounted revenue side
+    * by side. The ratio is deliberately NOT computed: two
+    * independently-rounded cent sums hash-match across engines, while
+    * a rounded quotient of two float sums would put engine summation
+    * order inside the rounding boundary (the a7 lesson). */
+  def q14PromoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.part(spark, dir).select(col("p_partkey"), col("p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        round(sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0.0))), 2).as("promo_rev"),
+        round(sum(rev), 2).as("total_rev"))
+  }
+
+  val q14PromoRevenueSql: String =
+    """SELECT
+      |  round(sum(CASE WHEN p_type LIKE 'PROMO%'
+      |    THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 2)
+      |    AS promo_rev,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'""".stripMargin
+
+  /** Q19 shape (TPC-H Q19, disjunctive mixed-table predicate): revenue
+    * over an OR of three conjunctive brand/size/quantity envelopes —
+    * the shape that tests DISJUNCTION pushdown: Catalyst extracts the
+    * common l_quantity and p_size envelopes as scan-level filters
+    * (`(A₁∧B₁)∨(A₂∧B₂) ⇒ (A₁∨A₂)` per side) so both scans prune
+    * BEFORE the join even though no single conjunct spans it, and the
+    * full disjunction evaluates post-join. Brackets chosen to bind at
+    * every sf (193 rows at sf0.001 — non-vacuous by construction). */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val pt = Tables.part(spark, dir)
+    def arm(brands: Seq[String], szHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand").isin(brands: _*) &&
+        col("p_size").between(1, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    val cond =
+      arm(Seq("Brand#11", "Brand#12", "Brand#13"), 15, 1, 15) ||
+      arm(Seq("Brand#21", "Brand#22", "Brand#23"), 25, 10, 25) ||
+      arm(Seq("Brand#31", "Brand#32", "Brand#34"), 35, 20, 35)
+    li.select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .join(pt.select(col("p_partkey"), col("p_brand"), col("p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(cond)
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))),
+          2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19DisjunctiveSql: String =
+    """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2)
+      |    AS revenue,
+      |  count(*)::BIGINT AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand IN ('Brand#11','Brand#12','Brand#13')
+      |       AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand IN ('Brand#21','Brand#22','Brand#23')
+      |       AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand IN ('Brand#31','Brand#32','Brand#34')
+      |       AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)"""
+      .stripMargin
+
   /** Q15 shape (TPC-H Q15's top-supplier view): per-supplier revenue
     * over a shipdate quarter, then the supplier(s) matching the MAX —
     * an uncorrelated scalar MAX subquery over a reused grouped view
@@ -2578,7 +2698,10 @@ object AdvancedQueries {
     "q2_min_cost" -> (q2MinCost _),
     "q20_nested_in" -> (q20NestedIn _),
     "q11_having_threshold" -> (q11HavingThreshold _),
+    "q12_priority_lines" -> (q12PriorityLines _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
     "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_disjunctive" -> (q19Disjunctive _),
     "q22_sales_opportunity" -> (q22SalesOpportunity _),
     "j6_q5_volume" -> (j6Q5Volume _),
     "j7_full_outer" -> (j7FullOuter _),
@@ -2628,6 +2751,7 @@ object AdvancedQueries {
     "x15_string_shape" -> x15StringShapeSql,
     // a5_approx_distinct: no oracle (sketch-based estimate)
     "a13_approx_percentile" -> a13ApproxPercentileSql,
+    "a5_approx_distinct" -> a5ApproxDistinctSql,
     "a6_cube" -> a6CubeSql,
     "w1_rank_topk" -> w1RankTopKSql,
     "w2_lag_delta" -> w2LagDeltaSql,
@@ -2646,7 +2770,10 @@ object AdvancedQueries {
     "q2_min_cost" -> q2MinCostSql,
     "q20_nested_in" -> q20NestedInSql,
     "q11_having_threshold" -> q11HavingThresholdSql,
+    "q12_priority_lines" -> q12PriorityLinesSql,
+    "q14_promo_revenue" -> q14PromoRevenueSql,
     "q15_top_supplier" -> q15TopSupplierSql,
+    "q19_disjunctive" -> q19DisjunctiveSql,
     "q22_sales_opportunity" -> q22SalesOpportunitySql,
     "j6_q5_volume" -> j6Q5VolumeSql,
     "j7_full_outer" -> j7FullOuterSql,

@@ -305,6 +305,40 @@ object MultimodalOps {
       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
       |ORDER BY ma, mb""".stripMargin
 
+  /** The mm3 readback re-expressed in portable SQL, riding the same
+    * byte-derivation the mm5 oracle proved: per-doc `mean_byte` is an
+    * exact-integer ratio (`sum(v)/n`, the kernel's `total/len`), lane-0
+    * features reproduce the kernel's double→float truncation, and the
+    * per-modality averages round at 4 dp on both sides. A kernel drift
+    * (stride bug, lane mixup, mean over the wrong denominator) flips
+    * the hash. Empty payloads join defensively (kernel: mean 0.0,
+    * f0 = 0). */
+  val mm3DecodeFeaturesSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, hex(encode(text)) AS h,
+      |         octet_length(encode(text)) AS n FROM documents),
+      |byt AS (
+      |  SELECT doc_id, ((p - 1) % 16)::INT AS lane,
+      |    (strpos('0123456789ABCDEF', substring(h, 2*p-1, 1)) - 1) * 16
+      |      + strpos('0123456789ABCDEF', substring(h, 2*p, 1)) - 1 AS v
+      |  FROM raw, LATERAL unnest(generate_series(1, n)) AS u(p)),
+      |perdoc AS (
+      |  SELECT doc_id,
+      |    sum(v)::DOUBLE / count(*)::DOUBLE AS mean_byte,
+      |    (sum(CASE WHEN lane = 0 THEN v END)::DOUBLE /
+      |     count(CASE WHEN lane = 0 THEN v END)::DOUBLE / 255.0)::REAL
+      |      AS f0
+      |  FROM byt GROUP BY doc_id),
+      |m AS (
+      |  SELECT doc_id,
+      |    ['image','audio','video'][(doc_id % 3 + 1)::INT] AS modality
+      |  FROM documents)
+      |SELECT m.modality, count(*)::BIGINT AS n_decoded,
+      |  round(avg(coalesce(p.mean_byte, 0.0)), 4) AS avg_mean_byte,
+      |  round(avg(coalesce(p.f0, 0.0::REAL)::DOUBLE), 4) AS avg_f0
+      |FROM m LEFT JOIN perdoc p ON p.doc_id = m.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_stats" -> (mm1MediaStats _),
     "mm2_frame_sample" -> (mm2FrameSample _),
@@ -316,8 +350,8 @@ object MultimodalOps {
   def oracleSql: Map[String, String] = Map(
     "mm1_media_stats" -> mm1MediaStatsSql,
     "mm2_frame_sample" -> mm2FrameSampleSql,
+    "mm3_decode_features" -> mm3DecodeFeaturesSql,
     "mm4_audio_windows" -> mm4AudioWindowsSql,
     "mm5_phash_neardup" -> mm5PhashNearDupSql,
-    // mm3_decode_features: engine-side decode kernel — no SQL oracle
   )
 }

@@ -1,9 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Add, AttributeReference, Cast, DateAdd, DateDiff, DynamicPruningSubquery, EqualTo, Expression, Hour, IntegralDivide, Literal, Month, Multiply, Pmod, PredicateHelper, Subtract, UnixMicros, Year}
+import org.apache.spark.sql.catalyst.expressions.{Add, Alias, AttributeReference, Cast, DateAdd, DateDiff, DynamicPruningSubquery, EqualTo, Expression, Hour, IntegralDivide, Literal, Month, Multiply, Pmod, PredicateHelper, Subtract, UnixMicros, Year}
 import org.apache.spark.sql.catalyst.plans.{Inner, JoinType, LeftOuter, LeftSemi, RightOuter}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan, Project, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.{DateType, IntegerType, TimestampNTZType}
@@ -114,6 +114,39 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
 
+  /** Trace `attr` down to a store scan through ROW-LOCAL operators
+    * only — Project (alias substitution), Filter, SubqueryAlias-like
+    * passthroughs and Joins (all join types only FILTER or
+    * null-extend rows relative to the traced side; the upper
+    * equi-join discards exactly what the inserted prune discards, so
+    * per-row lineage is preserved). Deliberately NOT
+    * `findExpressionAndTrackLineageDown`: that helper also descends
+    * through Window/Aggregate/Generate, below which a pruning filter
+    * could change the VALUES of surviving rows (a window function
+    * computed over the pruned subset differs for rows the join
+    * keeps). */
+  private def traceToScan(attr: AttributeReference,
+      plan: LogicalPlan): Option[(AttributeReference, LogicalRelation)] =
+    plan match {
+      case lr @ LogicalRelation(_, _, _, _, _)
+          if lr.outputSet.contains(attr) => Some((attr, lr))
+      case p: Project =>
+        p.projectList.find(_.exprId == attr.exprId) match {
+          case Some(a: AttributeReference) => traceToScan(a, p.child)
+          case Some(al: Alias) => al.child match {
+            case c: AttributeReference => traceToScan(c, p.child)
+            case _ => None
+          }
+          case _ => None
+        }
+      case f: Filter => traceToScan(attr, f.child)
+      case j: Join =>
+        j.children.find(_.outputSet.contains(attr))
+          .flatMap(traceToScan(attr, _))
+      case u: SubqueryAlias => traceToScan(attr, u.child)
+      case _ => None
+    }
+
   /** Insert a [[DynamicPruningSubquery]] filter directly above the
     * store scan that `key` traces down to, when that scan exposes a
     * derived transform ordinal for `key`'s source column. Returns the
@@ -124,8 +157,8 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
       case a: AttributeReference => a
       case _ => return side // composite/cast keys: ordinal equality unprovable
     }
-    findExpressionAndTrackLineageDown(attr, side) match {
-      case Some((src: AttributeReference,
+    traceToScan(attr, side) match {
+      case Some((src,
           lr @ LogicalRelation(fs: HadoopFsRelation, _, _, _, _))) =>
         fs.location match {
           case g: GraftFileIndex =>
