@@ -2885,12 +2885,21 @@ object AtomicPublish {
       require(newSpec != m.partitionCols,
         s"setPartitionSpec: table '$table' already has spec " +
           s"(${m.partitionCols.mkString(",")})")
-      require(PartSpec.identityCols(newSpec).toSet ==
-          PartSpec.identityCols(m.partitionCols).toSet,
-        s"setPartitionSpec may evolve calendar transforms only — " +
-          s"identity entries must stay " +
-          s"(${PartSpec.identityCols(m.partitionCols).mkString(",")}), " +
-          s"got (${PartSpec.identityCols(newSpec).mkString(",")})")
+      // IDENTITY entries may evolve too (r10 — Iceberg parity): an
+      // identity column lives in the DIRECTORY layout of owners
+      // written under a spec that includes it and in the DATA FILES
+      // otherwise, so the read mount groups owners into
+      // identity-homogeneous classes and unions one relation per
+      // class ([[GraftFileIndex.relationFor]]) — each class serves
+      // the column from where ITS files put it. Bucketed tables
+      // refuse: the bucket-file naming contract and the identity dir
+      // layout must not drift apart mid-chain.
+      require(m.numBuckets == 0 ||
+          PartSpec.identityCols(newSpec).toSet ==
+            PartSpec.identityCols(m.partitionCols).toSet,
+        s"setPartitionSpec: bucketed table '$table' may evolve " +
+          "calendar transforms only — identity entries must stay " +
+          s"(${PartSpec.identityCols(m.partitionCols).mkString(",")})")
       val evolved = m.copy(
         partitionCols = newSpec,
         // every existing owner keeps the spec it was written under;

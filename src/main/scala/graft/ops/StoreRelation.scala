@@ -388,7 +388,33 @@ object GraftFileIndex {
         meta.numBuckets, meta.bucketCols, Nil))
     else None
 
+  /** Mount one table snapshot. IDENTITY-SPEC EVOLUTION forks this into
+    * identity-homogeneous classes: an identity partition column lives
+    * in the DIRECTORY layout of owners written under a spec including
+    * it and in the DATA FILES otherwise, and one `HadoopFsRelation`
+    * cannot serve a column from dirs for some files and from footers
+    * for others — so owners group by their spec's identity SET and the
+    * classes union (each class one native scan; the single-class fast
+    * path — every table that never identity-evolved — stays the ONE
+    * scan node it always was). */
   private[ops] def relationFor(spark: SparkSession, root: String,
+      table: String, meta: TableMeta,
+      selection: Seq[(String, Option[Seq[String]])]): DataFrame = {
+    val classes = selection
+      .groupBy(s => PartSpec.identityCols(meta.partsOf(s._1)).toSet)
+      .values.toSeq
+    if (classes.size <= 1)
+      relationForClass(spark, root, table, meta, selection)
+    else classes.map { sel =>
+      // representative spec: identity sets match within the class, so
+      // any member's spec exposes the right identity columns (member
+      // TRANSFORMS may still differ — per-owner layouts handle those)
+      relationForClass(spark, root, table,
+        meta.copy(partitionCols = meta.partsOf(sel.head._1)), sel)
+    }.reduce(_.unionByName(_))
+  }
+
+  private def relationForClass(spark: SparkSession, root: String,
       table: String, meta: TableMeta,
       selection: Seq[(String, Option[Seq[String]])]): DataFrame = {
     val idx = new GraftFileIndex(spark, root, table, meta, selection,
@@ -528,6 +554,17 @@ final class GraftSource extends RelationProvider
         "scan cannot apply the tombstone anti-join. Read it with " +
         "AtomicPublish.readTable / registerViews (delete-aware), or " +
         "pass option(\"raw\", \"true\") for the pre-delete snapshot")
+    // a format read is ONE leaf relation; an identity-evolved chain
+    // needs one relation PER identity class (the column lives in dirs
+    // for some owners, in files for others) — refuse like tombstones
+    require(meta.owners
+        .map(o => PartSpec.identityCols(meta.partsOf(o)).toSet)
+        .distinct.size <= 1,
+      s"table '$table' has identity-evolved partition specs; a " +
+        "format(\"graft\") leaf scan cannot serve a column from both " +
+        "directory layouts and data files. Read it with " +
+        "AtomicPublish.readTable / registerViews, or compact to " +
+        "normalize the layout")
     val idx = new GraftFileIndex(spark, root, table, meta,
       meta.owners.map(_ -> None))
     HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,

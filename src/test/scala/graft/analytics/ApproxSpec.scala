@@ -23,20 +23,37 @@ class ApproxSpec extends SparkSuite {
     }
   }
 
-  test("approx_percentile tracks exact percentiles within 5%") {
-    // a7 reports floor-of-cents BIGINTs (tie-free rendering) — scale
-    // back to currency units for the relative-error compare
+  test("a13: exact floor-cents percentiles agree with a7's; the sketch " +
+      "bracket flags hold (estimate inside the exact ±0.01 rank window)") {
+    // a13 (r10 shape) hashes the EXACT percentiles and carries the
+    // approx_percentile sketch as engine-computed in-tolerance flags —
+    // this spec pins both halves against a7's independent rendering
     val exact = AdvancedQueries.a7Percentile(spark, dir).collect()
-      .map(r => r.getString(0) ->
-        (r.getLong(1) / 100.0, r.getLong(2) / 100.0)).toMap
-    val approx = AdvancedQueries.a13ApproxPercentile(spark, dir).collect()
-    assert(approx.length == exact.size)
-    approx.foreach { r =>
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val a13 = AdvancedQueries.a13ApproxPercentile(spark, dir).collect()
+    assert(a13.length == exact.size)
+    a13.foreach { r =>
       val (e50, e95) = exact(r.getString(0))
-      assert(math.abs(r.getDouble(1) - e50) / e50 <= 0.05,
-        s"${r.getString(0)} p50: ${r.getDouble(1)} vs exact $e50")
-      assert(math.abs(r.getDouble(2) - e95) / e95 <= 0.05,
-        s"${r.getString(0)} p95: ${r.getDouble(2)} vs exact $e95")
+      assert(r.getLong(1) == e50 && r.getLong(2) == e95,
+        s"${r.getString(0)} exact cents drifted: " +
+          s"(${r.getLong(1)}, ${r.getLong(2)}) vs ($e50, $e95)")
+      assert(r.getBoolean(3) && r.getBoolean(4),
+        s"${r.getString(0)} sketch left its rank-tolerance bracket")
+    }
+  }
+
+  test("a5: HLL distinct estimate stays inside the hashed ±15% bracket " +
+      "and the exact counts are really exact") {
+    val rows = AdvancedQueries.a5ApproxDistinct(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val brute = graft.core.Tables.lineitem(spark, dir)
+      .select("l_returnflag", "l_partkey").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) == brute(r.getString(0)),
+        s"${r.getString(0)} exact distinct drifted")
+      assert(r.getBoolean(2),
+        s"${r.getString(0)} HLL estimate left the ±15% bracket")
     }
   }
 }

@@ -216,8 +216,8 @@ class PartitionEvolutionSpec extends SparkSuite {
     assert(scannedFiles(pruned) < scannedFiles(all))
   }
 
-  test("refusals: identity entries may not change, no-op spec, " +
-      "unknown source column, tombstone companion") {
+  test("refusals: no-op spec, unknown source column, bucketed tables " +
+      "freeze identity entries (r10: plain tables may evolve them)") {
     val root = freshRoot()
     val df = tsDf(0 until 8).withColumn("region", lit("emea"))
     AtomicPublish.publish(spark, root, Map("ev" -> df.repartition(1)),
@@ -228,14 +228,23 @@ class PartitionEvolutionSpec extends SparkSuite {
       }
       assert(e.getMessage.contains(frag), e.getMessage)
     }
-    refuse(Seq("days(ts)"), "identity entries must stay")
-    refuse(Seq("region", "payload", "days(ts)"), "identity entries")
     refuse(Seq("region", "days(ts)"), "already has spec")
     refuse(Seq("region", "days(nope)"), "not in its schema")
     // transforms evolve fine with the identity entry kept
     assert(AtomicPublish.setPartitionSpec(spark, root, "ev",
       Seq("region", "months(ts)")).isDefined)
     assert(AtomicPublish.readTable(spark, root, "ev").count() == 8)
+    // BUCKETED tables keep the identity freeze: the bucket-file naming
+    // contract and the identity dir layout must not drift mid-chain
+    AtomicPublish.publish(spark, root,
+      Map("bk" -> df.select("id", "ts", "region").repartition(1)),
+      partitionBy = Map("bk" -> Seq("region")),
+      bucketBy = Map("bk" -> (Seq("id"), 4)))
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.setPartitionSpec(spark, root, "bk", Seq("days(ts)"))
+    }
+    assert(e.getMessage.contains("identity entries must stay"),
+      e.getMessage)
   }
 
   test("evolution COMPOSES with the skipping layers: zone maps + bloom " +
