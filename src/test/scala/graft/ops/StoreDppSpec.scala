@@ -128,6 +128,66 @@ class StoreDppSpec extends SparkSuite {
     assert(control == 48)
   }
 
+  test("catalog SQL face: hidden-partition DPP fires through the " +
+      "native-read rule (extension session)") {
+    val root = freshRoot("dpp-catalog")
+    val fact = (0 until 240).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(i.toLong * 3600)), s"p$i")
+    }.toDF("id", "ts", "payload").repartition(1)
+    AtomicPublish.publish(spark, root, Map("fact" -> fact),
+      partitionBy = Map("fact" -> Seq("days(ts)")))
+    val dimPath = java.nio.file.Files.createTempDirectory("dpp-cat-dim")
+      .resolve("dim").toString
+    ((0 until 240).filter(i => i / 24 == 3)
+      .map(i => (java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(i.toLong * 3600)), "hot")) ++
+      Seq((java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(999L * 3600)), "cold")))
+      .toDF("ts", "tag").write.parquet(dimPath)
+    // a second session over the shared context, WITH the extensions —
+    // the native-read rule rewrites the catalog read to the
+    // GraftFileIndex mount, whose construction registers the DPP rule
+    import org.apache.spark.sql.SparkSession
+    val prev = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2: SparkSession =
+      try SparkSession.builder()
+        .config("spark.sql.shuffle.partitions", "4")
+        .withExtensions(
+          new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
+        .getOrCreate()
+      finally {
+        SparkSession.setActiveSession(prev)
+        SparkSession.setDefaultSession(prev)
+      }
+    val cat = "dppcat"
+    s2.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$cat.root", root)
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.setActiveSession(s2)
+    try {
+      s2.read.parquet(dimPath).createOrReplaceTempView("dpp_dim")
+      val joined = s2.sql(
+        s"""SELECT count(*) AS n FROM $cat.fact f
+           |JOIN (SELECT ts FROM dpp_dim WHERE tag = 'hot') d
+           |  ON f.ts = d.ts""".stripMargin)
+      val scans = factScans(joined)
+      val factScan = scans.find(_.metadata.get("Location")
+        .exists(_.contains("v_")))
+        .getOrElse(fail(s"no native fact scan — the read rule did " +
+          s"not rewrite: $scans"))
+      assert(factScan.partitionFilters.exists(
+        _.toString.toLowerCase.contains("dynamicpruning")),
+        factScan.partitionFilters.mkString(", "))
+      assert(factScan.metrics("numFiles").value == 1,
+        s"expected 1 of 10 day dirs, got ${factScan.metrics("numFiles").value}")
+      assert(joined.collect()(0).getLong(0) == 24)
+    } finally prevActive.foreach(SparkSession.setActiveSession)
+  }
+
   test("evolved layout: exposure gates off, join still correct (no null-dir drop)") {
     val root = freshRoot("dpp-evolved")
     val mk = (ids: Range) => ids.map { i =>
