@@ -124,7 +124,10 @@ object MetadataAggregates extends Rule[LogicalPlan] {
       case _ => None
     }
     ae.aggregateFunction match {
-      case Count(Seq(_: Literal)) => Some(totalRows)
+      // count(*) = Count(1); a NULL literal would count 0 rows, not
+      // all (NullPropagation folds that shape before this batch, but
+      // never rely on another rule for soundness)
+      case Count(Seq(l: Literal)) if l.value != null => Some(totalRows)
       case Count(Seq(e)) => named(e).flatMap(colStats).map(
         _.map { case (rows, st) => rows - st.nulls }.sum)
       case Min(e) => edge(e, named, colStats, isMin = true)
