@@ -431,7 +431,8 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
             // defensive: close the snapshot at its own version, then
             // diff the commits — one batch, same union
             snapshotSlice(s.txn, k, chainLen(s.txn))
-              .unionByName(diffBatch(s.txn, endTxn))
+              .unionByName(diffBatch(s.txn, endTxn),
+                allowMissingColumns = true) // widen-spanning interval
           case (None, Some(_)) => throw new IllegalStateException(
             s"invalid CDC offset interval: ${s.json()} .. ${endO.json()}")
           case (None, None) =>
@@ -446,8 +447,22 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
     // one streaming LEAF over the whole batch computation: the CDC
     // diff's tombstone anti-join must stay a batch join
     org.apache.spark.sql.graftstream.StreamingBridge.asStreamingLeaf(
-      batch)
+      conform(batch))
   }
+
+  /** Conform a batch to the stream's DECLARED schema: a mid-stream
+    * widening append (top-level or nested ADD COLUMN) makes later
+    * intervals read a wider recorded schema than the stream resolved
+    * at start — the running consumer keeps its start-of-stream shape
+    * (new columns dropped, exactly the plain source's contract);
+    * restarting the stream adopts the widened schema. Without this the
+    * microbatch's row shape silently diverges from what the sink
+    * planned against. */
+  private def conform(df: DataFrame): DataFrame =
+    if (df.schema == schema) df
+    else df.select(schema.fields.toIndexedSeq.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name)
+       else lit(null)).cast(f.dataType).as(f.name)): _*)
 
   /** The signed diff of one commit interval — the batch CDC feed plus
     * the optional update-image classification. */
@@ -469,9 +484,13 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
           else AtomicPublish.deleteKeyColsAt(spark, root, table, endTxn)
         keyCols match {
           case None =>
+            // allowMissingColumns: an interval SPANNING a widening
+            // append reads its insert side under the widened schema
+            // while the killed rows come from pre-widen segments — the
+            // missing column is null there, which is exactly its value
             ins.withColumn(ChangeTypeCol, lit("insert"))
               .unionByName(del.withColumn(ChangeTypeCol,
-                lit("delete")))
+                lit("delete")), allowMissingColumns = true)
           case Some(keys) =>
             import org.apache.spark.sql.functions.when
             // keys present on BOTH sides of the interval are
@@ -491,7 +510,8 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
                     .otherwise(miss))
                 .drop("__g_upd")
             tag(ins, "update_postimage", "insert")
-              .unionByName(tag(del, "update_preimage", "delete"))
+              .unionByName(tag(del, "update_preimage", "delete"),
+                allowMissingColumns = true) // widen-spanning interval
         }
     }
   }

@@ -397,6 +397,77 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(!byType.contains("delete"), byType)
   }
 
+  test("CDC stream rides through a mid-stream WIDENING append: the " +
+      "running consumer keeps its start-of-stream shape (new column " +
+      "dropped, like the plain source); a fresh stream adopts it") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" -> slice(0 until 5, "en")))
+    val ckpt = Files.createTempDirectory("cdc-widen-ck").toString
+    val got = mutable.ArrayBuffer.empty[(String, Long, Int)]
+    // a LIVE query (not AvailableNow re-runs — a restarted query's
+    // fresh source legitimately re-resolves the widened schema): the
+    // widen lands while this query holds its start-of-stream schema
+    val q = spark.readStream.format("graft")
+      .option("root", root).option("table", "docs")
+      .option("withDeletes", "true")
+      .option("updateImages", "true").load()
+      .writeStream.option("checkpointLocation", ckpt)
+      .trigger(Trigger.ProcessingTime("50 milliseconds"))
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val width = df.schema.fields.length
+        val rows = df.collect().map(r =>
+          (r.getString(width - 1), r.getLong(0), width))
+        got.synchronized { got ++= rows }
+        ()
+      }.start()
+    try {
+      q.processAllAvailable()
+      assert(got.size == 5 && got.forall(x =>
+        x._1 == "insert" && x._3 == 4), got)
+      // LIVE widen (adds 'score') + an upsert of an old key in the
+      // widened shape: the interval's insert side reads the widened
+      // recorded schema, the killed rows come from pre-widen segments
+      // — and the running stream must serve both under its
+      // start-of-stream 4-column shape
+      val wide = Seq((5L, "en", 50L, 0.5), (6L, "en", 60L, 0.6))
+        .toDF("doc_id", "lang", "words", "score")
+      AtomicPublish.publishDelta(spark, root,
+        append = Map("docs" -> wide),
+        parent = AtomicPublish.currentTxn(spark, root))
+      val up = Seq((2L, "en", 2222L, 0.2))
+        .toDF("doc_id", "lang", "words", "score")
+      AtomicPublish.upsertMany(spark, root,
+        Map("docs" -> AtomicPublish.Upsert(up, up.select("doc_id"))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val later = got.drop(5)
+    assert(later.forall(_._3 == 4),
+      s"running stream leaked the widened schema: $later")
+    val byType = later.groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    assert(byType.get("insert").contains(Set(5L, 6L)), byType)
+    assert(byType.get("update_preimage").contains(Set(2L)), byType)
+    assert(byType.get("update_postimage").contains(Set(2L)), byType)
+    // a FRESH stream (new checkpoint) resolves the widened schema and
+    // serves score — null for pre-widen rows, values for new ones
+    val ckpt2 = Files.createTempDirectory("cdc-widen-ck2").toString
+    val snap = mutable.ArrayBuffer.empty[(Long, Option[Double])]
+    drain(spark.readStream.format("graft")
+      .option("root", root).option("table", "docs")
+      .option("withDeletes", "true").load()
+      .writeStream.option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        assert(df.columns.contains("score"), df.columns.mkString(","))
+        snap ++= df.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+        ()
+      }.start())
+    val byId = snap.toMap
+    assert(byId(5L).contains(0.5) && byId(2L).contains(0.2), byId)
+    assert(byId(0L).isEmpty && byId(4L).isEmpty, byId)
+  }
+
   test("CDC updateImages with NULL key components (mixed commit): the " +
       "null-keyed update keeps plain delete/insert tags (equi-join " +
       "semantics, like SQL), the non-null update classifies as a " +
