@@ -1589,6 +1589,58 @@ object AdvancedQueries {
       |  max(n_chars)::BIGINT AS max_chars
       |FROM documents""".stripMargin
 
+  private val store20Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE20: IDENTITY partition-spec evolution inside the correctness
+    * gate (r10 — the store15 precedent applied to the identity tier):
+    * the documents table is born FLAT, evolved to `PARTITIONED BY
+    * (lang)` in one O(1) metadata commit, then appended — so the chain
+    * holds a file-sourced-lang owner AND a dir-sourced-lang owner at
+    * once, and the readback aggregates BY that column across both
+    * identity classes ([[graft.ops.GraftFileIndex.relationFor]]
+    * per-class mounts). DuckDB reproduces the aggregation from the raw
+    * parquet: a lang value lost to the class split — served null from
+    * a dir that doesn't have it, or dropped from a file that does —
+    * flips the hash. */
+  def store20IdentityEvolution(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val root = Tables.memoFresh(store20Cache, spark, dir, "documents") {
+      import graft.ops.AtomicPublish
+      val tmp = java.nio.file.Files.createTempDirectory("graft-store20")
+      sys.addShutdownHook {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(tmp.toFile)
+      }
+      val r = tmp.resolve("store").toString
+      val docs = Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      def seg(k: Int) = docs.filter(pmod(col("doc_id"), lit(2)) === k)
+        .repartition(2)
+      val v1 = AtomicPublish.publish(spark, r,
+        Map("documents" -> seg(0)))
+      val vE = AtomicPublish.setPartitionSpec(spark, r, "documents",
+        Seq("lang")).get
+      AtomicPublish.publishDelta(spark, r,
+        append = Map("documents" -> seg(1)), parent = Some(vE))
+      r
+    }
+    graft.ops.AtomicPublish.readTable(spark, root, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id")).as("sum_id"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
+  val store20IdentityEvolutionSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  sum(n_chars)::BIGINT AS sum_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val store15Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -2727,6 +2779,7 @@ object AdvancedQueries {
     "store17_cdc_compaction" -> (store17CdcCompaction _),
     "store18_dpp_join" -> (store18DppJoin _),
     "store19_metadata_agg" -> (store19MetadataAgg _),
+    "store20_identity_evolution" -> (store20IdentityEvolution _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -2799,6 +2852,7 @@ object AdvancedQueries {
     "store17_cdc_compaction" -> store17CdcCompactionSql,
     "store18_dpp_join" -> store18DppJoinSql,
     "store19_metadata_agg" -> store19MetadataAggSql,
+    "store20_identity_evolution" -> store20IdentityEvolutionSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

@@ -133,6 +133,28 @@ class MetadataAggregatesSpec extends SparkSuite {
     assert(nr.isNullAt(0) && nr.getLong(1) == 0L)
   }
 
+  test("identity-evolved chains fall back to the real scan (per-class " +
+      "union above the relations) — totals still exact") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("d" -> mk(0 until 30, "en")),
+      statsBy = Map("d" -> Seq("id")))
+    val vE = AtomicPublish.setPartitionSpec(spark, root, "d",
+      Seq("lang")).get
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("d" -> mk(30 until 50, "de")), parent = Some(vE))
+    val agg = AtomicPublish.readTable(spark, root, "d")
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"),
+        max(col("id")).as("mx"))
+    // the aggregate sits above a UNION of class relations — the
+    // metadata rewrite must not fire (each class covers only part of
+    // the table), and the union answer is exact
+    assert(scanCount(agg) > 0,
+      "identity-evolved chain must not metadata-serve")
+    val r = agg.collect()(0)
+    assert(r.getLong(0) == 50 && r.getLong(1) == 0 && r.getLong(2) == 49)
+  }
+
   test("time travel: each pinned version serves ITS totals from ITS " +
       "manifest") {
     val root = freshRoot()

@@ -128,6 +128,41 @@ class StoreDppSpec extends SparkSuite {
     assert(control == 48)
   }
 
+  test("hidden DPP composes with the data-filter skipping layers: a " +
+      "static id predicate (zone maps) and the dynamic day filter " +
+      "fire on ONE scan") {
+    val root = freshRoot("dpp-compose")
+    val fact = (0 until 480).map { i =>
+      (i.toLong, java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(i.toLong * 3600)), s"p$i")
+    }.toDF("id", "ts", "payload").repartition(1)
+    AtomicPublish.publish(spark, root, Map("fact" -> fact),
+      partitionBy = Map("fact" -> Seq("days(ts)")),
+      statsBy = Map("fact" -> Seq("id")))
+    val dim = parquetDim(
+      (0 until 480).filter(i => i / 24 == 4 || i / 24 == 11)
+        .map(i => (java.sql.Timestamp.from(
+          java.time.Instant.ofEpochSecond(i.toLong * 3600)), "hot"))
+        .toDF("ts", "tag"), "dpp-compose-dim")
+      .filter(col("tag") === "hot")
+    // static predicate keeps only day 11's id range; the dim's days
+    // are {4, 11} — the scan must carry BOTH the pushed data filter
+    // and the dynamic partition filter, and the answer is their
+    // intersection
+    val joined = AtomicPublish.readTable(spark, root, "fact")
+      .filter(col("id") >= 264L) // day 11 starts at id 264
+      .join(dim, "ts")
+    val factScan = factScans(joined).find(_.metadata.get("Location")
+      .exists(_.contains("v_"))).getOrElse(fail("no fact scan"))
+    assert(factScan.partitionFilters.exists(
+      _.toString.toLowerCase.contains("dynamicpruning")),
+      factScan.partitionFilters.mkString(", "))
+    assert(factScan.metadata.get("PushedFilters")
+      .exists(_.contains("GreaterThanOrEqual(id")),
+      factScan.metadata.get("PushedFilters").toString)
+    assert(joined.count() == 24) // day 11 only: day 4 fails the id cut
+  }
+
   test("catalog SQL face: hidden-partition DPP fires through the " +
       "native-read rule (extension session)") {
     val root = freshRoot("dpp-catalog")
