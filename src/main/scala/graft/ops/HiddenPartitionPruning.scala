@@ -69,6 +69,21 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.dynamicPartitionPruningEnabled) return plan
+    // Registration is session-global (store-mount time), so this rule
+    // sees EVERY query's final optimizer batch for the session's
+    // remaining lifetime. Exit on one cheap leaf scan before doing any
+    // per-join conjunct splitting / lineage tracing: only plans that
+    // actually read a graft store with a prunable derived ordinal can
+    // ever be rewritten (VERDICT r10 bench-drift suspect #1).
+    val touchesStore = plan.exists {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location match {
+          case g: GraftFileIndex => g.prunableTransforms.nonEmpty
+          case _ => false
+        }
+      case _ => false
+    }
+    if (!touchesStore) return plan
     plan.transformUp {
       case j @ Join(left, right, joinType, Some(condition), _) =>
         var newLeft = left
