@@ -423,6 +423,72 @@ object ScaleRehearsal {
           "unpruned dim-join answer off")
       } finally spark.conf.set(
         "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    // --- DPP at REALISTIC file sizes: the BYTES claim (r11) ------------
+    // The dir-count staging above proves the files-scanned bound but
+    // lands at wall-clock parity (one tiny file per day dir makes both
+    // reads metadata-bound — the r10 honest note). This phase stages
+    // the SAME dim-driven join over ~32 FAT day files (a payload
+    // column, all rows of a day in one file) and asserts the claim
+    // that transfers to production: the pruned read's selected-file
+    // BYTES ("filesSize" scan metric) shrink ≥5× vs the unpruned read.
+    def filesSizeOf(df: DataFrame): Long = {
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Long =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics.get("filesSize").map(_.value).getOrElse(0L)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            go(q.plan)
+        }.sum
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => go(a.executedPlan)
+        case p => go(p)
+      }
+    }
+    val fatRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_fat_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    val fatDays = 32L
+    val fatStepUs = math.max(86400000000L / math.max(n / fatDays, 1L), 1L)
+    val fat = docs.select(col("rid"),
+      timestamp_micros(col("rid") * fatStepUs).as("ts"),
+      rpad(col("rid").cast("string"), 256, "x").as("payload"))
+    AtomicPublish.publish(spark, fatRoot, Map("events" ->
+      fat.repartition(32, expr("CAST(unix_micros(timestamp_micros(rid * " +
+        s"$fatStepUs)) DIV 86400000000 AS INT)"))),
+      partitionBy = Map("events" -> Seq("days(ts)")))
+    // a 2-day dim window out of ~32 days
+    val fatLoUs = (n / 2) * fatStepUs
+    val fatHiUs = fatLoUs + 2L * 86400000000L
+    val fatDim = fat.filter(col("rid") * fatStepUs >= fatLoUs &&
+      col("rid") * fatStepUs < fatHiUs).select("ts").distinct()
+    val fatExpected = fatDim.count()
+    def fatCountDf(): DataFrame =
+      AtomicPublish.readTable(spark, fatRoot, "events").join(fatDim, "ts")
+        .agg(count(lit(1)).as("c"))
+    var fatPrunedBytes = 0L
+    val dppFatJoinSec = minOf {
+      val df = fatCountDf()
+      require(df.collect()(0).getLong(0) == fatExpected,
+        "fat dim-join pruned read row count off")
+      fatPrunedBytes = filesSizeOf(df)
+    }
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+      "false")
+    var fatUnprunedBytes = 0L
+    val dppFatUnprunedSec =
+      try minOf {
+        val df = fatCountDf()
+        require(df.collect()(0).getLong(0) == fatExpected,
+          "fat unpruned dim-join answer off")
+        fatUnprunedBytes = filesSizeOf(df)
+      } finally spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    require(fatPrunedBytes > 0 && fatUnprunedBytes > 0,
+      "fat DPP phase read no bytes metric")
+    require(fatPrunedBytes * 5 <= fatUnprunedBytes,
+      s"fat DPP bytes reduction below 5x: pruned $fatPrunedBytes vs " +
+        s"unpruned $fatUnprunedBytes")
     // --- partition-spec EVOLUTION at the production dir count (r9) ----
     // days → months in ONE metadata commit over the corpus-scaled dir
     // count: the commit must stay O(1) (no data read — scale-FLAT),
@@ -758,6 +824,8 @@ object ScaleRehearsal {
       "store_scan_agg" -> scanAggSec,
       "store_dpp_join_read" -> dppJoinSec,
       "store_dpp_unpruned_read" -> dppUnprunedSec,
+      "store_dpp_fat_join_read" -> dppFatJoinSec,
+      "store_dpp_fat_unpruned_read" -> dppFatUnprunedSec,
       "store_spec_evolve_commit" -> specEvolveSec,
       "store_evolved_range_read" -> evolvedRangeSec,
       "store_mass_delete_commit" -> deleteCommitSec,

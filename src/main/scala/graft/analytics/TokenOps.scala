@@ -37,14 +37,21 @@ import graft.core.Tables
   */
 object TokenOps {
 
-  /** Top-K corpus words kept as whole-word tokens. Deliberately TINY:
-    * the synthetic corpus has a closed ~31-word vocabulary, so a
-    * production-sized K would put every word in-vocab and the greedy
-    * recurrence would never run — 16 keeps a genuine head/tail split
-    * (frequent words whole, the tail decomposing into pieces), which
-    * is the shape the operator exists to exercise. A real deployment
-    * raises this to 30k+; nothing else changes. */
+  /** Top-K corpus words kept as whole-word tokens for the GATE
+    * queries. Deliberately TINY there: the synthetic corpus has a
+    * closed ~31-word vocabulary, so a production-sized K would put
+    * every word in-vocab and the greedy recurrence would never run —
+    * 16 keeps a genuine head/tail split (frequent words whole, the
+    * tail decomposing into pieces), which is the shape the operator
+    * exists to exercise. Every entry point takes the size as a
+    * parameter; [[ProductionVocabSize]] is the deployment default,
+    * exercised at full width in TokenVocabSpec (VERDICT r10 ask #7). */
   val VocabSize = 16
+
+  /** Deployment-scale vocabulary width. The driver truncate is K rows
+    * and the broadcast is K strings (~a few hundred KB at 32k) — both
+    * bounded by K, not by corpus size. */
+  val ProductionVocabSize = 32768
 
   /** Tokens per packed training sequence ([[sp3bTokenPackOn]]). */
   val TokenPackBudget = 256
@@ -52,12 +59,13 @@ object TokenOps {
   /** The deterministic vocabulary: the corpus's [[VocabSize]] most
     * frequent words, ties broken by word — ONE aggregate over (word,
     * count) pairs, truncated on the driver. */
-  def buildVocab(docs: DataFrame): Seq[String] =
+  def buildVocab(docs: DataFrame,
+      vocabSize: Int = VocabSize): Seq[String] =
     docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("w"))
-      .limit(VocabSize)
+      .limit(vocabSize)
       .select("w").collect().map(_.getString(0)).toSeq
 
   /** Greedy longest-match piece count of ONE word against the vocab:
@@ -90,9 +98,10 @@ object TokenOps {
 
   /** (token-count column builders) over a broadcast vocab: for a
     * whole space-separated text, for a word array, and for ONE word. */
-  private def counters(spark: SparkSession, docs: DataFrame)
+  private def counters(spark: SparkSession, docs: DataFrame,
+      vocabSize: Int = VocabSize)
       : (Column => Column, Column => Column, Column => Column) = {
-    val vocab = buildVocab(docs)
+    val vocab = buildVocab(docs, vocabSize)
     val bc = spark.sparkContext.broadcast(
       (vocab.toSet, vocab.map(_.length).foldLeft(1)(math.max)))
     val countWords = (ws: Seq[String]) => {
@@ -122,8 +131,9 @@ object TokenOps {
   def t11Wordpiece(spark: SparkSession, dir: String): DataFrame =
     t11WordpieceOn(spark, Tables.documents(spark, dir))
 
-  def t11WordpieceOn(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val (countText, _, _) = counters(spark, docs)
+  def t11WordpieceOn(spark: SparkSession, docs: DataFrame,
+      vocabSize: Int = VocabSize): DataFrame = {
+    val (countText, _, _) = counters(spark, docs, vocabSize)
     docs.select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
         countText(col("text")).as("wp_tokens"))
@@ -142,8 +152,9 @@ object TokenOps {
   def sp3bTokenPack(spark: SparkSession, dir: String): DataFrame =
     sp3bTokenPackOn(spark, Tables.documents(spark, dir))
 
-  def sp3bTokenPackOn(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val (_, countArr, _) = counters(spark, docs)
+  def sp3bTokenPackOn(spark: SparkSession, docs: DataFrame,
+      vocabSize: Int = VocabSize): DataFrame = {
+    val (_, countArr, _) = counters(spark, docs, vocabSize)
     val words = split(col("text"), " ")
     val chunks = docs
       .select(col("doc_id"), words.as("ws"),
@@ -185,8 +196,9 @@ object TokenOps {
   def t12TokenChunks(spark: SparkSession, dir: String): DataFrame =
     t12TokenChunksOn(spark, Tables.documents(spark, dir))
 
-  def t12TokenChunksOn(spark: SparkSession, docs: DataFrame): DataFrame = {
-    val (_, _, countWord) = counters(spark, docs)
+  def t12TokenChunksOn(spark: SparkSession, docs: DataFrame,
+      vocabSize: Int = VocabSize): DataFrame = {
+    val (_, _, countWord) = counters(spark, docs, vocabSize)
     val exploded = docs
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "word")))

@@ -306,7 +306,7 @@ object AtomicPublish {
     * value for the column (all-null, or the column postdates the
     * segment — either way a comparison predicate cannot match). */
   final case class ColStat(min: Option[String], max: Option[String],
-      nulls: Long)
+      nulls: Long, ndv: Option[Long] = None)
 
   /** Zone map of ONE owner segment: row count + per-stat-column stats.
     * Segments recorded before stats existed simply have no entry —
@@ -570,12 +570,17 @@ object AtomicPublish {
   } + "\""
 
   /** One segment's zone map as a single-line JSON object:
-    * `{"_rows":N,"c":[min,max,nulls],…}` with min/max JSON strings or
-    * null. Column order is sorted for deterministic rendering. */
+    * `{"_rows":N,"c":[min,max,nulls(,ndv)?],…}` with min/max JSON
+    * strings or null; the optional fourth entry is the column's
+    * approximate distinct count (HLL++, recorded at publish — the
+    * planner-statistics input). Column order is sorted for
+    * deterministic rendering; three-entry arrays from pre-NDV
+    * manifests parse as ndv-absent. */
   private def renderSegStats(s: SegStats): String = {
     val cols = s.cols.toSeq.sortBy(_._1).map { case (c, st) =>
       s"${jq(c)}:[${st.min.map(jq).getOrElse("null")}," +
-        s"${st.max.map(jq).getOrElse("null")},${st.nulls}]"
+        s"${st.max.map(jq).getOrElse("null")},${st.nulls}" +
+        st.ndv.map("," + _).getOrElse("") + "]"
     }
     (s""""_rows":${s.rows}""" +: cols).mkString("{", ",", "}")
   }
@@ -590,7 +595,9 @@ object AtomicPublish {
       case (c, v: java.util.List[_]) if c != "_rows" =>
         c -> ColStat(Option(v.get(0)).map(_.asInstanceOf[String]),
           Option(v.get(1)).map(_.asInstanceOf[String]),
-          v.get(2).asInstanceOf[Number].longValue())
+          v.get(2).asInstanceOf[Number].longValue(),
+          if (v.size > 3) Some(v.get(3).asInstanceOf[Number].longValue())
+          else None)
     }.toMap
     SegStats(rows, cols)
   }
@@ -1019,21 +1026,29 @@ object AtomicPublish {
       case None => spark.read.parquet(segPath.toString)
     }
     val present = statCols.filter(df.columns.contains)
-    import org.apache.spark.sql.functions.{count, input_file_name, max, min, sum}
+    import org.apache.spark.sql.functions.{approx_count_distinct, count,
+      input_file_name, max, min, sum}
     val aggs = count(lit(1)).as("_rows") +:
       present.flatMap { c =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"))
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"),
+          approx_count_distinct(col(c)).as(s"nd_$c"))
       }
-    val perFile = df.groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
-    perFile.persist()
+    // cube on the file name = per-file groups PLUS the segment-global
+    // row (__file null) from ONE scan — the global row is where the
+    // segment's NDV comes from (HLL states don't roll up through the
+    // per-file longs the way min/max/nulls do, and a second scan per
+    // publish would double the stats cost)
+    val grouped = df.withColumn("__file", input_file_name())
+      .cube(col("__file")).agg(aggs.head, aggs.tail: _*)
+    grouped.persist()
     try {
       def encoded(base: org.apache.spark.sql.DataFrame, keep: Seq[Column]) =
         base.select(keep ++ present.flatMap { c =>
           val dt = df.schema(c).dataType
           Seq(statEncode(col(s"mn_$c"), dt).as(s"mn_$c"),
-            statEncode(col(s"mx_$c"), dt).as(s"mx_$c"), col(s"nu_$c"))
+            statEncode(col(s"mx_$c"), dt).as(s"mx_$c"), col(s"nu_$c"),
+            col(s"nd_$c"))
         }: _*)
       def statsOf(r: org.apache.spark.sql.Row): SegStats = {
         val rows = Option(r.getAs[Any]("_rows"))
@@ -1043,15 +1058,16 @@ object AtomicPublish {
             c -> ColStat(Option(r.getAs[String](s"mn_$c")),
               Option(r.getAs[String](s"mx_$c")),
               Option(r.getAs[Any](s"nu_$c")).map(_.asInstanceOf[Long])
-                .getOrElse(0L))
-          else c -> ColStat(None, None, rows)
+                .getOrElse(0L),
+              Option(r.getAs[Any](s"nd_$c")).map(_.asInstanceOf[Long]))
+          else c -> ColStat(None, None, rows, Some(0L))
         }.toMap
         SegStats(rows, cols)
       }
       val fs = segPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val segUriPath = fs.makeQualified(segPath).toUri.getPath
-      val fileRows = encoded(perFile, Seq(col("__file"), col("_rows")))
-        .collect()
+      val fileRows = encoded(grouped.filter(col("__file").isNotNull),
+        Seq(col("__file"), col("_rows"))).collect()
       val fileMap = fileRows.flatMap { r =>
         val uri = new Path(r.getAs[String]("__file")).toUri.getPath
         // keep only paths the round-trip provably preserves: under the
@@ -1061,17 +1077,15 @@ object AtomicPublish {
           Some(uri.stripPrefix(segUriPath + "/") -> statsOf(r))
         else None
       }.toMap
-      val rollup = present.flatMap { c =>
-        Seq(min(col(s"mn_$c")).as(s"mn_$c"),
-          max(col(s"mx_$c")).as(s"mx_$c"),
-          sum(col(s"nu_$c")).as(s"nu_$c"))
-      }
-      val segRow = encoded(
-        perFile.agg(sum("_rows").as("_rows"), rollup: _*),
-        Seq(col("_rows"))).head()
-      (statsOf(segRow),
+      // an EMPTY segment cubes to zero rows (no group to total over) —
+      // the old global-agg path yielded one all-null row there
+      val segStats = encoded(grouped.filter(col("__file").isNull),
+        Seq(col("_rows"))).collect().headOption.map(statsOf)
+        .getOrElse(SegStats(0L,
+          statCols.map(c => c -> ColStat(None, None, 0L, Some(0L))).toMap))
+      (segStats,
         if (fileMap.size == fileRows.length) fileMap else Map.empty)
-    } finally { perFile.unpersist(); () }
+    } finally { grouped.unpersist(); () }
   }
 
   /** Stage table writes + the version's `_MANIFEST` under scratch, then

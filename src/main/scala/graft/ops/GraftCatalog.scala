@@ -946,10 +946,18 @@ final class GraftV1Scan(root: String, table: String, txn: String,
           meta.owners.map(_ -> None)).sizeInBytes)
       catch { case scala.util.control.NonFatal(_) =>
         java.util.OptionalLong.empty() }
+    // manifest row count (tombstones included — the safe over-estimate)
+    // when every owner carries segment stats; the native-mount path
+    // (StoreRelation.catalogStatsOf) additionally reports per-column
+    // NDV/null/min-max, which this V1Scan boundary cannot forward
+    val rows =
+      if (meta.owners.forall(meta.segStats.contains))
+        java.util.OptionalLong.of(
+          meta.owners.flatMap(meta.segStats.get).map(_.rows).sum)
+      else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong = size
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 

@@ -111,11 +111,11 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
 
   // the join types whose semantics permit dropping non-matching rows
   // from each side — same sets as Spark's PartitionPruning
-  private def canPruneLeft(jt: JoinType): Boolean = jt match {
+  private[ops] def canPruneLeft(jt: JoinType): Boolean = jt match {
     case Inner | LeftSemi | RightOuter => true
     case _ => false
   }
-  private def canPruneRight(jt: JoinType): Boolean = jt match {
+  private[ops] def canPruneRight(jt: JoinType): Boolean = jt match {
     case Inner | LeftOuter => true
     case _ => false
   }
@@ -123,7 +123,7 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
   /** Pruning pays only when the dim side actually narrows: require a
     * likely-selective filter somewhere in the build plan (Spark's own
     * DPP heuristic). */
-  private def hasSelectiveFilter(plan: LogicalPlan): Boolean =
+  private[ops] def hasSelectiveFilter(plan: LogicalPlan): Boolean =
     plan.exists {
       case f: Filter => isLikelySelective(f.condition)
       case _ => false
@@ -140,7 +140,7 @@ object HiddenPartitionPruning extends Rule[LogicalPlan] with PredicateHelper {
     * could change the VALUES of surviving rows (a window function
     * computed over the pruned subset differs for rows the join
     * keeps). */
-  private def traceToScan(attr: AttributeReference,
+  private[ops] def traceToScan(attr: AttributeReference,
       plan: LogicalPlan): Option[(AttributeReference, LogicalRelation)] =
     plan match {
       case lr @ LogicalRelation(_, _, _, _, _)

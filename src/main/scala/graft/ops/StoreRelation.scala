@@ -122,6 +122,8 @@ final class GraftFileIndex(
   /** The columns whose per-owner min/max/null stats are recorded. */
   private[ops] def statColumns: Seq[String] = meta.statCols
 
+  private[ops] def bloomColumns: Seq[String] = meta.bloomCols
+
   private[ops] def recordedTableSchema: StructType = recordedSchema
 
   /** What the relation EXPOSES: identity partition columns, plus the
@@ -427,11 +429,89 @@ object GraftFileIndex {
     // manifest alone (idempotent; the rule itself re-checks coverage)
     if (idx.metadataSegStats.exists(_.nonEmpty))
       MetadataAggregates.register(spark)
+    // a bloom/stat-covered mount can consume build-side join keys as
+    // file-skipping IN predicates (idempotent)
+    if (idx.bloomColumns.nonEmpty || idx.statColumns.nonEmpty)
+      RuntimeJoinFilter.register(spark)
     val rel = HadoopFsRelation(idx, idx.partitionSchema, idx.dataSchema,
       bucketSpecOf(meta), new ParquetFileFormat,
       Map.empty[String, String])(spark)
     val ordered = meta.schema.get.fieldNames.toSeq
-    spark.baseRelationToDataFrame(rel).select(ordered.map(col): _*)
+    val base = catalogStatsOf(spark, table, meta, selection, idx) match {
+      case Some(ct) => org.apache.spark.sql.graftplan.PlanBridge
+        .ofRelationWithStats(spark, rel, ct)
+      case None => spark.baseRelationToDataFrame(rel)
+    }
+    base.select(ordered.map(col): _*)
+  }
+
+  /** Planner statistics for a mount, from the manifest alone: row count
+    * (sum of the selected owners' segment rows) and per-stat-column
+    * NDV/null-count/min-max — the inputs Catalyst's CBO (filter
+    * selectivity, join sizing, broadcast elections) runs on. Nothing
+    * here reads data files. Estimation posture, documented:
+    *
+    *  - rows include merge-on-read tombstoned rows and ignore file
+    *    subsets — an OVER-estimate, the direction that can only miss a
+    *    broadcast, never OOM one;
+    *  - table NDV = min(Σ per-owner NDV, rows) — an upper bound (owners
+    *    may share values). Equality selectivity 1/ndv therefore
+    *    UNDER-estimates matches per key; paired with the row
+    *    over-estimate this stays the conservative corner;
+    *  - min/max ride along only for plain-cast numeric types, where the
+    *    zone-map rendering IS `CatalogColumnStat`'s external string form
+    *    (timestamps are epoch-micro encoded — a different dialect — and
+    *    string ranges are useless to the estimator anyway).
+    *
+    * None when any selected owner lacks segment stats (no lying with
+    * partial sums); CBO then falls back to pure size heuristics. */
+  private def catalogStatsOf(spark: SparkSession, table: String,
+      meta: TableMeta, selection: Seq[(String, Option[Seq[String]])],
+      idx: GraftFileIndex): Option[
+        org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
+      CatalogStatistics, CatalogStorageFormat, CatalogTable,
+      CatalogTableType}
+    val perOwner = selection.map(s => meta.segStats.get(s._1))
+    if (perOwner.isEmpty || perOwner.exists(_.isEmpty)) return None
+    val stats = perOwner.flatten
+    val rows = stats.map(_.rows).sum
+    val schema = meta.schema.getOrElse(return None)
+    val numericExact: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(ByteType, ShortType, IntegerType, LongType, FloatType, DoubleType)
+    }
+    val colStats = meta.statCols.flatMap { c =>
+      val per = stats.map(_.cols.get(c))
+      val dt = schema.fields.find(_.name == c).map(_.dataType)
+      if (per.exists(_.isEmpty) || dt.isEmpty) None
+      else {
+        val cs = per.flatten
+        if (cs.exists(_.ndv.isEmpty)) None
+        else {
+          // owner extrema merge by numeric value but keep the recorded
+          // rendering (double-compare ties past 2^53 are fine for an
+          // ESTIMATOR input — never used for pruning)
+          val exact = numericExact.contains(dt.get)
+          Some(c -> CatalogColumnStat(
+            distinctCount =
+              Some(BigInt(math.min(cs.flatMap(_.ndv).sum, rows))),
+            min = if (exact) cs.flatMap(_.min).minByOption(_.toDouble)
+                  else None,
+            max = if (exact) cs.flatMap(_.max).maxByOption(_.toDouble)
+                  else None,
+            nullCount = Some(BigInt(cs.map(_.nulls).sum))))
+        }
+      }
+    }.toMap
+    Some(CatalogTable(
+      identifier =
+        org.apache.spark.sql.catalyst.TableIdentifier(s"graft_$table"),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty,
+      schema = schema,
+      stats = Some(CatalogStatistics(BigInt(idx.sizeInBytes),
+        Some(BigInt(rows)), colStats))))
   }
 }
 

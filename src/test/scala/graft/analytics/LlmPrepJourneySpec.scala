@@ -154,15 +154,18 @@ class LlmPrepJourneySpec extends SparkSuite {
       assert(!read.contains("lang") && !read.contains("source"),
         s"journey scan reads unused columns: $read")
     }
-    // inherent budget 13 (verified in-plan: window partitionings are
+    // inherent budget 17 (verified in-plan: window partitionings are
     // ReusedExchange'd and both drop lists broadcast): fp-rank window 1
-    // + final single-row gather 1 + near-dup branch 5 (shingle window,
-    // doc_id set-agg, prefix postings, pair distinct, verify join) +
-    // decontam branch 6 (train/eval n-gram windows 2, per-side
-    // distincts 2, join + ct distinct 2)
+    // + final single-row gather 1 + near-dup branch 9 (shingle window,
+    // doc_id set-agg, prefix postings, pair distinct, verify join —
+    // plus the r11 skew armor's 4: exact-dup class window, intra-class
+    // expansion self-join, and the two cross-class membership joins
+    // that re-expand representative pairs) + decontam branch 6
+    // (train/eval n-gram windows 2, per-side distincts 2,
+    // join + ct distinct 2)
     val exchanges = "Exchange (hash|range|SinglePartition)".r
       .findAllIn(finalPlan(q).toString).length
-    assert(exchanges <= 13, s"journey: $exchanges shuffles > budget 13")
+    assert(exchanges <= 17, s"journey: $exchanges shuffles > budget 17")
 
     // instrumentation adds zero scans: the observed production plan
     // reads the corpus exactly as often as the bare cascade
