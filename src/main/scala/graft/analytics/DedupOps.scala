@@ -191,17 +191,29 @@ object DedupOps {
   /** Exact-duplicate class labels over a signature frame: docs with
     * IDENTICAL shingle sets (Jaccard exactly 1.0 — every exact text
     * duplicate, plus multiplicity-only variants) share `cls`, and each
-    * class elects its minimum doc_id as `rep`; `csize` rides along. One
-    * window (one exchange on cls) computes all three. Class identity is
-    * the 64-bit hash of the sorted hash array — the same ~n²/2⁻⁶⁴
-    * collision-odds discipline as the shingle hashes themselves. */
+    * class elects its minimum doc_id as `rep`; `csize` rides along.
+    * Returns the NARROW label frame (doc_id, cls, rep, csize) — the
+    * class window shuffles 24-byte rows, never the signature arrays
+    * (the first cut windowed the full signature frame and cost n2b
+    * +0.7 s at sf0.1; callers semi-join their wide rows against the
+    * rep ids instead, reusing the doc_id partitioning their signature
+    * aggregate already produced). Class identity is the 64-bit hash of
+    * the sorted hash array — the same ~n²/2⁻⁶⁴ collision-odds
+    * discipline as the shingle hashes themselves. */
   private[analytics] def exactClasses(sigs: DataFrame): DataFrame = {
     val wCls = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cls"))
-    sigs.withColumn("cls", xxhash64(col("hs")))
+    sigs.select(col("doc_id"), xxhash64(col("hs")).as("cls"))
       .withColumn("rep", min(col("doc_id")).over(wCls))
       .withColumn("csize", count(lit(1)).over(wCls))
   }
+
+  /** The representative rows of `sigs` under `lab` ([[exactClasses]]
+    * output): a semi join on doc_id — the side carrying the wide
+    * signature arrays stays on its existing (doc_id) partitioning. */
+  private def repsOf(sigs: DataFrame, lab: DataFrame): DataFrame =
+    sigs.join(lab.filter(col("doc_id") === col("rep")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
 
   /** Re-expand representative-level near-dup pairs to full exact-dup
     * class membership — the other half of the pre-collapse: intra-class
@@ -297,9 +309,9 @@ object DedupOps {
     * zero on organic corpora (the oracle gate would catch any drop). */
   def n2PairsOn(docs: DataFrame): DataFrame = {
     val theta = JaccardThreshold
-    val lab = exactClasses(shingleSets(docs))
-    val reps = lab.filter(col("doc_id") === col("rep"))
-      .select(col("doc_id"), col("hs"), col("n"))
+    val byDoc = shingleSets(docs)
+    val lab = exactClasses(byDoc)
+    val reps = repsOf(byDoc, lab).select(col("doc_id"), col("hs"), col("n"))
     val prefix = capOccupancy(prefixPostings(reps), Seq(col("ph")),
       "n2_posting", CandidateGroupCap)
     val cand = prefix.groupBy(col("ph"))
@@ -611,8 +623,9 @@ object DedupOps {
     * [[observedDrops]](df, "n2b_bucket"). */
   def n2bMinhashLshOn(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
-    val lab = exactClasses(sig.withColumn("hs", sort_array(col("shset"))))
-    val reps = lab.filter(col("doc_id") === col("rep"))
+    val lab = exactClasses(
+      sig.select(col("doc_id"), sort_array(col("shset")).as("hs")))
+    val reps = repsOf(sig, lab)
     val bandCols = (0 until LshBands).map { b =>
       xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"s${b * 4 + r}"))): _*)
     }

@@ -60,12 +60,31 @@ object InsightQueries {
       exactDistinct = true)
 
   /** P1b: the scale-default profiler — same stats with HLL++ distinct
-    * counts (no Expand, constant-size agg state). Sketch-based, so no
-    * SQL oracle (DuckDB's approx sketch differs); the spec brackets it
-    * against the exact profile instead. */
+    * counts (no Expand, constant-size agg state). Sketch estimates are
+    * implementation-specific, so since r11 the QUERY rides the hash
+    * gate as a BRACKET (the a13/a5 pattern): the emitted rows are p1's
+    * exact profile (DuckDB-recomputable), and `approx_in_tol` asserts
+    * per column that the HLL++ estimate lands within ±15% of the exact
+    * distinct count (3× the default 5% rsd) — a sketch regression
+    * flips a hashed boolean. The production artifact is the approx
+    * plan (no Expand — PlanAuditSpec pins both shapes); the exact side
+    * is gate scaffolding. */
   def p1bProfileApprox(spark: SparkSession, dir: String): DataFrame =
     profile(Tables.customer(spark, dir),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+
+  def p1bProfileApproxBracket(spark: SparkSession, dir: String): DataFrame = {
+    val exact = p1Profile(spark, dir)
+    val approx = p1bProfileApprox(spark, dir)
+      .select(col("col_name"), col("n_distinct").as("approx_distinct"))
+    exact.join(approx, Seq("col_name"))
+      .withColumn("approx_in_tol",
+        abs(col("approx_distinct") - col("n_distinct")) <=
+          col("n_distinct") * 0.15)
+      .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+        col("min_val"), col("max_val"), col("approx_in_tol"))
+      .orderBy(col("col_name"))
+  }
 
   val p1ProfileSql: String = {
     def one(c: String) =
@@ -78,6 +97,10 @@ object InsightQueries {
     Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
       .map(one).mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   }
+
+  val p1bProfileApproxSql: String =
+    p1ProfileSql
+      .replace("AS max_val", "AS max_val,\n  true AS approx_in_tol")
 
   /** F3: ordered FUNNEL — how many users did view → click → purchase in
     * event-time order. Each step's earliest qualifying timestamp is an
@@ -147,13 +170,14 @@ object InsightQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_profile" -> (p1Profile _),
-    "p1b_profile_approx" -> (p1bProfileApprox _),
+    "p1b_profile_approx" -> (p1bProfileApproxBracket _),
     "f3_funnel" -> (f3Funnel _),
     "c2_cohort_retention" -> (c2CohortRetention _),
   )
 
   def oracleSql: Map[String, String] = Map(
     "p1_profile" -> p1ProfileSql,
+    "p1b_profile_approx" -> p1bProfileApproxSql,
     "f3_funnel" -> f3FunnelSql,
     "c2_cohort_retention" -> c2CohortRetentionSql,
   )

@@ -1151,8 +1151,12 @@ object SimilarityOps {
     * embeddings are i.i.d. random — the hardest recall regime for any
     * LSH/IVF — hence floors far below production-corpus levels; the
     * recall-vs-chance LIFT is pinned separately in SimilarityOpsSpec. */
-  val BracketRecallFloor: Map[String, Double] =
-    Map("n3b" -> 0.05, "n3c" -> 0.15, "n3f" -> 0.15)
+  val BracketRecallFloor: Map[String, Double] = Map(
+    "n3b" -> 0.05, "n3c" -> 0.15, "n3f" -> 0.15,
+    // measured (deterministic) recalls: n3d 0.72/0.74/0.93 and n3e
+    // 0.69/0.63/0.89 at sf0.001/0.01/0.1; n3h vs the FILTERED exact
+    // baseline 0.39/0.35/0.47
+    "n3d" -> 0.5, "n3e" -> 0.4, "n3h" -> 0.2)
 
   /** Promote an approximate ANN variant into the hash-oracle gate (the
     * a13 bracket pattern, VERDICT r10 ask #3): the emitted rows are the
@@ -1171,9 +1175,11 @@ object SimilarityOps {
     * exact result is localCheckpointed so its scan runs once, not per
     * consumer branch. */
   private[analytics] def annBracket(spark: SparkSession, dir: String,
-      ann: DataFrame, recallFloor: Double): DataFrame = {
+      ann: DataFrame, recallFloor: Double,
+      exactRef: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh
-    val exact = checkpointFresh(n3CosineTopk(spark, dir))
+    val exact = checkpointFresh(
+      exactRef.getOrElse(n3CosineTopk(spark, dir)))
     val all = corpus(spark, dir)
     val q = all.filter(col("vec_id") < QueryCount)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
@@ -1191,10 +1197,11 @@ object SimilarityOps {
         max(abs(col("sim") -
           round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4)))
           .as("dmax"))
-    val flags = checked.select(
-      (col("nhits") >= lit(QueryCount * TopK) * lit(recallFloor))
-        .as("recall_ok"),
-      (coalesce(col("dmax"), lit(0.0)) <= lit(1e-9)).as("sims_ok"))
+    val flags = checked
+      .crossJoin(exact.agg(count(lit(1)).as("nexact")))
+      .select(
+        (col("nhits") >= col("nexact") * lit(recallFloor)).as("recall_ok"),
+        (coalesce(col("dmax"), lit(0.0)) <= lit(1e-9)).as("sims_ok"))
     exact.crossJoin(broadcast(flags))
       .select(col("qid"), col("rank"), col("nbr"), col("sim"),
         col("recall_ok"), col("sims_ok"))
@@ -1207,6 +1214,17 @@ object SimilarityOps {
     annBracket(spark, dir, n3cIvfAnn(spark, dir), BracketRecallFloor("n3c"))
   def n3fIvfPqAnnBracket(spark: SparkSession, dir: String): DataFrame =
     annBracket(spark, dir, n3fIvfPqAnn(spark, dir), BracketRecallFloor("n3f"))
+  def n3dIvf2AnnBracket(spark: SparkSession, dir: String): DataFrame =
+    annBracket(spark, dir, n3dIvf2Ann(spark, dir), BracketRecallFloor("n3d"))
+  def n3eAnnIncrementalBracket(spark: SparkSession, dir: String): DataFrame =
+    annBracket(spark, dir, n3eAnnIncremental(spark, dir),
+      BracketRecallFloor("n3e"))
+  /** n3h measures against the FILTERED exact baseline (n3g) — recall vs
+    * the unfiltered top-k would conflate the metadata filter with the
+    * probe loss. */
+  def n3hFilteredIvfBracket(spark: SparkSession, dir: String): DataFrame =
+    annBracket(spark, dir, n3hFilteredIvf(spark, dir),
+      BracketRecallFloor("n3h"), Some(n3gFilteredTopk(spark, dir)))
 
   /** DuckDB side of [[annBracket]]: the exact top-k recomputation with
     * the two flags as constants — the engine's booleans must land true. */
@@ -1215,15 +1233,22 @@ object SimilarityOps {
     "SELECT qid, rank, nbr, sim, true AS recall_ok, true AS sims_ok " +
       s"FROM ranked WHERE rank <= $TopK")
 
+  /** DuckDB side of the n3h bracket: the FILTERED exact top-k plus the
+    * flag constants. */
+  val annFilteredBracketSql: String = n3gFilteredTopkSql.replace(
+    s"SELECT qid, rank, nbr, sim FROM ranked WHERE rank <= $TopK",
+    "SELECT qid, rank, nbr, sim, true AS recall_ok, true AS sims_ok " +
+      s"FROM ranked WHERE rank <= $TopK")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n3_cosine_topk" -> (n3CosineTopk _),
     "n3b_srp_ann" -> (n3bSrpAnnBracket _),
     "n3c_ivf_ann" -> (n3cIvfAnnBracket _),
-    "n3d_ivf2_ann" -> ((s: SparkSession, d: String) => n3dIvf2Ann(s, d)),
-    "n3e_ann_incremental" -> (n3eAnnIncremental _),
+    "n3d_ivf2_ann" -> (n3dIvf2AnnBracket _),
+    "n3e_ann_incremental" -> (n3eAnnIncrementalBracket _),
     "n3f_ivfpq_ann" -> (n3fIvfPqAnnBracket _),
     "n3g_filtered_topk" -> (n3gFilteredTopk _),
-    "n3h_filtered_ivf" -> (n3hFilteredIvf _),
+    "n3h_filtered_ivf" -> (n3hFilteredIvfBracket _),
     "n5_embed_neardup" -> (n5EmbedNearDup _),
     "n8_semantic_clusters" -> (n8SemanticClusters _),
   )
@@ -1232,11 +1257,13 @@ object SimilarityOps {
     "n3_cosine_topk" -> n3CosineTopkSql,
     "n3b_srp_ann" -> annBracketSql,
     "n3c_ivf_ann" -> annBracketSql,
+    "n3d_ivf2_ann" -> annBracketSql,
+    "n3e_ann_incremental" -> annBracketSql,
     "n3f_ivfpq_ann" -> annBracketSql,
     "n3g_filtered_topk" -> n3gFilteredTopkSql,
-    // n3d/n3e (index variants of the same probe machinery),
-    // n3h_filtered_ivf, n5_embed_neardup: approximate (LSH/probed
-    // candidates) — no SQL oracle; exact-sim agreement + recall
-    // asserted in spec
+    "n3h_filtered_ivf" -> annFilteredBracketSql,
+    // n5_embed_neardup, n8_semantic_clusters: the exact reference is
+    // the ALL-PAIRS cosine set (quadratic) — brute-forcing it as oracle
+    // scaffolding would dominate the gate; spec-verified instead
   )
 }
