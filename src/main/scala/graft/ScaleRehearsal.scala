@@ -150,7 +150,7 @@ object ScaleRehearsal {
     // --- stage the ingest history -------------------------------------
     val (_, stageSec) = timed {
       AtomicPublish.publish(spark, root, Map("docs" -> slice(0)),
-        statsBy = Map("docs" -> Seq("rid")),
+        statsBy = Map("docs" -> Seq("rid", "doc_id")),
         bloomBy = Map("docs" -> Seq("rid")))
       (1 until segments).foreach { i =>
         AtomicPublish.publishDelta(spark, root,
@@ -489,6 +489,70 @@ object ScaleRehearsal {
     require(fatPrunedBytes * 5 <= fatUnprunedBytes,
       s"fat DPP bytes reduction below 5x: pruned $fatPrunedBytes vs " +
         s"unpruned $fatUnprunedBytes")
+    // --- RUNTIME JOIN FILTER at the full history (r11) -----------------
+    // store21's shape at the staged commit depth: the docs store is
+    // rid-range-sliced per segment and bloomed/stat'd on rid, and a
+    // selectively-filtered dim (a ~1% rid window, read from the same
+    // store) equi-joins it on rid — a PLAIN DATA column. The
+    // RuntimeJoinFilter rule must materialize the dim's keys and plant
+    // them as an InSet on the fact scan, so zone maps + blooms confine
+    // the read to the window's segments: selected-file BYTES must
+    // shrink ≥5× vs the identical join with the rule disabled, with
+    // equal answers. At the 1000-commit history this is the dim-driven
+    // row-lookup claim measured, not asserted.
+    // The dim filter is a doc_id window — a NON-join-key column, so
+    // `InferFiltersFromConstraints` cannot statically propagate it
+    // onto the fact's rid (the first cut filtered the join key itself
+    // and measured bytes PARITY: the static optimizer had already
+    // propagated the window, leaving the rule nothing — the reduction
+    // must be attributable). doc_id correlates with rid (rid is its
+    // rank), so the surviving keys are value-localized and the planted
+    // IN prunes the rid-range-sliced fact segments. The rule's
+    // small-build gate sees through the filter via the r11 NDV/min-max
+    // CatalogStatistics once CBO is on — the two r11 features
+    // composing is the point of the phase.
+    val rjfLo = (3L * n) / 5
+    val rjfHi = rjfLo + math.min(math.max(n / 100, 10L), 9000L)
+    val docIdBounds = docs.filter(col("rid").between(rjfLo, rjfHi - 1))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .collect()(0)
+    val (rjfDocLo, rjfDocHi) = (docIdBounds.getLong(0), docIdBounds.getLong(1))
+    def rjfDim(): DataFrame =
+      AtomicPublish.readTable(spark, root, "docs")
+        .filter(col("doc_id").between(rjfDocLo, rjfDocHi))
+        .select(col("rid").as("dim_rid"))
+    val rjfExpected = rjfDim().count()
+    require(rjfExpected > 0, "rjf phase staged an empty dim window")
+    def rjfCountDf(): DataFrame =
+      AtomicPublish.readTable(spark, root, "docs")
+        .join(rjfDim(), col("rid") === col("dim_rid"))
+        .agg(count(lit(1)).as("c"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    var rjfBytes = 0L
+    var rjfUnfilteredBytes = 0L
+    val (rjfJoinSec, rjfUnfilteredSec) =
+      try {
+        val filteredSec = minOf {
+          val df = rjfCountDf()
+          require(df.collect()(0).getLong(0) == rjfExpected,
+            "runtime-filtered join row count off")
+          rjfBytes = filesSizeOf(df)
+        }
+        spark.conf.set(graft.ops.RuntimeJoinFilter.EnabledKey, "false")
+        val unfilteredSec =
+          try minOf {
+            val df = rjfCountDf()
+            require(df.collect()(0).getLong(0) == rjfExpected,
+              "unfiltered join answer off")
+            rjfUnfilteredBytes = filesSizeOf(df)
+          } finally spark.conf.unset(graft.ops.RuntimeJoinFilter.EnabledKey)
+        (filteredSec, unfilteredSec)
+      } finally spark.conf.unset("spark.sql.cbo.enabled")
+    require(rjfBytes > 0 && rjfUnfilteredBytes > 0,
+      "runtime-filter phase read no bytes metric")
+    require(rjfBytes * 5 <= rjfUnfilteredBytes,
+      s"runtime join filter bytes reduction below 5x: filtered " +
+        s"$rjfBytes vs unfiltered $rjfUnfilteredBytes")
     // --- partition-spec EVOLUTION at the production dir count (r9) ----
     // days → months in ONE metadata commit over the corpus-scaled dir
     // count: the commit must stay O(1) (no data read — scale-FLAT),
@@ -826,6 +890,8 @@ object ScaleRehearsal {
       "store_dpp_unpruned_read" -> dppUnprunedSec,
       "store_dpp_fat_join_read" -> dppFatJoinSec,
       "store_dpp_fat_unpruned_read" -> dppFatUnprunedSec,
+      "store_rjf_join_read" -> rjfJoinSec,
+      "store_rjf_unfiltered_read" -> rjfUnfilteredSec,
       "store_spec_evolve_commit" -> specEvolveSec,
       "store_evolved_range_read" -> evolvedRangeSec,
       "store_mass_delete_commit" -> deleteCommitSec,

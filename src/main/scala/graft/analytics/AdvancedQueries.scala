@@ -2018,15 +2018,22 @@ object AdvancedQueries {
     * reduction pinned in StoreRuntimeFilterSpec). The DuckDB oracle
     * recomputes the join from the source tables, so the hash match
     * proves the rewrite is result-invisible. */
+  /** The dim filter is on `batch` — a NON-key column (custkey DIV 50,
+    * the "one ingest batch" shape) — so `InferFiltersFromConstraints`
+    * cannot statically propagate anything onto the fact's join key:
+    * any file-subset reduction is attributable ONLY to the planted
+    * runtime key set. The batch's keys are value-LOCALIZED (ids of one
+    * batch are adjacent), which is what makes the planted IN prune the
+    * custkey-range-clustered fact files — the realistic dim-driven
+    * lookup (recent customers ↔ recent orders). */
   def store21RuntimeFilter(spark: SparkSession, dir: String): DataFrame = {
     import graft.ops.AtomicPublish
     val root = Tables.memoFresh(store21Cache, spark, dir, "orders") {
       stageStore21(spark, dir)
     }
     val fact = AtomicPublish.readTable(spark, root, "orders")
-    val dim = Tables.customer(spark, dir)
-      .filter(col("c_mktsegment") === "BUILDING" &&
-        col("c_custkey").between(100, 140))
+    val dim = AtomicPublish.readTable(spark, root, "cust_batch")
+      .filter(col("batch") === 2L)
       .select(col("c_custkey"))
     fact.join(dim, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("cents_v"))
@@ -2047,8 +2054,13 @@ object AdvancedQueries {
       col("o_custkey"),
       round(col("o_totalprice") * 100).cast("long").as("cents_v"))
       .repartitionByRange(8, col("o_custkey"))
-    AtomicPublish.publish(spark, root, Map("orders" -> ord),
-      statsBy = Map("orders" -> Seq("o_orderkey", "o_custkey")),
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), (col("c_custkey") / 50).cast("long")
+        .as("batch"))
+    AtomicPublish.publish(spark, root,
+      Map("orders" -> ord, "cust_batch" -> cust),
+      statsBy = Map("orders" -> Seq("o_orderkey", "o_custkey"),
+        "cust_batch" -> Seq("c_custkey", "batch")),
       bloomBy = Map("orders" -> Seq("o_custkey")))
     root
   }
@@ -2057,7 +2069,7 @@ object AdvancedQueries {
     """SELECT o.o_orderkey, c.c_custkey,
       |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents_v
       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
-      |WHERE c.c_mktsegment = 'BUILDING' AND c.c_custkey BETWEEN 100 AND 140
+      |WHERE c.c_custkey // 50 = 2
       |ORDER BY o.o_orderkey""".stripMargin
 
   private val store22Cache =

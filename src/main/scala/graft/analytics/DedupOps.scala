@@ -188,32 +188,27 @@ object DedupOps {
         row.getLong(0)
     }.sum
 
-  /** Exact-duplicate class labels over a signature frame: docs with
-    * IDENTICAL shingle sets (Jaccard exactly 1.0 — every exact text
-    * duplicate, plus multiplicity-only variants) share `cls`, and each
-    * class elects its minimum doc_id as `rep`; `csize` rides along.
-    * Returns the NARROW label frame (doc_id, cls, rep, csize) — the
-    * class window shuffles 24-byte rows, never the signature arrays
-    * (the first cut windowed the full signature frame and cost n2b
-    * +0.7 s at sf0.1; callers semi-join their wide rows against the
-    * rep ids instead, reusing the doc_id partitioning their signature
-    * aggregate already produced). Class identity is the 64-bit hash of
-    * the sorted hash array — the same ~n²/2⁻⁶⁴ collision-odds
-    * discipline as the shingle hashes themselves. */
-  private[analytics] def exactClasses(sigs: DataFrame): DataFrame = {
+  /** Exact-duplicate class labels IN PLACE over a signature frame:
+    * docs with IDENTICAL shingle sets (Jaccard exactly 1.0 — every
+    * exact text duplicate, plus multiplicity-only variants) share
+    * `cls` (= `clsExpr`, the 64-bit hash of the sorted hash array —
+    * the same ~n²/2⁻⁶⁴ collision-odds discipline as the shingle hashes
+    * themselves), each class elects its minimum doc_id as `rep`, and
+    * `csize` rides along — one window on cls, columns kept in place so
+    * every consumer branch stays a projection of ONE lineage. (A
+    * narrow-frame variant that semi-joined the wide rows back was
+    * tried and REVERTED: DataFrame branches re-execute their subtree,
+    * so the join's second consumption of the signature aggregate cost
+    * n2 +0.8 s at sf0.1 — more than the wide window it saved. Catalyst
+    * prunes the window's carried columns per consumer branch anyway.) */
+  private[analytics] def exactClasses(sigs: DataFrame,
+      clsExpr: Column): DataFrame = {
     val wCls = org.apache.spark.sql.expressions.Window
       .partitionBy(col("cls"))
-    sigs.select(col("doc_id"), xxhash64(col("hs")).as("cls"))
+    sigs.withColumn("cls", clsExpr)
       .withColumn("rep", min(col("doc_id")).over(wCls))
       .withColumn("csize", count(lit(1)).over(wCls))
   }
-
-  /** The representative rows of `sigs` under `lab` ([[exactClasses]]
-    * output): a semi join on doc_id — the side carrying the wide
-    * signature arrays stays on its existing (doc_id) partitioning. */
-  private def repsOf(sigs: DataFrame, lab: DataFrame): DataFrame =
-    sigs.join(lab.filter(col("doc_id") === col("rep")).select("doc_id"),
-      Seq("doc_id"), "left_semi")
 
   /** Re-expand representative-level near-dup pairs to full exact-dup
     * class membership — the other half of the pre-collapse: intra-class
@@ -309,9 +304,9 @@ object DedupOps {
     * zero on organic corpora (the oracle gate would catch any drop). */
   def n2PairsOn(docs: DataFrame): DataFrame = {
     val theta = JaccardThreshold
-    val byDoc = shingleSets(docs)
-    val lab = exactClasses(byDoc)
-    val reps = repsOf(byDoc, lab).select(col("doc_id"), col("hs"), col("n"))
+    val lab = exactClasses(shingleSets(docs), xxhash64(col("hs")))
+    val reps = lab.filter(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("hs"), col("n"))
     val prefix = capOccupancy(prefixPostings(reps), Seq(col("ph")),
       "n2_posting", CandidateGroupCap)
     val cand = prefix.groupBy(col("ph"))
@@ -623,9 +618,10 @@ object DedupOps {
     * [[observedDrops]](df, "n2b_bucket"). */
   def n2bMinhashLshOn(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
-    val lab = exactClasses(
-      sig.select(col("doc_id"), sort_array(col("shset")).as("hs")))
-    val reps = repsOf(sig, lab)
+    // cls hashes the sorted set IN the window input — no materialized
+    // sorted copy rides the exchange
+    val lab = exactClasses(sig, xxhash64(sort_array(col("shset"))))
+    val reps = lab.filter(col("doc_id") === col("rep"))
     val bandCols = (0 until LshBands).map { b =>
       xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"s${b * 4 + r}"))): _*)
     }

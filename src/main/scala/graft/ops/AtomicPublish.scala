@@ -1620,6 +1620,23 @@ object AtomicPublish {
         // segment that only contains it
         if (conVs.forall(_.isDefined)) Some(n -> conVs.map(_.get))
         else None
+      // InSet values are CATALYST-internal (boxed integrals,
+      // UTF8String); membership probing is exactly what blooms close
+      // the envelope-only zone test with for the runtime-join-filter
+      // key sets
+      case ce.InSet(a, hset) if attrName(a).isDefined && hset.nonEmpty =>
+        val n = attrName(a).get
+        val conVs = hset.toSeq.map { v =>
+          (cols(n), v) match {
+            case (ByteType | ShortType | IntegerType | LongType,
+                num: Number) => Some(Long.box(num.longValue()))
+            case (StringType, s: org.apache.spark.unsafe.types.UTF8String) =>
+              Some(s.toString)
+            case _ => None
+          }
+        }
+        if (conVs.forall(_.isDefined)) Some(n -> conVs.map(_.get))
+        else None
       case _ => None
     }
   }
@@ -3618,6 +3635,25 @@ object AtomicPublish {
             orderSafe(attrName(a).get, v.asInstanceOf[ce.Literal])) =>
         vs.map(v => eqLeaf(attrName(a).get,
           CatalystBridge.column(v.asInstanceOf[ce.Literal]))).reduce(_ || _)
+      // InSet is what OptimizeIn leaves for big literal lists and what
+      // RuntimeJoinFilter plants (its values are CATALYST-internal).
+      // Small sets expand to the exact per-value test; a big INTEGRAL
+      // set prunes by its [min,max] ENVELOPE — sound (a superset test),
+      // loses interior gaps, which the bloom probes recover; big
+      // non-integral sets keep conservatively.
+      case ce.InSet(a, hset) if hset.nonEmpty =>
+        val lits = hset.toSeq.map(v => ce.Literal(v, a.dataType))
+        if (hset.size <= 64)
+          go(ce.In(a, lits))
+        else a.dataType match {
+          case ByteType | ShortType | IntegerType | LongType =>
+            val minV = hset.minBy(_.asInstanceOf[Number].longValue())
+            val maxV = hset.maxBy(_.asInstanceOf[Number].longValue())
+            go(ce.And(
+              ce.GreaterThanOrEqual(a, ce.Literal(minV, a.dataType)),
+              ce.LessThanOrEqual(a, ce.Literal(maxV, a.dataType))))
+          case _ => lit(true)
+        }
       case ce.IsNull(a) => attrName(a)
         .map(n => coalesce(col(s"__nulls_$n") > 0, lit(true)))
         .getOrElse(lit(true))

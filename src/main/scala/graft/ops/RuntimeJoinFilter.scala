@@ -120,7 +120,13 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
   private def worthBuilding(build: LogicalPlan): Boolean =
     HiddenPartitionPruning.hasSelectiveFilter(build) &&
       build.stats.sizeInBytes <=
-        BigInt(math.max(conf.autoBroadcastJoinThreshold, 0L))
+        BigInt(math.max(conf.autoBroadcastJoinThreshold, 0L)) &&
+      // the build executes twice (key collection at planning, the join
+      // itself at execution) — a non-deterministic build (rand() split,
+      // sample) could yield keys the join-time rows don't match,
+      // silently dropping probe rows. Snapshot-pinned store reads and
+      // any deterministic plan are safe; anything else is refused.
+      build.find(p => p.expressions.exists(!_.deterministic)).isEmpty
 
   private def tryInsert(side: LogicalPlan, key: org.apache.spark.sql
       .catalyst.expressions.Expression, build: LogicalPlan,

@@ -39,7 +39,8 @@ class DedupCapSpec extends SparkSuite {
     .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble // 0.8947
 
   test("exact-dup pre-collapse: the mega cluster enters the pairwise stage as ONE representative") {
-    val lab = DedupOps.exactClasses(DedupOps.shingleSets(megaCorpus))
+    val lab = DedupOps.exactClasses(DedupOps.shingleSets(megaCorpus),
+      xxhash64(col("hs")))
     val reps = lab.filter(col("doc_id") === col("rep"))
     assert(reps.count() == 6L) // near + 4 fillers + 1 mega rep
     val mega = lab.filter(col("csize") === MegaCopies)

@@ -12,9 +12,10 @@ import graft.core.Tables
 
 /** Runtime row-level join filtering ([[RuntimeJoinFilter]], VERDICT r10
   * missing #1): build-side join keys become a static IN pushed into the
-  * probe-side store scan, where bloom sidecars and zone maps drop files
-  * — plan-pinned here, result-invisibility pinned by the store21
-  * oracle. */
+  * probe-side store scan, where bloom sidecars and zone maps drop files.
+  * The dim filter lives on a NON-key column (`batch`), so nothing here
+  * is achievable by static constraint propagation — the file-subset
+  * reduction is attributed by measuring the rule-disabled control. */
 class StoreRuntimeFilterSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
@@ -31,21 +32,25 @@ class StoreRuntimeFilterSpec extends SparkSuite {
       col("o_custkey"),
       round(col("o_totalprice") * 100).cast("long").as("cents_v"))
       .repartitionByRange(8, col("o_custkey"))
-    AtomicPublish.publish(spark, r, Map("orders" -> ord),
-      statsBy = Map("orders" -> Seq("o_orderkey", "o_custkey")),
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"),
+        (col("c_custkey") / 50).cast("long").as("batch"))
+    AtomicPublish.publish(spark, r,
+      Map("orders" -> ord, "cust_batch" -> cust),
+      statsBy = Map("orders" -> Seq("o_orderkey", "o_custkey"),
+        "cust_batch" -> Seq("c_custkey", "batch")),
       bloomBy = Map("orders" -> Seq("o_custkey")))
     r
   }
 
-  private def dimKeys(lo: Int, hi: Int): DataFrame =
-    Tables.customer(spark, dir)
-      .filter(col("c_mktsegment") === "BUILDING" &&
-        col("c_custkey").between(lo, hi))
+  private def dimKeys(batch: Long): DataFrame =
+    AtomicPublish.readTable(spark, root, "cust_batch")
+      .filter(col("batch") === batch)
       .select(col("c_custkey"))
 
   private def joined(): DataFrame =
     AtomicPublish.readTable(spark, root, "orders")
-      .join(dimKeys(10, 40), col("o_custkey") === col("c_custkey"))
+      .join(dimKeys(2L), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey"), col("cents_v"))
 
   private def insetFilters(plan: LogicalPlan): Seq[Filter] =
@@ -61,30 +66,57 @@ class StoreRuntimeFilterSpec extends SparkSuite {
     case o => o.children.flatMap(scans) ++ o.subqueries.flatMap(scans)
   }
 
+  private def factFilesRead(q: DataFrame): (Long, Long) = {
+    val factScans = scans(q.queryExecution.executedPlan).filter(
+      _.relation.location match {
+        case g: GraftFileIndex => g.inputFiles.exists(_.contains("/orders/"))
+        case _ => false
+      })
+    assert(factScans.nonEmpty, "no fact scan found")
+    (factScans.map(_.metrics("numFiles").value).sum,
+      factScans.map(_.relation.location.inputFiles.length.toLong).sum)
+  }
+
+  private def withRule(on: Boolean)(body: => Unit): Unit =
+    if (on) body
+    else {
+      spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")
+      try body finally spark.conf.unset(RuntimeJoinFilter.EnabledKey)
+    }
+
   test("the rule plants the build keys as an InSet directly above the store scan") {
     val q = joined()
     val filters = insetFilters(q.queryExecution.optimizedPlan)
     assert(filters.nonEmpty, s"no InSet:\n${q.queryExecution.optimizedPlan}")
     val keys = filters.head.condition.asInstanceOf[InSet].hset
-    val expected = dimKeys(10, 40).collect().map(_.getLong(0)).toSet
+    val expected = dimKeys(2L).collect().map(_.getLong(0)).toSet
     assert(keys == expected.asInstanceOf[Set[Any]])
+    assert(expected.nonEmpty)
   }
 
-  test("file-subset reduction: the planted keys skip fact files via blooms/zone maps") {
-    val q = joined()
-    q.collect()
-    val factScans = scans(q.queryExecution.executedPlan)
-      .filter(_.relation.location.isInstanceOf[GraftFileIndex])
-    assert(factScans.nonEmpty)
-    val read = factScans.map(s =>
-      s.metrics("numFiles").value).sum
-    val total = factScans.map(
-      _.relation.location.inputFiles.length.toLong).sum
-    assert(total >= 8, s"staging should have produced >=8 files, got $total")
-    assert(read < total,
-      s"no file skipping: read $read of $total")
-    assert(read <= total / 2,
-      s"weak skipping: read $read of $total (keys span ~1/8 of the range)")
+  test("file-subset reduction is ATTRIBUTABLE: keys skip files; the disabled control reads everything") {
+    var withRuleRead = 0L; var withRuleTotal = 0L
+    withRule(on = true) {
+      val q = joined()
+      q.collect()
+      val (r, t) = factFilesRead(q)
+      withRuleRead = r; withRuleTotal = t
+    }
+    assert(withRuleTotal >= 8, s"staging should give >=8 files, got $withRuleTotal")
+    assert(withRuleRead <= withRuleTotal / 2,
+      s"weak skipping: read $withRuleRead of $withRuleTotal " +
+        "(one batch's keys span ~1/3 of the clustered custkey range)")
+    withRule(on = false) {
+      val q = joined()
+      q.collect()
+      // nothing else (no static inference — the dim filter is on a
+      // non-key column) may prune the fact: the control reads it all
+      val (r, t) = factFilesRead(q)
+      assert(insetFilters(q.queryExecution.optimizedPlan).isEmpty)
+      assert(r == t, s"control was pruned anyway ($r of $t) — " +
+        "the reduction would not be attributable to the rule")
+      assert(withRuleRead < r)
+    }
   }
 
   test("the rewrite is result-invisible (same rows with the rule disabled)") {
@@ -101,16 +133,28 @@ class StoreRuntimeFilterSpec extends SparkSuite {
   test("gates hold: non-covered key column and unselective build stay untouched") {
     // probe key NOT among bloom/stat columns: cents_v
     val byValue = AtomicPublish.readTable(spark, root, "orders")
-      .join(dimKeys(10, 40).select((col("c_custkey") * 100).as("v")),
+      .join(dimKeys(2L).select((col("c_custkey") * 100).as("v")),
         col("cents_v") === col("v"))
     assert(byValue.queryExecution.optimizedPlan.collect {
       case f @ Filter(InSet(a: AttributeReference, _), _)
           if a.name == "cents_v" => f
     }.isEmpty)
-    // build side with no selective filter: full customer table
+    // build side with no selective filter: the full batch table
     val unfiltered = AtomicPublish.readTable(spark, root, "orders")
-      .join(Tables.customer(spark, dir).select(col("c_custkey")),
+      .join(AtomicPublish.readTable(spark, root, "cust_batch")
+        .select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"))
     assert(insetFilters(unfiltered.queryExecution.optimizedPlan).isEmpty)
+    // non-deterministic build: a sampled dim must NOT plant keys (the
+    // build executes twice — planning and join — and could disagree).
+    // The threshold must be < 1.0: the optimizer FOLDS `rand < 2.0`
+    // away entirely (making the build genuinely deterministic — and
+    // the plant correct)
+    val sampled = AtomicPublish.readTable(spark, root, "orders")
+      .join(AtomicPublish.readTable(spark, root, "cust_batch")
+        .filter(col("batch") === 2L && rand(7) < 0.999999)
+        .select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"))
+    assert(insetFilters(sampled.queryExecution.optimizedPlan).isEmpty)
   }
 }
