@@ -246,6 +246,15 @@ object ScaleRehearsal {
     val scanAggSec =
       try minOf { checkTotals(expectScan = true) }
       finally spark.conf.set("spark.graft.metadataAggregates", "true")
+    // HARD pin, not just a printed ratio: the manifest-served aggregate
+    // must beat the real scan by a wide margin or the zero-IO path has
+    // regressed (r11 caught exactly this — an eager sizeInBytes in the
+    // mount's planner stats re-walked every owner dir and turned the
+    // 300× r10 headline into scan parity; planner sizes now come from
+    // manifest-recorded segment bytes)
+    require(metaAggSec * 3 <= scanAggSec,
+      f"metadata aggregate $metaAggSec%.3fs not well under the real " +
+        f"scan $scanAggSec%.3fs — the zero-IO path regressed")
     // --- scoped vs FULL compaction on zero-copy clones (r8) -----------
     // two O(1) clones of the `segments`-owner table; compactWhere on
     // one rewrites ONLY the owners admitting a ~5% rid range (zone-map

@@ -308,10 +308,15 @@ object AtomicPublish {
   final case class ColStat(min: Option[String], max: Option[String],
       nulls: Long, ndv: Option[Long] = None)
 
-  /** Zone map of ONE owner segment: row count + per-stat-column stats.
-    * Segments recorded before stats existed simply have no entry —
-    * readers keep them conservatively. */
-  final case class SegStats(rows: Long, cols: Map[String, ColStat])
+  /** Zone map of ONE owner segment: row count + per-stat-column stats
+    * + the segment's total data-file BYTES (recorded at publish since
+    * r11 so planner statistics — CatalogStatistics sizeInBytes — come
+    * from the manifest with ZERO file listing; the metadata-only
+    * aggregate path must never pay a directory walk it exists to
+    * avoid). Segments recorded before stats/bytes existed simply have
+    * no entry — readers keep them conservatively. */
+  final case class SegStats(rows: Long, cols: Map[String, ColStat],
+      bytes: Option[Long] = None)
 
   /** Per-table manifest record: owning version dirs (the table is the
     * union of `v_<owner>/<table>` reads), the recorded logical schema
@@ -582,7 +587,9 @@ object AtomicPublish {
         s"${st.max.map(jq).getOrElse("null")},${st.nulls}" +
         st.ndv.map("," + _).getOrElse("") + "]"
     }
-    (s""""_rows":${s.rows}""" +: cols).mkString("{", ",", "}")
+    val head = s""""_rows":${s.rows}""" +:
+      s.bytes.map(b => s""""_bytes":$b""").toSeq
+    (head ++ cols).mkString("{", ",", "}")
   }
 
   private def parseSegStats(json: String): SegStats =
@@ -591,6 +598,8 @@ object AtomicPublish {
 
   private def segStatsOf(m: java.util.Map[String, Object]): SegStats = {
     val rows = m.get("_rows").asInstanceOf[Number].longValue()
+    val bytes = Option(m.get("_bytes"))
+      .map(_.asInstanceOf[Number].longValue())
     val cols = m.asScala.collect {
       case (c, v: java.util.List[_]) if c != "_rows" =>
         c -> ColStat(Option(v.get(0)).map(_.asInstanceOf[String]),
@@ -599,7 +608,7 @@ object AtomicPublish {
           if (v.size > 3) Some(v.get(3).asInstanceOf[Number].longValue())
           else None)
     }.toMap
-    SegStats(rows, cols)
+    SegStats(rows, cols, bytes)
   }
 
   /** One owner's per-file zone maps as a single-line JSON object:
@@ -1083,7 +1092,20 @@ object AtomicPublish {
         Seq(col("_rows"))).collect().headOption.map(statsOf)
         .getOrElse(SegStats(0L,
           statCols.map(c => c -> ColStat(None, None, 0L, Some(0L))).toMap))
-      (segStats,
+      // data-file bytes of the freshly staged segment: one local
+      // listing of files we just wrote, recorded so READ-time planner
+      // stats never walk directories (skip meta/sidecar files)
+      val segBytes = {
+        val it = fs.listFiles(segPath, true)
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) b += f.getLen
+        }
+        b
+      }
+      (segStats.copy(bytes = Some(segBytes)),
         if (fileMap.size == fileRows.length) fileMap else Map.empty)
     } finally { grouped.unpersist(); () }
   }

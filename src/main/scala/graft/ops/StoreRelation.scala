@@ -437,7 +437,7 @@ object GraftFileIndex {
       bucketSpecOf(meta), new ParquetFileFormat,
       Map.empty[String, String])(spark)
     val ordered = meta.schema.get.fieldNames.toSeq
-    val base = catalogStatsOf(spark, table, meta, selection, idx) match {
+    val base = catalogStatsOf(table, meta, selection) match {
       case Some(ct) => org.apache.spark.sql.graftplan.PlanBridge
         .ofRelationWithStats(spark, rel, ct)
       case None => spark.baseRelationToDataFrame(rel)
@@ -465,10 +465,9 @@ object GraftFileIndex {
     *
     * None when any selected owner lacks segment stats (no lying with
     * partial sums); CBO then falls back to pure size heuristics. */
-  private def catalogStatsOf(spark: SparkSession, table: String,
-      meta: TableMeta, selection: Seq[(String, Option[Seq[String]])],
-      idx: GraftFileIndex): Option[
-        org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
+  private def catalogStatsOf(table: String,
+      meta: TableMeta, selection: Seq[(String, Option[Seq[String]])])
+      : Option[org.apache.spark.sql.catalyst.catalog.CatalogTable] = {
     import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat,
       CatalogStatistics, CatalogStorageFormat, CatalogTable,
       CatalogTableType}
@@ -476,6 +475,14 @@ object GraftFileIndex {
     if (perOwner.isEmpty || perOwner.exists(_.isEmpty)) return None
     val stats = perOwner.flatten
     val rows = stats.map(_.rows).sum
+    // size comes from the MANIFEST's recorded segment bytes, never a
+    // file listing: forcing idx.sizeInBytes here made every mount walk
+    // its owner dirs eagerly and cost the metadata-only aggregate path
+    // the zero-IO property it exists for (caught by the r11 full
+    // rehearsal: store_metadata_agg went scale-linear). Pre-r11
+    // segments without recorded bytes simply get no planner stats.
+    if (stats.exists(_.bytes.isEmpty)) return None
+    val sizeInBytes = stats.flatMap(_.bytes).sum
     val schema = meta.schema.getOrElse(return None)
     val numericExact: Set[org.apache.spark.sql.types.DataType] = {
       import org.apache.spark.sql.types._
@@ -510,7 +517,7 @@ object GraftFileIndex {
       tableType = CatalogTableType.EXTERNAL,
       storage = CatalogStorageFormat.empty,
       schema = schema,
-      stats = Some(CatalogStatistics(BigInt(idx.sizeInBytes),
+      stats = Some(CatalogStatistics(BigInt(math.max(sizeInBytes, 1L)),
         Some(BigInt(rows)), colStats))))
   }
 }
