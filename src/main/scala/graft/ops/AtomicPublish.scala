@@ -3664,13 +3664,18 @@ object AtomicPublish {
       // loses interior gaps, which the bloom probes recover; big
       // non-integral sets keep conservatively.
       case ce.InSet(a, hset) if hset.nonEmpty =>
-        val lits = hset.toSeq.map(v => ce.Literal(v, a.dataType))
-        if (hset.size <= 64)
-          go(ce.In(a, lits))
+        // OptimizeIn folds user IN lists VERBATIM, nulls included
+        // (`k IN (NULL, v1..v65)`); a null element never admits a row,
+        // so it is sound to envelope over the non-null remainder — and
+        // required, or minBy(longValue) NPEs at planning time.
+        val nn = hset.filter(_ != null)
+        if (nn.isEmpty) lit(true)
+        else if (nn.size <= 64)
+          go(ce.In(a, nn.toSeq.map(v => ce.Literal(v, a.dataType))))
         else a.dataType match {
           case ByteType | ShortType | IntegerType | LongType =>
-            val minV = hset.minBy(_.asInstanceOf[Number].longValue())
-            val maxV = hset.maxBy(_.asInstanceOf[Number].longValue())
+            val minV = nn.minBy(_.asInstanceOf[Number].longValue())
+            val maxV = nn.maxBy(_.asInstanceOf[Number].longValue())
             go(ce.And(
               ce.GreaterThanOrEqual(a, ce.Literal(minV, a.dataType)),
               ce.LessThanOrEqual(a, ce.Literal(maxV, a.dataType))))

@@ -156,6 +156,38 @@ class StoreFileStatsSpec extends SparkSuite {
     assert(rows.length == 30 && rows.forall(_.getInt(1) == 1))
   }
 
+  test("big IN list with a NULL element: planning survives and the envelope prunes") {
+    // OptimizeIn folds `k IN (NULL, v1..v65)` into an InSet whose hash
+    // set CONTAINS null; the >64-value integral envelope used to
+    // minBy(longValue) straight into an NPE at listFiles time. A null
+    // IN-list element never admits a row, so the envelope over the
+    // non-null remainder is sound.
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> rangedDf(0 until 400, 4)),
+      statsBy = Map("docs" -> Seq("doc_id")))
+    val v2 = AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> rangedDf(400 until 800, 4)),
+      parent = Some(v1)).get
+    val meta = AtomicPublish.manifestMetaOf(spark, root, v2)("docs")
+    // unit pin on the exact shape OptimizeIn produces
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      InSet}
+    import org.apache.spark.sql.types.LongType
+    val hset: Set[Any] = (0L to 65L).map(Long.box).toSet[Any] + null
+    val kept = AtomicPublish.pruneOwnersExpr(spark, meta, meta.owners,
+      InSet(AttributeReference("doc_id", LongType)(), hset))
+    assert(kept == Seq(v1), s"envelope [0,65] should reject v2, got $kept")
+    // end-to-end: the optimizer folds and pushes this very InSet
+    val q = AtomicPublish.readTable(spark, root, "docs")
+      .where(s"doc_id IN (NULL, ${(0L to 65L).mkString(", ")})")
+    assert(q.count() == 66)
+    // and an all-null remainder keeps conservatively rather than crashing
+    val keptAll = AtomicPublish.pruneOwnersExpr(spark, meta, meta.owners,
+      InSet(AttributeReference("doc_id", LongType)(), Set[Any](null)))
+    assert(keptAll == meta.owners)
+  }
+
   test("appends without clustering stay correct: whole-dir fallback") {
     val root = freshRoot()
     // a one-file segment: pruning keeps it whole (no subset possible)

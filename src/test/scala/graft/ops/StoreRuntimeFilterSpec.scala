@@ -157,4 +157,29 @@ class StoreRuntimeFilterSpec extends SparkSuite {
         col("o_custkey") === col("c_custkey"))
     assert(insetFilters(sampled.queryExecution.optimizedPlan).isEmpty)
   }
+
+  test("floating join keys are refused: InSet's boxed -0.0 != 0.0 would drop rows") {
+    // Spark normalizes floating join keys (-0.0 == 0.0, NaN == NaN);
+    // a planted boxed-set InSet does not — so the rule must not fire
+    // on a Float/Double key even when the column is stats-covered.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rjf-fx")
+    val r = tmp.resolve("store").toString
+    import spark.implicits._
+    val fx = Seq((-0.0, "neg"), (0.0, "pos"), (1.5, "x"), (2.5, "y"))
+      .toDF("rate", "tag")
+    val dim = Seq((0.0, 1L), (1.5, 2L), (9.9, 1L)).toDF("drate", "grp")
+    AtomicPublish.publish(spark, r, Map("fx" -> fx, "fxdim" -> dim),
+      statsBy = Map("fx" -> Seq("rate"), "fxdim" -> Seq("drate", "grp")))
+    val q = AtomicPublish.readTable(spark, r, "fx")
+      .join(AtomicPublish.readTable(spark, r, "fxdim")
+        .filter(col("grp") === 1L).select(col("drate")),
+        col("rate") === col("drate"))
+    assert(q.queryExecution.optimizedPlan.collect {
+      case f @ Filter(InSet(a: AttributeReference, _), _)
+          if a.name == "rate" => f
+    }.isEmpty, "a double key must not get a planted InSet")
+    // -0.0 joins 0.0 under Spark's normalized equality — both rows survive
+    val got = q.select(col("tag")).collect().map(_.getString(0)).toSet
+    assert(got == Set("neg", "pos"))
+  }
 }
