@@ -801,11 +801,63 @@ object DedupOps {
       |  count(DISTINCT eval_id) AS n_eval_docs
       |FROM hits GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Aggregate recall floor for the n2b bracket — 8-band × 4-row MinHash
+    * at J ≥ 0.8 has candidate probability ≥ 1-(1-0.8⁴)⁸ ≈ 0.985;
+    * measured DETERMINISTIC recall is 1.0 at sf0.001/0.01/0.1 (28/28,
+    * 25/25, 256/256). The floor sits far below so the flag flips only
+    * on a real banding collapse, never on corpus noise. */
+  val N2bRecallFloor = 0.7
+
+  /** Promote n2b into the hash-oracle gate (VERDICT r11 ask #1): the
+    * emitted rows are n2's EXACT pair set — which the DuckDB oracle
+    * already computes for n2 itself ([[n2NgramJaccardSql]]'s all-pairs
+    * shingle self-join), so the gate pays no NEW scaffolding — plus two
+    * engine-computed booleans the oracle renders as constants:
+    *
+    *   subset_ok — every n2b pair is an exact pair (n2b verifies
+    *               candidates with exact Jaccard, so this is
+    *               identically true unless verification regresses);
+    *   recall_ok — n2b's pair count reaches [[N2bRecallFloor]] of the
+    *               exact count (banding only loses pairs).
+    *
+    * The full production MinHash+LSH pipeline executes for the flags;
+    * the exact side rides [[n2PairsShared]]'s per-corpus memo, so when
+    * n2 has already run in the same session the marginal cost is the
+    * n2b pipeline alone. */
+  def n2bMinhashLshBracket(spark: SparkSession, dir: String): DataFrame =
+    n2bBracketAt(spark, dir, N2bRecallFloor)
+
+  private[analytics] def n2bBracketAt(spark: SparkSession, dir: String,
+      recallFloor: Double): DataFrame = {
+    import org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh
+    val exact = checkpointFresh(n2PairsShared(spark, dir)) // (da, db)
+    val prod = n2bMinhashLshOn(Tables.documents(spark, dir))
+      .select(col("da"), col("db"))
+    val chk = prod
+      .join(exact.withColumn("hit", lit(1L)), Seq("da", "db"), "left")
+      .agg(
+        coalesce(sum(when(col("hit").isNull, 1L).otherwise(0L)), lit(0L))
+          .as("nmiss"),
+        count(lit(1)).as("nprod"))
+    val flags = chk.crossJoin(exact.agg(count(lit(1)).as("nexact")))
+      .select((col("nmiss") === 0L).as("subset_ok"),
+        (col("nprod") >= col("nexact") * lit(recallFloor)).as("recall_ok"))
+    exact.crossJoin(broadcast(flags))
+      .select(col("da"), col("db"), col("subset_ok"), col("recall_ok"))
+      .orderBy(col("da"), col("db"))
+  }
+
+  /** DuckDB side of [[n2bMinhashLshBracket]]: n2's exact pair ids with
+    * the two flags as constants — the engine's booleans must land true. */
+  val n2bBracketSql: String = n2NgramJaccardSql.replace(
+    "SELECT da, db,\n  round(shared * 1.0 / (ca.n + cb.n - shared), 4) AS jaccard",
+    "SELECT da, db, true AS subset_ok, true AS recall_ok")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_dedup_exact" -> (n1DedupExact _),
     "n1b_dedup_incremental" -> (n1bDedupIncremental _),
     "n2_ngram_jaccard" -> (n2NgramJaccard _),
-    "n2b_minhash_lsh" -> (n2bMinhashLsh _),
+    "n2b_minhash_lsh" -> (n2bMinhashLshBracket _),
     "n4_simhash" -> (n4Simhash _),
     "n6_decontaminate" -> (n6Decontaminate _),
     "n7_dup_clusters" -> (n7DupClusters _),
@@ -822,6 +874,6 @@ object DedupOps {
     "n7_dup_clusters" -> n7DupClustersSql,
     "n9_cluster_keep" -> n9ClusterKeepSql,
     "n10_span_dupfrac" -> n10SpanDupfracSql,
-    // n2b_minhash_lsh: sketch-based (banded MinHash candidates), no SQL oracle
+    "n2b_minhash_lsh" -> n2bBracketSql,
   )
 }
