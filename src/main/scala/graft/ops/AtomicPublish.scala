@@ -299,14 +299,81 @@ object AtomicPublish {
   private val CommitMarker = "_COMMITTED"
   private val LockFile = "_LOCK"
 
+  /** One bin of a column's equi-height histogram: value range (as
+    * doubles — the estimator's own dialect) plus the bin's distinct
+    * count. `lo == hi` marks a heavy hitter (a value wide enough to
+    * span whole quantile steps). */
+  final case class HistBin(lo: Double, hi: Double, ndv: Long)
+
+  /** Equi-height histogram of one column in one segment: `bins.size`
+    * buckets of ~`height` rows each, boundaries at the column's
+    * k/n-quantiles (approx_percentile at publish). This is the
+    * range-selectivity input NDV cannot provide: a `BETWEEN` on a
+    * skewed column estimates from the bins actually covering the
+    * range, not from min/max uniformity. Per-bin NDV is estimated as
+    * total-NDV/bins (1 for a collapsed heavy-hitter bin) — bin
+    * BOUNDARIES carry the range signal; bin NDV only shades equality
+    * estimates, where the segment-level NDV already anchors. */
+  final case class ColHist(height: Double, bins: Seq[HistBin])
+
+  /** How many equi-height buckets a published histogram carries. */
+  val HistogramBins = 32
+
+  /** Which column types carry a histogram: the plain numeric set whose
+    * double cast is exact-enough geometry for an estimator (the same
+    * set whose zone-map rendering doubles as `CatalogColumnStat`
+    * min/max — timestamps keep their micro-encoded zone maps for
+    * pruning but sit out of the double-dialect estimator inputs). */
+  private[ops] def histEligible(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == ByteType || dt == ShortType || dt == IntegerType ||
+      dt == LongType || dt == FloatType || dt == DoubleType
+  }
+
+  /** Merge per-owner equi-height histograms into one table-level
+    * histogram — the mount-time analog of summing owner NDVs. Exact
+    * equi-height merge would need the raw data; the approximation:
+    * each owner bin drops half its mass on each endpoint, and the
+    * merged boundaries are the weighted quantiles of that point set
+    * (a 2-point summary per bin — monotone by construction, within a
+    * half-bin of the true mixture quantile per owner). Heights rescale
+    * so total mass is preserved; per-bin NDV re-estimates from the
+    * summed owner NDVs. Single-owner mounts pass through exactly. */
+  private[ops] def mergeHists(hs: Seq[ColHist]): Option[ColHist] = {
+    if (hs.isEmpty) return None
+    if (hs.size == 1) return Some(hs.head)
+    val pts = hs.flatMap(h => h.bins.flatMap(b =>
+      Seq((b.lo, h.height / 2), (b.hi, h.height / 2)))).sortBy(_._1)
+    val total = pts.iterator.map(_._2).sum
+    if (!(total > 0)) return None
+    val nb = HistogramBins
+    val cum = pts.scanLeft(0.0)(_ + _._2).tail
+    def quantile(q: Double): Double = {
+      val i = cum.indexWhere(_ >= q * total - 1e-9)
+      pts(if (i < 0) pts.length - 1 else i)._1
+    }
+    val bounds = (0 to nb).map(k => quantile(k.toDouble / nb))
+    val totalRows = hs.iterator.map(h => h.height * h.bins.size).sum
+    val ndvSum = hs.iterator.flatMap(_.bins).map(_.ndv).sum
+    val perBin = math.max(1L, math.round(ndvSum.toDouble / nb))
+    Some(ColHist(totalRows / nb, (0 until nb).map { i =>
+      val lo = bounds(i); val hi = bounds(i + 1)
+      HistBin(lo, hi, if (lo == hi) 1L else perBin)
+    }))
+  }
+
   /** One column's zone-map entry for one segment: min/max rendered as
     * strings (timestamps as epoch micros — timezone-independent; every
     * other atomic type via Spark's lossless string cast) plus the null
     * count. `min`/`max` are None iff the segment holds no non-null
     * value for the column (all-null, or the column postdates the
-    * segment — either way a comparison predicate cannot match). */
+    * segment — either way a comparison predicate cannot match).
+    * `ndv`/`hist` are planner-statistics extras recorded by the same
+    * publish-time stats scan; absent on pre-r11/pre-r12 manifests. */
   final case class ColStat(min: Option[String], max: Option[String],
-      nulls: Long, ndv: Option[Long] = None)
+      nulls: Long, ndv: Option[Long] = None,
+      hist: Option[ColHist] = None)
 
   /** Zone map of ONE owner segment: row count + per-stat-column stats
     * + the segment's total data-file BYTES (recorded at publish since
@@ -575,17 +642,29 @@ object AtomicPublish {
   } + "\""
 
   /** One segment's zone map as a single-line JSON object:
-    * `{"_rows":N,"c":[min,max,nulls(,ndv)?],…}` with min/max JSON
-    * strings or null; the optional fourth entry is the column's
+    * `{"_rows":N,"c":[min,max,nulls(,ndv(,hist)?)?],…}` with min/max
+    * JSON strings or null; the optional fourth entry is the column's
     * approximate distinct count (HLL++, recorded at publish — the
-    * planner-statistics input). Column order is sorted for
-    * deterministic rendering; three-entry arrays from pre-NDV
-    * manifests parse as ndv-absent. */
+    * planner-statistics input) and the optional fifth its equi-height
+    * histogram `[height,[[lo,hi,ndv],…]]`. Column order is sorted for
+    * deterministic rendering; shorter arrays from pre-NDV / pre-hist
+    * manifests parse with the tail absent. */
   private def renderSegStats(s: SegStats): String = {
+    def jd(d: Double): String = // JSON double (finiteness guarded upstream)
+      if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    def renderHist(h: ColHist): String =
+      s"[${jd(h.height)},[" + h.bins.map(b =>
+        s"[${jd(b.lo)},${jd(b.hi)},${b.ndv}]").mkString(",") + "]]"
     val cols = s.cols.toSeq.sortBy(_._1).map { case (c, st) =>
+      // positional grammar: a histogram can only ride behind an NDV
+      val tail = st.ndv match {
+        case Some(n) => "," + n +
+          st.hist.map(h => "," + renderHist(h)).getOrElse("")
+        case None => ""
+      }
       s"${jq(c)}:[${st.min.map(jq).getOrElse("null")}," +
-        s"${st.max.map(jq).getOrElse("null")},${st.nulls}" +
-        st.ndv.map("," + _).getOrElse("") + "]"
+        s"${st.max.map(jq).getOrElse("null")},${st.nulls}$tail]"
     }
     val head = s""""_rows":${s.rows}""" +:
       s.bytes.map(b => s""""_bytes":$b""").toSeq
@@ -600,13 +679,26 @@ object AtomicPublish {
     val rows = m.get("_rows").asInstanceOf[Number].longValue()
     val bytes = Option(m.get("_bytes"))
       .map(_.asInstanceOf[Number].longValue())
+    def histOf(o: Object): Option[ColHist] = o match {
+      case l: java.util.List[_] if l.size == 2 =>
+        val bins = l.get(1).asInstanceOf[java.util.List[_]].asScala.map {
+          b =>
+            val t = b.asInstanceOf[java.util.List[_]]
+            HistBin(t.get(0).asInstanceOf[Number].doubleValue(),
+              t.get(1).asInstanceOf[Number].doubleValue(),
+              t.get(2).asInstanceOf[Number].longValue())
+        }.toSeq
+        Some(ColHist(l.get(0).asInstanceOf[Number].doubleValue(), bins))
+      case _ => None
+    }
     val cols = m.asScala.collect {
       case (c, v: java.util.List[_]) if c != "_rows" =>
         c -> ColStat(Option(v.get(0)).map(_.asInstanceOf[String]),
           Option(v.get(1)).map(_.asInstanceOf[String]),
           v.get(2).asInstanceOf[Number].longValue(),
           if (v.size > 3) Some(v.get(3).asInstanceOf[Number].longValue())
-          else None)
+          else None,
+          if (v.size > 4) histOf(v.get(4).asInstanceOf[Object]) else None)
     }.toMap
     SegStats(rows, cols, bytes)
   }
@@ -1036,13 +1128,22 @@ object AtomicPublish {
     }
     val present = statCols.filter(df.columns.contains)
     import org.apache.spark.sql.functions.{approx_count_distinct, count,
-      input_file_name, max, min, sum}
+      input_file_name, max, min, percentile_approx, sum}
+    // equi-height histogram boundaries ride the SAME scan: 33
+    // quantiles per numeric stat column (the double dialect is the
+    // estimator's own — non-numeric columns carry no histogram, range
+    // selectivity on them has no double geometry to estimate in)
+    val histCols = present.filter(c => histEligible(df.schema(c).dataType))
+    val qs = (0 to HistogramBins).map(_.toDouble / HistogramBins).toArray
     val aggs = count(lit(1)).as("_rows") +:
-      present.flatMap { c =>
+      (present.flatMap { c =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"),
           approx_count_distinct(col(c)).as(s"nd_$c"))
-      }
+      } ++ histCols.map { c =>
+        percentile_approx(col(c).cast("double"), lit(qs), lit(10000))
+          .as(s"hb_$c")
+      })
     // cube on the file name = per-file groups PLUS the segment-global
     // row (__file null) from ONE scan — the global row is where the
     // segment's NDV comes from (HLL states don't roll up through the
@@ -1053,23 +1154,46 @@ object AtomicPublish {
     grouped.persist()
     try {
       def encoded(base: org.apache.spark.sql.DataFrame, keep: Seq[Column]) =
-        base.select(keep ++ present.flatMap { c =>
+        base.select((keep ++ present.flatMap { c =>
           val dt = df.schema(c).dataType
           Seq(statEncode(col(s"mn_$c"), dt).as(s"mn_$c"),
             statEncode(col(s"mx_$c"), dt).as(s"mx_$c"), col(s"nu_$c"),
             col(s"nd_$c"))
-        }: _*)
-      def statsOf(r: org.apache.spark.sql.Row): SegStats = {
+        } ++ histCols.map(c => col(s"hb_$c"))): _*)
+      // histogram only on the SEGMENT row (withHist): per-file
+      // histograms would bloat the manifest O(files × bins) and the
+      // planner consumes table-level stats only — file skipping keeps
+      // its exact min/max envelopes instead
+      def statsOf(r: org.apache.spark.sql.Row,
+          withHist: Boolean): SegStats = {
         val rows = Option(r.getAs[Any]("_rows"))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
+        def histOf(c: String, nulls: Long, ndv: Option[Long])
+            : Option[ColHist] =
+          if (!withHist || !histCols.contains(c)) None
+          else Option(r.getAs[scala.collection.Seq[Double]](s"hb_$c"))
+            .filter(bs => bs.length == HistogramBins + 1 &&
+              bs.forall(java.lang.Double.isFinite))
+            .map { bs =>
+              val n = ndv.getOrElse(rows - nulls)
+              val perBin =
+                math.max(1L, math.round(n.toDouble / HistogramBins))
+              ColHist((rows - nulls).toDouble / HistogramBins,
+                (0 until HistogramBins).map { i =>
+                  val lo = bs(i); val hi = bs(i + 1)
+                  HistBin(lo, hi, if (lo == hi) 1L else perBin)
+                })
+            }
         val cols = statCols.map { c =>
-          if (present.contains(c))
+          if (present.contains(c)) {
+            val nulls = Option(r.getAs[Any](s"nu_$c"))
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            val ndv = Option(r.getAs[Any](s"nd_$c"))
+              .map(_.asInstanceOf[Long])
             c -> ColStat(Option(r.getAs[String](s"mn_$c")),
-              Option(r.getAs[String](s"mx_$c")),
-              Option(r.getAs[Any](s"nu_$c")).map(_.asInstanceOf[Long])
-                .getOrElse(0L),
-              Option(r.getAs[Any](s"nd_$c")).map(_.asInstanceOf[Long]))
-          else c -> ColStat(None, None, rows, Some(0L))
+              Option(r.getAs[String](s"mx_$c")), nulls, ndv,
+              histOf(c, nulls, ndv))
+          } else c -> ColStat(None, None, rows, Some(0L))
         }.toMap
         SegStats(rows, cols)
       }
@@ -1083,13 +1207,15 @@ object AtomicPublish {
         // segment dir and free of percent-escapes (URI decoding could
         // otherwise rewrite the name the reader reconstructs)
         if (uri.startsWith(segUriPath + "/") && !uri.contains("%"))
-          Some(uri.stripPrefix(segUriPath + "/") -> statsOf(r))
+          Some(uri.stripPrefix(segUriPath + "/") ->
+            statsOf(r, withHist = false))
         else None
       }.toMap
       // an EMPTY segment cubes to zero rows (no group to total over) —
       // the old global-agg path yielded one all-null row there
       val segStats = encoded(grouped.filter(col("__file").isNull),
-        Seq(col("_rows"))).collect().headOption.map(statsOf)
+        Seq(col("_rows"))).collect().headOption
+        .map(statsOf(_, withHist = true))
         .getOrElse(SegStats(0L,
           statCols.map(c => c -> ColStat(None, None, 0L, Some(0L))).toMap))
       // data-file bytes of the freshly staged segment: one local

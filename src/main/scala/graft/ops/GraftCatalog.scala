@@ -135,6 +135,10 @@ final class GraftCatalog extends TableCatalog
 
   override def name(): String = catName
 
+  /** The store root this catalog mounts — the handle the injected SQL
+    * faces (MATERIALIZED VIEW DDL) resolve a catalog name through. */
+  private[ops] def storeRoot: String = root
+
   private def spark = SparkSession.active
 
   /** Tables live at the catalog root: `<name>.<table>`, with

@@ -446,6 +446,8 @@ private[ops] object GraftProcedures {
       .add("checks", StringType, nullable = false)
       .add("tombstone_owners", IntegerType, nullable = false)
       .add("evolved_owners", IntegerType, nullable = false)
+      .add("column_ndv", StringType, nullable = false)
+      .add("column_hist", StringType, nullable = false)
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
@@ -486,13 +488,44 @@ private[ops] object GraftProcedures {
         .map { case (n, p) => s"$n: $p" }.mkString("; ")
       val tombOwners = metas.get(AtomicPublish.deleteTableOf(table))
         .map(_.owners.size).getOrElse(0)
+      // what the PLANNER sees (VERDICT-r11 #8): the merged NDV per
+      // stat column (summed across owners, capped at rows — exactly
+      // the CatalogStatistics derivation) and each column's merged
+      // equi-height histogram rendered as bins + value span. Columns
+      // some owner lacks stats for are shown with '?' — the planner
+      // refuses partial sums the same way.
+      val perOwner = m.owners.map(m.segStats.get)
+      val rowsAll: Option[Long] =
+        if (perOwner.forall(_.isDefined)) Some(rows.asInstanceOf[Long])
+        else None
+      def statStr(render: Seq[AtomicPublish.ColStat] => Option[String])
+          : String =
+        m.statCols.flatMap { c =>
+          val cs = perOwner.map(_.flatMap(_.cols.get(c)))
+          val body =
+            if (cs.exists(_.isEmpty)) Some("?")
+            else render(cs.flatten)
+          body.map(b => s"$c=$b")
+        }.mkString(",")
+      val ndvStr = statStr { cs =>
+        if (cs.exists(_.ndv.isEmpty)) Some("?")
+        else Some(rowsAll.map(r =>
+          math.min(cs.flatMap(_.ndv).sum, r)).getOrElse(
+          cs.flatMap(_.ndv).sum).toString)
+      }
+      val histStr = statStr { cs =>
+        if (cs.exists(_.hist.isEmpty)) None
+        else AtomicPublish.mergeHists(cs.flatMap(_.hist)).map(h =>
+          s"${h.bins.size}bins[${h.bins.head.lo}..${h.bins.last.hi}]" +
+            s"@h=${math.round(h.height)}")
+      }
       result(out, Array(new GenericInternalRow(Array[Any](
         utf8(table), utf8(txn), m.owners.size, files, bytes, rows,
         utf8(m.partitionCols.mkString(",")), utf8(bucketStr),
         utf8(clusterStr), utf8(checkStr), tombOwners,
         // owners still laid out under a PREVIOUS partition spec
         // (partition-spec evolution bookkeeping; 0 = uniform layout)
-        m.ownerParts.size))))
+        m.ownerParts.size, utf8(ndvStr), utf8(histStr)))))
     }
   }
 

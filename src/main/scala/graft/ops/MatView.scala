@@ -85,6 +85,10 @@ object MatView {
 
     final def wmTable: String = s"${view}_wm"
     final def auxTable: String = s"${view}_aux"
+    /** Recorded view DEFINITION (one row beside the view, written by
+      * the SQL DDL face): what lets `REFRESH MATERIALIZED VIEW <name>`
+      * re-derive the full spec from the name alone. */
+    final def defTable: String = s"${view}_def"
     final def dvTable(a: Agg): String = s"${view}_dv_${a.as}"
     final def mmTable(a: Agg): String = s"${view}_mm_${a.as}"
     final def plainAggs: Seq[Agg] =
@@ -484,7 +488,7 @@ object MatView {
     * free). Retries the CAS a bounded number of times against
     * concurrent publishers. */
   def refresh(spark: SparkSession, root: String, d: ViewDef,
-      maxAttempts: Int = 5): Option[String] = {
+      maxAttempts: Int = 5, recordDef: Boolean = false): Option[String] = {
     import spark.implicits._
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -578,7 +582,13 @@ object MatView {
               replace = Map(
                 d.view -> assembleView(d, state, dvs, mms),
                 d.auxTable -> state,
-                d.wmTable -> Seq(pinned).toDF("covered_txn")) ++ dvs ++ mms,
+                d.wmTable -> Seq(pinned).toDF("covered_txn")) ++ dvs ++
+                mms ++
+                // the DDL face records the definition ATOMICALLY with
+                // the view it defines (a def without a view, or a view
+                // whose recorded def drifted, is unrepresentable)
+                (if (recordDef) Map(d.defTable -> defFrame(spark, d))
+                 else Map.empty),
               parent = Some(pinned)) match {
               case Some(txn) => return Some(txn)
               case None => () // a publisher won the race: re-pin, retry
@@ -628,6 +638,76 @@ object MatView {
         refresh(spark, root, d); ()
       }
       .start()
+  }
+
+  /** The recorded definition as a one-row frame ([[ViewDef.defTable]]):
+    * plain strings so a SQL user can read their own catalog back. */
+  private def defFrame(spark: SparkSession, d: ViewDef): DataFrame = {
+    import spark.implicits._
+    val (kind, src, right, on) = d match {
+      case s: Def => ("table", s.src, "", "")
+      case j: JoinDef => ("join", j.left, j.right, j.on.mkString(","))
+    }
+    Seq((kind, src, right, on, d.keys.mkString(","),
+      d.aggs.map(a => s"${a.fn}:${a.col}:${a.as}").mkString(",")))
+      .toDF("kind", "src", "join_right", "join_on", "group_by", "aggs")
+  }
+
+  /** Re-derive a view's [[ViewDef]] from its recorded definition at
+    * the CURRENT version — None when the view has no recorded def
+    * (created through the procedure face, which restates the spec per
+    * call, or not a materialized view at all). */
+  def defOf(spark: SparkSession, root: String,
+      view: String): Option[ViewDef] = {
+    val d0 = Def("ignored_src", view, Nil,
+      Seq(Agg("count", "ignored", "ignored")))
+    val present = AtomicPublish.currentManifestMeta(spark, root)
+      .exists(_._2.contains(d0.defTable))
+    if (!present) return None
+    val r = AtomicPublish.readTable(spark, root, d0.defTable).head()
+    def list(s: String): Seq[String] =
+      s.split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val aggs = list(r.getAs[String]("aggs")).map(_.split(":") match {
+      case Array(fn, c, as) => Agg(fn, c, as)
+      case bad => throw new IllegalStateException(
+        s"corrupt recorded aggs entry '${bad.mkString(":")}' for '$view'")
+    })
+    val keys = list(r.getAs[String]("group_by"))
+    r.getAs[String]("kind") match {
+      case "table" => Some(Def(r.getAs[String]("src"), view, keys, aggs))
+      case "join" => Some(JoinDef(r.getAs[String]("src"),
+        r.getAs[String]("join_right"), list(r.getAs[String]("join_on")),
+        view, keys, aggs))
+      case k => throw new IllegalStateException(
+        s"corrupt recorded view kind '$k' for '$view'")
+    }
+  }
+
+  /** Drop a view AND every companion state table (aux, watermark,
+    * per-aggregate distinct/min-max states, recorded def when present)
+    * in one metadata commit; returns (commit txn, tables dropped). */
+  def dropAll(spark: SparkSession, root: String, d: ViewDef,
+      maxAttempts: Int = 5): (String, Int) = {
+    val candidates = Seq(d.view, d.wmTable, d.auxTable, d.defTable) ++
+      d.distinctAggs.map(d.dvTable) ++ d.mmAggs.map(d.mmTable)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val present = AtomicPublish.manifestMetaOf(spark, root, parent).keySet
+      val toDrop = candidates.filter(present.contains)
+      require(toDrop.contains(d.view),
+        s"view '${d.view}' is not published under $root")
+      AtomicPublish.publishDelta(spark, root, append = Map.empty,
+        drop = toDrop, parent = Some(parent)) match {
+        case Some(txn) => return (txn, toDrop.size)
+        case None => () // CAS lost: re-pin, retry
+      }
+    }
+    throw new IllegalStateException(
+      s"drop of matview '${d.view}' lost the commit race $maxAttempts times")
   }
 
   /** The reference answer: the same aggregate computed from scratch

@@ -500,6 +500,22 @@ object GraftFileIndex {
           // rendering (double-compare ties past 2^53 are fine for an
           // ESTIMATOR input — never used for pruning)
           val exact = numericExact.contains(dt.get)
+          // histograms: only when EVERY owner carries one (no lying
+          // with partial coverage — same posture as ndv/bytes above);
+          // the per-owner equi-height bins merge by weighted endpoint
+          // quantiles (AtomicPublish.mergeHists). This is what turns a
+          // RANGE predicate's selectivity stats-driven: min/max
+          // uniformity over a skewed column estimates the whole span,
+          // the bins estimate the mass actually inside the range.
+          val hist: Option[org.apache.spark.sql.catalyst.plans.logical
+            .Histogram] =
+            if (!exact || cs.exists(_.hist.isEmpty)) None
+            else AtomicPublish.mergeHists(cs.flatMap(_.hist)).map { h =>
+              org.apache.spark.sql.catalyst.plans.logical.Histogram(
+                h.height, h.bins.map(b =>
+                  org.apache.spark.sql.catalyst.plans.logical
+                    .HistogramBin(b.lo, b.hi, b.ndv)).toArray)
+            }
           Some(c -> CatalogColumnStat(
             distinctCount =
               Some(BigInt(math.min(cs.flatMap(_.ndv).sum, rows))),
@@ -507,7 +523,8 @@ object GraftFileIndex {
                   else None,
             max = if (exact) cs.flatMap(_.max).maxByOption(_.toDouble)
                   else None,
-            nullCount = Some(BigInt(cs.map(_.nulls).sum))))
+            nullCount = Some(BigInt(cs.map(_.nulls).sum)),
+            histogram = hist))
         }
       }
     }.toMap

@@ -295,6 +295,17 @@ class StoreProcedureSpec extends SparkSuite {
     assert(row.getAs[String]("buckets") == "4:doc_id")
     assert(row.getAs[String]("checks") == "pos_id: doc_id >= 0")
     assert(row.getAs[Int]("tombstone_owners") == 1)
+    // what the planner sees (VERDICT-r11 #8): the merged NDV and the
+    // merged equi-height histogram per stat column, right in DETAIL
+    val ndvStr = row.getAs[String]("column_ndv")
+    assert(ndvStr.startsWith("doc_id="), ndvStr)
+    val ndv = ndvStr.stripPrefix("doc_id=").toLong
+    assert(ndv >= 250 && ndv <= 300, s"merged ndv $ndvStr vs 300 ids")
+    val histStr = row.getAs[String]("column_hist")
+    assert(histStr.startsWith(
+      s"doc_id=${AtomicPublish.HistogramBins}bins["), histStr)
+    // the merged span covers both owners' id ranges (0..299)
+    assert(histStr.contains("[0.0..299.0]"), histStr)
     val e = intercept[Exception] {
       spark.sql(s"CALL $cat.system.detail(table => 'nope')").collect()
     }

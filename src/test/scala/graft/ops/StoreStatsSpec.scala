@@ -19,6 +19,33 @@ import graft.core.Tables
 class StoreStatsSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
+  // the manifest grammar of a histogram tail: `,[height,[[lo,hi,ndv],…]]`
+  // (numbers only — used by compat tests to surgically strip it)
+  private val numRe = """-?[0-9]+(?:\.[0-9]+)?(?:[eE][+-]?[0-9]+)?"""
+  private val binRe = s"\\[$numRe,$numRe,$numRe\\]"
+  private val histRe = s",\\[$numRe,\\[$binRe(?:,$binRe)*\\]\\]"
+
+  /** Rewrite every manifest copy (per-version `_MANIFEST` AND the root
+    * `_CURRENT`, which carries the same content) under `storeRoot`,
+    * dropping Hadoop's checksum sidecars so local-FS reads don't fail
+    * on ChecksumException. */
+  private def rewriteManifests(storeRoot: String)(f: String => String)
+      : Unit = {
+    val rootDir = new java.io.File(storeRoot)
+    val files = (Option(rootDir.listFiles).getOrElse(Array.empty)
+      .filter(_.isDirectory).map(d => new java.io.File(d, "_MANIFEST")) :+
+      new java.io.File(rootDir, "_CURRENT")).filter(_.isFile)
+    assert(files.nonEmpty)
+    files.foreach { file =>
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(file.toPath), "UTF-8")
+      java.nio.file.Files.write(file.toPath, f(txt).getBytes("UTF-8"))
+      val crc = new java.io.File(file.getParentFile, "." + file.getName +
+        ".crc")
+      if (crc.isFile) { crc.delete(); () }
+    }
+  }
+
   private lazy val root: String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft-statspec")
     sys.addShutdownHook {
@@ -132,27 +159,130 @@ class StoreStatsSpec extends SparkSuite {
     assert(n == expected && n > 0)
   }
 
+  test("publish records an equi-height histogram beside NDV for " +
+      "numeric stat columns") {
+    val meta = AtomicPublish.manifestMetaOf(spark, root,
+      AtomicPublish.currentTxn(spark, root).get)("dim")
+    val perOwner = meta.owners.flatMap(meta.segStats.get)
+    assert(perOwner.nonEmpty)
+    perOwner.foreach { s =>
+      // numeric columns carry 32 equi-height bins; strings don't
+      val h = s.cols("doc_id").hist
+      assert(h.isDefined, "doc_id (long) should carry a histogram")
+      assert(h.get.bins.size == AtomicPublish.HistogramBins)
+      assert(h.get.height > 0)
+      // boundaries are monotone and span the recorded min/max
+      val bs = h.get.bins
+      assert(bs.zip(bs.tail).forall { case (a, b) => a.hi <= b.lo + 1e-9 })
+      assert(bs.head.lo == s.cols("doc_id").min.get.toDouble)
+      assert(bs.last.hi == s.cols("doc_id").max.get.toDouble)
+      assert(s.cols("lang").hist.isEmpty, "string column: no histogram")
+    }
+  }
+
+  test("histogram selectivity flips a join on a RANGE filter NDV and " +
+      "min/max uniformity cannot estimate") {
+    import java.nio.file.{Files, Path => JPath}
+    val tmp = Files.createTempDirectory("graft-histflip")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val r = tmp.resolve("store").toString
+    // sk is SKEWED: ~99% of values land in [0,99), ~1% fly out past
+    // 1e6. A `sk >= 500000` range filter truly selects ~1%; min/max
+    // UNIFORMITY estimates ~50% (the span is huge), the equi-height
+    // bins estimate <1 of 32 bins — only the histogram makes the dim
+    // side broadcast-small.
+    val docs = Tables.documents(spark, dir).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(100L)) < 99,
+        pmod(col("doc_id"), lit(100L)))
+        .otherwise(lit(1000000L) + col("doc_id")).as("sk"))
+    val v1 = AtomicPublish.publish(spark, r,
+      Map("dim" -> docs.filter(col("doc_id") % 2 === 0),
+        "fact" -> Tables.events(spark, dir)
+          .select(col("event_id"), pmod(col("event_id"), lit(500L)).as("fk"))),
+      statsBy = Map("dim" -> Seq("doc_id", "sk"), "fact" -> Seq("fk")))
+    AtomicPublish.publishDelta(spark, r,
+      append = Map("dim" -> docs.filter(col("doc_id") % 2 === 1)),
+      parent = Some(v1)).get
+    // the CONTROL store: an exact copy with every histogram stripped
+    // from the manifests — identical bytes, rows, NDV, min/max; the
+    // ONLY difference the planner can see is the bins (this is also
+    // the 4-entry manifest-compat pin: hist-absent arrays still parse)
+    val rCtl = tmp.resolve("ctl").toString
+    def copyDir(src: JPath, dst: JPath): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) { Files.createDirectories(t); () }
+        else { Files.copy(p, t); () }
+      }
+    }
+    copyDir(JPath.of(r), JPath.of(rCtl))
+    rewriteManifests(rCtl)(_.replaceAll(s"($histRe)\\]", "]"))
+    val ctlMeta = AtomicPublish.manifestMetaOf(spark, rCtl,
+      AtomicPublish.currentTxn(spark, rCtl).get)("dim")
+    val ctlStats = ctlMeta.owners.flatMap(ctlMeta.segStats.get)
+    assert(ctlStats.nonEmpty && ctlStats.forall(s =>
+      s.cols("sk").hist.isEmpty && s.cols("sk").ndv.isDefined),
+      "control store must keep NDV but lose the bins")
+
+    def q(at: String): DataFrame = {
+      val dim = AtomicPublish.readTable(spark, at, "dim")
+        .filter(col("sk") >= 500000L)
+      AtomicPublish.readTable(spark, at, "fact")
+        .join(dim, col("fk") === col("doc_id"))
+    }
+    def withConfs(body: => Unit): Unit = {
+      val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+        body
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConfs {
+      // control: same CBO, same NDV/min-max — uniformity keeps the
+      // filtered dim estimate around half the table, no broadcast
+      val ctl = plans(q(rCtl).queryExecution.executedPlan)
+      assert(ctl.exists(_.isInstanceOf[SortMergeJoinExec]),
+        s"expected SMJ without bins:\n${q(rCtl).queryExecution.executedPlan}")
+      assert(!ctl.exists(_.isInstanceOf[BroadcastHashJoinExec]))
+      // with bins: the range covers <1 of 32 buckets — dim broadcasts
+      val exec = q(r).queryExecution.executedPlan
+      val p = plans(exec)
+      assert(p.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        s"expected histogram-driven broadcast:\n$exec")
+      val bhj = p.collectFirst { case b: BroadcastHashJoinExec => b }.get
+      val broadcastHasDim = plans(bhj)
+        .collect { case be: BroadcastExchangeExec => be }
+        .exists(_.output.exists(_.name == "doc_id"))
+      assert(broadcastHasDim, s"dim is not the build side:\n$exec")
+    }
+    // the estimator changed the PLAN, never the ANSWER
+    assert(q(r).count() == q(rCtl).count())
+  }
+
   test("pre-NDV manifests (3-entry stat arrays) still parse and read") {
     // surgically rewrite every manifest stat array [min,max,nulls,ndv]
     // back to the r10 form [min,max,nulls] — the parser must keep
     // accepting the old grammar, with ndv simply absent
     val before = AtomicPublish.readTable(spark, root, "dim").count()
-    val storeDir = new java.io.File(root)
-    val manifests = Option(storeDir.listFiles).getOrElse(Array.empty)
-      .filter(_.isDirectory).map(d => new java.io.File(d, "_MANIFEST"))
-      .filter(_.isFile)
-    assert(manifests.nonEmpty)
+    // the r12 tail first (histograms ride behind NDV positionally),
+    // then the r11 tail — landing on the r10 3-entry grammar
     val pat = """(\[(?:"(?:[^"\\]|\\.)*"|null),(?:"(?:[^"\\]|\\.)*"|null),\d+),\d+\]""".r
-    manifests.foreach { f =>
-      val txt = new String(
-        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-      val old = pat.replaceAllIn(txt, m => java.util.regex.Matcher
+    rewriteManifests(root) { txt =>
+      val noHist = txt.replaceAll(s"($histRe)\\]", "]")
+      pat.replaceAllIn(noHist, m => java.util.regex.Matcher
         .quoteReplacement(m.group(1) + "]"))
-      java.nio.file.Files.write(f.toPath, old.getBytes("UTF-8"))
-      // Hadoop's local FS keeps a checksum sidecar; the rewrite must
-      // drop it or reads fail on ChecksumException instead of parsing
-      val crc = new java.io.File(f.getParentFile, "." + f.getName + ".crc")
-      if (crc.isFile) { crc.delete(); () }
     }
     val meta = AtomicPublish.manifestMetaOf(spark, root,
       AtomicPublish.currentTxn(spark, root).get)("dim")
