@@ -763,6 +763,37 @@ object AdvancedQueries {
   private val mountedCats =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Run `body` in a session over the SAME SparkContext but built WITH
+    * the graft SQL extensions (parser + analyzer injections — the
+    * `spark.sql.extensions` deployment shape): what MERGE/UPDATE and
+    * the MATERIALIZED VIEW DDL need. The caller's active/default
+    * session is restored afterward whatever happens. */
+  private def withExtensionSession[A](spark: SparkSession)(
+      body: SparkSession => A): A = {
+    val prev = spark
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val es =
+      try org.apache.spark.sql.SparkSession.builder()
+        .config("spark.sql.shuffle.partitions",
+          spark.conf.get("spark.sql.shuffle.partitions"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .withExtensions(
+          new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
+        .getOrCreate()
+      finally {
+        org.apache.spark.sql.SparkSession.setActiveSession(prev)
+        org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+      }
+    try {
+      org.apache.spark.sql.SparkSession.setActiveSession(es)
+      body(es)
+    } finally {
+      org.apache.spark.sql.SparkSession.setActiveSession(prev)
+      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
+    }
+  }
+
   private def catalogFor(spark: SparkSession, tag: String,
       root: String): String = {
     val cat = s"graft_${tag}_${java.lang.Integer.toHexString(root.hashCode)}"
@@ -938,25 +969,9 @@ object AdvancedQueries {
       Map("documents" -> docs.filter(pmod(col("doc_id"), lit(2)) === 0)),
       statsBy = Map("documents" -> Seq("doc_id")),
       bloomBy = Map("documents" -> Seq("doc_id")))
-    // MERGE rides the injected analyzer rule — build the extension
+    // MERGE rides the injected analyzer rule — run in the extension
     // session over the same context (the spark-submit deployment shape)
-    val prev = spark
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val es =
-      try org.apache.spark.sql.SparkSession.builder()
-        .config("spark.sql.shuffle.partitions",
-          spark.conf.get("spark.sql.shuffle.partitions"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .withExtensions(
-          new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
-        .getOrCreate()
-      finally {
-        org.apache.spark.sql.SparkSession.setActiveSession(prev)
-        org.apache.spark.sql.SparkSession.setDefaultSession(prev)
-      }
-    try {
-      org.apache.spark.sql.SparkSession.setActiveSession(es)
+    withExtensionSession(spark) { es =>
       val cat = catalogFor(es, "store7", root)
       val src = s"store7_src_${java.lang.Integer.toHexString(root.hashCode)}"
       Tables.documents(es, dir)
@@ -970,9 +985,6 @@ object AdvancedQueries {
            |WHEN MATCHED THEN UPDATE SET text = concat(s.text, '!')
            |WHEN NOT MATCHED THEN INSERT (doc_id, lang, text)
            |  VALUES (s.doc_id, upper(s.lang), s.text)""".stripMargin)
-    } finally {
-      org.apache.spark.sql.SparkSession.setActiveSession(prev)
-      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
     }
     root
   }
@@ -1372,23 +1384,7 @@ object AdvancedQueries {
       bloomBy = Map("chunks" -> Seq("doc_id")))
     // MERGE rides the injected analyzer rule — extension session over
     // the same context (the spark-submit deployment shape, as store7)
-    val prev = spark
-    org.apache.spark.sql.SparkSession.clearActiveSession()
-    org.apache.spark.sql.SparkSession.clearDefaultSession()
-    val es =
-      try org.apache.spark.sql.SparkSession.builder()
-        .config("spark.sql.shuffle.partitions",
-          spark.conf.get("spark.sql.shuffle.partitions"))
-        .config("spark.sql.session.timeZone", "UTC")
-        .withExtensions(
-          new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
-        .getOrCreate()
-      finally {
-        org.apache.spark.sql.SparkSession.setActiveSession(prev)
-        org.apache.spark.sql.SparkSession.setDefaultSession(prev)
-      }
-    try {
-      org.apache.spark.sql.SparkSession.setActiveSession(es)
+    withExtensionSession(spark) { es =>
       val cat = catalogFor(es, "store13", root)
       val src = s"store13_src_${java.lang.Integer.toHexString(root.hashCode)}"
       chunksOf(Tables.documents(es, dir)
@@ -1411,9 +1407,6 @@ object AdvancedQueries {
       require(delMeta.exists(_.schema.exists(
         _.fieldNames.toSet == Set("doc_id", "chunk_no", "_asof"))),
         "store13 staging: MERGE did not pin the composite tombstone key")
-    } finally {
-      org.apache.spark.sql.SparkSession.setActiveSession(prev)
-      org.apache.spark.sql.SparkSession.setDefaultSession(prev)
     }
     root
   }
@@ -2076,19 +2069,24 @@ object AdvancedQueries {
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
   /** STORE22: the SQL-ONLY join-matview lifecycle inside the
-    * correctness gate (VERDICT r10 ask #6) — store3's incremental
-    * history re-driven with NOTHING but catalog SQL: `CREATE TABLE` +
-    * `INSERT INTO` stage the sources, `CALL <cat>.system.matview(...)`
-    * creates and then re-refreshes the JOIN view after every commit,
+    * correctness gate (VERDICT r10 ask #6; re-staged on real DDL per
+    * VERDICT r11 ask #3) — store3's incremental history re-driven with
+    * NOTHING but catalog SQL: `CREATE TABLE` + `INSERT INTO` stage the
+    * sources, `CREATE MATERIALIZED VIEW ... AS SELECT ... FROM a JOIN
+    * b USING (...) GROUP BY ...` creates the JOIN view and `REFRESH
+    * MATERIALIZED VIEW` (by NAME alone — the recorded `<view>_def`
+    * re-derives the spec) re-brings it current after every commit,
     * `DELETE FROM` drives both signed-merge delete steps (range
     * predicates — the V1-translatable delete form), and the readback
-    * SELECTs the view through the same catalog. No store API call
-    * anywhere in the staging or read path. The DuckDB oracle recomputes
-    * the aggregate from the SOURCE tables with the delete predicates
-    * applied, so a hash match proves the SQL face drives the identical
-    * incremental algebra (Δ(A⋈B) joins, counting merge, distinct-value
-    * state) end to end — the "analytics consumer" persona who lives
-    * entirely in SQL now owns create, maintain, and read. */
+    * SELECTs the view through the same catalog. No store API call and
+    * no `CALL` procedure anywhere in the staging or read path. The
+    * DuckDB oracle recomputes the aggregate from the SOURCE tables
+    * with the delete predicates applied, so a hash match proves the
+    * DDL face drives the identical incremental algebra (Δ(A⋈B) joins,
+    * counting merge, distinct-value state) end to end — the
+    * "analytics consumer" persona who lives entirely in SQL now owns
+    * create, maintain, and read through the syntax they'd type on any
+    * warehouse. */
   def store22SqlMatview(spark: SparkSession, dir: String): DataFrame = {
     val root = Tables.memoFresh(store22Cache, spark, dir, "orders") {
       stageStore22(spark, dir)
@@ -2108,38 +2106,40 @@ object AdvancedQueries {
       rm(tmp.toFile)
     }
     val root = tmp.resolve("store").toString
-    val cat = catalogFor(spark, "store22", root)
-    val tag = java.lang.Integer.toHexString(root.hashCode)
-    val ordSrc = s"store22_ord_$tag"
-    val custSrc = s"store22_cust_$tag"
-    Tables.orders(spark, dir).select(col("o_orderkey"),
-      col("o_custkey").as("c_custkey"),
-      round(col("o_totalprice") * 100).cast("long").as("cents_v"))
-      .createOrReplaceTempView(ordSrc)
-    Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_mktsegment"))
-      .createOrReplaceTempView(custSrc)
-    def sqls(stmts: String*): Unit = stmts.foreach(s => spark.sql(s).collect())
-    val refresh = s"""CALL $cat.system.matview(view => 'seg_stats',
-      |source => 'orders',
-      |aggs => 'count:o_orderkey:n_orders,sum:cents_v:cents,count_distinct:c_custkey:n_custs',
-      |group_by => 'c_mktsegment',
-      |join_right => 'customer', join_on => 'c_custkey')""".stripMargin
-    sqls(
-      s"CREATE TABLE $cat.orders " +
-        "(o_orderkey BIGINT, c_custkey BIGINT, cents_v BIGINT)",
-      s"CREATE TABLE $cat.customer (c_custkey BIGINT, c_mktsegment STRING)",
-      s"INSERT INTO $cat.customer SELECT * FROM $custSrc",
-      s"INSERT INTO $cat.orders SELECT * FROM $ordSrc WHERE o_orderkey % 3 = 0",
-      refresh,
-      s"INSERT INTO $cat.orders SELECT * FROM $ordSrc WHERE o_orderkey % 3 = 1",
-      refresh,
-      s"DELETE FROM $cat.customer WHERE c_custkey BETWEEN 40 AND 70",
-      refresh,
-      s"INSERT INTO $cat.orders SELECT * FROM $ordSrc WHERE o_orderkey % 3 = 2",
-      refresh,
-      s"DELETE FROM $cat.orders WHERE o_orderkey BETWEEN 1000 AND 3000",
-      refresh)
+    withExtensionSession(spark) { es =>
+      val cat = catalogFor(es, "store22", root)
+      val tag = java.lang.Integer.toHexString(root.hashCode)
+      val ordSrc = s"store22_ord_$tag"
+      val custSrc = s"store22_cust_$tag"
+      Tables.orders(es, dir).select(col("o_orderkey"),
+        col("o_custkey").as("c_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents_v"))
+        .createOrReplaceTempView(ordSrc)
+      Tables.customer(es, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .createOrReplaceTempView(custSrc)
+      def sqls(stmts: String*): Unit = stmts.foreach(s => es.sql(s).collect())
+      val refresh = s"REFRESH MATERIALIZED VIEW $cat.seg_stats"
+      sqls(
+        s"CREATE TABLE $cat.orders " +
+          "(o_orderkey BIGINT, c_custkey BIGINT, cents_v BIGINT)",
+        s"CREATE TABLE $cat.customer (c_custkey BIGINT, c_mktsegment STRING)",
+        s"INSERT INTO $cat.customer SELECT * FROM $custSrc",
+        s"INSERT INTO $cat.orders SELECT * FROM $ordSrc WHERE o_orderkey % 3 = 0",
+        s"""CREATE MATERIALIZED VIEW $cat.seg_stats AS
+           |SELECT c_mktsegment, count(o_orderkey) AS n_orders,
+           |  sum(cents_v) AS cents, count(DISTINCT c_custkey) AS n_custs
+           |FROM $cat.orders JOIN $cat.customer USING (c_custkey)
+           |GROUP BY c_mktsegment""".stripMargin,
+        s"INSERT INTO $cat.orders SELECT * FROM $ordSrc WHERE o_orderkey % 3 = 1",
+        refresh,
+        s"DELETE FROM $cat.customer WHERE c_custkey BETWEEN 40 AND 70",
+        refresh,
+        s"INSERT INTO $cat.orders SELECT * FROM $ordSrc WHERE o_orderkey % 3 = 2",
+        refresh,
+        s"DELETE FROM $cat.orders WHERE o_orderkey BETWEEN 1000 AND 3000",
+        refresh)
+    }
     root
   }
 

@@ -110,5 +110,10 @@ class GraftSqlExtensions extends (org.apache.spark.sql.SparkSessionExtensions =>
     // refuse the non-row-level table.
     ext.injectResolutionRule(session =>
       new graft.ops.GraftDmlRule(session))
+    // CREATE/REFRESH/DROP MATERIALIZED VIEW over the store's
+    // incremental views (graft.ops.MatViewSql) — statements stock
+    // Spark cannot parse are claimed, everything else delegates.
+    ext.injectParser((_, delegate) =>
+      new graft.ops.GraftSqlParser(delegate))
   }
 }

@@ -65,9 +65,7 @@ object MatViewSql {
   }
 
   private def fail(msg: String): Nothing =
-    throw new org.apache.spark.sql.AnalysisException(
-      errorClass = "_LEGACY_ERROR_TEMP_3100", // free-form message class
-      messageParameters = Map("message" -> s"MATERIALIZED VIEW: $msg"))
+    throw new IllegalArgumentException(s"MATERIALIZED VIEW: $msg")
 
   private def splitIdent(ident: String): (String, String) =
     ident.split("\\.") match {
@@ -148,6 +146,10 @@ object MatViewSql {
         "count_distinct"
       } else fn0
       MatView.Agg(fn, colName, as)
+    case org.apache.spark.sql.catalyst.analysis
+        .UnresolvedAlias(f: UnresolvedFunction, _) => fail(
+      s"alias every aggregate ('${f.sql} AS name') — the alias is the " +
+        "view's column name")
     case f: UnresolvedFunction => fail(
       s"alias every aggregate ('${f.sql} AS name') — the alias is the " +
         "view's column name")
