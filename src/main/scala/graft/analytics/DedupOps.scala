@@ -188,6 +188,57 @@ object DedupOps {
         row.getLong(0)
     }.sum
 
+  /** The listener face of [[observedDrops]] (VERDICT-r11 #4): harvests
+    * every `<prefix>_drops_<seq>` cap metric fired by queries
+    * completing while armed — for callers whose materializing action
+    * does not run the capped frame's OWN QueryExecution (a `count()`
+    * materializing a cache, a composed journey's single action, a
+    * maintenance job's commit). Values key by FULL metric name and
+    * overwrite, so a re-executed lineage (cache miss, retried commit
+    * attempt) never double-counts; [[drops]] sums per prefix.
+    *
+    * The execution-listener bus is asynchronous: [[drops]] waits up to
+    * `timeoutMs` for at least one cap metric to arrive (an empty map
+    * could otherwise mean "not delivered yet"), then returns what
+    * arrived. Only arm around plans that CONTAIN capped stages, or the
+    * wait runs to timeout. Scope caveat: the watcher sees every query
+    * the session completes while armed — arm tightly around the one
+    * action. Always [[close]] (unregisters the listener). */
+  final class DropsWatcher(spark: org.apache.spark.sql.SparkSession,
+      timeoutMs: Long = 30000) extends AutoCloseable {
+    private val byName =
+      scala.collection.concurrent.TrieMap.empty[String, Long]
+    private val listener =
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            val i = name.indexOf("_drops_")
+            if (i > 0 && !row.isNullAt(0)) {
+              byName.put(name, row.getLong(0)); ()
+            }
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      }
+    spark.listenerManager.register(listener)
+
+    /** Summed drops per cap prefix (e.g. `"n2_posting" -> 0`). */
+    def drops(): Map[String, Long] = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (byName.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      byName.toMap
+        .groupBy { case (n, _) => n.substring(0, n.indexOf("_drops_")) }
+        .map { case (p, m) => p -> m.values.sum }
+    }
+
+    override def close(): Unit =
+      spark.listenerManager.unregister(listener)
+  }
+
   /** Exact-duplicate class labels IN PLACE over a signature frame:
     * docs with IDENTICAL shingle sets (Jaccard exactly 1.0 — every
     * exact text duplicate, plus multiplicity-only variants) share

@@ -126,13 +126,32 @@ object LlmPrep {
 
   /** A composed run: `chunks` is the journey output (un-materialized);
     * after exactly one action on it, `counts()` returns the per-stage
-    * counts collected during that action. */
+    * counts collected during that action — INCLUDING the near-dup
+    * stage's candidate-cap drop counters (`n2_posting_drops`, …):
+    * the one deliberate approximation in the cascade is now a line in
+    * the same report as the funnel counts (VERDICT-r11 #4), zero on
+    * organic corpora, nonzero exactly when a pathological posting
+    * crowd forced the occupancy cap to trade recall for boundedness.
+    *
+    * Observability corner, documented: when the drop-list pipeline
+    * produces NO pairs at all, AQE's empty-relation propagation
+    * rewrites the anti-join to a pass-through and erases the cap
+    * metric nodes from the final plan — the counter is then absent
+    * from [[counts]] (never wrongly zero, absent). A run that must
+    * see the counter unconditionally is the maintenance shape:
+    * [[graft.streaming.LlmIngest.maintain]] excludes
+    * `AQEPropagateEmptyRelation` around its materializing action and
+    * reports the counters in its own `maint_runs` row. */
   final class JourneyRun(val chunks: DataFrame,
-      observations: Seq[Observation]) {
+      observations: Seq[Observation],
+      watcher: DedupOps.DropsWatcher) {
+    private lazy val capDrops: Map[String, Long] =
+      try watcher.drops() finally watcher.close()
     /** Call after one action on [[chunks]] (count, write, …). */
     def counts(): Map[String, Long] =
       observations.flatMap(_.get.map { case (k, v) =>
-        k -> v.asInstanceOf[Number].longValue }).toMap
+        k -> v.asInstanceOf[Number].longValue }).toMap ++
+        capDrops.map { case (p, v) => s"${p}_drops" -> v }
   }
 
   /** The production journey: ONE lineage from corpus to chunks, with
@@ -156,7 +175,11 @@ object LlmPrep {
       .observe(o4, count(lit(1)).as("n_decontaminated"))
     val d5 = qualityStage(d4)
       .observe(o5, count(lit(1)).as("n_quality_kept"))
-    new JourneyRun(chunkStage(d5), Seq(o1, o2, o3, o4, o5))
+    // armed HERE (not in counts()) so the caller's one action — which
+    // fires the near-dup cap metrics deep inside nearDupStage's
+    // anti-join lineage — is inside the watcher's window
+    new JourneyRun(chunkStage(d5), Seq(o1, o2, o3, o4, o5),
+      new DedupOps.DropsWatcher(docs.sparkSession, timeoutMs = 8000))
   }
 
   // --- face 2: the counts as data (harness/oracle surface) -----------------

@@ -67,6 +67,29 @@ object LlmIngest {
   val NgramsTable = "doc_ngrams"
   val CoveredTable = "maint_covered"
 
+  /** Maintenance RUN REPORTS (appended, one row per maintain /
+    * maintainIncremental commit): kind, drop total, and the near-dup
+    * candidate-cap drop counters as JSON (`{"n2_posting":0}`) — the
+    * one deliberate approximation in the dedup tier, surfaced where an
+    * operator reads run outcomes instead of buried in query-level
+    * observe metrics (VERDICT-r11 #4). A production run that traded
+    * recall for boundedness SAYS so in its own report row. */
+  val MaintRunsTable = "maint_runs"
+
+  private def maintRunRow(spark: SparkSession, kind: String,
+      docsDropped: Long, capDrops: Map[String, Long]): DataFrame = {
+    val json = capDrops.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row(
+        java.util.UUID.randomUUID().toString, kind,
+        new java.sql.Timestamp(System.currentTimeMillis()),
+        docsDropped, json)),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "run_id STRING, kind STRING, completed_at TIMESTAMP, " +
+          "docs_dropped LONG, cap_drops STRING"))
+  }
+
   private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -391,8 +414,34 @@ object LlmIngest {
       val nBefore = docs.count()
       val kept = LlmPrep.decontamStage(LlmPrep.nearDupStage(docs), docs)
         .cache()
+      // armed around the ONE action that materializes the cache: the
+      // near-dup cap metrics fire inside that count's execution (the
+      // later writes read the cache and never re-fire them), and a
+      // fresh watcher per attempt keeps a retried commit from
+      // double-counting. AQE's empty-relation propagation is excluded
+      // for exactly this action: when the drop list comes back EMPTY,
+      // that rule rewrites the anti-join to a pass-through and ERASES
+      // the branch's CollectMetrics nodes from the final plan — the
+      // cap counters would vanish from the event precisely on clean
+      // corpora. The exclusion costs nothing real (it only short-cuts
+      // degenerate empty stages) and is restored immediately after.
+      val ExcludedKey = "spark.sql.adaptive.optimizer.excludedRules"
+      val EmptyProp =
+        "org.apache.spark.sql.execution.adaptive.AQEPropagateEmptyRelation"
+      val savedExcluded = spark.conf.getOption(ExcludedKey)
+      val watcher = new DedupOps.DropsWatcher(spark)
       try {
-        val nAfter = kept.count()
+        val nAfter =
+          try {
+            spark.conf.set(ExcludedKey,
+              savedExcluded.filter(_.nonEmpty)
+                .map(_ + "," + EmptyProp).getOrElse(EmptyProp))
+            kept.count()
+          } finally savedExcluded match {
+            case Some(v) => spark.conf.set(ExcludedKey, v)
+            case None => spark.conf.unset(ExcludedKey)
+          }
+        val capDrops = watcher.drops()
         // the replace is CORPUS-sized: partition counts derive from the
         // table's actual on-disk bytes (the Compaction contract), never
         // a fixed count — at 100 TB a repartition(1) here would funnel
@@ -408,7 +457,9 @@ object LlmIngest {
         // reset to the single owner this replace creates — the txn id
         // is pinned up front so coverage can name it
         val txn = java.util.UUID.randomUUID().toString.replace("-", "")
-        AtomicPublish.publishDelta(spark, root, append = Map.empty,
+        AtomicPublish.publishDelta(spark, root,
+          append = Map(MaintRunsTable -> maintRunRow(spark, "full",
+            nBefore - nAfter, capDrops).repartition(1)),
           replace = Map(
             DocsTable -> kept.repartition(parts),
             ChunksTable -> LlmPrep.chunkStage(kept).repartition(parts),
@@ -426,7 +477,7 @@ object LlmIngest {
           case None => () // an appender won; re-pin and retry
         }
       } finally {
-        kept.unpersist()
+        watcher.close(); kept.unpersist()
         ()
       }
     }
@@ -546,7 +597,12 @@ object LlmIngest {
               JudgedTable -> newDocs.select("doc_id").repartition(1),
               SigsTable -> sigsApp,
               NgramsTable -> ngApp,
-              CoveredTable -> j.newOwners.toDF("owner").repartition(1))
+              CoveredTable -> j.newOwners.toDF("owner").repartition(1),
+              // the incremental judge is a JOIN expansion end to end —
+              // no capped collect_list stage exists on this path, so
+              // the honest cap report is the empty map
+              MaintRunsTable -> maintRunRow(spark, "incremental",
+                nDrops, Map.empty).repartition(1))
             val tables = // no empty tombstone segment on a clean round
               if (nDrops == 0) base
               else base + (TombstonesTable -> drops.repartition(1))

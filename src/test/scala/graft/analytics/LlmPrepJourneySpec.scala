@@ -65,7 +65,10 @@ class LlmPrepJourneySpec extends SparkSuite {
     assert(jr.counts() == Map(
       "n_input" -> 9L, "n_clean" -> 7L, "n_unique" -> 6L,
       "n_neardup_kept" -> 5L, "n_decontaminated" -> 3L,
-      "n_quality_kept" -> 2L))
+      "n_quality_kept" -> 2L,
+      // the near-dup cap counter rides the SAME report (r11 #4):
+      // zero here - nothing was traded
+      "n2_posting_drops" -> 0L))
     // and the chunks are the right ones: doc 3 (1 chunk) + doc 13 (2)
     assert(jr.chunks.select("doc_id").distinct().collect()
       .map(_.getLong(0)).sorted.toSeq == Seq(3L, 13L))
@@ -83,7 +86,7 @@ class LlmPrepJourneySpec extends SparkSuite {
     assert(jr.counts() == Map(
       "n_input" -> 9L, "n_clean" -> 7L, "n_unique" -> 6L,
       "n_neardup_kept" -> 5L, "n_decontaminated" -> 3L,
-      "n_quality_kept" -> 2L))
+      "n_quality_kept" -> 2L, "n2_posting_drops" -> 0L))
     assert(spark.read.parquet(out).count() == 3L)
   }
 
@@ -115,7 +118,8 @@ class LlmPrepJourneySpec extends SparkSuite {
       "n_unique" -> individual.toMap.apply("2_unique"),
       "n_neardup_kept" -> individual.toMap.apply("3_neardup_kept"),
       "n_decontaminated" -> individual.toMap.apply("4_decontaminated"),
-      "n_quality_kept" -> individual.toMap.apply("5_quality_kept")))
+      "n_quality_kept" -> individual.toMap.apply("5_quality_kept"),
+      "n2_posting_drops" -> 0L)) // organic corpus: the cap never fires
     // every stage actually removes something at this sf — the cascade
     // is exercised end-to-end, not vacuously
     val m = individual.toMap
@@ -135,6 +139,33 @@ class LlmPrepJourneySpec extends SparkSuite {
     case q: QueryStageExec => scans(q.plan)
     case s: FileSourceScanExec => Seq(s)
     case o => o.children.flatMap(scans) ++ o.subqueries.flatMap(scans)
+  }
+
+  test("a cap-firing corpus surfaces NONZERO drop counters in the " +
+      "journey report (the recall trade is visible, not silent)") {
+    import spark.implicits._
+    // a journey-sized posting crowd: 400 DISTINCT 15-word docs (past
+    // the MinWords quarantine) sharing a 13-word lead — 11 shared
+    // shingles whose smallest fixed hash sits in almost every doc's
+    // PPJoin prefix, so its posting group blows far past the 64-doc
+    // occupancy cap inside nearDupStage, while pairwise Jaccard stays
+    // 11/15 ≈ 0.73 < θ (the crowd itself is NOT near-dup). Docs 500/
+    // 501 are a genuine near-dup pair (one word differs, J ≈ 0.87):
+    // the drop list stays nonempty, so AQE's empty-relation rewrite
+    // cannot erase the branch (the JourneyRun scaladoc corner).
+    val lead = (1 to 13).map(i => s"zz$i").mkString(" ")
+    val base = (1 to 45).map(i => s"c$i").mkString(" ")
+    val crowd = ((1L to 400L).map(i => (i, s"$lead x$i y$i")) ++
+      Seq(500L -> base, 501L -> base.replace(" c10 ", " zq ")))
+      .toDF("doc_id", "text")
+    val jr = LlmPrep.instrumented(crowd)
+    jr.chunks.count() // the single materializing action
+    val obs = jr.counts()
+    assert(obs("n_input") == 402L)
+    assert(obs("n_neardup_kept") == 401L, // only 501 is really near-dup
+      s"staging bug: unexpected near-dup drops: $obs")
+    assert(obs.contains("n2_posting_drops") && obs("n2_posting_drops") > 0L,
+      s"expected a nonzero cap-drop counter in the report, got $obs")
   }
 
   test("journey budget: corpus scans and shuffles bounded, counting is free") {

@@ -136,6 +136,16 @@ class LlmIngestStreamSpec extends SparkSuite {
     val (dropped, _) = LlmIngest.maintain(spark, root)
     assert(dropped == 3L) // 23 near-dup, 10 eval slice, 31 contaminated
     assert(docIds() == Set(1L, 11L, 21L))
+    // the maintenance run REPORTED itself — kind, drop total, and the
+    // cap-drop counters (zero on this organic corpus) in one store row
+    // an operator can SELECT (VERDICT-r11 #4)
+    val report = AtomicPublish
+      .readTable(spark, root, LlmIngest.MaintRunsTable)
+      .orderBy(col("completed_at")).collect()
+    assert(report.length == 1)
+    assert(report(0).getAs[String]("kind") == "full")
+    assert(report(0).getAs[Long]("docs_dropped") == 3L)
+    assert(report(0).getAs[String]("cap_drops") == """{"n2_posting":0}""")
     // chunks are the derived view of the surviving docs: A 1 + B 2 + C 1
     val chunks = AtomicPublish.readTable(spark, root, LlmIngest.ChunksTable)
     assert(chunks.groupBy("doc_id").count().as[(Long, Long)].collect()
