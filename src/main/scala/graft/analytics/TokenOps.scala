@@ -142,6 +142,36 @@ object TokenOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Head/tail shape of the [[wideCorpusOf]] staging: every doc shares
+    * [[WideHeadWords]] head words (frequency = corpus size, always in
+    * vocab) and contributes [[WideTailWords]] doc-keyed SINGLETON tail
+    * words — 500 docs already stage 40,010 distinct words, so the
+    * [[ProductionVocabSize]] truncate genuinely cuts at every SF. */
+  val WideHeadWords = 10
+  val WideTailWords = 80
+
+  /** Deterministic wide-vocabulary corpus DERIVED from the documents
+    * table (a pure function of doc_id — any fresh JVM restages
+    * identically): the TokenVocabSpec 40k-word shape, generated at
+    * corpus scale instead of a fixed 4000 rows. */
+  def wideCorpusOf(docs: DataFrame): DataFrame = {
+    val heads = (0 until WideHeadWords).map(h => s"head$h").mkString(" ")
+    docs.select(col("doc_id"),
+      concat_ws(" ", lit(heads) +: (0 until WideTailWords).map(k =>
+        concat(lit("w"), col("doc_id") * WideTailWords + lit(k))): _*)
+        .as("text"))
+  }
+
+  /** T11B: the t11 wordpiece statistics at DEPLOYMENT vocabulary width
+    * (VERDICT-r11 #6) — the 32,768-entry vocab build (bounded driver
+    * truncate + broadcast) and the greedy recurrence over a corpus
+    * wide enough that the truncate CUTS, inside the bench/gate instead
+    * of only in TokenVocabSpec. Like t11, the greedy recurrence has no
+    * SQL form — spec-verified against the driver-side reference. */
+  def t11bWordpieceWide(spark: SparkSession, dir: String): DataFrame =
+    t11WordpieceOn(spark,
+      wideCorpusOf(Tables.documents(spark, dir)), ProductionVocabSize)
+
   /** SP3B: TOKEN-BUDGET sequence packing — the t5 chunk stream packed
     * into ~[[TokenPackBudget]]-token training sequences by the same
     * sharded streaming-greedy recurrence as word-budget sp3 (chunk →
@@ -221,6 +251,7 @@ object TokenOps {
     * the n2b contract. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_wordpiece" -> (t11Wordpiece _),
+    "t11b_wordpiece_wide" -> (t11bWordpieceWide _),
     "t12_token_chunks" -> (t12TokenChunks _),
     "sp3b_token_pack" -> (sp3bTokenPack _))
 

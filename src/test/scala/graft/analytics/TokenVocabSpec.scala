@@ -64,6 +64,36 @@ class TokenVocabSpec extends SparkSuite {
     cut.foreach(id => assert(got(id)._2 > got(id)._1))
   }
 
+  test("t11b gate query: the corpus-derived wide staging cuts at 32k " +
+      "and agrees with the driver-side reference (VERDICT-r11 #6)") {
+    val dir = "/root/testdata/sf0.001"
+    val staged = TokenOps.wideCorpusOf(
+      graft.core.Tables.documents(spark, dir))
+    // 500 docs × 80 singleton tails + 10 heads = 40,010 distinct words
+    val distinct = staged.select(explode(split(col("text"), " ")))
+      .distinct().count()
+    assert(distinct > TokenOps.ProductionVocabSize,
+      s"staging bug: only $distinct distinct words — truncate is moot")
+    val k = TokenOps.ProductionVocabSize
+    val vocab = TokenOps.buildVocab(staged, k)
+    assert(vocab.length == k)
+    val set = vocab.toSet
+    val maxLen = vocab.map(_.length).foldLeft(1)(math.max)
+    val got = TokenOps.t11bWordpieceWide(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val texts = staged.collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(got.size == texts.length)
+    var cut = 0
+    texts.foreach { case (id, text) =>
+      val ws = text.split(' ')
+      val exp = ws.map(w => TokenOps.wordPieces(w, set, maxLen).toLong).sum
+      assert(got(id) == ((ws.length.toLong, exp)), s"doc $id")
+      if (exp > ws.length) cut += 1
+    }
+    // the truncate genuinely cut: some docs decompose at full width
+    assert(cut > 0, "no doc fell outside the 32k vocab")
+  }
+
   test("sp3b token packing at 32k: budgets hold under the wide vocab") {
     val k = TokenOps.ProductionVocabSize
     val packs = TokenOps.sp3bTokenPackOn(spark, wide.limit(200), k)
