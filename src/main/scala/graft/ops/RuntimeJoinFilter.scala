@@ -66,6 +66,9 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
   /** Session conf escape hatch (set "false" to disable the rewrite). */
   val EnabledKey = "graft.runtimeJoinFilter"
 
+  /** Escape hatch for the DEFERRED variant alone (VERDICT-r11 #5). */
+  val DeferredKey = "graft.runtimeJoinFilter.deferred"
+
   def register(spark: SparkSession): Unit = synchronized {
     val cur = spark.experimental.extraOptimizations
     if (!cur.exists(_ eq this))
@@ -95,6 +98,7 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
       case j @ Join(left, right, joinType, Some(condition), _) =>
         var newLeft = left
         var newRight = right
+        val deferredOk = conf.getConfString(DeferredKey, "true").toBoolean
         splitConjunctivePredicates(condition).foreach {
           case EqualTo(a, b) =>
             val pair =
@@ -104,12 +108,28 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
                   a.references.subsetOf(right.outputSet)) Some((b, a))
               else None
             pair.foreach { case (lk, rk) =>
-              if (HiddenPartitionPruning.canPruneLeft(joinType) &&
-                  worthBuilding(right))
-                newLeft = tryInsert(newLeft, lk, right, rk)
-              if (HiddenPartitionPruning.canPruneRight(joinType) &&
-                  worthBuilding(left))
-                newRight = tryInsert(newRight, rk, left, lk)
+              // idempotency at the JOIN level: once either side carries
+              // a plant for this join's keys, leave the join alone — a
+              // planted filter would otherwise make its side look like
+              // a selective BUILD for the REVERSE direction on the next
+              // fixpoint pass (each side filtering the other, the
+              // deferred probe capturing the first plant inside its
+              // build subtree)
+              val done = keyFiltered(newLeft, lk) || keyFiltered(newRight, rk)
+              if (!done) {
+                if (HiddenPartitionPruning.canPruneLeft(joinType) &&
+                    buildEligible(right)) {
+                  val static = smallByStats(right)
+                  if (static || deferredOk)
+                    newLeft = tryInsert(newLeft, lk, right, rk, static)
+                }
+                if (HiddenPartitionPruning.canPruneRight(joinType) &&
+                    buildEligible(left)) {
+                  val static = smallByStats(left)
+                  if (static || deferredOk)
+                    newRight = tryInsert(newRight, rk, left, lk, static)
+                }
+              }
             }
           case _ => ()
         }
@@ -118,21 +138,43 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  private def worthBuilding(build: LogicalPlan): Boolean =
+  /** Shape gates shared by both variants: a selective build filter
+    * (something to prune WITH), and determinism — the build executes
+    * twice (key collection + the join itself); a non-deterministic
+    * build (rand() split, sample) could yield keys the join-time rows
+    * don't match, silently dropping probe rows. Snapshot-pinned store
+    * reads and any deterministic plan are safe; anything else refused. */
+  private def buildEligible(build: LogicalPlan): Boolean =
     HiddenPartitionPruning.hasSelectiveFilter(build) &&
-      build.stats.sizeInBytes <=
-        BigInt(math.max(conf.autoBroadcastJoinThreshold, 0L)) &&
-      // the build executes twice (key collection at planning, the join
-      // itself at execution) — a non-deterministic build (rand() split,
-      // sample) could yield keys the join-time rows don't match,
-      // silently dropping probe rows. Snapshot-pinned store reads and
-      // any deterministic plan are safe; anything else is refused.
-      build.find(p => p.expressions.exists(!_.deterministic)).isEmpty
+      build.find(p => p.expressions.exists(!_.deterministic)).isEmpty &&
+      // a build carrying a deferred probe would EXECUTE that probe's
+      // own key job recursively when collected — refuse outright
+      !build.exists {
+        case Filter(_: DeferredKeyProbe, _) => true
+        case _ => false
+      }
+
+  /** `key` already carries a plant (static or deferred) inside `side`. */
+  private def keyFiltered(side: LogicalPlan,
+      key: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    key match {
+      case a: AttributeReference => alreadyFiltered(side, a)
+      case _ => false
+    }
+
+  /** The STATIC variant's extra gate: small by planning-time stats
+    * (≤ autoBroadcastJoinThreshold — it would be broadcast anyway, so
+    * executing it once more at planning is bounded). A build that is
+    * small only AFTER its filter runs — stats too coarse to prove it —
+    * fails here and takes the deferred path instead. */
+  private def smallByStats(build: LogicalPlan): Boolean =
+    build.stats.sizeInBytes <=
+      BigInt(math.max(conf.autoBroadcastJoinThreshold, 0L))
 
   private def tryInsert(side: LogicalPlan, key: org.apache.spark.sql
       .catalyst.expressions.Expression, build: LogicalPlan,
-      buildKey: org.apache.spark.sql.catalyst.expressions.Expression)
-      : LogicalPlan = {
+      buildKey: org.apache.spark.sql.catalyst.expressions.Expression,
+      static: Boolean): LogicalPlan = {
     val attr = key match {
       case a: AttributeReference => a
       case _ => return side
@@ -159,6 +201,26 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
         if (!(g.bloomColumns ++ g.statColumns).contains(src.name))
           return side
         if (alreadyFiltered(side, src)) return side
+        if (!static) {
+          // DEFERRED variant (VERDICT-r11 #5): planning-time stats
+          // could not prove the build small, so nothing executes NOW —
+          // a marker predicate is planted instead, carrying the build
+          // subtree. It is constant-true row-level (zero cost, codegen
+          // emits a literal); its entire value is that GraftFileIndex
+          // .listFiles resolves it AT EXECUTION TIME — running the
+          // bounded distinct-keys job exactly when the scan plans its
+          // files, after the data exists to know the build is small —
+          // and feeds the keys through the same zone-map → bloom →
+          // file-map skipping stack as a static InSet. Over the cap it
+          // resolves to "keep everything" (an optimization abandoned,
+          // never a correctness dependency) — DPP's non-broadcast
+          // SubqueryExec fallback timing, without requiring the build
+          // to be provably small before any of it has run.
+          return side.transformUp {
+            case r: LogicalRelation if r eq lr =>
+              Filter(DeferredKeyProbe(src, build, buildAttr), r)
+          }
+        }
         collectKeys(build, buildAttr) match {
           case Some(keys) if keys.nonEmpty =>
             side.transformUp {
@@ -171,15 +233,27 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
     }
   }
 
-  /** An InSet on the same attribute already sits on this side (this
-    * rule ran on a containing plan, or AQE re-optimized a stage). */
+  /** An InSet or deferred probe on the same attribute already sits on
+    * this side (this rule ran on a containing plan, or AQE
+    * re-optimized a stage). */
   private def alreadyFiltered(side: LogicalPlan,
       src: AttributeReference): Boolean =
     side.exists {
       case Filter(InSet(a: AttributeReference, _), _) =>
         a.exprId == src.exprId
+      case Filter(d: DeferredKeyProbe, _) => d.child match {
+        case a: AttributeReference => a.exprId == src.exprId
+        case _ => false
+      }
       case _ => false
     }
+
+  /** Execution-time key collection for [[DeferredKeyProbe]] — the same
+    * bounded job as [[collectKeys]], invoked from the driver while the
+    * probe scan lists its files. */
+  private[ops] def deferredKeys(build: LogicalPlan,
+      key: AttributeReference): Option[Set[Any]] =
+    collectKeys(build, key)
 
   /** Execute the build subtree once and return its distinct join keys
     * as CATALYST values (what `InSet` compares with). None when the
@@ -213,4 +287,58 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
         None
     } finally planning.set(false)
   }
+}
+
+/** The deferred runtime filter's marker predicate (VERDICT-r11 #5):
+  * constant TRUE at row level (codegen emits a literal — the probe's
+  * whole-stage span is untouched), deterministic and subquery-free so
+  * FileSourceStrategy carries it into the scan's data filters — where
+  * [[GraftFileIndex.listFiles]] resolves it at EXECUTION time into a
+  * real `InSet` over the build side's distinct keys and runs the
+  * zone-map → bloom → file-map skipping stack on it.
+  *
+  * `buildPlan`/`buildKey` are driver-only (`@transient`): executors
+  * see a constant-true predicate and never touch them. Key collection
+  * memoizes per expression instance ([[resolvedInSet]] is lazy), so a
+  * scan listed once computes once; `None` means the collection was
+  * abandoned (over [[RuntimeJoinFilter.MaxBuildKeys]], or failed) and
+  * the caller must keep every file — the filter is an optimization,
+  * never a correctness dependency (eval is true for EVERY row, so a
+  * stale or wrong key set could only ever mis-skip at the FILE level,
+  * and the key job runs against the same snapshot-pinned plan the
+  * join itself executes). */
+final case class DeferredKeyProbe(
+    child: org.apache.spark.sql.catalyst.expressions.Expression,
+    @transient buildPlan: LogicalPlan,
+    @transient buildKey: AttributeReference)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
+
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_deferred_key_probe"
+
+  override def eval(
+      input: org.apache.spark.sql.catalyst.InternalRow): Any = true
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    ev.copy(
+      code = org.apache.spark.sql.catalyst.expressions.codegen.EmptyBlock,
+      isNull = FalseLiteral,
+      value = JavaCode.literal("true",
+        org.apache.spark.sql.types.BooleanType))
+
+  /** Driver-side, at listFiles time: the build's distinct keys as a
+    * static InSet over [[child]] — or None to keep everything. */
+  @transient lazy val resolvedInSet: Option[
+      org.apache.spark.sql.catalyst.expressions.Expression] =
+    RuntimeJoinFilter.deferredKeys(buildPlan, buildKey)
+      .map(keys => InSet(child, keys))
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression)
+      : DeferredKeyProbe = copy(child = newChild)
 }

@@ -260,7 +260,16 @@ final class GraftFileIndex(
     * conservative: an untranslatable predicate keeps everything. */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val pred = dataFilters.reduceOption(And)
+    // deferred runtime join filters resolve HERE — execution time, the
+    // moment this scan decides its file set: each marker runs its
+    // bounded build-side distinct-keys job and becomes a static InSet
+    // the ordinary skipping stack consumes; an abandoned collection
+    // (over-cap/failed) contributes nothing and every file stays.
+    val resolved = dataFilters.flatMap {
+      case d: DeferredKeyProbe => d.resolvedInSet
+      case e => Some(e)
+    }
+    val pred = resolved.reduceOption(And)
     val candidates = selection.map(_._1)
     val keep = pred match {
       case None => candidates

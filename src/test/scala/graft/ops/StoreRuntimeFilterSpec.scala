@@ -119,6 +119,41 @@ class StoreRuntimeFilterSpec extends SparkSuite {
     }
   }
 
+  test("DEFERRED variant: planning-time stats refuse, the runtime " +
+      "filter still prunes the file set (VERDICT-r11 #5)") {
+    // disable the broadcast threshold so NO build is provably small
+    // at planning — the static path must refuse, the deferred marker
+    // must plant, and the keys must still skip files AT EXECUTION
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = joined()
+      val opt = q.queryExecution.optimizedPlan
+      assert(insetFilters(opt).isEmpty,
+        s"static InSet planted despite size-ineligible build:\n$opt")
+      val probes = opt.collect {
+        case f @ Filter(d: DeferredKeyProbe, _) => d
+      }
+      assert(probes.nonEmpty, s"no deferred probe planted:\n$opt")
+      q.collect()
+      val (read, total) = factFilesRead(q)
+      assert(total >= 8 && read <= total / 2,
+        s"deferred keys skipped nothing: read $read of $total")
+      // control 1: deferred variant disabled -> no probe, full read
+      spark.conf.set(RuntimeJoinFilter.DeferredKey, "false")
+      try {
+        val ctl = joined()
+        assert(ctl.queryExecution.optimizedPlan.collect {
+          case Filter(d: DeferredKeyProbe, _) => d
+        }.isEmpty)
+        ctl.collect()
+        val (r2, t2) = factFilesRead(ctl)
+        assert(r2 == t2, s"control pruned anyway ($r2 of $t2)")
+        // control 2: same rows either way
+        assert(ctl.collect().toSet == q.collect().toSet)
+      } finally spark.conf.unset(RuntimeJoinFilter.DeferredKey)
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("the rewrite is result-invisible (same rows with the rule disabled)") {
     val expected = {
       spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")

@@ -115,13 +115,20 @@ class StoreStatsSpec extends SparkSuite {
     }
     def withConfs(cbo: Boolean)(body: => Unit): Unit = {
       val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
-        "spark.sql.autoBroadcastJoinThreshold")
+        "spark.sql.autoBroadcastJoinThreshold", RuntimeJoinFilter.EnabledKey)
         .map(k => k -> spark.conf.getOption(k))
       try {
         spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
           threshold.toString)
+        // isolate the ESTIMATOR under test: the runtime join filter
+        // would plant the dim keys as an InSet on the fact side, whose
+        // own (histogram-sharpened) selectivity estimate can make the
+        // FACT broadcastable too — this test is about what the NDV
+        // stats elect, not what the planted filter does (that feature
+        // has its own suite)
+        spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")
         body
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
@@ -237,12 +244,15 @@ class StoreStatsSpec extends SparkSuite {
     }
     def withConfs(body: => Unit): Unit = {
       val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
-        "spark.sql.autoBroadcastJoinThreshold")
+        "spark.sql.autoBroadcastJoinThreshold", RuntimeJoinFilter.EnabledKey)
         .map(k => k -> spark.conf.getOption(k))
       try {
         spark.conf.set("spark.sql.cbo.enabled", "true")
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+        // isolate the estimator (see the NDV test's note): no planted
+        // fact-side InSet may shade which side the bins elect
+        spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")
         body
       } finally saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
