@@ -917,6 +917,108 @@ object ScaleRehearsal {
       "store_join_shuffled" -> shuffleJoinSec)
   }
 
+  /** VERDICT-r11 #7: the near-dup candidate generators against a
+    * MEGA-duplicate corpus at rehearsal scale — the 10× corpus plus a
+    * 100,000-copy boilerplate cluster (10× DedupCapSpec's staging),
+    * through the REAL pipelines (`n2PairsOn` / `n2bMinhashLshOn`).
+    *
+    * What is asserted (and what deliberately is not): the cluster
+    * pre-collapses to ONE representative before any pairwise stage, so
+    * adding 100k copies must change the CROSS-class pair set not at
+    * all, add <2× wall-clock, and keep per-task shuffle volume flat —
+    * the r10 failure mode (100k doc_ids into one task's collect_list)
+    * would blow all three. The intra-cluster EXPANSION (C(100k,2) ≈
+    * 5·10⁹ pairs) is the answer's own size, not candidate work — it
+    * streams through a spillable self-join whose exactness DedupCapSpec
+    * pins at 10k copies; enumerating 5 billion result rows here would
+    * rehearse row-generation throughput, not the bound under test. The
+    * `jaccard < 1.0` consumer prunes that branch at plan time (the
+    * union's intra side folds to FALSE), which is also the production
+    * read shape for "show me near-but-not-exact duplicates". */
+  private def megaDupRehearsal(spark: SparkSession, out: String,
+      reps: Int): Unit = {
+    val docs = graft.core.Tables.documents(spark, out)
+      .select(col("doc_id"), col("text"))
+    val Copies = 100000L
+    val megaText = "boilerplate " + (1 to 29).map(i => s"xq$i").mkString(" ")
+    val mega = spark.range(Copies)
+      .select((col("id") + 500000000L).as("doc_id"),
+        lit(megaText).as("text"))
+    // the LINEAR control: the same number of extra docs, all DISTINCT
+    // (unique id-derived words, no shared shingles) — every added doc
+    // must be read and shingled once whatever its content, so the flat
+    // claim is "100k COPIES cost no more than 100k distinct docs", not
+    // "cost nothing" (that bound would fail on the linear map work and
+    // prove the wrong thing)
+    val filler = spark.range(Copies)
+      .select((col("id") + 600000000L).as("doc_id"),
+        concat_ws(" ", (0 until 30).map(k =>
+          concat(lit("fz"), col("id") * 30 + lit(k))): _*).as("text"))
+    val withMega = docs.unionByName(mega)
+    val withFiller = docs.unionByName(filler)
+    val pipelines: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "n2" -> (d => graft.analytics.DedupOps.n2PairsOn(d)
+        .filter(col("jaccard") < 1.0)),
+      "n2b" -> (d => graft.analytics.DedupOps.n2bMinhashLshOn(d)
+        .filter(col("jaccard") < 1.0)))
+
+    /** (rows, min seconds over reps, max task shuffle records). */
+    def run(q: DataFrame): (Long, Double, Long) = {
+      val maxRec = new java.util.concurrent.atomic.AtomicLong(0L)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            val r = m.shuffleWriteMetrics.recordsWritten
+            maxRec.getAndUpdate(c => math.max(c, r)); ()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        var rows = 0L
+        val secs = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          rows = q.count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        Thread.sleep(2000) // async listener bus drain
+        (rows, secs.min, maxRec.get)
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+
+    pipelines.foreach { case (name, pipe) =>
+      val (plainRows, _, _) = run(pipe(docs))
+      val (ctlRows, ctlSec, ctlMax) = run(pipe(withFiller))
+      val (megaRows, megaSec, megaMax) = run(pipe(withMega))
+      println(f"""{"query":"mega_$name","ctl_sec":$ctlSec%.3f,""" +
+        f""""mega_sec":$megaSec%.3f,""" +
+        f""""vs_distinct":${megaSec / ctlSec}%.2f,""" +
+        f""""plain_pairs":$plainRows,"ctl_pairs":$ctlRows,""" +
+        f""""mega_pairs":$megaRows,""" +
+        f""""ctl_max_task_records":$ctlMax,""" +
+        f""""mega_max_task_records":$megaMax}""")
+      require(megaRows == plainRows && ctlRows == plainRows,
+        s"mega_$name: extra docs perturbed the cross-class pair set " +
+          s"(plain=$plainRows ctl=$ctlRows mega=$megaRows)")
+      require(megaSec < 2.0 * ctlSec + 1.0,
+        f"mega_$name: 100k COPIES cost ${megaSec / ctlSec}%.2f× what 100k " +
+          "DISTINCT docs cost — the pre-collapse bound is not holding")
+      // the one giant class legitimately shuffles `Copies` rows into
+      // its (spillable) collapse window partition — the bound is that
+      // nothing QUADRATIC in copies reaches any task
+      require(megaMax <= 2 * math.max(ctlMax, Copies),
+        s"mega_$name: per-task shuffle volume blew up " +
+          s"($ctlMax -> $megaMax records) — a task is carrying " +
+          "quadratic cluster work")
+      System.err.println(f"[rehearsal] mega_$name: pairs equal " +
+        f"($plainRows), copies cost ${megaSec / ctlSec}%.2f× distinct, " +
+        f"max task records ctl=$ctlMax mega=$megaMax — 100k-copy " +
+        "cluster is FLAT")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val out = args.headOption.getOrElse("target/scale/sf1")
@@ -1006,6 +1108,9 @@ object ScaleRehearsal {
       f"$name=${l}%.2f"
     }.mkString(" ")
     System.err.println(s"[rehearsal] vs-linear (<2.0 required): $verdictLine")
+
+    // --- the dedup tier at a MEGA-duplicate corpus (VERDICT-r11 #7) ----
+    megaDupRehearsal(spark, out, math.min(reps, 2))
 
     // --- the TABLE FORMAT at scale: 100→1000-segment ingest history ----
     // (segments scale with the data, so vs_linear compares a 10× corpus
