@@ -562,6 +562,70 @@ object ScaleRehearsal {
     require(rjfBytes * 5 <= rjfUnfilteredBytes,
       s"runtime join filter bytes reduction below 5x: filtered " +
         s"$rjfBytes vs unfiltered $rjfUnfilteredBytes")
+    // --- OVER-CAP runtime filter: the ENVELOPE fallback (r12) ----------
+    // The same dim-driven shape PAST MaxBuildKeys: a build window of
+    // 15,001 keys abandons the exact key set, and the [min,max]
+    // envelope planted in its place must still confine the fact read.
+    // Staged on a dedicated fat store (payload rows, rid-range-sliced
+    // segments) so the claim is BYTES, not dir parity: a ~7.5%
+    // contiguous key window must cut selected-file bytes ≥4× vs the
+    // rule-off control, with equal answers. The dim filter is again a
+    // NON-join-key column (`did`), so nothing static propagates — the
+    // reduction is the envelope's alone.
+    val envRoot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_rehearsal_env_${java.util.UUID.randomUUID().toString.take(10)}")
+      .toString
+    val envN = 200000L
+    val envFact = spark.range(envN)
+      .select(col("id").as("rid"), col("id").as("did"),
+        rpad(col("id").cast("string"), 256, "x").as("payload"))
+      .repartitionByRange(16, col("rid"))
+    AtomicPublish.publish(spark, envRoot, Map("envfact" -> envFact),
+      statsBy = Map("envfact" -> Seq("rid", "did")))
+    val envLo = envN / 2
+    val envKeys = 15001L // > RuntimeJoinFilter.MaxBuildKeys
+    def envDim(): DataFrame =
+      AtomicPublish.readTable(spark, envRoot, "envfact")
+        .filter(col("did").between(envLo, envLo + envKeys - 1))
+        .select(col("rid").as("dim_rid"))
+    def envCountDf(): DataFrame =
+      AtomicPublish.readTable(spark, envRoot, "envfact")
+        .join(envDim(), col("rid") === col("dim_rid"))
+        .agg(count(lit(1)).as("c"))
+    // the plant really is the over-cap ENVELOPE probe, never an InSet
+    locally {
+      val opt = envCountDf().queryExecution.optimizedPlan
+      val probes = opt.collect {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(
+          d: graft.ops.DeferredKeyProbe, _) => d }
+      require(probes.nonEmpty && probes.forall(_.envelopeOk),
+        s"over-cap phase planted no envelope-capable probe:\n$opt")
+      require(opt.collect {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(
+          org.apache.spark.sql.catalyst.expressions.InSet(_, _), _) => ()
+      }.isEmpty, "a static InSet planted past the key cap")
+    }
+    var envBytes = 0L
+    var envUnfilteredBytes = 0L
+    val envJoinSec = minOf {
+      val df = envCountDf()
+      require(df.collect()(0).getLong(0) == envKeys,
+        "envelope-filtered join row count off")
+      envBytes = filesSizeOf(df)
+    }
+    spark.conf.set(graft.ops.RuntimeJoinFilter.EnabledKey, "false")
+    val envUnfilteredSec =
+      try minOf {
+        val df = envCountDf()
+        require(df.collect()(0).getLong(0) == envKeys,
+          "envelope control answer off")
+        envUnfilteredBytes = filesSizeOf(df)
+      } finally spark.conf.unset(graft.ops.RuntimeJoinFilter.EnabledKey)
+    require(envBytes > 0 && envUnfilteredBytes > 0,
+      "envelope phase read no bytes metric")
+    require(envBytes * 4 <= envUnfilteredBytes,
+      s"envelope bytes reduction below 4x: filtered $envBytes vs " +
+        s"unfiltered $envUnfilteredBytes")
     // --- partition-spec EVOLUTION at the production dir count (r9) ----
     // days → months in ONE metadata commit over the corpus-scaled dir
     // count: the commit must stay O(1) (no data read — scale-FLAT),
@@ -901,6 +965,8 @@ object ScaleRehearsal {
       "store_dpp_fat_unpruned_read" -> dppFatUnprunedSec,
       "store_rjf_join_read" -> rjfJoinSec,
       "store_rjf_unfiltered_read" -> rjfUnfilteredSec,
+      "store_rjf_envelope_read" -> envJoinSec,
+      "store_rjf_envelope_unfiltered" -> envUnfilteredSec,
       "store_spec_evolve_commit" -> specEvolveSec,
       "store_evolved_range_read" -> evolvedRangeSec,
       "store_mass_delete_commit" -> deleteCommitSec,

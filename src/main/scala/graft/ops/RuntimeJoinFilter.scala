@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, I
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
-import org.apache.spark.sql.types.{DoubleType, FloatType}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, TimestampNTZType, TimestampType}
 
 /** RUNTIME row-level join filtering (VERDICT r10 missing #1): when an
   * equi-join probes a graft store table on a PLAIN DATA column — no
@@ -58,9 +58,14 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   */
 object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** Abandon the rewrite past this many distinct build keys: the IN
-    * set is probed against per-segment blooms and evaluated per probe
-    * row — bounded model-sized state, never row data. */
+  /** Abandon the EXACT key set past this many distinct build keys:
+    * the IN set is probed against per-segment blooms and evaluated
+    * per probe row — bounded model-sized state, never row data. Past
+    * the cap, a stat-column probe falls back to the build's [min,max]
+    * ENVELOPE (two literals, one 1-row aggregate job), which zone
+    * maps still prune with — the 100 TB shape where the build is
+    * "too many keys to enumerate, but a narrow band of a clustered
+    * fact column". */
   val MaxBuildKeys = 10000
 
   /** Session conf escape hatch (set "false" to disable the rewrite). */
@@ -201,6 +206,12 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
         if (!(g.bloomColumns ++ g.statColumns).contains(src.name))
           return side
         if (alreadyFiltered(side, src)) return side
+        // The ENVELOPE fallback is only worth a second build execution
+        // when zone maps can consume a range: the probe column must be
+        // a recorded STAT column (blooms are equality-only) of an
+        // order-comparable type the manifests record min/max for.
+        val envOk = g.statColumns.contains(src.name) &&
+          envelopeType(attr.dataType)
         if (!static) {
           // DEFERRED variant (VERDICT-r11 #5): planning-time stats
           // could not prove the build small, so nothing executes NOW —
@@ -218,7 +229,7 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
           // to be provably small before any of it has run.
           return side.transformUp {
             case r: LogicalRelation if r eq lr =>
-              Filter(DeferredKeyProbe(src, build, buildAttr), r)
+              Filter(DeferredKeyProbe(src, build, buildAttr, envOk), r)
           }
         }
         collectKeys(build, buildAttr) match {
@@ -227,7 +238,23 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
               case r: LogicalRelation if r eq lr =>
                 Filter(InSet(src, keys), r)
             }
-          case _ => side // over cap, empty, or failed: leave untouched
+          case None if envOk =>
+            // OVER THE CAP (or the keys job failed): the exact key set
+            // is abandoned, but its [min,max] ENVELOPE is still a
+            // range the zone maps prune with — the at-scale shape
+            // where this matters is a build side of far more than 10k
+            // keys confined to a narrow band of a clustered fact
+            // column ("recent order ids probe a 100 TB fact"). A
+            // deferred probe is planted (not a raw range Filter: the
+            // marker is what keeps the rule idempotent across
+            // optimizer fixpoint passes and AQE re-planning), and its
+            // listFiles-time resolution runs the 1-row min/max job.
+            side.transformUp {
+              case r: LogicalRelation if r eq lr =>
+                Filter(DeferredKeyProbe(src, build, buildAttr,
+                  envelopeOk = true, skipKeys = true), r)
+            }
+          case _ => side // empty, or failed with no envelope: untouched
         }
       case _ => side
     }
@@ -254,6 +281,53 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
   private[ops] def deferredKeys(build: LogicalPlan,
       key: AttributeReference): Option[Set[Any]] =
     collectKeys(build, key)
+
+  /** Types the envelope fallback admits: the manifests record min/max
+    * under the SAME order Spark compares the planted range with —
+    * integral, string, date/timestamp, decimal. Floats are refused
+    * globally (±0.0), binary/complex types carry no zone maps. */
+  private def envelopeType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | StringType |
+        DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** The over-cap fallback's 1-row job: min/max of the build's
+    * non-null join keys, as CATALYST values for the range literals.
+    * None when the build is empty (nothing to prune toward — the
+    * plant is abandoned, conservative) or execution fails. This is a
+    * THIRD execution of the build subtree (after the keys job and the
+    * join itself) — bounded output, paid only past [[MaxBuildKeys]],
+    * where the alternative is pruning nothing at all. */
+  private[ops] def deferredEnvelope(build: LogicalPlan,
+      key: AttributeReference): Option[(Any, Any)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, IsNotNull}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
+      Filter => LFilter}
+    val spark = SparkSession.active
+    planning.set(true)
+    try {
+      val aggPlan = Aggregate(Nil,
+        Seq(Alias(Min(key).toAggregateExpression(), "__lo")(),
+          Alias(Max(key).toAggregateExpression(), "__hi")()),
+        LFilter(IsNotNull(key), build))
+      val rows = org.apache.spark.sql.graftplan.PlanBridge
+        .ofRows(spark, aggPlan).collect()
+      if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).isNullAt(1)) None
+      else {
+        val conv = CatalystTypeConverters.createToCatalystConverter(
+          key.dataType)
+        Some((conv(rows(0).get(0)), conv(rows(0).get(1))))
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        logWarning(s"runtime join filter: build-side envelope " +
+          s"collection failed (${e.getMessage}) — keeping every file")
+        None
+    } finally planning.set(false)
+  }
 
   /** Execute the build subtree once and return its distinct join keys
     * as CATALYST values (what `InSet` compares with). None when the
@@ -310,7 +384,9 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
 final case class DeferredKeyProbe(
     child: org.apache.spark.sql.catalyst.expressions.Expression,
     @transient buildPlan: LogicalPlan,
-    @transient buildKey: AttributeReference)
+    @transient buildKey: AttributeReference,
+    envelopeOk: Boolean = false,
+    skipKeys: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral, JavaCode}
@@ -332,11 +408,31 @@ final case class DeferredKeyProbe(
         org.apache.spark.sql.types.BooleanType))
 
   /** Driver-side, at listFiles time: the build's distinct keys as a
-    * static InSet over [[child]] — or None to keep everything. */
-  @transient lazy val resolvedInSet: Option[
-      org.apache.spark.sql.catalyst.expressions.Expression] =
-    RuntimeJoinFilter.deferredKeys(buildPlan, buildKey)
-      .map(keys => InSet(child, keys))
+    * static InSet over [[child]]; past the key cap (when
+    * `envelopeOk`), the build's [min,max] as a range conjunction the
+    * zone maps consume — or None to keep everything. `skipKeys` marks
+    * a probe planted by the STATIC path after its planning-time keys
+    * job already overflowed, so resolution goes straight to the
+    * envelope instead of re-running a job known to abandon. */
+  @transient lazy val resolvedPredicate: Option[
+      org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{And,
+      GreaterThanOrEqual, LessThanOrEqual, Literal}
+    val fromKeys =
+      if (skipKeys) None
+      else RuntimeJoinFilter.deferredKeys(buildPlan, buildKey)
+        .map(keys => InSet(child, keys))
+    fromKeys match {
+      case some @ Some(_) => some
+      case None if envelopeOk =>
+        RuntimeJoinFilter.deferredEnvelope(buildPlan, buildKey).map {
+          case (lo, hi) =>
+            And(GreaterThanOrEqual(child, Literal(lo, child.dataType)),
+              LessThanOrEqual(child, Literal(hi, child.dataType)))
+        }
+      case None => None
+    }
+  }
 
   override protected def withNewChildInternal(
       newChild: org.apache.spark.sql.catalyst.expressions.Expression)

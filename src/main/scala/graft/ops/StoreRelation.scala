@@ -266,7 +266,7 @@ final class GraftFileIndex(
     // the ordinary skipping stack consumes; an abandoned collection
     // (over-cap/failed) contributes nothing and every file stays.
     val resolved = dataFilters.flatMap {
-      case d: DeferredKeyProbe => d.resolvedInSet
+      case d: DeferredKeyProbe => d.resolvedPredicate
       case e => Some(e)
     }
     val pred = resolved.reduceOption(And)

@@ -193,6 +193,98 @@ class StoreRuntimeFilterSpec extends SparkSuite {
     assert(insetFilters(sampled.queryExecution.optimizedPlan).isEmpty)
   }
 
+  test("OVER-CAP build: the [min,max] envelope still skips files after " +
+      "the exact key set is abandoned") {
+    // the 100 TB shape: a build side of FAR more than MaxBuildKeys
+    // distinct keys, confined to a narrow band of a range-clustered
+    // fact column — enumerating keys is hopeless, but min/max is one
+    // 1-row aggregate and zone maps prune ranges natively
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rjf-env")
+    val r = tmp.resolve("store").toString
+    val fact = spark.range(0, 100000L)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(10, col("k"))
+    // the dim is PUBLISHED so grp is opaque data: an in-memory
+    // when(id >= 40000, ...) folds to a range on the join key itself
+    // and static constraint propagation would prune the fact without
+    // the rule (the attribution control below would catch it)
+    val dim = spark.range(0, 60001L)
+      .select(col("id").as("dk"),
+        when(col("id") >= 40000L, 1L).otherwise(2L).as("grp"))
+    AtomicPublish.publish(spark, r,
+      Map("envfact" -> fact, "envdim" -> dim),
+      statsBy = Map("envfact" -> Seq("k"),
+        "envdim" -> Seq("dk", "grp")))
+    def q(): DataFrame = AtomicPublish.readTable(spark, r, "envfact")
+      .join(AtomicPublish.readTable(spark, r, "envdim")
+          .filter(col("grp") === 1L).select(col("dk")),
+        col("k") === col("dk"))
+    def envFactRead(df: DataFrame): (Long, Long) = {
+      val ss = scans(df.queryExecution.executedPlan).filter(
+        _.relation.location match {
+          case g: GraftFileIndex =>
+            g.inputFiles.exists(_.contains("/envfact/"))
+          case _ => false
+        })
+      assert(ss.nonEmpty, "no envfact scan found")
+      (ss.map(_.metrics("numFiles").value).sum,
+        ss.map(_.relation.location.inputFiles.length.toLong).sum)
+    }
+    val run = q()
+    val opt = run.queryExecution.optimizedPlan
+    // 20,001 distinct keys > MaxBuildKeys: no static InSet may plant —
+    // a skip-keys deferred probe carries the envelope job instead
+    assert(opt.collect {
+      case f @ Filter(InSet(a: AttributeReference, _), _)
+          if a.name == "k" => f
+    }.isEmpty, s"static InSet planted over the cap:\n$opt")
+    val probes = opt.collect {
+      case Filter(d: DeferredKeyProbe, _) => d }
+    assert(probes.nonEmpty, s"no probe planted over the cap:\n$opt")
+    assert(probes.forall(p => p.skipKeys && p.envelopeOk),
+      "the static over-cap plant must skip straight to the envelope")
+    run.collect()
+    val (read, total) = envFactRead(run)
+    assert(total >= 8, s"staging should give >=8 files, got $total")
+    assert(read <= total / 2,
+      s"envelope skipped nothing: read $read of $total " +
+        "(keys span [40000,60000] of a [0,100000) clustered fact)")
+    // attribution + result-invariance: the disabled control reads all
+    withRule(on = false) {
+      val ctl = q()
+      ctl.collect()
+      val (r2, t2) = envFactRead(ctl)
+      assert(r2 == t2, s"control pruned anyway ($r2 of $t2)")
+      assert(ctl.collect().toSet == run.collect().toSet)
+      assert(ctl.collect().length == 20001)
+    }
+  }
+
+  test("OVER-CAP gates: a bloom-only probe column gets no envelope " +
+      "(ranges need zone maps), and results stay exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rjf-envb")
+    val r = tmp.resolve("store").toString
+    val fact = spark.range(0, 50000L)
+      .select(col("id").as("k"), (col("id") % 5).as("v"))
+      .repartitionByRange(6, col("k"))
+    // k is a BLOOM column only — no zone maps, so an envelope cannot
+    // prune and the over-cap plant must be refused outright
+    AtomicPublish.publish(spark, r, Map("bfact" -> fact),
+      statsBy = Map("bfact" -> Seq("v")),
+      bloomBy = Map("bfact" -> Seq("k")))
+    val dim = spark.range(0, 30000L)
+      .select(col("id").as("dk"),
+        when(col("id") >= 15000L, 1L).otherwise(2L).as("grp"))
+    val q = AtomicPublish.readTable(spark, r, "bfact")
+      .join(dim.filter(col("grp") === 1L).select(col("dk")),
+        col("k") === col("dk"))
+    val opt = q.queryExecution.optimizedPlan
+    assert(opt.collect {
+      case Filter(d: DeferredKeyProbe, _) => d }.isEmpty,
+      s"bloom-only column planted an envelope probe:\n$opt")
+    assert(q.count() == 15000L)
+  }
+
   test("floating join keys are refused: InSet's boxed -0.0 != 0.0 would drop rows") {
     // Spark normalizes floating join keys (-0.0 == 0.0, NaN == NaN);
     // a planted boxed-set InSet does not — so the rule must not fire
