@@ -1041,6 +1041,96 @@ object TextOps {
       |FROM documents d LEFT JOIN oov o USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // --- sp9: DSIR importance-resampling selection -------------------------------
+
+  /** Feature-space width for [[sp9DsirSelect]]'s hashed bag-of-words.
+    * The bucket table is the ONLY corpus-level state the selector
+    * carries — `DsirBuckets` rows however large the corpus — so it
+    * broadcasts at any scale (DSIR's own hashed n-gram models are 10k
+    * buckets for the same reason). */
+  val DsirBuckets = 256
+
+  /** Integer score scale: bucket score = ((tgt+1)·SCALE) DIV (raw+1),
+    * add-1-smoothed. Integer DIV is bit-identical in both engines;
+    * the float/log form of the likelihood ratio would sum doubles in
+    * engine-dependent order and flip the selection boundary. */
+  val DsirScale = 10000L
+
+  /** The "target distribution" slice: English documents stand in for
+    * DSIR's downstream-task corpus. */
+  val DsirTargetLang = "en"
+
+  /** SP9: DATA SELECTION VIA IMPORTANCE RESAMPLING — the DSIR recipe
+    * (Xie et al. 2023, public): estimate importance weights
+    * p_target/q_raw over a HASHED bag-of-words feature space and keep
+    * the documents whose weight clears a corpus-relative bar. This
+    * integer-exact variant scores each bucket `b` as
+    * `((tgt_b+1)·10000) DIV (raw_b+1)` (add-1 smoothing, monotone in
+    * the likelihood ratio), weights a document by the SUM of its word
+    * occurrences' bucket scores, and selects documents whose per-word
+    * mean score is at least the corpus per-word mean — the boundary
+    * test is the exact integer cross-multiply
+    * `weight · corpus_words >= total_weight · n_words` (no division,
+    * no floats, engine-stable; at extreme corpus sizes the two
+    * products outgrow int64 and a deployment widens them to
+    * DECIMAL(38,0) — same comparison, wider lanes).
+    *
+    * Plan shape at 100 TB: one map-only explode pass feeds ONE
+    * aggregate keyed by 256 buckets (map-side partial aggregation
+    * collapses every task to ≤256 rows, so the shuffle is measured in
+    * kilobytes); the score table broadcasts; the per-document sum is
+    * one partial-agg'd groupBy(doc_id); the selection bar is a 1-row
+    * broadcast scalar. Nothing quadratic, nothing driver-side, text
+    * never shuffles. Reference analog: none (§2.11 north-star). */
+  def sp9DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    sp9DsirSelectOn(Tables.documents(spark, dir))
+
+  def sp9DsirSelectOn(docs: DataFrame): DataFrame = {
+    val b = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % DsirBuckets).as("bucket"))
+    val score = broadcast(b.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("raw_c"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L))
+          .as("tgt_c"))
+      .select(col("bucket"),
+        expr(s"((tgt_c + 1) * $DsirScale) DIV (raw_c + 1)").as("s")))
+    val dw = b.join(score, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("s")).as("weight"))
+    val tot = broadcast(dw.agg(sum(col("weight")).as("total_weight"),
+      sum(col("n_words")).as("corpus_words")))
+    dw.crossJoin(tot)
+      .select(col("doc_id"), col("n_words"), col("weight"),
+        (col("weight") * col("corpus_words") >=
+          col("total_weight") * col("n_words")).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sp9DsirSelectSql: String =
+    s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |b AS (SELECT doc_id, lang,
+      |  ('0x' || substring(md5(word), 1, 4))::BIGINT % $DsirBuckets AS bucket
+      |  FROM w),
+      |dist AS (SELECT bucket, count(*)::BIGINT AS raw_c,
+      |    sum(CASE WHEN lang = '$DsirTargetLang' THEN 1 ELSE 0 END)::BIGINT
+      |      AS tgt_c
+      |  FROM b GROUP BY bucket),
+      |score AS (SELECT bucket, ((tgt_c + 1) * $DsirScale) // (raw_c + 1) AS s
+      |  FROM dist),
+      |dw AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+      |    sum(s)::BIGINT AS weight
+      |  FROM b JOIN score USING (bucket) GROUP BY doc_id),
+      |tot AS (SELECT sum(weight)::BIGINT AS total_weight,
+      |  sum(n_words)::BIGINT AS corpus_words FROM dw)
+      |SELECT d.doc_id, d.n_words, d.weight,
+      |  (d.weight * t.corpus_words >= t.total_weight * d.n_words) AS selected
+      |FROM dw d, tot t ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -1058,6 +1148,7 @@ object TextOps {
     "sp6_curriculum" -> (sp6CurriculumInterleave _),
     "sp7_domain_cap" -> (sp7DomainCap _),
     "sp8_temperature_sample" -> (sp8TemperatureSample _),
+    "sp9_dsir_select" -> (sp9DsirSelect _),
     "t9_pii_redact" -> (t9PiiRedact _),
     "t10_oov_rate" -> (t10OovRate _),
   )
@@ -1079,6 +1170,7 @@ object TextOps {
     "sp6_curriculum" -> sp6CurriculumInterleaveSql,
     "sp7_domain_cap" -> sp7DomainCapSql,
     "sp8_temperature_sample" -> sp8TemperatureSampleSql,
+    "sp9_dsir_select" -> sp9DsirSelectSql,
     "t9_pii_redact" -> t9PiiRedactSql,
     "t10_oov_rate" -> t10OovRateSql,
   )

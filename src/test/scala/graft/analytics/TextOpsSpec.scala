@@ -296,4 +296,46 @@ class TextOpsSpec extends SparkSuite {
 
   private lazy val sp6Cached =
     TextOps.sp6CurriculumInterleave(spark, dir).cache()
+
+  test("sp9 DSIR: hand-computed bucket scores, weights, and the " +
+      "above-mean selection boundary") {
+    import spark.implicits._
+    // 'aaa' hashes to bucket 188, 'bbb' to 248 (distinct): target (en)
+    // docs lean 'aaa', so s_aaa = ((5+1)*10000) DIV (6+1) = 8571 and
+    // s_bbb = ((1+1)*10000) DIV (6+1) = 2857
+    val docs = Seq(
+      (1L, "en", "aaa aaa aaa"),
+      (2L, "en", "aaa aaa bbb"),
+      (3L, "de", "bbb bbb bbb"),
+      (4L, "de", "aaa bbb bbb"),
+    ).toDF("doc_id", "lang", "text")
+    val rows = TextOps.sp9DsirSelectOn(docs).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(rows(1L) == ((3L, 3L * 8571, true)))
+    assert(rows(2L) == ((3L, 2L * 8571 + 2857, true)))
+    assert(rows(3L) == ((3L, 3L * 2857, false)))
+    assert(rows(4L) == ((3L, 8571 + 2L * 2857, false)))
+  }
+
+  test("sp9 on testdata: every doc scored once, weights positive, the " +
+      "selection bar is exactly the corpus per-word mean") {
+    val df = TextOps.sp9DsirSelect(spark, dir).cache()
+    try {
+      val n = graft.core.Tables.documents(spark, dir).count()
+      assert(df.count() == n)
+      assert(df.filter(col("weight") <= 0).count() == 0)
+      // recompute the bar and check every row's flag against it
+      val tot = df.agg(sum(col("weight")).as("tw"),
+        sum(col("n_words")).as("cw")).collect()(0)
+      val (tw, cw) = (tot.getLong(0), tot.getLong(1))
+      val wrong = df.filter(
+        (col("weight") * cw >= lit(tw) * col("n_words")) =!= col("selected"))
+      assert(wrong.count() == 0)
+      // the synthetic corpus mixes one shared vocabulary, but per-doc
+      // bucket mixes still spread: both sides of the bar are inhabited
+      assert(df.filter(col("selected")).count() > 0)
+      assert(df.filter(!col("selected")).count() > 0)
+    } finally { df.unpersist(); () }
+  }
 }
