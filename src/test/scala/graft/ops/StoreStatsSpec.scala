@@ -281,6 +281,128 @@ class StoreStatsSpec extends SparkSuite {
     assert(q(r).count() == q(rCtl).count())
   }
 
+  test("histograms sharpen equi-JOIN cardinality: overlap-aware bins " +
+      "shrink the estimate NDV containment inflates, and the sharper " +
+      "intermediate flips the NEXT join to broadcast") {
+    import java.nio.file.{Files, Path => JPath}
+    val tmp = Files.createTempDirectory("graft-histjoin")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val r = tmp.resolve("store").toString
+    // fact.fk: ~99% of rows in [0,99], ~1% in a sparse tail past 1e6.
+    // dim.dk lives ONLY inside the tail's domain. The two ranges
+    // INTERSECT, so NDV containment estimates rows_f·rows_d/max(ndv)
+    // as if every fact row could match; the equi-height bins see that
+    // almost no fact mass lies inside dim's range — Catalyst's
+    // histogram join estimation (both keys carry bins) multiplies
+    // OVERLAPPING bins only.
+    val fact = Tables.events(spark, dir).select(col("event_id"),
+      when(pmod(col("event_id"), lit(100L)) < 99,
+        pmod(col("event_id"), lit(100L)))
+        .otherwise(lit(1000000L) + pmod(col("event_id"), lit(1000L)))
+        .as("fk"))
+    val dim = Tables.documents(spark, dir)
+      .select((lit(1000000L) + col("doc_id")).as("dk"))
+    // the third table: joined AFTER fact⋈dim, sized so only the
+    // histogram-sharpened intermediate estimate makes the intermediate
+    // the broadcast build side
+    val big = spark.range(0, 20000L)
+      .select((lit(1000000L) + pmod(col("id"), lit(600L))).as("bk"),
+        col("id").as("payload"))
+    val v1 = AtomicPublish.publish(spark, r,
+      Map("fact" -> fact, "dim" -> dim, "big" -> big),
+      statsBy = Map("fact" -> Seq("fk"), "dim" -> Seq("dk"),
+        "big" -> Seq("bk")))
+    assert(v1.nonEmpty)
+    // control: identical store, histograms surgically stripped — the
+    // only planner-visible difference is the bins
+    val rCtl = tmp.resolve("ctl").toString
+    def copyDir(src: JPath, dst: JPath): Unit = {
+      Files.walk(src).forEach { p =>
+        val t = dst.resolve(src.relativize(p))
+        if (Files.isDirectory(p)) { Files.createDirectories(t); () }
+        else { Files.copy(p, t); () }
+      }
+    }
+    copyDir(JPath.of(r), JPath.of(rCtl))
+    rewriteManifests(rCtl)(_.replaceAll(s"($histRe)\\]", "]"))
+
+    def join1(at: String): DataFrame =
+      AtomicPublish.readTable(spark, at, "fact")
+        .join(AtomicPublish.readTable(spark, at, "dim"),
+          col("fk") === col("dk"))
+    def join2(at: String): DataFrame =
+      join1(at).join(AtomicPublish.readTable(spark, at, "big"),
+        col("dk") === col("bk"))
+    def withConfs(extra: (String, String)*)(body: => Unit): Unit = {
+      val keys = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+        RuntimeJoinFilter.EnabledKey) ++ extra.map(_._1)
+      val saved = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")
+        extra.foreach { case (k, v) => spark.conf.set(k, v) }
+        body
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    var histRows = BigInt(0); var ctlRows = BigInt(0)
+    var histSize = BigInt(0); var ctlSize = BigInt(0)
+    withConfs() {
+      val h = join1(r).queryExecution.optimizedPlan.stats
+      val c = join1(rCtl).queryExecution.optimizedPlan.stats
+      histRows = h.rowCount.getOrElse(BigInt(-1))
+      ctlRows = c.rowCount.getOrElse(BigInt(-1))
+      histSize = h.sizeInBytes; ctlSize = c.sizeInBytes
+    }
+    val truth = join1(r).count()
+    assert(truth > 0 && join1(rCtl).count() == truth)
+    // the bins cut the intermediate estimate by at least 4× and land
+    // it on the truthful side of the containment estimate
+    assert(histRows > 0 && ctlRows > 0,
+      s"estimates missing: hist=$histRows ctl=$ctlRows")
+    assert(histRows * 4 <= ctlRows,
+      s"bins did not sharpen the join estimate: hist=$histRows " +
+        s"ctl=$ctlRows truth=$truth")
+    assert((histRows - truth).abs < (ctlRows - truth).abs)
+    // the DECISION pin, self-calibrated: a broadcast threshold at the
+    // geometric mean of the two intermediate size estimates must make
+    // join2 broadcast its fact⋈dim intermediate on the hist store and
+    // shuffle it on the control
+    val threshold = BigDecimal(
+      math.sqrt((histSize * ctlSize).toDouble)).toBigInt
+    withConfs("spark.sql.autoBroadcastJoinThreshold" ->
+        threshold.toString) {
+      // `big` must not be broadcastable itself, or the pin is vacuous
+      val bigSize = AtomicPublish.readTable(spark, r, "big")
+        .queryExecution.optimizedPlan.stats.sizeInBytes
+      assert(bigSize > threshold,
+        s"staging broke: big ($bigSize B) under threshold $threshold")
+      // the INTERMEDIATE carries both fk and dk — a broadcast of the
+      // bare fact or dim leaf never has both, so this discriminates
+      def intermediateBroadcast(p: SparkPlan): Boolean = plans(p)
+        .collect { case be: BroadcastExchangeExec => be }
+        .exists(be => be.output.exists(_.name == "fk") &&
+          be.output.exists(_.name == "dk"))
+      val hExec = join2(r).queryExecution.executedPlan
+      assert(intermediateBroadcast(hExec),
+        s"hist store: intermediate not broadcast for join2:\n$hExec")
+      val cExec = join2(rCtl).queryExecution.executedPlan
+      assert(plans(cExec).exists(_.isInstanceOf[SortMergeJoinExec]) &&
+        !intermediateBroadcast(cExec),
+        s"control store: intermediate broadcast anyway:\n$cExec")
+    }
+    // the estimator changed plans, never answers
+    assert(join2(r).count() == join2(rCtl).count())
+  }
+
   test("pre-NDV manifests (3-entry stat arrays) still parse and read") {
     // surgically rewrite every manifest stat array [min,max,nulls,ndv]
     // back to the r10 form [min,max,nulls] — the parser must keep
