@@ -561,6 +561,96 @@ object DedupOps {
       |  (n_dup * 10000) // n_shingles AS dup_bp
       |FROM per ORDER BY doc_id""".stripMargin
 
+  // --- n11: maximal cross-document repeated spans -----------------------------
+
+  /** A span must cover at least this many words to be reported — the
+    * "long enough to be boilerplate, not coincidence" bar (Lee et al.
+    * use 50 BPE tokens at web scale; the synthetic corpus' ~60-word
+    * documents need a bar that binds without swallowing everything). */
+  val MinSpanWords = 5
+
+  /** N11: EXACT SUBSTRING-LEVEL dedup spans — the "Deduplicating
+    * Training Data Makes Language Models Better" (Lee et al. 2022,
+    * public) shape: find each document's MAXIMAL word spans that occur
+    * verbatim in at least one other document, as removable
+    * [start, end] intervals. Where n10 scores a document by its
+    * duplicated-shingle FRACTION, n11 emits the spans themselves — the
+    * actionable output (a cleaning pass deletes the interval, not the
+    * document).
+    *
+    * Suffix arrays don't distribute; the Spark-first formulation is
+    * anchor-and-merge: every word 3-gram occurring in ≥2 distinct
+    * documents is a duplicated ANCHOR at its position, and a maximal
+    * repeated span is a run of anchors whose starts are ≤3 apart
+    * (consecutive-or-overlapping 3-gram windows) — classic
+    * gaps-and-islands over (doc_id, pos), merged per document. Spans
+    * of < [[MinSpanWords]] words are noise and dropped. Note the
+    * honest semantic: each MERGED span is duplicated piecewise (every
+    * 3-gram in it occurs elsewhere), not necessarily verbatim-whole in
+    * one other document — exactly the removal criterion substring
+    * dedup applies (any ≥k-token window seen elsewhere is removable).
+    *
+    * Scale shape: shuffles carry (doc_id, pos, 8-byte hash) — text
+    * never moves; the string-rendering DuckDB oracle doubles as the
+    * collision check (n2's equivalence argument). The per-shingle
+    * doc-frequency aggregate is hash-domain; both windows and the span
+    * aggregate share ONE doc_id exchange. Nothing is quadratic in
+    * documents or corpus size; per-task state is bounded by document
+    * length. */
+  def n11DupSpans(spark: SparkSession, dir: String): DataFrame =
+    n11DupSpansOn(Tables.documents(spark, dir))
+
+  def n11DupSpansOn(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val sh = docs
+      .select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
+      .withColumn("w1", lead(col("w"), 1).over(w))
+      .withColumn("w2", lead(col("w"), 2).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        xxhash64(concat_ws(" ", col("w"), col("w1"), col("w2"))).as("h"))
+    val dupHashes = sh.groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2).select(col("h"))
+    val anchors = sh.join(dupHashes, Seq("h"))
+      .select(col("doc_id"), col("pos"))
+    val brk = anchors.withColumn("brk",
+      when(col("pos") - lag(col("pos"), 1).over(w) > 3, 1).otherwise(0))
+    brk.withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + 2).cast("long").as("span_end"))
+      .filter(col("span_end") - col("span_start") + 1 >= MinSpanWords)
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_words"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val n11DupSpansSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, w,
+      |  unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM words),
+      |sh AS (SELECT doc_id, i - 1 AS pos,
+      |  array_to_string(w[i:i+2], ' ') AS shingle FROM p),
+      |df AS (SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN df USING (shingle)),
+      |gap AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM d),
+      |isl AS (SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM gap),
+      |sp AS (SELECT doc_id, island, min(pos)::BIGINT AS span_start,
+      |    (max(pos) + 2)::BIGINT AS span_end
+      |  FROM isl GROUP BY doc_id, island)
+      |SELECT doc_id, span_start, span_end,
+      |  (span_end - span_start + 1)::BIGINT AS span_words
+      |FROM sp WHERE span_end - span_start + 1 >= $MinSpanWords
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** INCREMENTAL near-dup pairs: every (da < db, jaccard ≥ θ) pair with
     * AT LEAST ONE side in `newSigs`, judged against published
     * signatures — the n1b steady-state shape applied to n2 (VERDICT r4
@@ -914,6 +1004,7 @@ object DedupOps {
     "n7_dup_clusters" -> (n7DupClusters _),
     "n9_cluster_keep" -> (n9ClusterKeep _),
     "n10_span_dupfrac" -> (n10SpanDupfrac _),
+    "n11_dup_spans" -> (n11DupSpans _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -925,6 +1016,7 @@ object DedupOps {
     "n7_dup_clusters" -> n7DupClustersSql,
     "n9_cluster_keep" -> n9ClusterKeepSql,
     "n10_span_dupfrac" -> n10SpanDupfracSql,
+    "n11_dup_spans" -> n11DupSpansSql,
     "n2b_minhash_lsh" -> n2bBracketSql,
   )
 }

@@ -158,4 +158,61 @@ class DedupOpsSpec extends SparkSuite {
       .select(md5(col("text").cast("binary"))).collect().map(_.getString(0)).toSet
     assert(fps.forall(!existing.contains(_)))
   }
+
+  test("n11 dup spans: hand-corpus anchors merge within 3, split past it, " +
+      "and the MinSpanWords bar binds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // d1/d2 share the 5-word prefix "a b c d e" (anchors 0,1,2 -> one
+    // span [0,4]); d5 repeats that prefix at positions 0 and 9 with a
+    // 4-word unique gap between anchor runs (gap 9-2=7 > 3 -> SPLIT
+    // into two 5-word spans); every other shingle is document-unique
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e z1 z2 z3"),
+      (5L, "a b c d e q1 q2 q3 q4 a b c d e"),
+    ).toDF("doc_id", "text")
+    val got = DedupOps.n11DupSpansOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toList
+    assert(got == List(
+      (1L, 0L, 4L, 5L),
+      (2L, 0L, 4L, 5L),
+      (5L, 0L, 4L, 5L),
+      (5L, 9L, 13L, 5L)))
+  }
+
+  test("n11 on testdata: spans are in-bounds, disjoint, >= MinSpanWords, " +
+      "and every span doc really has duplicated shingles (n10 agrees)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val spans = DedupOps.n11DupSpansOn(docs).cache()
+    try {
+      assert(spans.filter(col("span_words") < DedupOps.MinSpanWords)
+        .count() == 0)
+      assert(spans.filter(col("span_words") !==
+        col("span_end") - col("span_start") + 1).count() == 0)
+      // span_end stays inside the document's word count
+      val oob = spans.join(docs.select(col("doc_id"),
+          (size(split(col("text"), " ")) - 1).as("last_word")),
+        Seq("doc_id"))
+        .filter(col("span_start") < 0 || col("span_end") > col("last_word"))
+      assert(oob.count() == 0)
+      // islands are disjoint and strictly ordered within a doc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("span_start"))
+      val overlapping = spans
+        .withColumn("prev_end", lag(col("span_end"), 1).over(w))
+        .filter(col("prev_end").isNotNull &&
+          col("span_start") <= col("prev_end"))
+      assert(overlapping.count() == 0)
+      // cross-check against n10: a doc carrying a span has dup
+      // shingles there (dup_bp > 0)
+      val n10 = DedupOps.n10SpanDupfracOn(docs)
+      val contradicted = spans.select(col("doc_id")).distinct()
+        .join(n10.filter(col("dup_bp") === 0L), Seq("doc_id"))
+      assert(contradicted.count() == 0)
+      assert(spans.count() > 0)
+    } finally { spans.unpersist(); () }
+  }
 }
