@@ -102,6 +102,26 @@ class ShuffleBudgetSpec extends SparkSuite {
     assertBudget("sp5_mixture_sample", TextOps.sp5MixtureSample(spark, dir), 4)
   }
 
+  test("sp9 DSIR: bucket agg + per-doc agg (paid twice — the selection " +
+      "bar recomputes the weight lineage) + 1-row gather + sort") {
+    // corpus-scale wire cost is the 256-row bucket aggregate (map-side
+    // combine collapses every task) and the per-doc weight aggregate;
+    // the score table and the selection bar ride broadcasts. The bar's
+    // 1-row gather re-executes the weight lineage (the sp7/sp8
+    // crossJoin(broadcast(agg)) pattern) — a budget regression here
+    // would mean a third corpus pass snuck in
+    assertBudget("sp9_dsir_select", TextOps.sp9DsirSelect(spark, dir), 5)
+  }
+
+  test("n11 dup spans: shingle window + hash-domain doc-frequency agg " +
+      "+ anchor re-shuffle + sort — islands reuse the doc_id exchange") {
+    // the gaps-and-islands stack (brk window, island running sum, span
+    // groupBy) all runs on ONE doc_id partitioning: lag and sum share
+    // the window exchange and HashPartitioning(doc_id) satisfies the
+    // (doc_id, island) clustering, so none of the three adds wire cost
+    assertBudget("n11_dup_spans", DedupOps.n11DupSpans(spark, dir), 4)
+  }
+
   test("t7 BM25: corpus stats gather + top-k heap — never a global sort") {
     val df = TextOps.t7Bm25(spark, dir)
     assertBudget("t7_bm25", df, 3)
