@@ -1131,6 +1131,71 @@ object TextOps {
       |  (d.weight * t.corpus_words >= t.total_weight * d.n_words) AS selected
       |FROM dw d, tot t ORDER BY doc_id""".stripMargin
 
+  // --- t13: linear classifier inference with hashed features -------------------
+
+  /** Feature-space width of the [[t13ClassifierScore]] model — the
+    * fastText trick (public): words hash into a FIXED bucket count, so
+    * the model is a dense `ClassifierBuckets`-row weight table whatever
+    * the vocabulary, and inference needs no vocabulary lookup at all. */
+  val ClassifierBuckets = 1024
+
+  /** T13: QUALITY-CLASSIFIER INFERENCE — the model-based filtering
+    * stage of GPT-3/LLaMA-style pipelines ("keep documents a trained
+    * classifier scores as reference-like"), where t2 is the heuristic
+    * tier. The model here is a linear scorer over hashed unigram
+    * features (the fastText shape): a `ClassifierBuckets`-row integer
+    * weight table, each weight md5-derived from its bucket id so both
+    * engines materialize the identical model without a training
+    * artifact; a document's logit is the integer SUM of its word
+    * occurrences' bucket weights, labeled by `logit >= 0`.
+    *
+    * The deliberately-modeled part is the INFERENCE plan, which is the
+    * real deployment question at 100 TB: the model is DATA (a
+    * broadcast-joined weight table — swap in trained weights and
+    * nothing else changes), not an expression baked into codegen; the
+    * feature pass is one map-only explode; scoring is one broadcast
+    * join plus a partial-agg'd per-doc sum. One corpus pass, no
+    * vocabulary shuffle, model state O(buckets) per executor. */
+  def t13ClassifierScore(spark: SparkSession, dir: String): DataFrame =
+    t13ClassifierScoreOn(spark, Tables.documents(spark, dir))
+
+  def t13ClassifierScoreOn(spark: SparkSession, docs: DataFrame)
+      : DataFrame = {
+    val weights = broadcast(spark.range(0, ClassifierBuckets.toLong)
+      .select(col("id").as("bucket"),
+        (conv(substring(md5(concat(lit("w"), col("id").cast("string"))
+          .cast("binary")), 1, 4), 16, 10).cast("long") % 2001 - 1000)
+          .as("wgt")))
+    docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10)
+          .cast("long") % ClassifierBuckets).as("bucket"))
+      .join(weights, Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("wgt")).as("logit"))
+      .select(col("doc_id"), col("n_words"), col("logit"),
+        (col("logit") >= 0L).as("label"))
+      .orderBy(col("doc_id"))
+  }
+
+  val t13ClassifierScoreSql: String =
+    s"""WITH wt AS (SELECT i AS bucket,
+      |    (('0x' || substring(md5('w' || i), 1, 4))::BIGINT % 2001) - 1000
+      |      AS wgt
+      |  FROM generate_series(0, ${ClassifierBuckets - 1}) AS t(i)),
+      |w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |  FROM documents),
+      |b AS (SELECT doc_id,
+      |    ('0x' || substring(md5(word), 1, 4))::BIGINT % $ClassifierBuckets
+      |      AS bucket
+      |  FROM w),
+      |dw AS (SELECT doc_id, count(*)::BIGINT AS n_words,
+      |    sum(wgt)::BIGINT AS logit
+      |  FROM b JOIN wt USING (bucket) GROUP BY doc_id)
+      |SELECT doc_id, n_words, logit, (logit >= 0) AS label
+      |FROM dw ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (t1LangId _),
     "t2_quality_score" -> (t2QualityScore _),
@@ -1149,6 +1214,7 @@ object TextOps {
     "sp7_domain_cap" -> (sp7DomainCap _),
     "sp8_temperature_sample" -> (sp8TemperatureSample _),
     "sp9_dsir_select" -> (sp9DsirSelect _),
+    "t13_classifier_score" -> (t13ClassifierScore _),
     "t9_pii_redact" -> (t9PiiRedact _),
     "t10_oov_rate" -> (t10OovRate _),
   )
@@ -1171,6 +1237,7 @@ object TextOps {
     "sp7_domain_cap" -> sp7DomainCapSql,
     "sp8_temperature_sample" -> sp8TemperatureSampleSql,
     "sp9_dsir_select" -> sp9DsirSelectSql,
+    "t13_classifier_score" -> t13ClassifierScoreSql,
     "t9_pii_redact" -> t9PiiRedactSql,
     "t10_oov_rate" -> t10OovRateSql,
   )

@@ -318,6 +318,35 @@ class TextOpsSpec extends SparkSuite {
     assert(rows(4L) == ((3L, 8571 + 2L * 2857, false)))
   }
 
+  test("t13 classifier: hand-pinned logits (independent md5 recompute) " +
+      "and the label boundary") {
+    import spark.implicits._
+    // recomputed outside Spark: bucket(w)=md5(w)[:4] % 1024,
+    // wgt(b)=md5("w"+b)[:4] % 2001 - 1000 ->
+    //   "aaa bbb aaa" sums to -1011 (label false),
+    //   "ccc ddd" to 1672 (label true)
+    val docs = Seq((1L, "aaa bbb aaa"), (2L, "ccc ddd"))
+      .toDF("doc_id", "text")
+    val got = TextOps.t13ClassifierScoreOn(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toList
+    assert(got == List((1L, 3L, -1011L, false), (2L, 2L, 1672L, true)))
+  }
+
+  test("t13 on testdata: one score per doc, label == (logit >= 0), both " +
+      "classes inhabited, weights bounded") {
+    val df = TextOps.t13ClassifierScore(spark, dir).cache()
+    try {
+      assert(df.count() == graft.core.Tables.documents(spark, dir).count())
+      assert(df.filter((col("logit") >= 0L) =!= col("label")).count() == 0)
+      // |logit| can never exceed n_words * max|weight|
+      assert(df.filter(abs(col("logit")) > col("n_words") * 1000L)
+        .count() == 0)
+      assert(df.filter(col("label")).count() > 0)
+      assert(df.filter(!col("label")).count() > 0)
+    } finally { df.unpersist(); () }
+  }
+
   test("sp9 on testdata: every doc scored once, weights positive, the " +
       "selection bar is exactly the corpus per-word mean") {
     val df = TextOps.sp9DsirSelect(spark, dir).cache()
