@@ -293,41 +293,69 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
     case _ => false
   }
 
-  /** The over-cap fallback's 1-row job: min/max of the build's
-    * non-null join keys, as CATALYST values for the range literals.
-    * None when the build is empty (nothing to prune toward — the
-    * plant is abandoned, conservative) or execution fails. This is a
-    * THIRD execution of the build subtree (after the keys job and the
-    * join itself) — bounded output, paid only past [[MaxBuildKeys]],
-    * where the alternative is pruning nothing at all. */
-  private[ops] def deferredEnvelope(build: LogicalPlan,
-      key: AttributeReference): Option[(Any, Any)] = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, IsNotNull}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{Max, Min}
+  /** What one aggregate pass over the build's non-null keys learns:
+    * the (HLL-estimated) distinct count that decides exact-keys vs
+    * envelope, and the min/max the envelope needs — so the over-cap
+    * case never pays a doomed full `Distinct`. `lo`/`hi` are CATALYST
+    * values (null iff `rows == 0`). */
+  private[ops] final case class BuildProbe(
+      rows: Long, ndvEst: Long, lo: Any, hi: Any)
+
+  /** The deferred path's FIRST job: ONE aggregate pass computing
+    * count / HLL-NDV / min / max of the build's non-null join keys.
+    * At 100 TB this ordering is the point — a `Distinct ≤ limit` probe
+    * on a billion-key build shuffles the whole distinct domain before
+    * the limit can bite, while HLL partial-aggregates to sketch-sized
+    * state per task; the exact keys job runs ONLY after the sketch
+    * says it will fit. None = execution failed (the rewrite is an
+    * optimization, never a correctness dependency). */
+  private[ops] def probeBuild(build: LogicalPlan,
+      key: AttributeReference): Option[BuildProbe] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, IsNotNull,
+      Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{Count,
+      HyperLogLogPlusPlus, Max, Min}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate,
       Filter => LFilter}
     val spark = SparkSession.active
     planning.set(true)
     try {
       val aggPlan = Aggregate(Nil,
-        Seq(Alias(Min(key).toAggregateExpression(), "__lo")(),
+        Seq(Alias(Count(Seq(Literal(1))).toAggregateExpression(), "__n")(),
+          Alias(HyperLogLogPlusPlus(key).toAggregateExpression(), "__ndv")(),
+          Alias(Min(key).toAggregateExpression(), "__lo")(),
           Alias(Max(key).toAggregateExpression(), "__hi")()),
         LFilter(IsNotNull(key), build))
       val rows = org.apache.spark.sql.graftplan.PlanBridge
         .ofRows(spark, aggPlan).collect()
-      if (rows.isEmpty || rows(0).isNullAt(0) || rows(0).isNullAt(1)) None
+      if (rows.isEmpty) None
       else {
+        val r = rows(0)
         val conv = CatalystTypeConverters.createToCatalystConverter(
           key.dataType)
-        Some((conv(rows(0).get(0)), conv(rows(0).get(1))))
+        Some(BuildProbe(r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) null else conv(r.get(2)),
+          if (r.isNullAt(3)) null else conv(r.get(3))))
       }
     } catch {
       case scala.util.control.NonFatal(e) =>
-        logWarning(s"runtime join filter: build-side envelope " +
-          s"collection failed (${e.getMessage}) — keeping every file")
+        logWarning(s"runtime join filter: build-side probe failed " +
+          s"(${e.getMessage}) — keeping every file")
         None
     } finally planning.set(false)
   }
+
+  /** The skip-keys fallback's 1-row job: min/max only (the static
+    * path's planning-time keys job already overflowed, so the sketch
+    * verdict is known). None when the build is empty or execution
+    * fails — the plant is abandoned, conservative. */
+  private[ops] def deferredEnvelope(build: LogicalPlan,
+      key: AttributeReference): Option[(Any, Any)] =
+    probeBuild(build, key) match {
+      case Some(p) if p.rows > 0 && p.lo != null && p.hi != null =>
+        Some((p.lo, p.hi))
+      case _ => None
+    }
 
   /** Execute the build subtree once and return its distinct join keys
     * as CATALYST values (what `InSet` compares with). None when the
@@ -373,7 +401,7 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
   *
   * `buildPlan`/`buildKey` are driver-only (`@transient`): executors
   * see a constant-true predicate and never touch them. Key collection
-  * memoizes per expression instance ([[resolvedInSet]] is lazy), so a
+  * memoizes per expression instance ([[resolvedPredicate]] is lazy), so a
   * scan listed once computes once; `None` means the collection was
   * abandoned (over [[RuntimeJoinFilter.MaxBuildKeys]], or failed) and
   * the caller must keep every file — the filter is an optimization,
@@ -410,27 +438,50 @@ final case class DeferredKeyProbe(
   /** Driver-side, at listFiles time: the build's distinct keys as a
     * static InSet over [[child]]; past the key cap (when
     * `envelopeOk`), the build's [min,max] as a range conjunction the
-    * zone maps consume — or None to keep everything. `skipKeys` marks
-    * a probe planted by the STATIC path after its planning-time keys
-    * job already overflowed, so resolution goes straight to the
-    * envelope instead of re-running a job known to abandon. */
+    * zone maps consume — or None to keep everything.
+    *
+    * Resolution is SKETCH-FIRST: one aggregate pass
+    * ([[RuntimeJoinFilter.probeBuild]]) learns count/HLL-NDV/min/max,
+    * and the exact distinct-keys job runs ONLY when the sketch says
+    * the set fits the cap — a billion-key build never pays a doomed
+    * full Distinct, it goes straight to the envelope the same pass
+    * already produced. HLL error (~5%) can only misroute NEAR the
+    * cap, and both routes are sound: an over-cap keys job still falls
+    * back to the envelope in hand, an envelope on an under-cap build
+    * just prunes less. An EMPTY build resolves to an empty InSet —
+    * every file skipped, the join was empty anyway (prune-side join
+    * types guarantee those probe rows were discarded). `skipKeys`
+    * marks a probe planted by the STATIC path after its planning-time
+    * keys job already overflowed — resolution skips straight to the
+    * envelope. */
   @transient lazy val resolvedPredicate: Option[
       org.apache.spark.sql.catalyst.expressions.Expression] = {
     import org.apache.spark.sql.catalyst.expressions.{And,
       GreaterThanOrEqual, LessThanOrEqual, Literal}
-    val fromKeys =
-      if (skipKeys) None
-      else RuntimeJoinFilter.deferredKeys(buildPlan, buildKey)
-        .map(keys => InSet(child, keys))
-    fromKeys match {
-      case some @ Some(_) => some
-      case None if envelopeOk =>
-        RuntimeJoinFilter.deferredEnvelope(buildPlan, buildKey).map {
-          case (lo, hi) =>
-            And(GreaterThanOrEqual(child, Literal(lo, child.dataType)),
-              LessThanOrEqual(child, Literal(hi, child.dataType)))
-        }
+    def envelope(lo: Any, hi: Any) =
+      And(GreaterThanOrEqual(child, Literal(lo, child.dataType)),
+        LessThanOrEqual(child, Literal(hi, child.dataType)))
+    if (skipKeys) {
+      if (!envelopeOk) None
+      else RuntimeJoinFilter.deferredEnvelope(buildPlan, buildKey)
+        .map { case (lo, hi) => envelope(lo, hi) }
+    } else RuntimeJoinFilter.probeBuild(buildPlan, buildKey) match {
       case None => None
+      case Some(p) if p.rows == 0L =>
+        Some(InSet(child, Set.empty[Any]))
+      case Some(p) if p.ndvEst <= RuntimeJoinFilter.MaxBuildKeys =>
+        RuntimeJoinFilter.deferredKeys(buildPlan, buildKey)
+          .map(keys => InSet(child,
+            keys): org.apache.spark.sql.catalyst.expressions.Expression)
+          .orElse {
+            // the sketch underestimated and the exact job overflowed:
+            // the envelope from the probe pass is already in hand
+            if (envelopeOk && p.lo != null) Some(envelope(p.lo, p.hi))
+            else None
+          }
+      case Some(p) =>
+        if (envelopeOk && p.lo != null) Some(envelope(p.lo, p.hi))
+        else None
     }
   }
 

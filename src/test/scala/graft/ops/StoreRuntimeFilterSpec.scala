@@ -260,6 +260,27 @@ class StoreRuntimeFilterSpec extends SparkSuite {
     }
   }
 
+  test("EMPTY build: the deferred probe resolves to skip-everything — " +
+      "zero fact files read, zero rows") {
+    // an empty build side means the (prune-side) join discards every
+    // probe row anyway; the probe resolves to an empty InSet and the
+    // scan lists NO files. AQE off: its empty-relation propagation
+    // would delete the scan before listFiles could demonstrate this
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = AtomicPublish.readTable(spark, root, "orders")
+        .join(dimKeys(9999L), col("o_custkey") === col("c_custkey"))
+      assert(q.count() == 0)
+      val (read, total) = factFilesRead(q)
+      assert(total >= 8 && read == 0,
+        s"empty build still read $read of $total files")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("OVER-CAP gates: a bloom-only probe column gets no envelope " +
       "(ranges need zone maps), and results stay exact") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-rjf-envb")
