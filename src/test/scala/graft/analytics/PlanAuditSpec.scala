@@ -242,6 +242,25 @@ class PlanAuditSpec extends SparkSuite {
     assert(p.contains("LocalTableScan"), p)
   }
 
+  test("sp9/t13: the model/score tables broadcast — the corpus word " +
+      "stream never shuffles for a join") {
+    // sp9's 256-row score table and t13's 1024-row weight table are
+    // the operators' whole model state; if either ever plans as a
+    // shuffle join the corpus-side explode stream gets repartitioned
+    // by bucket — the 100 TB failure mode these ops are shaped to avoid
+    val sp9 = planString(TextOps.sp9DsirSelect(spark, dir))
+    assert(sp9.contains("BroadcastHashJoin"), sp9)
+    assert(!sp9.contains("SortMergeJoin") &&
+      !sp9.contains("ShuffledHashJoin"), sp9)
+    // and the per-doc weight sum partial-reduces map-side
+    assert(sp9.contains("partial_sum") || sp9.contains("partial_count"), sp9)
+    val t13 = planString(TextOps.t13ClassifierScore(spark, dir))
+    assert(t13.contains("BroadcastHashJoin"), t13)
+    assert(!t13.contains("SortMergeJoin") &&
+      !t13.contains("ShuffledHashJoin"), t13)
+    assert(t13.contains("partial_sum"), t13)
+  }
+
   test("p1b: approx profiler plans WITHOUT Expand; exact profiler needs it") {
     // N exact countDistincts in one pass force an Expand (each input row
     // replicated N+1 times, all distinct values shuffled) — the reason
