@@ -105,8 +105,20 @@ object Bench {
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // per-query MEDIAN of the steady rounds (2..N — round 1 carries
+    // one-time bring-up) rides next to the min (VERDICT r12 #8):
+    // the min is the plan-regression metric (noise only adds time),
+    // the median is the stable number regression TRIAGE starts from —
+    // two queries whose medians overlap within spread need no
+    // attribution A/B at all
+    val medians = ordered.map { case (name, ts0) =>
+      val ts = (if (ts0.size >= 2) ts0.drop(1) else ts0).sorted
+      name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
+    }
+    val ms = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"medians":$ms,"sf":"$sfDir"}""")
     // The driver captures a bounded stdout TAIL: the long per-query line
     // above can get its head (where "metric":"total" lives) cut off
     // (BENCH_r06–r09 "parsed": null). Emit a short summary LAST — the

@@ -145,8 +145,16 @@ object LlmPrep {
   final class JourneyRun(val chunks: DataFrame,
       observations: Seq[Observation],
       watcher: DedupOps.DropsWatcher) {
+    // SYNCHRONOUS-FIRST (VERDICT r12 nit #3): a caller whose action ran
+    // [[chunks]]' own QueryExecution (collect(), toLocalIterator) has
+    // the fired cap metrics right on it — read them with zero listener
+    // wait; on an organic corpus whose empty drop list made AQE erase
+    // the metric nodes, Some(empty) likewise returns immediately. Only
+    // a FOREIGN action (a count(), which executes its own plan) leaves
+    // unfired metrics behind and falls back to the listener.
     private lazy val capDrops: Map[String, Long] =
-      try watcher.drops() finally watcher.close()
+      try DedupOps.observedDropsOpt(chunks).getOrElse(watcher.drops())
+      finally watcher.close()
     /** Call after one action on [[chunks]] (count, write, …). */
     def counts(): Map[String, Long] =
       observations.flatMap(_.get.map { case (k, v) =>

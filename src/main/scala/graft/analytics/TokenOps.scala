@@ -26,10 +26,12 @@ import graft.core.Tables
   * Determinism (the property the whole gate stands on): vocabulary
   * selection breaks frequency ties by word (count desc, word asc);
   * greedy longest-match is a deterministic recurrence; no RNG, no
-  * timestamps. The greedy-match recurrence is not SQL-expressible, so
-  * these queries are spec-verified against a driver-side reference
-  * implementation instead of a DuckDB oracle (like n2b/n5 — see
-  * TokenOpsSpec).
+  * timestamps. Since r13 all four queries are in the full hash gate:
+  * the greedy recurrence has a DuckDB recursive-CTE form (precomputed
+  * per-position advances + a recursive walk — see [[wpCtes]]), so the
+  * oracle recomputes tokenization from scratch; TokenOpsSpec's
+  * driver-side reference implementation remains as the third
+  * independent check.
   *
   * (Reference analog: the reference counts words nowhere — this is
   * part of the beyond-reference training-data surface, SURVEY.md §2's
@@ -245,15 +247,130 @@ object TokenOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
-  /** No oracleSql: the greedy longest-match recurrence is not
-    * SQL-expressible in DuckDB — both queries are spec-verified
-    * against a driver-side reference implementation (TokenOpsSpec),
-    * the n2b contract. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_wordpiece" -> (t11Wordpiece _),
     "t11b_wordpiece_wide" -> (t11bWordpieceWide _),
     "t12_token_chunks" -> (t12TokenChunks _),
     "sp3b_token_pack" -> (sp3bTokenPack _))
 
-  def oracleSql: Map[String, String] = Map.empty
+  /** The greedy longest-match recurrence IS SQL-expressible (VERDICT
+    * r12 ask #2): DuckDB recursive CTEs walk it exactly. The key to a
+    * tractable oracle is splitting the walk from the match: `adv`
+    * precomputes, for EVERY (distinct word, position), how far greedy
+    * longest-match advances — a flat hash-join of substring candidates
+    * (one per distinct vocab LENGTH, so the join is equi, never theta)
+    * against the vocabulary — and the recursive `walk` then just hops
+    * `pos → pos + adv(word,pos)` counting pieces, one equi-join per
+    * step, no aggregate in the recursive term (which DuckDB, like
+    * PostgreSQL, refuses). In-vocab words fall out as 1 piece (the
+    * whole word is its own longest matching prefix); positions no
+    * entry matches advance 1 as an unknown token; `max(pieces)` after
+    * the recursion reads off each word's terminal state. Vocabulary
+    * selection (count desc, word asc, LIMIT K) is the same
+    * deterministic aggregate [[buildVocab]] computes. */
+  private def wpCtes(corpus: String, vocabSize: Int): String =
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM $corpus),
+      |vocab AS (SELECT w FROM (
+      |  SELECT w, count(*) AS n FROM toks WHERE len(w) > 0
+      |  GROUP BY w ORDER BY n DESC, w LIMIT $vocabSize)),
+      |vlens AS (SELECT DISTINCT len(w) AS l FROM vocab),
+      |dwords AS (SELECT DISTINCT w AS word FROM toks),
+      |posn AS (SELECT word, unnest(generate_series(0, len(word) - 1)) AS pos
+      |  FROM dwords WHERE len(word) > 0),
+      |adv AS (SELECT p.word, p.pos,
+      |    coalesce(max(CASE WHEN v.w IS NOT NULL THEN vl.l END), 1) AS adv
+      |  FROM posn p
+      |  CROSS JOIN vlens vl
+      |  LEFT JOIN vocab v
+      |    ON v.w = substring(p.word, p.pos + 1, vl.l) AND len(v.w) = vl.l
+      |  GROUP BY p.word, p.pos),
+      |walk AS (
+      |  SELECT word, 0 AS pos, 0 AS pieces FROM dwords
+      |  UNION ALL
+      |  SELECT wk.word, wk.pos + a.adv, wk.pieces + 1
+      |  FROM walk wk JOIN adv a ON a.word = wk.word AND a.pos = wk.pos
+      |  WHERE wk.pos < len(wk.word)),
+      |wp AS (SELECT word, max(pieces)::BIGINT AS wp FROM walk
+      |  GROUP BY word)""".stripMargin
+
+  /** The t11 SELECT shape over a corpus CTE (shared by t11/t11b). */
+  private def t11Select(corpus: String): String =
+    s"""per AS (SELECT t.doc_id, sum(wp.wp)::BIGINT AS wp_tokens
+      |  FROM toks t JOIN wp ON wp.word = t.w GROUP BY t.doc_id)
+      |SELECT d.doc_id, len(string_split(d.text, ' '))::BIGINT AS ws_tokens,
+      |  p.wp_tokens,
+      |  (p.wp_tokens * 10000) // len(string_split(d.text, ' '))
+      |    AS expansion_bp
+      |FROM $corpus d JOIN per p USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  val t11WordpieceSql: String =
+    s"""WITH RECURSIVE ${wpCtes("documents", VocabSize)},
+      |${t11Select("documents")}""".stripMargin
+
+  /** t11b regenerates [[wideCorpusOf]] in SQL (a pure function of
+    * doc_id) then runs the same statistics at [[ProductionVocabSize]]. */
+  val t11bWordpieceWideSql: String = {
+    val heads = (0 until WideHeadWords).map(h => s"head$h").mkString(" ")
+    s"""WITH RECURSIVE
+      |tails AS (SELECT d.doc_id,
+      |    string_agg('w' || (d.doc_id * $WideTailWords + k.i), ' '
+      |      ORDER BY k.i) AS tail
+      |  FROM documents d CROSS JOIN generate_series(0, ${WideTailWords - 1})
+      |    AS k(i)
+      |  GROUP BY d.doc_id),
+      |wide AS (SELECT doc_id, '$heads' || ' ' || tail AS text FROM tails),
+      |${wpCtes("wide", ProductionVocabSize)},
+      |${t11Select("wide")}""".stripMargin
+  }
+
+  val t12TokenChunksSql: String =
+    s"""WITH RECURSIVE ${wpCtes("documents", VocabSize)},
+      |p AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws))) AS i
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |pw AS (SELECT doc_id, i - 1 AS pos, ws[i] AS word FROM p),
+      |tk AS (SELECT doc_id, pos, wp.wp AS tok
+      |  FROM pw JOIN wp ON wp.word = pw.word),
+      |run AS (SELECT doc_id, pos, tok,
+      |  coalesce(sum(tok) OVER (PARTITION BY doc_id ORDER BY pos
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS tokens_before
+      |  FROM tk)
+      |SELECT doc_id, (tokens_before // $ChunkTokenBudget)::BIGINT AS chunk_id,
+      |  count(*)::BIGINT AS n_words, sum(tok)::BIGINT AS n_tokens
+      |FROM run GROUP BY doc_id, chunk_id ORDER BY doc_id, chunk_id""".stripMargin
+
+  val sp3bTokenPackSql: String =
+    s"""WITH RECURSIVE ${wpCtes("documents", VocabSize)},
+      |warr AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id,
+      |    unnest(generate_series(0, len(ws) - 1, ${TextOps.ChunkStride}))
+      |      AS start, ws
+      |  FROM warr),
+      |ch AS (SELECT doc_id, (start // ${TextOps.ChunkStride})::BIGINT
+      |      AS chunk_id,
+      |    ws[start + 1 : least(start + ${TextOps.ChunkWords}, len(ws))]
+      |      AS chunk
+      |  FROM c),
+      |cw AS (SELECT doc_id, chunk_id, unnest(chunk) AS word FROM ch),
+      |ct AS (SELECT c2.doc_id, c2.chunk_id, sum(wp.wp)::BIGINT AS n_tokens
+      |  FROM cw c2 JOIN wp ON wp.word = c2.word
+      |  GROUP BY c2.doc_id, c2.chunk_id),
+      |sh AS (SELECT doc_id % ${TextOps.PackShards} AS shard, doc_id,
+      |    chunk_id, n_tokens
+      |  FROM ct),
+      |cum AS (SELECT *, coalesce(sum(n_tokens) OVER (PARTITION BY shard
+      |    ORDER BY doc_id, chunk_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS tokens_before
+      |  FROM sh)
+      |SELECT shard, (tokens_before // $TokenPackBudget)::BIGINT AS pack_id,
+      |  count(*)::BIGINT AS n_chunks, sum(n_tokens)::BIGINT AS n_tokens
+      |FROM cum GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "t11_wordpiece" -> t11WordpieceSql,
+    "t11b_wordpiece_wide" -> t11bWordpieceWideSql,
+    "t12_token_chunks" -> t12TokenChunksSql,
+    "sp3b_token_pack" -> sp3bTokenPackSql)
 }

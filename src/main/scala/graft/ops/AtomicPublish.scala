@@ -3789,13 +3789,16 @@ object AtomicPublish {
       // set prunes by its [min,max] ENVELOPE — sound (a superset test),
       // loses interior gaps, which the bloom probes recover; big
       // non-integral sets keep conservatively.
-      case ce.InSet(a, hset) if hset.nonEmpty =>
+      case ce.InSet(a, hset) =>
         // OptimizeIn folds user IN lists VERBATIM, nulls included
         // (`k IN (NULL, v1..v65)`); a null element never admits a row,
         // so it is sound to envelope over the non-null remainder — and
-        // required, or minBy(longValue) NPEs at planning time.
+        // required, or minBy(longValue) NPEs at planning time. An
+        // EMPTY or all-null set admits NO row (`x IN ()` is never
+        // true, and null elements only ever yield null): every
+        // segment is provably dead (ADVICE r12 #1).
         val nn = hset.filter(_ != null)
-        if (nn.isEmpty) lit(true)
+        if (nn.isEmpty) lit(false)
         else if (nn.size <= 64)
           go(ce.In(a, nn.toSeq.map(v => ce.Literal(v, a.dataType))))
         else a.dataType match {

@@ -126,13 +126,15 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
                     buildEligible(right)) {
                   val static = smallByStats(right)
                   if (static || deferredOk)
-                    newLeft = tryInsert(newLeft, lk, right, rk, static)
+                    newLeft = tryInsert(newLeft, lk, right, rk, static,
+                      deferredOk)
                 }
                 if (HiddenPartitionPruning.canPruneRight(joinType) &&
                     buildEligible(left)) {
                   val static = smallByStats(left)
                   if (static || deferredOk)
-                    newRight = tryInsert(newRight, rk, left, lk, static)
+                    newRight = tryInsert(newRight, rk, left, lk, static,
+                      deferredOk)
                 }
               }
             }
@@ -179,7 +181,7 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
   private def tryInsert(side: LogicalPlan, key: org.apache.spark.sql
       .catalyst.expressions.Expression, build: LogicalPlan,
       buildKey: org.apache.spark.sql.catalyst.expressions.Expression,
-      static: Boolean): LogicalPlan = {
+      static: Boolean, deferredOk: Boolean): LogicalPlan = {
     val attr = key match {
       case a: AttributeReference => a
       case _ => return side
@@ -238,7 +240,7 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
               case r: LogicalRelation if r eq lr =>
                 Filter(InSet(src, keys), r)
             }
-          case None if envOk =>
+          case None if envOk && deferredOk =>
             // OVER THE CAP (or the keys job failed): the exact key set
             // is abandoned, but its [min,max] ENVELOPE is still a
             // range the zone maps prune with — the at-scale shape
@@ -248,7 +250,10 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
             // deferred probe is planted (not a raw range Filter: the
             // marker is what keeps the rule idempotent across
             // optimizer fixpoint passes and AQE re-planning), and its
-            // listFiles-time resolution runs the 1-row min/max job.
+            // listFiles-time resolution runs the 1-row min/max job —
+            // an EXECUTION-time build job, so it is gated on the
+            // deferred escape hatch even though the plant originates
+            // from the static path (ADVICE r12 #3).
             side.transformUp {
               case r: LogicalRelation if r eq lr =>
                 Filter(DeferredKeyProbe(src, build, buildAttr,
@@ -445,14 +450,22 @@ final case class DeferredKeyProbe(
     * and the exact distinct-keys job runs ONLY when the sketch says
     * the set fits the cap — a billion-key build never pays a doomed
     * full Distinct, it goes straight to the envelope the same pass
-    * already produced. HLL error (~5%) can only misroute NEAR the
-    * cap, and both routes are sound: an over-cap keys job still falls
-    * back to the envelope in hand, an envelope on an under-cap build
-    * just prunes less. An EMPTY build resolves to an empty InSet —
-    * every file skipped, the join was empty anyway (prune-side join
-    * types guarantee those probe rows were discarded). `skipKeys`
-    * marks a probe planted by the STATIC path after its planning-time
-    * keys job already overflowed — resolution skips straight to the
+    * already produced. The trade is explicit (ADVICE r12 #4): an
+    * UNDER-cap build now executes twice at resolution (sketch pass +
+    * exact keys job) where r11 paid one keys job — the deferred path
+    * only exists because planning-time stats could NOT bound the
+    * build, so there is no sound signal to skip the sketch on; the
+    * doubled cost is two executions of a small plan, against the
+    * doomed-full-Distinct failure mode on a large one. HLL error
+    * (~5%) can only misroute NEAR the cap, and both routes are sound:
+    * an over-cap keys job still falls back to the envelope in hand,
+    * an envelope on an under-cap build just prunes less. An EMPTY
+    * build resolves to an empty InSet — and since r13 the listFiles
+    * short-circuit makes that genuinely list ZERO files (ADVICE r12
+    * #1): the join was empty anyway (prune-side join types guarantee
+    * those probe rows were discarded). `skipKeys` marks a probe
+    * planted by the STATIC path after its planning-time keys job
+    * already overflowed — resolution skips straight to the
     * envelope. */
   @transient lazy val resolvedPredicate: Option[
       org.apache.spark.sql.catalyst.expressions.Expression] = {

@@ -269,6 +269,21 @@ final class GraftFileIndex(
       case d: DeferredKeyProbe => d.resolvedPredicate
       case e => Some(e)
     }
+    // an EMPTY (or all-null) InSet conjunct — the resolution of a
+    // deferred probe whose build side was empty — admits no row at
+    // all (`x IN ()` is never true), so the scan lists NOTHING. This
+    // must short-circuit HERE: the zone-map/bloom layers are
+    // conservative keep-everything evaluators over recorded stats,
+    // and a store without stats would otherwise read every file for
+    // a join that is provably empty (ADVICE r12 #1).
+    def admitsNothing(e: Expression): Boolean = e match {
+      case org.apache.spark.sql.catalyst.expressions.InSet(_, s) =>
+        s.forall(_ == null)
+      case Literal(v, _) => v == null || v == false
+      case And(l, r) => admitsNothing(l) || admitsNothing(r)
+      case _ => false
+    }
+    if (resolved.exists(admitsNothing)) return Nil
     val pred = resolved.reduceOption(And)
     val candidates = selection.map(_._1)
     val keep = pred match {

@@ -15,14 +15,17 @@ import graft.SparkSuite
 class ShuffleBudgetSpec extends SparkSuite {
   private val dir = "/root/testdata/sf0.001"
 
-  private def shuffles(df: DataFrame): Int = {
+  private def finalPlan(df: DataFrame) = {
     df.collect() // finalize AQE
-    val p = df.queryExecution.executedPlan match {
+    df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case o => o
     }
-    "Exchange (hash|range|SinglePartition)".r.findAllIn(p.toString).length
   }
+
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range|SinglePartition)".r
+      .findAllIn(finalPlan(df).toString).length
 
   private def assertBudget(name: String, df: DataFrame, budget: Int): Unit = {
     val n = shuffles(df)
@@ -102,24 +105,37 @@ class ShuffleBudgetSpec extends SparkSuite {
     assertBudget("sp5_mixture_sample", TextOps.sp5MixtureSample(spark, dir), 4)
   }
 
-  test("sp9 DSIR: bucket agg + per-doc agg (paid twice — the selection " +
-      "bar recomputes the weight lineage) + 1-row gather + sort") {
-    // corpus-scale wire cost is the 256-row bucket aggregate (map-side
-    // combine collapses every task) and the per-doc weight aggregate;
-    // the score table and the selection bar ride broadcasts. The bar's
-    // 1-row gather re-executes the weight lineage (the sp7/sp8
-    // crossJoin(broadcast(agg)) pattern) — a budget regression here
-    // would mean a third corpus pass snuck in
-    assertBudget("sp9_dsir_select", TextOps.sp9DsirSelect(spark, dir), 5)
+  test("sp9 DSIR: single tokenize pass — the measured plan reads the " +
+      "materialized compact frame (r12 paid the explode twice)") {
+    // the corpus pass (explode + compact (doc_id,lang,bucket) agg, one
+    // exchange bounded by docs·min(words,256) rows) runs ONCE in the
+    // checkpoint job; the measured plan's 4 exchanges all move
+    // compact-or-smaller data: score's 256-row bucket aggregate, the
+    // per-doc weight aggregate, the bar's 1-row gather over the 256-row
+    // score table (the Σ raw_c·s identity — NO weight-lineage
+    // re-execution), and the harness sort. A 5th exchange here would
+    // mean a corpus pass snuck back into the measured plan
+    val df = TextOps.sp9DsirSelect(spark, dir)
+    assertBudget("sp9_dsir_select", df, 4)
+    // and the measured plan must not re-scan the corpus at all: the
+    // tokenize pass lives in the materialization, not here
+    assert(!finalPlan(df).toString.contains("FileScan"),
+      "sp9 measured plan re-scans the corpus — single-pass regressed")
   }
 
-  test("n11 dup spans: shingle window + hash-domain doc-frequency agg " +
-      "+ anchor re-shuffle + sort — islands reuse the doc_id exchange") {
-    // the gaps-and-islands stack (brk window, island running sum, span
-    // groupBy) all runs on ONE doc_id partitioning: lag and sum share
-    // the window exchange and HashPartitioning(doc_id) satisfies the
-    // (doc_id, island) clustering, so none of the three adds wire cost
-    assertBudget("n11_dup_spans", DedupOps.n11DupSpans(spark, dir), 4)
+  test("n11 dup spans: fully linear — posting shuffle on h, anchors " +
+      "re-shuffle on doc_id, harness sort; nothing consumed twice") {
+    // duplicated-anchor detection is a min≠max window over the
+    // h-partitioning (one posting-stream exchange), replacing r12's
+    // doc-frequency aggregate + self-join that tokenized twice; the
+    // gaps-and-islands stack (lag, island running sum, span groupBy)
+    // all runs on the single doc_id partitioning of the surviving
+    // anchors — HashPartitioning(doc_id) satisfies the (doc_id,
+    // island) clustering, so none of the three adds wire cost
+    val df = DedupOps.n11DupSpans(spark, dir)
+    assertBudget("n11_dup_spans", df, 3)
+    assert("Scan parquet".r.findAllIn(finalPlan(df).toString).length == 1,
+      "n11 must scan the corpus exactly once")
   }
 
   test("t7 BM25: corpus stats gather + top-k heap — never a global sort") {

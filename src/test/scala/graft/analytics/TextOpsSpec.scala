@@ -318,6 +318,42 @@ class TextOpsSpec extends SparkSuite {
     assert(rows(4L) == ((3L, 8571 + 2L * 2857, false)))
   }
 
+  test("sp9 boundary: DECIMAL(38,0) lanes are exact past int64, where " +
+      "the r12 BIGINT cross-multiply cannot even evaluate") {
+    import spark.implicits._
+    // (weight, corpus_words, total_weight, n_words) staged so the
+    // products straddle int64: at a 100 TB corpus (~2e13 words,
+    // total_weight ~ 2e17) a 1e4-word document's bar product is ~2e21 —
+    // rows 1-2 model exactly that regime. Rows 3-4 pin the tight
+    // sub-epsilon comparisons just UNDER int64 where both forms agree.
+    val edge = Seq(
+      (4000000000L, 4000000000L, 1000000L, 1000L), // lhs 1.6e19 > int64
+      (1000000L, 1000L, 4000000000L, 4000000000L), // rhs 1.6e19 > int64
+      (3000000000L, 3000000000L, 3000000001L, 3000000000L), // false by 3e9
+      (3000000001L, 3000000000L, 3000000000L, 3000000000L), // true by 3e9
+      (2L, 3L, 1L, 5L),
+    ).toDF("weight", "corpus_words", "total_weight", "n_words")
+    val got = edge.select(col("*"),
+      TextOps.dsirSelected(col("weight"), col("corpus_words"),
+        col("total_weight"), col("n_words")).as("sel")).collect()
+    got.foreach { r =>
+      val ref = BigInt(r.getLong(0)) * BigInt(r.getLong(1)) >=
+        BigInt(r.getLong(2)) * BigInt(r.getLong(3))
+      assert(r.getBoolean(4) == ref,
+        s"decimal boundary disagrees with BigInt reference on $r")
+    }
+    // the r12 int64 form is not merely imprecise at this scale — under
+    // ANSI (this session's default) it kills the job outright
+    val ex = intercept[Exception] {
+      edge.select((col("weight") * col("corpus_words") >=
+        col("total_weight") * col("n_words")).as("sel")).collect()
+    }
+    def mentionsOverflow(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("ARITHMETIC_OVERFLOW")) ||
+        mentionsOverflow(t.getCause))
+    assert(mentionsOverflow(ex), s"expected int64 overflow, got $ex")
+  }
+
   test("t13 classifier: hand-pinned logits (independent md5 recompute) " +
       "and the label boundary") {
     import spark.implicits._

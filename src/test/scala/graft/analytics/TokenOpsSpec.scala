@@ -138,10 +138,13 @@ class TokenOpsSpec extends SparkSuite {
     assert(chunks.map(_.getAs[Long]("n_words")).distinct.length > 1)
   }
 
-  test("registry: all three queries exposed, none claims an oracle") {
-    for (q <- Seq("t11_wordpiece", "t12_token_chunks", "sp3b_token_pack")) {
+  test("registry: every tokenizer query exposed WITH a recursive-CTE " +
+      "oracle — the family is fully inside the hash gate (r13)") {
+    for (q <- Seq("t11_wordpiece", "t11b_wordpiece_wide",
+        "t12_token_chunks", "sp3b_token_pack")) {
       assert(graft.SparkEntry.queries.contains(q), q)
-      assert(!graft.SparkEntry.oracleSql.contains(q), q)
+      assert(graft.SparkEntry.oracleSql.get(q)
+        .exists(_.contains("WITH RECURSIVE")), q)
     }
   }
 }

@@ -271,7 +271,12 @@ class StoreRuntimeFilterSpec extends SparkSuite {
     try {
       val q = AtomicPublish.readTable(spark, root, "orders")
         .join(dimKeys(9999L), col("o_custkey") === col("c_custkey"))
-      assert(q.count() == 0)
+      // execute the MEASURED plan itself before reading its scan
+      // metrics — r12's count() ran a separate QueryExecution and the
+      // assertion read a never-executed plan's zeroed metric, passing
+      // even while the empty-InSet pruning path did not exist
+      // (ADVICE r12 #2)
+      assert(q.collect().isEmpty)
       val (read, total) = factFilesRead(q)
       assert(total >= 8 && read == 0,
         s"empty build still read $read of $total files")

@@ -403,6 +403,149 @@ class StoreStatsSpec extends SparkSuite {
     assert(join2(r).count() == join2(rCtl).count())
   }
 
+  test("physical compaction RECOMPUTES column stats: after a 90% " +
+      "delete the post-compaction estimate tracks the survivors " +
+      "(VERDICT r12 #4)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compstats")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val r = tmp.resolve("store").toString
+    // 10,000 rows, v uniform over [0,10000) — the delete kills v>=1000,
+    // so survivor stats differ from publish-time stats in EVERY input
+    // the estimator consumes: rows (10x), ndv (10x), max (10x), and
+    // the histogram's upper bins (emptied)
+    val t = spark.range(0, 10000L)
+      .select(col("id").as("k"), col("id").as("v"))
+      .repartition(4)
+    AtomicPublish.publish(spark, r, Map("t" -> t),
+      statsBy = Map("t" -> Seq("k", "v")))
+    AtomicPublish.deleteRows(spark, r, Map("t" ->
+      spark.range(1000L, 10000L).select(col("id").as("k"))))
+    def tMeta() = AtomicPublish.manifestMetaOf(spark, r,
+      AtomicPublish.currentTxn(spark, r).get)("t")
+    def statsOf(m: graft.ops.AtomicPublish.TableMeta) = {
+      val per = m.owners.flatMap(m.segStats.get)
+      val v = per.map(_.cols("v"))
+      (per.map(_.rows).sum, v.flatMap(_.ndv).sum,
+        v.flatMap(_.max).map(_.toDouble).max,
+        AtomicPublish.mergeHists(v.flatMap(_.hist)))
+    }
+    // PRE-compaction contrast: merge-on-read tombstones are stats-blind
+    // by design (rows documented as over-estimates) — the planner still
+    // sees the pre-delete world
+    val (preRows, preNdv, preMax, preHist) = statsOf(tMeta())
+    assert(preRows == 10000L && preMax == 9999.0,
+      s"pre-compaction stats should be tombstone-blind: $preRows/$preMax")
+    assert(preHist.exists(_.bins.last.hi > 8000.0))
+    // the physical apply rewrites the survivors — stats must follow
+    Compaction.compactStore(spark, r, "t")
+    val (postRows, postNdv, postMax, postHist) = statsOf(tMeta())
+    assert(postRows == 1000L, s"post-compaction rows: $postRows")
+    assert(postMax <= 999.0, s"post-compaction max(v): $postMax")
+    assert(postNdv <= 1100L && postNdv >= 900L,
+      s"post-compaction ndv(v): $postNdv (true 1000)")
+    val hist = postHist.getOrElse(fail("post-compaction histogram missing"))
+    assert(hist.bins.forall(_.hi <= 999.0 + 1e-6),
+      s"histogram still spans the deleted range: ${hist.bins.last}")
+    // and the planner-facing consequence: a range filter over the
+    // DELETED band estimates ~nothing after compaction, while the
+    // pre-delete histogram had estimated ~40% of the table for it
+    assert(AtomicPublish.readTable(spark, r, "t")
+      .filter(col("v") >= 5000L && col("v") <= 9000L).count() == 0)
+  }
+
+  test("CBO join REORDER end-to-end through the store: a 3-table star " +
+      "in deliberately bad written order reorders under full stats, " +
+      "keeps written order stripped, answers identical (VERDICT r12 #5)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join => LJoin,
+      LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val tmp = java.nio.file.Files.createTempDirectory("graft-reorder")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val cust = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val ords = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val line = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_extendedprice"))
+    val keys = Map("customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey"))
+    val rStats = tmp.resolve("stats").toString
+    AtomicPublish.publish(spark, rStats,
+      Map("customer" -> cust, "orders" -> ords, "lineitem" -> line),
+      statsBy = keys)
+    // control: the SAME data, no stat columns — no rowCount reaches the
+    // planner, so CostBasedJoinReorder must leave the written order
+    val rCtl = tmp.resolve("ctl").toString
+    AtomicPublish.publish(spark, rCtl,
+      Map("customer" -> cust, "orders" -> ords, "lineitem" -> line))
+    // the q5-volume shape, WRITTEN worst-first: lineitem (the fact)
+    // joins orders before the selective customer dimension ever cuts
+    // anything — the heuristic optimizer keeps that associativity; only
+    // cost-based reordering with rowCounts can see that (orders ⋈
+    // filtered customer) is the small intermediate
+    def q(prefix: String): DataFrame = spark.sql(
+      s"""SELECT sum(l.l_extendedprice) AS rev
+         |FROM ${prefix}lineitem l
+         |JOIN ${prefix}orders o ON l.l_orderkey = o.o_orderkey
+         |JOIN ${prefix}customer c ON o.o_custkey = c.c_custkey
+         |WHERE c.c_mktsegment = 'BUILDING'""".stripMargin)
+    def tablesUnder(p: LogicalPlan): Set[String] = p.collect {
+      case LogicalRelation(fs: HadoopFsRelation, _, _, _, _) =>
+        fs.location match {
+          case g: GraftFileIndex =>
+            g.inputFiles.headOption.map { f =>
+              Seq("customer", "orders", "lineitem")
+                .find(t => f.contains(s"/$t/")).getOrElse("?")
+            }.getOrElse("?")
+          case _ => "?"
+        }
+    }.toSet
+    def innermostJoin(p: LogicalPlan): Set[String] = {
+      val joins = p.collect { case j: LJoin => j }
+      val inner = joins.filter(j =>
+        !j.left.exists(_.isInstanceOf[LJoin]) &&
+          !j.right.exists(_.isInstanceOf[LJoin]))
+      assert(inner.size == 1, s"expected one innermost join:\n$p")
+      tablesUnder(inner.head)
+    }
+    def withCbo(body: => Unit): Unit = {
+      val confs = Seq("spark.sql.cbo.enabled" -> "true",
+        "spark.sql.cbo.joinReorder.enabled" -> "true",
+        "spark.sql.statistics.histogram.enabled" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body finally confs.foreach { case (k, _) =>
+        spark.conf.unset(k) }
+    }
+    AtomicPublish.registerViews(spark, rStats, "rs_")
+    AtomicPublish.registerViews(spark, rCtl, "rc_")
+    withCbo {
+      val reordered = innermostJoin(q("rs_").queryExecution.optimizedPlan)
+      assert(reordered == Set("orders", "customer"),
+        s"full stats did not reorder the star: innermost = $reordered")
+      val ctl = innermostJoin(q("rc_").queryExecution.optimizedPlan)
+      assert(ctl == Set("lineitem", "orders"),
+        s"stripped control reordered anyway: innermost = $ctl")
+      // the reorder changed the plan, never the answer (double sums
+      // accumulate in plan order — compare at cent precision)
+      val (a, b) = (q("rs_").collect()(0).getDouble(0),
+        q("rc_").collect()(0).getDouble(0))
+      assert(math.abs(a - b) < 0.01, s"$a vs $b")
+    }
+  }
+
   test("pre-NDV manifests (3-entry stat arrays) still parse and read") {
     // surgically rewrite every manifest stat array [min,max,nulls,ndv]
     // back to the r10 form [min,max,nulls] — the parser must keep
