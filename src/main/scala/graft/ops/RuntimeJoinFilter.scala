@@ -84,6 +84,15 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
     override def initialValue(): Boolean = false
   }
 
+  /** Instrumentation: total build-subtree EXECUTIONS (each
+    * [[probeBuild]] or [[collectKeys]] call runs the build once).
+    * Specs read the delta across one query to pin that AQE stage
+    * re-planning never re-resolves an already-resolved probe — a
+    * duplicate resolution would show up here before it showed up in
+    * wall-clock. */
+  private[ops] val buildExecutions =
+    new java.util.concurrent.atomic.AtomicLong
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (planning.get()) return plan
     if (!conf.getConfString(EnabledKey, "true").toBoolean) return plan
@@ -324,6 +333,7 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
       Filter => LFilter}
     val spark = SparkSession.active
     planning.set(true)
+    buildExecutions.incrementAndGet()
     try {
       val aggPlan = Aggregate(Nil,
         Seq(Alias(Count(Seq(Literal(1))).toAggregateExpression(), "__n")(),
@@ -373,6 +383,7 @@ object RuntimeJoinFilter extends Rule[LogicalPlan] with PredicateHelper {
       Project, Filter => LFilter}
     val spark = SparkSession.active
     planning.set(true)
+    buildExecutions.incrementAndGet()
     try {
       // assembled from the join's RESOLVED attributes (never by name —
       // a self-join's duplicate names would misresolve), executed as

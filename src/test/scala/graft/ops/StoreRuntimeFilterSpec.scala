@@ -154,6 +154,69 @@ class StoreRuntimeFilterSpec extends SparkSuite {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("DEFERRED probe under genuine AQE stage re-optimization: the " +
+      "runtime SMJ->BHJ flip re-plans the probe's stage, resolution " +
+      "fires once, file subset unchanged (VERDICT r12 #6)") {
+    // static threshold -1: planning refuses broadcast AND smallByStats,
+    // so the deferred probe plants and an SMJ is planned; the ADAPTIVE
+    // threshold stays generous, so when the filtered dim stage's true
+    // runtime size lands, AQE re-optimizes the join to broadcast —
+    // re-planning the very stage whose scan carries the probe
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+      (1024 * 1024).toString)
+    try {
+      val q = joined()
+      val opt = q.queryExecution.optimizedPlan
+      assert(insetFilters(opt).isEmpty && opt.collect {
+        case Filter(d: DeferredKeyProbe, _) => d }.nonEmpty,
+        s"deferred probe not planted:\n$opt")
+      val before = RuntimeJoinFilter.buildExecutions.get()
+      val rows = q.collect()
+      val jobs = RuntimeJoinFilter.buildExecutions.get() - before
+      // the flip genuinely happened: the executed plan joins broadcast
+      val exec = q.queryExecution.executedPlan
+      def hasBhj(p: SparkPlan): Boolean = p match {
+        case a: AdaptiveSparkPlanExec => hasBhj(a.executedPlan)
+        case q: QueryStageExec => hasBhj(q.plan)
+        case _: org.apache.spark.sql.execution.joins
+          .BroadcastHashJoinExec => true
+        case o => o.children.exists(hasBhj) ||
+          o.subqueries.exists(hasBhj)
+      }
+      assert(hasBhj(exec), s"AQE did not flip to broadcast:\n$exec")
+      // EXACTLY one resolution across the re-plan: the sketch pass +
+      // the exact keys job (the documented under-cap pair) — a
+      // re-resolved probe would double this
+      assert(jobs == 2L,
+        s"expected one resolution (2 build executions), saw $jobs")
+      // and the file subset equals the plain (non-flipping) deferred
+      // run's — re-planning changed the join strategy, never the skip
+      val (read, total) = factFilesRead(q)
+      val (readPlain, totalPlain) = {
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        try { val p = joined(); p.collect(); factFilesRead(p) }
+        finally spark.conf.set(
+          "spark.sql.adaptive.autoBroadcastJoinThreshold",
+          (1024 * 1024).toString)
+      }
+      assert(total == totalPlain && read == readPlain,
+        s"file subset drifted under the flip: $read/$total vs " +
+          s"$readPlain/$totalPlain")
+      assert(read <= total / 2, s"keys skipped nothing: $read of $total")
+      // result parity vs the rule-off control
+      val ctl = {
+        spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")
+        try joined().collect()
+        finally spark.conf.unset(RuntimeJoinFilter.EnabledKey)
+      }
+      assert(rows.toSet == ctl.toSet && rows.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("the rewrite is result-invisible (same rows with the rule disabled)") {
     val expected = {
       spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")
