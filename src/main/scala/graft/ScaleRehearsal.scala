@@ -108,7 +108,12 @@ object ScaleRehearsal {
     // pairs cross replicas, so their VALUES legitimately differ from
     // 10× the base (corpus-trained LM counts / merged components) —
     // the vs-linear cost curve is the rehearsed property
-    "n8_semantic_clusters", "t8_bigram_lm")
+    "n8_semantic_clusters", "t8_bigram_lm",
+    // r13 single-pass restructures ride the same curve: sp9's bucket
+    // scores retrain on the scaled corpus (cipher moves word hashes)
+    // and n11's short-word 3-grams can anchor across replicas, so both
+    // are count-pinned in the verification block, not value-pinned
+    "sp9_dsir_select", "n11_dup_spans")
 
   /** STORE REHEARSAL at one scale: a `segments`-commit ingest history
     * (auto-compaction off — the point is the un-consolidated worst
@@ -1146,6 +1151,24 @@ object ScaleRehearsal {
       System.err.println(s"[rehearsal] $q rows: base=$b scaled=$s " +
         "(timing-only, values legitimately off 10x)")
     }
+    // sp9 scores every doc exactly once — rows MUST scale exactly 10×
+    // (weights retrain on the scaled corpus, so values may not); n11
+    // spans can only GROW at 10× (short ≤3-char words survive the
+    // replica cipher, so a 3-gram of short words can anchor ACROSS
+    // replicas — new anchors add spans, never remove them)
+    val sp9Base = SparkEntry.queries("sp9_dsir_select")(spark, src).count()
+    val sp9Scaled = SparkEntry.queries("sp9_dsir_select")(spark, out).count()
+    System.err.println(s"[rehearsal] sp9 rows: base=$sp9Base " +
+      s"scaled=$sp9Scaled exact10x=${sp9Scaled == 10 * sp9Base}")
+    require(sp9Scaled == 10 * sp9Base,
+      "sp9 scored-doc count did not scale exactly 10x")
+    val n11Base = SparkEntry.queries("n11_dup_spans")(spark, src).count()
+    val n11Scaled = SparkEntry.queries("n11_dup_spans")(spark, out).count()
+    System.err.println(s"[rehearsal] n11 spans: base=$n11Base " +
+      s"scaled=$n11Scaled (>= 10x required; cross-replica short-word " +
+      "anchors may add spans)")
+    require(n11Scaled >= 10 * n11Base,
+      "n11 span count fell below 10x the base corpus")
 
     // --- timing: interleaved min-of-reps at both scales, same JVM -------
     // (the verification pass above doubles as warm-up: every model

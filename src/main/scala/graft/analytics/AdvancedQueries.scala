@@ -1058,6 +1058,77 @@ object AdvancedQueries {
       |WHERE NOT (doc_id BETWEEN 40 AND 160 OR doc_id >= 430)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val store23Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE23: ANALYZE inside the correctness gate — a mass
+    * merge-on-read DELETE leaves the table's recorded statistics
+    * tombstone-blind (the documented over-estimate posture), then
+    * `CALL system.analyze` restates them over the LIVE rows in one
+    * metadata-only commit ([[graft.ops.AtomicPublish.analyzeTable]]):
+    * no compaction, no data rewrite, tombstones still in place. The
+    * readback aggregates the live table; the DuckDB hash match proves
+    * restatement is PURE metadata — the answer is byte-identical to
+    * applying the delete predicate to the pristine source — while the
+    * planner now estimates from survivor statistics (StoreStatsSpec
+    * pins the estimates and the zero-file dead-band scan; the gate
+    * pins the answer). The dead-band probe column (`n_dead`) rides the
+    * readback so a restatement that dropped live rows — or resurrected
+    * dead ones — flips the hash, not just a spec. */
+  def store23Analyze(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store23Cache, spark, dir, "documents") {
+      stageStore23(spark, dir)
+    }
+    val cat = catalogFor(spark, "store23", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n_docs, sum(doc_id) AS sum_id,
+         |  max(doc_id) AS max_id,
+         |  sum(CASE WHEN doc_id >= 300 THEN 1 ELSE 0 END) AS n_dead
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore23(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store23")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val cat = catalogFor(spark, "store23", root)
+    val src = s"store23_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""CREATE TABLE $cat.documents
+         |  (doc_id BIGINT, lang STRING, text STRING)
+         |TBLPROPERTIES ('statsBy'='doc_id')
+         |""".stripMargin)
+    for (k <- 0 until 2)
+      spark.sql(s"INSERT INTO $cat.documents " +
+        s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 2 = $k")
+    spark.sql(s"DELETE FROM $cat.documents WHERE doc_id >= 300")
+    val restated = spark.sql(
+      s"CALL $cat.system.analyze(table => 'documents')").collect()(0)
+    // the staging itself asserts the restatement bit: the gap between
+    // the recorded row counts IS the merge-on-read debt
+    require(restated.getLong(1) > restated.getLong(2),
+      s"analyze restated nothing: $restated")
+    root
+  }
+
+  val store23AnalyzeSql: String =
+    """SELECT lang, count(*)::BIGINT AS n_docs,
+      |  sum(doc_id)::BIGINT AS sum_id,
+      |  max(doc_id)::BIGINT AS max_id,
+      |  sum(CASE WHEN doc_id >= 300 THEN 1 ELSE 0 END)::BIGINT AS n_dead
+      |FROM documents
+      |WHERE doc_id < 300
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   private val store9Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -2932,6 +3003,7 @@ object AdvancedQueries {
     "store20_identity_evolution" -> (store20IdentityEvolution _),
     "store21_runtime_filter" -> (store21RuntimeFilter _),
     "store22_sql_matview" -> (store22SqlMatview _),
+    "store23_analyze" -> (store23Analyze _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -3007,6 +3079,7 @@ object AdvancedQueries {
     "store20_identity_evolution" -> store20IdentityEvolutionSql,
     "store21_runtime_filter" -> store21RuntimeFilterSql,
     "store22_sql_matview" -> store22SqlMatviewSql,
+    "store23_analyze" -> store23AnalyzeSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

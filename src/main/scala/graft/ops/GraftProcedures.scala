@@ -33,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
 private[ops] object GraftProcedures {
 
   val names: Seq[String] =
-    Seq("add_check", "clone", "compact", "consumers", "detail",
+    Seq("add_check", "analyze", "clone", "compact", "consumers", "detail",
       "drop_check", "drop_matview", "history", "matview", "restore",
       "set_partition_spec", "vacuum")
 
@@ -51,6 +51,7 @@ private[ops] object GraftProcedures {
       case "matview" => Some(new MatViewProc(root))
       case "drop_matview" => Some(new DropMatViewProc(root))
       case "set_partition_spec" => Some(new SetPartitionSpecProc(root))
+      case "analyze" => Some(new AnalyzeProc(root))
       case _ => None
     }
 
@@ -252,6 +253,48 @@ private[ops] object GraftProcedures {
       result(out, Array(new GenericInternalRow(Array[Any](
         utf8(txn), utf8(oldSpec.mkString(",")),
         utf8(spec.mkString(",")), evolved))))
+    }
+  }
+
+  /** `CALL system.analyze('t')` — restate a table's column statistics
+    * over its live (tombstone-applied) rows without rewriting data:
+    * the planner-maintenance face of [[AtomicPublish.analyzeTable]].
+    * Returns the committed version and the recorded row count before
+    * and after (their gap IS the merge-on-read debt the planner had
+    * been over-estimating by). */
+  private final class AnalyzeProc(root: String)
+    extends GraftProc("analyze") {
+
+    override def description(): String =
+      "restate column statistics over live rows (one table scan, " +
+        "metadata-only commit, no data rewrite)"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("rows_before", LongType, nullable = false)
+      .add("rows_after", LongType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      def rowsOf(at: String): Long = {
+        val m = AtomicPublish.manifestMetaOf(spark, root, at)
+          .getOrElse(table, throw new IllegalArgumentException(
+            s"table '$table' is not in version $at under $root"))
+        m.owners.flatMap(m.segStats.get).map(_.rows).sum
+      }
+      val before = rowsOf(parent)
+      val txn = AtomicPublish.analyzeTable(spark, root, table,
+        Some(parent)).getOrElse(throw new IllegalStateException(
+          s"analyze('$table') lost its commit race — a concurrent " +
+            "writer moved the store; retry the CALL"))
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(txn), before, rowsOf(txn)))))
     }
   }
 

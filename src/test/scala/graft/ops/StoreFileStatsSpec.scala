@@ -182,10 +182,12 @@ class StoreFileStatsSpec extends SparkSuite {
     val q = AtomicPublish.readTable(spark, root, "docs")
       .where(s"doc_id IN (NULL, ${(0L to 65L).mkString(", ")})")
     assert(q.count() == 66)
-    // and an all-null remainder keeps conservatively rather than crashing
+    // an all-null remainder ADMITS NO ROW (`x IN (NULL)` is never
+    // true) — since r13 the zone maps prove every segment dead instead
+    // of keeping conservatively (ADVICE r12 #1's empty-InSet posture)
     val keptAll = AtomicPublish.pruneOwnersExpr(spark, meta, meta.owners,
       InSet(AttributeReference("doc_id", LongType)(), Set[Any](null)))
-    assert(keptAll == meta.owners)
+    assert(keptAll.isEmpty, s"all-null IN kept $keptAll")
   }
 
   test("appends without clustering stay correct: whole-dir fallback") {

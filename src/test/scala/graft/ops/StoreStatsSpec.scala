@@ -458,6 +458,71 @@ class StoreStatsSpec extends SparkSuite {
       .filter(col("v") >= 5000L && col("v") <= 9000L).count() == 0)
   }
 
+  test("ANALYZE restates stats over LIVE rows with no rewrite: after a " +
+      "90% delete the planner inputs track survivors, files and " +
+      "tombstones stay in place, reads unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-analyze")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val r = tmp.resolve("store").toString
+    val t = spark.range(0, 10000L)
+      .select(col("id").as("k"), col("id").as("v"))
+      .repartitionByRange(4, col("k"))
+    val v0 = AtomicPublish.publish(spark, r, Map("t" -> t),
+      statsBy = Map("t" -> Seq("k", "v")))
+    AtomicPublish.deleteRows(spark, r, Map("t" ->
+      spark.range(1000L, 10000L).select(col("id").as("k"))))
+    def tMeta() = AtomicPublish.manifestMetaOf(spark, r,
+      AtomicPublish.currentTxn(spark, r).get)("t")
+    def summary(m: graft.ops.AtomicPublish.TableMeta) = {
+      val per = m.owners.flatMap(m.segStats.get)
+      val v = per.map(_.cols("v"))
+      (per.map(_.rows).sum, v.flatMap(_.max).map(_.toDouble).max,
+        AtomicPublish.mergeHists(v.flatMap(_.hist)))
+    }
+    assert(summary(tMeta())._1 == 10000L) // tombstone-blind before
+    val preOwners = tMeta().owners
+    val vA = AtomicPublish.analyzeTable(spark, r, "t")
+      .getOrElse(fail("analyze lost an uncontended CAS"))
+    val m2 = tMeta()
+    val (rows, vmax, hist) = summary(m2)
+    assert(rows == 1000L, s"restated rows: $rows")
+    assert(vmax <= 999.0, s"restated max(v): $vmax")
+    assert(hist.exists(_.bins.forall(_.hi <= 999.0 + 1e-6)),
+      s"restated histogram still spans the deleted range: $hist")
+    // METADATA-ONLY: same owners (no rewrite), tombstones still live
+    assert(m2.owners == preOwners, "analyze rewrote data owners")
+    assert(AtomicPublish.manifestMetaOf(spark, r, vA)
+      .get(AtomicPublish.deleteTableOf("t")).exists(_.owners.nonEmpty),
+      "analyze consumed the tombstones — that is compaction's job")
+    // reads unchanged: survivors only, deleted band empty; and the
+    // restated zone map now lets the deleted-band predicate read
+    // ZERO files (the r12 posture read everything until compaction)
+    assert(AtomicPublish.readTable(spark, r, "t").count() == 1000L)
+    val dead = AtomicPublish.readTable(spark, r, "t")
+      .filter(col("v") >= 5000L)
+    assert(dead.collect().isEmpty)
+    // fact-table scans only (the read also scans the tombstone
+    // companion for its anti-join — that one legitimately reads)
+    val deadScan = plans(dead.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.requiredSchema.fieldNames.contains("v") => s }
+    assert(deadScan.nonEmpty &&
+      deadScan.map(_.metrics("numFiles").value).sum == 0L,
+      "restated zone maps did not skip the dead band's files")
+    // time travel BEFORE the analyze still sees pre-delete stats
+    // (versions are immutable — restatement is a new commit)
+    val mOld = AtomicPublish.manifestMetaOf(spark, r, v0)("t")
+    assert(summary(mOld)._1 == 10000L)
+    // idempotent: a second analyze restates to the same numbers
+    AtomicPublish.analyzeTable(spark, r, "t")
+    assert(summary(tMeta())._1 == 1000L)
+  }
+
   test("CBO join REORDER end-to-end through the store: a 3-table star " +
       "in deliberately bad written order reorders under full stats, " +
       "keeps written order stripped, answers identical (VERDICT r12 #5)") {
