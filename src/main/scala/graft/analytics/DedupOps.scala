@@ -672,12 +672,17 @@ object DedupOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    val warr = split(col("text"), " ")
-    val hashArr = when(size(warr) >= 3,
-      transform(sequence(lit(0), size(warr) - 3), i =>
-        xxhash64(concat_ws(" ", element_at(warr, i + 1),
-          element_at(warr, i + 2), element_at(warr, i + 3)))))
+    // the words array MUST be an attribute before the lambda touches
+    // it: higher-order functions evaluate interpreted, and a lambda
+    // body referencing the raw split() EXPRESSION re-evaluates the
+    // split per element access — three per shingle, O(words²) chars
+    // split per document (a 2.4× sf0.1 regression the bench caught)
+    val hashArr = when(size(col("ws")) >= 3,
+      transform(sequence(lit(0), size(col("ws")) - 3), i =>
+        xxhash64(concat_ws(" ", element_at(col("ws"), i + 1),
+          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))))
     val anchors = docs
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .select(col("doc_id"), posexplode(hashArr).as(Seq("pos", "h")))
       .withColumn("dup",
         min(col("doc_id")).over(wh) =!= max(col("doc_id")).over(wh))
@@ -718,6 +723,90 @@ object DedupOps {
       |  (span_end - span_start + 1)::BIGINT AS span_words
       |FROM sp WHERE span_end - span_start + 1 >= $MinSpanWords
       |ORDER BY doc_id, span_start""".stripMargin
+
+  /** N12: SPAN SCRUB — APPLY n11's removable intervals: rebuild each
+    * document's text with every duplicated span deleted, emitting the
+    * CLEANED corpus (doc_id, word counts before/after, clean_text).
+    * n11 detects; this is the removal pass a substring-dedup pipeline
+    * actually ships (Lee et al. 2022 delete the duplicated windows,
+    * they don't just report them) — the cleaned text is what the
+    * tokenizer downstream consumes.
+    *
+    * Scale shape: n11's span frame aggregates to ONE row per
+    * document holding its (few, disjoint — islands merge overlaps)
+    * spans; that doc-keyed frame joins back to the corpus on doc_id
+    * and the rebuild is a map-side `filter`/`transform` over the split
+    * array — position-indexed words kept unless a span covers them,
+    * rejoined in order. Text crosses the wire exactly once (the outer
+    * corpus side of the doc_id join); the span side carries 16-byte
+    * intervals. Documents with no spans pass through the left join
+    * with an empty interval list and rebuild to themselves. */
+  def n12SpanScrub(spark: SparkSession, dir: String): DataFrame =
+    n12SpanScrubOn(Tables.documents(spark, dir))
+
+  def n12SpanScrubOn(docs: DataFrame): DataFrame = {
+    val spans = n11DupSpansOn(docs)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end")))
+        .as("sp"))
+    val ws = split(col("text"), " ")
+    val noSpans = array().cast(
+      "array<struct<span_start:bigint,span_end:bigint>>")
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("sp"), noSpans).as("sp"),
+        ws.as("ws"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        filter(
+          transform(sequence(lit(0), size(col("ws")) - 1), i =>
+            struct(i.as("i"), element_at(col("ws"), i + 1).as("w"))),
+          s => !exists(col("sp"), r =>
+            s("i") >= r("span_start") && s("i") <= r("span_end")))
+          .as("kept"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("kept")).cast("long").as("kept_words"),
+        array_join(transform(col("kept"), s => s("w")), " ")
+          .as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val n12SpanScrubSql: String =
+    s"""WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |p AS (SELECT doc_id, w,
+      |  unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i FROM words),
+      |sh AS (SELECT doc_id, i - 1 AS pos,
+      |  array_to_string(w[i:i+2], ' ') AS shingle FROM p),
+      |df AS (SELECT shingle FROM sh GROUP BY shingle
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |d AS (SELECT s.doc_id, s.pos FROM sh s JOIN df USING (shingle)),
+      |gap AS (SELECT doc_id, pos,
+      |    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 3
+      |      THEN 1 ELSE 0 END AS brk
+      |  FROM d),
+      |isl AS (SELECT doc_id, pos,
+      |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+      |  FROM gap),
+      |sp AS (SELECT doc_id, island, min(pos)::BIGINT AS span_start,
+      |    (max(pos) + 2)::BIGINT AS span_end
+      |  FROM isl GROUP BY doc_id, island),
+      |spans AS (SELECT doc_id, span_start, span_end FROM sp
+      |  WHERE span_end - span_start + 1 >= $MinSpanWords),
+      |pw AS (SELECT doc_id, w AS ws,
+      |    unnest(generate_series(1, len(w))) AS i
+      |  FROM words),
+      |kept AS (SELECT pw.doc_id, pw.i - 1 AS pos, pw.ws[pw.i] AS kw
+      |  FROM pw
+      |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+      |    WHERE s.doc_id = pw.doc_id
+      |      AND pw.i - 1 BETWEEN s.span_start AND s.span_end)),
+      |agg AS (SELECT doc_id, count(*)::BIGINT AS kept_words,
+      |    string_agg(kw, ' ' ORDER BY pos) AS clean_text
+      |  FROM kept GROUP BY doc_id)
+      |SELECT d2.doc_id, len(string_split(d2.text, ' '))::BIGINT AS n_words,
+      |  coalesce(a.kept_words, 0)::BIGINT AS kept_words,
+      |  coalesce(a.clean_text, '') AS clean_text
+      |FROM documents d2 LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d2.doc_id""".stripMargin
 
   /** INCREMENTAL near-dup pairs: every (da < db, jaccard ≥ θ) pair with
     * AT LEAST ONE side in `newSigs`, judged against published
@@ -1073,6 +1162,7 @@ object DedupOps {
     "n9_cluster_keep" -> (n9ClusterKeep _),
     "n10_span_dupfrac" -> (n10SpanDupfrac _),
     "n11_dup_spans" -> (n11DupSpans _),
+    "n12_span_scrub" -> (n12SpanScrub _),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -1085,6 +1175,7 @@ object DedupOps {
     "n9_cluster_keep" -> n9ClusterKeepSql,
     "n10_span_dupfrac" -> n10SpanDupfracSql,
     "n11_dup_spans" -> n11DupSpansSql,
+    "n12_span_scrub" -> n12SpanScrubSql,
     "n2b_minhash_lsh" -> n2bBracketSql,
   )
 }

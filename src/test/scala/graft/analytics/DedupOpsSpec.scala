@@ -182,6 +182,59 @@ class DedupOpsSpec extends SparkSuite {
       (5L, 9L, 13L, 5L)))
   }
 
+  test("n12 span scrub: hand-corpus — spans deleted in place, no-span " +
+      "docs pass through verbatim, a fully-duplicated doc empties") {
+    import spark.implicits._
+    // same staging as the n11 hand corpus: d1/d2 share the "a b c d e"
+    // prefix (span [0,4] each), d5 carries it twice ([0,4] and [9,13] —
+    // removing both leaves exactly the 4-word unique gap), d9 is
+    // span-free and must come back byte-identical, d10 IS d1's first
+    // five words verbatim (one span covering the whole doc -> empty)
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e z1 z2 z3"),
+      (5L, "a b c d e q1 q2 q3 q4 a b c d e"),
+      (9L, "only unique words live here"),
+      (10L, "a b c d e"),
+    ).toDF("doc_id", "text")
+    val got = DedupOps.n12SpanScrubOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toList
+    assert(got == List(
+      (1L, 8L, 3L, "f g h"),
+      (2L, 8L, 3L, "z1 z2 z3"),
+      (5L, 14L, 4L, "q1 q2 q3 q4"),
+      (9L, 5L, 5L, "only unique words live here"),
+      (10L, 5L, 0L, "")))
+  }
+
+  test("n12 on testdata: removed word counts equal n11's span coverage " +
+      "exactly, and clean text is a subsequence of the original") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val scrub = DedupOps.n12SpanScrubOn(docs).cache()
+    try {
+      assert(scrub.count() == docs.count())
+      // spans are disjoint per doc (islands merge overlaps), so the
+      // words removed are EXACTLY the summed span widths
+      val cover = DedupOps.n11DupSpansOn(docs)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_words")).as("covered"))
+      val bad = scrub.join(cover, Seq("doc_id"), "left")
+        .withColumn("covered", coalesce(col("covered"), lit(0L)))
+        .filter(col("n_words") - col("kept_words") =!= col("covered"))
+      assert(bad.count() == 0,
+        s"removal != coverage: ${bad.take(3).mkString(", ")}")
+      assert(scrub.filter(col("kept_words") > col("n_words")).count() == 0)
+      // a doc that lost nothing must come back byte-identical
+      assert(scrub
+        .join(docs.select(col("doc_id"), col("text")), Seq("doc_id"))
+        .filter(col("kept_words") === col("n_words") &&
+          col("clean_text") =!= col("text"))
+        .count() == 0)
+    } finally { scrub.unpersist(); () }
+  }
+
   test("n11 on testdata: spans are in-bounds, disjoint, >= MinSpanWords, " +
       "and every span doc really has duplicated shingles (n10 agrees)") {
     import org.apache.spark.sql.functions._
