@@ -1165,6 +1165,99 @@ object TextOps {
       |    t.total_weight::HUGEINT * d.n_words) AS selected
       |FROM dw d, tot t ORDER BY doc_id""".stripMargin
 
+  // --- sp10: middle-perplexity band selection -----------------------------------
+
+  /** Decile cut for [[sp10PplBand]]: a document is kept iff at least
+    * 1/[[PplBandDecile]] of the corpus scores STRICTLY below it and at
+    * least 1/[[PplBandDecile]] strictly above — the middle band, tails
+    * dropped on both sides. */
+  val PplBandDecile = 10
+
+  /** SP10: MIDDLE-PERPLEXITY BAND SELECTION — the classic LM-filter
+    * recipe (CCNet bins corpora by LM perplexity and discards the
+    * tails: the lowest-perplexity slice is boilerplate and the highest
+    * is noise; public knowledge): score each document with the t8
+    * corpus-trained bigram LM and keep the middle band. Integer-exact
+    * end to end: the per-document score is the truncated integer
+    * per-bigram mean (`sum_bp DIV n_bigrams` — Spark's DIV and
+    * DuckDB's // both truncate toward zero, verified on negatives),
+    * and the band test is tie-stable rank arithmetic over an EXACT
+    * integer score histogram — `below(s)·10 ≥ n AND above(s)·10 ≥ n` —
+    * so every document with the same score shares its fate and no
+    * float quantile estimate can flip a boundary between engines.
+    *
+    * Scale shape: the (doc_id, score) frame is the t8 pass collapsed
+    * to 16-byte rows, materialized ONCE (the sp9 discipline — its two
+    * consumers, the histogram and the final flag projection, must not
+    * re-run the LM join cascade); the histogram is bounded by the
+    * SCORE DOMAIN (ten-thousandths of log-probability — ~10⁵ distinct
+    * integers however large the corpus), so its running-sum window and
+    * the 1-row band-bounds aggregate are small-table operations and
+    * the bounds ride a broadcast. Docs with no bigrams carry no score
+    * and no row (t8's contract). Reference analog: none (§2.11
+    * north-star). */
+  def sp10PplBand(spark: SparkSession, dir: String): DataFrame =
+    sp10PplBandOn(Tables.documents(spark, dir))
+
+  def sp10PplBandOn(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh
+    val scored = checkpointFresh(t8BigramLmOn(docs)
+      .select(col("doc_id"),
+        expr("sum_bp DIV n_bigrams").as("score_bp")))
+    val hist = checkpointFresh(scored.groupBy(col("score_bp"))
+      .agg(count(lit(1)).as("cnt")))
+    // score-domain running sum: unpartitioned window over a
+    // domain-bounded (~1e5-row) frame, never corpus-scale
+    val wcum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score_bp"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val tot = broadcast(hist.agg(sum(col("cnt")).as("n")))
+    val bounds = broadcast(hist
+      .withColumn("below", coalesce(sum(col("cnt")).over(wcum), lit(0L)))
+      .crossJoin(tot)
+      .filter(col("below") * PplBandDecile >= col("n") &&
+        (col("n") - col("below") - col("cnt")) * PplBandDecile >= col("n"))
+      .agg(min(col("score_bp")).as("lo"), max(col("score_bp")).as("hi")))
+    scored.crossJoin(bounds)
+      .select(col("doc_id"), col("score_bp"),
+        coalesce(col("score_bp") >= col("lo") &&
+          col("score_bp") <= col("hi"), lit(false)).as("selected"))
+      .orderBy(col("doc_id"))
+  }
+
+  val sp10PplBandSql: String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+      |      FROM w),
+      |bi AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM c),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bi GROUP BY 1, 2),
+      |uc AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+      |vc AS (SELECT count(DISTINCT x) AS v
+      |       FROM (SELECT unnest(ws) AS x FROM w)),
+      |sc AS (
+      |  SELECT doc_id, round(ln((c12 + 1) / (c1 + v)) * 10000)::BIGINT AS bp
+      |  FROM bi JOIN bc USING (w1, w2) JOIN uc USING (w1), vc),
+      |per AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |    sum(bp)::BIGINT AS sum_bp
+      |  FROM sc GROUP BY doc_id),
+      |sc2 AS (SELECT doc_id, sum_bp // n_bigrams AS score_bp FROM per),
+      |hist AS (SELECT score_bp, count(*)::BIGINT AS cnt FROM sc2
+      |  GROUP BY score_bp),
+      |tot AS (SELECT sum(cnt)::BIGINT AS n FROM hist),
+      |cum AS (SELECT score_bp, cnt,
+      |    coalesce(sum(cnt) OVER (ORDER BY score_bp
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      |      AS below
+      |  FROM hist),
+      |sel AS (SELECT score_bp FROM cum, tot
+      |  WHERE below * $PplBandDecile >= n
+      |    AND (n - below - cnt) * $PplBandDecile >= n),
+      |bounds AS (SELECT min(score_bp) AS lo, max(score_bp) AS hi FROM sel)
+      |SELECT doc_id, score_bp,
+      |  coalesce(score_bp >= lo AND score_bp <= hi, false) AS selected
+      |FROM sc2, bounds ORDER BY doc_id""".stripMargin
+
   // --- t13: linear classifier inference with hashed features -------------------
 
   /** Feature-space width of the [[t13ClassifierScore]] model — the
@@ -1248,6 +1341,7 @@ object TextOps {
     "sp7_domain_cap" -> (sp7DomainCap _),
     "sp8_temperature_sample" -> (sp8TemperatureSample _),
     "sp9_dsir_select" -> (sp9DsirSelect _),
+    "sp10_ppl_band" -> (sp10PplBand _),
     "t13_classifier_score" -> (t13ClassifierScore _),
     "t9_pii_redact" -> (t9PiiRedact _),
     "t10_oov_rate" -> (t10OovRate _),
@@ -1271,6 +1365,7 @@ object TextOps {
     "sp7_domain_cap" -> sp7DomainCapSql,
     "sp8_temperature_sample" -> sp8TemperatureSampleSql,
     "sp9_dsir_select" -> sp9DsirSelectSql,
+    "sp10_ppl_band" -> sp10PplBandSql,
     "t13_classifier_score" -> t13ClassifierScoreSql,
     "t9_pii_redact" -> t9PiiRedactSql,
     "t10_oov_rate" -> t10OovRateSql,

@@ -383,6 +383,43 @@ class TextOpsSpec extends SparkSuite {
     } finally { df.unpersist(); () }
   }
 
+  test("sp10 perplexity band: tails always dropped, ties share fate, " +
+      "and every flag equals exact rank arithmetic over the histogram") {
+    val df = TextOps.sp10PplBand(spark, dir).cache()
+    try {
+      val n = df.count()
+      val mn = df.agg(min(col("score_bp"))).collect()(0).getLong(0)
+      val mx = df.agg(max(col("score_bp"))).collect()(0).getLong(0)
+      // the extreme score groups have nothing strictly below/above —
+      // they can never clear the band, whatever the corpus
+      assert(df.filter(col("score_bp") === mn && col("selected"))
+        .count() == 0)
+      assert(df.filter(col("score_bp") === mx && col("selected"))
+        .count() == 0)
+      // tie-stability: equal scores share fate by construction
+      assert(df.groupBy(col("score_bp"))
+        .agg(countDistinct(col("selected")).as("k"))
+        .filter(col("k") > 1).count() == 0)
+      // exact recomputation of the rule from the integer histogram
+      val hist = df.groupBy(col("score_bp")).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      df.select(col("doc_id"), col("score_bp"), col("selected")).collect()
+        .foreach { r =>
+          val s = r.getLong(1)
+          val below = hist.collect { case (v, c) if v < s => c }.sum
+          val above = hist.collect { case (v, c) if v > s => c }.sum
+          val ref = below * TextOps.PplBandDecile >= n &&
+            above * TextOps.PplBandDecile >= n
+          assert(r.getBoolean(2) == ref,
+            s"doc ${r.getLong(0)} score $s: got ${r.getBoolean(2)}, " +
+              s"rank arithmetic says $ref")
+        }
+      // the band is substantive: most of the corpus survives, not all
+      val sel = df.filter(col("selected")).count()
+      assert(sel > n / 2 && sel < n, s"band kept $sel of $n")
+    } finally { df.unpersist(); () }
+  }
+
   test("sp9 on testdata: every doc scored once, weights positive, the " +
       "selection bar is exactly the corpus per-word mean") {
     val df = TextOps.sp9DsirSelect(spark, dir).cache()

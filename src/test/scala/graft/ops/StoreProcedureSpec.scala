@@ -374,9 +374,9 @@ class StoreProcedureSpec extends SparkSuite {
     val cat = mount(root)
     val listed = spark.sql(s"SHOW PROCEDURES IN $cat.system").collect()
       .map(_.getAs[String]("procedure_name")).toSet
-    assert(listed == Set("compact", "vacuum", "history", "consumers",
-      "restore", "add_check", "drop_check", "detail", "clone",
-      "matview", "drop_matview", "set_partition_spec"))
+    assert(listed == Set("analyze", "compact", "vacuum", "history",
+      "consumers", "restore", "add_check", "drop_check", "detail",
+      "clone", "matview", "drop_matview", "set_partition_spec"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }
