@@ -57,24 +57,47 @@ object Bench {
     // which no rep count removes.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     val names = SparkEntry.queries.keys.toSeq
-    val samples = (1 to reps).flatMap { _ =>
+    // LOAD ANCHOR (VERDICT r13 #2): a fixed synthetic probe —
+    // deterministic CPU (xxhash64 chain) + one shuffle, ZERO I/O — run
+    // once per interleaved round. Its per-round seconds measure the
+    // BOX, not the engine: on a quiet box the values sit flat; under
+    // concurrent load they inflate by the same factor the query times
+    // do. Cross-round comparison divides by the anchor ratio instead
+    // of burning another round re-attributing uniform drift (r11–r13
+    // each spent one). ~0.1–0.3 s quiet: large enough to feel CPU
+    // steal, small enough to not distort the sweep.
+    def anchorProbe(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 21, 1, 32)
+        .selectExpr("id % 4096 as k",
+          "xxhash64(xxhash64(xxhash64(id), id + 1), id + 2) as v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s"))
+        .selectExpr("sum(s % 9973) as chk").count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    anchorProbe() // warm: round-1 anchor must not carry codegen bring-up
+    // samples carry their ROUND INDEX so steady-state handling below
+    // can drop the round==1 sample SPECIFICALLY (ADVICE r13 #4: when
+    // round 1 threw, blindly dropping the first element discarded a
+    // genuine steady-state round-2 sample instead)
+    val anchors = new scala.collection.mutable.ArrayBuffer[Double](reps)
+    val samples = (1 to reps).flatMap { round =>
+      anchors += anchorProbe()
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true }
                  catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        (name, (System.nanoTime() - t0) / 1e9, ok, round)
       }
     }
     // a rep that threw contributes no sample: a consistently failing
     // query reports -1 (unmistakable in the driver's JSON) instead of
     // its time-to-exception masquerading as a fast success.
-    // groupBy on a Seq keeps encounter (= round) order within each
-    // group, so ts(0) is always the round-1 sample.
     val ordered = samples.groupBy(_._1).map { case (n, s) =>
-      n -> s.filter(_._3).map(_._2) }
+      n -> s.filter(_._3).map(t => (t._4, t._2)) } // (round, sec)
     val results = ordered.map { case (name, ts) =>
-      name -> (if (ts.isEmpty) -1.0 else ts.min) }
+      name -> (if (ts.isEmpty) -1.0 else ts.map(_._2).min) }
     val failed = results.collect { case (n, t) if t < 0 => n }
     if (failed.nonEmpty)
       System.err.println(s"[bench] FAILED (all $reps reps threw): " +
@@ -85,16 +108,26 @@ object Bench {
     // spread overstates noise for exactly those queries, so bring-up
     // (round1/steady-min) and steady-state spread (rounds 2..N) are
     // reported separately.
+    // steady = samples from rounds 2..N by ROUND INDEX, not position:
+    // if round 1 threw, the survivors are ALL steady-state and nothing
+    // is dropped (ADVICE r13 #4)
+    def steadyOf(ts: Seq[(Int, Double)]): Seq[Double] = {
+      val s = ts.collect { case (r, t) if r > 1 => t }
+      if (s.nonEmpty) s else ts.map(_._2)
+    }
     val steady = ordered.collect { case (n, ts) if ts.size >= 2 =>
-      n -> ts.drop(1).sorted }
-    val spreads = steady.collect { case (name, ts) if ts.head > 0 =>
-      name -> (ts.last - ts.head) / ts.head }.toSeq.sortBy(-_._2)
+      n -> steadyOf(ts).sorted }
+    val spreads = steady.collect {
+      case (name, ts) if ts.size >= 2 && ts.head > 0 =>
+        name -> (ts.last - ts.head) / ts.head }.toSeq.sortBy(-_._2)
     System.err.println(f"[bench] reps=$reps worst steady spreads " +
       "(rounds 2..N): " +
       spreads.take(3).map { case (n, s) => f"$n=$s%.2f" }.mkString(" "))
     val bringUp = ordered.collect {
-      case (name, ts) if ts.size >= 2 && ts.drop(1).min > 0 =>
-        name -> ts.head / ts.drop(1).min }.toSeq.sortBy(-_._2)
+      case (name, ts) if ts.exists(_._1 == 1) && ts.size >= 2 &&
+          steadyOf(ts).min > 0 =>
+        name -> ts.find(_._1 == 1).get._2 / steadyOf(ts).min
+    }.toSeq.sortBy(-_._2)
     System.err.println(f"[bench] worst bring-up (round1/steady-min): " +
       bringUp.take(3).map { case (n, s) => f"$n=$s%.2fx" }.mkString(" "))
     // ms precision keeps the one-line contract SHORT: the driver
@@ -105,26 +138,33 @@ object Bench {
       "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    // per-query MEDIAN of the steady rounds (2..N — round 1 carries
-    // one-time bring-up) rides next to the min (VERDICT r12 #8):
-    // the min is the plan-regression metric (noise only adds time),
-    // the median is the stable number regression TRIAGE starts from —
-    // two queries whose medians overlap within spread need no
-    // attribution A/B at all
+    // per-query MEDIAN of the steady rounds (2..N by round index —
+    // round 1 carries one-time bring-up) rides next to the min
+    // (VERDICT r12 #8): the min is the plan-regression metric (noise
+    // only adds time), the median is the stable number regression
+    // TRIAGE starts from — two queries whose medians overlap within
+    // spread need no attribution A/B at all
     val medians = ordered.map { case (name, ts0) =>
-      val ts = (if (ts0.size >= 2) ts0.drop(1) else ts0).sorted
+      val ts = steadyOf(ts0).sorted
       name -> (if (ts.isEmpty) -1.0 else ts(ts.size / 2))
     }
     val ms = medians.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"medians":$ms,"sf":"$sfDir"}""")
-    // The driver captures a bounded stdout TAIL: the long per-query line
-    // above can get its head (where "metric":"total" lives) cut off
-    // (BENCH_r06–r09 "parsed": null). Emit a short summary LAST — the
-    // tail always contains the final line — so the total stays parseable
-    // regardless of how many queries the big line carries.
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir"}""")
+    val anchorJson = anchors.map(r3).mkString("[", ",", "]")
+    val anchorMed = {
+      val s = anchors.sorted; if (s.isEmpty) -1.0 else s(s.size / 2) }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures a bounded stdout TAIL: the long per-query
+    // mins line above can get its head cut off (BENCH_r06–r09, and
+    // r13's trailing medians map was truncated out entirely —
+    // "parsed": null). Order the end of stdout so the LAST line is the
+    // short always-parseable summary carrying the LOAD ANCHOR (per-
+    // round probe seconds + their median: divide cross-round deltas by
+    // the anchor ratio before attributing them to plans) and the
+    // medians map rides the second-to-last line (VERDICT r13 #2).
+    println(s"""{"metric":"medians","unit":"sec","medians":$ms,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"anchor":$anchorJson,"anchor_median":${r3(anchorMed)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

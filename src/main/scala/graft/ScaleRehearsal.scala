@@ -1162,13 +1162,26 @@ object ScaleRehearsal {
       s"scaled=$sp9Scaled exact10x=${sp9Scaled == 10 * sp9Base}")
     require(sp9Scaled == 10 * sp9Base,
       "sp9 scored-doc count did not scale exactly 10x")
-    val n11Base = SparkEntry.queries("n11_dup_spans")(spark, src).count()
-    val n11Scaled = SparkEntry.queries("n11_dup_spans")(spark, out).count()
+    // Pin total COVERED WORDS (Σ span_words), not span COUNT: adding
+    // anchors only ever grows coverage, but a cross-replica anchor
+    // landing in a ≤3-word gap between two islands MERGES them — two
+    // spans become one — so the count is not monotone in the anchor
+    // set and a count pin can fail spuriously on a different corpus
+    // (ADVICE r13 #1). Coverage is the genuinely monotone quantity.
+    def n11Coverage(dir: String): (Long, Long) = {
+      val df = SparkEntry.queries("n11_dup_spans")(spark, dir)
+      val row = df.agg(count(lit(1)).as("spans"),
+        coalesce(sum(col("span_words")), lit(0L)).as("covered")).head()
+      (row.getLong(0), row.getLong(1))
+    }
+    val (n11Base, covBase) = n11Coverage(src)
+    val (n11Scaled, covScaled) = n11Coverage(out)
     System.err.println(s"[rehearsal] n11 spans: base=$n11Base " +
-      s"scaled=$n11Scaled (>= 10x required; cross-replica short-word " +
-      "anchors may add spans)")
-    require(n11Scaled >= 10 * n11Base,
-      "n11 span count fell below 10x the base corpus")
+      s"scaled=$n11Scaled covered_words base=$covBase scaled=$covScaled " +
+      "(coverage >= 10x required; cross-replica short-word anchors may " +
+      "add spans or MERGE adjacent islands)")
+    require(covScaled >= 10 * covBase,
+      "n11 covered-word total fell below 10x the base corpus")
 
     // --- timing: interleaved min-of-reps at both scales, same JVM -------
     // (the verification pass above doubles as warm-up: every model

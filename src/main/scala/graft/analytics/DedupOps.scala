@@ -257,10 +257,11 @@ object DedupOps {
       spark.range(1).observe(tok, count(lit(1))).collect()
       tok
     }
-    private def awaitMark(tok: String): Unit = {
+    private def awaitMark(tok: String): Boolean = {
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (!seenMarks.contains(tok) && System.nanoTime() < deadline)
         Thread.sleep(10)
+      seenMarks.contains(tok)
     }
     @volatile private var armToken: String = null
     private val listener =
@@ -287,9 +288,26 @@ object DedupOps {
     spark.listenerManager.register(listener)
     armToken = postMark() // opening handshake: older events are stale
 
+    /** True iff the LAST [[drops]] call saw its closing marker arrive
+      * (the FIFO handshake only holds while the shared listener bus
+      * keeps every event; a saturated bus — default queue capacity
+      * 10k — DROPS events, ADVICE r13 #3). `false` means the returned
+      * map may be PARTIAL and a zero is not distinguishable from a
+      * lost event: callers gating on "no drops" should treat it as
+      * inconclusive and re-run under less bus pressure. */
+    @volatile var drained: Boolean = true
+
     /** Summed drops per cap prefix (e.g. `"n2_posting" -> 0`). */
     def drops(): Map[String, Long] = {
-      awaitMark(postMark()) // closing handshake: the window has drained
+      // closing handshake: the window has drained — unless the bus
+      // dropped the marker event, in which case we waited the full
+      // timeout and must SAY so (a silent fall-through here makes a
+      // saturated bus read as a clean zero-drop run)
+      drained = awaitMark(postMark())
+      if (!drained)
+        System.err.println(s"[DropsWatcher] closing marker not seen " +
+          s"within ${timeoutMs}ms — listener bus dropped events; drop " +
+          "counts may be partial (zero != proven-clean)")
       byName.toMap
         .groupBy { case (n, _) => n.substring(0, n.indexOf("_drops_")) }
         .map { case (p, m) => p -> m.values.sum }
@@ -740,7 +758,18 @@ object DedupOps {
     * rejoined in order. Text crosses the wire exactly once (the outer
     * corpus side of the doc_id join); the span side carries 16-byte
     * intervals. Documents with no spans pass through the left join
-    * with an empty interval list and rebuild to themselves. */
+    * with an empty interval list and rebuild to themselves.
+    *
+    * DELIBERATE two-scan trade (VERDICT r13 nit #2): the corpus
+    * parquet is scanned TWICE — once under n11's anchor pipeline
+    * (which prunes to doc_id+text and immediately drops text after
+    * shingling) and once as the text side of the doc_id join. This is
+    * a second SCAN, not a second SHUFFLE: the alternative — threading
+    * text through the anchor stack so one scan feeds both — would
+    * carry full document text through three shuffles and two window
+    * sorts that today move only (doc_id, pos, 8-byte hash). Scans are
+    * cheap and pruned; shuffled bytes are the scarce resource at
+    * 100 TB. Do not "fix" this into a single-scan plan. */
   def n12SpanScrub(spark: SparkSession, dir: String): DataFrame =
     n12SpanScrubOn(Tables.documents(spark, dir))
 

@@ -1092,9 +1092,13 @@ object TextOps {
     * Σ_b raw_c·s` and `corpus_words = Σ_b raw_c` are identities over
     * the 256-row score table. The score table and the bar ride
     * broadcasts. Nothing quadratic, nothing driver-side, text never
-    * shuffles; at deployment scale the materialization is a staging
-    * write the size of the compact frame — the price of one exchange,
-    * buying back a full tokenize pass.
+    * shuffles. The materialization here is `localCheckpoint` (eager,
+    * storage-pinned, single-JVM — see the caveats on
+    * [[org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh]]);
+    * at deployment scale the SAME shape is a reliable staging write the
+    * size of the compact frame — the price of one exchange, buying back
+    * a full tokenize pass — which localCheckpoint stands in for only
+    * because this environment is one JVM.
     * Reference analog: none (§2.11 north-star). */
   def sp9DsirSelect(spark: SparkSession, dir: String): DataFrame =
     sp9DsirSelectOn(Tables.documents(spark, dir))

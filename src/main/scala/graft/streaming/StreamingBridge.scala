@@ -71,11 +71,40 @@ object StreamingBridge {
     * the thing that blows it up. A constant default estimate per round
     * keeps planning O(round size) forever; the cost is that the round's
     * joins plan as shuffles instead of broadcasts, which is the safe
-    * direction for an unbounded-size iteration product. */
+    * direction for an unbounded-size iteration product.
+    *
+    * Lifetime/fault caveats (ADVICE r13 #2) — `localCheckpoint` is a
+    * single-JVM materialization, NOT a reliable staging write:
+    *  - construction is EAGER (Spark jobs run at DataFrame-build time,
+    *    before the caller's action);
+    *  - the materialized blocks pin executor storage until the RDD is
+    *    GC'd and the ContextCleaner reclaims them — callers holding the
+    *    result in a long-lived session should release the handle (or
+    *    call [[unpersistCheckpoint]]) once the consuming action is done;
+    *  - blocks are NOT fault-tolerant: on a multi-executor cluster an
+    *    executor loss kills every query reading the checkpoint.
+    * At deployment scale the equivalent move is a RELIABLE staging
+    * write (write the compact frame to scratch storage and re-read it
+    * — same one-exchange price, restartable); this bridge uses
+    * localCheckpoint because the test/bench environment is one JVM
+    * where the write would only add filesystem churn. */
   def checkpointFresh(df: Dataset[Row]): DataFrame = {
     val cp = df.localCheckpoint()
     val spark = cp.sparkSession.asInstanceOf[classic.SparkSession]
     spark.internalCreateDataFrame(cp.queryExecution.toRdd, cp.schema,
       isStreaming = false)
   }
+
+  /** Release the executor-storage blocks behind a [[checkpointFresh]]
+    * result once its consuming action has run — without this a
+    * long-lived session holds the blocks until GC + ContextCleaner get
+    * around to them. Walks the frame for its `LogicalRDD` leaves (the
+    * rebound checkpoint is exactly one) and unpersists each backing
+    * RDD non-blocking; the frame must not be executed again after. */
+  def unpersistCheckpoint(df: Dataset[Row]): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }
