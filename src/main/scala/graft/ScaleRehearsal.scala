@@ -321,6 +321,24 @@ object ScaleRehearsal {
       .filter(col("rid") < 10).select("nc").collect()
       .forall(_.getLong(0) == -1L),
       "composite upsert did not replace the keyed tuples")
+    // --- ANALYZE at the full history (r14, VERDICT r13 #3) -------------
+    // docs_cc carries the composite upsert's tombstones over the whole
+    // `segments`-owner chain — exactly the delete-heavy, un-compacted
+    // shape ANALYZE exists for, and the one store feature r13 never
+    // rehearsed at depth. One CALL restates every owner's stats in a
+    // SINGLE rollup action (the r13 job-per-owner loop would pay
+    // ~`segments` sequential driver-coordinated jobs right here);
+    // wall-clock reported vs-linear like every phase, correctness
+    // pinned by the restated live-row total.
+    val (_, analyzeSec) = timed {
+      require(spark.sql(s"CALL $cat.system.analyze(table => 'docs_cc')")
+        .head().getString(0).nonEmpty, "analyze returned no version")
+    }
+    val ccMeta = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("docs_cc")
+    require(ccMeta.owners.flatMap(ccMeta.segStats.get).map(_.rows).sum
+        == n,
+      "restated live-row total off after analyze at the full history")
     // --- predicate-scoped OVERWRITE (day-backfill) at the history (r9)
     // a fourth clone takes overwriteWhere over the SAME ~5% rid range:
     // only the admitting owners rewrite (their non-matching rows kept,
@@ -960,6 +978,7 @@ object ScaleRehearsal {
       "store_replace_where" -> replaceWhereSec,
       "store_composite_upsert" -> compositeUpsertSec,
       "store_composite_read" -> compositeReadSec,
+      "store_analyze" -> analyzeSec,
       "store_transform_stage" -> tfStageSec,
       "store_transform_range_read" -> tfRangeSec,
       "store_metadata_agg" -> metaAggSec,

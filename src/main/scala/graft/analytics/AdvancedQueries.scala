@@ -1129,6 +1129,186 @@ object AdvancedQueries {
       |WHERE doc_id < 300
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  private val store24Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE24: COMMIT-TIME CDF inside the correctness gate (r14,
+    * VERDICT r13 #1) — the "yesterday's partition was wrong" backfill
+    * ([[graft.ops.AtomicPublish.overwriteWhere]] rewriting every
+    * `lang='de'` row) stages its per-row change set in the SAME commit,
+    * and the change feed serves it ACROSS the rewrite: the query reads
+    * the live post-backfill table AND independently rebuilds it from
+    * the pre-backfill snapshot plus the CDC diff
+    * ([[graft.ops.AtomicPublish.changesWithDeletes]] — which before r14
+    * returned None here, forcing every live stream to resync). Both
+    * reconstructions aggregate side by side (`*_cdc` columns); the
+    * DuckDB oracle computes the backfilled state once from the pristine
+    * source and emits it twice — so a CDC diff that loses, duplicates,
+    * or corrupts one row flips the hash, and a feed that refuses the
+    * rewrite fails the query outright. Proves the post-backfill read
+    * lossless end to end. */
+  def store24CdfBackfill(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store24Cache, spark, dir, "documents") {
+      stageStore24(spark, dir)
+    }
+    val cat = catalogFor(spark, "store24", root)
+    val atTxn = graft.ops.AtomicPublish.currentTxn(spark, root).get
+    val since = graft.ops.AtomicPublish.commitInfoOf(spark, root, atTxn)
+      .flatMap(_.parent).getOrElse(
+        throw new IllegalStateException("store24: backfill parent lost"))
+    val (ins, del) = graft.ops.AtomicPublish.changesWithDeletes(
+      spark, root, "documents", since).getOrElse(
+        throw new IllegalStateException(
+          "store24: the change feed refused the staged backfill"))
+    val cols = Seq(col("doc_id"), col("lang"), col("text"))
+    val snap = graft.ops.AtomicPublish.readTableAt(
+      spark, root, "documents", since).select(cols: _*)
+    // a downstream mirror's exact move: drop the deleted rows, add the
+    // inserted ones (row-level, not key-level — the diff carries full
+    // rows)
+    val rebuilt = snap.exceptAll(del.select(cols: _*))
+      .unionAll(ins.select(cols: _*))
+    def aggOf(df: DataFrame, sfx: String): DataFrame =
+      df.groupBy(col("lang")).agg(
+        count(lit(1)).as(s"n_docs$sfx"),
+        sum(col("doc_id")).as(s"sum_id$sfx"),
+        sum(length(col("text"))).as(s"sum_len$sfx"))
+    aggOf(spark.table(s"$cat.documents"), "")
+      .join(aggOf(rebuilt, "_cdc"), Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
+  private def stageStore24(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store24")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val cat = catalogFor(spark, "store24", root)
+    val src = s"store24_src_${java.lang.Integer.toHexString(root.hashCode)}"
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .createOrReplaceTempView(src)
+    spark.sql(
+      s"""CREATE TABLE $cat.documents
+         |  (doc_id BIGINT, lang STRING, text STRING)
+         |TBLPROPERTIES ('statsBy'='doc_id')
+         |""".stripMargin)
+    for (k <- 0 until 2)
+      spark.sql(s"INSERT INTO $cat.documents " +
+        s"SELECT doc_id, lang, text FROM $src WHERE doc_id % 2 = $k")
+    // the backfill: every de-row re-stated with corrected text, staged
+    // CDF on (the default) — one commit, parent = the pre-backfill txn
+    val corrected = spark.sql("SELECT doc_id, lang, " +
+      s"concat('bf:', substr(text, 1, 20)) AS text FROM $src " +
+      "WHERE lang = 'de'")
+    val since = graft.ops.AtomicPublish.currentTxn(spark, root).get
+    graft.ops.AtomicPublish.overwriteWhere(spark, root, "documents",
+      corrected, "lang = 'de'")
+    // staging asserts the ride-through bit itself: a regression to the
+    // resync behavior fails here, not just in the hash
+    require(graft.ops.AtomicPublish.changesWithDeletes(spark, root,
+      "documents", since).isDefined,
+      "store24: changesWithDeletes refused the staged backfill")
+    root
+  }
+
+  val store24CdfBackfillSql: String =
+    """WITH live AS (SELECT doc_id, lang,
+      |    CASE WHEN lang = 'de' THEN 'bf:' || substr(text, 1, 20)
+      |         ELSE text END AS text
+      |  FROM documents),
+      |a AS (SELECT lang, count(*)::BIGINT AS n_docs,
+      |    sum(doc_id)::BIGINT AS sum_id,
+      |    sum(length(text))::BIGINT AS sum_len
+      |  FROM live GROUP BY lang)
+      |SELECT lang, n_docs, sum_id, sum_len,
+      |  n_docs AS n_docs_cdc, sum_id AS sum_id_cdc,
+      |  sum_len AS sum_len_cdc
+      |FROM a ORDER BY lang""".stripMargin
+
+  private val store25Cache =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
+  /** STORE25: NUMERIC TYPE-WIDENING EVOLUTION inside the correctness
+    * gate (VERDICT r13 missing #4) — a long-lived ingest table whose
+    * writer outgrew its types: generation 1 lands `doc_id` as INT and
+    * `score` as FLOAT; generation 2 appends the SAME columns as
+    * BIGINT (values past int32's 2^31 ceiling) and DOUBLE. The append
+    * widens the recorded schema through the lossless promotion
+    * lattice ([[graft.ops.AtomicPublish.widerOf]], the Delta/Iceberg
+    * set) in the same commit — no rewrite; the int32/float files of
+    * generation 1 read PROMOTED under the wider types (Spark's
+    * parquet readers execute the promotion natively), and zone maps
+    * stay sound across the boundary (re-encoded where float rendering
+    * demands it). The readback aggregates both generations — `n_wide`
+    * counts rows beyond int32, so a read that truncated or dropped
+    * the promotion flips the hash; scores are exactly-representable
+    * small integers, so the float→double sum is hash-exact. DuckDB
+    * reproduces the union from the pristine source. */
+  def store25TypeWiden(spark: SparkSession, dir: String): DataFrame = {
+    val root = Tables.memoFresh(store25Cache, spark, dir, "documents") {
+      stageStore25(spark, dir)
+    }
+    val cat = catalogFor(spark, "store25", root)
+    spark.sql(
+      s"""SELECT lang, count(*) AS n, sum(doc_id) AS sum_id,
+         |  sum(CASE WHEN doc_id > 2147483647 THEN 1 ELSE 0 END) AS n_wide,
+         |  round(sum(score), 2) AS sum_score
+         |FROM $cat.documents
+         |GROUP BY lang ORDER BY lang""".stripMargin)
+  }
+
+  private def stageStore25(spark: SparkSession, dir: String): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-store25")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val root = tmp.resolve("store").toString
+    val src = Tables.documents(spark, dir)
+    val gen1 = src.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").cast("int").as("doc_id"), col("lang"),
+        (col("doc_id") % 100).cast("float").as("score"))
+    val v1 = graft.ops.AtomicPublish.publish(spark, root,
+      Map("documents" -> gen1),
+      statsBy = Map("documents" -> Seq("doc_id", "score")))
+    val gen2 = src.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") + 5000000000L).as("doc_id"), col("lang"),
+        ((col("doc_id") % 100) * 2).cast("double").as("score"))
+    graft.ops.AtomicPublish.publishDelta(spark, root,
+      append = Map("documents" -> gen2), parent = Some(v1)).getOrElse(
+        throw new IllegalStateException(
+          "store25: the widening append lost an uncontended CAS"))
+    val rec = graft.ops.AtomicPublish.manifestMetaOf(spark, root,
+      graft.ops.AtomicPublish.currentTxn(spark, root).get)("documents")
+      .schema.get
+    require(rec("doc_id").dataType ==
+        org.apache.spark.sql.types.LongType &&
+      rec("score").dataType == org.apache.spark.sql.types.DoubleType,
+      s"store25: schema did not widen: $rec")
+    root
+  }
+
+  val store25TypeWidenSql: String =
+    """WITH g1 AS (SELECT doc_id, lang,
+      |    CAST(doc_id % 100 AS DOUBLE) AS score
+      |  FROM documents WHERE doc_id % 2 = 0),
+      |g2 AS (SELECT doc_id + 5000000000 AS doc_id, lang,
+      |    CAST((doc_id % 100) * 2 AS DOUBLE) AS score
+      |  FROM documents WHERE doc_id % 2 = 1),
+      |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2)
+      |SELECT lang, count(*)::BIGINT AS n, sum(doc_id)::BIGINT AS sum_id,
+      |  sum(CASE WHEN doc_id > 2147483647 THEN 1 ELSE 0 END)::BIGINT
+      |    AS n_wide,
+      |  round(sum(score), 2) AS sum_score
+      |FROM u GROUP BY lang ORDER BY lang""".stripMargin
+
   private val store9Cache =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
@@ -3004,6 +3184,8 @@ object AdvancedQueries {
     "store21_runtime_filter" -> (store21RuntimeFilter _),
     "store22_sql_matview" -> (store22SqlMatview _),
     "store23_analyze" -> (store23Analyze _),
+    "store24_cdf_backfill" -> (store24CdfBackfill _),
+    "store25_type_widen" -> (store25TypeWiden _),
     "store8_catalog_maintain" -> (store8CatalogMaintain _),
     "store9_catalog_restore" -> (store9CatalogRestore _),
     "store10_bucket_join" -> (store10BucketJoin _),
@@ -3080,6 +3262,8 @@ object AdvancedQueries {
     "store21_runtime_filter" -> store21RuntimeFilterSql,
     "store22_sql_matview" -> store22SqlMatviewSql,
     "store23_analyze" -> store23AnalyzeSql,
+    "store24_cdf_backfill" -> store24CdfBackfillSql,
+    "store25_type_widen" -> store25TypeWidenSql,
     "store8_catalog_maintain" -> store8CatalogMaintainSql,
     "store9_catalog_restore" -> store9CatalogRestoreSql,
     "store10_bucket_join" -> store10BucketJoinSql,

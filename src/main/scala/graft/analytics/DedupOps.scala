@@ -900,6 +900,49 @@ object DedupOps {
       |WHERE round(shared * 1.0 / (ca.n + cb.n - shared), 4) >= 0.8
       |ORDER BY da, db""".stripMargin
 
+  /** N2c: INCREMENTAL near-dup IN THE GATE (VERDICT r13 #6) — the
+    * day-two maintenance face of n2 as a hash-proven query: docs with
+    * `doc_id % 3 = 0` play the NEW batch, the rest the published
+    * survivors (their signature frame standing in for the store's
+    * signature table — same [[shingleSets]] schema; production wires
+    * the real store read, never a re-shingle:
+    * [[graft.streaming.LlmIngest]] `maintainIncremental`). The oracle
+    * recomputes the FULL n2 pair set and restricts it to pairs
+    * TOUCHING the batch — exactly the incremental judge's contract
+    * (in a real cycle the published survivors are pairwise < θ, so
+    * the restriction loses nothing; here it is applied identically on
+    * both sides). Hash-green means the O(new) path finds precisely
+    * the pairs the full recompute would.
+    *
+    * Scale shape: the published side reduces MAP-SIDE under the new
+    * batch's broadcast prefix-hash set before any shuffle — candidate
+    * state is O(new batch) against an arbitrarily large published
+    * signature table ([[n2PairsIncrementalOn]]). */
+  def n2cNeardupIncremental(spark: SparkSession, dir: String): DataFrame =
+    n2cNeardupIncrementalOn(Tables.documents(spark, dir))
+
+  def n2cNeardupIncrementalOn(docs: DataFrame): DataFrame = {
+    val newSigs = shingleSets(docs.filter(col("doc_id") % 3 === 0))
+    val pubSigs = shingleSets(docs.filter(col("doc_id") % 3 =!= 0))
+    n2PairsIncrementalOn(newSigs, pubSigs)
+      .orderBy(col("da"), col("db"))
+  }
+
+  val n2cNeardupIncrementalSql: String =
+    s"""WITH $shingleCte,
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db,
+      |  round(shared * 1.0 / (ca.n + cb.n - shared), 4) AS jaccard
+      |FROM pairs
+      |JOIN cnt ca ON ca.doc_id = da
+      |JOIN cnt cb ON cb.doc_id = db
+      |WHERE round(shared * 1.0 / (ca.n + cb.n - shared), 4) >= 0.8
+      |  AND (da % 3 = 0 OR db % 3 = 0)
+      |ORDER BY da, db""".stripMargin
+
   // ---------------------------------------------------------------------------
 
   val MinhashPerms = 32
@@ -1185,6 +1228,7 @@ object DedupOps {
     "n1b_dedup_incremental" -> (n1bDedupIncremental _),
     "n2_ngram_jaccard" -> (n2NgramJaccard _),
     "n2b_minhash_lsh" -> (n2bMinhashLshBracket _),
+    "n2c_neardup_incremental" -> (n2cNeardupIncremental _),
     "n4_simhash" -> (n4Simhash _),
     "n6_decontaminate" -> (n6Decontaminate _),
     "n7_dup_clusters" -> (n7DupClusters _),
@@ -1198,6 +1242,7 @@ object DedupOps {
     "n1_dedup_exact" -> n1DedupExactSql,
     "n1b_dedup_incremental" -> n1bDedupIncrementalSql,
     "n2_ngram_jaccard" -> n2NgramJaccardSql,
+    "n2c_neardup_incremental" -> n2cNeardupIncrementalSql,
     "n4_simhash" -> n4SimhashSql,
     "n6_decontaminate" -> n6DecontaminateSql,
     "n7_dup_clusters" -> n7DupClustersSql,

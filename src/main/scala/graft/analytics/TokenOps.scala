@@ -247,10 +247,106 @@ object TokenOps {
       .orderBy(col("doc_id"), col("chunk_id"))
   }
 
+  // --- t14: distributed BPE-merge vocabulary training -----------------------
+
+  /** Merge rounds the gate query trains. Small by design — the DuckDB
+    * oracle UNROLLS one CTE block per round — while the spec runs the
+    * trainer deeper against a driver-side reference implementation. */
+  val BpeRounds = 8
+
+  /** T14: DISTRIBUTED BPE-MERGE VOCABULARY TRAINING (VERDICT r13 #7)
+    * — real tokenizer training is iterative pair-merging (Sennrich et
+    * al. 2016, "Neural Machine Translation of Rare Words with Subword
+    * Units"), not the frequency top-K t11's wordpiece vocab uses. Per
+    * round: count adjacent symbol pairs over the corpus (weighted by
+    * word frequency), elect the most frequent pair (ties broken
+    * lexicographically — determinism is the gate's contract), and
+    * rewrite every token stream with the pair fused. The output is
+    * the MERGE TABLE (rank, lhs, rhs, pair_count) — the artifact a
+    * BPE tokenizer ships.
+    *
+    * Scale shape (the classic BPE reduction): training runs over the
+    * DISTINCT-WORD frequency table, never the corpus — one word-count
+    * aggregate up front, then every round is (a) one pair-count
+    * aggregate shuffling (symbol, next, freq) over words, (b) a 1-ROW
+    * driver collect electing the winner (broadcast back as literals),
+    * and (c) a map-side rewrite: windows partition by WORD, so state
+    * is bounded by word length, and overlapping self-pair runs
+    * ("aaaa" under merge (a,a)) resolve greedy-left-to-right by a
+    * PARITY rule over run offsets — no sequential scan, no recursion.
+    * Each round's stream is checkpointed (lineage would otherwise
+    * grow by five window expressions per round) and the previous
+    * round's blocks are released eagerly ([[org.apache.spark.sql
+    * .graftstream.StreamingBridge.unpersistCheckpoint]]).
+    *
+    * The oracle replays the identical rounds as UNROLLED DuckDB CTEs
+    * (same parity rule, same tie-break) — the loop is a constant, so
+    * "the aggregate is oracle-expressible even if the loop is not"
+    * becomes: the loop IS expressible, eight times over. */
+  def t14BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    t14BpeMergesOn(spark, Tables.documents(spark, dir), BpeRounds)
+
+  def t14BpeMergesOn(spark: SparkSession, docs: DataFrame,
+      rounds: Int): DataFrame = {
+    import org.apache.spark.sql.graftstream.StreamingBridge.{checkpointFresh, unpersistCheckpoint}
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("w")).orderBy(col("pos"))
+    val run = W.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var stream = checkpointFresh(words.select(col("w"), col("freq"),
+      posexplode(split(col("w"), "")).as(Seq("pos", "sym"))))
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val withNext = stream.withColumn("nxt", lead(col("sym"), 1).over(W))
+      val best = withNext.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"), col("nxt"))
+        .limit(1).collect()
+      if (best.isEmpty) done = true
+      else {
+        val l = best(0).getString(0)
+        val rt = best(0).getString(1)
+        merges += ((r.toLong, l, rt, best(0).getLong(2)))
+        // greedy left-to-right fusion: a match merges iff its offset
+        // inside its run of CONSECUTIVE matches is even (runs longer
+        // than 1 only occur when lhs == rhs — "aaaa" → "aa","aa")
+        val marked = withNext
+          .withColumn("m0", col("sym") === lit(l) && col("nxt") === lit(rt))
+          .withColumn("newRun", !(col("m0") &&
+            coalesce(lag(col("m0"), 1).over(W), lit(false))))
+          .withColumn("runStart",
+            max(when(col("newRun"), col("pos"))).over(run))
+          .withColumn("mrg",
+            col("m0") && (col("pos") - col("runStart")) % 2 === 0)
+          .withColumn("consumed",
+            coalesce(lag(col("mrg"), 1).over(W), lit(false)))
+        val prev = stream
+        stream = checkpointFresh(marked.filter(!col("consumed"))
+          .select(col("w"), col("freq"),
+            (row_number().over(W) - 1).as("pos"),
+            when(col("mrg"), concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym")))
+        unpersistCheckpoint(prev) // round k-1's blocks die with round k
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_wordpiece" -> (t11Wordpiece _),
     "t11b_wordpiece_wide" -> (t11bWordpieceWide _),
     "t12_token_chunks" -> (t12TokenChunks _),
+    "t14_bpe_merges" -> (t14BpeMerges _),
     "sp3b_token_pack" -> (sp3bTokenPack _))
 
   /** The greedy longest-match recurrence IS SQL-expressible (VERDICT
@@ -368,9 +464,60 @@ object TokenOps {
       |  count(*)::BIGINT AS n_chunks, sum(n_tokens)::BIGINT AS n_tokens
       |FROM cum GROUP BY shard, pack_id ORDER BY shard, pack_id""".stripMargin
 
+  /** The t14 trainer as UNROLLED DuckDB CTEs: one (pair-count → elect
+    * → parity-fuse → renumber) block per round, machine-generated —
+    * identical tie-breaks and the identical run-parity rule, so the
+    * oracle recomputes the whole training loop from the pristine
+    * corpus. `s0` is the distinct-word symbol stream; each `b<k>` is
+    * round k's elected merge, and the final UNION reads the merge
+    * table off them. */
+  val t14BpeMergesSql: String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w0 AS (SELECT w, count(*)::BIGINT AS freq FROM
+        |    (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w),
+        |s0 AS (SELECT w, freq, i - 1 AS pos, w[i] AS sym
+        |  FROM w0, unnest(generate_series(1, len(w))) AS t(i))""".stripMargin)
+    for (k <- 1 to BpeRounds) {
+      val j = k - 1
+      sb.append("\n").append(
+        s""",a$k AS (SELECT w, freq, pos, sym,
+          |    lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt
+          |  FROM s$j),
+          |b$k AS (SELECT sym AS lhs, nxt AS rhs, sum(freq)::BIGINT AS cnt
+          |  FROM a$k WHERE nxt IS NOT NULL GROUP BY sym, nxt
+          |  ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+          |c$k AS (SELECT a.w, a.freq, a.pos, a.sym, a.nxt,
+          |    coalesce(a.sym = b.lhs AND a.nxt = b.rhs, false) AS m0
+          |  FROM a$k a CROSS JOIN b$k b),
+          |d$k AS (SELECT *, NOT (m0 AND coalesce(lag(m0) OVER
+          |    (PARTITION BY w ORDER BY pos), false)) AS new_run FROM c$k),
+          |e$k AS (SELECT *, max(CASE WHEN new_run THEN pos END) OVER
+          |    (PARTITION BY w ORDER BY pos
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |    AS run_start
+          |  FROM d$k),
+          |f$k AS (SELECT *, m0 AND (pos - run_start) % 2 = 0 AS mrg
+          |  FROM e$k),
+          |g$k AS (SELECT *, coalesce(lag(mrg) OVER
+          |    (PARTITION BY w ORDER BY pos), false) AS consumed FROM f$k),
+          |s$k AS (SELECT w, freq,
+          |    row_number() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+          |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
+          |  FROM g$k WHERE NOT consumed)""".stripMargin)
+    }
+    sb.append("\n").append((1 to BpeRounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, lhs, rhs, " +
+        s"cnt AS pair_count FROM b$k")
+      .mkString("", "\nUNION ALL ", "\nORDER BY rank"))
+    sb.toString
+  }
+
   def oracleSql: Map[String, String] = Map(
     "t11_wordpiece" -> t11WordpieceSql,
     "t11b_wordpiece_wide" -> t11bWordpieceWideSql,
     "t12_token_chunks" -> t12TokenChunksSql,
+    "t14_bpe_merges" -> t14BpeMergesSql,
     "sp3b_token_pack" -> sp3bTokenPackSql)
 }

@@ -972,7 +972,8 @@ object AtomicPublish {
   private def markCommitted(spark: SparkSession, root: String,
       txn: String, seq: Long = 0L, op: String = "",
       parent: Option[String] = None,
-      dataChange: Boolean = true): Unit =
+      dataChange: Boolean = true,
+      cdfTables: Seq[String] = Nil): Unit =
     try {
       val vdir = new Path(root, s"v_$txn")
       val fs = vdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -983,13 +984,17 @@ object AtomicPublish {
       // rides it); `datachange=false` marks a REORGANIZATION commit —
       // same logical rows, new layout (compaction, clustering) — the
       // Delta `dataChange=false` vocabulary: change-feed consumers
-      // skip it instead of resyncing.
+      // skip it instead of resyncing; `cdf=<table>` marks a
+      // data-changing REWRITE that staged its per-row change set
+      // ([[cdfTableOf]]) — change feeds ride through it by serving
+      // the staged rows.
       val opLine =
         if (op.isEmpty) "" else "\nop=" + op.replaceAll("[\r\n]", " ")
       val parentLine = parent.map(p => s"\nparent=$p").getOrElse("")
       val dcLine = if (dataChange) "" else "\ndatachange=false"
+      val cdfLines = cdfTables.map(t => s"\ncdf=$t").mkString
       try mos.write(
-        s"$txn\nseq=$seq$opLine$parentLine$dcLine"
+        s"$txn\nseq=$seq$opLine$parentLine$dcLine$cdfLines"
           .getBytes(StandardCharsets.UTF_8))
       finally mos.close()
     } catch { case _: Throwable => () }
@@ -998,7 +1003,10 @@ object AtomicPublish {
     * from older markers parse as None/default; a missing or unreadable
     * marker is None (marker writes are best-effort). */
   final case class CommitInfo(seq: Option[Long], op: Option[String],
-      parent: Option[String], dataChange: Boolean)
+      parent: Option[String], dataChange: Boolean,
+      /** Tables whose per-row change set this commit staged beside its
+        * rewrite ([[cdfTableOf]]) — empty for every other commit. */
+      cdfTables: Seq[String] = Nil)
 
   def commitInfoOf(spark: SparkSession, root: String,
       txn: String): Option[CommitInfo] =
@@ -1016,7 +1024,9 @@ object AtomicPublish {
           case l if l.startsWith("op=") => l.stripPrefix("op=") },
         parent = lines.collectFirst {
           case l if l.startsWith("parent=") => l.stripPrefix("parent=") },
-        dataChange = !lines.contains("datachange=false")))
+        dataChange = !lines.contains("datachange=false"),
+        cdfTables = lines.collect {
+          case l if l.startsWith("cdf=") => l.stripPrefix("cdf=") }))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   /** The commit sequence recorded in `txn`'s marker (None: pre-seq
@@ -1039,8 +1049,18 @@ object AtomicPublish {
     * to the endpoint-diff behavior (resync on a rewrite). O(interval)
     * marker reads, no manifest or data access. */
   private[ops] def chainBetween(spark: SparkSession, root: String,
-      sinceTxn: String, at: String): Option[Seq[(String, Boolean)]] = {
-    val acc = scala.collection.mutable.ListBuffer.empty[(String, Boolean)]
+      sinceTxn: String, at: String): Option[Seq[(String, Boolean)]] =
+    chainInfos(spark, root, sinceTxn, at)
+      .map(_.map { case (t, ci) => (t, ci.dataChange) })
+
+  /** [[chainBetween]] carrying each commit's FULL marker info — the
+    * change feeds need `cdfTables` alongside the dataChange flag to
+    * ride staged rewrites. */
+  private[ops] def chainInfos(spark: SparkSession, root: String,
+      sinceTxn: String, at: String)
+      : Option[Seq[(String, CommitInfo)]] = {
+    val acc = scala.collection.mutable.ListBuffer
+      .empty[(String, CommitInfo)]
     var cur = at
     var steps = 0
     while (cur != sinceTxn) {
@@ -1049,7 +1069,7 @@ object AtomicPublish {
       if (steps > 1000000) return None
       commitInfoOf(spark, root, cur) match {
         case Some(ci) if ci.parent.isDefined =>
-          acc.prepend((cur, ci.dataChange))
+          acc.prepend((cur, ci))
           cur = ci.parent.get
         case _ => return None
       }
@@ -1135,19 +1155,17 @@ object AtomicPublish {
     * staged segment read; [[analyzeTable]] feeds it
     * `_metadata.file_path` computed BEFORE the tombstone anti-join
     * (which `input_file_name` would not survive). */
-  private def computeSegStatsOf(spark: SparkSession,
-      df: org.apache.spark.sql.DataFrame, segPath: Path,
-      statCols: Seq[String]): (SegStats, Map[String, SegStats]) = {
-    val present = statCols.filter(df.columns.contains)
+  /** The shared aggregate expressions of the stats scan: row count,
+    * per-column min/max/nulls/NDV, and equi-height histogram
+    * boundaries (33 quantiles) for numeric columns — one list, used by
+    * the per-segment publish scan ([[computeSegStatsOf]]) and the
+    * one-job ANALYZE rollup ([[computeSegStatsByOwner]]). */
+  private def statAggExprs(present: Seq[String],
+      histCols: Seq[String]): Seq[Column] = {
     import org.apache.spark.sql.functions.{approx_count_distinct, count,
       max, min, percentile_approx, sum}
-    // equi-height histogram boundaries ride the SAME scan: 33
-    // quantiles per numeric stat column (the double dialect is the
-    // estimator's own — non-numeric columns carry no histogram, range
-    // selectivity on them has no double geometry to estimate in)
-    val histCols = present.filter(c => histEligible(df.schema(c).dataType))
     val qs = (0 to HistogramBins).map(_.toDouble / HistogramBins).toArray
-    val aggs = count(lit(1)).as("_rows") +:
+    count(lit(1)).as("_rows") +:
       (present.flatMap { c =>
         Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c"),
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nu_$c"),
@@ -1156,6 +1174,86 @@ object AtomicPublish {
         percentile_approx(col(c).cast("double"), lit(qs), lit(10000))
           .as(s"hb_$c")
       })
+  }
+
+  /** min/max re-encoded under the recorded type plus the raw
+    * nulls/NDV/histogram columns — the projection both stats-scan
+    * consumers decode rows from. */
+  private def statEncodeCols(schema: StructType, present: Seq[String],
+      histCols: Seq[String], keep: Seq[Column]): Seq[Column] =
+    keep ++ present.flatMap { c =>
+      val dt = schema(c).dataType
+      Seq(statEncode(col(s"mn_$c"), dt).as(s"mn_$c"),
+        statEncode(col(s"mx_$c"), dt).as(s"mx_$c"), col(s"nu_$c"),
+        col(s"nd_$c"))
+    } ++ histCols.map(c => col(s"hb_$c"))
+
+  /** Decode one stats-scan row into a [[SegStats]]. Histogram only
+    * when `withHist` (the SEGMENT-level rows): per-file histograms
+    * would bloat the manifest O(files × bins) and the planner consumes
+    * table-level stats only — file skipping keeps its exact min/max
+    * envelopes instead. */
+  private def statRowDecode(r: org.apache.spark.sql.Row,
+      statCols: Seq[String], present: Seq[String], histCols: Seq[String],
+      withHist: Boolean): SegStats = {
+    val rows = Option(r.getAs[Any]("_rows"))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    def histOf(c: String, nulls: Long, ndv: Option[Long])
+        : Option[ColHist] =
+      if (!withHist || !histCols.contains(c)) None
+      else Option(r.getAs[scala.collection.Seq[Double]](s"hb_$c"))
+        .filter(bs => bs.length == HistogramBins + 1 &&
+          bs.forall(java.lang.Double.isFinite))
+        .map { bs =>
+          val n = ndv.getOrElse(rows - nulls)
+          val perBin =
+            math.max(1L, math.round(n.toDouble / HistogramBins))
+          ColHist((rows - nulls).toDouble / HistogramBins,
+            (0 until HistogramBins).map { i =>
+              val lo = bs(i); val hi = bs(i + 1)
+              HistBin(lo, hi, if (lo == hi) 1L else perBin)
+            })
+        }
+    val cols = statCols.map { c =>
+      if (present.contains(c)) {
+        val nulls = Option(r.getAs[Any](s"nu_$c"))
+          .map(_.asInstanceOf[Long]).getOrElse(0L)
+        val ndv = Option(r.getAs[Any](s"nd_$c"))
+          .map(_.asInstanceOf[Long])
+        c -> ColStat(Option(r.getAs[String](s"mn_$c")),
+          Option(r.getAs[String](s"mx_$c")), nulls, ndv,
+          histOf(c, nulls, ndv))
+      } else c -> ColStat(None, None, rows, Some(0L))
+    }.toMap
+    SegStats(rows, cols)
+  }
+
+  /** The all-empty stats of a segment with zero (live) rows. */
+  private def emptySegStats(statCols: Seq[String]): SegStats =
+    SegStats(0L,
+      statCols.map(c => c -> ColStat(None, None, 0L, Some(0L))).toMap)
+
+  /** Relative-path file key of a stats row, or None when the URI
+    * round-trip cannot prove the path exact (outside the segment dir,
+    * or percent-escaped — readers keep unmapped files conservatively,
+    * so skipping degrades, never corrupts). */
+  private def fileKeyOf(file: String, segUriPath: String): Option[String] = {
+    val uri = new Path(file).toUri.getPath
+    if (uri.startsWith(segUriPath + "/") && !uri.contains("%"))
+      Some(uri.stripPrefix(segUriPath + "/"))
+    else None
+  }
+
+  private def computeSegStatsOf(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, segPath: Path,
+      statCols: Seq[String]): (SegStats, Map[String, SegStats]) = {
+    val present = statCols.filter(df.columns.contains)
+    // equi-height histogram boundaries ride the SAME scan: 33
+    // quantiles per numeric stat column (the double dialect is the
+    // estimator's own — non-numeric columns carry no histogram, range
+    // selectivity on them has no double geometry to estimate in)
+    val histCols = present.filter(c => histEligible(df.schema(c).dataType))
+    val aggs = statAggExprs(present, histCols)
     // cube on the file name = per-file groups PLUS the segment-global
     // row (__file null) from ONE scan — the global row is where the
     // segment's NDV comes from (HLL states don't roll up through the
@@ -1165,70 +1263,23 @@ object AtomicPublish {
     grouped.persist()
     try {
       def encoded(base: org.apache.spark.sql.DataFrame, keep: Seq[Column]) =
-        base.select((keep ++ present.flatMap { c =>
-          val dt = df.schema(c).dataType
-          Seq(statEncode(col(s"mn_$c"), dt).as(s"mn_$c"),
-            statEncode(col(s"mx_$c"), dt).as(s"mx_$c"), col(s"nu_$c"),
-            col(s"nd_$c"))
-        } ++ histCols.map(c => col(s"hb_$c"))): _*)
-      // histogram only on the SEGMENT row (withHist): per-file
-      // histograms would bloat the manifest O(files × bins) and the
-      // planner consumes table-level stats only — file skipping keeps
-      // its exact min/max envelopes instead
-      def statsOf(r: org.apache.spark.sql.Row,
-          withHist: Boolean): SegStats = {
-        val rows = Option(r.getAs[Any]("_rows"))
-          .map(_.asInstanceOf[Long]).getOrElse(0L)
-        def histOf(c: String, nulls: Long, ndv: Option[Long])
-            : Option[ColHist] =
-          if (!withHist || !histCols.contains(c)) None
-          else Option(r.getAs[scala.collection.Seq[Double]](s"hb_$c"))
-            .filter(bs => bs.length == HistogramBins + 1 &&
-              bs.forall(java.lang.Double.isFinite))
-            .map { bs =>
-              val n = ndv.getOrElse(rows - nulls)
-              val perBin =
-                math.max(1L, math.round(n.toDouble / HistogramBins))
-              ColHist((rows - nulls).toDouble / HistogramBins,
-                (0 until HistogramBins).map { i =>
-                  val lo = bs(i); val hi = bs(i + 1)
-                  HistBin(lo, hi, if (lo == hi) 1L else perBin)
-                })
-            }
-        val cols = statCols.map { c =>
-          if (present.contains(c)) {
-            val nulls = Option(r.getAs[Any](s"nu_$c"))
-              .map(_.asInstanceOf[Long]).getOrElse(0L)
-            val ndv = Option(r.getAs[Any](s"nd_$c"))
-              .map(_.asInstanceOf[Long])
-            c -> ColStat(Option(r.getAs[String](s"mn_$c")),
-              Option(r.getAs[String](s"mx_$c")), nulls, ndv,
-              histOf(c, nulls, ndv))
-          } else c -> ColStat(None, None, rows, Some(0L))
-        }.toMap
-        SegStats(rows, cols)
-      }
+        base.select(statEncodeCols(df.schema, present, histCols, keep): _*)
+      def statsOf(r: org.apache.spark.sql.Row, withHist: Boolean): SegStats =
+        statRowDecode(r, statCols, present, histCols, withHist)
       val fs = segPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val segUriPath = fs.makeQualified(segPath).toUri.getPath
       val fileRows = encoded(grouped.filter(col("__file").isNotNull),
         Seq(col("__file"), col("_rows"))).collect()
       val fileMap = fileRows.flatMap { r =>
-        val uri = new Path(r.getAs[String]("__file")).toUri.getPath
-        // keep only paths the round-trip provably preserves: under the
-        // segment dir and free of percent-escapes (URI decoding could
-        // otherwise rewrite the name the reader reconstructs)
-        if (uri.startsWith(segUriPath + "/") && !uri.contains("%"))
-          Some(uri.stripPrefix(segUriPath + "/") ->
-            statsOf(r, withHist = false))
-        else None
+        fileKeyOf(r.getAs[String]("__file"), segUriPath)
+          .map(_ -> statsOf(r, withHist = false))
       }.toMap
       // an EMPTY segment cubes to zero rows (no group to total over) —
       // the old global-agg path yielded one all-null row there
       val segStats = encoded(grouped.filter(col("__file").isNull),
         Seq(col("_rows"))).collect().headOption
         .map(statsOf(_, withHist = true))
-        .getOrElse(SegStats(0L,
-          statCols.map(c => c -> ColStat(None, None, 0L, Some(0L))).toMap))
+        .getOrElse(emptySegStats(statCols))
       // data-file bytes of the freshly staged segment: one local
       // listing of files we just wrote, recorded so READ-time planner
       // stats never walk directories (skip meta/sidecar files)
@@ -1244,6 +1295,60 @@ object AtomicPublish {
       }
       (segStats.copy(bytes = Some(segBytes)),
         if (fileMap.size == fileRows.length) fileMap else Map.empty)
+    } finally { grouped.unpersist(); () }
+  }
+
+  /** ONE-JOB restatement scan for [[analyzeTable]] (VERDICT r13 #3):
+    * `rollup(__owner, __file)` over the WHOLE live table gives every
+    * (owner, file) zone map AND every per-owner total (the rollup's
+    * file-null rows, where each owner's NDV/histogram come from — HLL
+    * states don't roll up through per-file longs) in a single Spark
+    * action, where the r13 shape scheduled one driver-coordinated job
+    * PER owner — ~1000 sequential jobs on exactly the delete-heavy,
+    * long-uncompacted table ANALYZE exists for. The grand-total row
+    * (owner null) is filtered out before the scan runs. `df` must
+    * carry `__owner` and `__file`; owners absent from the result (zero
+    * live rows) restate to the 0-row zone map every predicate rejects. */
+  private def computeSegStatsByOwner(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, statCols: Seq[String],
+      segPaths: Seq[(String, Path)])
+      : Map[String, (SegStats, Map[String, SegStats])] = {
+    val dataCols = df.columns.filterNot(c =>
+      c == "__owner" || c == "__file").toSeq
+    val present = statCols.filter(dataCols.contains)
+    val histCols = present.filter(c => histEligible(df.schema(c).dataType))
+    val aggs = statAggExprs(present, histCols)
+    val grouped = df.rollup(col("__owner"), col("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .filter(col("__owner").isNotNull)
+    grouped.persist()
+    try {
+      def encoded(base: org.apache.spark.sql.DataFrame, keep: Seq[Column]) =
+        base.select(statEncodeCols(df.schema, present, histCols, keep): _*)
+      val ownerRows = encoded(grouped.filter(col("__file").isNull),
+        Seq(col("__owner"), col("_rows"))).collect()
+      val fileRows = encoded(grouped.filter(col("__file").isNotNull),
+        Seq(col("__owner"), col("__file"), col("_rows"))).collect()
+      val filesByOwner = fileRows.groupBy(_.getAs[String]("__owner"))
+      val segByOwner = ownerRows.map(r =>
+        r.getAs[String]("__owner") ->
+          statRowDecode(r, statCols, present, histCols,
+            withHist = true)).toMap
+      segPaths.map { case (o, segPath) =>
+        val fs = segPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val segUriPath = fs.makeQualified(segPath).toUri.getPath
+        val frs = filesByOwner.getOrElse(o,
+          Array.empty[org.apache.spark.sql.Row])
+        val fileMap: Map[String, SegStats] = frs.flatMap { r =>
+          fileKeyOf(r.getAs[String]("__file"), segUriPath)
+            .map(_ -> statRowDecode(r, statCols, present, histCols,
+              withHist = false))
+        }.toMap
+        o -> ((segByOwner.getOrElse(o, emptySegStats(statCols)),
+          if (fileMap.size == frs.length) fileMap
+          else Map.empty[String, SegStats]))
+      }.toMap
     } finally { grouped.unpersist(); () }
   }
 
@@ -2120,7 +2225,16 @@ object AtomicPublish {
         * qualify; rows or key scopes derived from a read at the pin
         * (a verified upsert, a MERGE) do not — those need the conflict
         * signal to recompute against the new snapshot. */
-      rebase: Boolean = false)
+      rebase: Boolean = false,
+      /** Per-row CHANGE SETS to stage beside a data-changing rewrite,
+        * table → (inserted rows, removed rows): each entry appends one
+        * owner to [[cdfTableOf]] (rows tagged by [[CdfTypeCol]]) in
+        * this SAME commit and records `cdf=<table>` in the marker, so
+        * the change feeds serve the rewrite row-wise instead of
+        * resyncing. The caller GUARANTEES the pair is exactly the
+        * commit's logical diff. Keys must be tables this delta
+        * replaces. */
+      cdf: Map[String, (DataFrame, DataFrame)] = Map.empty)
       : Option[String] = {
     require(append.nonEmpty || replace.nonEmpty || drop.nonEmpty,
       "publishDelta needs at least one appended, replaced or dropped table")
@@ -2129,7 +2243,19 @@ object AtomicPublish {
     drop.foreach(t => require(
       !append.contains(t) && !replace.contains(t),
       s"table '$t' cannot be both dropped and written in one commit"))
-    validateNames(append.keys ++ replace.keys)
+    cdf.keys.foreach(t => require(replace.contains(t),
+      s"cdf stages the change set of a rewrite — '$t' is not replaced " +
+        "by this delta (appends and drops are already feed-exact)"))
+    val cdfAppend: Map[String, DataFrame] = cdf.map { case (t, (ins, del)) =>
+      cdfTableOf(t) -> ins.withColumn(CdfTypeCol, lit("insert"))
+        .unionByName(del.withColumn(CdfTypeCol, lit("delete")),
+          allowMissingColumns = true)
+    }
+    cdfAppend.keys.foreach(n => require(
+      !append.contains(n) && !replace.contains(n),
+      s"'$n' is written explicitly AND as a staged change set"))
+    val appendA = append ++ cdfAppend
+    validateNames(appendA.keys ++ replace.keys)
     partitionBy.keys.foreach(n =>
       require(append.contains(n) || replace.contains(n),
         s"partitionBy names unknown table '$n'"))
@@ -2163,9 +2289,11 @@ object AtomicPublish {
       drop.foreach(t => require(parentMeta.contains(t),
         s"cannot drop table '$t': not in version " +
           s"${parent.getOrElse("<none>")} under $root"))
-      // a dropped table takes its tombstone companion with it — a
-      // re-created table must not inherit a dead table's delete keys
-      val dropAll = drop.toSet ++ drop.map(deleteTableOf)
+      // a dropped table takes its tombstone AND change-data companions
+      // with it — a re-created table must not inherit a dead table's
+      // delete keys or change history
+      val dropAll = drop.toSet ++ drop.map(deleteTableOf) ++
+        drop.map(cdfTableOf)
       // a REPLACE defines the table's full new content, so any pending
       // merge-on-read tombstones are consumed by it — clear them in the
       // same commit (unless the caller writes the tombstone table
@@ -2189,7 +2317,7 @@ object AtomicPublish {
               segStats = Map.empty, fileStats = Map.empty))
         }.toMap
       val replaceAll = replace
-      val appendMeta = append.map { case (n, df) =>
+      val appendMeta = appendA.map { case (n, df) =>
         val pm = parentMeta.get(n)
         val pcols = partitionBy.getOrElse(n,
           pm.map(_.partitionCols).getOrElse(Nil))
@@ -2328,7 +2456,7 @@ object AtomicPublish {
       }
       val meta = (parentMeta -- dropAll) ++ appendMeta ++ replaceMeta ++
         autoCleared
-      val guarded = (append ++ replaceAll).map { case (n, df) =>
+      val guarded = (appendA ++ replaceAll).map { case (n, df) =>
         n -> checkGuarded(spark, n, df, meta(n))
       }
       val sealedMeta = stageAndSeal(spark, rootPath, txn, guarded, meta)
@@ -2346,7 +2474,8 @@ object AtomicPublish {
             if (replace.nonEmpty) Some("REPLACE") else None,
             if (drop.nonEmpty) Some("DROP " + drop.mkString(","))
             else None).flatten.mkString("+")),
-          parent = parent, dataChange = dataChange)
+          parent = parent, dataChange = dataChange,
+          cdfTables = cdf.keys.toSeq)
         Some(txn)
       } else if (rebase && replace.isEmpty && drop.isEmpty)
         rebaseAppendOnto(spark, root, txn, parentMeta, sealedMeta,
@@ -2499,7 +2628,11 @@ object AtomicPublish {
         * (zone-map check, conservative) — those rows would wrongly
         * survive the "replace all rows where P" contract. None (a
         * compaction) imposes no predicate condition. */
-      conflictPredicate: Option[String] = None): Option[String] = {
+      conflictPredicate: Option[String] = None,
+      /** Per-row change set of this rewrite (inserted, removed) to
+        * stage as one [[cdfTableOf]] owner in the same commit — the
+        * feed ride-through contract of [[publishDelta]]'s `cdf`. */
+      cdf: Option[(DataFrame, DataFrame)] = None): Option[String] = {
     val rootPath = new Path(root)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     inFlight.add(txn)
@@ -2528,22 +2661,41 @@ object AtomicPublish {
         // the consolidated segment lays out under the CURRENT spec;
         // kept owners keep their evolved-spec entries
         ownerParts = m.ownerParts.filter(kv => keep.contains(kv._1)))
-      val all = parentMeta + (table -> newMeta)
+      val cdfT = cdfTableOf(table)
+      val cdfFrame = cdf.map { case (ins, del) =>
+        ins.withColumn(CdfTypeCol, lit("insert"))
+          .unionByName(del.withColumn(CdfTypeCol, lit("delete")),
+            allowMissingColumns = true)
+      }
+      val cdfMeta = cdfFrame.map { f =>
+        val pm = parentMeta.get(cdfT)
+        val merged = pm.map(p => mergeSchemas(cdfT,
+          parentSchemaOf(spark, root, cdfT, p), f.schema))
+          .getOrElse(f.schema)
+        cdfT -> pm.map(p => p.copy(owners = p.owners :+ txn,
+            schemaJson = Some(merged.json)))
+          .getOrElse(TableMeta(Seq(txn), Some(merged.json)))
+      }
+      val all = parentMeta + (table -> newMeta) ++ cdfMeta
       val sealedMeta = stageAndSeal(spark, rootPath, txn,
-        Map(table -> tail), all)
+        Map(table -> tail) ++ cdfFrame.map(cdfT -> _), all)
       val committed = swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(Some(parent)))
+      val cdfTables = if (cdf.isDefined) Seq(table) else Nil
       if (committed) {
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, parent).map(_ + 1).getOrElse(0L),
-          op = op, parent = Some(parent), dataChange = dataChange)
+          op = op, parent = Some(parent), dataChange = dataChange,
+          cdfTables = cdfTables)
         Some(txn)
       } else
         rebaseSubsetOnto(spark, root, table, txn, m,
           m.owners.toSet -- keepOwners.toSet,
           sealedMeta.getOrElse(table, newMeta), conflictPredicate,
-          op, dataChange)
+          op, dataChange,
+          sealedCdf = cdfMeta.map { case (n, mm) =>
+            n -> sealedMeta.getOrElse(n, mm) })
     } catch {
       case e: Throwable =>
         val ctx = fc(spark, rootPath)
@@ -2573,7 +2725,11 @@ object AtomicPublish {
   private def rebaseSubsetOnto(spark: SparkSession, root: String,
       table: String, txn: String, pm: TableMeta, replaced: Set[String],
       sealedM: TableMeta, conflictPredicate: Option[String],
-      op: String, dataChange: Boolean): Option[String] = {
+      op: String, dataChange: Boolean,
+      /** The staged change-set companion ([[cdfTableOf]] name → its
+        * sealed meta): on rebase its owner appends to the END of the
+        * winner's companion chain, like any append. */
+      sealedCdf: Option[(String, TableMeta)] = None): Option[String] = {
     var attempt = 0
     while (attempt < 5) {
       attempt += 1
@@ -2627,7 +2783,18 @@ object AtomicPublish {
           sealedM.fileStats.get(txn).map(txn -> _),
         ownerDirs = qm.ownerDirs -- replaced,
         ownerParts = qm.ownerParts -- replaced)
-      val bytes = renderManifest(txn, qMeta + (table -> newMeta))
+      // the staged change set rides the rebase like a plain append:
+      // its owner lands at the end of the WINNER's companion chain
+      val cdfEntry = sealedCdf.map { case (n, sm) =>
+        n -> qMeta.get(n).map(p => p.copy(
+            owners = p.owners :+ txn,
+            segStats = p.segStats ++ sm.segStats.get(txn).map(txn -> _),
+            fileStats = p.fileStats ++
+              sm.fileStats.get(txn).map(txn -> _)))
+          .getOrElse(sm)
+      }
+      val bytes = renderManifest(txn, qMeta + (table -> newMeta) ++
+          cdfEntry)
         .getBytes(StandardCharsets.UTF_8)
       // keep the version dir's _MANIFEST in lockstep with what commits
       // (see rebaseAppendOnto: time travel / vacuum read it)
@@ -2637,7 +2804,8 @@ object AtomicPublish {
         Concurrency.rebased.incrementAndGet()
         markCommitted(spark, root, txn,
           seq = commitSeqOf(spark, root, q).map(_ + 1).getOrElse(0L),
-          op = op, parent = Some(q), dataChange = dataChange)
+          op = op, parent = Some(q), dataChange = dataChange,
+          cdfTables = if (sealedCdf.isDefined) Seq(table) else Nil)
         return Some(txn)
       }
     }
@@ -3121,18 +3289,30 @@ object AtomicPublish {
   }
 
   /** ANALYZE — restate a table's recorded column statistics over its
-    * LIVE rows, in one METADATA-ONLY commit: per owner segment, the
-    * owner's files are read under the recorded schema, the table's
-    * merge-on-read tombstones are applied with their exact positional
-    * `_asof` scoping (the SAME anti-join every reader runs), and the
-    * same `cube(__file)` stats scan as publish recomputes
-    * rows/min-max/nulls/NDV/histograms plus the per-file zone maps —
-    * no data file is rewritten. This is the between-maintenance answer
-    * to stats gone stale under mass deletes: tombstones are
-    * stats-blind by design (the planner over-estimates until the debt
-    * is applied), `compactStore` recomputes but is O(rewrite), ANALYZE
-    * is O(one table scan). Segment BYTES stay the physical on-disk
-    * quantity (files untouched).
+    * LIVE rows, in one METADATA-ONLY commit: the whole table is read
+    * under the recorded schema, the merge-on-read tombstones are
+    * applied with their exact positional `_asof` scoping (the SAME
+    * anti-join every reader runs), and ONE `rollup(__owner, __file)`
+    * stats scan recomputes every owner's rows/min-max/nulls/NDV/
+    * histograms plus the per-file zone maps — a single Spark action
+    * however deep the owner chain (VERDICT r13 #3: the prior
+    * job-per-owner loop paid ~1000 sequential driver-coordinated jobs
+    * on exactly the delete-heavy, long-uncompacted history ANALYZE
+    * exists for), and no data file is rewritten. This is the
+    * between-maintenance answer to stats gone stale under mass
+    * deletes: tombstones are stats-blind by design (the planner
+    * over-estimates until the debt is applied), `compactStore`
+    * recomputes but is O(rewrite), ANALYZE is O(one table scan).
+    * Segment BYTES stay the physical on-disk quantity (files
+    * untouched — carried forward from the recorded entry).
+    *
+    * `forColumns` (VERDICT r13 #4 — `ANALYZE … FOR COLUMNS`) declares
+    * stat columns AT ANALYZE TIME: the named columns (validated
+    * against the recorded schema, zone-mappable types only) join the
+    * table's `statCols` in the same metadata commit and their stats
+    * compute over live rows — so a table published stats-blind can
+    * acquire planner statistics after the fact, which is precisely
+    * the table whose plans need rescuing.
     *
     * Soundness of restated zone maps: live-row extrema only NARROW,
     * and a file skipped under them holds matching rows only if every
@@ -3145,7 +3325,8 @@ object AtomicPublish {
     * idempotent. Returns the committed version; None on a lost CAS
     * race (re-pin and retry). */
   def analyzeTable(spark: SparkSession, root: String, table: String,
-      parent: Option[String] = None): Option[String] = {
+      parent: Option[String] = None,
+      forColumns: Seq[String] = Nil): Option[String] = {
     val rootPath = new Path(root)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     inFlight.add(txn)
@@ -3160,22 +3341,61 @@ object AtomicPublish {
       val m = metas.getOrElse(table,
         throw new IllegalArgumentException(
           s"table '$table' is not in version $p under $root"))
-      require(m.statCols.nonEmpty,
-        s"analyze: table '$table' records no stat columns — nothing " +
-          "to restate (declare statsBy at publish)")
+      val statCols = (m.statCols ++ forColumns).distinct
+      if (forColumns.nonEmpty) {
+        val rec = m.schema.getOrElse(
+          readSegments(spark, root, table, m, m.owners).schema)
+        validateStatCols(table,
+          spark.createDataFrame(
+            java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+            rec),
+          forColumns)
+      }
+      require(statCols.nonEmpty,
+        s"analyze: table '$table' records no stat columns — declare " +
+          "them here (forColumns / FOR COLUMNS) or at publish (statsBy)")
+      // __file from the metadata column, computed BEFORE the tombstone
+      // anti-join: it is a deterministic scan attribute (survives the
+      // join, keeps the scan prunable), where input_file_name() would
+      // come back empty past an exchange. __owner re-derives from the
+      // path with the same greedy last-component regex the tombstone
+      // join pins positions with (clone dirs included).
+      val dirNames = (table +: m.owners.map(m.dirOf(_, table))).distinct
+      val ownerRe = ".*/v_([^/]+)/(?:" +
+        dirNames.map(java.util.regex.Pattern.quote).mkString("|") + ")/"
+      val withFile = readSegments(spark, root, table, m, m.owners)
+        .withColumn("__file", col("_metadata.file_path"))
+      val live = applyTombstones(spark, root, table, metas, withFile)
+        .withColumn("__owner",
+          regexp_extract(col("__file"), ownerRe, 1))
+      val segPaths = m.owners.map(o =>
+        o -> new Path(new Path(rootPath, s"v_$o"), m.dirOf(o, table)))
+      val restated0 = computeSegStatsByOwner(spark, live, statCols,
+        segPaths)
+      // bytes are physical and unchanged — carry the recorded entry;
+      // a segment with NO recorded entry (published stats-blind, now
+      // bootstrapped via forColumns) lists its files once, because the
+      // planner-stats mount refuses partial byte sums
+      val segPathOf = segPaths.toMap
+      def listedBytes(segPath: Path): Long = {
+        val fs = segPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(segPath, true)
+        var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          val name = f.getPath.getName
+          if (!name.startsWith("_") && !name.startsWith(".")) b += f.getLen
+        }
+        b
+      }
       val restated = m.owners.map { o =>
-        val segPath = new Path(new Path(rootPath, s"v_$o"),
-          m.dirOf(o, table))
-        // __file from the metadata column, computed BEFORE the
-        // tombstone anti-join: it is a deterministic scan attribute
-        // (survives the join, keeps the scan prunable), where
-        // input_file_name() would come back empty past an exchange
-        val withFile = readSegments(spark, root, table, m, Seq(o))
-          .withColumn("__file", col("_metadata.file_path"))
-        val live = applyTombstones(spark, root, table, metas, withFile)
-        o -> computeSegStatsOf(spark, live, segPath, m.statCols)
+        val (s, f) = restated0(o)
+        o -> ((s.copy(bytes = m.segStats.get(o).flatMap(_.bytes)
+          .orElse(Some(listedBytes(segPathOf(o))))), f))
       }
       val evolved = m.copy(
+        statCols = statCols,
         segStats = restated.map { case (o, (s, _)) => o -> s }.toMap,
         fileStats = restated.collect {
           case (o, (_, f)) if f.nonEmpty => o -> f }.toMap)
@@ -3187,7 +3407,9 @@ object AtomicPublish {
       if (committed) {
         markCommitted(spark, root, txn, seq =
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
-          op = s"ANALYZE $table", parent = Some(p))
+          op = s"ANALYZE $table" + (if (forColumns.isEmpty) ""
+            else s" FOR COLUMNS (${forColumns.mkString(",")})"),
+          parent = Some(p))
         Some(txn)
       } else None
     } catch {
@@ -3221,7 +3443,15 @@ object AtomicPublish {
     * debt. Returns the committed txn; retries lost CAS races. */
   def overwriteWhere(spark: SparkSession, root: String, table: String,
       replacement: DataFrame, where: String,
-      maxAttempts: Int = 5): String = {
+      maxAttempts: Int = 5,
+      /** Stage the rewrite's per-row change set ([[cdfTableOf]]) in
+        * the same commit so live change-feed consumers stream THROUGH
+        * the backfill instead of resyncing (r14). Default on — the
+        * price is one extra staged segment holding the removed rows
+        * plus a second copy of the replacement (Delta CDF's exact
+        * write-amplification trade, O(changed rows), never O(table));
+        * turn off only when no downstream feed exists. */
+      stageCdf: Boolean = true): String = {
     import org.apache.spark.sql.functions.{coalesce => fcoalesce, expr => fexpr, not => fnot, raise_error, when => fwhen}
     require(where.trim.nonEmpty,
       "overwriteWhere needs a predicate; a full overwrite is " +
@@ -3279,7 +3509,10 @@ object AtomicPublish {
           publishDelta(spark, root, append = Map.empty,
             replace = Map(table -> kept.unionByName(guarded)),
             parent = Some(parent),
-            opLabel = Some(s"REPLACE WHERE $table ($where)"))
+            opLabel = Some(s"REPLACE WHERE $table ($where)"),
+            cdf = if (!stageCdf) Map.empty else Map(table -> ((guarded,
+              // removed = the live rows the predicate matched
+              readTableAt(spark, root, table, parent).filter(matches)))))
         } else {
           val admitted = pruneOwners(spark, m, where)
           if (admitted.isEmpty)
@@ -3304,7 +3537,12 @@ object AtomicPublish {
               // (appends outside the predicate, rewrites of other
               // owners) compose without recomputing; anything that
               // may overlap `where` refuses and recomputes here
-              conflictPredicate = Some(where))
+              conflictPredicate = Some(where),
+              cdf = if (!stageCdf) None else Some((guarded,
+                // removed = matching rows of the admitted owners (the
+                // carried-by-reference owners provably hold none)
+                readTableSegments(spark, root, table, parent, admitted)
+                  .filter(matches))))
           }
         }
       } catch { case scala.util.control.NonFatal(e) =>
@@ -3367,6 +3605,71 @@ object AtomicPublish {
           commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
           op = (if (predicate.isDefined) "ADD CHECK " else "DROP CHECK ") +
             s"$table.$name", parent = Some(p))
+        Some(txn)
+      } else None
+    } catch {
+      case e: Throwable =>
+        val ctx = fc(spark, rootPath)
+        try ctx.delete(new Path(rootPath, s".staging_$txn"), true)
+        catch { case _: Throwable => () }
+        try ctx.delete(new Path(rootPath, s"._current_$txn"), false)
+        catch { case _: Throwable => () }
+        throw e
+    } finally inFlight.remove(txn)
+  }
+
+  /** CDF RETENTION — trim a table's change-data companion
+    * ([[cdfTableOf]]) to its newest `keepLast` staged change sets, in
+    * one METADATA-ONLY CAS commit (the `setCheck` shape): the cdf
+    * chain is append-only (one owner per rewrite, chain order = commit
+    * order), so the trim just drops the oldest owners from the LIVE
+    * manifest. Without this the live manifest references every change
+    * set ever staged and vacuum can never reclaim them — the
+    * log-retention half of the commit-time CDF story (Delta ages
+    * change files out with its log; here they age out with versions
+    * once unreferenced). Historical reads are untouched (a lagging
+    * stream diffs through the interval's OWN manifests, which still
+    * reference the trimmed owners until vacuum reclaims those
+    * versions — and vacuum's consumer registry protects registered
+    * laggards); a consumer older than both trim and vacuum gets the
+    * documented resync error, never wrong rows. No-op (None, nothing
+    * committed) when the companion is absent or already within
+    * budget; Some(txn) on commit; retry on a lost race. */
+  def trimCdf(spark: SparkSession, root: String, table: String,
+      keepLast: Int, parent: Option[String] = None): Option[String] = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val rootPath = new Path(root)
+    val txn = java.util.UUID.randomUUID().toString.replace("-", "")
+    inFlight.add(txn)
+    try {
+      val p = parent.orElse(currentTxn(spark, root)).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      val parentMeta = manifestMetaOf(spark, root, p)
+      require(parentMeta.contains(table),
+        s"table '$table' is not in version $p under $root")
+      val cdfT = cdfTableOf(table)
+      val m = parentMeta.getOrElse(cdfT, return None)
+      if (m.owners.size <= keepLast) return None
+      val dropped = m.owners.dropRight(keepLast).toSet
+      val newMeta = m.copy(
+        owners = m.owners.takeRight(keepLast),
+        segStats = m.segStats.filterNot(kv => dropped(kv._1)),
+        fileStats = m.fileStats.filterNot(kv => dropped(kv._1)),
+        ownerDirs = m.ownerDirs.filterNot(kv => dropped(kv._1)),
+        ownerParts = m.ownerParts.filterNot(kv => dropped(kv._1)))
+      val all = parentMeta + (cdfT -> newMeta)
+      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, all)
+      val committed = swapPointer(spark, root, txn,
+        renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
+        expectParent = Some(Some(p)))
+      if (committed) {
+        markCommitted(spark, root, txn, seq =
+          commitSeqOf(spark, root, p).map(_ + 1).getOrElse(0L),
+          op = s"TRIM CDF $table (keep $keepLast)", parent = Some(p),
+          // dropping cdf owners changes no table CONTENT: change-feed
+          // consumers ride through it like any reorganization
+          dataChange = false)
         Some(txn)
       } else None
     } catch {
@@ -3455,6 +3758,28 @@ object AtomicPublish {
     * physically and empties it in the same atomic commit. Do not
     * publish ordinary data under a `__del` suffix. */
   def deleteTableOf(table: String): String = s"${table}__del"
+
+  /** Name of `table`'s CHANGE-DATA companion (Delta CDF's change-file
+    * shape, r14): a DATA-CHANGING rewrite ([[overwriteWhere]], SQL
+    * UPDATE/MERGE's copy-on-write routes) stages its per-row change
+    * set — the inserted rows and the removed rows, tagged by
+    * [[CdfTypeCol]] — as ONE appended owner of this companion, in the
+    * SAME CAS commit as the rewrite, and records `cdf=<table>` in the
+    * commit marker. The change feeds ([[changesWithDeletes]],
+    * [[appendedBetween]] and both streaming sources) then serve the
+    * staged rows ACROSS the rewrite instead of failing with
+    * RESYNC_REQUIRED — a routine backfill no longer kills every live
+    * downstream consumer. The companion is append-only (one owner per
+    * rewrite commit, owner id = the commit txn), so its own chain is
+    * always prefix-extending; historical readers resolve it through
+    * the interval's own manifests. Do not publish ordinary data under
+    * a `__cdf` suffix. */
+  def cdfTableOf(table: String): String = s"${table}__cdf"
+
+  /** Discriminator column of the staged change set: `insert` |
+    * `delete` (two-valued on disk; the CDC stream's optional
+    * update-image classification refines it at read time). */
+  val CdfTypeCol = "_change_type"
 
   /** Tombstone scope column: a tombstone with `_asof = n` applies to
     * the data table's owner segments at positions BELOW n in its owner
@@ -4117,11 +4442,11 @@ object AtomicPublish {
       // segment, never re-derived from the mixed rewrite output. A
       // chain-breaking commit that IS a data change (upsert, scoped
       // overwrite) still returns None — a rewrite is not diffable.
-      chainBetween(spark, root, sinceTxn, at).flatMap { chain =>
+      chainInfos(spark, root, sinceTxn, at).flatMap { chain =>
         walkAppendedOwners(spark, root, table, sinceTxn, chain)
           .map { parts =>
-            val frames = parts.map { case (meta, owners) =>
-              readSegments(spark, root, table, meta, owners) }
+            val frames =
+              parts.map(readAppendedPart(spark, root, table, _))
             if (frames.isEmpty) emptyLike
             else alignFrames(frames, after.schema.getOrElse(
               frames.last.schema))
@@ -4130,25 +4455,51 @@ object AtomicPublish {
     }
   }
 
+  /** One contribution of [[walkAppendedOwners]]: either appended
+    * owners of the table itself, or the INSERT side of a staged
+    * change set ([[cdfTableOf]]) — the rows the table gained in a
+    * rewrite commit that staged its CDF. */
+  private sealed trait AppendedPart
+  private final case class OwnersPart(meta: TableMeta,
+      owners: Seq[String]) extends AppendedPart
+  private final case class CdfInsertsPart(cdfMeta: TableMeta,
+      owner: String) extends AppendedPart
+
+  /** Read one [[AppendedPart]] as a frame of the table's rows. */
+  private def readAppendedPart(spark: SparkSession, root: String,
+      table: String, p: AppendedPart): DataFrame = p match {
+    case OwnersPart(meta, owners) =>
+      readSegments(spark, root, table, meta, owners)
+    case CdfInsertsPart(dm, owner) =>
+      readSegments(spark, root, cdfTableOf(table), dm, Seq(owner))
+        .filter(col(CdfTypeCol) === "insert").drop(CdfTypeCol)
+  }
+
   /** The per-sub-interval appended owners of `table` across `chain`
     * (each with the manifest meta of its sub-interval END, which is
     * how the segments must be read), or None when a DATA-CHANGING
-    * commit in the chain broke the owner-prefix invariant (a genuine
-    * rewrite — not diffable). Reorganization commits
-    * (dataChange=false) are skipped: their rewrites carry the same
-    * logical rows, so they contribute nothing and re-base the
-    * bookkeeping. */
+    * commit in the chain broke the owner-prefix invariant WITHOUT
+    * staging its change set (a genuine unstaged rewrite — not
+    * diffable). Reorganization commits (dataChange=false) are
+    * skipped: their rewrites carry the same logical rows, so they
+    * contribute nothing and re-base the bookkeeping. A rewrite that
+    * STAGED its change set (`cdf=` marker, r14) re-bases the
+    * bookkeeping the same way and contributes its staged INSERT rows
+    * — the plain change feed's contract is "rows the table gained",
+    * and the staged insert side is exactly that. */
   private def walkAppendedOwners(spark: SparkSession, root: String,
-      table: String, sinceTxn: String, chain: Seq[(String, Boolean)],
+      table: String, sinceTxn: String, chain: Seq[(String, CommitInfo)],
       /** Cap the named version's chain at this position — the
         * streaming face paces batches to offsets that may cover only a
         * PREFIX of the end version's chain. */
       endCap: Option[(String, Int)] = None)
-      : Option[Seq[(TableMeta, Seq[String])]] = {
+      : Option[Seq[AppendedPart]] = {
     val memo = scala.collection.mutable.Map.empty[String, Seq[String]]
-    val metaMemo = scala.collection.mutable.Map.empty[String, Option[TableMeta]]
-    def metaAt(t: String): Option[TableMeta] =
-      metaMemo.getOrElseUpdate(t, manifestMetaOf(spark, root, t).get(table))
+    val metaMemo =
+      scala.collection.mutable.Map.empty[String, Map[String, TableMeta]]
+    def metasAt(t: String): Map[String, TableMeta] =
+      metaMemo.getOrElseUpdate(t, manifestMetaOf(spark, root, t))
+    def metaAt(t: String): Option[TableMeta] = metasAt(t).get(table)
     def ownersAt(t: String): Seq[String] = {
       val full = memo.getOrElseUpdate(t,
         metaAt(t).map(_.owners).getOrElse(Nil))
@@ -4157,8 +4508,7 @@ object AtomicPublish {
         case _ => full
       }
     }
-    val out = scala.collection.mutable.ListBuffer
-      .empty[(TableMeta, Seq[String])]
+    val out = scala.collection.mutable.ListBuffer.empty[AppendedPart]
     // consecutive append steps coalesce into one run, read with the
     // run-END version's meta (its chain holds every owner of the run,
     // and its schema is the latest the run saw) — one relation per
@@ -4167,25 +4517,34 @@ object AtomicPublish {
     var runMeta: Option[TableMeta] = None
     def flush(): Unit = {
       if (runAdded.nonEmpty) {
-        out += ((runMeta.get, runAdded.toList))
+        out += OwnersPart(runMeta.get, runAdded.toList)
         runAdded.clear()
       }
       runMeta = None
     }
     var prev = sinceTxn
-    for ((txn, dc) <- chain) {
+    for ((txn, ci) <- chain) {
       val a = ownersAt(prev)
       val b = ownersAt(txn)
-      if (b.startsWith(a)) {
+      if (ci.cdfTables.contains(table)) {
+        // staged rewrite: its gained rows come from the cdf owner,
+        // never from chain arithmetic (the chain was rewritten)
+        flush()
+        metasAt(txn).get(cdfTableOf(table))
+          .filter(_.owners.contains(txn)) match {
+          case Some(dm) => out += CdfInsertsPart(dm, txn)
+          case None => return None // marker says staged, manifest lost it
+        }
+      } else if (b.startsWith(a)) {
         runAdded ++= b.drop(a.size)
         if (runAdded.nonEmpty) runMeta = metaAt(txn)
-      } else if (!dc) {
+      } else if (!ci.dataChange) {
         // reorganization: same rows, new chain — nothing appended;
         // close the run (later owners live on the REWRITTEN chain and
         // need the post-reorg meta)
         flush()
       } else {
-        return None // data-changing rewrite: not diffable
+        return None // unstaged data-changing rewrite: not diffable
       }
       prev = txn
     }
@@ -4240,19 +4599,19 @@ object AtomicPublish {
     else {
       val mFrom = manifestMetaOf(spark, root, fromTxn).get(table)
       val chainA = mFrom.map(_.owners).getOrElse(Nil)
-      chainBetween(spark, root, fromTxn, toTxn).flatMap { chain =>
+      chainInfos(spark, root, fromTxn, toTxn).flatMap { chain =>
         walkAppendedOwners(spark, root, table, fromTxn, chain,
           endCap = Some((toTxn, toN))).map { walked =>
           // un-consumed backlog at the START version first, read at its
           // own meta — a later reorg may have rewritten those owners,
           // but their version's segments persist
-          val backlog =
+          val backlog: Seq[AppendedPart] =
             if (fromN < chainA.size)
-              Seq((mFrom.get, chainA.drop(fromN)))
+              Seq(OwnersPart(mFrom.get, chainA.drop(fromN)))
             else Nil
           val parts = backlog ++ walked
-          val frames = parts.map { case (meta, owners) =>
-            readSegments(spark, root, table, meta, owners) }
+          val frames =
+            parts.map(readAppendedPart(spark, root, table, _))
           if (frames.isEmpty) emptyLike
           else alignFrames(frames, mTo.schema.getOrElse(
             frames.last.schema))
@@ -4268,6 +4627,13 @@ object AtomicPublish {
   def commitChainBetween(spark: SparkSession, root: String,
       sinceTxn: String, at: String): Option[Seq[(String, Boolean)]] =
     chainBetween(spark, root, sinceTxn, at)
+
+  /** [[commitChainBetween]] with each commit's full marker info —
+    * the streaming offset walk needs [[CommitInfo.cdfTables]] to ride
+    * a staged rewrite instead of resyncing. */
+  def commitChainInfos(spark: SparkSession, root: String,
+      sinceTxn: String, at: String): Option[Seq[(String, CommitInfo)]] =
+    chainInfos(spark, root, sinceTxn, at)
 
   /** COMMIT-INTERVAL PACING for the CDC stream: the txn on the chain
     * from `fromTxn` to `toTxn` that admits at most ~`maxOwners` newly
@@ -4326,10 +4692,14 @@ object AtomicPublish {
     * the rows it LOST (live at `sinceTxn`, killed by tombstones added
     * in the interval) — the inserted/deleted halves a downstream
     * incremental consumer (a signed-merge materialized view, a sync
-    * job) needs. None when the interval REPLACED the table or its
-    * tombstone chain (compaction, upsert merge): a rewrite is not
-    * diffable segment-wise and callers must full-resync, exactly like
-    * [[changesSince]].
+    * job) needs. Rides through reorganization commits AND through
+    * data-changing rewrites that STAGED their change set (r14
+    * commit-time CDF — [[cdfTableOf]]: overwriteWhere, the SQL
+    * UPDATE/MERGE copy-on-write routes), serving the staged rows for
+    * those commits. None only when the interval holds an UNSTAGED
+    * rewrite of the table or its tombstone chain (a raw
+    * `publishDelta(replace=…)`): that is not diffable segment-wise
+    * and callers must full-resync, exactly like [[changesSince]].
     *
     * Exactness: asof scopes are evaluated against the stable owner
     * positions (append-only evolution is a precondition), so a key
@@ -4379,37 +4749,57 @@ object AtomicPublish {
       // interval-net: a row appended in one sub-interval and deleted
       // in a later one appears on BOTH sides — exactly what a
       // restarted stream would have observed batch by batch.
-      chainBetween(spark, root, sinceTxn, at).flatMap { chain =>
+      chainInfos(spark, root, sinceTxn, at).flatMap { chain =>
         val metaMemo = scala.collection.mutable
           .Map(sinceTxn -> mFrom, at -> mTo)
         def metasAt(t: String): Map[String, TableMeta] =
           metaMemo.getOrElseUpdate(t, manifestMetaOf(spark, root, t))
         val dt = deleteTableOf(table)
+        val cdfT = cdfTableOf(table)
         def unchanged(a: Map[String, TableMeta],
             b: Map[String, TableMeta]): Boolean =
           a.get(table).map(_.owners) == b.get(table).map(_.owners) &&
             a.get(dt).map(_.owners) == b.get(dt).map(_.owners)
-        // sub-interval boundaries: a reorg commit closes the current
-        // sub-interval and becomes the next one's base
+        // sub-interval boundaries: a reorg commit (dataChange=false)
+        // closes the current sub-interval and becomes the next one's
+        // base; a rewrite that STAGED its change set (`cdf=` in the
+        // marker, r14) does the same AND contributes its staged rows —
+        // the commit-time CDF that lets a backfill stream through.
+        // Left = prefix sub-interval (endpoint diff); Right = the
+        // staged owner (= the rewrite's txn) of the cdf companion.
         val bounds = scala.collection.mutable.ListBuffer
-          .empty[(String, String)]
+          .empty[Either[(String, String), String]]
         var start = sinceTxn
         var prev = sinceTxn
-        chain.foreach { case (t, dc) =>
-          if (!dc) {
-            if (start != prev) bounds += ((start, prev))
+        chain.foreach { case (t, ci) =>
+          if (ci.cdfTables.contains(table)) {
+            if (start != prev) bounds += Left((start, prev))
+            bounds += Right(t)
+            start = t
+          } else if (!ci.dataChange) {
+            if (start != prev) bounds += Left((start, prev))
             start = t
           }
           prev = t
         }
-        if (start != prev) bounds += ((start, prev))
-        val parts = bounds.toList.map { case (a, b) =>
-          if (unchanged(metasAt(a), metasAt(b)))
-            Some(None) // nothing touched this table — no read at all
-          else cdcDiffPrefix(spark, root, table, metasAt(a), metasAt(b))
-            .map(Some(_))
+        if (start != prev) bounds += Left((start, prev))
+        val parts = bounds.toList.map {
+          case Left((a, b)) =>
+            if (unchanged(metasAt(a), metasAt(b)))
+              Some(None) // nothing touched this table — no read at all
+            else cdcDiffPrefix(spark, root, table, metasAt(a), metasAt(b))
+              .map(x => Some(x))
+          case Right(t) =>
+            // the rewrite's staged change set: one cdf owner, id = txn
+            metasAt(t).get(cdfT).filter(_.owners.contains(t)).map { dm =>
+              val seg = readSegments(spark, root, cdfT, dm, Seq(t))
+              Some((seg.filter(col(CdfTypeCol) === "insert")
+                  .drop(CdfTypeCol),
+                seg.filter(col(CdfTypeCol) === "delete")
+                  .drop(CdfTypeCol)))
+            }
         }
-        if (parts.exists(_.isEmpty)) None // a data-changing rewrite
+        if (parts.exists(_.isEmpty)) None // an unstaged rewrite
         else {
           val frames = parts.flatten.flatten
           if (frames.isEmpty) Some((emptyLike, emptyLike))

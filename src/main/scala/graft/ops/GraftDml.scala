@@ -164,10 +164,20 @@ final case class GraftUpdateCommand(
         }
         Alias(v, a.name)(): NamedExpression
       }, target)
+      // commit-time CDF (r14): the UPDATE's change set is the matched
+      // rows, originals on the delete side, updated values on the
+      // insert side — staged beside the rewrite so live change feeds
+      // ride through instead of resyncing
+      val matchedPlan = condition
+        .map(c => org.apache.spark.sql.catalyst.plans.logical
+          .Filter(c, target)).getOrElse(target)
+      val updatedRows = df(Project(out.map(a =>
+        Alias(updatedValue(a), a.name)(): NamedExpression), matchedPlan))
       if (AtomicPublish.publishDelta(spark, root, append = Map.empty,
           replace = Map(table -> df(projected)),
           parent = Some(gt.txn),
-          opLabel = Some(s"UPDATE $table")).isEmpty)
+          opLabel = Some(s"UPDATE $table"),
+          cdf = Map(table -> ((updatedRows, df(matchedPlan))))).isEmpty)
         GraftDml.conflict(table, "the copy-on-write commit")
     }
 
@@ -439,9 +449,19 @@ final case class GraftMergeCommand(
         val kept = keepOrOriginal(df(matchedProj))
         var full = carry.unionByName(kept)
         if (!emptyInserts) full = full.unionByName(inserts)
+        // commit-time CDF (r14): delete side = ORIGINALS of every row
+        // an action fired for (UPDATE replaces it, DELETE removes it);
+        // insert side = the kept rows' NEW values plus the INSERTs —
+        // staged beside the rewrite so live change feeds ride through
+        val delOrig = renamedTo(fired, "__g_o")
+        val delAll = firedBs.map(b =>
+          delOrig.unionByName(renamedTo(b, "__g_o"))).getOrElse(delOrig)
+        val insAll =
+          if (emptyInserts) upserted else upserted.unionByName(inserts)
         if (AtomicPublish.publishDelta(spark, root, append = Map.empty,
             replace = Map(table -> full), parent = Some(gt.txn),
-            opLabel = Some(s"MERGE $table")).isEmpty)
+            opLabel = Some(s"MERGE $table"),
+            cdf = Map(table -> ((insAll, delAll)))).isEmpty)
           GraftDml.conflict(table, "the copy-on-write commit")
       }
 

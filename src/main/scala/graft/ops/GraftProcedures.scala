@@ -35,7 +35,7 @@ private[ops] object GraftProcedures {
   val names: Seq[String] =
     Seq("add_check", "analyze", "clone", "compact", "consumers", "detail",
       "drop_check", "drop_matview", "history", "matview", "restore",
-      "set_partition_spec", "vacuum")
+      "set_partition_spec", "trim_cdf", "vacuum")
 
   def load(root: String, name: String): Option[UnboundProcedure] =
     name match {
@@ -52,6 +52,7 @@ private[ops] object GraftProcedures {
       case "drop_matview" => Some(new DropMatViewProc(root))
       case "set_partition_spec" => Some(new SetPartitionSpecProc(root))
       case "analyze" => Some(new AnalyzeProc(root))
+      case "trim_cdf" => Some(new TrimCdfProc(root))
       case _ => None
     }
 
@@ -256,21 +257,75 @@ private[ops] object GraftProcedures {
     }
   }
 
-  /** `CALL system.analyze('t')` — restate a table's column statistics
-    * over its live (tombstone-applied) rows without rewriting data:
-    * the planner-maintenance face of [[AtomicPublish.analyzeTable]].
-    * Returns the committed version and the recorded row count before
-    * and after (their gap IS the merge-on-read debt the planner had
-    * been over-estimating by). */
+  /** `CALL system.trim_cdf(table => 't', keep_last => n)` — drop all
+    * but the newest `n` staged change sets from a table's CDF
+    * companion in one metadata-only commit
+    * ([[AtomicPublish.trimCdf]]): the log-retention half of
+    * commit-time CDF — trimmed change segments then age out with
+    * their versions under the ordinary vacuum contract. Returns the
+    * committed version (or the current one on a no-op) and the owner
+    * counts before/after. */
+  private final class TrimCdfProc(root: String)
+    extends GraftProc("trim_cdf") {
+
+    override def description(): String =
+      "trim a table's staged change sets (commit-time CDF) to the " +
+        "newest keep_last, metadata-only"
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      param("table", StringType),
+      param("keep_last", IntegerType))
+
+    private val out = new StructType()
+      .add("version", StringType, nullable = false)
+      .add("owners_before", IntegerType, nullable = false)
+      .add("owners_after", IntegerType, nullable = false)
+
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val keepLast = input.getInt(1)
+      val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
+        throw new IllegalStateException(
+          s"no published version under $root"))
+      def ownersAt(at: String): Int =
+        AtomicPublish.manifestMetaOf(spark, root, at)
+          .get(AtomicPublish.cdfTableOf(table)).map(_.owners.size)
+          .getOrElse(0)
+      val before = ownersAt(parent)
+      val txn = AtomicPublish.trimCdf(spark, root, table, keepLast,
+        Some(parent)) match {
+        case Some(t) => t
+        case None if before <= keepLast => parent // already within budget
+        case None => throw new IllegalStateException(
+          s"trim_cdf('$table') lost its commit race — retry the CALL")
+      }
+      result(out, Array(new GenericInternalRow(Array[Any](
+        utf8(txn), before, ownersAt(txn)))))
+    }
+  }
+
+  /** `CALL system.analyze(table => 't' [, for_columns => 'a,b'])` —
+    * restate a table's column statistics over its live
+    * (tombstone-applied) rows without rewriting data: the
+    * planner-maintenance face of [[AtomicPublish.analyzeTable]].
+    * `for_columns` declares stat columns AT ANALYZE TIME (the
+    * `ANALYZE … FOR COLUMNS` shape, r14): they join the recorded
+    * statsBy in the same metadata commit, so a stats-blind table can
+    * acquire planner statistics after the fact. Returns the committed
+    * version and the recorded row count before and after (their gap
+    * IS the merge-on-read debt the planner had been over-estimating
+    * by). */
   private final class AnalyzeProc(root: String)
     extends GraftProc("analyze") {
 
     override def description(): String =
       "restate column statistics over live rows (one table scan, " +
-        "metadata-only commit, no data rewrite)"
+        "metadata-only commit, no data rewrite); for_columns declares " +
+        "stat columns post-hoc"
 
     override def parameters(): Array[ProcedureParameter] = Array(
-      param("table", StringType))
+      param("table", StringType),
+      param("for_columns", StringType, "''"))
 
     private val out = new StructType()
       .add("version", StringType, nullable = false)
@@ -279,6 +334,10 @@ private[ops] object GraftProcedures {
 
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
+      val forCols =
+        if (input.isNullAt(1)) Nil
+        else input.getUTF8String(1).toString.split(",").toSeq
+          .map(_.trim).filter(_.nonEmpty)
       val parent = AtomicPublish.currentTxn(spark, root).getOrElse(
         throw new IllegalStateException(
           s"no published version under $root"))
@@ -290,7 +349,8 @@ private[ops] object GraftProcedures {
       }
       val before = rowsOf(parent)
       val txn = AtomicPublish.analyzeTable(spark, root, table,
-        Some(parent)).getOrElse(throw new IllegalStateException(
+        Some(parent), forColumns = forCols)
+        .getOrElse(throw new IllegalStateException(
           s"analyze('$table') lost its commit race — a concurrent " +
             "writer moved the store; retry the CALL"))
       result(out, Array(new GenericInternalRow(Array[Any](

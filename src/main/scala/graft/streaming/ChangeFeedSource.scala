@@ -28,8 +28,14 @@ import graft.ops.AtomicPublish
   * (dataChange=false — compaction, clustering): owners appended
   * before a compaction are served from their ORIGINAL segments (the
   * retention contract keeps them), the rewrite itself contributes
-  * nothing, and the offset re-bases. Only a DATA-CHANGING rewrite
-  * (upsert merge, scoped overwrite) still fails the stream with
+  * nothing, and the offset re-bases. A data-changing rewrite that
+  * STAGED its per-row change set in its own commit (r14 commit-time
+  * CDF — [[AtomicPublish.cdfTableOf]]: `overwriteWhere`, the SQL
+  * UPDATE/MERGE copy-on-write routes) also rides through: the stream
+  * serves the staged INSERT rows (its contract is the rows the table
+  * GAINED) and re-bases onto the rewritten chain. Only an UNSTAGED
+  * data-changing rewrite (a raw `publishDelta(replace=…)`) still
+  * fails the stream with
   * [[GraftChangeFeedSource.ResyncRequired]] naming the fallback:
   * refresh downstream state from a batch read and restart from a
   * fresh checkpoint. Deletes ([[AtomicPublish.deleteRows]]) add
@@ -152,9 +158,9 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
       else AtomicPublish.ownerChainAt(spark, root, table, t)
     var curTxn = so.txn
     var curN = so.n
-    val steps: Iterator[(String, Boolean)] =
+    val steps: Iterator[(String, AtomicPublish.CommitInfo)] =
       if (curTxn == txnT) Iterator.empty
-      else AtomicPublish.commitChainBetween(spark, root, curTxn, txnT)
+      else AtomicPublish.commitChainInfos(spark, root, curTxn, txnT)
         .getOrElse(
           // unwalkable chain: emit the terminal offset — getBatch then
           // decides (and resyncs with the documented error if it must)
@@ -170,18 +176,23 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
       if (!steps.hasNext)
         return ChainOffset(curN,
           if (curN == 0) "" else chainCur(curN - 1), curTxn)
-      val (t1, dc) = steps.next()
+      val (t1, ci) = steps.next()
       val chainNext = ownersAt(t1)
       if (chainNext.startsWith(chainCur)) {
         curTxn = t1 // append (or unrelated) commit: positions carry
-      } else if (!dc) {
-        // reorganization: content-equivalent — fully-caught-up stays
-        // fully caught up on the rewritten chain
+      } else if (!ci.dataChange || ci.cdfTables.contains(table)) {
+        // reorganization (content-equivalent) or a rewrite that STAGED
+        // its change set (r14 commit-time CDF): ride to the rewritten
+        // chain's head — getBatch's walk serves the staged INSERT rows
+        // of a cdf commit inside the spanning interval, so nothing the
+        // table gained is skipped. (Pacing note: the staged rows ride
+        // the batch that crosses the rewrite — the owner cap bounds
+        // chain segments, not the one staged change set.)
         curTxn = t1
         curN = chainNext.size
       } else {
-        // data-changing rewrite: not rideable — surface the terminal
-        // offset; getBatch fails with the documented resync error
+        // unstaged data-changing rewrite: not rideable — surface the
+        // terminal offset; getBatch fails with the documented resync
         return ChainOffset(osT.size,
           if (osT.isEmpty) "" else osT.last, txnT)
       }
@@ -284,11 +295,12 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   * batch of a fresh checkpoint is the full snapshot at the pinned
   * txn, all `insert` — the resync semantics. REORGANIZATION commits
   * (compaction/clustering, dataChange=false) stream through as empty
-  * intervals — the batch feed diffs across them exactly; only a
-  * data-changing rewrite (upsert merge, scoped overwrite), or a
-  * `start` version already vacuumed, fails the stream with
-  * [[GraftChangeFeedSource.ResyncRequired]] BEFORE emitting anything —
-  * never a partial batch.
+  * intervals — the batch feed diffs across them exactly; a rewrite
+  * that staged its change set (r14 commit-time CDF) streams through
+  * as that staged insert/delete batch; only an UNSTAGED data-changing
+  * rewrite, or a `start` version already vacuumed, fails the stream
+  * with [[GraftChangeFeedSource.ResyncRequired]] BEFORE emitting
+  * anything — never a partial batch.
   *
   * ADMISSION CONTROL (`option("maxOwnersPerTrigger", n)`): the
   * initial snapshot drains as PACED owner-slices (offsets carry a
@@ -531,13 +543,15 @@ object GraftChangeFeedSource {
 
   private[streaming] def resyncMessage(table: String, what: String): String =
     s"$ResyncRequired: the owner chain of table '$table' was rewritten " +
-      s"under this stream ($what) — a data-changing rewrite (upsert " +
-      "merge, scoped overwrite) replaced segments, and a segment feed " +
-      "cannot diff across it. Fall back: bring downstream state " +
-      "current with a batch read (e.g. MatView.refresh, which " +
-      "recomputes over a replace), then restart the stream from a " +
-      "FRESH checkpoint (its first batch re-delivers the full current " +
-      "snapshot)."
+      s"under this stream ($what) — a data-changing rewrite replaced " +
+      "segments WITHOUT staging its change set, and a segment feed " +
+      "cannot diff across it. (overwriteWhere and the SQL UPDATE/MERGE " +
+      "copy-on-write routes stage commit-time CDF and stream through; " +
+      "a raw publishDelta(replace=…) does not.) Fall back: bring " +
+      "downstream state current with a batch read (e.g. " +
+      "MatView.refresh, which recomputes over a replace), then restart " +
+      "the stream from a FRESH checkpoint (its first batch re-delivers " +
+      "the full current snapshot)."
 
   /** CDC offset: the commit txn the stream has consumed through;
     * while the initial snapshot drains under admission control,

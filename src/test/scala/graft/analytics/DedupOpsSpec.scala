@@ -44,6 +44,24 @@ class DedupOpsSpec extends SparkSuite {
     assert(recall >= 0.95, s"LSH recall $recall below 0.95 (${lsh.size}/${exact.size})")
   }
 
+  test("n2c incremental near-dup == full n2 recompute restricted to " +
+      "pairs touching the batch (VERDICT r13 #6)") {
+    val pairs = DedupOps.n2cNeardupIncremental(spark, dir).collect()
+      .map { case Row(da: Long, db: Long, j: Double) => (da, db, j) }.toSet
+    // the reference answer: the FULL exact pair set, filtered to
+    // pairs with >= 1 side in the day-two batch (doc_id % 3 == 0)
+    val full = DedupOps.n2NgramJaccard(spark, dir).collect()
+      .map { case Row(da: Long, db: Long, j: Double) => (da, db, j) }
+      .filter { case (da, db, _) => da % 3 == 0 || db % 3 == 0 }.toSet
+    assert(pairs == full,
+      s"incremental missed ${(full -- pairs).take(3)} / " +
+        s"invented ${(pairs -- full).take(3)}")
+    assert(pairs.nonEmpty, "vacuous: no near-dup pair touches the batch")
+    // and it finds NOTHING among published survivors: every reported
+    // pair touches the batch
+    assert(pairs.forall { case (da, db, _) => da % 3 == 0 || db % 3 == 0 })
+  }
+
   test("n4 simhash: one fingerprint per doc; exact duplicates collide") {
     val fp = DedupOps.n4Simhash(spark, dir)
     val docs = Tables.documents(spark, dir).count()

@@ -271,4 +271,16 @@ class PlanAuditSpec extends SparkSuite {
     assert(!approx.contains("Expand"), approx)
     assert(approx.contains("partial_approx_count_distinct"), approx)
   }
+
+  test("n2c: the published prefix stream reduces under a BROADCAST " +
+      "semi join before any shuffle (candidate state stays O(new))") {
+    // the r14 incremental near-dup contract: the arbitrarily large
+    // published signature side may only shuffle postings that SURVIVE
+    // the new batch's broadcast prefix-hash semi join — a plan that
+    // shuffled the full published prefix stream would re-couple
+    // maintenance cost to corpus size
+    val p = planString(DedupOps.n2cNeardupIncremental(spark, dir))
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }

@@ -104,4 +104,87 @@ class TokenVocabSpec extends SparkSuite {
     assert(rows.map(_.toString).sorted.sameElements(
       again.map(_.toString).sorted))
   }
+
+  /** Driver-side BPE reference (Sennrich et al. 2016): greedy
+    * left-to-right fusion, most-frequent pair per round, ties broken
+    * (count desc, lhs asc, rhs asc) — the sequential formulation the
+    * distributed trainer must reproduce exactly. */
+  private def refBpe(wordFreq: Seq[(String, Long)],
+      rounds: Int): Seq[(Long, String, String, Long)] = {
+    def fuse(syms: Vector[String], a: String,
+        b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var streams = wordFreq.map { case (w, f) =>
+      (w.split("").toVector, f) }
+    val out = scala.collection.mutable
+      .ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var break = false
+    while (r <= rounds && !break) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      streams.foreach { case (syms, f) =>
+        (0 until syms.length - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) break = true
+      else {
+        val ((a, b), c) = counts.toSeq
+          .sortBy { case ((x, y), n) => (-n, x, y) }.head
+        out += ((r.toLong, a, b, c))
+        streams = streams.map { case (s, f) => (fuse(s, a, b), f) }
+        r += 1
+      }
+    }
+    out.toList
+  }
+
+  test("t14 BPE trainer == the sequential reference: staged corpus " +
+      "with frequency ties and overlapping self-pair runs, then the " +
+      "sf corpus, deeper than the gate's rounds (VERDICT r13 #7)") {
+    // staged: 'aaaa' exercises the run-parity rule (greedy gives
+    // aa+aa, never a+aa+a); 'abab' chains merges; duplicate docs
+    // weight frequencies; 'xy'/'xz' tie at equal counts → lex order
+    val staged = Seq(
+      (0L, "aaaa ab abab"), (1L, "aaaa ab abab"),
+      (2L, "aaa banana band"), (3L, "xy xz xy xz")
+    ).toDF("doc_id", "text")
+    val freq = staged
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expect = refBpe(freq, 12)
+    val got = TokenOps.t14BpeMergesOn(spark, staged, 12).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got == expect,
+      s"staged corpus diverged:\n got=$got\n exp=$expect")
+    // the parity rule's signature: round 1 on this corpus merges
+    // (a,a) with 'aaaa' contributing TWO pairs, 'aaa' one
+    assert(got.head._2 == "a" && got.head._3 == "a")
+    // the real corpus, deeper than the gate's BpeRounds
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val corpusFreq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expect2 = refBpe(corpusFreq, TokenOps.BpeRounds + 4)
+    val got2 = TokenOps
+      .t14BpeMergesOn(spark, docs, TokenOps.BpeRounds + 4).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq
+    assert(got2 == expect2,
+      s"sf corpus diverged:\n got=$got2\n exp=$expect2")
+  }
 }

@@ -523,6 +523,159 @@ class StoreStatsSpec extends SparkSuite {
     assert(summary(tMeta())._1 == 1000L)
   }
 
+  test("ANALYZE is ONE Spark action however deep the owner chain " +
+      "(VERDICT r13 #3): a 6-owner tombstoned table restates in a " +
+      "constant handful of jobs, per-owner stats exact") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-analyze1j")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val r = tmp.resolve("store").toString
+    def slice(a: Long, b: Long) = spark.range(a, b)
+      .select(col("id").as("k"), col("id").as("v")).coalesce(1)
+    val v0 = AtomicPublish.publish(spark, r, Map("t" -> slice(0, 1000)),
+      statsBy = Map("t" -> Seq("k", "v")))
+    (1 until 6).foldLeft(v0) { (p, i) =>
+      AtomicPublish.publishDelta(spark, r,
+        append = Map("t" -> slice(i * 1000L, (i + 1) * 1000L)),
+        parent = Some(p)).get
+    }
+    AtomicPublish.deleteRows(spark, r, Map("t" ->
+      spark.range(500L, 5500L).select(col("id").as("k"))))
+    // count jobs across the analyze — the r13 shape paid >= 2 PER
+    // owner (12+ here, ~2000 at the rehearsal's 1000-commit history);
+    // the rollup shape pays a constant few (the grouped scan is
+    // persisted: one action materializes it, the second reads cache)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      AtomicPublish.analyzeTable(spark, r, "t")
+        .getOrElse(fail("analyze lost an uncontended CAS"))
+      // job-start events deliver asynchronously; every job was
+      // SUBMITTED before analyzeTable returned (its actions block), so
+      // waiting for the counter to go quiet is exact
+      val deadline = System.nanoTime() + 5000000000L
+      var last = -1
+      while (last != jobs.get() && System.nanoTime() < deadline) {
+        last = jobs.get(); Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs.get() <= 6,
+      s"analyze of a 6-owner chain ran ${jobs.get()} jobs — the " +
+        "one-rollup shape must not scale jobs with owners")
+    // per-owner exactness: owner i held [i*1000, (i+1)*1000); the
+    // delete killed [500, 5500) — so owner 0 keeps 500 live rows,
+    // owners 1..4 keep zero, owner 5 keeps 500
+    val m = AtomicPublish.manifestMetaOf(spark, r,
+      AtomicPublish.currentTxn(spark, r).get)("t")
+    val perOwner = m.owners.map(o => m.segStats(o).rows)
+    assert(perOwner == Seq(500L, 0L, 0L, 0L, 0L, 500L),
+      s"per-owner restated rows: $perOwner")
+    // a zero-live owner's files drop from the restated file map, and
+    // the dead band reads zero files end to end
+    assert(m.owners.slice(1, 5).forall(o =>
+      m.fileStats.get(o).forall(_.isEmpty)))
+    val dead = AtomicPublish.readTable(spark, r, "t")
+      .filter(col("v") >= 1000L && col("v") < 5000L)
+    assert(dead.collect().isEmpty)
+  }
+
+  test("ANALYZE ... FOR COLUMNS bootstraps a stats-blind table " +
+      "(VERDICT r13 #4): declared at analyze time, NDV+histogram land " +
+      "in one metadata commit and the broadcast flip fires on them") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-forcols")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(tmp.toFile)
+    }
+    val r = tmp.resolve("store").toString
+    // published with NO statsBy — the r13 analyze refused this table
+    val dim = Tables.documents(spark, dir)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(16L)).as("grp"),
+        col("text"))
+    val fact = Tables.events(spark, dir)
+      .select(pmod(col("event_id"), lit(500L)).as("fk"),
+        col("event_id"))
+    AtomicPublish.publish(spark, r, Map("dim" -> dim, "fact" -> fact))
+    val m0 = AtomicPublish.manifestMetaOf(spark, r,
+      AtomicPublish.currentTxn(spark, r).get)("dim")
+    assert(m0.statCols.isEmpty && m0.segStats.isEmpty)
+    // unknown column and unmappable type still refuse, by name
+    intercept[IllegalArgumentException] {
+      AtomicPublish.analyzeTable(spark, r, "dim",
+        forColumns = Seq("nope"))
+    }
+    // FOR COLUMNS through the SQL procedure face
+    val cat = s"graft_forcols_${java.lang.Integer.toHexString(r.hashCode)}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.root", r)
+    spark.sql(s"CALL $cat.system.analyze(table => 'dim', " +
+      "for_columns => 'doc_id,grp')").collect()
+    val m1 = AtomicPublish.manifestMetaOf(spark, r,
+      AtomicPublish.currentTxn(spark, r).get)("dim")
+    assert(m1.statCols == Seq("doc_id", "grp"))
+    assert(m1.owners == m0.owners, "FOR COLUMNS rewrote data")
+    val cs = m1.owners.flatMap(m1.segStats.get).map(_.cols("grp"))
+    assert(cs.nonEmpty && cs.forall(c => c.ndv.exists(_ > 0) &&
+      c.hist.isDefined && c.min.isDefined))
+    // the broadcast-flip pin of the NDV test, on the BOOTSTRAPPED
+    // stats: size-ineligible threshold, CBO sees 1/ndv(grp) — dim
+    // broadcasts; stats-blind (cbo off) it stays SMJ
+    def tableBytes(t: String): Long = {
+      val meta = AtomicPublish.manifestMetaOf(spark, r,
+        AtomicPublish.currentTxn(spark, r).get)(t)
+      new GraftFileIndex(spark, r, t, meta,
+        meta.owners.map(_ -> None)).sizeInBytes
+    }
+    val threshold = math.max(1024L,
+      math.min(tableBytes("dim"), tableBytes("fact")) / 4)
+    def q(): DataFrame = {
+      val d = AtomicPublish.readTable(spark, r, "dim")
+        .filter(col("grp") === 3L)
+      AtomicPublish.readTable(spark, r, "fact")
+        .join(d, col("fk") === col("doc_id"))
+    }
+    def withConfs(cbo: Boolean)(body: => Unit): Unit = {
+      val saved = Seq("spark.sql.cbo.enabled", "spark.sql.adaptive.enabled",
+        "spark.sql.autoBroadcastJoinThreshold", RuntimeJoinFilter.EnabledKey)
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.cbo.enabled", cbo.toString)
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+          threshold.toString)
+        spark.conf.set(RuntimeJoinFilter.EnabledKey, "false")
+        body
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    withConfs(cbo = false) {
+      val p = plans(q().queryExecution.executedPlan)
+      assert(p.exists(_.isInstanceOf[SortMergeJoinExec]) &&
+        !p.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "expected SMJ without CBO")
+    }
+    withConfs(cbo = true) {
+      val p = plans(q().queryExecution.executedPlan)
+      assert(p.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+        "bootstrapped NDV stats did not elect the broadcast")
+    }
+  }
+
   test("CBO join REORDER end-to-end through the store: a 3-table star " +
       "in deliberately bad written order reorders under full stats, " +
       "keeps written order stripped, answers identical (VERDICT r12 #5)") {

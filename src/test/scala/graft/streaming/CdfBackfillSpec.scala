@@ -1,0 +1,333 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.SparkSuite
+import graft.ops.{AtomicPublish, GraftCatalog}
+
+/** COMMIT-TIME CHANGE-DATA CAPTURE for data-changing rewrites (r14,
+  * VERDICT r13 #1): `overwriteWhere` and the SQL UPDATE/MERGE
+  * copy-on-write routes stage their per-row change set beside the
+  * rewritten segments in the same CAS commit
+  * ([[AtomicPublish.cdfTableOf]]), and the change feeds — batch
+  * ([[AtomicPublish.changesWithDeletes]], [[AtomicPublish
+  * .appendedBetween]]) and both streaming sources — serve the staged
+  * rows ACROSS the rewrite instead of failing with RESYNC_REQUIRED.
+  * A raw `publishDelta(replace=…)` (and `stageCdf=false`) keeps the
+  * old resync contract, pinned by the existing ChangeFeedStreamSpec
+  * tests. */
+class CdfBackfillSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("cdfbf").resolve("store").toString
+
+  private def slice(ids: Range, day: Long, lang: String): DataFrame =
+    ids.map(i => (i.toLong, day, lang, i * 10L))
+      .toDF("doc_id", "day", "lang", "words")
+
+  private def mirrorOf(root: String): Map[Long, (Long, String, Long)] =
+    AtomicPublish.readTable(spark, root, "docs").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3)))).toMap
+
+  private def applySigned(mirror: mutable.Map[Long, (Long, String, Long)],
+      ins: DataFrame, del: DataFrame): Unit = {
+    del.collect().foreach(r => mirror.remove(r.getLong(0)))
+    ins.collect().foreach(r => mirror.put(r.getLong(0),
+      (r.getLong(1), r.getString(2), r.getLong(3))))
+  }
+
+  test("batch CDC across overwriteWhere: the staged change set is " +
+      "served, a signed mirror lands on the post-backfill table, and " +
+      "stageCdf=false keeps the resync contract") {
+    val root = freshRoot()
+    // two day-segments with zone maps on day → the day=2 overwrite
+    // takes the SUBSET (replaceOwners) path, day=1 carried by reference
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 10, 1L, "en")),
+      statsBy = Map("docs" -> Seq("day")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 20, 2L, "en")),
+      parent = Some(v1)).get
+    val since = AtomicPublish.currentTxn(spark, root).get
+    val mirror = mutable.Map.empty[Long, (Long, String, Long)]
+    mirrorOf(root).foreach { case (k, v) => mirror.put(k, v) }
+    // an append BEFORE the backfill, the backfill, an append AFTER —
+    // one interval spanning all three
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(20 until 25, 3L, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    val corrected = slice(100 until 106, 2L, "de")
+    AtomicPublish.overwriteWhere(spark, root, "docs", corrected,
+      "day = 2")
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(25 until 28, 4L, "pt")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since).getOrElse(fail("CDC did not ride the backfill"))
+    // delete side = exactly the replaced day-2 rows; insert side =
+    // the two appends plus the corrected rows
+    assert(del.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (10L until 20L).toSet)
+    assert(ins.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      ((20L until 28L) ++ (100L until 106L)).toSet)
+    applySigned(mirror, ins, del)
+    assert(mirror.toMap == mirrorOf(root),
+      "signed mirror diverged from the post-backfill table")
+    // the post-backfill read is lossless: day=1 untouched, day=2 is
+    // exactly the correction
+    val byDay = AtomicPublish.readTable(spark, root, "docs")
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDay == Map(1L -> 10L, 2L -> 6L, 3L -> 5L, 4L -> 3L))
+    // stageCdf=false: the next backfill is an UNSTAGED rewrite — the
+    // feed refuses (None) exactly as before r14
+    val since2 = AtomicPublish.currentTxn(spark, root).get
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      slice(200 until 203, 3L, "fr"), "day = 3", stageCdf = false)
+    assert(AtomicPublish.changesWithDeletes(spark, root, "docs", since2)
+      .isEmpty, "an unstaged rewrite must still force a resync")
+  }
+
+  test("batch CDC across the COW route (tombstoned table) and the " +
+      "plain append feed: staged inserts flow, removed rows don't") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 12, 1L, "en")))
+    // a live tombstone forces overwriteWhere onto the COW route
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(3L).toDF("doc_id")))
+    val since = AtomicPublish.currentTxn(spark, root).get
+    val mirror = mutable.Map.empty[Long, (Long, String, Long)]
+    mirrorOf(root).foreach { case (k, v) => mirror.put(k, v) }
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      slice(50 until 53, 1L, "de"), "words >= 80")
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since).getOrElse(fail("CDC did not ride the COW backfill"))
+    // removed = LIVE rows matching words>=80 (8,9,10,11 — id 3 was
+    // already dead to every reader and must not reappear as a delete)
+    assert(del.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(8L, 9L, 10L, 11L))
+    assert(ins.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(50L, 51L, 52L))
+    applySigned(mirror, ins, del)
+    assert(mirror.toMap == mirrorOf(root))
+    // the PLAIN append feed across the same interval: rows the table
+    // GAINED = the staged inserts; the rewrite's kept rows never
+    // re-deliver
+    val chain = AtomicPublish.ownerChainAt(spark, root, "docs",
+      AtomicPublish.currentTxn(spark, root).get)
+    val gained = AtomicPublish.appendedBetween(spark, root, "docs",
+      since, AtomicPublish.ownerChainAt(spark, root, "docs", since).size,
+      AtomicPublish.currentTxn(spark, root).get, chain.size)
+      .getOrElse(fail("plain feed did not ride the backfill"))
+    assert(gained.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      Set(50L, 51L, 52L))
+  }
+
+  test("both streaming sources ride a mid-stream overwriteWhere on " +
+      "the SAME checkpoint: exactly the changed rows arrive, the " +
+      "stream continues, and the mirror equals the batch read") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 10, 1L, "en")),
+      statsBy = Map("docs" -> Seq("day")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 16, 2L, "en")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    // plain feed
+    val ckpt = Files.createTempDirectory("cdfbf-ck").toString
+    val plainSeen = mutable.ArrayBuffer.empty[Long]
+    def runPlain(): Unit = {
+      val q: StreamingQuery = spark.readStream.format("graft")
+        .option("root", root).option("table", "docs").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          plainSeen ++= df.select("doc_id").collect().map(_.getLong(0))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    // CDC feed
+    val cdcCk = Files.createTempDirectory("cdfbf-cdc-ck").toString
+    val mirror = mutable.Map.empty[Long, (Long, String, Long)]
+    def runCdc(): Unit = {
+      val q: StreamingQuery = spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true").load()
+        .writeStream.option("checkpointLocation", cdcCk)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.collect()
+          rows.filter(_.getString(4) == "delete")
+            .foreach(r => mirror.remove(r.getLong(0)))
+          rows.filter(_.getString(4) == "insert")
+            .foreach(r => mirror.put(r.getLong(0),
+              (r.getLong(1), r.getString(2), r.getLong(3))))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    runPlain(); runCdc()
+    assert(plainSeen.toSet == (0L until 16L).toSet)
+    assert(mirror.toMap == mirrorOf(root))
+    // the backfill lands while both streams are down (same checkpoints)
+    plainSeen.clear()
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      slice(300 until 304, 2L, "de"), "day = 2")
+    runPlain(); runCdc()
+    assert(plainSeen.toSet == (300L until 304L).toSet,
+      s"plain feed across the backfill delivered $plainSeen")
+    assert(mirror.toMap == mirrorOf(root),
+      "CDC mirror diverged across the backfill")
+    assert(!mirror.contains(12L) && mirror.contains(300L))
+    // and the streams CONTINUE: a later append still arrives exactly
+    plainSeen.clear()
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(30 until 33, 5L, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    runPlain(); runCdc()
+    assert(plainSeen.toSet == (30L until 33L).toSet)
+    assert(mirror.toMap == mirrorOf(root))
+  }
+
+  test("CDF retention: trim_cdf drops aged change sets metadata-only; " +
+      "historical diffs still serve through the interval's own " +
+      "manifests and the trim commit itself streams through") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 8, 1L, "en")),
+      statsBy = Map("docs" -> Seq("day")))
+    val since = AtomicPublish.currentTxn(spark, root).get
+    // three backfills → three staged change sets on the companion
+    (1 to 3).foreach { k =>
+      AtomicPublish.overwriteWhere(spark, root, "docs",
+        slice(100 * k until 100 * k + 4, 1L, s"g$k"), "day = 1")
+    }
+    val cdfT = AtomicPublish.cdfTableOf("docs")
+    def cdfOwners(): Int = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2.get(cdfT).map(_.owners.size).getOrElse(0)
+    assert(cdfOwners() == 3)
+    val docOwners = AtomicPublish.currentManifestMeta(spark, root)
+      .get._2("docs").owners
+    val trimTxn = AtomicPublish.trimCdf(spark, root, "docs", 1)
+      .getOrElse(fail("trim lost an uncontended CAS"))
+    assert(cdfOwners() == 1)
+    // metadata-only: the data table's owners are untouched
+    assert(AtomicPublish.manifestMetaOf(spark, root, trimTxn)("docs")
+      .owners == docOwners)
+    // a lagging diff SPANNING the trimmed rewrites still serves: the
+    // staged segments resolve through the interval's own manifests
+    // (which vacuum keeps while versions are within retention). The
+    // concatenated multi-rewrite diff is SIGNED-exact — a row staged
+    // by backfill k and removed by backfill k+1 appears on both sides
+    // — so the end-state identity is the multiset equation
+    // snapshot(since) ⊎ ins ∖ del == live
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since).getOrElse(fail("diff across trimmed CDF refused"))
+    val cols = Seq("doc_id", "day", "lang", "words")
+      .map(org.apache.spark.sql.functions.col)
+    val rebuilt = AtomicPublish.readTableAt(spark, root, "docs", since)
+      .select(cols: _*)
+      .unionAll(ins.select(cols: _*))
+      .exceptAll(del.select(cols: _*))
+      .collect().map(_.toString).sorted.toSeq
+    val live = AtomicPublish.readTable(spark, root, "docs")
+      .select(cols: _*).collect().map(_.toString).sorted.toSeq
+    assert(rebuilt == live,
+      "signed rebuild across the trimmed interval diverged from live")
+    // idempotent / within budget → no-op, nothing committed
+    assert(AtomicPublish.trimCdf(spark, root, "docs", 1).isEmpty)
+    // the SQL face; and one more backfill appends to the trimmed chain
+    val s2 = CdfBackfillSpec.extSession(spark)
+    val cat = CdfBackfillSpec.mount(s2, root)
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      slice(400 until 404, 1L, "g4"), "day = 1")
+    val r = s2.sql(
+      s"CALL $cat.system.trim_cdf(table => 'docs', keep_last => 1)")
+      .head()
+    assert(r.getInt(1) == 2 && r.getInt(2) == 1,
+      s"trim_cdf owners before/after: $r")
+  }
+
+  test("SQL UPDATE and MERGE copy-on-write commits stage their change " +
+      "sets: the batch CDC feed rides both") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root, Map("docs" ->
+      (0 until 10).map(i => (i.toLong, s"g${i % 2}", i * 10L))
+        .toDF("id", "grp", "v")))
+    val s2 = CdfBackfillSpec.extSession(spark)
+    val cat = CdfBackfillSpec.mount(s2, root)
+    def mirrorNow(): Map[Long, (String, Long)] =
+      AtomicPublish.readTable(spark, root, "docs").collect()
+        .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // unconditional UPDATE = whole-table copy-on-write
+    val since = AtomicPublish.currentTxn(spark, root).get
+    val mirror = mutable.Map.empty[Long, (String, Long)]
+    mirrorNow().foreach { case (k, m) => mirror.put(k, m) }
+    s2.sql(s"UPDATE $cat.docs SET v = v + 1")
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since).getOrElse(fail("CDC did not ride the UPDATE COW"))
+    assert(del.count() == 10 && ins.count() == 10)
+    del.collect().foreach(r => mirror.remove(r.getLong(0)))
+    ins.collect().foreach(r => mirror.put(r.getLong(0),
+      (r.getString(1), r.getLong(2))))
+    assert(mirror.toMap == mirrorNow())
+    // MERGE with grp-keyed collateral → copy-on-write; fired UPDATEs
+    // and DELETEs both land in the staged change set
+    val since2 = AtomicPublish.currentTxn(spark, root).get
+    s2.sql(
+      s"""MERGE INTO $cat.docs AS t
+         |USING (SELECT 'g0' AS sg) AS s
+         |ON t.grp = s.sg
+         |WHEN MATCHED AND t.id >= 6 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = t.v + 1000""".stripMargin)
+    val (ins2, del2) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since2).getOrElse(fail("CDC did not ride the MERGE COW"))
+    // g0 rows: ids 0,2,4,6,8 — 6,8 deleted; 0,2,4 updated
+    assert(del2.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 2L, 4L, 6L, 8L))
+    assert(ins2.select("id").collect().map(_.getLong(0)).toSet ==
+      Set(0L, 2L, 4L))
+    del2.collect().foreach(r => mirror.remove(r.getLong(0)))
+    ins2.collect().foreach(r => mirror.put(r.getLong(0),
+      (r.getString(1), r.getLong(2))))
+    assert(mirror.toMap == mirrorNow())
+  }
+}
+
+object CdfBackfillSpec {
+  private var n = 0
+
+  /** One extension session over the shared context (the StoreDmlSpec
+    * pattern — DML rides the injected analyzer rules). */
+  def extSession(prev: SparkSession): SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try SparkSession.builder()
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .withExtensions(
+        new org.apache.spark.sql.graftvec.GraftSqlExtensions()(_))
+      .getOrCreate()
+    finally {
+      SparkSession.setActiveSession(prev)
+      SparkSession.setDefaultSession(prev)
+    }
+  }
+
+  def mount(s2: SparkSession, root: String): String = synchronized {
+    n += 1
+    val name = s"graftcdf$n"
+    s2.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    s2.conf.set(s"spark.sql.catalog.$name.root", root)
+    name
+  }
+}
