@@ -4741,14 +4741,14 @@ object AtomicPublish {
       // through if every chain-breaking commit is a content-preserving
       // REORGANIZATION (dataChange=false — compaction, clustering,
       // including the tombstone-applying full rewrite: rows it kills
-      // were already dead to every reader). The walk splits the
-      // interval into data-changing sub-intervals at the reorg commits
-      // and CONCATENATES their signed diffs. Concatenation is
-      // signed-exact (a downstream mirror applying insert/delete lands
-      // on the same end state as the endpoint diff) but not
-      // interval-net: a row appended in one sub-interval and deleted
-      // in a later one appears on BOTH sides — exactly what a
-      // restarted stream would have observed batch by batch.
+      // were already dead to every reader) or a rewrite that STAGED
+      // its change set (r14 commit-time CDF). The walk splits the
+      // interval into sub-intervals at those commits, CONCATENATES
+      // their signed diffs, and NETS the halves (identical-row
+      // insert/delete pairs cancel — r14), so the result matches the
+      // ENDPOINT diff and the standard mirror recipe (deletes, then
+      // inserts, one batch) is exact even over an interval where a
+      // later backfill removed rows an earlier commit appended.
       chainInfos(spark, root, sinceTxn, at).flatMap { chain =>
         val metaMemo = scala.collection.mutable
           .Map(sinceTxn -> mFrom, at -> mTo)
@@ -4805,8 +4805,24 @@ object AtomicPublish {
           if (frames.isEmpty) Some((emptyLike, emptyLike))
           else {
             val want = wantSchema
-            Some((alignFrames(frames.map(_._1), want),
-              alignFrames(frames.map(_._2), want)))
+            val insAll = alignFrames(frames.map(_._1), want)
+            val delAll = alignFrames(frames.map(_._2), want)
+            if (frames.size == 1) Some((insAll, delAll))
+            else {
+              // NET the concatenated sub-interval diffs (r14): a row
+              // inserted by one sub-interval and removed by a later
+              // one (or vice versa — a backfill re-stating rows a
+              // prior commit appended) lands on BOTH raw sides; the
+              // identical-row pairs cancel so the result matches the
+              // ENDPOINT diff, and the standard mirror recipe (apply
+              // deletes, then inserts, in one batch) stays exact over
+              // a spanning catch-up interval. Only full-row-identical
+              // pairs cancel — an update's (old, new) pair survives
+              // untouched, so CDC update classification is unaffected.
+              // Cost: two multiset excepts, paid only on multi-part
+              // intervals (the rare deep catch-up, never steady state).
+              Some((insAll.exceptAll(delAll), delAll.exceptAll(insAll)))
+            }
           }
         }
       }

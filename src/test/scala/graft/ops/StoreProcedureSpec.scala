@@ -376,7 +376,8 @@ class StoreProcedureSpec extends SparkSuite {
       .map(_.getAs[String]("procedure_name")).toSet
     assert(listed == Set("analyze", "compact", "vacuum", "history",
       "consumers", "restore", "add_check", "drop_check", "detail",
-      "clone", "matview", "drop_matview", "set_partition_spec"))
+      "clone", "matview", "drop_matview", "set_partition_spec",
+      "trim_cdf"))
     val err = intercept[Exception] {
       spark.sql(s"CALL $cat.system.rewrite_everything()").collect()
     }

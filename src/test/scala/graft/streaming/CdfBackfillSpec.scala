@@ -198,6 +198,38 @@ class CdfBackfillSpec extends SparkSuite {
     assert(mirror.toMap == mirrorOf(root))
   }
 
+  test("spanning catch-up diffs are NETTED: rows appended and then " +
+      "backfilled away inside ONE interval appear on neither side, so " +
+      "the one-batch mirror recipe stays exact") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 6, 1L, "en")),
+      statsBy = Map("docs" -> Seq("day")))
+    val since = AtomicPublish.currentTxn(spark, root).get
+    // day-2 rows arrive... and the same interval's backfill re-states
+    // day 2 entirely — the appended rows die without the consumer
+    // ever needing to see them
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 16, 2L, "en")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      slice(100 until 103, 2L, "de"), "day = 2")
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since).getOrElse(fail("spanning diff refused"))
+    assert(ins.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (100L until 103L).toSet,
+      "netted insert side must carry only the surviving backfill rows")
+    assert(del.count() == 0,
+      "rows born and killed inside the interval leaked to the delete side")
+    // one-batch mirror apply (deletes, then inserts) lands on live
+    val mirror = mutable.Map.empty[Long, (Long, String, Long)]
+    AtomicPublish.readTableAt(spark, root, "docs", since).collect()
+      .foreach(r => mirror.put(r.getLong(0),
+        (r.getLong(1), r.getString(2), r.getLong(3))))
+    applySigned(mirror, ins, del)
+    assert(mirror.toMap == mirrorOf(root))
+  }
+
   test("CDF retention: trim_cdf drops aged change sets metadata-only; " +
       "historical diffs still serve through the interval's own " +
       "manifests and the trim commit itself streams through") {
