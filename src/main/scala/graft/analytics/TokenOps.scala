@@ -288,6 +288,17 @@ object TokenOps {
 
   def t14BpeMergesOn(spark: SparkSession, docs: DataFrame,
       rounds: Int): DataFrame = {
+    import spark.implicits._
+    val (merges, _) = bpeTrainOn(spark, docs, rounds)
+    merges.toDF("rank", "lhs", "rhs", "pair_count").orderBy(col("rank"))
+  }
+
+  /** The trainer's loop, returning BOTH artifacts: the merge table and
+    * the final symbol stream (w, freq, pos, sym) — the stream IS the
+    * corpus vocabulary tokenized under the trained merges, which is
+    * what [[t14bBpeTokenize]] bills documents against. */
+  private def bpeTrainOn(spark: SparkSession, docs: DataFrame,
+      rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.graftstream.StreamingBridge.{checkpointFresh, unpersistCheckpoint}
     val W = org.apache.spark.sql.expressions.Window
       .partitionBy(col("w")).orderBy(col("pos"))
@@ -337,9 +348,37 @@ object TokenOps {
         r += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("rank", "lhs", "rhs", "pair_count")
-      .orderBy(col("rank"))
+    (merges.toList, stream)
+  }
+
+  /** T14b: TOKENIZE UNDER THE TRAINED MERGES — the apply half of BPE
+    * (t14 trains the merge table; this bills documents with it): the
+    * trainer's final symbol stream IS the distinct-word vocabulary
+    * tokenized under the merges, so per-word token counts are one
+    * aggregate over it and each document joins its words against that
+    * (distinct-word-sized, typically broadcast) table — text is never
+    * re-tokenized per document. Output: per-doc whitespace words vs
+    * BPE tokens (non-empty words only, both sides).
+    *
+    * The oracle reuses t14's unrolled CTE chain verbatim — the final
+    * `s<R>` stream is the tokenization, per-word counts read straight
+    * off it — so train and apply are proven against the SAME replayed
+    * loop. */
+  def t14bBpeTokenize(spark: SparkSession, dir: String): DataFrame =
+    t14bBpeTokenizeOn(spark, Tables.documents(spark, dir), BpeRounds)
+
+  def t14bBpeTokenizeOn(spark: SparkSession, docs: DataFrame,
+      rounds: Int): DataFrame = {
+    val (_, stream) = bpeTrainOn(spark, docs, rounds)
+    val perWord = stream.groupBy(col("w"))
+      .agg(count(lit(1)).as("toks"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(perWord, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(col("toks")).as("bpe_tokens"))
+      .orderBy(col("doc_id"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -347,6 +386,7 @@ object TokenOps {
     "t11b_wordpiece_wide" -> (t11bWordpieceWide _),
     "t12_token_chunks" -> (t12TokenChunks _),
     "t14_bpe_merges" -> (t14BpeMerges _),
+    "t14b_bpe_tokenize" -> (t14bBpeTokenize _),
     "sp3b_token_pack" -> (sp3bTokenPack _))
 
   /** The greedy longest-match recurrence IS SQL-expressible (VERDICT
@@ -471,7 +511,7 @@ object TokenOps {
     * corpus. `s0` is the distinct-word symbol stream; each `b<k>` is
     * round k's elected merge, and the final UNION reads the merge
     * table off them. */
-  val t14BpeMergesSql: String = {
+  private def bpeCtes: String = {
     val sb = new StringBuilder
     sb.append(
       """WITH w0 AS (SELECT w, count(*)::BIGINT AS freq FROM
@@ -507,17 +547,36 @@ object TokenOps {
           |    CASE WHEN mrg THEN sym || nxt ELSE sym END AS sym
           |  FROM g$k WHERE NOT consumed)""".stripMargin)
     }
-    sb.append("\n").append((1 to BpeRounds).map(k =>
-      s"SELECT CAST($k AS BIGINT) AS rank, lhs, rhs, " +
-        s"cnt AS pair_count FROM b$k")
-      .mkString("", "\nUNION ALL ", "\nORDER BY rank"))
     sb.toString
   }
+
+  val t14BpeMergesSql: String =
+    bpeCtes + "\n" + (1 to BpeRounds).map(k =>
+      s"SELECT CAST($k AS BIGINT) AS rank, lhs, rhs, " +
+        s"cnt AS pair_count FROM b$k")
+      .mkString("", "\nUNION ALL ", "\nORDER BY rank")
+
+  /** t14b oracle: the SAME replayed training loop; the final `s<R>`
+    * stream is the tokenized vocabulary, and documents bill against
+    * its per-word symbol counts. */
+  val t14bBpeTokenizeSql: String =
+    bpeCtes +
+      s""",
+        |wcnt AS (SELECT w, count(*)::BIGINT AS toks
+        |  FROM s$BpeRounds GROUP BY w),
+        |dtoks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents)
+        |SELECT t.doc_id, count(*)::BIGINT AS ws_tokens,
+        |  sum(wc.toks)::BIGINT AS bpe_tokens
+        |FROM dtoks t JOIN wcnt wc ON wc.w = t.w
+        |WHERE len(t.w) > 0
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "t11_wordpiece" -> t11WordpieceSql,
     "t11b_wordpiece_wide" -> t11bWordpieceWideSql,
     "t12_token_chunks" -> t12TokenChunksSql,
     "t14_bpe_merges" -> t14BpeMergesSql,
+    "t14b_bpe_tokenize" -> t14bBpeTokenizeSql,
     "sp3b_token_pack" -> sp3bTokenPackSql)
 }

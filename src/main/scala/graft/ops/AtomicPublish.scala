@@ -2515,7 +2515,16 @@ object AtomicPublish {
     * scale an O(1) metadata rollback is the operation that makes a bad
     * 100 TB load survivable.) */
   def restoreTable(spark: SparkSession, root: String, table: String,
-      toTxn: String, parent: Option[String] = None): Option[String] = {
+      toTxn: String, parent: Option[String] = None,
+      /** OPT-IN commit-time CDF for the rollback (r14): stage the
+        * per-row diff (rows the restore adds back, rows it removes) so
+        * live change-feed consumers stream THROUGH the restore instead
+        * of resyncing. Default OFF — unlike [[overwriteWhere]]'s
+        * always-on staging, a restore's selling point is the O(1)
+        * METADATA commit, and the diff costs a two-version anti-join
+        * scan plus a staged write of the changed rows; turn it on when
+        * downstream streams matter more than rollback latency. */
+      stageCdf: Boolean = false): Option[String] = {
     val rootPath = new Path(root)
     val txn = java.util.UUID.randomUUID().toString.replace("-", "")
     inFlight.add(txn)
@@ -2548,9 +2557,39 @@ object AtomicPublish {
         s"cannot restore '$table' to $toTxn: segment(s) " +
           s"${missing.mkString(", ")} were already reclaimed by vacuum — " +
           "the restore target has left retention")
+      // opt-in CDF: the rollback's row diff — what the restore ADDS
+      // back (live at the target, absent now) and what it REMOVES
+      // (live now, absent at the target) — computed delete-aware at
+      // both pinned versions, staged as one cdf owner like any rewrite
+      val cdfEntry: Option[(String, TableMeta, DataFrame)] =
+        if (!stageCdf || p.isEmpty) None
+        else {
+          val cdfT = cdfTableOf(table)
+          val cur = readTableAt(spark, root, table, p.get)
+          val tgt = readTableAt(spark, root, table, toTxn)
+          // conform the target read to the CURRENT shape: a restore
+          // across a widening evolution reads the old version narrow
+          val aligned = tgt.select(cur.schema.fields.toIndexedSeq.map(f =>
+            (if (tgt.columns.contains(f.name)) col(f.name).cast(f.dataType)
+             else lit(null).cast(f.dataType)).as(f.name)): _*)
+          val frame = aligned.exceptAll(cur)
+            .withColumn(CdfTypeCol, lit("insert"))
+            .unionByName(cur.exceptAll(aligned)
+              .withColumn(CdfTypeCol, lit("delete")))
+          val pm = parentMeta.get(cdfT)
+          val merged = pm.map(m => mergeSchemas(cdfT,
+            parentSchemaOf(spark, root, cdfT, m), frame.schema))
+            .getOrElse(frame.schema)
+          Some((cdfT, pm.map(m => m.copy(owners = m.owners :+ txn,
+              schemaJson = Some(merged.json)))
+            .getOrElse(TableMeta(Seq(txn), Some(merged.json))), frame))
+        }
       val newMeta = (parentMeta - table - dt) +
-        (table -> restored) ++ companion.map(dt -> _)
-      val sealedMeta = stageAndSeal(spark, rootPath, txn, Map.empty, newMeta)
+        (table -> restored) ++ companion.map(dt -> _) ++
+        cdfEntry.map { case (n, m, _) => n -> m }
+      val sealedMeta = stageAndSeal(spark, rootPath, txn,
+        cdfEntry.map { case (n, _, f) => Map(n -> f) }
+          .getOrElse(Map.empty), newMeta)
       val committed = swapPointer(spark, root, txn,
         renderManifest(txn, sealedMeta).getBytes(StandardCharsets.UTF_8),
         expectParent = Some(p))
@@ -2566,7 +2605,8 @@ object AtomicPublish {
           s"restore '$table' to $toTxn")
         markCommitted(spark, root, txn, seq = p
           .flatMap(commitSeqOf(spark, root, _)).map(_ + 1).getOrElse(0L),
-          op = s"RESTORE $table", parent = p)
+          op = s"RESTORE $table", parent = p,
+          cdfTables = if (cdfEntry.isDefined) Seq(table) else Nil)
         Some(txn)
       } else None
     } catch {

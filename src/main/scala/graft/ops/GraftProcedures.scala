@@ -182,11 +182,13 @@ private[ops] object GraftProcedures {
 
     override def description(): String =
       "roll a table back to a committed version (metadata-only, " +
-        "history-preserving)"
+        "history-preserving); stage_cdf => true also stages the row " +
+        "diff so live change feeds stream through the rollback"
 
     override def parameters(): Array[ProcedureParameter] = Array(
       param("table", StringType),
-      param("version", StringType))
+      param("version", StringType),
+      param("stage_cdf", BooleanType, "false"))
 
     private val out = new StructType()
       .add("version", StringType, nullable = false)
@@ -196,7 +198,9 @@ private[ops] object GraftProcedures {
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
       val toTxn = input.getUTF8String(1).toString
-      val txn = AtomicPublish.restoreTable(spark, root, table, toTxn)
+      val stageCdf = !input.isNullAt(2) && input.getBoolean(2)
+      val txn = AtomicPublish.restoreTable(spark, root, table, toTxn,
+          stageCdf = stageCdf)
         .getOrElse(throw new IllegalStateException(
           s"restore of '$table' to $toTxn lost its commit race — " +
             "a concurrent writer moved the store; retry the CALL"))

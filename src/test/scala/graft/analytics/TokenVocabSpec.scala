@@ -109,19 +109,20 @@ class TokenVocabSpec extends SparkSuite {
     * left-to-right fusion, most-frequent pair per round, ties broken
     * (count desc, lhs asc, rhs asc) — the sequential formulation the
     * distributed trainer must reproduce exactly. */
+  private def fuse(syms: Vector[String], a: String,
+      b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
   private def refBpe(wordFreq: Seq[(String, Long)],
       rounds: Int): Seq[(Long, String, String, Long)] = {
-    def fuse(syms: Vector[String], a: String,
-        b: String): Vector[String] = {
-      val out = Vector.newBuilder[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += (a + b); i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      out.result()
-    }
     var streams = wordFreq.map { case (w, f) =>
       (w.split("").toVector, f) }
     val out = scala.collection.mutable
@@ -186,5 +187,39 @@ class TokenVocabSpec extends SparkSuite {
         r.getLong(3))).toSeq
     assert(got2 == expect2,
       s"sf corpus diverged:\n got=$got2\n exp=$expect2")
+  }
+
+  test("t14b tokenize == applying the reference merges in rank order " +
+      "per word, summed per document") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.documents(spark, dir)
+    val corpusFreq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val merges = refBpe(corpusFreq, TokenOps.BpeRounds)
+    val tokMemo = scala.collection.mutable.Map.empty[String, Long]
+    def tokensOf(w: String): Long = tokMemo.getOrElseUpdate(w, {
+      var s = w.split("").toVector
+      merges.foreach { case (_, a, b, _) => s = fuse(s, a, b) }
+      s.length.toLong
+    })
+    val expect = docs.select("doc_id", "text").collect().map { r =>
+      val ws = r.getString(1).split(' ').filter(_.nonEmpty)
+      r.getLong(0) -> ((ws.length.toLong, ws.map(tokensOf).sum))
+    }.filter(_._2._1 > 0).toMap
+    val got = TokenOps
+      .t14bBpeTokenizeOn(spark, docs, TokenOps.BpeRounds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, {
+      val off = expect.keySet.union(got.keySet)
+        .filter(k => expect.get(k) != got.get(k)).take(3)
+      s"per-doc BPE billing diverged at ${off.map(k =>
+        (k, expect.get(k), got.get(k)))}"
+    })
+    // compression sanity: merges only ever SHRINK a word's stream
+    assert(got.values.forall { case (ws, bpe) => bpe >= ws },
+      "a word tokenized below 1 token")
   }
 }

@@ -289,6 +289,41 @@ class CdfBackfillSpec extends SparkSuite {
       s"trim_cdf owners before/after: $r")
   }
 
+  test("restore: stage_cdf => true streams the rollback's row diff; " +
+      "the default O(1) metadata restore keeps the resync contract") {
+    val root = freshRoot()
+    val v1 = AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 10, 1L, "en")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 16, 2L, "en")),
+      parent = Some(v1)).get
+    val since = AtomicPublish.currentTxn(spark, root).get
+    // staged rollback to v1: the diff is "remove the day-2 rows"
+    AtomicPublish.restoreTable(spark, root, "docs", v1,
+      stageCdf = true).getOrElse(fail("restore lost an uncontended CAS"))
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since).getOrElse(fail("CDC did not ride the staged restore"))
+    assert(ins.count() == 0,
+      "a rollback to a subset version invented inserts")
+    assert(del.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      (10L until 16L).toSet)
+    val mirror = mutable.Map.empty[Long, (Long, String, Long)]
+    AtomicPublish.readTableAt(spark, root, "docs", since).collect()
+      .foreach(r => mirror.put(r.getLong(0),
+        (r.getLong(1), r.getString(2), r.getLong(3))))
+    applySigned(mirror, ins, del)
+    assert(mirror.toMap == mirrorOf(root))
+    // the DEFAULT restore stays O(1) metadata and therefore resyncs
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(20 until 23, 3L, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    val since2 = AtomicPublish.currentTxn(spark, root).get
+    AtomicPublish.restoreTable(spark, root, "docs", v1)
+      .getOrElse(fail("default restore lost an uncontended CAS"))
+    assert(AtomicPublish.changesWithDeletes(spark, root, "docs", since2)
+      .isEmpty, "an unstaged restore must keep the resync contract")
+  }
+
   test("SQL UPDATE and MERGE copy-on-write commits stage their change " +
       "sets: the batch CDC feed rides both") {
     val root = freshRoot()
