@@ -289,6 +289,50 @@ class CdfBackfillSpec extends SparkSuite {
       s"trim_cdf owners before/after: $r")
   }
 
+  test("update-image classification rides a staged backfill: replaced " +
+      "rows sharing the recorded delete key arrive as update " +
+      "pre/post images, net-new rows as inserts") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 10, 1L, "en")))
+    // record the delete key (and force the COW route for the backfill)
+    AtomicPublish.deleteRows(spark, root,
+      Map("docs" -> Seq(0L).toDF("doc_id")))
+    val ckpt = Files.createTempDirectory("cdfbf-ui-ck").toString
+    val seen = mutable.ArrayBuffer.empty[(String, Long)]
+    def run(): Unit = {
+      val q: StreamingQuery = spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("updateImages", "true").load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          seen ++= df.collect().map(r => r.getString(4) -> r.getLong(0))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    run() // snapshot
+    seen.clear()
+    // the backfill re-states doc_ids 1..9 (keys SHARED with the
+    // removed rows) and introduces 50 (net-new)
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      slice(1 until 10, 1L, "de")
+        .unionByName(slice(50 until 51, 1L, "de")), "day = 1")
+    run()
+    val byType = seen.groupBy(_._1).map { case (t, xs) =>
+      t -> xs.map(_._2).toSet }
+    assert(byType.getOrElse("update_preimage", Set.empty) ==
+      (1L until 10L).toSet, s"preimages: $byType")
+    assert(byType.getOrElse("update_postimage", Set.empty) ==
+      (1L until 10L).toSet, s"postimages: $byType")
+    assert(byType.getOrElse("insert", Set.empty) == Set(50L),
+      s"inserts: $byType")
+    assert(!byType.contains("delete"),
+      s"re-keyed rows leaked as plain deletes: $byType")
+  }
+
   test("restore: stage_cdf => true streams the rollback's row diff; " +
       "the default O(1) metadata restore keeps the resync contract") {
     val root = freshRoot()
