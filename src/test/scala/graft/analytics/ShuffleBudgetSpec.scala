@@ -123,6 +123,24 @@ class ShuffleBudgetSpec extends SparkSuite {
       "sp9 measured plan re-scans the corpus — single-pass regressed")
   }
 
+  test("n2c incremental near-dup: bounded exchanges, and the published " +
+      "side's postings reduce under a broadcast semi join (no full " +
+      "pub-side prefix shuffle)") {
+    // 9 = the two shingle-set aggregates (new + pub lineages, each one
+    // doc_id exchange), the candidate ph-join's two sides, the
+    // candidate-pair distinct, the two verification joins back to the
+    // signature frames (da- and db-keyed), the pair aggregate, and the
+    // harness sort. What the budget EXCLUDES is the property that
+    // matters: the published prefix stream's semi-join reduction rides
+    // a BroadcastExchange (asserted below), so the pub side never pays
+    // a full prefix-stream shuffle — candidate state is O(new batch)
+    // at any published-table size.
+    val df = DedupOps.n2cNeardupIncremental(spark, dir)
+    assertBudget("n2c_neardup_incremental", df, 9)
+    val p = finalPlan(df).toString
+    assert(p.contains("LeftSemi") && p.contains("BroadcastExchange"), p)
+  }
+
   test("n11 dup spans: fully linear — posting shuffle on h, anchors " +
       "re-shuffle on doc_id, harness sort; nothing consumed twice") {
     // duplicated-anchor detection is a min≠max window over the
