@@ -98,13 +98,28 @@ object StreamingBridge {
   /** Release the executor-storage blocks behind a [[checkpointFresh]]
     * result once its consuming action has run — without this a
     * long-lived session holds the blocks until GC + ContextCleaner get
-    * around to them. Walks the frame for its `LogicalRDD` leaves (the
-    * rebound checkpoint is exactly one) and unpersists each backing
-    * RDD non-blocking; the frame must not be executed again after. */
+    * around to them. The frame's `LogicalRDD.rdd` is NOT itself the
+    * persisted RDD: [[checkpointFresh]] rebinds via
+    * `internalCreateDataFrame(cp.queryExecution.toRdd)`, so the leaf
+    * holds a DERIVED MapPartitionsRDD (RDDScanExec wraps the
+    * checkpoint with a projection/metrics map) and `RDD.unpersist` is
+    * not recursive — unpersisting the leaf alone releases nothing
+    * (ADVICE r14 #1: each BPE round would pin another round's blocks).
+    * So the walk descends each leaf RDD's DEPENDENCY chain to the
+    * ancestors whose storage level is set and unpersists those. Safe
+    * for checkpointFresh results because their lineage below the leaf
+    * is exactly (map layers → the localCheckpoint RDD) — nothing
+    * shared; the frame must not be executed again after. */
   def unpersistCheckpoint(df: Dataset[Row]): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
+        unpersistTree(lr.rdd); ()
       case _ => ()
     }
+
+  private def unpersistTree(rdd: org.apache.spark.rdd.RDD[_]): Unit = {
+    if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      rdd.unpersist(blocking = false)
+    rdd.dependencies.foreach(d => unpersistTree(d.rdd))
+  }
 }

@@ -189,6 +189,176 @@ class TokenVocabSpec extends SparkSuite {
       s"sf corpus diverged:\n got=$got2\n exp=$expect2")
   }
 
+  test("fuseCol (the map-only aggregate-expression fusion) == the " +
+      "sequential greedy fuse on staged edge words") {
+    // overlapping self-pair runs, pending-flush re-open, tail pend
+    val words = Seq("aaaa", "aaa", "aa", "a", "abab", "aab", "baa",
+      "banana", "xyx", "ababab", "bbaabb")
+    val cases = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("an", "a"))
+    cases.foreach { case (l, r) =>
+      val got = words.toDF("w")
+        .select(col("w"), TokenOps.fuseCol(split(col("w"), ""), l, r)
+          .as("f"))
+        .collect().map(x => x.getString(0) -> x.getSeq[String](1)).toMap
+      words.foreach { w =>
+        val exp = fuse(w.split("").toVector, l, r)
+        assert(got(w) == exp, s"fuseCol('$w', $l, $r): ${got(w)} != $exp")
+        assert(TokenOps.fuseSeq(w.split("").toIndexedSeq, l, r) == exp,
+          s"fuseSeq('$w', $l, $r) diverged from the reference")
+      }
+    }
+  }
+
+  test("incremental pair-count trainer == the full-recount trainer at " +
+      "12+ rounds: merges AND final tokenization, staged + sf corpus " +
+      "(VERDICT r14 #3)") {
+    val staged = Seq(
+      (0L, "aaaa ab abab"), (1L, "aaaa ab abab"),
+      (2L, "aaa banana band"), (3L, "xy xz xy xz")
+    ).toDF("doc_id", "text")
+    val sfDocs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    Seq(("staged", staged, 14), ("sf0.001", sfDocs, 12)).foreach {
+      case (tag, docs, rounds) =>
+        val (mInc, sInc) = TokenOps.bpeTrainOn(spark, docs, rounds)
+        val (mFull, sFull) = TokenOps.bpeTrainFullRecount(spark, docs, rounds)
+        assert(mInc == mFull,
+          s"$tag: merge tables diverged\n inc=$mInc\n full=$mFull")
+        val tInc = sInc.select(col("w"), size(col("syms")).as("n"))
+          .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        val tFull = sFull.groupBy("w").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+        assert(tInc == tFull, s"$tag: final tokenization diverged")
+    }
+  }
+
+  test("incremental trainer budget: per-round shuffle moves the " +
+      "signed delta + pair state, never the stream — total shuffle " +
+      "records a small fraction of the full recount's on a wide " +
+      "corpus with a localized merge family") {
+    // 3000 inert filler words (alphabet {q,r,s} — their pairs never
+    // win) + a heavily weighted tiny family the merges stay inside:
+    // per round the delta touches ~4 words while the stream holds
+    // 3004; the full recount re-shuffles all ~30k symbol rows per
+    // round for the pair count AND five window passes
+    val family = (0 until 64).map(_ => "aaaa abab banana band")
+      .mkString(" ")
+    val filler = (0 until 3000).map { i =>
+      ("q" * (1 + i % 7)) + ("r" * (1 + (i / 7) % 7)) +
+        ("s" * (1 + (i / 49) % 9)) + "q" * (1 + i / 441)
+    }.distinct.mkString(" ")
+    val docs = (0 until 8).map(i => (i.toLong, family)) :+
+      (8L, filler)
+    val df = docs.toDF("doc_id", "text")
+    def shuffleRecords(run: () => Unit): Long = {
+      val rec = new java.util.concurrent.atomic.AtomicLong
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            rec.addAndGet(m.shuffleWriteMetrics.recordsWritten); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        run()
+        // listener bus drains asynchronously — wait until stable
+        var prev = -1L
+        var tries = 0
+        while (rec.get != prev && tries < 50) {
+          prev = rec.get; Thread.sleep(100); tries += 1
+        }
+        rec.get
+      } finally { spark.sparkContext.removeSparkListener(l); () }
+    }
+    val rounds = 8
+    val inc = shuffleRecords(() =>
+      TokenOps.bpeTrainOn(spark, df, rounds)._2.count())
+    val full = shuffleRecords(() =>
+      TokenOps.bpeTrainFullRecount(spark, df, rounds)._2.count())
+    // both pay the one-time word/pair init (~stream-sized); only the
+    // full recount pays stream-sized rounds on top. The margin is
+    // deliberately loose (listener noise, AQE) — the regression this
+    // pins is "a stream-sized shuffle crept back into the round loop",
+    // which shows up as inc ≈ full, an order of magnitude away
+    assert(inc < full / 2,
+      s"incremental trainer shuffled $inc records vs full recount's " +
+        s"$full — per-round work is no longer delta-sized")
+  }
+
+  test("t14c apply: held-out words tokenize under the FROZEN merges — " +
+      "never-merged pairs pass through at character count, and the " +
+      "gate query matches the driver-side reference (VERDICT r14 #1)") {
+    // train slice: doc_id % 3 != 0; held-out doc 0 mixes trained
+    // words, a partially-mergeable word, and words whose symbols the
+    // training corpus never saw (zz qq) — those must bill at char
+    // count, not vanish (the r14 inner-join hole)
+    val docs = Seq(
+      (0L, "aaaa abab zz qq banana zqzb"),
+      (1L, "aaaa ab abab banana"),
+      (2L, "aaa banana band ab ab"),
+      (3L, "zz banana aaaa"), // held out too (3 % 3 == 0)
+      (4L, "ab abab aaaa aaaa")
+    ).toDF("doc_id", "text")
+    val trainFreq = docs.filter(col("doc_id") % 3 =!= 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val rounds = 6
+    val merges = refBpe(trainFreq, rounds).map(m => (m._2, m._3))
+    def toksOf(w: String): Long = {
+      var s = w.split("").toVector
+      merges.foreach { case (a, b) => s = fuse(s, a, b) }
+      s.length.toLong
+    }
+    val expect = docs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect().map { r =>
+        val ws = r.getString(1).split(' ').filter(_.nonEmpty)
+        r.getLong(0) -> ((ws.length.toLong, ws.map(toksOf).sum))
+      }.toMap
+    val got = TokenOps.t14cBpeApplyOn(spark, docs, rounds).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expect, s"held-out billing diverged:\n got=$got\n " +
+      s"exp=$expect")
+    // the never-merged words bill at character count: doc 0 must
+    // count zz=2, qq=2, zqzb=4 — verify via the reference core
+    assert(TokenOps.applyMerges("zz", merges).length == 2)
+    assert(TokenOps.applyMerges("zqzb", merges).length == 4)
+    // a fully-trained word still compresses on the held-out side
+    assert(toksOf("aaaa") < 4, "staging bug: (a,a) never merged")
+    // and the sf corpus end-to-end (gate shape at gate rounds)
+    val dir = "/root/testdata/sf0.001"
+    val sfDocs = graft.core.Tables.documents(spark, dir)
+    val sfTrainFreq = sfDocs.filter(col("doc_id") % 3 =!= 0)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val sfMerges = refBpe(sfTrainFreq, TokenOps.BpeRounds)
+      .map(m => (m._2, m._3))
+    val memo = scala.collection.mutable.Map.empty[String, Long]
+    def sfToks(w: String): Long = memo.getOrElseUpdate(w, {
+      var s = w.split("").toVector
+      sfMerges.foreach { case (a, b) => s = fuse(s, a, b) }
+      s.length.toLong
+    })
+    val sfExpect = sfDocs.filter(col("doc_id") % 3 === 0)
+      .select("doc_id", "text").collect().flatMap { r =>
+        val ws = r.getString(1).split(' ').filter(_.nonEmpty)
+        if (ws.isEmpty) None
+        else Some(r.getLong(0) -> ((ws.length.toLong, ws.map(sfToks).sum)))
+      }.toMap
+    val sfGot = TokenOps.t14cBpeApply(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sfGot == sfExpect, {
+      val off = sfExpect.keySet.union(sfGot.keySet)
+        .filter(k => sfExpect.get(k) != sfGot.get(k)).take(3)
+      s"sf held-out billing diverged at ${off.map(k =>
+        (k, sfExpect.get(k), sfGot.get(k)))}"
+    })
+  }
+
   test("t14b tokenize == applying the reference merges in rank order " +
       "per word, summed per document") {
     val dir = "/root/testdata/sf0.001"
