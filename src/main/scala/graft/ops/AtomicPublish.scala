@@ -1298,6 +1298,39 @@ object AtomicPublish {
     } finally { grouped.unpersist(); () }
   }
 
+  /** Guard of the one-job ANALYZE (ADVICE r14 #2): `__owner` is
+    * derived by regexp over `_metadata.file_path`, and
+    * `regexp_extract` returns "" — not null — on no-match, so a path
+    * the pattern cannot parse (a percent-encoding dir name, exactly
+    * the hazard [[fileKeyOf]] guards on the file axis) would silently
+    * group its rows under owner "" and VANISH from every owner's
+    * restated stats — committing narrowed (even 0-row) zone maps that
+    * make later predicate reads skip live rows. Refuse to commit
+    * instead: every owner group the rollup produced must be a known
+    * owner, and the known owners' row totals must reconcile to the
+    * rollup's own grand-total row. On failure the ANALYZE aborts with
+    * the recorded stats untouched (correct, merely unrefreshed). */
+  private[ops] def reconcileOwnerRollup(known: Seq[String],
+      perOwner: Seq[(String, Long)], grandRows: Long): Unit = {
+    val knownSet = known.toSet
+    val alien = perOwner.filter { case (o, n) =>
+      !knownSet.contains(o) && n > 0 }
+    require(alien.isEmpty,
+      s"ANALYZE aborted: ${alien.map(_._2).sum} live rows grouped " +
+        s"under unrecognized owner(s) ${alien.map { case (o, n) =>
+          s"'$o'($n)" }.mkString(", ")} — the file-path → owner parse " +
+        "failed for their segments (unparseable segment dir name?); " +
+        "committing would restate those owners' stats WITHOUT these " +
+        "rows and predicate reads could then skip them. Recorded " +
+        "stats were left untouched.")
+    val knownSum = perOwner.collect {
+      case (o, n) if knownSet.contains(o) => n }.sum
+    require(knownSum == grandRows,
+      s"ANALYZE aborted: per-owner row totals ($knownSum) do not " +
+        s"reconcile to the scan's grand total ($grandRows) — the " +
+        "owner rollup lost rows; recorded stats were left untouched.")
+  }
+
   /** ONE-JOB restatement scan for [[analyzeTable]] (VERDICT r13 #3):
     * `rollup(__owner, __file)` over the WHOLE live table gives every
     * (owner, file) zone map AND every per-owner total (the rollup's
@@ -1318,17 +1351,29 @@ object AtomicPublish {
     val present = statCols.filter(dataCols.contains)
     val histCols = present.filter(c => histEligible(df.schema(c).dataType))
     val aggs = statAggExprs(present, histCols)
+    // the GRAND-TOTAL row (owner null, file null) is kept: it is the
+    // reconciliation baseline below. __owner itself is never a data
+    // null (regexp_extract returns "" on no-match), so the rollup
+    // strata are unambiguous.
     val grouped = df.rollup(col("__owner"), col("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .filter(col("__owner").isNotNull)
     grouped.persist()
     try {
       def encoded(base: org.apache.spark.sql.DataFrame, keep: Seq[Column]) =
         base.select(statEncodeCols(df.schema, present, histCols, keep): _*)
-      val ownerRows = encoded(grouped.filter(col("__file").isNull),
+      val ownerRows = encoded(
+        grouped.filter(col("__owner").isNotNull && col("__file").isNull),
         Seq(col("__owner"), col("_rows"))).collect()
-      val fileRows = encoded(grouped.filter(col("__file").isNotNull),
+      val fileRows = encoded(
+        grouped.filter(col("__owner").isNotNull && col("__file").isNotNull),
         Seq(col("__owner"), col("__file"), col("_rows"))).collect()
+      val grandRows = grouped
+        .filter(col("__owner").isNull && col("__file").isNull)
+        .select(col("_rows")).collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+      reconcileOwnerRollup(segPaths.map(_._1),
+        ownerRows.map(r => r.getAs[String]("__owner") ->
+          r.getAs[Long]("_rows")).toSeq, grandRows)
       val filesByOwner = fileRows.groupBy(_.getAs[String]("__owner"))
       val segByOwner = ownerRows.map(r =>
         r.getAs[String]("__owner") ->
@@ -1527,6 +1572,18 @@ object AtomicPublish {
     * Bucket columns may not be partition columns (partition values
     * live in the directory layout, not the files the bucket hash is
     * computed over). */
+  /** No MapType anywhere in the type tree — the precondition both for
+    * Spark's bucket hash AND for set operations (`exceptAll` rejects
+    * frames with map columns, a Spark-wide restriction the CDC
+    * netting must respect — ADVICE r14 #4). */
+  private[ops] def mapFree(t: DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.MapType => false
+    case s: StructType => s.fields.forall(f => mapFree(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType =>
+      mapFree(a.elementType)
+    case _ => true
+  }
+
   private def validateBucketSpec(name: String, df: DataFrame,
       spec: (Seq[String], Int), partitionCols: Seq[String],
       clusterCols: Seq[String]): Unit = {
@@ -1548,13 +1605,6 @@ object AtomicPublish {
       // Spark's bucket hash (HashPartitioning/Murmur3) has no
       // deterministic order over maps — refuse them up front instead
       // of failing inside the write committer
-      def mapFree(t: DataType): Boolean = t match {
-        case _: org.apache.spark.sql.types.MapType => false
-        case s: StructType => s.fields.forall(f => mapFree(f.dataType))
-        case a: org.apache.spark.sql.types.ArrayType =>
-          mapFree(a.elementType)
-        case _ => true
-      }
       require(mapFree(dt),
         s"bucket column '$c' of table '$name' has type " +
           s"${dt.simpleString} — not bucketable")
@@ -2246,6 +2296,7 @@ object AtomicPublish {
     cdf.keys.foreach(t => require(replace.contains(t),
       s"cdf stages the change set of a rewrite — '$t' is not replaced " +
         "by this delta (appends and drops are already feed-exact)"))
+    cdf.foreach { case (t, (ins, del)) => requireNoCdfCol(t, ins, del) }
     val cdfAppend: Map[String, DataFrame] = cdf.map { case (t, (ins, del)) =>
       cdfTableOf(t) -> ins.withColumn(CdfTypeCol, lit("insert"))
         .unionByName(del.withColumn(CdfTypeCol, lit("delete")),
@@ -2566,6 +2617,7 @@ object AtomicPublish {
         else {
           val cdfT = cdfTableOf(table)
           val cur = readTableAt(spark, root, table, p.get)
+          requireNoCdfCol(table, cur)
           val tgt = readTableAt(spark, root, table, toTxn)
           // conform the target read to the CURRENT shape: a restore
           // across a widening evolution reads the old version narrow
@@ -2703,6 +2755,7 @@ object AtomicPublish {
         ownerParts = m.ownerParts.filter(kv => keep.contains(kv._1)))
       val cdfT = cdfTableOf(table)
       val cdfFrame = cdf.map { case (ins, del) =>
+        requireNoCdfCol(table, ins, del)
         ins.withColumn(CdfTypeCol, lit("insert"))
           .unionByName(del.withColumn(CdfTypeCol, lit("delete")),
             allowMissingColumns = true)
@@ -3818,8 +3871,78 @@ object AtomicPublish {
 
   /** Discriminator column of the staged change set: `insert` |
     * `delete` (two-valued on disk; the CDC stream's optional
-    * update-image classification refines it at read time). */
+    * update-image classification refines it at read time).
+    * RESERVED for tables that stage CDF (like the `__del` / `__cdf`
+    * name suffixes): staging tags rows `withColumn(CdfTypeCol, …)`
+    * and the feeds `drop` it on serve, so a user column of this name
+    * would be silently overwritten on stage and stripped (null-filled
+    * by schema alignment) on read — [[requireNoCdfCol]] refuses the
+    * stage up front instead (ADVICE r14 #3; Delta reserves the same
+    * name the same way). */
   val CdfTypeCol = "_change_type"
+
+  /** Refuse to stage a change set whose rows already carry a
+    * [[CdfTypeCol]] column — see the reservation note there. Tables
+    * with such a column can still be published, appended, replaced
+    * and deleted from; only CDF staging (`cdf=`/`stageCdf`) is
+    * refused, since the feed could not serve their rows faithfully. */
+  private def requireNoCdfCol(table: String, frames: DataFrame*): Unit =
+    frames.foreach(f => require(!f.columns.contains(CdfTypeCol),
+      s"cannot stage a change set for table '$table': column " +
+        s"'$CdfTypeCol' is reserved for the staged change-data feed " +
+        "(it tags inserted vs removed rows and is dropped on serve — " +
+        "a user column of that name would be overwritten). Rename " +
+        "the column, or rewrite without CDF staging (stageCdf=false " +
+        "/ no cdf entry) and let downstream consumers resync."))
+
+  /** Sorted data-file paths of the staged change set of `table` at
+    * rewrite commit `rewriteTxn` — the PACING AXIS for draining a
+    * backfill's change rows across microbatches (VERDICT r14 #2): the
+    * cdf companion stages ONE owner per rewrite, but that owner can
+    * hold a 100 TB table's 1% restatement, so the streaming sources'
+    * admission cap slices it by FILES (comparable granularity to the
+    * owner segments the cap bounds elsewhere). Segments are immutable,
+    * so the sorted listing is a stable coordinate system a
+    * checkpointed offset can safely carry across restarts. */
+  def cdfStagedFiles(spark: SparkSession, root: String, table: String,
+      rewriteTxn: String): Seq[String] = {
+    val cdfT = cdfTableOf(table)
+    val m = manifestMetaOf(spark, root, rewriteTxn).getOrElse(cdfT,
+      throw new IllegalStateException(
+        s"commit $rewriteTxn staged no change set for '$table'"))
+    require(m.owners.contains(rewriteTxn),
+      s"commit $rewriteTxn's manifest lost its own staged change set " +
+        s"for '$table'")
+    val seg = new Path(new Path(root, s"v_$rewriteTxn"),
+      m.dirOf(rewriteTxn, cdfT))
+    val fs = seg.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(seg, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val nm = f.getPath.getName
+      if (!nm.startsWith("_") && !nm.startsWith("."))
+        out += f.getPath.toString
+    }
+    out.sorted.toSeq
+  }
+
+  /** Files `[fromF, toF)` of the staged change set (still carrying
+    * [[CdfTypeCol]]), read under the companion's recorded schema —
+    * the union of all slices equals the whole staged owner. An empty
+    * range yields an empty frame of the recorded shape. */
+  def readCdfStagedSlice(spark: SparkSession, root: String,
+      table: String, rewriteTxn: String, fromF: Int, toF: Int)
+      : DataFrame = {
+    val cdfT = cdfTableOf(table)
+    val m = manifestMetaOf(spark, root, rewriteTxn)(cdfT)
+    val files = cdfStagedFiles(spark, root, table, rewriteTxn)
+      .slice(fromF, toF)
+    if (files.isEmpty)
+      readSegments(spark, root, cdfT, m, Seq(rewriteTxn)).limit(0)
+    else m.schema.map(s => spark.read.schema(s))
+      .getOrElse(spark.read).parquet(files: _*)
+  }
 
   /** Tombstone scope column: a tombstone with `_asof = n` applies to
     * the data table's owner segments at positions BELOW n in its owner
@@ -4532,7 +4655,13 @@ object AtomicPublish {
       /** Cap the named version's chain at this position — the
         * streaming face paces batches to offsets that may cover only a
         * PREFIX of the end version's chain. */
-      endCap: Option[(String, Int)] = None)
+      endCap: Option[(String, Int)] = None,
+      /** Skip the staged change set OF THIS COMMIT (ride its rewrite
+        * without contributing the staged rows) — the streaming face
+        * paces a giant staged set by files and serves the slices
+        * itself, so a batch ENDING mid-staged-set must not also get
+        * the whole set from the walk. */
+      excludeStagedAt: Option[String] = None)
       : Option[Seq[AppendedPart]] = {
     val memo = scala.collection.mutable.Map.empty[String, Seq[String]]
     val metaMemo =
@@ -4570,11 +4699,12 @@ object AtomicPublish {
         // staged rewrite: its gained rows come from the cdf owner,
         // never from chain arithmetic (the chain was rewritten)
         flush()
-        metasAt(txn).get(cdfTableOf(table))
-          .filter(_.owners.contains(txn)) match {
-          case Some(dm) => out += CdfInsertsPart(dm, txn)
-          case None => return None // marker says staged, manifest lost it
-        }
+        if (!excludeStagedAt.contains(txn))
+          metasAt(txn).get(cdfTableOf(table))
+            .filter(_.owners.contains(txn)) match {
+            case Some(dm) => out += CdfInsertsPart(dm, txn)
+            case None => return None // marker says staged, manifest lost it
+          }
       } else if (b.startsWith(a)) {
         runAdded ++= b.drop(a.size)
         if (runAdded.nonEmpty) runMeta = metaAt(txn)
@@ -4622,7 +4752,10 @@ object AtomicPublish {
     * caller resyncs, exactly like [[changesSince]]. The result is
     * conformed to `toTxn`'s recorded schema. */
   def appendedBetween(spark: SparkSession, root: String, table: String,
-      fromTxn: String, fromN: Int, toTxn: String, toN: Int)
+      fromTxn: String, fromN: Int, toTxn: String, toN: Int,
+      /** See [[walkAppendedOwners]] — a batch ending mid-staged-set
+        * serves its own file slices of that commit's change set. */
+      excludeStagedAt: Option[String] = None)
       : Option[DataFrame] = {
     val mTo = manifestMetaOf(spark, root, toTxn).getOrElse(table,
       throw new IllegalArgumentException(
@@ -4641,7 +4774,8 @@ object AtomicPublish {
       val chainA = mFrom.map(_.owners).getOrElse(Nil)
       chainInfos(spark, root, fromTxn, toTxn).flatMap { chain =>
         walkAppendedOwners(spark, root, table, fromTxn, chain,
-          endCap = Some((toTxn, toN))).map { walked =>
+          endCap = Some((toTxn, toN)),
+          excludeStagedAt = excludeStagedAt).map { walked =>
           // un-consumed backlog at the START version first, read at its
           // own meta — a later reorg may have rewritten those owners,
           // but their version's segments persist
@@ -4679,12 +4813,22 @@ object AtomicPublish {
     * from `fromTxn` to `toTxn` that admits at most ~`maxOwners` newly
     * appended owner segments of `table` (and its tombstone companion —
     * delete work is paced too), always at least one commit so the
-    * stream makes progress. `toTxn` when the chain cannot be walked
-    * (the unpaced behavior — the diff then resyncs if it must). */
+    * stream makes progress. A commit that STAGED a change set
+    * (commit-time CDF) weighs its doubled file axis `2F` (delete
+    * phase + insert phase, [[graft.streaming.GraftChangeFeedSource
+    * .TxnOffset]]): when that exceeds the remaining budget the pacer
+    * first CLOSES the ordinary interval before the rewrite, then —
+    * as the next batch — returns the rewrite txn with the first
+    * slice position in `_2`, from which the source drains the staged
+    * set file-wise (VERDICT r14 #2: a 1 TB backfill diff no longer
+    * lands in one batch regardless of the cap). `(toTxn, None)` when
+    * the chain cannot be walked (the unpaced behavior — the diff
+    * then resyncs if it must). */
   def paceCommits(spark: SparkSession, root: String, table: String,
-      fromTxn: String, toTxn: String, maxOwners: Int): String =
-    chainBetween(spark, root, fromTxn, toTxn) match {
-      case None => toTxn
+      fromTxn: String, toTxn: String, maxOwners: Int)
+      : (String, Option[Int]) =
+    chainInfos(spark, root, fromTxn, toTxn) match {
+      case None => (toTxn, None)
       case Some(chain) =>
         val dt = deleteTableOf(table)
         def size(t: String): Int = {
@@ -4695,14 +4839,25 @@ object AtomicPublish {
         var budget = maxOwners
         var last = fromTxn
         var prev = size(fromTxn)
-        for ((t, _) <- chain) {
-          val s = size(t)
-          val added = math.max(0, s - prev) // reorgs shrink chains → 0
-          if (last != fromTxn && added > budget) return last
-          budget -= added
-          last = t; prev = s
+        for ((t, ci) <- chain) {
+          if (ci.cdfTables.contains(table) && ci.dataChange) {
+            val axis =
+              2 * cdfStagedFiles(spark, root, table, t).size
+            if (axis > budget) {
+              return if (last != fromTxn) (last, None)
+              else (t, Some(math.min(maxOwners, axis)))
+            }
+            budget -= axis
+            last = t; prev = size(t)
+          } else {
+            val s = size(t)
+            val added = math.max(0, s - prev) // reorgs shrink chains → 0
+            if (last != fromTxn && added > budget) return (last, None)
+            budget -= added
+            last = t; prev = s
+          }
         }
-        last
+        (last, None)
     }
 
   /** Union frames whose schemas may differ by mid-interval evolution
@@ -4861,7 +5016,20 @@ object AtomicPublish {
               // untouched, so CDC update classification is unaffected.
               // Cost: two multiset excepts, paid only on multi-part
               // intervals (the rare deep catch-up, never steady state).
-              Some((insAll.exceptAll(delAll), delAll.exceptAll(insAll)))
+              // exceptAll is a set op, which Spark REJECTS on frames
+              // carrying map-typed columns (ADVICE r14 #4) — those
+              // tables fall back to the plain pre-r14 concatenation
+              // rather than throw AnalysisException mid-catch-up:
+              // exact over the common spanning interval (reorg
+              // boundaries — the halves are disjoint), weaker only
+              // when a later sub-interval removed rows an earlier one
+              // appended (the pair then survives on both sides, the
+              // r14 netting rationale); map-typed consumers needing
+              // endpoint exactness should catch up per-commit, where
+              // each batch is a single prefix diff.
+              if (want.fields.forall(f => mapFree(f.dataType)))
+                Some((insAll.exceptAll(delAll), delAll.exceptAll(insAll)))
+              else Some((insAll, delAll))
             }
           }
         }

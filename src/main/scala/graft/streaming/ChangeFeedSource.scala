@@ -22,7 +22,8 @@ import graft.ops.AtomicPublish
   * }}}
   *
   * Offsets are (owner-count, last-owner-id, txn) triples: a position
-  * in the named VERSION's owner chain. Versions are immutable, so a
+  * in the named VERSION's owner chain (plus, while a staged change
+  * set drains paced, a file position inside it — see below). Versions are immutable, so a
   * batch is replay-deterministic, and because the offset pins its own
   * version, the feed RIDES THROUGH reorganization commits
   * (dataChange=false — compaction, clustering): owners appended
@@ -66,7 +67,11 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
       * micro-batch appends) drains as a paced sequence of bounded
       * batches instead of one giant snapshot read — at 100 TB the
       * difference between a stream that starts and one that OOMs its
-      * first trigger. None = unbounded (the prior behavior). */
+      * first trigger. The cap also paces a STAGED CHANGE SET (r15,
+      * VERDICT r14 #2): riding a backfill, its insert rows drain as
+      * `n`-file slices ([[AtomicPublish.cdfStagedFiles]]) across
+      * triggers instead of one batch carrying the whole restatement.
+      * None = unbounded (the prior behavior). */
     maxOwnersPerTrigger: Option[Int] = None)
   extends Source with SupportsTriggerAvailableNow {
 
@@ -113,6 +118,25 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   private def targetChain(): (String, Seq[String]) =
     frozenTarget.getOrElse(liveChain())
 
+  /** File count of the staged change set at a rewrite commit —
+    * memoized (segments are immutable) so offset arithmetic does one
+    * listing per rewrite, not one per trigger. */
+  private val stagedFiles =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def stagedFileCount(rewriteTxn: String): Int =
+    stagedFiles.getOrElseUpdate(rewriteTxn,
+      AtomicPublish.cdfStagedFiles(spark, root, table, rewriteTxn).size)
+
+  /** The INSERT rows of staged-set files `[fromF, toF)` — the rows
+    * the table gained, the plain feed's contract. */
+  private def stagedInsertSlice(rewriteTxn: String, fromF: Int,
+      toF: Int): DataFrame =
+    AtomicPublish.readCdfStagedSlice(spark, root, table, rewriteTxn,
+      fromF, toF)
+      .filter(col(AtomicPublish.CdfTypeCol) === "insert")
+      .drop(AtomicPublish.CdfTypeCol)
+
   /** The engine's offset advance (admission-control protocol: `start`
     * is the PRIOR end offset, null before the first batch). */
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
@@ -136,8 +160,22 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
         val n = maxOwnersPerTrigger.map(m => math.min(so.n + m, osT.size))
           .getOrElse(osT.size)
         if (n <= so.n) start else ChainOffset(n, osT(n - 1), txnT)
-      case Some(so) =>
-        maxOwnersPerTrigger match {
+      case Some(so0) =>
+        // a mid-staged-set position whose set is already fully served
+        // (defensive: a cap change across restart) degrades to plain
+        val so =
+          if (so0.cdfN >= 0 && so0.cdfN >= stagedFileCount(so0.txn))
+            so0.copy(cdfN = -1)
+          else so0
+        if (so.cdfN >= 0) {
+          // drain the staged change set as file slices under the cap;
+          // the final slice emits the PLAIN offset at the rewritten
+          // chain's head, from which the ordinary walk resumes
+          val files = stagedFileCount(so.txn)
+          val m = maxOwnersPerTrigger.getOrElse(files)
+          if (so.cdfN + m >= files) ChainOffset(so.n, so.last, so.txn)
+          else ChainOffset(so.n, so.last, so.txn, so.cdfN + m)
+        } else maxOwnersPerTrigger match {
           case None =>
             // one batch to the head: getBatch's chain walk rides
             // through reorganizations and resyncs on real rewrites
@@ -180,14 +218,22 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
       val chainNext = ownersAt(t1)
       if (chainNext.startsWith(chainCur)) {
         curTxn = t1 // append (or unrelated) commit: positions carry
-      } else if (!ci.dataChange || ci.cdfTables.contains(table)) {
-        // reorganization (content-equivalent) or a rewrite that STAGED
-        // its change set (r14 commit-time CDF): ride to the rewritten
-        // chain's head — getBatch's walk serves the staged INSERT rows
-        // of a cdf commit inside the spanning interval, so nothing the
-        // table gained is skipped. (Pacing note: the staged rows ride
-        // the batch that crosses the rewrite — the owner cap bounds
-        // chain segments, not the one staged change set.)
+      } else if (ci.cdfTables.contains(table) && ci.dataChange) {
+        // a rewrite that STAGED its change set (r14 commit-time CDF):
+        // ride to the rewritten chain's head, and PACE the staged
+        // rows under the same cap that bounds chain segments
+        // (VERDICT r14 #2 closed the exemption): a set larger than
+        // the cap drains as file slices across triggers; a small one
+        // forms this batch whole. Either way the batch returns here,
+        // so no batch mixes a staged set with later backlog.
+        val files = stagedFileCount(t1)
+        val head = if (chainNext.isEmpty) "" else chainNext.last
+        return (
+          if (files > cap) ChainOffset(chainNext.size, head, t1, cap)
+          else ChainOffset(chainNext.size, head, t1))
+      } else if (!ci.dataChange) {
+        // reorganization (content-equivalent): same rows, new chain —
+        // nothing appended; ride to the rewritten chain's head
         curTxn = t1
         curN = chainNext.size
       } else {
@@ -233,6 +279,8 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
         start.map(ChainOffset.of) match {
           case None if fromLatest => emptyBatch
           case None =>
+            require(endO.cdfN < 0, resyncMessage(table,
+              "batch 0 cannot end mid-staged-change-set"))
             AtomicPublish.appendedBetween(spark, root, table,
               endO.txn, 0, endO.txn, endO.n).get
           case Some(s) if s.txn.isEmpty =>
@@ -244,6 +292,33 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
                 s"segment ${s.n} is no longer '${s.last}'"))
             AtomicPublish.appendedBetween(spark, root, table,
               endO.txn, s.n, endO.txn, endO.n).get
+          case Some(s) if s.cdfN >= 0 =>
+            // start sits mid-staged-set: serve the next file slice
+            // (to end's position when still inside the set, else to
+            // its end, plus the ordinary walk beyond the rewrite)
+            val toF =
+              if (endO.txn == s.txn && endO.cdfN >= 0) endO.cdfN
+              else stagedFileCount(s.txn)
+            val slice = stagedInsertSlice(s.txn, s.cdfN, toF)
+            if (endO.txn == s.txn) slice
+            else slice.unionByName(
+              AtomicPublish.appendedBetween(spark, root, table,
+                s.txn, s.n, endO.txn, endO.n).getOrElse(
+                throw new IllegalStateException(resyncMessage(table,
+                  s"the interval ${s.txn}..${endO.txn} rewrote the " +
+                    "table (data change)"))),
+              allowMissingColumns = true)
+          case Some(s) if endO.cdfN >= 0 =>
+            // batch ENDS mid-staged-set: ride the walk to the rewrite
+            // commit WITHOUT its staged rows, then the first slice
+            AtomicPublish.appendedBetween(spark, root, table,
+              s.txn, s.n, endO.txn, endO.n,
+              excludeStagedAt = Some(endO.txn)).getOrElse(
+              throw new IllegalStateException(resyncMessage(table,
+                s"the interval ${s.txn}..${endO.txn} rewrote the " +
+                  "table (data change)")))
+              .unionByName(stagedInsertSlice(endO.txn, 0, endO.cdfN),
+                allowMissingColumns = true)
           case Some(s) =>
             AtomicPublish.appendedBetween(spark, root, table,
               s.txn, s.n, endO.txn, endO.n).getOrElse(
@@ -304,10 +379,17 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
   *
   * ADMISSION CONTROL (`option("maxOwnersPerTrigger", n)`): the
   * initial snapshot drains as PACED owner-slices (offsets carry a
-  * `snap` position while it runs, each slice read delete-aware), and
+  * `snap` position while it runs, each slice read delete-aware),
   * catch-up intervals are paced by COMMITS admitting ~n appended
-  * owners per trigger — so a fresh checkpoint against a 100 TB
-  * deep-history table starts instead of OOMing its first trigger.
+  * owners per trigger, and a STAGED CHANGE SET larger than the cap
+  * drains as file slices on a doubled axis — delete phase first,
+  * then inserts (offsets carry a `cdf` position, r15) — so the
+  * per-batch mirror recipe composes exactly across the paced drain;
+  * the trade is that a sliced set's update-image pairs may arrive in
+  * different batches as plain delete + insert. A fresh checkpoint
+  * against a 100 TB deep-history table starts instead of OOMing its
+  * first trigger, and a 1% backfill of that table streams as
+  * bounded batches instead of one ~TB diff.
   * Unset = unpaced (the prior behavior).
   *
   * Consumer-lag registry: after resolving each batch the source
@@ -369,6 +451,38 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
   private def chainLen(txn: String): Int =
     AtomicPublish.ownerChainAt(spark, root, table, txn).size
 
+  /** Doubled file axis of a rewrite's staged change set: positions
+    * `[0, F)` are its DELETE phase, `[F, 2F)` its INSERT phase —
+    * memoized, segments are immutable. */
+  private val stagedFiles =
+    scala.collection.concurrent.TrieMap.empty[String, Int]
+
+  private def stagedAxis(rewriteTxn: String): Int =
+    2 * stagedFiles.getOrElseUpdate(rewriteTxn,
+      AtomicPublish.cdfStagedFiles(spark, root, table, rewriteTxn).size)
+
+  /** Signed rows of staged-set axis positions `[a, b)` at the rewrite
+    * commit: delete-phase rows strictly precede insert-phase rows
+    * across the slice sequence, so the standard per-batch mirror
+    * recipe (apply deletes, then inserts) composes exactly across
+    * paced batches. Rows keep their on-disk [[AtomicPublish
+    * .CdfTypeCol]] tag (== [[GraftChangeFeedSource.ChangeTypeCol]]).
+    * Pacing trades the OPTIONAL update-image refinement for
+    * boundedness inside a sliced set (a pre/post pair may land in
+    * different batches and arrives as plain delete + insert — still
+    * mirror-exact); unpaced streams keep full classification. */
+  private def stagedSlice(rewriteTxn: String, a: Int, b: Int)
+      : DataFrame = {
+    val f = stagedAxis(rewriteTxn) / 2
+    val del = AtomicPublish.readCdfStagedSlice(spark, root, table,
+      rewriteTxn, math.min(a, f), math.min(b, f))
+      .filter(col(ChangeTypeCol) === "delete")
+    val ins = AtomicPublish.readCdfStagedSlice(spark, root, table,
+      rewriteTxn, math.max(a - f, 0), math.max(b - f, 0))
+      .filter(col(ChangeTypeCol) === "insert")
+    del.unionByName(ins, allowMissingColumns = true)
+  }
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val txnT = targetTxn.getOrElse(return null)
     Option(start).map(TxnOffset.of) match {
@@ -382,15 +496,26 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
             else TxnOffset(txnT, Some(m)) // paced snapshot begins
         }
       case Some(so) =>
-        so.snap match {
-          case Some(k) =>
+        (so.snap, so.cdf) match {
+          case (Some(k), _) =>
             val len = chainLen(so.txn)
             if (k < len) {
               val m = maxOwnersPerTrigger.getOrElse(len)
               if (k + m >= len) TxnOffset(so.txn) // snapshot completes
               else TxnOffset(so.txn, Some(k + m))
             } else cdcAdvance(so.txn, txnT, start)
-          case None => cdcAdvance(so.txn, txnT, start)
+          case (None, Some(k)) =>
+            // draining a staged change set: advance along its doubled
+            // file axis; the final slice emits the PLAIN txn offset,
+            // from which commit pacing resumes
+            val axis = stagedAxis(so.txn)
+            if (k >= axis) cdcAdvance(so.txn, txnT, start) // defensive
+            else {
+              val m = maxOwnersPerTrigger.getOrElse(axis)
+              if (k + m >= axis) TxnOffset(so.txn)
+              else TxnOffset(so.txn, None, Some(k + m))
+            }
+          case (None, None) => cdcAdvance(so.txn, txnT, start)
         }
     }
   }
@@ -401,8 +526,9 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
     else maxOwnersPerTrigger match {
       case None => TxnOffset(txnT)
       case Some(m) =>
-        TxnOffset(AtomicPublish.paceCommits(spark, root, table,
-          from, txnT, m))
+        val (t, slice) = AtomicPublish.paceCommits(spark, root, table,
+          from, txnT, m)
+        TxnOffset(t, None, slice)
     }
 
   override def getOffset: Option[Offset] =
@@ -429,6 +555,25 @@ final class GraftCdcFeedSource(spark: SparkSession, root: String,
             tagged(AtomicPublish.readTableAt(spark, root, table, endTxn),
               "insert")
           case Some(k) => snapshotSlice(endTxn, 0, k)
+        }
+      case Some(s) if s.cdf.isDefined || endO.cdf.isDefined =>
+        // paced drain of a staged change set (VERDICT r14 #2): the
+        // pacer closes the ordinary interval BEFORE the rewrite, so
+        // an interval ending inside the set carries nothing else
+        (s.cdf, endO.cdf) match {
+          case (Some(a), Some(b)) =>
+            require(s.txn == endTxn, resyncMessage(table,
+              s"staged-set offsets span commits ${s.txn}..$endTxn"))
+            stagedSlice(endTxn, a, b)
+          case (Some(a), None) =>
+            val rest = stagedSlice(s.txn, a, stagedAxis(s.txn))
+            if (s.txn == endTxn) rest
+            else rest.unionByName(diffBatch(s.txn, endTxn),
+              allowMissingColumns = true) // defensive: unpaced restart
+          case (None, Some(b)) =>
+            stagedSlice(endTxn, 0, b)
+          case (None, None) => throw new IllegalStateException(
+            s"invalid CDC offset interval: ${s.json()} .. ${endO.json()}")
         }
       case Some(s) =>
         (s.snap, endO.snap) match {
@@ -556,19 +701,28 @@ object GraftChangeFeedSource {
   /** CDC offset: the commit txn the stream has consumed through;
     * while the initial snapshot drains under admission control,
     * `snap` carries the owner position reached inside that pinned
-    * version. Versions are immutable, so the offset alone
-    * replay-determines the batch. */
-  final case class TxnOffset(txn: String, snap: Option[Int] = None)
+    * version. `cdf` carries the position reached inside the STAGED
+    * CHANGE SET of the rewrite commit `txn` (VERDICT r14 #2) on the
+    * doubled file axis `[0, 2F)` — positions below F are the DELETE
+    * phase, F and above the INSERT phase, so a paced mirror applies
+    * every removed row before any gained one and lands exactly on
+    * the post-backfill table even when a (delete, insert) pair of
+    * the same key splits across slices. Versions are immutable, so
+    * the offset alone replay-determines the batch. */
+  final case class TxnOffset(txn: String, snap: Option[Int] = None,
+      cdf: Option[Int] = None)
     extends Offset {
-    override def json(): String = snap match {
-      case None => s"""{"txn":"$txn"}"""
-      case Some(k) => s"""{"txn":"$txn","snap":$k}"""
+    override def json(): String = (snap, cdf) match {
+      case (None, None) => s"""{"txn":"$txn"}"""
+      case (Some(k), _) => s"""{"txn":"$txn","snap":$k}"""
+      case (None, Some(k)) => s"""{"txn":"$txn","cdf":$k}"""
     }
   }
 
   object TxnOffset {
     private val Re = """\{"txn":"([^"]*)"\}""".r
     private val ReSnap = """\{"txn":"([^"]*)","snap":(\d+)\}""".r
+    private val ReCdf = """\{"txn":"([^"]*)","cdf":(\d+)\}""".r
     def of(o: org.apache.spark.sql.connector.read.streaming.Offset)
         : TxnOffset = o match {
       case t: TxnOffset => t
@@ -578,6 +732,7 @@ object GraftChangeFeedSource {
     def parse(json: String): TxnOffset = json match {
       case Re(t) => TxnOffset(t)
       case ReSnap(t, k) => TxnOffset(t, Some(k.toInt))
+      case ReCdf(t, k) => TxnOffset(t, None, Some(k.toInt))
       case _ => throw new IllegalArgumentException(
         s"not a graft CDC offset: $json")
     }
@@ -587,18 +742,28 @@ object GraftChangeFeedSource {
     * segments consumed, the last of which is `last` — the id pins the
     * prefix so a rewrite is detected, not silently misread. `txn`
     * empty = a pre-r10 checkpoint (positions resolve against the
-    * CURRENT chain, the legacy semantics). */
-  final case class ChainOffset(n: Int, last: String, txn: String = "")
+    * CURRENT chain, the legacy semantics). `cdfN >= 0` = the offset
+    * sits MID-STAGED-CHANGE-SET of the rewrite commit `txn`
+    * (VERDICT r14 #2): the rewritten chain is fully consumed
+    * (`n`/`last` name its head) and `cdfN` files of the staged set
+    * ([[graft.ops.AtomicPublish.cdfStagedFiles]]) have been served —
+    * the admission cap paces a backfill's change rows the same way
+    * it paces ordinary segments. */
+  final case class ChainOffset(n: Int, last: String, txn: String = "",
+      cdfN: Int = -1)
     extends Offset {
     override def json(): String =
       if (txn.isEmpty) s"""{"n":$n,"last":"$last"}"""
-      else s"""{"n":$n,"last":"$last","txn":"$txn"}"""
+      else if (cdfN < 0) s"""{"n":$n,"last":"$last","txn":"$txn"}"""
+      else s"""{"n":$n,"last":"$last","txn":"$txn","cdf":$cdfN}"""
   }
 
   object ChainOffset {
     private val Re = """\{"n":(\d+),"last":"([^"]*)"\}""".r
     private val ReTxn =
       """\{"n":(\d+),"last":"([^"]*)","txn":"([^"]*)"\}""".r
+    private val ReCdf =
+      """\{"n":(\d+),"last":"([^"]*)","txn":"([^"]*)","cdf":(\d+)\}""".r
     def of(o: org.apache.spark.sql.connector.read.streaming.Offset)
         : ChainOffset = o match {
       case c: ChainOffset => c
@@ -608,6 +773,8 @@ object GraftChangeFeedSource {
     def parse(json: String): ChainOffset = json match {
       case Re(n, last) => ChainOffset(n.toInt, last)
       case ReTxn(n, last, txn) => ChainOffset(n.toInt, last, txn)
+      case ReCdf(n, last, txn, k) =>
+        ChainOffset(n.toInt, last, txn, k.toInt)
       case _ => throw new IllegalArgumentException(
         s"not a graft change-feed offset: $json")
     }

@@ -523,6 +523,35 @@ class StoreStatsSpec extends SparkSuite {
     assert(summary(tMeta())._1 == 1000L)
   }
 
+  test("ANALYZE reconciles its owner rollup (ADVICE r14 #2): rows " +
+      "grouped under an unrecognized owner — the '' group regexp " +
+      "no-match produces — abort the restatement; so does a lost-row " +
+      "total; clean rollups pass") {
+    // clean: every group known, totals reconcile
+    AtomicPublish.reconcileOwnerRollup(Seq("a", "b"),
+      Seq("a" -> 10L, "b" -> 5L), 15L)
+    // an owner with zero live rows is simply absent — still clean
+    AtomicPublish.reconcileOwnerRollup(Seq("a", "b"), Seq("a" -> 10L), 10L)
+    // the regexp_extract no-match group: "" with live rows → abort
+    val e1 = intercept[IllegalArgumentException] {
+      AtomicPublish.reconcileOwnerRollup(Seq("a", "b"),
+        Seq("a" -> 10L, "" -> 3L), 13L)
+    }
+    assert(e1.getMessage.contains("unrecognized owner"), e1.getMessage)
+    // a parse that mis-attributed rows to a NAMED but unknown owner
+    val e2 = intercept[IllegalArgumentException] {
+      AtomicPublish.reconcileOwnerRollup(Seq("a"),
+        Seq("a" -> 10L, "ghost" -> 1L), 11L)
+    }
+    assert(e2.getMessage.contains("unrecognized owner"), e2.getMessage)
+    // totals that do not reconcile to the rollup's grand total → abort
+    val e3 = intercept[IllegalArgumentException] {
+      AtomicPublish.reconcileOwnerRollup(Seq("a", "b"),
+        Seq("a" -> 10L, "b" -> 5L), 16L)
+    }
+    assert(e3.getMessage.contains("reconcile"), e3.getMessage)
+  }
+
   test("ANALYZE is ONE Spark action however deep the owner chain " +
       "(VERDICT r13 #3): a 6-owner tombstoned table restates in a " +
       "constant handful of jobs, per-owner stats exact") {

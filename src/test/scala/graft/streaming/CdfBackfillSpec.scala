@@ -198,6 +198,137 @@ class CdfBackfillSpec extends SparkSuite {
     assert(mirror.toMap == mirrorOf(root))
   }
 
+  test("a staged backfill's change set drains as PACED microbatches " +
+      "under maxOwnersPerTrigger — both sources span >= 2 batches, " +
+      "restart checkpoint-exact mid-change-set (Trigger.Once = one " +
+      "batch per start), deletes precede inserts, mirrors land exact " +
+      "(VERDICT r14 #2)") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 10, 1L, "en")),
+      statsBy = Map("docs" -> Seq("day")))
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 16, 2L, "en")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+
+    val plainCk = Files.createTempDirectory("cdfp-ck").toString
+    val plainBatches = mutable.ArrayBuffer.empty[Seq[Long]]
+    /** ONE paced microbatch per call (Trigger.Once), then the query
+      * stops — so every batch boundary is also a checkpointed
+      * RESTART boundary: the mid-change-set positions must replay
+      * exactly from the offset log. Returns rows delivered. */
+    def stepPlain(): Int = {
+      val q: StreamingQuery = spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("maxOwnersPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", plainCk)
+        .trigger(Trigger.Once())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          plainBatches +=
+            df.select("doc_id").collect().map(_.getLong(0)).toSeq
+          ()
+        }.start()
+      q.awaitTermination()
+      plainBatches.lastOption.map(_.size).getOrElse(0)
+    }
+    def drainPlain(): Unit = {
+      // caught up = Trigger.Once ran NO batch (a paced slice can be
+      // legitimately empty — a delete-phase file holds no inserts —
+      // so row counts can't be the signal); capped for safety
+      var stable = 0
+      var steps = 0
+      while (stable < 2 && steps < 40) {
+        val before = plainBatches.size
+        stepPlain(); steps += 1
+        if (plainBatches.size == before) stable += 1
+        else stable = 0
+      }
+    }
+    val cdcCk = Files.createTempDirectory("cdfp-cdc-ck").toString
+    val mirror = mutable.Map.empty[Long, (Long, String, Long)]
+    val cdcBatches = mutable.ArrayBuffer.empty[Seq[(String, Long)]]
+    def stepCdc(): Unit = {
+      val q: StreamingQuery = spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("maxOwnersPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", cdcCk)
+        .trigger(Trigger.Once())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.collect()
+          cdcBatches += rows.map(r => r.getString(4) -> r.getLong(0)).toSeq
+          rows.filter(_.getString(4) == "delete")
+            .foreach(r => mirror.remove(r.getLong(0)))
+          rows.filter(_.getString(4) == "insert")
+            .foreach(r => mirror.put(r.getLong(0),
+              (r.getLong(1), r.getString(2), r.getLong(3))))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    def drainCdc(): Unit = {
+      var stable = 0
+      var steps = 0
+      while (stable < 2 && steps < 40) {
+        val before = cdcBatches.size
+        stepCdc(); steps += 1
+        if (cdcBatches.size == before) stable += 1
+        else stable = 0
+      }
+    }
+    drainPlain(); drainCdc()
+    assert(plainBatches.flatten.toSet == (0L until 16L).toSet)
+    assert(mirror.toMap == mirrorOf(root))
+    plainBatches.clear(); cdcBatches.clear()
+
+    // the backfill: replace day 2, staging a MULTI-FILE change set
+    // (repartition pins the staged file count, so the cap=1 drain
+    // must span several batches)
+    val ins = slice(300 until 308, 2L, "de").repartition(4)
+    val del = slice(10 until 16, 2L, "en").repartition(3)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map.empty,
+      replace = Map("docs" -> slice(0 until 10, 1L, "en")
+        .unionByName(slice(300 until 308, 2L, "de"))),
+      parent = AtomicPublish.currentTxn(spark, root),
+      cdf = Map("docs" -> (ins, del))).get
+    val rewriteTxn = AtomicPublish.currentTxn(spark, root).get
+    val stagedFiles = AtomicPublish.cdfStagedFiles(spark, root, "docs",
+      rewriteTxn).size
+    assert(stagedFiles >= 4,
+      s"staging bug: only $stagedFiles staged files — nothing to pace")
+
+    drainPlain(); drainCdc()
+    // plain feed: exactly the gained rows, across >= 2 NON-EMPTY
+    // batches (one per staged file under cap=1), never one giant one
+    val plainNonEmpty = plainBatches.filter(_.nonEmpty)
+    assert(plainBatches.flatten.toSet == (300L until 308L).toSet,
+      s"plain feed across the paced backfill delivered $plainBatches")
+    assert(plainNonEmpty.size >= 2 &&
+        plainNonEmpty.forall(_.size < 8),
+      s"staged set did not pace: $plainNonEmpty")
+    // CDC: mirror exact, >= 2 batches carried change rows, and the
+    // DELETE phase strictly precedes the INSERT phase across batches
+    // (the doubled-axis contract that keeps a paced mirror exact)
+    assert(mirror.toMap == mirrorOf(root),
+      "CDC mirror diverged across the paced backfill")
+    val changeBatches = cdcBatches.filter(_.nonEmpty)
+    assert(changeBatches.size >= 2, s"CDC did not pace: $changeBatches")
+    val firstIns = cdcBatches.indexWhere(_.exists(_._1 == "insert"))
+    val lastDel = cdcBatches.lastIndexWhere(_.exists(_._1 == "delete"))
+    assert(lastDel <= firstIns,
+      s"a staged delete arrived after an insert batch " +
+        s"(lastDel=$lastDel, firstIns=$firstIns): $cdcBatches")
+    // and the streams CONTINUE past the drained set
+    plainBatches.clear()
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(40 until 43, 5L, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root)).get
+    drainPlain(); drainCdc()
+    assert(plainBatches.flatten.toSet == (40L until 43L).toSet)
+    assert(mirror.toMap == mirrorOf(root))
+  }
+
   test("spanning catch-up diffs are NETTED: rows appended and then " +
       "backfilled away inside ONE interval appear on neither side, so " +
       "the one-batch mirror recipe stays exact") {
@@ -366,6 +497,90 @@ class CdfBackfillSpec extends SparkSuite {
       .getOrElse(fail("default restore lost an uncontended CAS"))
     assert(AtomicPublish.changesWithDeletes(spark, root, "docs", since2)
       .isEmpty, "an unstaged restore must keep the resync contract")
+  }
+
+  test("'_change_type' is a RESERVED column for CDF staging: every " +
+      "staging route refuses up front instead of silently overwriting " +
+      "the user column (ADVICE r14 #3)") {
+    val root = freshRoot()
+    val withCol = (0 until 6).map(i => (i.toLong, 1L, s"u$i"))
+      .toDF("doc_id", "day", "_change_type")
+    // publishing/reading a table WITH the column is fine
+    AtomicPublish.publish(spark, root, Map("docs" -> withCol),
+      statsBy = Map("docs" -> Seq("day")))
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 6)
+    // overwriteWhere's default CDF staging refuses by name
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.overwriteWhere(spark, root, "docs",
+        (10 until 12).map(i => (i.toLong, 1L, s"v$i"))
+          .toDF("doc_id", "day", "_change_type"), "day = 1")
+    }
+    assert(e.getMessage.contains("_change_type") &&
+      e.getMessage.contains("reserved"), e.getMessage)
+    // ... and nothing was committed by the refused attempt
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 6)
+    // the explicit publishDelta cdf route refuses identically
+    val e2 = intercept[IllegalArgumentException] {
+      AtomicPublish.publishDelta(spark, root,
+        append = Map.empty,
+        replace = Map("docs" -> withCol),
+        parent = AtomicPublish.currentTxn(spark, root),
+        cdf = Map("docs" -> (withCol, withCol.limit(0))))
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+    // stageCdf = false still works (the documented escape hatch)
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      (10 until 12).map(i => (i.toLong, 1L, s"v$i"))
+        .toDF("doc_id", "day", "_change_type"), "day = 1",
+      stageCdf = false)
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 2)
+  }
+
+  test("map-typed tables: the spanning-interval diff falls back to " +
+      "plain concatenation instead of throwing (exceptAll rejects " +
+      "maps — ADVICE r14 #4); single-rewrite intervals stay exact") {
+    val root = freshRoot()
+    val base = (0 until 8).map(i =>
+      (i.toLong, 1L + i % 2, Map("k" -> i.toLong)))
+      .toDF("doc_id", "day", "attrs")
+    AtomicPublish.publish(spark, root, Map("docs" -> base),
+      statsBy = Map("docs" -> Seq("day")))
+    val since = AtomicPublish.currentTxn(spark, root).get
+    // an append AND a staged backfill in one interval → multi-part
+    // diff → the netting branch (which would exceptAll and throw on
+    // the map column before the fix)
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> (20 until 23).map(i =>
+        (i.toLong, 2L, Map("k" -> i.toLong)))
+        .toDF("doc_id", "day", "attrs")),
+      parent = Some(since)).get
+    AtomicPublish.overwriteWhere(spark, root, "docs",
+      (50 until 52).map(i => (i.toLong, 2L, Map("k" -> i.toLong)))
+        .toDF("doc_id", "day", "attrs"), "day = 2")
+    val (ins, del) = AtomicPublish.changesWithDeletes(spark, root,
+      "docs", since).getOrElse(fail("map-typed spanning diff refused"))
+    // concatenation semantics: the day-2 rows appended then replaced
+    // inside the interval appear on BOTH sides (un-netted), and the
+    // signed multiset identity still rebuilds the live table
+    val key = (df: DataFrame) => df.select("doc_id").collect()
+      .map(_.getLong(0)).toSeq.sorted
+    assert(key(ins) == ((20L to 22L) ++ (50L to 51L)).sorted,
+      s"insert side: ${key(ins)}")
+    assert(key(del) == Seq(1L, 3L, 5L, 7L, 20L, 21L, 22L),
+      s"delete side: ${key(del)}")
+    // the identity concatenation preserves is the SIGNED MULTISET
+    // equation snapshot(since) ⊎ ins ∖ del == live (driver-side here:
+    // exceptAll can't run over the map column in the test either)
+    val bag = mutable.Map.empty[String, Int].withDefaultValue(0)
+    AtomicPublish.readTableAt(spark, root, "docs", since).collect()
+      .foreach(r => bag(r.toString) += 1)
+    ins.collect().foreach(r => bag(r.toString) += 1)
+    del.collect().foreach(r => bag(r.toString) -= 1)
+    val live = mutable.Map.empty[String, Int].withDefaultValue(0)
+    AtomicPublish.readTable(spark, root, "docs").collect()
+      .foreach(r => live(r.toString) += 1)
+    assert(bag.filter(_._2 != 0).toMap == live.toMap,
+      "signed multiset rebuild diverged from the live table")
   }
 
   test("SQL UPDATE and MERGE copy-on-write commits stage their change " +
