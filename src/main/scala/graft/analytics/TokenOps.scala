@@ -602,6 +602,38 @@ object TokenOps {
       .orderBy(col("doc_id"))
   }
 
+  /** T15: CROSS-FAMILY TOKENIZER DIAGNOSTIC (VERDICT r14 #7) — BPE vs
+    * wordpiece compression (tokens per whitespace word, integer basis
+    * points) per LANGUAGE slice over the same corpus: the
+    * vocab-quality regression signal the per-family oracles cannot
+    * see (a language whose BPE compression degrades relative to
+    * wordpiece flags a merge table trained on a skewed mixture).
+    * Both tokenizations are distinct-word-bounded (wordpiece walks
+    * the broadcast vocab per occurrence map-side; BPE counts come
+    * off the trainer's final array stream), so the query adds one
+    * distinct-word join and one #languages-row aggregate to what the
+    * two families already pay. Oracle: the two existing CTE chains
+    * (wordpiece recursive walk + unrolled BPE rounds) joined on the
+    * word. */
+  def t15TokenizerCompare(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (_, _, countWord) = counters(spark, docs, VocabSize)
+    val (_, stream) = bpeTrainOn(spark, docs, BpeRounds)
+    val bpw = stream.select(col("w"),
+      size(col("syms")).cast("long").as("bpe"))
+    docs.select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("wp", countWord(col("w")))
+      .join(bpw, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("ws_tokens"),
+        sum(col("wp")).as("wp_tokens"),
+        sum(col("bpe")).as("bpe_tokens"))
+      .withColumn("wp_bp", expr("wp_tokens * 10000 DIV ws_tokens"))
+      .withColumn("bpe_bp", expr("bpe_tokens * 10000 DIV ws_tokens"))
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t11_wordpiece" -> (t11Wordpiece _),
     "t11b_wordpiece_wide" -> (t11bWordpieceWide _),
@@ -609,6 +641,7 @@ object TokenOps {
     "t14_bpe_merges" -> (t14BpeMerges _),
     "t14b_bpe_tokenize" -> (t14bBpeTokenize _),
     "t14c_bpe_apply" -> (t14cBpeApply _),
+    "t15_tokenizer_compare" -> (t15TokenizerCompare _),
     "sp3b_token_pack" -> (sp3bTokenPack _))
 
   /** The greedy longest-match recurrence IS SQL-expressible (VERDICT
@@ -854,6 +887,25 @@ object TokenOps {
     sb.toString
   }
 
+  /** t15 oracle: the wordpiece recursive-CTE walk and the unrolled
+    * BPE training rounds share one WITH clause (their CTE names are
+    * disjoint) and join on the word. */
+  val t15TokenizerCompareSql: String =
+    s"""WITH RECURSIVE ${wpCtes("documents", VocabSize)},
+      |${bpeCtes.replaceFirst("^WITH ", "")},
+      |bpw AS (SELECT w, count(*)::BIGINT AS toks
+      |  FROM s$BpeRounds GROUP BY w),
+      |dl AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents)
+      |SELECT dl.lang, count(*)::BIGINT AS ws_tokens,
+      |  sum(wp.wp)::BIGINT AS wp_tokens,
+      |  sum(bpw.toks)::BIGINT AS bpe_tokens,
+      |  ((sum(wp.wp) * 10000) // count(*))::BIGINT AS wp_bp,
+      |  ((sum(bpw.toks) * 10000) // count(*))::BIGINT AS bpe_bp
+      |FROM dl JOIN wp ON wp.word = dl.w JOIN bpw ON bpw.w = dl.w
+      |WHERE len(dl.w) > 0
+      |GROUP BY dl.lang ORDER BY dl.lang""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "t11_wordpiece" -> t11WordpieceSql,
     "t11b_wordpiece_wide" -> t11bWordpieceWideSql,
@@ -861,5 +913,6 @@ object TokenOps {
     "t14_bpe_merges" -> t14BpeMergesSql,
     "t14b_bpe_tokenize" -> t14bBpeTokenizeSql,
     "t14c_bpe_apply" -> t14cBpeApplySql,
+    "t15_tokenizer_compare" -> t15TokenizerCompareSql,
     "sp3b_token_pack" -> sp3bTokenPackSql)
 }
