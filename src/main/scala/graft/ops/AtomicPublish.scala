@@ -2297,9 +2297,14 @@ object AtomicPublish {
       s"cdf stages the change set of a rewrite — '$t' is not replaced " +
         "by this delta (appends and drops are already feed-exact)"))
     cdf.foreach { case (t, (ins, del)) => requireNoCdfCol(t, ins, del) }
+    // delete rows FIRST: union preserves partition order into the
+    // staged files, so the CDC pacer's delete phase (low file
+    // positions) reads mostly-delete files instead of draining empty
+    // slices over insert files (r15 — ordering is a pacing
+    // optimization only; the feeds filter by tag either way)
     val cdfAppend: Map[String, DataFrame] = cdf.map { case (t, (ins, del)) =>
-      cdfTableOf(t) -> ins.withColumn(CdfTypeCol, lit("insert"))
-        .unionByName(del.withColumn(CdfTypeCol, lit("delete")),
+      cdfTableOf(t) -> del.withColumn(CdfTypeCol, lit("delete"))
+        .unionByName(ins.withColumn(CdfTypeCol, lit("insert")),
           allowMissingColumns = true)
     }
     cdfAppend.keys.foreach(n => require(
@@ -2624,10 +2629,11 @@ object AtomicPublish {
           val aligned = tgt.select(cur.schema.fields.toIndexedSeq.map(f =>
             (if (tgt.columns.contains(f.name)) col(f.name).cast(f.dataType)
              else lit(null).cast(f.dataType)).as(f.name)): _*)
-          val frame = aligned.exceptAll(cur)
-            .withColumn(CdfTypeCol, lit("insert"))
-            .unionByName(cur.exceptAll(aligned)
-              .withColumn(CdfTypeCol, lit("delete")))
+          // delete rows first — see publishDelta's cdfAppend note
+          val frame = cur.exceptAll(aligned)
+            .withColumn(CdfTypeCol, lit("delete"))
+            .unionByName(aligned.exceptAll(cur)
+              .withColumn(CdfTypeCol, lit("insert")))
           val pm = parentMeta.get(cdfT)
           val merged = pm.map(m => mergeSchemas(cdfT,
             parentSchemaOf(spark, root, cdfT, m), frame.schema))
@@ -2756,8 +2762,9 @@ object AtomicPublish {
       val cdfT = cdfTableOf(table)
       val cdfFrame = cdf.map { case (ins, del) =>
         requireNoCdfCol(table, ins, del)
-        ins.withColumn(CdfTypeCol, lit("insert"))
-          .unionByName(del.withColumn(CdfTypeCol, lit("delete")),
+        // delete rows first — see publishDelta's cdfAppend note
+        del.withColumn(CdfTypeCol, lit("delete"))
+          .unionByName(ins.withColumn(CdfTypeCol, lit("insert")),
             allowMissingColumns = true)
       }
       val cdfMeta = cdfFrame.map { f =>
