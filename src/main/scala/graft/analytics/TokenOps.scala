@@ -509,6 +509,133 @@ object TokenOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Distinct-word cap of [[bpeTrainDeep]]'s driver truncate — like
+    * the wordpiece vocab build, the collect is bounded by K (count
+    * desc, word asc), never by corpus size. */
+  val DeepTrainMaxWords = 1 << 20
+
+  /** DEEP-VOCABULARY BPE TRAINING — the production 32k-merge tier.
+    * The distributed trainer above is ROUND-bounded: each merge is a
+    * Spark round (cheap since r15's incremental pair counts, but
+    * still a scheduler round-trip), so 32,768 merges would mean
+    * ~100k sequential driver-coordinated jobs — wrong shape however
+    * cheap each round is. Production tokenizer training (Sennrich's
+    * subword-nmt, HF tokenizers) runs the merge loop IN MEMORY over
+    * the distinct-word frequency table, which is the ONLY state BPE
+    * needs and is bounded (tokenizers are conventionally trained on
+    * a bounded word table/sample, not the streaming corpus). So here
+    * the DISTRIBUTED part is one word-count aggregate + a
+    * deterministic bounded truncate (count desc, word asc — the
+    * [[buildVocab]] discipline), and the merge loop is
+    * [[bpeTrainDriver]]: an INDEXED incremental trainer (pair counts
+    * + a pair→words inverted index + an ordered election set), each
+    * round touching only AFFECTED words — the same
+    * signed-maintenance discipline as the distributed rounds, at
+    * in-memory cost. Inference over unbounded corpora then rides
+    * [[t14cBpeApply]]'s distributed apply under the returned frozen
+    * merge table. Election order and greedy fusion are IDENTICAL to
+    * the distributed trainers (TokenVocabSpec pins equality on the
+    * staged and sf corpora, and against the naive reference at 300
+    * rounds over a 40k-word corpus where the index genuinely works).
+    */
+  def bpeTrainDeep(spark: SparkSession, docs: DataFrame, rounds: Int,
+      maxWords: Int = DeepTrainMaxWords)
+      : Seq[(Long, String, String, Long)] = {
+    val wf = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    bpeTrainDriver(wf, rounds)
+  }
+
+  /** The in-memory indexed merge loop of [[bpeTrainDeep]]: pair
+    * counts and a pair→words index maintained incrementally, winner
+    * elected from an ordered set (count desc, lhs, rhs — the gate's
+    * tie-break), each round rewriting ONLY the words containing the
+    * winner. Total work ~O(Σ word length + merges × affected). */
+  private[analytics] def bpeTrainDriver(
+      wordFreq: Seq[(String, Long)], rounds: Int)
+      : Seq[(Long, String, String, Long)] = {
+    import scala.collection.mutable
+    val n = wordFreq.size
+    val streams = new Array[IndexedSeq[String]](n)
+    val freqs = new Array[Long](n)
+    wordFreq.zipWithIndex.foreach { case ((w, f), i) =>
+      streams(i) = w.split("").toIndexedSeq; freqs(i) = f
+    }
+    def pairBag(s: IndexedSeq[String]): mutable.HashMap[(String, String), Long] = {
+      val bag = mutable.HashMap.empty[(String, String), Long]
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        bag.update(p, bag.getOrElse(p, 0L) + 1L)
+        i += 1
+      }
+      bag
+    }
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val index = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // ascending order = (count DESC, lhs ASC, rhs ASC): head is the
+    // round's winner
+    val electionOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+          y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(y._1, x._1)
+        if (c != 0) c
+        else {
+          val c2 = x._2.compareTo(y._2)
+          if (c2 != 0) c2 else x._3.compareTo(y._3)
+        }
+      }
+    }
+    val heap = mutable.TreeSet.empty[(Long, String, String)](electionOrd)
+    def bump(p: (String, String), d: Long): Unit = {
+      val old = counts.getOrElse(p, 0L)
+      if (old > 0) heap.remove((old, p._1, p._2))
+      val nv = old + d
+      if (nv > 0) {
+        counts.update(p, nv); heap.add((nv, p._1, p._2)); ()
+      } else { counts.remove(p); () }
+    }
+    var i = 0
+    while (i < n) {
+      pairBag(streams(i)).foreach { case (p, m) =>
+        bump(p, m * freqs(i))
+        index.getOrElseUpdate(p, mutable.Set.empty) += i
+      }
+      i += 1
+    }
+    val merges =
+      mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    while (r <= rounds && heap.nonEmpty) {
+      val (cnt, a, b) = heap.head
+      merges += ((r.toLong, a, b, cnt))
+      val pair = (a, b)
+      val affected = index.getOrElse(pair, mutable.Set.empty).toArray
+      affected.foreach { wi =>
+        val oldBag = pairBag(streams(wi))
+        if (oldBag.contains(pair)) {
+          val s2 = fuseSeq(streams(wi), a, b)
+          val newBag = pairBag(s2)
+          (oldBag.keySet ++ newBag.keySet).foreach { p =>
+            val d = newBag.getOrElse(p, 0L) - oldBag.getOrElse(p, 0L)
+            if (d != 0) bump(p, d * freqs(wi))
+            if (newBag.contains(p) && !oldBag.contains(p))
+              index.getOrElseUpdate(p, mutable.Set.empty) += wi
+            else if (!newBag.contains(p) && oldBag.contains(p))
+              index.get(p).foreach(_ -= wi)
+          }
+          streams(wi) = s2
+        }
+      }
+      r += 1
+    }
+    merges.toList
+  }
+
   /** The held-out slice of [[t14cBpeApply]]: documents with
     * `doc_id % HoldoutMod == 0` are BILLED, the rest TRAIN. */
   val HoldoutMod = 3

@@ -156,6 +156,27 @@ class ShuffleBudgetSpec extends SparkSuite {
       "n11 must scan the corpus exactly once")
   }
 
+  test("t14c held-out BPE apply: training aside, the APPLY plan is one " +
+      "distinct-word aggregate + a broadcast-joined billing aggregate") {
+    // 6 = training init's two aggregates (word freq + initial pair
+    // count, each one exchange) + the held-out distinct (1) + the
+    // billing aggregate (1) + the harness sort (1) + one AQE coalesce
+    // margin. Per-ROUND work never appears here: elections are
+    // per-partition top-1 collects and fusions are map-only over the
+    // checkpointed stream (the r15 incremental-trainer property), so
+    // a budget blowout means a stream-sized shuffle crept back in.
+    val df = TokenOps.t14cBpeApplyOn(spark,
+      graft.core.Tables.documents(spark, dir), TokenOps.BpeRounds)
+    assertBudget("t14c_bpe_apply", df, 6)
+  }
+
+  test("t15 tokenizer compare: the cross-family join adds one " +
+      "distinct-word join and a #languages-row aggregate, nothing " +
+      "corpus-shaped") {
+    val df = TokenOps.t15TokenizerCompare(spark, dir)
+    assertBudget("t15_tokenizer_compare", df, 7)
+  }
+
   test("t7 BM25: corpus stats gather + top-k heap — never a global sort") {
     val df = TextOps.t7Bm25(spark, dir)
     assertBudget("t7_bm25", df, 3)

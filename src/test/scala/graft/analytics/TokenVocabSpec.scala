@@ -286,6 +286,60 @@ class TokenVocabSpec extends SparkSuite {
         s"$full — per-round work is no longer delta-sized")
   }
 
+  test("deep driver-tier BPE trainer (bpeTrainDeep): == the naive " +
+      "reference and the distributed trainer where they overlap, and " +
+      "== the reference at 300 rounds over the 40k-word corpus — the " +
+      "32k-merge production shape (one distributed aggregate + an " +
+      "indexed in-memory merge loop)") {
+    val staged = Seq(
+      (0L, "aaaa ab abab"), (1L, "aaaa ab abab"),
+      (2L, "aaa banana band"), (3L, "xy xz xy xz")
+    ).toDF("doc_id", "text")
+    val freq = staged
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expect = refBpe(freq, 14)
+    assert(TokenOps.bpeTrainDriver(freq, 14) == expect,
+      "indexed driver trainer diverged on the tie/overlap corpus")
+    assert(TokenOps.bpeTrainDeep(spark, staged, 14) == expect,
+      "the aggregate+truncate end-to-end path diverged")
+    assert(TokenOps.t14BpeMergesOn(spark, staged, 14).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3))).toSeq == expect,
+      "distributed and driver tiers disagree")
+    // the sf corpus
+    val docs = graft.core.Tables
+      .documents(spark, "/root/testdata/sf0.001")
+    val corpusFreq = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(TokenOps.bpeTrainDriver(corpusFreq, 12) ==
+      refBpe(corpusFreq, 12))
+    // DEPTH: 300 rounds over the wide 40k-distinct-word corpus — the
+    // regime the inverted index exists for (the naive reference
+    // recounts every word every round); affected-word work keeps the
+    // indexed loop fast while results stay bit-identical
+    val wideFreq = wide
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(wideFreq.size > 40000)
+    val t0 = System.nanoTime()
+    val deep = TokenOps.bpeTrainDriver(wideFreq, 300)
+    val indexedSec = (System.nanoTime() - t0) / 1e9
+    val expDeep = refBpe(wideFreq, 300)
+    assert(deep == expDeep,
+      s"indexed trainer diverged at depth (first off: ${deep.zip(expDeep)
+        .find(x => x._1 != x._2)})")
+    assert(deep.size >= 100, s"merge space exhausted at ${deep.size}")
+    info(f"indexed 300-round train over ${wideFreq.size} words: " +
+      f"$indexedSec%.2fs")
+  }
+
   test("t14c apply: held-out words tokenize under the FROZEN merges — " +
       "never-merged pairs pass through at character count, and the " +
       "gate query matches the driver-side reference (VERDICT r14 #1)") {

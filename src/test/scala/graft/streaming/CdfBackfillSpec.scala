@@ -499,6 +499,67 @@ class CdfBackfillSpec extends SparkSuite {
       .isEmpty, "an unstaged restore must keep the resync contract")
   }
 
+  test("trim_cdf mid-paced-drain: a consumer inside a staged change " +
+      "set keeps draining after the live manifest drops the companion " +
+      "— slices resolve through the rewrite's own version") {
+    val root = freshRoot()
+    AtomicPublish.publish(spark, root,
+      Map("docs" -> slice(0 until 8, 1L, "en")),
+      statsBy = Map("docs" -> Seq("day")))
+    val ck = Files.createTempDirectory("cdftrim-ck").toString
+    val mirror = mutable.Map.empty[Long, (Long, String, Long)]
+    var batches = 0
+    def step(): Unit = {
+      val q: StreamingQuery = spark.readStream.format("graft")
+        .option("root", root).option("table", "docs")
+        .option("withDeletes", "true")
+        .option("maxOwnersPerTrigger", "1").load()
+        .writeStream.option("checkpointLocation", ck)
+        .trigger(Trigger.Once())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          batches += 1
+          val rows = df.collect()
+          rows.filter(_.getString(4) == "delete")
+            .foreach(r => mirror.remove(r.getLong(0)))
+          rows.filter(_.getString(4) == "insert")
+            .foreach(r => mirror.put(r.getLong(0),
+              (r.getLong(1), r.getString(2), r.getLong(3))))
+          ()
+        }.start()
+      q.awaitTermination()
+    }
+    def drain(): Unit = {
+      var stable = 0; var steps = 0
+      while (stable < 2 && steps < 40) {
+        val before = batches
+        step(); steps += 1
+        if (batches == before) stable += 1 else stable = 0
+      }
+    }
+    drain() // snapshot
+    assert(mirror.size == 8)
+    // a multi-file staged backfill...
+    AtomicPublish.publishDelta(spark, root,
+      append = Map.empty,
+      replace = Map("docs" -> slice(100 until 106, 1L, "de")),
+      parent = AtomicPublish.currentTxn(spark, root),
+      cdf = Map("docs" -> (
+        slice(100 until 106, 1L, "de").repartition(3),
+        slice(0 until 8, 1L, "en").repartition(3)))).get
+    // ...the consumer takes ONE paced batch into the set, then the
+    // LIVE manifest trims the companion away
+    step()
+    AtomicPublish.trimCdf(spark, root, "docs", 0)
+      .getOrElse(fail("trim lost an uncontended CAS"))
+    assert(AtomicPublish.currentManifestMeta(spark, root).get._2
+      .get(AtomicPublish.cdfTableOf("docs")).forall(_.owners.isEmpty))
+    // the mid-set drain must COMPLETE exactly: slices resolve through
+    // v_<rewriteTxn>'s own manifest, which trim does not touch
+    drain()
+    assert(mirror.toMap == mirrorOf(root),
+      "mirror diverged when trim_cdf ran under a mid-set consumer")
+  }
+
   test("'_change_type' is a RESERVED column for CDF staging: every " +
       "staging route refuses up front instead of silently overwriting " +
       "the user column (ADVICE r14 #3)") {
