@@ -2623,6 +2623,15 @@ object AtomicPublish {
           val cdfT = cdfTableOf(table)
           val cur = readTableAt(spark, root, table, p.get)
           requireNoCdfCol(table, cur)
+          // the rollback diff is a pair of set operations, which Spark
+          // rejects on map-typed columns — refuse with the alternative
+          // named instead of throwing AnalysisException mid-diff
+          require(cur.schema.fields.forall(f => mapFree(f.dataType)),
+            s"restore: stage_cdf needs a map-free schema for '$table' " +
+              "(the two-version row diff is a set operation, which " +
+              "Spark rejects on map columns); restore without staging " +
+              "(the metadata-only default) and let downstream " +
+              "consumers resync")
           val tgt = readTableAt(spark, root, table, toTxn)
           // conform the target read to the CURRENT shape: a restore
           // across a widening evolution reads the old version narrow
@@ -5359,10 +5368,30 @@ object AtomicPublish {
       val versionNames = versions.map(_._1.getPath.getName).toSet
       val consumerHeld: Set[String] =
         if (consumerTtlMs <= 0) Set.empty
-        else registeredConsumers(spark, root).collect {
-          case (_, txn, at) if at >= now - consumerTtlMs &&
-            versionNames(s"v_$txn") => s"v_$txn"
-        }.toSet
+        else {
+          val held = registeredConsumers(spark, root).collect {
+            case (_, txn, at) if at >= now - consumerTtlMs &&
+              versionNames(s"v_$txn") => s"v_$txn"
+          }.toSet
+          // LOG-SUFFIX retention (r15): a lagging stream's next batch
+          // WALKS the commit chain from its held version to the head,
+          // reading every INTERMEDIATE version's manifest on the way
+          // (ride-through bookkeeping). Protecting only the held
+          // version + closure let vacuum reclaim intermediates and
+          // turn a pure-append catch-up into a spurious resync (the
+          // CDC feed masked this behind its prefix fast path; the
+          // plain feed and any spanning interval hit it). So every
+          // version committed at-or-after the OLDEST held version
+          // survives — the Kafka shape: retention keeps the suffix
+          // past the laggard, and an abandoned checkpoint stops
+          // holding it once its registration outlives the TTL.
+          val floor = held.flatMap(committedAt.get)
+          if (floor.isEmpty) held
+          else {
+            val f = floor.min
+            held ++ committedAt.collect { case (n, t) if t >= f => n }
+          }
+        }
       val survivorsByPolicy = versions.collect {
         case (st, _) if live(st.getPath.getName) ||
           retainedRecent(st.getPath.getName) ||

@@ -638,21 +638,24 @@ final class GraftSource extends RelationProvider
           s"maxOwnersPerTrigger must be an integer, got '$v'")
       }
     }
+    // consumer id = digest of the checkpoint's metadata path: stable
+    // across restarts of the same stream, distinct across streams
+    val consumerId = java.security.MessageDigest
+      .getInstance("MD5").digest(metadataPath.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
     if (withDeletes(parameters))
-      // consumer id = digest of the checkpoint's metadata path: stable
-      // across restarts of the same stream, distinct across streams
       new graft.streaming.GraftCdcFeedSource(ctx.sparkSession, root,
-        table, consumerId = java.security.MessageDigest
-          .getInstance("MD5").digest(metadataPath.getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString,
+        table, consumerId = consumerId,
         fromLatest = fromLatest(parameters),
         updateImages = parameters.get("updateImages")
           .exists(_.equalsIgnoreCase("true")),
         maxOwnersPerTrigger = cap)
     else
+      // the plain feed registers lag too (r15): a lagging appended-rows
+      // stream raced vacuum exactly like a CDC one
       new graft.streaming.GraftChangeFeedSource(ctx.sparkSession, root,
         table, fromLatest = fromLatest(parameters),
-        maxOwnersPerTrigger = cap)
+        maxOwnersPerTrigger = cap, consumerId = Some(consumerId))
   }
 
   override def createRelation(ctx: SQLContext,

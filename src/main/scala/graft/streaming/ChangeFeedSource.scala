@@ -72,7 +72,16 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
       * `n`-file slices ([[AtomicPublish.cdfStagedFiles]]) across
       * triggers instead of one batch carrying the whole restatement.
       * None = unbounded (the prior behavior). */
-    maxOwnersPerTrigger: Option[Int] = None)
+    maxOwnersPerTrigger: Option[Int] = None,
+    /** CONSUMER-LAG REGISTRY (r15 — the CDC feed has had this since
+      * r12; a lagging PLAIN stream raced vacuum the same way): when
+      * set (the provider derives it from the checkpoint path, stable
+      * across restarts), each batch records its end txn under
+      * `_consumers/<id>` and [[AtomicPublish.vacuum]] protects that
+      * version (and its reference closure) while younger than the
+      * consumer TTL — so a lagging stream's next offset stays
+      * readable instead of being reclaimed under it. */
+    consumerId: Option[String] = None)
   extends Source with SupportsTriggerAvailableNow {
 
   import GraftChangeFeedSource._
@@ -327,6 +336,10 @@ final class GraftChangeFeedSource(spark: SparkSession, root: String,
                   "table (data change)")))
         }
       }
+    // lag registry: the NEXT batch walks from endO.txn — keep it alive
+    if (endO.txn.nonEmpty)
+      consumerId.foreach(id =>
+        AtomicPublish.recordConsumer(spark, root, id, endO.txn))
     org.apache.spark.sql.graftstream.StreamingBridge.asStreaming(
       conform(batch), this)
   }

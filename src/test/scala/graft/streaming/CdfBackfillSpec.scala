@@ -642,6 +642,17 @@ class CdfBackfillSpec extends SparkSuite {
       .foreach(r => live(r.toString) += 1)
     assert(bag.filter(_._2 != 0).toMap == live.toMap,
       "signed multiset rebuild diverged from the live table")
+    // restore's staged diff is a set op too: refuse with the
+    // alternative named instead of AnalysisException mid-diff
+    val e = intercept[IllegalArgumentException] {
+      AtomicPublish.restoreTable(spark, root, "docs", since,
+        stageCdf = true)
+    }
+    assert(e.getMessage.contains("map-free"), e.getMessage)
+    // the metadata-only default restore still works
+    AtomicPublish.restoreTable(spark, root, "docs", since)
+      .getOrElse(fail("default restore lost an uncontended CAS"))
+    assert(AtomicPublish.readTable(spark, root, "docs").count() == 8)
   }
 
   test("SQL UPDATE and MERGE copy-on-write commits stage their change " +

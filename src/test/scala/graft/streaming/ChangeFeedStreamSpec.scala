@@ -70,6 +70,48 @@ class ChangeFeedStreamSpec extends SparkSuite {
     assert(seen.flatMap(_._2).isEmpty)
   }
 
+  test("vacuum honors a lagging PLAIN consumer too (r15 — the append " +
+      "feed registers lag like the CDC feed): the held version " +
+      "survives an aggressive vacuum and the stream continues exactly") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("plain-lag-ck").toString
+    // v1 hosts docs' first segment; churn an UNRELATED table so the
+    // consumer-held intermediate version holds only replaced-away
+    // segments — reclaimable but for the registration
+    AtomicPublish.publish(spark, root, Map(
+      "docs" -> slice(0 until 10, "en"),
+      "aux" -> Seq((1L, "a")).toDF("k", "v")))
+    AtomicPublish.publishDelta(spark, root, append = Map.empty,
+      replace = Map("aux" -> Seq((2L, "b")).toDF("k", "v")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    val seen = mutable.ArrayBuffer.empty[Long]
+    def run(): Unit = drain(startFeed(root, ckpt) { (df, _) =>
+      seen ++= df.select("doc_id").collect().map(_.getLong(0)); ()
+    })
+    run() // reads through the aux-replace version and registers it
+    val consumerTxn = AtomicPublish.currentTxn(spark, root).get
+    assert(AtomicPublish.registeredConsumers(spark, root)
+      .exists(_._2 == consumerTxn),
+      "plain feed did not register its lag")
+    assert(seen.toSet == (0L until 10L).toSet)
+    // churn while the stream lags, then an aggressive vacuum
+    (0 until 2).foreach { i =>
+      AtomicPublish.publishDelta(spark, root, append = Map.empty,
+        replace = Map("aux" -> Seq((10L + i, "x")).toDF("k", "v")),
+        parent = AtomicPublish.currentTxn(spark, root))
+    }
+    AtomicPublish.publishDelta(spark, root,
+      append = Map("docs" -> slice(10 until 15, "fr")),
+      parent = AtomicPublish.currentTxn(spark, root))
+    AtomicPublish.vacuum(spark, root, keepLast = 1, graceMs = 0)
+    assert(new java.io.File(root, s"v_$consumerTxn").exists,
+      "plain consumer-held version was reclaimed")
+    // the lagging stream continues exactly — the missed append arrives
+    seen.clear()
+    run()
+    assert(seen.toSet == (10L until 15L).toSet)
+  }
+
   /** CDC feed plumbing: a doc_id-keyed mirror maintained purely from
     * the signed microbatches (deletes applied first, then inserts —
     * the interval semantics of [[AtomicPublish.changesWithDeletes]]). */
