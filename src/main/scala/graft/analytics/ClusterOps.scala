@@ -48,7 +48,7 @@ object ClusterOps {
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val a = pairs.columns(0)
     val b = pairs.columns(1)
-    import org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh
+    import org.apache.spark.sql.graftstream.StreamingBridge.{checkpointFresh, unpersistCheckpoint}
     val edges = checkpointFresh(
       pairs.select(col(a).as("src"), col(b).as("dst"))
         .unionByName(pairs.select(col(b).as("src"), col(a).as("dst")))
@@ -57,6 +57,10 @@ object ClusterOps {
       edges.select(col("src").as("id"))
         .distinct()
         .withColumn("lbl", col("id")))
+    // round-k handles released once round k+1 is materialized — without
+    // this every round pinned another label table's blocks for the life
+    // of the session (the ADVICE-r14 BPE leak, same shape)
+    var prevRound: DataFrame = labels
     var rounds = 0
     var converged = false
     while (!converged) {
@@ -72,21 +76,31 @@ object ClusterOps {
           Seq("src"))
         .groupBy(col("dst").as("id"))
         .agg(min(col("slbl")).as("nmin"))
-      val propagated = labels
+      // materialized ONCE: the pointer-jump consumes propagated on BOTH
+      // join sides, and DataFrame branches re-execute their subtree —
+      // before r15 the edges⋈labels⋈groupBy tree ran twice per round.
+      // `old` (the incoming label) rides along so the convergence test
+      // needs no separate join against the previous label table.
+      val propagated = checkpointFresh(labels
         .join(nbrMin, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"))
+        .select(col("id"), least(col("lbl"), col("nmin")).as("lbl"),
+          col("lbl").as("old")))
       // pointer jumping: label(x) := label(label(x)) — labels are node
-      // ids (minima over node ids), so the lookup always resolves
+      // ids (minima over node ids), so the lookup always resolves; chg
+      // marks rows whose FINAL label moved this round, so convergence
+      // is a filter over this round's cached blocks, not a fresh join
       val jumped = checkpointFresh(propagated
-        .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2"))
-          .toDF("lbl", "lbl2"),
+        .join(propagated.select(col("id").as("lbl"), col("lbl").as("lbl2")),
           Seq("lbl"))
-        .select(col("id"), col("lbl2").as("lbl")))
-      converged = jumped.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
-        .filter(col("lbl") =!= col("old"))
-        .isEmpty
-      labels = jumped
+        .select(col("id"), col("lbl2").as("lbl"),
+          (col("lbl2") =!= col("old")).as("chg")))
+      unpersistCheckpoint(propagated) // consumed by jumped's materialization
+      if (prevRound != null) unpersistCheckpoint(prevRound)
+      converged = jumped.filter(col("chg")).isEmpty
+      prevRound = jumped
+      labels = jumped.select(col("id"), col("lbl"))
     }
+    unpersistCheckpoint(edges) // labels are checkpointed — edges done
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
 

@@ -386,7 +386,7 @@ object DedupOps {
     * candidate pairs — at θ=0.8 roughly 20× less pair traffic than the
     * naive posting-list self-join, and the same result set. */
   def n2NgramJaccard(spark: SparkSession, dir: String): DataFrame =
-    n2NgramJaccardOn(Tables.documents(spark, dir))
+    n2NgramJaccardOn(Tables.documents(spark, dir), materialize = true)
 
   /** Per-doc sorted shingle-hash SIGNATURE: (doc_id, hs array<long>, n).
     * The unit the PPJoin pipeline verifies with — and the published
@@ -413,7 +413,12 @@ object DedupOps {
         .as("ph"))
 
   def n2NgramJaccardOn(docs: DataFrame): DataFrame =
-    n2PairsOn(docs).orderBy(col("da"), col("db"))
+    n2NgramJaccardOn(docs, materialize = false)
+
+  /** [[n2NgramJaccardOn]] with the signature-table materialization knob
+    * of [[n2PairsOn]] exposed — see there for when `true` is safe. */
+  def n2NgramJaccardOn(docs: DataFrame, materialize: Boolean): DataFrame =
+    n2PairsOn(docs, materialize).orderBy(col("da"), col("db"))
 
   /** The n2 pair pipeline WITHOUT the presentation sort — the form
     * cluster resolution (n7) consumes, where the pairs feed a join
@@ -431,9 +436,32 @@ object DedupOps {
     * [[CandidateGroupCap]], enforced spill-safe BEFORE the collect_list
     * with drops observable via [[observedDrops]](df, "n2_posting") —
     * zero on organic corpora (the oracle gate would catch any drop). */
-  def n2PairsOn(docs: DataFrame): DataFrame = {
+  def n2PairsOn(docs: DataFrame): DataFrame =
+    n2PairsOn(docs, materialize = false)
+
+  /** [[n2PairsOn]] with an opt-in signature-table MATERIALIZATION: the
+    * class-labeled signature frame is consumed by SIX branches (prefix
+    * postings, both verification sides, membership twice, the intra
+    * expansion), and DataFrame branches re-execute their subtree — the
+    * lazy plan re-runs scan→shingle→collect_set→class-window per branch
+    * (7 parquet scans in n2's r14 physical plan). `materialize = true`
+    * checkpoints it ONCE (hash arrays, never text — the deployment
+    * analog is a scratch write of the signature table, see
+    * [[org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh]]).
+    * Opt-in because materialization is EAGER: a caller embedding this
+    * mid-lineage under `observe` metrics (LlmPrep's instrumented face,
+    * whose per-stage counts must fire on ONE action) needs the lazy
+    * form; standalone gate/oracle entries want `true`. */
+  def n2PairsOn(docs: DataFrame, materialize: Boolean): DataFrame =
+    n2PairsOnSigs(shingleSets(docs), materialize)
+
+  private[analytics] def n2PairsOnSigs(sigs: DataFrame,
+      materialize: Boolean): DataFrame = {
     val theta = JaccardThreshold
-    val lab = exactClasses(shingleSets(docs), xxhash64(col("hs")))
+    val lab0 = exactClasses(sigs, xxhash64(col("hs")))
+    val lab = if (materialize)
+      org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh(lab0)
+    else lab0
     val reps = lab.filter(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("hs"), col("n"))
     val prefix = capOccupancy(prefixPostings(reps), Seq(col("ph")),
@@ -494,7 +522,7 @@ object DedupOps {
     * recomputes from (spark, dir) alone. */
   def n2PairsShared(spark: SparkSession, dir: String): DataFrame = {
     val memo = Tables.memoFresh(sharedPairCache, spark, dir, "documents") {
-      val rows = n2PairsOn(Tables.documents(spark, dir))
+      val rows = n2PairsOn(Tables.documents(spark, dir), materialize = true)
         .select(col("da"), col("db")).limit(MaxSharedPairs + 1)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
       if (rows.size > MaxSharedPairs) None else Some(rows)
@@ -502,7 +530,7 @@ object DedupOps {
     import spark.implicits._
     memo match {
       case Some(rows) => rows.toDF("da", "db")
-      case None => n2PairsOn(Tables.documents(spark, dir))
+      case None => n2PairsOn(Tables.documents(spark, dir), materialize = true)
         .select(col("da"), col("db"))
     }
   }
@@ -989,8 +1017,13 @@ object DedupOps {
   def n2bMinhashLshOn(docs: DataFrame): DataFrame = {
     val sig = minhashSignatures(docs)
     // cls hashes the sorted set IN the window input — no materialized
-    // sorted copy rides the exchange
-    val lab = exactClasses(sig, xxhash64(sort_array(col("shset"))))
+    // sorted copy rides the exchange. The labeled signature table is
+    // materialized ONCE (the n2PairsOn discipline): banding, both
+    // verification sides and the class expansion are separate branches,
+    // and the lazy plan re-ran the 64-column minhash aggregate for each
+    // (every n2b caller is a standalone action — no observe constraint).
+    val lab = org.apache.spark.sql.graftstream.StreamingBridge
+      .checkpointFresh(exactClasses(sig, xxhash64(sort_array(col("shset")))))
     val reps = lab.filter(col("doc_id") === col("rep"))
     val bandCols = (0 until LshBands).map { b =>
       xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"s${b * 4 + r}"))): _*)

@@ -192,21 +192,52 @@ object LlmPrep {
 
   // --- face 2: the counts as data (harness/oracle surface) -----------------
 
-  /** Per-stage counts in ONE corpus pass: each doc gets survival flags
-    * (its drop stage decided by the same predicates the cascade
-    * applies), one aggregation counts every stage, `stack` unpivots to
-    * (stage, n). Chunks are counted arithmetically — no explode. */
+  /** Per-stage counts with TEXT AS A MAP-SIDE-ONLY INPUT (guide §8:
+    * decide with small rows): ONE base pass computes every text-local
+    * property (fingerprint, quarantine verdict, quality verdict, chunk
+    * count) and the narrow (doc_id, quar, qok, chunks, rn) frame is
+    * materialized once — the r14 shape windowed and joined the
+    * text-carrying rows, and its nd/ct/flag branches re-executed the
+    * window subtree ~10× (10 parquet scans in the r14 physical plan).
+    * Text now never enters an exchange: the dedup window shuffles
+    * fingerprints, near-dup shingles and decontamination n-grams hash
+    * map-side off their own scans and semi-join the uniq id set at the
+    * already-partitioned doc_id key, and the final aggregate reads the
+    * narrow frame. Chunks are counted arithmetically — no explode. */
   def journeyCountsOn(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(fpCol).orderBy(col("doc_id"))
-    val rk = docs.withColumn("quar", quarCol)
+    import org.apache.spark.sql.graftstream.StreamingBridge.checkpointFresh
+    val w = Window.partitionBy(col("fp")).orderBy(col("doc_id"))
+    val rk = checkpointFresh(docs.select(
+        col("doc_id"),
+        fpCol.as("fp"),
+        quarCol.as("quar"),
+        (!quarCol && qualityOkCol).as("qok"),
+        chunkCountCol.as("chunks"))
       .withColumn("rn", row_number().over(w))
-    val uniq = rk.filter(!col("quar") && col("rn") === 1)
-      .select(col("doc_id"), col("text"))
-    val nd = nearDupDroppedIds(uniq).withColumn("is_nd", lit(true))
+      .drop("fp"))
+    val uniqIds = rk.filter(!col("quar") && col("rn") === 1)
+      .select(col("doc_id"))
+    // near-dup drop ids: per-doc signatures are a pure function of text,
+    // so shingling the full corpus map-side and semi-joining the uniq id
+    // set AT the signature aggregate's own doc_id partitioning equals
+    // re-shingling the uniq slice — without joining text back
+    val uniqSigs = DedupOps.shingleSets(docs)
+      .join(uniqIds, Seq("doc_id"), "left_semi")
+    val nd = DedupOps.n2PairsOnSigs(uniqSigs, materialize = true)
+      .select(col("db").as("doc_id")).distinct()
+      .withColumn("is_nd", lit(true))
     // flags computed on the uniq train side are identical, for every doc
     // that reaches stage 4, to flags computed on stage-3 survivors —
-    // contamination is a per-doc property — and skip a second pass
-    val ct = contaminatedIds(uniq.filter(!evalSliceCol), docs)
+    // contamination is a per-doc property — and skip a second pass.
+    // The eval slice is a doc_id predicate (map-side on the n-gram
+    // scan); the eval n-gram set comes from the ORIGINAL corpus.
+    val evalNg = DedupOps
+      .ngramHashes(docs.filter(evalSliceCol), DedupOps.DecontamN)
+      .select(col("h")).distinct()
+    val ct = DedupOps.ngramHashes(docs.filter(!evalSliceCol), DedupOps.DecontamN)
+      .join(uniqIds, Seq("doc_id"), "left_semi")
+      .join(broadcast(evalNg), Seq("h"))
+      .select(col("doc_id")).distinct()
       .withColumn("is_ct", lit(true))
     val labeled = rk
       .join(nd, Seq("doc_id"), "left")
@@ -215,7 +246,7 @@ object LlmPrep {
       .withColumn("s2", col("s1") && col("rn") === 1)
       .withColumn("s3", col("s2") && col("is_nd").isNull)
       .withColumn("s4", col("s3") && !evalSliceCol && col("is_ct").isNull)
-      .withColumn("s5", col("s4") && qualityOkCol)
+      .withColumn("s5", col("s4") && col("qok"))
     labeled.agg(
         count(lit(1)).as("c0"),
         count(when(col("s1"), 1)).as("c1"),
@@ -223,7 +254,7 @@ object LlmPrep {
         count(when(col("s3"), 1)).as("c3"),
         count(when(col("s4"), 1)).as("c4"),
         count(when(col("s5"), 1)).as("c5"),
-        coalesce(sum(when(col("s5"), chunkCountCol)), lit(0L)).as("c6"))
+        coalesce(sum(when(col("s5"), col("chunks"))), lit(0L)).as("c6"))
       .select(expr(
         """stack(7,
           |  '0_input', c0, '1_clean', c1, '2_unique', c2,

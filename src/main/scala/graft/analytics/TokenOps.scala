@@ -376,9 +376,15 @@ object TokenOps {
         val l = best(0).getString(0)
         val rt = best(0).getString(1)
         merges += ((r.toLong, l, rt, best(0).getLong(2)))
-        // map-only fusion; unchanged words come back array-identical
-        val fused = stream.withColumn("syms2",
-          fuseCol(col("syms"), l, rt))
+        // map-only fusion, materialized ONCE per round: the fused frame
+        // feeds both the signed delta and the next round's stream, and
+        // DataFrame branches re-execute their subtree — before r15 the
+        // fusion ran twice per round (once under the pairs checkpoint,
+        // once under the stream checkpoint). Checkpointing (syms, syms2)
+        // side by side runs it once; the next stream is then a pure
+        // PROJECTION over the cached blocks (no third job).
+        val fused = checkpointFresh(stream.select(col("w"), col("freq"),
+          col("syms"), fuseCol(col("syms"), l, rt).as("syms2")))
         val changed = fused.filter(col("syms2") =!= col("syms"))
         // signed delta: ONLY changed words contribute — old pairs at
         // -freq, new pairs at +freq; the shuffle moves O(affected
@@ -396,8 +402,8 @@ object TokenOps {
           .groupBy(col("a"), col("b")).agg(sum(col("cnt")).as("cnt"))
           .filter(col("cnt") > 0))
         val prev = stream
-        stream = checkpointFresh(fused.select(col("w"), col("freq"),
-          col("syms2").as("syms")))
+        stream = fused.select(col("w"), col("freq"),
+          col("syms2").as("syms"))
         unpersistCheckpoint(prev) // round k-1's blocks die with round k
         unpersistCheckpoint(prevPairs)
         r += 1

@@ -207,15 +207,43 @@ final class GraftFileIndex(
       val fs = dir.getFileSystem(hadoopConf)
       val qualified = fs.makeQualified(dir).toUri.getPath
       val out = Seq.newBuilder[(String, FileStatus)]
-      val it = fs.listFiles(dir, true)
-      while (it.hasNext) {
-        val st = it.next()
-        val p = st.getPath
-        if (isDataFile(p.getName) &&
-            // a file under a dot/underscore SUBDIR is not data either
-            p.toUri.getPath.stripPrefix(qualified + "/").split('/')
-              .forall(isDataFile)) {
-          out += (p.toUri.getPath.stripPrefix(qualified + "/") -> st)
+      // Local fast path: Hadoop's RawLocalFileSystem materializes each
+      // listed status' permission bits with a per-file subprocess, so a
+      // recursive listing costs ~5-10 ms PER FILE — a 126-file
+      // day-partitioned segment took ~0.9 s to list on EVERY query's
+      // planning (guide §6: listing/planning time on the driver). The
+      // scan only consumes path + length + modTime, so on file: roots
+      // walk with java.nio and build the statuses directly; any other
+      // scheme (object store, HDFS) keeps the filesystem listing.
+      val base = java.nio.file.Paths.get(qualified)
+      if (fs.getScheme == "file" && java.nio.file.Files.isDirectory(base)) {
+        val blockSize = fs.getDefaultBlockSize(dir)
+        val stream = java.nio.file.Files.walk(base)
+        try {
+          stream.forEach { p =>
+            if (java.nio.file.Files.isRegularFile(p)) {
+              val rel = base.relativize(p).toString
+              if (rel.split('/').forall(isDataFile)) {
+                val st = new FileStatus(java.nio.file.Files.size(p),
+                  false, 1, blockSize,
+                  java.nio.file.Files.getLastModifiedTime(p).toMillis,
+                  new Path(p.toUri))
+                out += (rel -> st)
+              }
+            }
+          }
+        } finally stream.close()
+      } else {
+        val it = fs.listFiles(dir, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val p = st.getPath
+          if (isDataFile(p.getName) &&
+              // a file under a dot/underscore SUBDIR is not data either
+              p.toUri.getPath.stripPrefix(qualified + "/").split('/')
+                .forall(isDataFile)) {
+            out += (p.toUri.getPath.stripPrefix(qualified + "/") -> st)
+          }
         }
       }
       out.result()
