@@ -349,12 +349,37 @@ object TokenOps {
     * `(w, freq, syms)` — one array row per distinct word, whose
     * `syms` IS the word tokenized under the trained merges, which is
     * what [[t14bBpeTokenize]] bills documents against. */
+  /** Distinct-word bound for [[bpeTrainOn]]'s DRIVER fast path — the
+    * [[ClusterOps.DriverCcMaxEdges]] / [[DeepTrainMaxWords]] discipline:
+    * BPE trainer state is the distinct-word frequency table, and below
+    * this bound the whole merge loop runs in memory via
+    * [[bpeTrainDriverFull]] (spec-pinned ≡ the distributed rounds,
+    * TokenVocabSpec) after ONE word-count aggregate — the distributed
+    * loop costs ~5 scheduler jobs per round regardless of corpus size.
+    * Smaller than [[DeepTrainMaxWords]] because the fast path also
+    * mounts the final symbol stream as a local relation (the billing
+    * join's build side); past the bound the exact distributed rounds
+    * run unchanged (the 100 TB shape). */
+  val BpeDriverTrainMaxWords = 1 << 18
+
   private[analytics] def bpeTrainOn(spark: SparkSession, docs: DataFrame,
       rounds: Int): (Seq[(Long, String, String, Long)], DataFrame) = {
     import org.apache.spark.sql.graftstream.StreamingBridge.{checkpointFresh, unpersistCheckpoint}
     val words = docs.select(explode(split(col("text"), " ")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    locally {
+      val head = words.limit(BpeDriverTrainMaxWords + 1).collect()
+      if (head.length <= BpeDriverTrainMaxWords) {
+        val wf = head.map(r => (r.getString(0), r.getLong(1))).toSeq
+        val (merges, streams) = bpeTrainDriverFull(wf, rounds)
+        import spark.implicits._
+        val streamDf = wf.zip(streams)
+          .map { case ((w, f), s) => (w, f, s.toSeq) }.toSeq
+          .toDF("w", "freq", "syms")
+        return (merges, streamDf)
+      }
+    }
     var stream = checkpointFresh(words.select(col("w"), col("freq"),
       split(col("w"), "").as("syms")))
     // the ONE stream-sized pair aggregate — rounds only ever apply
@@ -563,7 +588,16 @@ object TokenOps {
     * winner. Total work ~O(Σ word length + merges × affected). */
   private[analytics] def bpeTrainDriver(
       wordFreq: Seq[(String, Long)], rounds: Int)
-      : Seq[(Long, String, String, Long)] = {
+      : Seq[(Long, String, String, Long)] =
+    bpeTrainDriverFull(wordFreq, rounds)._1
+
+  /** [[bpeTrainDriver]] returning BOTH artifacts — the merge table and
+    * each input word's FINAL symbol stream (the in-memory analog of
+    * [[bpeTrainOn]]'s second return, maintained incrementally by the
+    * same loop at zero extra cost). */
+  private[analytics] def bpeTrainDriverFull(
+      wordFreq: Seq[(String, Long)], rounds: Int)
+      : (Seq[(Long, String, String, Long)], Array[IndexedSeq[String]]) = {
     import scala.collection.mutable
     val n = wordFreq.size
     val streams = new Array[IndexedSeq[String]](n)
@@ -639,7 +673,7 @@ object TokenOps {
       }
       r += 1
     }
-    merges.toList
+    (merges.toList, streams)
   }
 
   /** The held-out slice of [[t14cBpeApply]]: documents with
