@@ -481,7 +481,8 @@ object DedupOps {
     val repPairs = cand
       .join(sets.toDF("da", "set_a", "na"), Seq("da"))
       .join(sets.toDF("db", "set_b", "nb"), Seq("db"))
-      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("shared", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("set_a"), col("set_b")))
       .withColumn("jaccard",
         r4(col("shared") / (col("na") + col("nb") - col("shared"))))
       .filter(col("jaccard") >= theta)
@@ -907,7 +908,8 @@ object DedupOps {
     cand
       .join(sets.toDF("da", "set_a", "na"), Seq("da"))
       .join(sets.toDF("db", "set_b", "nb"), Seq("db"))
-      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("shared", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("set_a"), col("set_b")))
       .withColumn("jaccard",
         r4(col("shared") / (col("na") + col("nb") - col("shared"))))
       .filter(col("jaccard") >= theta)
@@ -987,7 +989,12 @@ object DedupOps {
     // and collect_set dedupes — the per-doc count is the set size
     val mins = (0 until MinhashPerms).map(i =>
       min(xxhash64(lit(i), col("h"))).as(s"s$i"))
-    val aggs = mins :+ collect_set(col("h")).as("shset") // hashes, not strings
+    // shset is kept SORTED (collect_set order is nondeterministic
+    // anyway): the class hash needs a canonical rendering and the n2b
+    // verification kernel ([[graft.functions.VectorFunctions
+    // .sortedIntersectCount]]) merge-walks sorted arrays
+    val aggs = mins :+
+      sort_array(collect_set(col("h"))).as("shset") // hashes, not strings
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
       .withColumn("n", size(col("shset")).cast("long"))
   }
@@ -1023,7 +1030,7 @@ object DedupOps {
     // and the lazy plan re-ran the 64-column minhash aggregate for each
     // (every n2b caller is a standalone action — no observe constraint).
     val lab = org.apache.spark.sql.graftstream.StreamingBridge
-      .checkpointFresh(exactClasses(sig, xxhash64(sort_array(col("shset")))))
+      .checkpointFresh(exactClasses(sig, xxhash64(col("shset"))))
     val reps = lab.filter(col("doc_id") === col("rep"))
     val bandCols = (0 until LshBands).map { b =>
       xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"s${b * 4 + r}"))): _*)
@@ -1047,7 +1054,8 @@ object DedupOps {
     val repPairs = cand
       .join(sets.toDF("da", "set_a", "na"), Seq("da"))
       .join(sets.toDF("db", "set_b", "nb"), Seq("db"))
-      .withColumn("shared", size(array_intersect(col("set_a"), col("set_b"))))
+      .withColumn("shared", graft.functions.VectorFunctions
+        .sortedIntersectCount(col("set_a"), col("set_b")))
       .withColumn("jaccard",
         r4(col("shared") / (col("na") + col("nb") - col("shared"))))
       .filter(col("jaccard") >= 0.8)

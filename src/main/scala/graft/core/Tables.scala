@@ -15,8 +15,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.table(...)` co-located on join keys) without touching operators.
   */
 object Tables {
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Mount memo, (session, dir, table, [[fingerprint]])-keyed: every
+    * `spark.read.parquet` resolves the datasource afresh — file listing
+    * plus a footer read for schema inference — and the bench mounts
+    * each table once per query per rep, so the fixed mount cost ran
+    * thousands of times per sweep. The cached value is the LAZY mounted
+    * frame (a plan, never rows); the fingerprint check re-mounts when
+    * the file is rewritten in place (staged test corpora), and the
+    * session key keeps plans inside the session that resolved them. */
+  private val mountCache = scala.collection.concurrent.TrieMap
+    .empty[String, (String, DataFrame)]
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val fp = fingerprint(spark, dir, name)
+    val key = s"${System.identityHashCode(spark)}:$dir/$name"
+    mountCache.get(key) match {
+      case Some((`fp`, df)) => df
+      case _ =>
+        val df = spark.read.parquet(s"$dir/$name.parquet")
+        mountCache.put(key, (fp, df))
+        df
+    }
+  }
 
   def region(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "region")
   def nation(spark: SparkSession, dir: String): DataFrame    = apply(spark, dir, "nation")

@@ -66,10 +66,165 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Count of common elements of two SORTED-ASCENDING, duplicate-free
+  * array<long> columns — the dedup tier's verification kernel.
+  *
+  * `size(array_intersect(a, b))` computes the same count but builds a
+  * hash set per row (OpenHashSet allocation + boxing inside a
+  * CodegenFallback), which at ~10⁵ candidate pairs per corpus was the
+  * single hottest stage of the n2/n2b/n2c pipelines. The inputs here
+  * are always [[graft.analytics.DedupOps.shingleSets]]-shaped
+  * (`sort_array(collect_set(...))`), so a two-pointer merge walk counts
+  * the intersection with zero allocation in one tight codegen'd loop.
+  * CALLER CONTRACT: both arrays sorted ascending and distinct — equal
+  * to array_intersect's count exactly then (pinned in DedupOpsSpec).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+/** The SRP bucket bank: all `tables` LSH bucket ids of one vector in a
+  * single expression — bucket(t) packs the sign bits of `bits`
+  * hyperplane projections, planes derived deterministically from the
+  * (tables, bits) shape exactly as [[SrpPlanes.planes]] seeds them.
+  *
+  * The previous formulation built tables×bits separate [[DotProduct]]
+  * expressions under one projection; whole-stage codegen inlined all of
+  * them into one generated method so large HotSpot REFUSED TO JIT it
+  * (DontCompileHugeMethods), and the stage ran in the bytecode
+  * interpreter — measured 6.5× slower than even Spark's interpreted
+  * expression path at sf0.1. One expression with two tight loops keeps
+  * the generated method small and JIT-compiled. Projection sum order is
+  * index order, matching the DotProduct chain it replaces bit for bit.
+  */
+case class SrpBucketBank(child: Expression, tables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(DoubleType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_bucket_bank"
+
+  @transient private lazy val planes: Array[Array[Double]] =
+    SrpPlanes.planes(tables, bits)
+
+  private def bucketsOf(v: ArrayData): ArrayData = {
+    val dim = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < bits) {
+        val p = planes(t * bits + j)
+        val n = math.min(dim, p.length)
+        var acc = 0.0
+        var i = 0
+        while (i < n) { acc += v.getDouble(i) * p(i); i += 1 }
+        if (acc > 0) bucket |= (1L << j)
+        j += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    bucketsOf(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("srpBank", this, classOf[SrpBucketBank].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalBank($v);")
+  }
+
+  /** Codegen entry point (kept tiny so the surrounding stage stays
+    * JIT-compiled; the loops live in this JIT-friendly method). */
+  def evalBank(v: ArrayData): ArrayData = bucketsOf(v)
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SrpBucketBank = copy(child = newChild)
+}
+
+/** Deterministic Gaussian hyperplanes for the SRP family — seeded
+  * java.util.Random (specified algorithm, identical on every JVM),
+  * cached per (tables, bits). Single source of truth for the column
+  * formulation and [[SrpBucketBank]]. */
+object SrpPlanes {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(Int, Int), Array[Array[Double]]]
+  def planes(tables: Int, bits: Int): Array[Array[Double]] =
+    cache.getOrElseUpdate((tables, bits), {
+      val rnd = new java.util.Random(42)
+      Array.fill(tables * bits, 64)(rnd.nextGaussian())
+    })
+}
+
 object GraftVec {
   def dotColumn(a: Column, b: Column): Column =
     ExpressionUtils.column(
       DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def sortedIntersectCountColumn(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(
+      ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  def srpBucketBankColumn(v: Column, tables: Int, bits: Int): Column =
+    ExpressionUtils.column(
+      SrpBucketBank(ExpressionUtils.expression(v), tables, bits))
 
   private[sql] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")

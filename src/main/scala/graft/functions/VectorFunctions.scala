@@ -10,6 +10,12 @@ object VectorFunctions {
   def dot(a: Column, b: Column): Column =
     org.apache.spark.sql.graftvec.GraftVec.dotColumn(a, b)
 
+  /** Codegen'd common-element count of two sorted-ascending,
+    * duplicate-free array<long> columns (the dedup verification
+    * kernel — see SortedIntersectCount for the caller contract). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftvec.GraftVec.sortedIntersectCountColumn(a, b)
+
   /** Make `vec_dot` callable from spark.sql in this session. For
     * cluster-wide registration use
     * `spark.sql.extensions=org.apache.spark.sql.graftvec.GraftSqlExtensions`. */

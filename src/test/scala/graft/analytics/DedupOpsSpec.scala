@@ -286,4 +286,33 @@ class DedupOpsSpec extends SparkSuite {
       assert(spans.count() > 0)
     } finally { spans.unpersist(); () }
   }
+
+  test("sortedIntersectCount == size(array_intersect) on signature arrays " +
+      "(the r15 verification kernel swap)") {
+    import org.apache.spark.sql.functions._
+    // the real shape: every signature pair of the sf corpus (capped),
+    // plus adversarial edges (empty arrays, disjoint, identical, null)
+    val sigs = DedupOps.shingleSets(Tables.documents(spark, dir)).limit(80)
+    val pairs = sigs.toDF("da", "set_a", "na")
+      .crossJoin(sigs.toDF("db", "set_b", "nb"))
+      .filter(col("da") < col("db"))
+    val diff = pairs.withColumn("fast",
+        graft.functions.VectorFunctions
+          .sortedIntersectCount(col("set_a"), col("set_b")))
+      .withColumn("ref", size(array_intersect(col("set_a"), col("set_b"))))
+      .filter(col("fast") =!= col("ref"))
+    assert(diff.count() == 0)
+    val edge = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1L,2L,3L), array(1L,2L,3L), 3),
+        |  (array(1L,2L,3L), array(4L,5L), 0),
+        |  (array(), array(1L), 0),
+        |  (CAST(null AS array<bigint>), array(1L), -1),
+        |  (array(1L,5L,9L), array(0L,5L,9L,11L), 2)
+        |AS t(a, b, want)""".stripMargin)
+      .withColumn("got", coalesce(graft.functions.VectorFunctions
+        .sortedIntersectCount(col("a"), col("b")), lit(-1)))
+      .filter(col("got") =!= col("want"))
+    assert(edge.count() == 0)
+  }
 }
