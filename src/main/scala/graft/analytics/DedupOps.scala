@@ -402,15 +402,35 @@ object DedupOps {
       .agg(sort_array(collect_set(col("h"))).as("hs"))
       .withColumn("n", size(col("hs")).cast("long"))
 
-  /** PPJoin prefix postings of a signature frame: (doc_id, n, ph) with
-    * prefix length n − ⌈θ·n⌉ + 1 under the global hash order — two docs
-    * with Jaccard ≥ θ MUST collide on ≥ 1 prefix hash. Map-only over
+  /** PPJoin prefix postings of a signature frame: (doc_id, n, pos, ph)
+    * with prefix length n − ⌈θ·n⌉ + 1 under the global hash order — two
+    * docs with Jaccard ≥ θ MUST collide on ≥ 1 prefix hash. `pos` is
+    * the hash's 0-based index in the full sorted array (= its prefix
+    * index), carried for the POSITIONAL candidate filter. Map-only over
     * the signatures (an explode of a stored array, no text access). */
   private def prefixPostings(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("n"),
-      explode(slice(col("hs"), lit(1),
+      posexplode(slice(col("hs"), lit(1),
         (col("n") - ceil(col("n") * JaccardThreshold) + 1).cast("int")))
-        .as("ph"))
+        .as(Seq("pos", "ph")))
+
+  /** PPJoin POSITIONAL filter (Xiao et al.'s position bound, the part
+    * of the classic filter stack r14's pipeline left out): a collision
+    * at sorted-array positions (pa, pb) bounds the overlap —
+    * common elements below the colliding hash sit before BOTH
+    * positions (≤ min(pa, pb)), those at-or-above occupy the suffixes
+    * (≤ 1 + min(na−pa−1, nb−pb−1)) — and Jaccard ≥ 0.8 needs
+    * 9·overlap ≥ 4·(na+nb) (exact integers, the house 5·min ≥ 4·max
+    * style). Candidates failing the bound at every collision are
+    * pruned BEFORE the distinct and the verification join. Lossless at
+    * the declared threshold (a qualifying pair passes at each of its
+    * collisions); shares the length filter's documented integer-vs-4dp
+    * rounding slack, which binds only past ~4000 shingles per doc. */
+  private def positionBound(pa: Column, na: Column, pb: Column,
+      nb: Column): Column =
+    (least(pa, pb) + lit(1) +
+      least(na - pa - lit(1), nb - pb - lit(1))) * lit(9) >=
+      (na + nb) * lit(4)
 
   def n2NgramJaccardOn(docs: DataFrame): DataFrame =
     n2NgramJaccardOn(docs, materialize = false)
@@ -467,15 +487,20 @@ object DedupOps {
     val prefix = capOccupancy(prefixPostings(reps), Seq(col("ph")),
       "n2_posting", CandidateGroupCap)
     val cand = prefix.groupBy(col("ph"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n"), col("pos")))).as("ids"))
       .filter(size(col("ids")) > 1)
       .select(explode(flatten(transform(col("ids"),
         (x, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
           y => struct(x.getField("doc_id").as("da"), x.getField("n").as("na"),
-            y.getField("doc_id").as("db"), y.getField("n").as("nb")))))).as("p"))
+            x.getField("pos").as("pa"),
+            y.getField("doc_id").as("db"), y.getField("n").as("nb"),
+            y.getField("pos").as("pb")))))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
+        col("p.na").as("na"), col("p.nb").as("nb"),
+        col("p.pa").as("pa"), col("p.pb").as("pb"))
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
+      .filter(positionBound(col("pa"), col("na"), col("pb"), col("nb")))
       .select(col("da"), col("db")).distinct()
     val sets = reps
     val repPairs = cand
@@ -891,17 +916,22 @@ object DedupOps {
     val newPh = pn.select(col("ph")).distinct()
     val pp = prefixPostings(pubSigs)
       .join(broadcast(newPh), Seq("ph"), "left_semi")
-    val cand = pn.select(col("doc_id").as("xa"), col("n").as("xna"), col("ph"))
+    val cand = pn.select(col("doc_id").as("xa"), col("n").as("xna"),
+        col("pos").as("xpa"), col("ph"))
       .join(pn.unionByName(pp)
-        .select(col("doc_id").as("xb"), col("n").as("xnb"), col("ph")),
+        .select(col("doc_id").as("xb"), col("n").as("xnb"),
+          col("pos").as("xpb"), col("ph")),
         Seq("ph"))
       .filter(col("xa") =!= col("xb"))
       // canonicalize (new, pub) and double-seen (new, new) orientations
       .select(least(col("xa"), col("xb")).as("da"),
         greatest(col("xa"), col("xb")).as("db"),
         when(col("xa") < col("xb"), col("xna")).otherwise(col("xnb")).as("na"),
-        when(col("xa") < col("xb"), col("xnb")).otherwise(col("xna")).as("nb"))
+        when(col("xa") < col("xb"), col("xnb")).otherwise(col("xna")).as("nb"),
+        when(col("xa") < col("xb"), col("xpa")).otherwise(col("xpb")).as("pa"),
+        when(col("xa") < col("xb"), col("xpb")).otherwise(col("xpa")).as("pb"))
       .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
+      .filter(positionBound(col("pa"), col("na"), col("pb"), col("nb")))
       .select(col("da"), col("db")).distinct()
     val sets = newSigs.unionByName(pubSigs)
       .select(col("doc_id"), col("hs"), col("n"))

@@ -372,18 +372,25 @@ object SimilarityOps {
     cents.toDF("cell", "c")
   }
 
-  /** Nearest centroid (max cosine) per vector: broadcast the K-row
-    * codebook, argmax via one max(struct) aggregation. Public so specs
-    * can measure probed-cell row fractions on arbitrary corpora. */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    vectors.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
-        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
-          .as("csim"))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(col("csim"), col("cell"))).as("best"),
-        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
-      .select(col("vec_id"), col("v"), col("nrm"), col("best.cell").as("cell"))
+  /** Nearest centroid (max cosine) per vector, as ONE map-only
+    * projection over the literal codebook
+    * ([[org.apache.spark.sql.graftvec.IvfTopCells]], k = 1 with the
+    * former `max(struct(csim, cell))` tie rule — bit-identical cosine
+    * math). The pre-r15 shape crossJoined the broadcast codebook and
+    * re-aggregated by vec_id — a ×cells row expansion plus an exchange
+    * carrying the vectors, for a value that is a pure per-row function.
+    * Public so specs can measure probed-cell row fractions on arbitrary
+    * corpora; the codebook side is model-sized by construction
+    * (≤ [[IvfMaxCells]]), so collecting it here is the same bounded
+    * collect `trainedCentroids` already does. */
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val rows = centroids.select(col("cell"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    vectors.select(col("vec_id"), col("v"), col("nrm"),
+      element_at(graft.functions.VectorFunctions
+        .ivfTopCells(col("v"), col("nrm"), rows, 1, tieLargestCell = true),
+        1).as("cell"))
+  }
 
   /** Trained codebook per corpus directory, memoized — the codebook is
     * MODEL STATE: a pure, deterministic function of an immutable corpus.
@@ -412,20 +419,20 @@ object SimilarityOps {
     assignCells(corpus(spark, dir), trainedCentroids(spark, dir))
 
   /** The `IvfProbes` best cells per query vector (centroid cosine
-    * argtop): (qid, qv, qn, cell). Public so specs can intersect the
-    * probe plan with cell assignments and measure the probed fraction. */
+    * argtop): (qid, qv, qn, cell). One map-only projection
+    * ([[org.apache.spark.sql.graftvec.IvfTopCells]] with the former
+    * window's `csim DESC, cell` tie rule) — the pre-r15 crossJoin ×
+    * per-query window shuffled a queries×cells expansion to rank a
+    * literal table. Public so specs can intersect the probe plan with
+    * cell assignments and measure the probed fraction. */
   def ivfProbePlan(queries: DataFrame, cents: DataFrame): DataFrame = {
-    val qProbe = queries
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("cell"),
-        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
-          .as("csim"))
-    val w0 = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("csim").desc, col("cell"))
-    qProbe.withColumn("pr", row_number().over(w0))
-      .filter(col("pr") <= IvfProbes)
-      .select(col("qid"), col("qv"), col("qn"), col("cell"))
+    val rows = cents.select(col("cell"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    queries.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"),
+      explode(graft.functions.VectorFunctions.ivfTopCells(
+        col("v"), col("nrm"), rows, IvfProbes, tieLargestCell = false))
+        .as("cell"))
   }
 
   /** N3c: IVF-flat approximate top-10 for the query slice — assign the
@@ -543,15 +550,15 @@ object SimilarityOps {
   def assignCellsTwoLevel(vectors: DataFrame, cents: DataFrame,
       superProbes: Int = IvfBuildSuperProbes): DataFrame = {
     val (superCents, cellMap) = ivfSupercells(cents)
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("ssim").desc, col("scell"))
-    val topSuper = vectors.crossJoin(broadcast(superCents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("scell"),
-        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
-          .as("ssim"))
-      .withColumn("sr", row_number().over(wS))
-      .filter(col("sr") <= superProbes)
-      .select(col("vec_id"), col("v"), col("nrm"), col("scell"))
+    // level-1 ranking as the map-only IvfTopCells projection (the
+    // supercell codebook is √cells rows — broadcastable by design);
+    // same `ssim DESC, scell` rule the former window applied
+    val sRows = superCents.select(col("scell"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val topSuper = vectors.select(col("vec_id"), col("v"), col("nrm"),
+      explode(graft.functions.VectorFunctions.ivfTopCells(
+        col("v"), col("nrm"), sRows, superProbes, tieLargestCell = false))
+        .as("scell"))
     topSuper.join(cellMap, Seq("scell"))
       .join(cents, Seq("cell"))
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"),
@@ -577,18 +584,17 @@ object SimilarityOps {
     val cents = trainedCentroids(spark, dir)
     val (superCents, cellMap) = trainedSupercells(spark, dir)
     val assigned = assignCells(all, cents)
-    // level 1: top supercells per query (broadcast √cells-row codebook)
+    // level 1: top supercells per query (√cells-row codebook, ranked by
+    // the map-only IvfTopCells projection with the former window's
+    // `ssim DESC, scell` rule)
     val qs = all.filter(col("vec_id") < QueryCount)
-    val wS = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("ssim").desc, col("scell"))
-    val topSuper = qs.crossJoin(broadcast(superCents))
-      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"),
-        col("scell"),
-        (dot(col("v"), col("c")) / (col("nrm") * sqrt(dot(col("c"), col("c")))))
-          .as("ssim"))
-      .withColumn("sr", row_number().over(wS))
-      .filter(col("sr") <= superProbes)
-      .select(col("qid"), col("qv"), col("qn"), col("scell"))
+    val sRows = superCents.select(col("scell"), col("c")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    val topSuper = qs.select(col("vec_id").as("qid"), col("v").as("qv"),
+      col("nrm").as("qn"),
+      explode(graft.functions.VectorFunctions.ivfTopCells(
+        col("v"), col("nrm"), sRows, superProbes, tieLargestCell = false))
+        .as("scell"))
     // level 2: rank ONLY cells inside the chosen supercells; the cell
     // codebook arrives via equi-join, not broadcast
     val wC = org.apache.spark.sql.expressions.Window

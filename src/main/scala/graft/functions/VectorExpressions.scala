@@ -199,6 +199,91 @@ case class SrpBucketBank(child: Expression, tables: Int, bits: Int)
       newChild: Expression): SrpBucketBank = copy(child = newChild)
 }
 
+/** Top-k IVF cells of one vector against a LITERAL codebook — the
+  * broadcast-codebook regime's crossJoin ⋈ window/argmax collapsed into
+  * one map-only expression: before r15 every IVF query expanded the
+  * input ×cells (corpus × codebook rows through a partial aggregate or
+  * a per-query window) just to rank a model-sized table that is a pure
+  * function of the row. Cosine math is bit-identical to the column
+  * formulation it replaces: dot products sum left-to-right, csim =
+  * dot / (nrm * ‖c‖) with ‖c‖ = sqrt(dot(c,c)) precomputed once (IEEE
+  * doubles are deterministic, so once-per-expression equals
+  * once-per-row). Tie rule matches each call site: `tieLargestCell`
+  * reproduces `max(struct(csim, cell))` (assignment), `false`
+  * reproduces `ORDER BY csim DESC, cell` (probe ranking). Returns the
+  * ≤ k best cell ids in rank order. */
+case class IvfTopCells(vec: Expression, nrmExpr: Expression,
+    cells: Seq[Int], cents: Seq[Seq[Double]], k: Int,
+    tieLargestCell: Boolean)
+    extends BinaryExpression with ExpectsInputTypes {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def left: Expression = vec
+  override def right: Expression = nrmExpr
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(DoubleType), DoubleType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_top_cells"
+
+  @transient private lazy val ids: Array[Int] = cells.toArray
+  @transient private lazy val cv: Array[Array[Double]] =
+    cents.map(_.toArray).toArray
+  @transient private lazy val cnorm: Array[Double] = cv.map { c =>
+    var acc = 0.0; var i = 0
+    while (i < c.length) { acc += c(i) * c(i); i += 1 }
+    math.sqrt(acc)
+  }
+
+  def evalTop(v: ArrayData, nrm: Double): ArrayData = {
+    val m = math.min(k, ids.length)
+    val bs = new Array[Double](m)
+    val bc = new Array[Int](m)
+    var filled = 0
+    var ci = 0
+    while (ci < ids.length) {
+      val c = cv(ci)
+      val n = math.min(v.numElements(), c.length)
+      var acc = 0.0
+      var i = 0
+      while (i < n) { acc += v.getDouble(i) * c(i); i += 1 }
+      val sim = acc / (nrm * cnorm(ci))
+      // cells iterate in ascending id: >= lets an equal-sim LARGER cell
+      // displace (max-struct semantics); > keeps the smaller cell
+      // (ORDER BY csim DESC, cell semantics). Double.compare reproduces
+      // Spark's total order on doubles (NaN greatest, -0.0 < 0.0).
+      var pos = filled
+      while (pos > 0 && {
+        val c = java.lang.Double.compare(sim, bs(pos - 1))
+        c > 0 || (tieLargestCell && c == 0)
+      }) pos -= 1
+      if (pos < m) {
+        val last = math.min(filled, m - 1)
+        var j = last
+        while (j > pos) { bs(j) = bs(j - 1); bc(j) = bc(j - 1); j -= 1 }
+        bs(pos) = sim; bc(pos) = ids(ci)
+        if (filled < m) filled += 1
+      }
+      ci += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(bc, filled))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalTop(a.asInstanceOf[ArrayData], b.asInstanceOf[Number].doubleValue())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ivfTop", this, classOf[IvfTopCells].getName)
+    nullSafeCodeGen(ctx, ev, (v, s) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$self.evalTop($v, $s);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): IvfTopCells =
+    copy(vec = newLeft, nrmExpr = newRight)
+}
+
 /** Deterministic Gaussian hyperplanes for the SRP family — seeded
   * java.util.Random (specified algorithm, identical on every JVM),
   * cached per (tables, bits). Single source of truth for the column
@@ -225,6 +310,13 @@ object GraftVec {
   def srpBucketBankColumn(v: Column, tables: Int, bits: Int): Column =
     ExpressionUtils.column(
       SrpBucketBank(ExpressionUtils.expression(v), tables, bits))
+
+  def ivfTopCellsColumn(v: Column, nrm: Column,
+      cents: Seq[(Int, Seq[Double])], k: Int,
+      tieLargestCell: Boolean): Column =
+    ExpressionUtils.column(IvfTopCells(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(nrm),
+      cents.map(_._1), cents.map(_._2), k, tieLargestCell))
 
   private[sql] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")

@@ -16,6 +16,13 @@ object VectorFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     org.apache.spark.sql.graftvec.GraftVec.sortedIntersectCountColumn(a, b)
 
+  /** Top-k IVF cell ids of a vector against a literal codebook, in rank
+    * order (see IvfTopCells for the cosine/tie contract). */
+  def ivfTopCells(v: Column, nrm: Column, cents: Seq[(Int, Seq[Double])],
+      k: Int, tieLargestCell: Boolean): Column =
+    org.apache.spark.sql.graftvec.GraftVec
+      .ivfTopCellsColumn(v, nrm, cents, k, tieLargestCell)
+
   /** Make `vec_dot` callable from spark.sql in this session. For
     * cluster-wide registration use
     * `spark.sql.extensions=org.apache.spark.sql.graftvec.GraftSqlExtensions`. */

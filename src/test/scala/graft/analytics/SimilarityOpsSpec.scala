@@ -509,4 +509,50 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(f1 > f2 && f2 > f3, f"fractions not shrinking: $f1%.3f $f2%.3f $f3%.3f")
     assert(f3 <= 0.08, f"n=20000 still probes $f3%.3f of the corpus — not an index")
   }
+
+  test("IvfTopCells projection == the crossJoin argmax/window rankings " +
+      "(the r15 map-only assignment/probe swap)") {
+    import org.apache.spark.sql.functions._
+    val all = graft.core.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("nrm", sqrt(graft.functions.VectorFunctions.dot(col("v"), col("v"))))
+    // a real trained codebook shape: first 7 vectors as centroids
+    val cents = all.filter(col("vec_id") < 7)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("c"))
+    val rows = cents.collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    def dot2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.VectorFunctions.dot(a, b)
+    // reference 1: max(struct(csim, cell)) argmax (pre-r15 assignCells)
+    val refAssign = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        (dot2(col("v"), col("c")) / (col("nrm") * sqrt(dot2(col("c"), col("c")))))
+          .as("csim"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("csim"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
+    val fastAssign = all.select(col("vec_id"),
+      element_at(graft.functions.VectorFunctions
+        .ivfTopCells(col("v"), col("nrm"), rows, 1, tieLargestCell = true),
+        1).as("cell"))
+    assert(refAssign.exceptAll(fastAssign).isEmpty &&
+      fastAssign.exceptAll(refAssign).isEmpty)
+    // reference 2: the ORDER BY csim DESC, cell window top-3 (pre-r15
+    // probe plan), rank order included
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))
+    val refProbe = all.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("cell"),
+        (dot2(col("v"), col("c")) / (col("nrm") * sqrt(dot2(col("c"), col("c")))))
+          .as("csim"))
+      .withColumn("pr", row_number().over(w)).filter(col("pr") <= 3)
+      .select(col("vec_id"), col("pr"), col("cell"))
+    val fastProbe = all.select(col("vec_id"),
+        posexplode(graft.functions.VectorFunctions.ivfTopCells(
+          col("v"), col("nrm"), rows, 3, tieLargestCell = false))
+          .as(Seq("p0", "cell")))
+      .select(col("vec_id"), (col("p0") + 1).as("pr"), col("cell"))
+    assert(refProbe.exceptAll(fastProbe).isEmpty &&
+      fastProbe.exceptAll(refProbe).isEmpty)
+  }
 }
