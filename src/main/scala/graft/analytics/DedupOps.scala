@@ -668,8 +668,12 @@ object DedupOps {
     n10SpanDupfracOn(Tables.documents(spark, dir))
 
   def n10SpanDupfracOn(docs: DataFrame): DataFrame = {
-    val perDoc = shingleHashes(docs)
-      .select(col("doc_id"), col("h")).dropDuplicates()
+    // materialized once: the per-doc distinct shingle stream feeds both
+    // the cross-doc counts and the join back — as separate branches the
+    // scan+explode+dedup ran twice (hash rows only, never text)
+    val perDoc = org.apache.spark.sql.graftstream.StreamingBridge
+      .checkpointFresh(shingleHashes(docs)
+        .select(col("doc_id"), col("h")).dropDuplicates())
     val docCounts = perDoc.groupBy(col("h"))
       .agg(count(lit(1)).as("ndocs"))
     perDoc.join(docCounts, Seq("h"))
