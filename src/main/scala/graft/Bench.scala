@@ -176,16 +176,25 @@ object Bench {
     val anchorJson = anchors.map(r3).mkString("[", ",", "]")
     val anchorMed = {
       val s = anchors.sorted; if (s.isEmpty) -1.0 else s(s.size / 2) }
-    // The driver captures a bounded stdout TAIL, so the end of stdout
-    // is ordered: chunked per-query MINS, then chunked MEDIANS, then
-    // the short always-parseable final line carrying the LOAD ANCHOR
-    // (per-round probe seconds + their median: divide cross-round
-    // deltas by the anchor ratio before attributing them to plans).
-    // Every line is independently parseable JSON (VERDICT r14 #4 —
-    // the former single-map lines were cut mid-key, "parsed": null).
+    // The driver captures a bounded stdout TAIL, so stdout carries ONLY
+    // what the driver parses: the chunked per-query MINS and the short
+    // always-parseable final line with the LOAD ANCHOR (per-round probe
+    // seconds + their median: divide cross-round deltas by the anchor
+    // ratio before attributing them to plans). The MEDIANS map —
+    // triage-only, never parsed by the driver — moves to STDERR
+    // (VERDICT r15 #2: with both maps on stdout the bounded tail held
+    // only chunk 2/2 of the mins, blinding per-query regression
+    // tracking to every heavy family and false-flagging the scaling
+    // probe). Every line is independently parseable JSON (VERDICT r14
+    // #4 — the former single-map lines were cut mid-key,
+    // "parsed": null). The final line also records the HONORED core
+    // count (`cpus` = SPARK_GRAFT_CPUS as consumed by the master/
+    // shuffle-partition configs, plus the context's defaultParallelism)
+    // so the driver's scaling probe can assert the env var was read
+    // instead of inferring it from ≈1 tail-query ratios.
     chunked("queries", results.toMap).foreach(println)
-    chunked("medians", medians.toMap).foreach(println)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"anchor":$anchorJson,"anchor_median":${r3(anchorMed)},"sf":"$sfDir"}""")
+    chunked("medians", medians.toMap).foreach(System.err.println)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":${results.size},"failed":${failed.size},"cpus":$cpus,"default_parallelism":${spark.sparkContext.defaultParallelism},"anchor":$anchorJson,"anchor_median":${r3(anchorMed)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

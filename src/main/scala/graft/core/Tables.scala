@@ -20,20 +20,39 @@ object Tables {
     * plus a footer read for schema inference — and the bench mounts
     * each table once per query per rep, so the fixed mount cost ran
     * thousands of times per sweep. The cached value is the LAZY mounted
-    * frame (a plan, never rows); the fingerprint check re-mounts when
-    * the file is rewritten in place (staged test corpora), and the
-    * session key keeps plans inside the session that resolved them. */
-  private val mountCache = scala.collection.concurrent.TrieMap
-    .empty[String, (String, DataFrame)]
+    * frame (a plan, never rows). The outer map is a synchronized
+    * WeakHashMap keyed on the SparkSession itself (the
+    * GraftCatalog.autoPins pattern — ADVICE r15: identityHashCode keys
+    * can collide/be reused after GC, serving one session's plan — bound
+    * to a possibly stopped session — to another, and they strongly
+    * retain dead sessions' plans forever); a session's entries are
+    * GC-collected with the session. The inner fingerprint check
+    * re-mounts when a file is rewritten in place (staged test corpora). */
+  private val mountCache: java.util.Map[SparkSession,
+      scala.collection.concurrent.TrieMap[String, (String, DataFrame)]] =
+    java.util.Collections.synchronizedMap(new java.util.WeakHashMap())
+
+  private def mountsOf(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, (String, DataFrame)] =
+    mountCache.synchronized {
+      var m = mountCache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap
+          .empty[String, (String, DataFrame)]
+        mountCache.put(spark, m)
+      }
+      m
+    }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val fp = fingerprint(spark, dir, name)
-    val key = s"${System.identityHashCode(spark)}:$dir/$name"
-    mountCache.get(key) match {
+    val mounts = mountsOf(spark)
+    val key = s"$dir/$name"
+    mounts.get(key) match {
       case Some((`fp`, df)) => df
       case _ =>
         val df = spark.read.parquet(s"$dir/$name.parquet")
-        mountCache.put(key, (fp, df))
+        mounts.put(key, (fp, df))
         df
     }
   }
@@ -124,15 +143,46 @@ object Tables {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val st = fs.getFileStatus(p)
     if (st.isFile) s"1:${st.getLen}:${st.getModificationTime}"
-    else {
-      val it = fs.listFiles(p, true)
-      var n = 0L; var bytes = 0L; var mt = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        n += 1; bytes += f.getLen
-        if (f.getModificationTime > mt) mt = f.getModificationTime
+    else if (fs.getScheme == "file") {
+      // java.nio walk on local dirs (VERDICT r15 #8): the Hadoop
+      // recursive listing materializes per-file permission bits via a
+      // subprocess (~7 ms/file — the exact cost GraftFileIndex's
+      // listing fast path removed), which would make the memo GUARD
+      // itself expensive on directory-shaped tables. Follows links and
+      // falls back to the Hadoop listing on walk errors.
+      val base = java.nio.file.Paths.get(
+        fs.makeQualified(p).toUri.getPath)
+      try {
+        val stream = java.nio.file.Files.walk(base,
+          java.nio.file.FileVisitOption.FOLLOW_LINKS)
+        try {
+          var n = 0L; var bytes = 0L; var mt = 0L
+          stream.forEach { f =>
+            if (java.nio.file.Files.isRegularFile(f)) {
+              n += 1; bytes += java.nio.file.Files.size(f)
+              val m = java.nio.file.Files.getLastModifiedTime(f).toMillis
+              if (m > mt) mt = m
+            }
+          }
+          s"$n:$bytes:$mt"
+        } finally stream.close()
+      } catch {
+        case _: java.io.UncheckedIOException |
+             _: java.nio.file.FileSystemLoopException =>
+          hadoopDirFingerprint(fs, p)
       }
-      s"$n:$bytes:$mt"
+    } else hadoopDirFingerprint(fs, p)
+  }
+
+  private def hadoopDirFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val it = fs.listFiles(p, true)
+    var n = 0L; var bytes = 0L; var mt = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      n += 1; bytes += f.getLen
+      if (f.getModificationTime > mt) mt = f.getModificationTime
     }
+    s"$n:$bytes:$mt"
   }
 }

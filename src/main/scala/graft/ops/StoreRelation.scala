@@ -218,21 +218,45 @@ final class GraftFileIndex(
       val base = java.nio.file.Paths.get(qualified)
       if (fs.getScheme == "file" && java.nio.file.Files.isDirectory(base)) {
         val blockSize = fs.getDefaultBlockSize(dir)
-        val stream = java.nio.file.Files.walk(base)
+        // FOLLOW_LINKS so a symlinked partition subdirectory lists like
+        // Hadoop's fs.listFiles would (ADVICE r15: without it the walk
+        // silently saw the symlink as a non-regular file and listed the
+        // subtree as empty). Files.walk detects link cycles itself
+        // (FileSystemLoopException). A file deleted mid-walk surfaces as
+        // UncheckedIOException; both fall back to the Hadoop listing
+        // below rather than failing the scan.
         try {
-          stream.forEach { p =>
-            if (java.nio.file.Files.isRegularFile(p)) {
-              val rel = base.relativize(p).toString
-              if (rel.split('/').forall(isDataFile)) {
-                val st = new FileStatus(java.nio.file.Files.size(p),
-                  false, 1, blockSize,
-                  java.nio.file.Files.getLastModifiedTime(p).toMillis,
-                  new Path(p.toUri))
-                out += (rel -> st)
+          val stream = java.nio.file.Files.walk(base,
+            java.nio.file.FileVisitOption.FOLLOW_LINKS)
+          try {
+            stream.forEach { p =>
+              if (java.nio.file.Files.isRegularFile(p)) {
+                val rel = base.relativize(p).toString
+                if (rel.split('/').forall(isDataFile)) {
+                  val st = new FileStatus(java.nio.file.Files.size(p),
+                    false, 1, blockSize,
+                    java.nio.file.Files.getLastModifiedTime(p).toMillis,
+                    new Path(p.toUri))
+                  out += (rel -> st)
+                }
               }
             }
-          }
-        } finally stream.close()
+          } finally stream.close()
+        } catch {
+          case _: java.io.UncheckedIOException |
+               _: java.nio.file.FileSystemLoopException =>
+            out.clear()
+            val it = fs.listFiles(dir, true)
+            while (it.hasNext) {
+              val st = it.next()
+              val p = st.getPath
+              if (isDataFile(p.getName) &&
+                  p.toUri.getPath.stripPrefix(qualified + "/").split('/')
+                    .forall(isDataFile)) {
+                out += (p.toUri.getPath.stripPrefix(qualified + "/") -> st)
+              }
+            }
+        }
       } else {
         val it = fs.listFiles(dir, true)
         while (it.hasNext) {
