@@ -486,22 +486,22 @@ object DedupOps {
       .select(col("doc_id"), col("hs"), col("n"))
     val prefix = capOccupancy(prefixPostings(reps), Seq(col("ph")),
       "n2_posting", CandidateGroupCap)
+    // pair expansion + both classic filters fused into one native
+    // kernel ([[graft.functions.VectorFunctions.ppjoinCandidatePairs]],
+    // VERDICT r15 #1): the former transform×slice→flatten→explode HOF
+    // chain materialized the full O(g²) struct array through
+    // interpreted lambdas and filtered AFTERWARD; the kernel's loop
+    // applies the length + position bounds inline and allocates only
+    // surviving pairs — same surviving multiset (the bounds are the
+    // exact integer forms [[positionBound]] documents), fewer rows
+    // into the distinct.
     val cand = prefix.groupBy(col("ph"))
       .agg(sort_array(collect_list(
         struct(col("doc_id"), col("n"), col("pos")))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"),
-        (x, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.getField("doc_id").as("da"), x.getField("n").as("na"),
-            x.getField("pos").as("pa"),
-            y.getField("doc_id").as("db"), y.getField("n").as("nb"),
-            y.getField("pos").as("pb")))))).as("p"))
-      .select(col("p.da").as("da"), col("p.db").as("db"),
-        col("p.na").as("na"), col("p.nb").as("nb"),
-        col("p.pa").as("pa"), col("p.pb").as("pb"))
-      .filter(least(col("na"), col("nb")) * 5 >= greatest(col("na"), col("nb")) * 4)
-      .filter(positionBound(col("pa"), col("na"), col("pb"), col("nb")))
-      .select(col("da"), col("db")).distinct()
+      .select(explode(graft.functions.VectorFunctions
+        .ppjoinCandidatePairs(col("ids"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
     val sets = reps
     val repPairs = cand
       .join(sets.toDF("da", "set_a", "na"), Seq("da"))
@@ -986,8 +986,17 @@ object DedupOps {
     n2cNeardupIncrementalOn(Tables.documents(spark, dir))
 
   def n2cNeardupIncrementalOn(docs: DataFrame): DataFrame = {
-    val newSigs = shingleSets(docs.filter(col("doc_id") % 3 === 0))
-    val pubSigs = shingleSets(docs.filter(col("doc_id") % 3 =!= 0))
+    // ONE tokenize pass, materialized once (the n2PairsOn discipline —
+    // this is a standalone gate query, no observe constraint):
+    // shingling is per-doc, so splitting the aggregated signature frame
+    // by doc_id equals shingling each half separately, and the
+    // incremental judge's branches (prefix postings ×3, both
+    // verification sides) previously re-ran scan→shingle→collect_set
+    // per consumer — ~6 tokenize executions for one query.
+    val sigs = org.apache.spark.sql.graftstream.StreamingBridge
+      .checkpointFresh(shingleSets(docs))
+    val newSigs = sigs.filter(col("doc_id") % 3 === 0)
+    val pubSigs = sigs.filter(col("doc_id") % 3 =!= 0)
     n2PairsIncrementalOn(newSigs, pubSigs)
       .orderBy(col("da"), col("db"))
   }
@@ -1012,24 +1021,31 @@ object DedupOps {
   val MinhashPerms = 32
   val LshBands = 8 // × 4 rows per band
 
-  /** MinHash signature + the doc's shingle set + count, all from ONE
-    * groupBy over the shingle stream (no per-permutation explode; the
-    * map side reduces each partition to one partial row per doc). The
-    * shingle set rides along so candidate verification below needs no
-    * second shingle materialization. */
+  /** MinHash signature (`mh`: array of [[MinhashPerms]] longs, mh[i] =
+    * min over the doc's shingle hashes of xxhash64(i, h)) + the doc's
+    * shingle set + count, from ONE groupBy over the shingle stream.
+    * The shingle set rides along so candidate verification below needs
+    * no second shingle materialization.
+    *
+    * The bank values are computed by [[graft.functions.VectorFunctions
+    * .minHashBank]] as a MAP over the aggregated sorted set rather than
+    * 32 fused `min(xxhash64(i, h))` aggregates (VERDICT r15 #4): the
+    * 32-aggregate update projection exceeded HotSpot's JIT method-size
+    * limit (~20% interpreter cliff — the SrpBucketBank failure mode),
+    * and min() is duplicate-insensitive, so hashing the DEDUPED set
+    * (already materialized for verification) does strictly less work
+    * than hashing the raw stream 32×. Values are bit-identical to the
+    * aggregate formulation (pinned in DedupOpsSpec). */
   def minhashSignatures(docs: DataFrame): DataFrame = {
     val sh = shingleHashes(docs)
-    // raw (duplicated) shingle stream: min() is duplicate-insensitive
-    // and collect_set dedupes — the per-doc count is the set size
-    val mins = (0 until MinhashPerms).map(i =>
-      min(xxhash64(lit(i), col("h"))).as(s"s$i"))
     // shset is kept SORTED (collect_set order is nondeterministic
     // anyway): the class hash needs a canonical rendering and the n2b
     // verification kernel ([[graft.functions.VectorFunctions
     // .sortedIntersectCount]]) merge-walks sorted arrays
-    val aggs = mins :+
-      sort_array(collect_set(col("h"))).as("shset") // hashes, not strings
-    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("h"))).as("shset")) // hashes, not strings
+      .withColumn("mh", graft.functions.VectorFunctions
+        .minHashBank(col("shset"), MinhashPerms))
       .withColumn("n", size(col("shset")).cast("long"))
   }
 
@@ -1067,7 +1083,8 @@ object DedupOps {
       .checkpointFresh(exactClasses(sig, xxhash64(col("shset"))))
     val reps = lab.filter(col("doc_id") === col("rep"))
     val bandCols = (0 until LshBands).map { b =>
-      xxhash64((Seq(lit(b)) ++ (0 until 4).map(r => col(s"s${b * 4 + r}"))): _*)
+      xxhash64((Seq(lit(b)) ++ (0 until 4).map(r =>
+        element_at(col("mh"), b * 4 + r + 1))): _*)
     }
     val banded = reps.select(col("doc_id"),
       posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
@@ -1079,9 +1096,10 @@ object DedupOps {
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      // native pair kernel (the n2 ppjoinCandidatePairs discipline;
+      // bucket membership IS the candidate test here, so no bounds)
+      .select(explode(graft.functions.VectorFunctions
+        .orderedPairs(col("ids"))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
 
     val sets = reps.select(col("doc_id"), col("shset"), col("n"))

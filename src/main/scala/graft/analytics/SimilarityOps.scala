@@ -46,7 +46,7 @@ object SimilarityOps {
   private def norm(v: Column): Column = sqrt(dot(v, v))
 
   /** Corpus with embeddings cast to double and norms precomputed. */
-  private def corpus(spark: SparkSession, dir: String): DataFrame =
+  private[analytics] def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .withColumn("nrm", norm(col("v")))
@@ -851,11 +851,16 @@ object SimilarityOps {
         transform(col("mc"), e => e.getField("code")).as("codes"),
         col("pnorm2"))
 
-  /** PQ model per corpus (trained once per JVM, fingerprint-fresh). */
+  /** PQ model per corpus (trained once per JVM, fingerprint-fresh) —
+    * the driver-resident row form ([[trainedPqCodebooks]] is its
+    * DataFrame face; n3f's ADC table builds from the rows directly so
+    * the codebook never rides a plan as a LocalRelation the optimizer
+    * re-processes per invocation, VERDICT r15 #3). */
   private val pqBookCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, Seq[(Int, Int, Seq[Double], Double)])]
-  def trainedPqCodebooks(spark: SparkSession, dir: String): DataFrame = {
-    val rows = memoFresh(pqBookCache, spark, dir) {
+  def trainedPqCodebookRows(spark: SparkSession,
+      dir: String): Seq[(Int, Int, Seq[Double], Double)] =
+    memoFresh(pqBookCache, spark, dir) {
       val n = corpusCount(spark, dir)
       val cells = ivfCellsFor(n)
       pqCodebooks(corpus(spark, dir), ivfLloydStride(n, cells))
@@ -863,8 +868,9 @@ object SimilarityOps {
         .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2),
           r.getDouble(3))).toSeq
     }
+  def trainedPqCodebooks(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    rows.toDF("m", "code", "c", "cn2")
+    trainedPqCodebookRows(spark, dir).toDF("m", "code", "c", "cn2")
   }
 
   /** Published PQ index per corpus dir: `pq_codes` (vec_id, codes,
@@ -903,7 +909,6 @@ object SimilarityOps {
   def n3fIvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
     val cents = trainedCentroids(spark, dir)
-    val books = trainedPqCodebooks(spark, dir)
     val queries = all.filter(col("vec_id") < QueryCount)
     val probes = ivfProbePlan(queries, cents)
     val probedCells = probes.select(col("cell")).distinct()
@@ -911,21 +916,40 @@ object SimilarityOps {
     val codes = graft.ops.AtomicPublish
       .readTable(spark, publishedPqRoot(spark, dir), "pq_codes")
       .filter(col("cell").isin(probedCells: _*)) // → PartitionFilters
-    // per-query ADC lookup table: (qid, m, code, qd = dot(q_m, c)) —
-    // 32 × M×K rows of model-sized state, broadcast to the code scan
-    val qdot = subvectors(queries, "vec_id").join(broadcast(books), Seq("m"))
-      .select(col("vec_id").as("qid"), col("m"), col("code"),
-        dot(col("sv"), col("c")).as("qd"))
+    // Per-query ADC lookup table qd[qid](m·K + code) = dot(q_m, c),
+    // built DRIVER-SIDE at plan construction (eager, like the probe
+    // plan above — 32 query rows + the memoized codebook, model-sized
+    // state) and mounted behind one map-only expression
+    // ([[graft.functions.VectorFunctions.pqAdcDot]], VERDICT r15 #3):
+    // the former qdot frame posexploded every candidate's codes 8×,
+    // broadcast a 2048-row LocalRelation the optimizer re-processed
+    // per invocation, and re-aggregated the expansion through an
+    // exchange. Entries are the same left-to-right subvector dots; the
+    // expression sums m ascending from the m=0 term — the order the
+    // former sum() accumulated (bit-identical, pinned in the spec).
+    val books = trainedPqCodebookRows(spark, dir)
+    val adcTable: Map[Long, Array[Double]] = queries
+      .select(col("vec_id"), col("v")).collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val subDim = v.length / PqM
+        val t = new Array[Double](PqM * PqK)
+        books.foreach { case (m, code, c, _) =>
+          val off = m * subDim
+          val n = math.min(subDim, c.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += v(off + i) * c(i); i += 1 }
+          t(m * PqK + code) = acc
+        }
+        r.getLong(0) -> t
+      }.toMap
     val cand = probes.select(col("qid"), col("cell"))
       .join(codes, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"), col("pnorm2"),
-        posexplode(col("codes")).as(Seq("m", "code")))
-      .join(broadcast(qdot), Seq("qid", "m", "code"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("qd")).as("adot"), first(col("pnorm2")).as("pnorm2"))
       .select(col("qid"), col("vec_id"),
-        (col("adot") / sqrt(col("pnorm2"))).as("ascore"))
+        (graft.functions.VectorFunctions
+          .pqAdcDot(col("qid"), col("codes"), adcTable, PqM) /
+          sqrt(col("pnorm2"))).as("ascore"))
     import org.apache.spark.sql.expressions.Window
     val wa = Window.partitionBy(col("qid"))
       .orderBy(col("ascore").desc, col("vec_id"))
@@ -982,10 +1006,10 @@ object SimilarityOps {
           .agg(slice(sort_array(collect_list(col("vec_id"))), 1, SrpBucketCap)
             .as("ids"))
           .filter(size(col("ids")) > 1)
-          .select(explode(flatten(transform(col("ids"), (x, i) =>
-            transform(slice(col("ids"), i + 2, size(col("ids"))),
-              y => struct(x.as("va"), y.as("vb")))))).as("p"))
-          .select(col("p.va").as("va"), col("p.vb").as("vb")).distinct()
+          // native pair kernel (the n2 ppjoinCandidatePairs discipline)
+          .select(explode(graft.functions.VectorFunctions
+            .orderedPairs(col("ids"))).as("p"))
+          .select(col("p.da").as("va"), col("p.db").as("vb")).distinct()
       } else {
         // wide-code regime: hamming ≤ 1 needs the multi-probed join —
         // a pair within distance 1 appears in at least one orientation,

@@ -284,6 +284,255 @@ case class IvfTopCells(vec: Expression, nrmExpr: Expression,
     copy(vec = newLeft, nrmExpr = newRight)
 }
 
+/** All `perms` MinHash values of one document in a single expression
+  * over its SORTED duplicate-free array<long> shingle-hash set —
+  * bank(i) = min over the set of xxhash64(i, h), exactly the value the
+  * former `perms` separate `min(xxhash64(lit(i), h))` aggregates
+  * produced (pinned in DedupOpsSpec): Spark's xxhash64 folds children
+  * through XXH64 with seed 42, so xxhash64(i:int, h:long) =
+  * hashLong(h, hashInt(i, 42)) and the per-permutation seeds are
+  * precomputed once. Two wins over the aggregate bank (the
+  * [[SrpBucketBank]] pattern applied to MinHash — VERDICT r15 #4):
+  * the generated update projection of 32 fused min+hash aggregates
+  * exceeded HotSpot's JIT size limit (~20% cliff), and min() is
+  * duplicate-insensitive, so hashing the DEDUPED set (which the
+  * signature row already carries for verification) does strictly less
+  * hashing than the raw shingle stream the aggregates consumed. */
+case class MinHashBank(child: Expression, perms: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.LongType
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bank"
+
+  @transient private lazy val seeds: Array[Long] =
+    Array.tabulate(perms)(i => org.apache.spark.sql.catalyst.expressions
+      .XXH64.hashInt(i, 42L))
+
+  def evalBank(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val out = Array.fill(perms)(Long.MaxValue)
+    var e = 0
+    while (e < n) {
+      val h = v.getLong(e)
+      var i = 0
+      while (i < perms) {
+        val x = org.apache.spark.sql.catalyst.expressions
+          .XXH64.hashLong(h, seeds(i))
+        if (x < out(i)) out(i) = x
+        i += 1
+      }
+      e += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalBank(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("mhBank", this, classOf[MinHashBank].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalBank($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashBank = copy(child = newChild)
+}
+
+/** The PPJoin candidate expansion of one posting group in a single
+  * expression: input is the group's SORTED array<struct<doc_id:long,
+  * n:long, pos:int>>, output every ordered pair (da < db by array
+  * order) that passes BOTH classic filters — the length bound
+  * 5·min(na,nb) ≥ 4·max(na,nb) and Xiao et al.'s position bound
+  * 9·(min(pa,pb) + 1 + min(na−pa−1, nb−pb−1)) ≥ 4·(na+nb) — the exact
+  * integer forms the former column filters applied AFTER expansion.
+  * The HOF formulation (transform×slice → flatten → explode → filter)
+  * materialized the full O(g²) struct array through interpreted
+  * lambdas before filtering; this loop allocates only the SURVIVING
+  * pairs (guide §3.2 prune-before-expensive), feeding the downstream
+  * distinct strictly fewer rows with an identical surviving multiset. */
+case class PpjoinCandidatePairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("da", LongType, nullable = false),
+    StructField("db", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ppjoin_candidate_pairs"
+
+  def evalPairs(v: ArrayData): ArrayData = {
+    val g = v.numElements()
+    val ids = new Array[Long](g)
+    val ns = new Array[Long](g)
+    val ps = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      val r = v.getStruct(i, 3)
+      ids(i) = r.getLong(0); ns(i) = r.getLong(1); ps(i) = r.getInt(2).toLong
+      i += 1
+    }
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.catalyst.InternalRow]
+    i = 0
+    while (i < g) {
+      val na = ns(i); val pa = ps(i)
+      var j = i + 1
+      while (j < g) {
+        val nb = ns(j)
+        if (math.min(na, nb) * 5 >= math.max(na, nb) * 4) {
+          val pb = ps(j)
+          val ov = math.min(pa, pb) + 1L +
+            math.min(na - pa - 1L, nb - pb - 1L)
+          if (ov * 9L >= (na + nb) * 4L)
+            buf += new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](ids(i), ids(j)))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.toArray)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalPairs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ppPairs", this,
+      classOf[PpjoinCandidatePairs].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalPairs($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PpjoinCandidatePairs = copy(child = newChild)
+}
+
+/** Every ordered pair (da, db) of a SORTED array<long> — the unfiltered
+  * sibling of [[PpjoinCandidatePairs]] for n2b's LSH buckets and n5's
+  * SRP buckets, where candidate admission is the bucket collision
+  * itself. Group size is pre-capped at the call sites
+  * (CandidateGroupCap / SrpBucketCap), so the materialized pair array
+  * is bounded; the former HOF chain built the same pairs through
+  * interpreted transform×slice lambdas plus a flatten copy. */
+case class OrderedPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("da", LongType, nullable = false),
+    StructField("db", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "ordered_pairs"
+
+  def evalPairs(v: ArrayData): ArrayData = {
+    val g = v.numElements()
+    val ids = new Array[Long](g)
+    var i = 0
+    while (i < g) { ids(i) = v.getLong(i); i += 1 }
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](
+      if (g < 2) 0 else g * (g - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < g) {
+      var j = i + 1
+      while (j < g) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](ids(i), ids(j)))
+        k += 1; j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalPairs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ordPairs", this, classOf[OrderedPairs].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalPairs($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): OrderedPairs = copy(child = newChild)
+}
+
+/** Asymmetric-distance dot of one PQ-coded candidate against one of a
+  * FIXED query set: adot(qid, codes) = Σ_m qd(qid, m, codes[m]) over
+  * the per-query lookup table built at plan construction from the
+  * trained codebooks (model-sized: |queries|·M·K doubles riding the
+  * expression as a reference object — never plan literals, so the
+  * optimizer stops re-processing a 2048-row LocalRelation per
+  * invocation, VERDICT r15 #3). Replaces posexplode(codes) ⋈
+  * broadcast(qdot) → sum groupBy — an 8× row expansion plus an
+  * exchange collapsed into a map-only lookup (guide §2.4). Bit-exact:
+  * table entries are the same left-to-right subvector dots the qdot
+  * frame computed, and the sum runs m ascending starting FROM the m=0
+  * term — the order the former sum() aggregate accumulated (all 8
+  * rows of a candidate came from one posexplode in one partition).
+  * A qid outside the table yields null (the former inner join dropped
+  * such rows; impossible by construction — probes and table derive
+  * from the same query frame). */
+case class PqAdcDot(qid: Expression, codes: Expression,
+    table: Map[Long, Array[Double]], m: Int)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  override def left: Expression = qid
+  override def right: Expression = codes
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_dot"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val codesOk = codes.dataType match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (qid.dataType == LongType && codesOk)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(s"pq_adc_dot expects (long, array<int>), got " +
+        s"(${qid.dataType}, ${codes.dataType})")
+  }
+
+  def evalDot(q: Long, c: ArrayData): Any = {
+    val t = table.getOrElse(q, null)
+    if (t == null) null
+    else {
+      val k = t.length / m
+      var acc = t(c.getInt(0))
+      var mm = 1
+      while (mm < m) { acc += t(mm * k + c.getInt(mm)); mm += 1 }
+      acc
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    evalDot(a.asInstanceOf[Long], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqAdc", this, classOf[PqAdcDot].getName)
+    nullSafeCodeGen(ctx, ev, (q, c) => {
+      val res = ctx.freshName("adc")
+      s"""
+         |Object $res = $self.evalDot($q, $c);
+         |if ($res == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $res).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdcDot =
+    copy(qid = newLeft, codes = newRight)
+}
+
 /** Deterministic Gaussian hyperplanes for the SRP family — seeded
   * java.util.Random (specified algorithm, identical on every JVM),
   * cached per (tables, bits). Single source of truth for the column
@@ -317,6 +566,20 @@ object GraftVec {
     ExpressionUtils.column(IvfTopCells(
       ExpressionUtils.expression(v), ExpressionUtils.expression(nrm),
       cents.map(_._1), cents.map(_._2), k, tieLargestCell))
+
+  def minHashBankColumn(v: Column, perms: Int): Column =
+    ExpressionUtils.column(MinHashBank(ExpressionUtils.expression(v), perms))
+
+  def ppjoinCandidatePairsColumn(ids: Column): Column =
+    ExpressionUtils.column(PpjoinCandidatePairs(ExpressionUtils.expression(ids)))
+
+  def orderedPairsColumn(ids: Column): Column =
+    ExpressionUtils.column(OrderedPairs(ExpressionUtils.expression(ids)))
+
+  def pqAdcDotColumn(qid: Column, codes: Column,
+      table: Map[Long, Array[Double]], m: Int): Column =
+    ExpressionUtils.column(PqAdcDot(ExpressionUtils.expression(qid),
+      ExpressionUtils.expression(codes), table, m))
 
   private[sql] val dotBuilder: Seq[Expression] => Expression = { exprs =>
     require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")

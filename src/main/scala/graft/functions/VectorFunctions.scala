@@ -23,6 +23,29 @@ object VectorFunctions {
     org.apache.spark.sql.graftvec.GraftVec
       .ivfTopCellsColumn(v, nrm, cents, k, tieLargestCell)
 
+  /** All `perms` MinHash values of a sorted duplicate-free array<long>
+    * shingle-hash set in one map expression — bank(i) =
+    * min(xxhash64(i, h)) over the set (see MinHashBank). */
+  def minHashBank(v: Column, perms: Int): Column =
+    org.apache.spark.sql.graftvec.GraftVec.minHashBankColumn(v, perms)
+
+  /** PPJoin candidate pairs of one sorted posting group, length and
+    * position bounds applied inside the expansion loop (see
+    * PpjoinCandidatePairs for the exact integer bounds). */
+  def ppjoinCandidatePairs(ids: Column): Column =
+    org.apache.spark.sql.graftvec.GraftVec.ppjoinCandidatePairsColumn(ids)
+
+  /** Every ordered pair (da, db) of a sorted array<long> — the LSH
+    * bucket expansion kernel. */
+  def orderedPairs(ids: Column): Column =
+    org.apache.spark.sql.graftvec.GraftVec.orderedPairsColumn(ids)
+
+  /** ADC dot of a PQ-coded candidate against a fixed query set's
+    * lookup table (see PqAdcDot). */
+  def pqAdcDot(qid: Column, codes: Column,
+      table: Map[Long, Array[Double]], m: Int): Column =
+    org.apache.spark.sql.graftvec.GraftVec.pqAdcDotColumn(qid, codes, table, m)
+
   /** Make `vec_dot` callable from spark.sql in this session. For
     * cluster-wide registration use
     * `spark.sql.extensions=org.apache.spark.sql.graftvec.GraftSqlExtensions`. */

@@ -315,4 +315,87 @@ class DedupOpsSpec extends SparkSuite {
       .filter(col("got") =!= col("want"))
     assert(edge.count() == 0)
   }
+
+  test("minHashBank == the 32 min(xxhash64(i, h)) aggregates it replaced " +
+      "(the r16 signature kernel swap)") {
+    import org.apache.spark.sql.functions._
+    val sh = DedupOps.shingleHashes(Tables.documents(spark, dir))
+    // the OLD formulation: 32 fused min+hash aggregates over the raw
+    // (duplicated) shingle stream
+    val mins = (0 until DedupOps.MinhashPerms).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"ref$i"))
+    val ref = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val got = DedupOps.minhashSignatures(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("mh"))
+    val joined = got.join(ref, Seq("doc_id"))
+    assert(joined.count() == ref.count())
+    val bad = (0 until DedupOps.MinhashPerms)
+      .map(i => element_at(col("mh"), i + 1) =!= col(s"ref$i"))
+      .reduce(_ || _)
+    assert(joined.filter(bad).count() == 0)
+  }
+
+  test("ppjoinCandidatePairs == HOF expansion + length/position filters " +
+      "(the r16 candidate kernel swap)") {
+    import org.apache.spark.sql.functions._
+    // real posting groups of the sf corpus (uncapped — the kernel must
+    // agree on every group shape the pipeline can see)
+    val sigs = DedupOps.shingleSets(Tables.documents(spark, dir))
+    val theta = DedupOps.JaccardThreshold
+    val groups = sigs.select(col("doc_id"), col("n"),
+        posexplode(slice(col("hs"), lit(1),
+          (col("n") - ceil(col("n") * theta) + 1).cast("int")))
+          .as(Seq("pos", "ph")))
+      .groupBy(col("ph"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n"), col("pos")))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val ref = groups
+      .select(explode(flatten(transform(col("ids"),
+        (x, i) => transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.getField("doc_id").as("da"), x.getField("n").as("na"),
+            x.getField("pos").as("pa"),
+            y.getField("doc_id").as("db"), y.getField("n").as("nb"),
+            y.getField("pos").as("pb")))))).as("p"))
+      .filter(least(col("p.na"), col("p.nb")) * 5 >=
+        greatest(col("p.na"), col("p.nb")) * 4)
+      .filter((least(col("p.pa"), col("p.pb")) + lit(1) +
+        least(col("p.na") - col("p.pa") - lit(1),
+          col("p.nb") - col("p.pb") - lit(1))) * lit(9) >=
+        (col("p.na") + col("p.nb")) * lit(4))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+    val got = groups.select(explode(graft.functions.VectorFunctions
+        .ppjoinCandidatePairs(col("ids"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+    // MULTISET equality: same (da, db, multiplicity) triples, same total
+    val refC = ref.groupBy(col("da"), col("db")).count()
+    val gotC = got.groupBy(col("da"), col("db")).count()
+    assert(refC.except(gotC).count() == 0 && gotC.except(refC).count() == 0)
+    assert(got.count() == ref.count())
+    assert(got.count() > 0) // the corpus must actually exercise the kernel
+  }
+
+  test("orderedPairs == HOF all-pairs expansion on LSH bucket arrays") {
+    import org.apache.spark.sql.functions._
+    val sig = DedupOps.minhashSignatures(Tables.documents(spark, dir))
+    val bandCols = (0 until DedupOps.LshBands).map { b =>
+      xxhash64((Seq(lit(b)) ++ (0 until 4).map(r =>
+        element_at(col("mh"), b * 4 + r + 1))): _*)
+    }
+    val buckets = sig.select(col("doc_id"),
+        posexplode(array(bandCols: _*)).as(Seq("band", "bucket")))
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+    val ref = buckets.select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+    val got = buckets.select(explode(graft.functions.VectorFunctions
+        .orderedPairs(col("ids"))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+    assert(got.count() == ref.count())
+    assert(got.except(ref).count() == 0 && ref.except(got).count() == 0)
+    assert(got.count() > 0)
+  }
 }

@@ -308,6 +308,59 @@ class SimilarityOpsSpec extends SparkSuite {
     assert(ratio >= 12.0, f"payload ratio $ratio%.1fx — PQ tier not paying off")
   }
 
+  test("pqAdcDot == the posexplode ⋈ broadcast(qdot) → sum formulation " +
+      "it replaced (bit-exact, the r16 ADC kernel swap)") {
+    import org.apache.spark.sql.functions._
+    val all = SimilarityOps.corpus(spark, dir)
+    val queries = all.filter(col("vec_id") < SimilarityOps.QueryCount)
+    val books = SimilarityOps.trainedPqCodebooks(spark, dir)
+    val codes = graft.ops.AtomicPublish.readTable(spark,
+      SimilarityOps.publishedPqRoot(spark, dir), "pq_codes")
+    // the OLD formulation, reconstructed: per-query (m, code) → qd
+    // lookup rows, joined to every (query, candidate) code expansion
+    val pqM = SimilarityOps.PqM
+    val sub = queries.select(col("vec_id"), col("v"),
+        (size(col("v")) / pqM).as("subDim"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(pqM - 1)),
+          m => slice(col("v"), m * col("subDim") + 1, col("subDim"))))
+        .as(Seq("m", "sv")))
+    val qdot = sub.join(broadcast(books), Seq("m"))
+      .select(col("vec_id").as("qid"), col("m"), col("code"),
+        graft.functions.VectorFunctions.dot(col("sv"), col("c")).as("qd"))
+    val pairs = queries.select(col("vec_id").as("qid"))
+      .crossJoin(codes.select(col("vec_id"), col("codes")))
+    val ref = pairs
+      .select(col("qid"), col("vec_id"), posexplode(col("codes")).as(Seq("m", "code")))
+      .join(broadcast(qdot), Seq("qid", "m", "code"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("qd")).as("ref_adot"))
+    // the NEW kernel over the same pairs
+    val bookRows = SimilarityOps.trainedPqCodebookRows(spark, dir)
+    val table: Map[Long, Array[Double]] = queries
+      .select(col("vec_id"), col("v")).collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val subDim = v.length / pqM
+        val t = new Array[Double](pqM * SimilarityOps.PqK)
+        bookRows.foreach { case (m, code, c, _) =>
+          val off = m * subDim
+          val n = math.min(subDim, c.length)
+          var acc = 0.0
+          var i = 0
+          while (i < n) { acc += v(off + i) * c(i); i += 1 }
+          t(m * SimilarityOps.PqK + code) = acc
+        }
+        r.getLong(0) -> t
+      }.toMap
+    val got = pairs.select(col("qid"), col("vec_id"),
+      graft.functions.VectorFunctions
+        .pqAdcDot(col("qid"), col("codes"), table, pqM).as("adot"))
+    val joined = got.join(ref, Seq("qid", "vec_id"))
+    assert(joined.count() == pairs.count())
+    // BIT-exact, not approximately equal: same IEEE op sequence
+    assert(joined.filter(col("adot") =!= col("ref_adot")).count() == 0)
+  }
+
   test("n3b is deterministic across runs (fixed hyperplanes, no RNG at runtime)") {
     val a = SimilarityOps.n3bSrpAnn(spark, dir).collect().toSeq
     val b = SimilarityOps.n3bSrpAnn(spark, dir).collect().toSeq
