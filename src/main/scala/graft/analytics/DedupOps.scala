@@ -1195,35 +1195,35 @@ object DedupOps {
   /** Testdata stand-in for the benchmark table: every 10th doc is "eval". */
   val DecontamEvalMod = 10
 
-  /** Adjacent word PAIRS per document: (doc_id, w1, w2) in word order —
-    * the shared bigram stream (one posexplode + one (doc,pos) window
-    * with `lead`, the formulation benchmarked ~2.6× over HOF chains in
-    * [[shingles]]; the same shape [[ngramHashes]] uses). Consumers that
-    * only need hashes should hash these columns rather than re-deriving
-    * the window pipeline. */
-  def wordPairs(docs: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w1")))
-      .withColumn("w2", lead(col("w1"), 1).over(w))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), col("w1"), col("w2"))
-  }
+  /** Adjacent word hash PAIRS per document: (doc_id, h1, h12) in word
+    * order — the shared bigram-LM stream, h1 = xxhash64(w1) and
+    * h12 = xxhash64(w1, w2), built MAP-SIDE from the split array by
+    * [[graft.functions.VectorFunctions.bigramHashPairs]] (r16, guide
+    * §2.4): the former window/`lead` formulation shuffled the entire
+    * corpus-scale token STRING stream (posexplode → Exchange(doc_id) →
+    * Sort → Window) just to pair words that sit adjacent in the array
+    * already — and t8 executed that subtree three times (bi side,
+    * bigram counts, left-unigram counts). Values bit-identical
+    * (pinned in DedupOpsSpec). */
+  def bigramHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(graft.functions.VectorFunctions
+        .bigramHashPairs(wordsCol)).as("p"))
+      .select(col("doc_id"), col("p.h1").as("h1"), col("p.h12").as("h12"))
 
   /** Word n-gram HASHES per document: (doc_id, h), raw stream (repeated
     * n-grams repeat; consumers dedupe inside their aggregates — the
-    * shingle-stream pattern, one exchange). Generalizes [[shingleHashes]]
-    * to any n. */
-  def ngramHashes(docs: DataFrame, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i"))
-    val allWords = col("w") +: (1 until n).map(i => col(s"w$i"))
-    docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
-      .select(col("doc_id") +: col("w") +: leads: _*)
-      .filter(col(s"w${n - 1}").isNotNull)
-      .select(col("doc_id"), xxhash64(concat_ws(" ", allWords: _*)).as("h"))
-  }
+    * shingle-stream pattern). Generalizes [[shingleHashes]] to any n.
+    * Built MAP-SIDE from the split array by [[graft.functions
+    * .VectorFunctions.ngramHashStream]] (r16, guide §2.4
+    * remove-shuffles-outright): the former posexplode → Exchange →
+    * Sort → Window(lead×(n−1)) formulation moved every word string of
+    * the corpus through an exchange to pair array-adjacent words — the
+    * single broadest shuffle in the suite (under n2/n2b/n2c/n6/n10/
+    * n11/llm1 and the ingest gates). Hash values bit-identical to
+    * xxhash64(concat_ws(" ", …)) (pinned in DedupOpsSpec). */
+  def ngramHashes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), explode(graft.functions.VectorFunctions
+      .ngramHashStream(wordsCol, n)).as("h"))
 
   /** N6: benchmark DECONTAMINATION — flag training documents sharing any
     * verbatim [[DecontamN]]-gram with the eval set, with how many

@@ -358,9 +358,10 @@ object TextOps {
     t8BigramLmOn(Tables.documents(spark, dir))
 
   def t8BigramLmOn(docs: DataFrame): DataFrame = {
-    val bi = DedupOps.wordPairs(docs)
-      .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
-        xxhash64(col("w1"), col("w2")).as("h12"))
+    // map-side bigram hash stream (r16): the former wordPairs
+    // window/lead formulation shuffled the corpus token-string stream
+    // once per consumer of this subtree — three times per t8 run
+    val bi = DedupOps.bigramHashes(docs)
     // ONE grouped pass yields both count tables: h12 determines the
     // bigram and hence h1, so grouping by (h1, h12) has exactly the
     // distinct-bigram cardinality, and the left-unigram counts are a

@@ -342,6 +342,147 @@ case class MinHashBank(child: Expression, perms: Int)
       newChild: Expression): MinHashBank = copy(child = newChild)
 }
 
+/** All word-`n`-gram hashes of one document's split word array, in
+  * array order — out(i) = xxhash64 (seed 42) of the UTF-8 bytes of
+  * `words(i..i+n-1)` joined by single spaces, exactly the value of
+  * `xxhash64(concat_ws(" ", w, lead(w,1), …, lead(w,n-1)))` the former
+  * window formulation produced (pinned in DedupOpsSpec). The window
+  * formulation shuffled the ENTIRE corpus-scale token STRING stream
+  * (posexplode → Exchange(doc_id) → Sort → Window(lead×(n-1))) just to
+  * pair adjacent words that sit adjacent in the array already (guide
+  * §2.4 remove-shuffles-outright: n-gram formation is per-document and
+  * needs no exchange at all). Null array elements are skipped exactly
+  * like concat_ws skips null children (split() never produces them —
+  * defensive parity only). One byte buffer sized to the whole document
+  * is allocated per ROW and reused across its n-grams; no per-call
+  * mutable state lives on the expression (in local mode one expression
+  * instance is shared by concurrent tasks). */
+case class NgramHashStream(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash_stream"
+
+  def evalStream(v: ArrayData): ArrayData = {
+    val len = v.numElements()
+    val cnt = len - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val ws = new Array[org.apache.spark.unsafe.types.UTF8String](len)
+    var total = 0L
+    var i = 0
+    while (i < len) {
+      val w = v.getUTF8String(i)
+      ws(i) = w
+      if (w != null) total += w.numBytes
+      i += 1
+    }
+    // whole-doc bytes + one separator per word always bounds any n-gram
+    val buf = new Array[Byte](math.min(total + len, Int.MaxValue.toLong).toInt)
+    val base = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+    val out = new Array[Long](cnt)
+    var s = 0
+    while (s < cnt) {
+      var off = 0
+      var k = 0
+      while (k < n) {
+        val w = ws(s + k)
+        if (w != null) {
+          if (off > 0) { buf(off) = ' '; off += 1 }
+          w.writeToMemory(buf, base + off)
+          off += w.numBytes
+        }
+        k += 1
+      }
+      out(s) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(buf, base, off, 42L)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalStream(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngramHs", this,
+      classOf[NgramHashStream].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalStream($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NgramHashStream = copy(child = newChild)
+}
+
+/** All adjacent-word hash pairs of one document's split word array —
+  * out(i) = struct(h1 = xxhash64(words(i)), h12 = xxhash64(words(i),
+  * words(i+1))), the exact values t8's bigram-LM stream computed off
+  * the window formulation (Spark's multi-child xxhash64 folds left to
+  * right: h12 = hashUnsafeBytes(w2, hashUnsafeBytes(w1, 42)) — each
+  * word's bytes hashed with the running hash as seed, NOT a concat
+  * hash, so this shares no buffer with [[NgramHashStream]]). Same
+  * shuffle-removal rationale (guide §2.4): the former
+  * posexplode → Exchange → Sort → Window(lead) moved every word string
+  * of the corpus through an exchange to pair array-adjacent words.
+  * A null word leaves the running hash unchanged, matching xxhash64's
+  * null-child semantics (split() never produces nulls). */
+case class BigramHashPairs(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h1", LongType, nullable = false),
+    StructField("h12", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "bigram_hash_pairs"
+
+  def evalPairs(v: ArrayData): ArrayData = {
+    val len = v.numElements()
+    val cnt = len - 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[org.apache.spark.sql.catalyst.InternalRow])
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](cnt)
+    var i = 0
+    var w = v.getUTF8String(0)
+    while (i < cnt) {
+      val w2 = v.getUTF8String(i + 1)
+      val h1 =
+        if (w == null) 42L
+        else XXH64.hashUnsafeBytes(w.getBaseObject, w.getBaseOffset, w.numBytes, 42L)
+      val h12 =
+        if (w2 == null) h1
+        else XXH64.hashUnsafeBytes(w2.getBaseObject, w2.getBaseOffset, w2.numBytes, h1)
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](h1, h12))
+      w = w2
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalPairs(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("bigramHp", this,
+      classOf[BigramHashPairs].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalPairs($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BigramHashPairs = copy(child = newChild)
+}
+
 /** The PPJoin candidate expansion of one posting group in a single
   * expression: input is the group's SORTED array<struct<doc_id:long,
   * n:long, pos:int>>, output every ordered pair (da < db by array
@@ -569,6 +710,12 @@ object GraftVec {
 
   def minHashBankColumn(v: Column, perms: Int): Column =
     ExpressionUtils.column(MinHashBank(ExpressionUtils.expression(v), perms))
+
+  def ngramHashStreamColumn(words: Column, n: Int): Column =
+    ExpressionUtils.column(NgramHashStream(ExpressionUtils.expression(words), n))
+
+  def bigramHashPairsColumn(words: Column): Column =
+    ExpressionUtils.column(BigramHashPairs(ExpressionUtils.expression(words)))
 
   def ppjoinCandidatePairsColumn(ids: Column): Column =
     ExpressionUtils.column(PpjoinCandidatePairs(ExpressionUtils.expression(ids)))

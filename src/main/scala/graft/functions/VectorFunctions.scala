@@ -29,6 +29,17 @@ object VectorFunctions {
   def minHashBank(v: Column, perms: Int): Column =
     org.apache.spark.sql.graftvec.GraftVec.minHashBankColumn(v, perms)
 
+  /** All word-n-gram xxhash64 values of a split word array, in array
+    * order — bit-identical to the window/lead + concat_ws formulation
+    * it replaces, with zero shuffle (see NgramHashStream). */
+  def ngramHashStream(words: Column, n: Int): Column =
+    org.apache.spark.sql.graftvec.GraftVec.ngramHashStreamColumn(words, n)
+
+  /** All adjacent-word (h1, h12) xxhash64 pairs of a split word array
+    * (see BigramHashPairs — t8's bigram-LM stream kernel). */
+  def bigramHashPairs(words: Column): Column =
+    org.apache.spark.sql.graftvec.GraftVec.bigramHashPairsColumn(words)
+
   /** PPJoin candidate pairs of one sorted posting group, length and
     * position bounds applied inside the expansion loop (see
     * PpjoinCandidatePairs for the exact integer bounds). */

@@ -375,6 +375,52 @@ class DedupOpsSpec extends SparkSuite {
     assert(got.count() > 0) // the corpus must actually exercise the kernel
   }
 
+  test("ngramHashStream == the window/lead + concat_ws formulation it " +
+      "replaced, n=3 and n=8 (the r16 map-side n-gram swap)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    for (n <- Seq(3, DedupOps.DecontamN)) {
+      // the OLD formulation: posexplode + (doc,pos) window with leads
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val leads = (1 until n).map(i => lead(col("w"), i).over(w).as(s"w$i"))
+      val allWords = col("w") +: (1 until n).map(i => col(s"w$i"))
+      val ref = docs
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id") +: col("w") +: leads: _*)
+        .filter(col(s"w${n - 1}").isNotNull)
+        .select(col("doc_id"), xxhash64(concat_ws(" ", allWords: _*)).as("h"))
+      val got = DedupOps.ngramHashes(docs, n)
+      // MULTISET equality per doc (raw stream repeats repeated n-grams)
+      val refC = ref.groupBy(col("doc_id"), col("h")).count()
+      val gotC = got.groupBy(col("doc_id"), col("h")).count()
+      assert(refC.except(gotC).count() == 0 && gotC.except(refC).count() == 0,
+        s"n=$n multiset mismatch")
+      assert(got.count() == ref.count(), s"n=$n count mismatch")
+      assert(got.count() > 0, s"n=$n kernel not exercised")
+    }
+  }
+
+  test("bigramHashes == hashing the window/lead wordPairs formulation " +
+      "(the r16 t8 stream swap)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ref = docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w1")))
+      .withColumn("w2", lead(col("w1"), 1).over(w))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("w1")).as("h1"),
+        xxhash64(col("w1"), col("w2")).as("h12"))
+    val got = DedupOps.bigramHashes(docs)
+    val refC = ref.groupBy(col("doc_id"), col("h1"), col("h12")).count()
+    val gotC = got.groupBy(col("doc_id"), col("h1"), col("h12")).count()
+    assert(refC.except(gotC).count() == 0 && gotC.except(refC).count() == 0)
+    assert(got.count() == ref.count())
+    assert(got.count() > 0)
+  }
+
   test("orderedPairs == HOF all-pairs expansion on LSH bucket arrays") {
     import org.apache.spark.sql.functions._
     val sig = DedupOps.minhashSignatures(Tables.documents(spark, dir))
