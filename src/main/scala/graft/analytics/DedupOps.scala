@@ -748,18 +748,14 @@ object DedupOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("pos"))
     val wh = org.apache.spark.sql.expressions.Window.partitionBy(col("h"))
-    // the words array MUST be an attribute before the lambda touches
-    // it: higher-order functions evaluate interpreted, and a lambda
-    // body referencing the raw split() EXPRESSION re-evaluates the
-    // split per element access — three per shingle, O(words²) chars
-    // split per document (a 2.4× sf0.1 regression the bench caught)
-    val hashArr = when(size(col("ws")) >= 3,
-      transform(sequence(lit(0), size(col("ws")) - 3), i =>
-        xxhash64(concat_ws(" ", element_at(col("ws"), i + 1),
-          element_at(col("ws"), i + 2), element_at(col("ws"), i + 3)))))
+    // positional shingle hashes via the native kernel (r16): the former
+    // interpreted transform lambda (3 element_at + concat + hash per
+    // shingle) is the same values in one codegen-friendly pass; an
+    // empty kernel array for <3-word docs explodes to nothing exactly
+    // like the old `when(size >= 3, …)` null guard
     val anchors = docs
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .select(col("doc_id"), posexplode(hashArr).as(Seq("pos", "h")))
+      .select(col("doc_id"), posexplode(graft.functions.VectorFunctions
+        .ngramHashStream(split(col("text"), " "), 3)).as(Seq("pos", "h")))
       .withColumn("dup",
         min(col("doc_id")).over(wh) =!= max(col("doc_id")).over(wh))
       .filter(col("dup"))
