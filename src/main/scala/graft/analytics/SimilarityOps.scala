@@ -383,9 +383,27 @@ object SimilarityOps {
     * corpora; the codebook side is model-sized by construction
     * (≤ [[IvfMaxCells]]), so collecting it here is the same bounded
     * collect `trainedCentroids` already does. */
-  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val rows = centroids.select(col("cell"), col("c")).collect()
+  def assignCells(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignCellsRows(vectors, centRowsOf(centroids))
+
+  /** NOTE: EAGER — collects the (model-sized) centroid frame at plan
+    * construction, so building the returned plan runs a Spark job
+    * (ADVICE r15: the DataFrame→DataFrame face hides that). Query paths
+    * inside this object pass the memoized ROW form instead
+    * ([[trainedCentroidRows]]) so construction costs no job at all. */
+  private def centRowsOf(centroids: DataFrame): Seq[(Int, Seq[Double])] =
+    centroids.select(col("cell"), col("c")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+
+  /** [[assignCells]] over the driver-resident codebook rows (sorted
+    * ascending by cell before ranking — the IvfTopCells tie contract).
+    * An empty codebook is a model-state bug, not a data case: fail loud
+    * (the pre-r15 crossJoin formulation silently dropped all rows,
+    * ADVICE r15). */
+  def assignCellsRows(vectors: DataFrame,
+      centRows: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centRows.nonEmpty, "assignCells: empty centroid codebook")
+    val rows = centRows.sortBy(_._1)
     vectors.select(col("vec_id"), col("v"), col("nrm"),
       element_at(graft.functions.VectorFunctions
         .ivfTopCells(col("v"), col("nrm"), rows, 1, tieLargestCell = true),
@@ -399,15 +417,18 @@ object SimilarityOps {
     * index trains once at build time and is read by every query). */
   private val centCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, Seq[(Int, Seq[Double])])]
-  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val rows = memoFresh(centCache, spark, dir) {
+  private def trainedCentroidRows(spark: SparkSession,
+      dir: String): Seq[(Int, Seq[Double])] =
+    memoFresh(centCache, spark, dir) {
       val n = corpusCount(spark, dir)
       val cells = ivfCellsFor(n)
       ivfCentroidsCapped(corpus(spark, dir), cells, ivfLloydStride(n, cells))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
     }
+  private def trainedCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    rows.toDF("cell", "c")
+    trainedCentroidRows(spark, dir).toDF("cell", "c")
   }
 
   /** Corpus with its IVF cell assignment — the write-path layout: at
@@ -416,7 +437,7 @@ object SimilarityOps {
     * reads only IvfProbes/cells of the files. PlanAuditSpec proves
     * the pruning on a real partitioned write. */
   def ivfAssignments(spark: SparkSession, dir: String): DataFrame =
-    assignCells(corpus(spark, dir), trainedCentroids(spark, dir))
+    assignCellsRows(corpus(spark, dir), trainedCentroidRows(spark, dir))
 
   /** The `IvfProbes` best cells per query vector (centroid cosine
     * argtop): (qid, qv, qn, cell). One map-only projection
@@ -425,14 +446,41 @@ object SimilarityOps {
     * per-query window shuffled a queries×cells expansion to rank a
     * literal table. Public so specs can intersect the probe plan with
     * cell assignments and measure the probed fraction. */
-  def ivfProbePlan(queries: DataFrame, cents: DataFrame): DataFrame = {
-    val rows = cents.select(col("cell"), col("c")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+  def ivfProbePlan(queries: DataFrame, cents: DataFrame): DataFrame =
+    ivfProbePlanRows(queries, centRowsOf(cents))
+
+  /** [[ivfProbePlan]] over driver-resident codebook rows — no Spark job
+    * at plan construction (the r16 n3-family construction fix: the
+    * DataFrame faces collected the memoized codebook back off a
+    * LocalRelation on EVERY invocation, ~0.4–0.6 s of per-query driver
+    * time across n3c/n3d/n3e/n3f/n3h). */
+  def ivfProbePlanRows(queries: DataFrame,
+      centRows: Seq[(Int, Seq[Double])]): DataFrame = {
+    require(centRows.nonEmpty, "ivfProbePlan: empty centroid codebook")
+    val rows = centRows.sortBy(_._1)
     queries.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qn"),
       explode(graft.functions.VectorFunctions.ivfTopCells(
         col("v"), col("nrm"), rows, IvfProbes, tieLargestCell = false))
         .as("cell"))
+  }
+
+  /** Driver-side evaluation of the SAME IvfTopCells ranking the plans
+    * run — single-sourced semantics for "which cells does this query
+    * probe" when the query set is already driver-resident (n3e/n3f
+    * build their probed-cell partition filters without a Spark job). */
+  private def topCellsOf(v: Seq[Double], nrm: Double,
+      centRows: Seq[(Int, Seq[Double])], k: Int,
+      tieLargestCell: Boolean): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val rows = centRows.sortBy(_._1)
+    val expr = org.apache.spark.sql.graftvec.IvfTopCells(
+      Literal(0.0), Literal(0.0), rows.map(_._1), rows.map(_._2), k,
+      tieLargestCell)
+    val out = expr.evalTop(
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(v.toArray),
+      nrm)
+    (0 until out.numElements()).map(out.getInt)
   }
 
   /** N3c: IVF-flat approximate top-10 for the query slice — assign the
@@ -446,10 +494,11 @@ object SimilarityOps {
   def n3cIvfAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
     // √n-row literal codebook (see ivfCentroids/trainedCentroids),
-    // trained once per corpus on a bounded deterministic sample
-    val cents = trainedCentroids(spark, dir)
-    val assigned = assignCells(all, cents)
-    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
+    // trained once per corpus on a bounded deterministic sample; row
+    // form — plan construction runs no Spark job (r16)
+    val cents = trainedCentroidRows(spark, dir)
+    val assigned = assignCellsRows(all, cents)
+    val probes = ivfProbePlanRows(all.filter(col("vec_id") < QueryCount), cents)
     val sims = probes.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nbr"),
@@ -524,13 +573,17 @@ object SimilarityOps {
     * per invocation. */
   private val supercellCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, (Seq[(Int, Seq[Double])], Seq[(Int, Int)]))]
-  private def trainedSupercells(spark: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
-    val (sc, cm) = memoFresh(supercellCache, spark, dir) {
+  private def trainedSupercellRows(spark: SparkSession, dir: String)
+      : (Seq[(Int, Seq[Double])], Seq[(Int, Int)]) =
+    memoFresh(supercellCache, spark, dir) {
       val (superCents, cellMap) = ivfSupercells(trainedCentroids(spark, dir))
-      (superCents.collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq,
+      (superCents.collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq,
         cellMap.collect().map(r => (r.getInt(0), r.getInt(1))).toSeq)
     }
+  private def trainedSupercells(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val (sc, cm) = trainedSupercellRows(spark, dir)
     import spark.implicits._
     (sc.toDF("scell", "c"), cm.toDF("cell", "scell"))
   }
@@ -581,15 +634,18 @@ object SimilarityOps {
   def n3dIvf2Ann(spark: SparkSession, dir: String,
       superProbes: Int = IvfSuperProbes): DataFrame = {
     val all = corpus(spark, dir)
-    val cents = trainedCentroids(spark, dir)
-    val (superCents, cellMap) = trainedSupercells(spark, dir)
-    val assigned = assignCells(all, cents)
+    val centRows = trainedCentroidRows(spark, dir)
+    // memoized model rows + LocalRelation faces for the equi-joins —
+    // plan construction runs no Spark job (r16)
+    val (sRows, cellMapRows) = trainedSupercellRows(spark, dir)
+    import spark.implicits._
+    val cents = centRows.toDF("cell", "c")
+    val cellMap = cellMapRows.toDF("cell", "scell")
+    val assigned = assignCellsRows(all, centRows)
     // level 1: top supercells per query (√cells-row codebook, ranked by
     // the map-only IvfTopCells projection with the former window's
     // `ssim DESC, scell` rule)
     val qs = all.filter(col("vec_id") < QueryCount)
-    val sRows = superCents.select(col("scell"), col("c")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
     val topSuper = qs.select(col("vec_id").as("qid"), col("v").as("qv"),
       col("nrm").as("qn"),
       explode(graft.functions.VectorFunctions.ivfTopCells(
@@ -642,17 +698,20 @@ object SimilarityOps {
     * already-published cell, the one cost an append must not pay). */
   private val pubCentCache = scala.collection.concurrent.TrieMap
     .empty[String, (String, Seq[(Int, Seq[Double])])]
-  def publishedCentroids(spark: SparkSession, dir: String): DataFrame = {
-    val rows = memoFresh(pubCentCache, spark, dir) {
+  private def publishedCentroidRows(spark: SparkSession,
+      dir: String): Seq[(Int, Seq[Double])] =
+    memoFresh(pubCentCache, spark, dir) {
       val split = ivfSplitPoint(spark, dir)
       val pub = corpus(spark, dir).filter(col("vec_id") < split)
       val n = pub.count()
       val cells = ivfCellsFor(n)
       ivfCentroidsCapped(pub, cells, ivfLloydStride(n, cells))
-        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1).toSeq
     }
+  def publishedCentroids(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    rows.toDF("cell", "c")
+    publishedCentroidRows(spark, dir).toDF("cell", "c")
   }
 
   /** Append a batch to a published IVF index: assign ONLY the batch
@@ -728,19 +787,31 @@ object SimilarityOps {
     * codebook, plus the no-full-reassignment plan shape). */
   def n3eAnnIncremental(spark: SparkSession, dir: String): DataFrame = {
     val split = ivfSplitPoint(spark, dir)
-    val cents = publishedCentroids(spark, dir)
+    val cents = publishedCentroidRows(spark, dir)
     val all = corpus(spark, dir)
-    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
+    // the query slice is QueryCount driver-resident rows; collect it
+    // ONCE per invocation and rank its probe cells driver-side with the
+    // SAME IvfTopCells evaluation the plans run ([[topCellsOf]]) — the
+    // former formulation ran one Spark job to collect the probed-cell
+    // union off a parquet re-scan, plus two codebook collects (r16)
+    val qrows = all.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    import spark.implicits._
+    val probes = ivfProbePlanRows(
+      qrows.toDF("vec_id", "v", "nrm"), cents)
     // the UNION of all queries' probed cells, driver-materialized so it
     // prunes the store read as a literal partition filter: bounded by
     // min(|codebook|, QueryCount·IvfProbes) ints — the same driver-
     // resident-model-state class as the codebook itself, never row data
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    val probedCells = qrows
+      .flatMap(q => topCellsOf(q._2, q._3, cents, IvfProbes,
+        tieLargestCell = false))
+      .distinct.sorted
     val published = graft.ops.AtomicPublish
       .readTable(spark, publishedIndexRoot(spark, dir), "ivf_index")
       .filter(col("cell").isin(probedCells: _*)) // → PartitionFilters
-    val batch = assignCells(all.filter(col("vec_id") >= split), cents)
+    val batch = assignCellsRows(all.filter(col("vec_id") >= split), cents)
       .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
       .filter(col("cell").isin(probedCells: _*)) // map-side, pre-shuffle
     val merged = published.unionByName(batch)
@@ -908,18 +979,29 @@ object SimilarityOps {
     * ratio). */
   def n3fIvfPqAnn(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val cents = trainedCentroids(spark, dir)
-    val queries = all.filter(col("vec_id") < QueryCount)
-    val probes = ivfProbePlan(queries, cents)
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).sorted.toSeq
+    val cents = trainedCentroidRows(spark, dir)
+    // ONE collect of the QueryCount-row query slice per invocation —
+    // every query-side face of the plan (probe pairs, ADC tables, the
+    // exact re-rank side) derives from these driver-resident rows, so
+    // plan construction runs exactly one small job (the former shape
+    // re-scanned the corpus for the probed-cell union AND the ADC
+    // collect, plus two codebook collects — construction was ~60% of
+    // n3f's bench time, r16 probe) and the final plan's only parquet
+    // scan is the pruned code table.
+    val qrows = all.filter(col("vec_id") < QueryCount)
+      .select(col("vec_id"), col("v"), col("nrm")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))).toSeq
+    // probe cells per query, ranked driver-side by the SAME IvfTopCells
+    // evaluation ivfProbePlanRows runs ([[topCellsOf]])
+    val probePairs: Seq[(Long, Int)] = qrows.flatMap(q =>
+      topCellsOf(q._2, q._3, cents, IvfProbes, tieLargestCell = false)
+        .map(c => (q._1, c)))
+    val probedCells = probePairs.map(_._2).distinct.sorted
     val codes = graft.ops.AtomicPublish
       .readTable(spark, publishedPqRoot(spark, dir), "pq_codes")
       .filter(col("cell").isin(probedCells: _*)) // → PartitionFilters
-    // Per-query ADC lookup table qd[qid](m·K + code) = dot(q_m, c),
-    // built DRIVER-SIDE at plan construction (eager, like the probe
-    // plan above — 32 query rows + the memoized codebook, model-sized
-    // state) and mounted behind one map-only expression
+    // Per-query ADC lookup table qd[qid](m·K + code) = dot(q_m, c) —
+    // model-sized state mounted behind one map-only expression
     // ([[graft.functions.VectorFunctions.pqAdcDot]], VERDICT r15 #3):
     // the former qdot frame posexploded every candidate's codes 8×,
     // broadcast a 2048-row LocalRelation the optimizer re-processed
@@ -928,9 +1010,7 @@ object SimilarityOps {
     // expression sums m ascending from the m=0 term — the order the
     // former sum() accumulated (bit-identical, pinned in the spec).
     val books = trainedPqCodebookRows(spark, dir)
-    val adcTable: Map[Long, Array[Double]] = queries
-      .select(col("vec_id"), col("v")).collect().map { r =>
-        val v = r.getSeq[Double](1)
+    val adcTable: Map[Long, Array[Double]] = qrows.map { case (qid, v, _) =>
         val subDim = v.length / PqM
         val t = new Array[Double](PqM * PqK)
         books.foreach { case (m, code, c, _) =>
@@ -941,9 +1021,10 @@ object SimilarityOps {
           while (i < n) { acc += v(off + i) * c(i); i += 1 }
           t(m * PqK + code) = acc
         }
-        r.getLong(0) -> t
+        qid -> t
       }.toMap
-    val cand = probes.select(col("qid"), col("cell"))
+    import spark.implicits._
+    val cand = probePairs.toDF("qid", "cell")
       .join(codes, Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -956,9 +1037,9 @@ object SimilarityOps {
     val shortlist = cand.withColumn("ar", row_number().over(wa))
       .filter(col("ar") <= PqRefine * TopK)
       .select(col("qid"), col("vec_id"))
-    // exact re-rank: full vectors for the shortlist only
-    val q = queries.select(col("vec_id").as("qid"), col("v").as("qv"),
-      col("nrm").as("qn"))
+    // exact re-rank: full vectors for the shortlist only; the query
+    // side is the collected rows as a LocalRelation
+    val q = qrows.toDF("qid", "qv", "qn")
     val sims = shortlist
       .join(all, Seq("vec_id"))
       .join(broadcast(q), Seq("qid"))
@@ -1145,11 +1226,11 @@ object SimilarityOps {
     * n3gFilteredTopk]] and exactness of every returned sim. */
   def n3hFilteredIvf(spark: SparkSession, dir: String): DataFrame = {
     val all = corpus(spark, dir)
-    val cents = trainedCentroids(spark, dir)
+    val cents = trainedCentroidRows(spark, dir)
     val labels = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"))
-    val assigned = assignCells(all, cents).join(labels, Seq("vec_id"))
-    val probes = ivfProbePlan(all.filter(col("vec_id") < QueryCount), cents)
+    val assigned = assignCellsRows(all, cents).join(labels, Seq("vec_id"))
+    val probes = ivfProbePlanRows(all.filter(col("vec_id") < QueryCount), cents)
     val sims = probes
       .join(assigned.filter(col("label") === FilterLabel), Seq("cell"))
       .filter(col("vec_id") =!= col("qid"))
