@@ -307,9 +307,8 @@ object TextOps {
     * growing the corpus only displaces hash-ranked tails). One window
     * per stratum — a single shuffle on lang. */
   def sp2StratifiedSample(spark: SparkSession, dir: String): DataFrame = {
-    val hashRank = conv(substring(
-      md5(col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
-      .cast("long")
+    val hashRank = graft.functions.VectorFunctions
+      .md5Prefix64(col("doc_id").cast("string"), 8)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(hashRank, col("doc_id"))
     Tables.documents(spark, dir)
@@ -433,11 +432,19 @@ object TextOps {
 
   def t7Bm25On(docs: DataFrame): DataFrame = {
     val terms = Bm25Terms.zipWithIndex
-    val tfCols = terms.map { case (t, i) =>
-      size(filter(words, x => x === lit(t))).cast("double").as(s"tf_$i")
+    // per-doc term frequencies via TermCountBank (r16): one pass over
+    // the word array instead of one interpreted HOF filter (plus a
+    // filtered array copy) per term — same counts, the === predicate's
+    // null-exclusion included
+    val tfBank = graft.functions.VectorFunctions
+      .termCountBank(words, Bm25Terms)
+    val tfCols = terms.map { case (_, i) =>
+      element_at(col("tfs"), i + 1).cast("double").as(s"tf_$i")
     }
-    val base = docs.select(
-      (col("doc_id") +: size(words).cast("long").as("dl") +: tfCols): _*)
+    val base = docs
+      .select(col("doc_id"), size(words).cast("long").as("dl"),
+        tfBank.as("tfs"))
+      .select((col("doc_id") +: col("dl") +: tfCols): _*)
     val dfAggs = count(lit(1)).as("nn") +: sum(col("dl")).as("sdl") +:
       terms.map { case (_, i) =>
         sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i") }
@@ -624,15 +631,21 @@ object TextOps {
 
   def t6RepetitionOn(docs: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
+    // bigram counting keys on the 8-byte NgramHashStream hash instead
+    // of the rendered bigram string (r16): the former zip_with lambda
+    // ran interpreted, materialized two array slices plus the string
+    // array per doc, and shuffled corpus-scale STRINGS into the
+    // (doc_id, bigram) aggregate. Counting by hash is the t8/n10
+    // hash-domain discipline — equal modulo 64-bit collisions within
+    // one document (~1e-10 at any corpus; the string-rendering DuckDB
+    // oracle doubles as the collision check), and only the counts'
+    // max/sum reach the output, never the key.
     val base = docs
       .select(col("doc_id"), w.as("w"))
       .select(col("doc_id"),
         size(col("w")).cast("long").as("n_words"),
         size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
-        zip_with(
-          slice(col("w"), lit(1), size(col("w")) - 1),
-          slice(col("w"), lit(2), size(col("w")) - 1),
-          (a, b) => concat_ws(" ", a, b)).as("bgs"))
+        graft.functions.VectorFunctions.ngramHashStream(col("w"), 2).as("bgs"))
     base
       .select(col("doc_id"), col("n_words"), col("n_distinct_words"),
         explode(col("bgs")).as("bg"))
@@ -1121,8 +1134,10 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10)
-          .cast("long") % DsirBuckets).as("bucket"))
+        // md5Prefix64 == the conv(substring(md5(…))) chain, minus the
+        // per-word hex render/parse (r16)
+        (graft.functions.VectorFunctions.md5Prefix64(col("word"), 4)
+          % DsirBuckets).as("bucket"))
       .agg(count(lit(1)).as("cnt")))
     // score is ≤ DsirBuckets rows; materializing it keeps its two
     // consumers (the dw broadcast and the bar identity) from reading
@@ -1301,8 +1316,10 @@ object TextOps {
     docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .select(col("doc_id"),
-        (conv(substring(md5(col("word").cast("binary")), 1, 4), 16, 10)
-          .cast("long") % ClassifierBuckets).as("bucket"))
+        // md5Prefix64 == conv(substring(md5(…),1,4),16,10).cast(long)
+        // without the per-word hex-string render/parse round trip (r16)
+        (graft.functions.VectorFunctions.md5Prefix64(col("word"), 4)
+          % ClassifierBuckets).as("bucket"))
       .join(weights, Seq("bucket"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("wgt")).as("logit"))

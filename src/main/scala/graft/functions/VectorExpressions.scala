@@ -483,6 +483,113 @@ case class BigramHashPairs(child: Expression)
       newChild: Expression): BigramHashPairs = copy(child = newChild)
 }
 
+/** Occurrence counts of a FIXED term list in one document's split word
+  * array — out(i) = |{ j : words(j) == terms(i) }|, exactly
+  * `size(filter(words, x => x === lit(term)))` per term (null elements
+  * never match, as the === predicate excluded them). One pass over the
+  * array replaces |terms| interpreted HOF filter lambdas that each
+  * materialized a filtered copy of the array (t7's per-doc term
+  * frequencies — the hottest per-row work of the BM25 scan). */
+case class TermCountBank(child: Expression, terms: Seq[String])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "term_count_bank"
+
+  @transient private lazy val termBytes
+      : Array[org.apache.spark.unsafe.types.UTF8String] =
+    terms.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  def evalCounts(v: ArrayData): ArrayData = {
+    val out = new Array[Int](termBytes.length)
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      val w = v.getUTF8String(i)
+      if (w != null) {
+        var t = 0
+        while (t < termBytes.length) {
+          if (w.equals(termBytes(t))) out(t) += 1
+          t += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalCounts(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("termBank", this,
+      classOf[TermCountBank].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.evalCounts($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TermCountBank = copy(child = newChild)
+}
+
+/** The first `hexChars` hex digits of md5(string) as an unsigned long —
+  * exactly `conv(substring(md5(s.cast("binary")), 1, hexChars), 16,
+  * 10).cast("long")`, the md5-prefix rank/bucket idiom shared by
+  * t13/sp9/sp2 (and DuckDB's `('0x' || substring(md5(s), 1, k))::BIGINT`
+  * on the oracle side). The built-in chain renders the full 32-char hex
+  * string, substrings it, and PARSES the decimal back out per row; this
+  * reads the leading digest nibbles directly. The digest instance is
+  * thread-local (one expression instance is shared by concurrent tasks
+  * in local mode). Requires 1 ≤ hexChars ≤ 15 (fits a signed long). */
+case class Md5Prefix64(child: Expression, hexChars: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{LongType, StringType}
+  require(hexChars >= 1 && hexChars <= 15,
+    s"hexChars must be in [1, 15], got $hexChars")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix64"
+
+  def evalPrefix(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = Md5Prefix64.digests.get()
+    md.reset()
+    val digest = md.digest(s.getBytes)
+    var acc = 0L
+    var j = 0
+    while (j < hexChars) {
+      val b = digest(j >> 1) & 0xff
+      val nibble = if ((j & 1) == 0) b >> 4 else b & 0xf
+      acc = (acc << 4) | nibble
+      j += 1
+    }
+    acc
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalPrefix(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("md5Pfx", this, classOf[Md5Prefix64].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = $self.evalPrefix($s);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Md5Prefix64 = copy(child = newChild)
+}
+
+object Md5Prefix64 {
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** The PPJoin candidate expansion of one posting group in a single
   * expression: input is the group's SORTED array<struct<doc_id:long,
   * n:long, pos:int>>, output every ordered pair (da < db by array
@@ -716,6 +823,12 @@ object GraftVec {
 
   def bigramHashPairsColumn(words: Column): Column =
     ExpressionUtils.column(BigramHashPairs(ExpressionUtils.expression(words)))
+
+  def termCountBankColumn(words: Column, terms: Seq[String]): Column =
+    ExpressionUtils.column(TermCountBank(ExpressionUtils.expression(words), terms))
+
+  def md5Prefix64Column(s: Column, hexChars: Int): Column =
+    ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(s), hexChars))
 
   def ppjoinCandidatePairsColumn(ids: Column): Column =
     ExpressionUtils.column(PpjoinCandidatePairs(ExpressionUtils.expression(ids)))

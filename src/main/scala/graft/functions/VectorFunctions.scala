@@ -40,6 +40,17 @@ object VectorFunctions {
   def bigramHashPairs(words: Column): Column =
     org.apache.spark.sql.graftvec.GraftVec.bigramHashPairsColumn(words)
 
+  /** Occurrence counts of a fixed term list in a split word array —
+    * one pass instead of one HOF filter per term (see TermCountBank). */
+  def termCountBank(words: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.graftvec.GraftVec.termCountBankColumn(words, terms)
+
+  /** First `hexChars` md5 hex digits of a string as an unsigned long —
+    * the conv(substring(md5(…)))-chain idiom without the hex-string
+    * round trip (see Md5Prefix64). */
+  def md5Prefix64(s: Column, hexChars: Int): Column =
+    org.apache.spark.sql.graftvec.GraftVec.md5Prefix64Column(s, hexChars)
+
   /** PPJoin candidate pairs of one sorted posting group, length and
     * position bounds applied inside the expansion loop (see
     * PpjoinCandidatePairs for the exact integer bounds). */

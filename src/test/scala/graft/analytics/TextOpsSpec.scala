@@ -440,4 +440,45 @@ class TextOpsSpec extends SparkSuite {
       assert(df.filter(!col("selected")).count() > 0)
     } finally { df.unpersist(); () }
   }
+
+  test("md5Prefix64 == the conv(substring(md5(...))) chain it replaced " +
+      "(the r16 md5-prefix kernel, 4 and 8 hex chars)") {
+    import org.apache.spark.sql.functions._
+    val words = graft.core.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    for (k <- Seq(4, 8)) {
+      val bad = words.select(
+          conv(substring(md5(col("w").cast("binary")), 1, k), 16, 10)
+            .cast("long").as("ref"),
+          graft.functions.VectorFunctions.md5Prefix64(col("w"), k).as("got"))
+        .filter(col("ref") =!= col("got"))
+      assert(bad.count() == 0, s"k=$k mismatch")
+    }
+    // and on rendered numeric ids (the sp2 rank shape)
+    val ids = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id").cast("string").as("s"))
+    val badIds = ids.select(
+        conv(substring(md5(col("s").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("ref"),
+        graft.functions.VectorFunctions.md5Prefix64(col("s"), 8).as("got"))
+      .filter(col("ref") =!= col("got"))
+    assert(badIds.count() == 0)
+  }
+
+  test("termCountBank == size(filter(words, _ === term)) per term " +
+      "(the r16 t7 term-frequency kernel)") {
+    import org.apache.spark.sql.functions._
+    val terms = TextOps.Bm25Terms
+    val w = split(col("text"), " ")
+    val refCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(w, x => x === lit(t))).as(s"ref$i") }
+    val df = graft.core.Tables.documents(spark, dir)
+      .select((graft.functions.VectorFunctions.termCountBank(w, terms)
+        .as("got") +: refCols): _*)
+    val bad = terms.indices.map(i =>
+      element_at(col("got"), i + 1) =!= col(s"ref$i")).reduce(_ || _)
+    assert(df.filter(bad).count() == 0)
+    // the corpus must actually exercise nonzero counts
+    assert(df.filter(element_at(col("got"), 1) > 0).count() > 0)
+  }
 }
