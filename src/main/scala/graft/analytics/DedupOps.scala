@@ -668,12 +668,15 @@ object DedupOps {
     n10SpanDupfracOn(Tables.documents(spark, dir))
 
   def n10SpanDupfracOn(docs: DataFrame): DataFrame = {
-    // materialized once: the per-doc distinct shingle stream feeds both
-    // the cross-doc counts and the join back — as separate branches the
-    // scan+explode+dedup ran twice (hash rows only, never text)
-    val perDoc = org.apache.spark.sql.graftstream.StreamingBridge
-      .checkpointFresh(shingleHashes(docs)
-        .select(col("doc_id"), col("h")).dropDuplicates())
+    // per-doc distinct shingles MAP-SIDE (r16): dedup within a doc is
+    // array_distinct over the kernel's per-doc hash array — the former
+    // corpus-wide dropDuplicates paid an exchange on (doc_id, h) plus
+    // an eager checkpoint write/read to share it; recomputing this
+    // map-only stream per consumer branch (the counts side and the
+    // join side) is now cheaper than materializing it
+    val perDoc = docs.select(col("doc_id"),
+      explode(array_distinct(graft.functions.VectorFunctions
+        .ngramHashStream(wordsCol, 3))).as("h"))
     val docCounts = perDoc.groupBy(col("h"))
       .agg(count(lit(1)).as("ndocs"))
     perDoc.join(docCounts, Seq("h"))

@@ -590,6 +590,56 @@ object Md5Prefix64 {
   }
 }
 
+/** Rank-correlation hash bits of one array<float> feature vector over a
+  * FIXED index-pair list — bit k = [f(a_k) > f(b_k)], OR-folded into
+  * one long: exactly the 64-term `when(element_at(f, a+1) >
+  * element_at(f, b+1), 1L<<k)` + bitwiseOR chain it replaces (mm5's
+  * perceptual hash — a single projection of 64 comparison expressions
+  * is the SrpBucketBank generated-method-size failure shape).
+  * Comparisons use Spark's nan-safe float order (GreaterThan's
+  * semantics); an out-of-range index yields an unset bit, matching
+  * element_at's null → `when`-otherwise-0 behavior. */
+case class RankPairBits(child: Expression, pairs: Seq[(Int, Int)])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with ExpectsInputTypes {
+  import org.apache.spark.sql.types.{FloatType, LongType}
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rank_pair_bits"
+
+  @transient private lazy val as: Array[Int] = pairs.map(_._1).toArray
+  @transient private lazy val bs: Array[Int] = pairs.map(_._2).toArray
+
+  def evalBits(v: ArrayData): Long = {
+    val n = v.numElements()
+    var out = 0L
+    var k = 0
+    while (k < as.length) {
+      val a = as(k); val b = bs(k)
+      if (a < n && b < n &&
+          org.apache.spark.sql.catalyst.util.SQLOrderingUtil.compareFloats(
+            v.getFloat(a), v.getFloat(b)) > 0)
+        out |= (1L << k)
+      k += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    evalBits(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rankBits", this,
+      classOf[RankPairBits].getName)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $self.evalBits($v);")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RankPairBits = copy(child = newChild)
+}
+
 /** The PPJoin candidate expansion of one posting group in a single
   * expression: input is the group's SORTED array<struct<doc_id:long,
   * n:long, pos:int>>, output every ordered pair (da < db by array
@@ -829,6 +879,9 @@ object GraftVec {
 
   def md5Prefix64Column(s: Column, hexChars: Int): Column =
     ExpressionUtils.column(Md5Prefix64(ExpressionUtils.expression(s), hexChars))
+
+  def rankPairBitsColumn(f: Column, pairs: Seq[(Int, Int)]): Column =
+    ExpressionUtils.column(RankPairBits(ExpressionUtils.expression(f), pairs))
 
   def ppjoinCandidatePairsColumn(ids: Column): Column =
     ExpressionUtils.column(PpjoinCandidatePairs(ExpressionUtils.expression(ids)))

@@ -51,6 +51,11 @@ object VectorFunctions {
   def md5Prefix64(s: Column, hexChars: Int): Column =
     org.apache.spark.sql.graftvec.GraftVec.md5Prefix64Column(s, hexChars)
 
+  /** Rank-correlation hash bits over a fixed index-pair list — the mm5
+    * perceptual-hash projection as one expression (see RankPairBits). */
+  def rankPairBits(f: Column, pairs: Seq[(Int, Int)]): Column =
+    org.apache.spark.sql.graftvec.GraftVec.rankPairBitsColumn(f, pairs)
+
   /** PPJoin candidate pairs of one sorted posting group, length and
     * position bounds applied inside the expansion loop (see
     * PpjoinCandidatePairs for the exact integer bounds). */

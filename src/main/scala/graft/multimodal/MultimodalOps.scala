@@ -230,16 +230,16 @@ object MultimodalOps {
     * scale, exactly the robustness a perceptual hash wants (re-encoded
     * or brightness-shifted media keeps its bit pattern). Map-only over
     * the decode output. */
-  def mediaPhash(spark: SparkSession, dir: String): DataFrame = {
-    val bits = PhashPairs.zipWithIndex.map { case ((a, b), k) =>
-      when(element_at(col("features"), a + 1) >
-          element_at(col("features"), b + 1),
-        lit(1L << k)).otherwise(lit(0L))
-    }
+  def mediaPhash(spark: SparkSession, dir: String): DataFrame =
+    // one RankPairBits expression (r16): the former 64-term
+    // when(element_at > element_at) + bitwiseOR chain inflated the
+    // generated projection toward the method-size cliff and evaluated
+    // 128 element_at calls per row; same bits (nan-safe float order =
+    // GreaterThan's semantics, pinned in MultimodalOpsSpec)
     decode(mediaCatalog(spark, dir)).toDF()
       .select(col("media_id"),
-        bits.reduce((x, y) => x.bitwiseOR(y)).as("simhash"))
-  }
+        graft.functions.VectorFunctions
+          .rankPairBits(col("features"), PhashPairs).as("simhash"))
 
   /** MM5: perceptual-hash NEAR-DUP pairs over media — the multimodal
     * face of the dedup tier: decode → 64-bit perceptual hash →

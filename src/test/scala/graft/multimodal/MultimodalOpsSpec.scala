@@ -112,4 +112,22 @@ class MultimodalOpsSpec extends SparkSuite {
       assert(got.exists { case (a, b, h) => (a == keep || b == keep) && h == 0L })
     }
   }
+
+  test("rankPairBits == the 64-term when/bitwiseOR phash chain it " +
+      "replaced (the r16 mm5 kernel swap)") {
+    import org.apache.spark.sql.functions._
+    val feats = MultimodalOps.decode(
+      MultimodalOps.mediaCatalog(spark, dir)).toDF()
+    val bits = MultimodalOps.PhashPairs.zipWithIndex.map { case ((a, b), k) =>
+      when(element_at(col("features"), a + 1) >
+          element_at(col("features"), b + 1),
+        lit(1L << k)).otherwise(lit(0L))
+    }
+    val bad = feats.select(
+        bits.reduce((x, y) => x.bitwiseOR(y)).as("ref"),
+        graft.functions.VectorFunctions
+          .rankPairBits(col("features"), MultimodalOps.PhashPairs).as("got"))
+      .filter(col("ref") =!= col("got"))
+    assert(bad.count() == 0)
+  }
 }
