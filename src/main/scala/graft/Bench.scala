@@ -86,9 +86,25 @@ object Bench {
       names.map { name =>
         val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
+        var df: org.apache.spark.sql.DataFrame = null
+        val ok = try { df = fn(spark, sfDir); df.count(); true }
                  catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok, round)
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Storage hygiene OUTSIDE the timed window (VERDICT r15 #8):
+        // queries that checkpointFresh an intermediate (n2*, sp9, sp10,
+        // llm1, …) build a FRESH checkpoint per rep; without an explicit
+        // release each rep's blocks linger until GC + ContextCleaner,
+        // so a 5-rep sweep pins ~5× the storage. Released here — after
+        // the timed action, before the next rep re-builds — the sweep's
+        // pinned blocks stay flat. (Every memoized value in the engine
+        // is driver rows, never a checkpoint-backed frame, so nothing
+        // shared is ever unpersisted. The timed region is unchanged:
+        // construct + count, exactly as before.)
+        if (df != null)
+          try org.apache.spark.sql.graftstream.StreamingBridge
+            .unpersistCheckpoint(df)
+          catch { case _: Throwable => () }
+        (name, dt, ok, round)
       }
     }
     // a rep that threw contributes no sample: a consistently failing
